@@ -1,0 +1,121 @@
+"""Three-part table namespace over a local/file warehouse.
+
+Reference parity: tables live at ``{catalog}.{schema}.{table}``
+(reference lib/ingestors.py:95,114) backed by Databricks Unity
+Catalog. OSS single-session Spark has a two-part namespace, so we map
+``catalog.schema.table`` ↔ a warehouse path
+``{warehouse}/{catalog}/{schema}/{table}`` and register temp views /
+path-based tables on demand. Existence probe mirrors
+``spark.catalog.tableExists`` usage (reference lib/checker_handler.py:173).
+
+At 100 TB the warehouse root is object storage (s3a://…) and every
+managed table is written partitioned (see sources/writers.py); the
+path convention is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def split_name(full_name: str) -> tuple[str, str, str]:
+    """``catalog.schema.table`` → parts; shorter names get defaults."""
+    parts = full_name.split(".")
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    if len(parts) == 2:
+        return "default", parts[0], parts[1]
+    if len(parts) == 1:
+        return "default", "default", parts[0]
+    raise ValueError(f"bad table name: {full_name!r}")
+
+
+@dataclass
+class Catalog:
+    """Path-convention catalog with overwrite/read/exists/drop.
+
+    Storage format is parquet (delta-spark is not installed in this
+    environment — SURVEY.md §7.4(3)); the format is a constructor knob
+    so a Delta-enabled cluster can flip it.
+    """
+
+    spark: SparkSession
+    warehouse: str
+    fmt: str = "parquet"
+
+    def path(self, full_name: str) -> str:
+        cat, sch, tbl = split_name(full_name)
+        return os.path.join(self.warehouse, cat, sch, tbl)
+
+    def exists(self, full_name: str) -> bool:
+        p = self.path(full_name)
+        if not os.path.isdir(p):
+            return False
+        # A parquet dir with only _SUCCESS markers is not a table.
+        return any(not f.startswith(".") and f != "_SUCCESS" for f in os.listdir(p))
+
+    def read(self, full_name: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path(full_name))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        full_name: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Full-overwrite sink (reference lib/ingestors.py:92-96).
+
+        ``partition_by`` is the 100 TB upgrade the reference lacks
+        (SURVEY.md §7.4(8)): date-partitioned layout enables partition
+        pruning + dynamic partition overwrite downstream.
+        """
+        writer = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.path(full_name))
+
+    def overwrite_via_staging(
+        self,
+        df: DataFrame,
+        full_name: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Overwrite a table whose current files feed the plan.
+
+        Lazily reading and overwriting the same parquet directory is
+        undefined in OSS Spark (the scan would see its own deletes), so
+        the result is materialized to ``{path}__staging`` first and then
+        swapped in. On a transactional format (Delta/Iceberg) this is
+        MERGE's job; the staging swap is the format-agnostic fallback.
+        """
+        final = self.path(full_name)
+        staging = final + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        writer = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+
+    def drop(self, full_name: str) -> None:
+        shutil.rmtree(self.path(full_name), ignore_errors=True)
+
+    def truncate(self, full_name: str) -> None:
+        """TRUNCATE TABLE analogue (reference lib/checker_handler.py:119)."""
+        self.drop(full_name)
+
+    def register_view(self, full_name: str, view_name: str | None = None) -> str:
+        """Expose a stored table to Spark SQL as a temp view.
+
+        The reference's SQL refers to ``bronze.brapi.tickers`` etc.
+        (reference silver/prices/prices.sql:12); callers can register
+        under a flattened alias for OSS Spark SQL.
+        """
+        name = view_name or "_".join(split_name(full_name))
+        self.read(full_name).createOrReplaceTempView(name)
+        return name

@@ -1,0 +1,122 @@
+"""Metadata-driven ingestion engine: full overwrite + CDC upsert.
+
+Reference parity: ``Ingestor`` (load → optional SQL transform → full
+overwrite saveAsTable, reference lib/ingestors.py:9-105) and
+``IngestorCDC`` (load → transform → keyed ts-guarded MERGE, reference
+lib/ingestors.py:108-137). Table metadata (schema, keys, cdc column)
+comes from per-table YAML; the transform is a per-table SQL file
+discovered by convention ``{root}/{table}/{table}.sql``
+(reference lib/ingestors.py:16-24) that reads the loaded data through a
+temp view ``view_{table}`` (reference lib/ingestors.py:81,118).
+
+Scale deltas vs the reference (SURVEY.md §7.4(8)):
+- sinks accept ``partition_by`` (the reference writes unpartitioned,
+  reference lib/ingestors.py:92-96 — untenable at 100 TB);
+- MERGE is the corrected join-based latest-wins upsert
+  (operators/merge.py) rather than Delta MERGE with the ts-guard in
+  the ON clause.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .plans.qualify import run_sql
+from .schema import TableMeta, load_table_meta
+from .sources.readers import read_source
+from .operators.merge import merge_upsert
+
+
+@dataclass
+class Ingestor:
+    """Full-load ingestor (reference lib/ingestors.py:9-105).
+
+    ``metadata_root`` holds ``{table}/{table}.yml`` and optional
+    ``{table}/{table}.sql`` (reference layout). ``input_format``:
+    json/parquet/csv = file scan with declared schema; ``table`` =
+    the transform SQL reads existing catalog tables directly
+    (the reference's ``delta`` branch, reference lib/ingestors.py:82-85).
+    """
+
+    spark: SparkSession
+    catalog: Catalog
+    metadata_root: str
+    table: str
+    input_format: str = "json"
+    input_path: str | None = None
+    partition_by: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.meta: TableMeta = load_table_meta(
+            os.path.join(self.metadata_root, self.table, f"{self.table}.yml")
+        )
+        sql_path = os.path.join(
+            self.metadata_root, self.table, f"{self.table}.sql"
+        )
+        self.transform_sql: str | None = None
+        if os.path.exists(sql_path):
+            with open(sql_path) as fh:
+                self.transform_sql = fh.read()
+
+    # -- load ---------------------------------------------------------
+    def load(self) -> DataFrame:
+        """Scan + stamp + temp-view handoff + optional SQL transform
+        (reference lib/ingestors.py:75-88)."""
+        if self.input_format == "table":
+            if not self.transform_sql:
+                raise ValueError("'table' input requires a transform SQL")
+            return run_sql(self.spark, self.transform_sql)
+        df = read_source(
+            self.spark,
+            self.input_format,
+            path=self.input_path,
+            schema=self.meta.spark_schema,
+        )
+        df.createOrReplaceTempView(f"view_{self.meta.table}")
+        if self.transform_sql:
+            df = run_sql(self.spark, self.transform_sql)
+        return df
+
+    # -- save ---------------------------------------------------------
+    def save(self, df: DataFrame) -> None:
+        """Full overwrite sink (reference lib/ingestors.py:90-99),
+        partitioned when configured."""
+        self.catalog.overwrite(
+            df, self.meta.full_name, partition_by=self.partition_by or None
+        )
+
+    def run(self) -> None:
+        self.save(self.load())
+
+
+@dataclass
+class IngestorCDC(Ingestor):
+    """CDC ingestor: key + ts-ordered upsert (reference lib/ingestors.py:108-137).
+
+    Keys and the ordering column come from column annotations
+    ``key: true`` / ``date_predicate: true``
+    (reference lib/ingestors.py:35-39).
+    """
+
+    def upsert(self, df: DataFrame) -> None:
+        keys = self.meta.key_columns
+        ts = self.meta.cdc_timestamp_column
+        if not keys:
+            raise ValueError(f"{self.meta.full_name}: CDC requires key columns")
+        if not self.catalog.exists(self.meta.full_name):
+            # First write: plain overwrite (reference guards similarly
+            # at lib/checker_handler.py:173 for the history table).
+            self.save(df)
+            return
+        target = self.catalog.read(self.meta.full_name)
+        merged = merge_upsert(target, df.select(*target.columns), keys, ts)
+        self.catalog.overwrite_via_staging(
+            merged, self.meta.full_name, partition_by=self.partition_by or None
+        )
+
+    def run(self) -> None:
+        self.upsert(self.load())

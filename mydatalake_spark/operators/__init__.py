@@ -1,0 +1,3 @@
+from .dedup import dedup_latest, flag_duplicates  # noqa: F401
+from .merge import merge_upsert  # noqa: F401
+from .asof import asof_join  # noqa: F401

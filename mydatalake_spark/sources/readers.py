@@ -1,0 +1,47 @@
+"""File / table scans with explicit declared schemas.
+
+Reference parity: ``Ingestor.load`` reads
+``spark.read.format(fmt).schema(st).load(f'{path}/*.json')`` for
+json/parquet and stamps ``loaded_at = current_timestamp()``
+(reference lib/ingestors.py:78-80); ``input_format='delta'`` means
+"read from the catalog via the transform SQL instead"
+(reference lib/ingestors.py:82-85).
+
+Explicit schemas matter doubly at scale: they skip the JSON
+schema-inference pre-scan (a full extra read of the raw zone) and they
+make the scan's ReadSchema exactly the declared columns, so Catalyst
+column pruning has a stable base to prune *from*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FILE_FORMATS = {"json", "parquet", "csv"}
+
+
+def read_source(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    schema: T.StructType | None = None,
+    stamp_loaded_at: bool = True,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scan a raw source with an explicit schema; stamp ``loaded_at``.
+
+    (reference lib/ingestors.py:75-81)
+    """
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported file format: {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    df = reader.load(path)
+    if stamp_loaded_at:
+        df = df.withColumn("loaded_at", F.current_timestamp())
+    return df

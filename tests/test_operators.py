@@ -1,0 +1,137 @@
+"""dedup_latest / flag_duplicates / merge_upsert / asof_join / QUALIFY shim."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mydatalake_spark.operators import (
+    asof_join,
+    dedup_latest,
+    flag_duplicates,
+    merge_upsert,
+)
+from mydatalake_spark.plans.qualify import rewrite_qualify, run_sql
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_dedup_latest_latest_wins(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T00:00:00"), 1),
+            ("A", _ts("2024-01-03T00:00:00"), 2),
+            ("A", _ts("2024-01-02T00:00:00"), 3),
+            ("B", _ts("2024-01-01T00:00:00"), 4),
+        ],
+        "k string, ts timestamp, v int",
+    )
+    out = dedup_latest(df, ["k"], ["ts"], tiebreakers=["v"])
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {("A", 2), ("B", 4)}
+
+
+def test_dedup_latest_tiebreaker_deterministic(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 1, 20), ("A", 1, 5)], "k string, ts int, v int"
+    )
+    out = dedup_latest(df, ["k"], ["ts"], tiebreakers=["v"])
+    assert [r.v for r in out.collect()] == [5]
+
+
+def test_flag_duplicates(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "c string"
+    )
+    out = flag_duplicates(df, ["c"])
+    counts = out.groupBy("is_duplicate").count().collect()
+    m = {r.is_duplicate: r["count"] for r in counts}
+    assert m == {False: 2, True: 1}
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, _ts("2024-01-02T00:00:00"), "t1"),
+         (2, _ts("2024-01-02T00:00:00"), "t2")],
+        "id long, ts timestamp, v string",
+    )
+    source = spark.createDataFrame(
+        [
+            # newer → updates
+            (1, _ts("2024-01-05T00:00:00"), "s1"),
+            # STALE (ts < target) → must be ignored, NOT inserted.
+            # The reference's ON-clause guard would insert a duplicate
+            # here (reference lib/ingestors.py:123; SURVEY.md §7.4(2)).
+            (2, _ts("2024-01-01T00:00:00"), "s2-stale"),
+            # brand-new key → insert
+            (3, _ts("2024-01-01T00:00:00"), "s3"),
+        ],
+        "id long, ts timestamp, v string",
+    )
+    out = merge_upsert(target, source, ["id"], "ts")
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "s1"), (2, "t2"), (3, "s3")}
+    assert out.count() == 3  # no duplicate for key 2
+
+
+def test_merge_upsert_equal_ts_source_wins(spark):
+    # reference semantics: new.ts >= old.ts → update
+    target = spark.createDataFrame([(1, 10, "old")], "id long, ts int, v string")
+    source = spark.createDataFrame([(1, 10, "new")], "id long, ts int, v string")
+    out = merge_upsert(target, source, ["id"], "ts")
+    assert [(r.id, r.v) for r in out.collect()] == [(1, "new")]
+
+
+def test_merge_upsert_dedups_source(spark):
+    target = spark.createDataFrame([(1, 1, "t")], "id long, ts int, v string")
+    source = spark.createDataFrame(
+        [(1, 5, "mid"), (1, 9, "latest"), (1, 2, "early")],
+        "id long, ts int, v string",
+    )
+    out = merge_upsert(target, source, ["id"], "ts")
+    assert [(r.id, r.v) for r in out.collect()] == [(1, "latest")]
+
+
+def test_merge_upsert_no_ts_source_always_wins(spark):
+    # 6-key equi-merge shape (reference lib/checker_handler.py:179-191)
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
+    out = merge_upsert(target, source, ["id"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_qualify_rewrite_executes(spark):
+    spark.createDataFrame(
+        [("A", 1, 100), ("A", 2, 200), ("B", 1, 300)],
+        "sym string, seq int, px int",
+    ).createOrReplaceTempView("quotes")
+    sql = (
+        "SELECT sym, seq, px FROM quotes "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY seq DESC) = 1"
+    )
+    out = run_sql(spark, sql)
+    got = {(r.sym, r.seq) for r in out.collect()}
+    assert got == {("A", 2), ("B", 1)}
+    assert "__qualify__" not in out.columns
+
+
+def test_qualify_rewrite_preserves_plain_sql():
+    assert rewrite_qualify("SELECT 1") == "SELECT 1"
+
+
+def test_asof_join(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)],
+        "sym string, t int, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 10, 2.0), ("A", 20, 3.0), ("B", 9, 9.0)],
+        "sym string, t int, px double",
+    )
+    out = asof_join(trades, quotes, ["sym"], "t", "t", ["px"])
+    got = {(r.trade_id, r.px) for r in out.collect()}
+    # trade A@10 matches quote A@10 (inclusive), A@25 → quote@20,
+    # B@5 has no prior quote → null
+    assert got == {(1, 2.0), (2, 3.0), (3, None)}
