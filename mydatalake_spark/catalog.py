@@ -77,6 +77,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(full_name))
+        self._invalidate(full_name)
 
     def overwrite_via_staging(
         self,
@@ -101,9 +102,17 @@ class Catalog:
         writer.save(staging)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(staging, final)
+        self._invalidate(full_name)
+
+    def _invalidate(self, full_name: str) -> None:
+        """Drop cached file listings for a rewritten path — Spark's
+        shared FileStatusCache otherwise serves stale part-file lists
+        to later scans of the same location."""
+        self.spark.catalog.refreshByPath(self.path(full_name))
 
     def drop(self, full_name: str) -> None:
         shutil.rmtree(self.path(full_name), ignore_errors=True)
+        self._invalidate(full_name)
 
     def truncate(self, full_name: str) -> None:
         """TRUNCATE TABLE analogue (reference lib/checker_handler.py:119)."""

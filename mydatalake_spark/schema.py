@@ -147,7 +147,9 @@ class TableMeta:
 
     @property
     def raw_fields(self) -> list[dict[str, Any]]:
-        return list(self.raw.get("fields", []))
+        # The reference names the field list 'schema'
+        # (reference silver/prices/prices.yml:1); we accept both.
+        return list(self.raw.get("fields", self.raw.get("schema", [])) or [])
 
     @property
     def key_columns(self) -> list[str]:
@@ -167,7 +169,7 @@ class TableMeta:
 def parse_table_meta(doc: dict[str, Any]) -> TableMeta:
     """Dict (already YAML-loaded) → TableMeta."""
     cols = []
-    for f in doc.get("fields", []):
+    for f in doc.get("fields", doc.get("schema", [])) or []:
         cols.append(
             ColumnMeta(
                 name=str(f["name"]),

@@ -34,6 +34,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Timestamps in test parquet are ns-precision; keep semantics stable.
     "spark.sql.session.timeZone": "UTC",
+    # The engine's cast-late pattern (stringly bronze → typed silver,
+    # reference bronze/assets/assets.yml + assets.sql) needs
+    # null-on-malformed CAST semantics; Spark 4 defaults to ANSI
+    # (throw). Library code uses try_cast explicitly where it means it;
+    # this keeps user transform SQL (reference dialect) running.
+    "spark.sql.ansi.enabled": "false",
     # Don't let codegen fall back silently while iterating.
     "spark.sql.shuffle.partitions": "32",
 }
