@@ -1,38 +1,816 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (TPC-H Q1 shape, SURVEY.md §7.2) on
+sf0.001. ``queries()`` — one callable per implemented operator from
+SURVEY.md §2 (+ extensions). ``oracle_sql()`` — DuckDB-equivalent ANSI
+SQL per query; keys omitted there get a rows-only check.
+
+Determinism rules (SURVEY.md §7.4(4)): every dedup/top-k orders by a
+total key; run_date/as_of anchors are fixed literals; float aggregates
+are rounded in BOTH engines; DuckDB integer SUMs are cast to BIGINT to
+match Spark's long.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mydatalake_spark.functions.text import (
+    doc_fingerprint,
+    lang_guess,
+    normalize_text,
+    text_quality,
+    tokens,
+)
+from mydatalake_spark.operators.asof import asof_join
+from mydatalake_spark.operators.dedup import dedup_latest
+from mydatalake_spark.operators.merge import merge_upsert
+from mydatalake_spark.operators.neardup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mydatalake_spark.quality.checks import annotate
+from mydatalake_spark.quality.runner import AGG_KEYS
+from mydatalake_spark.similarity.search import brute_force_topk, lsh_topk
+from mydatalake_spark.streaming.events import session_agg, tumbling_agg
+
+RUN_DATE = "2026-08-13"   # fixed anchor: reproducible DQ runs
+DQ_AS_OF = "2000-01-01"   # anchor inside l_shipdate's range → mixed results
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its parquet TIMESTAMP(NANOS) column surfaced as a
+    proper µs timestamp (see sources/readers.py:nanos_to_timestamp;
+    DuckDB's reader truncates to µs the same way)."""
+    from mydatalake_spark.sources.readers import nanos_to_timestamp
+
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", nanos_to_timestamp(F.col("ts")))
+    return ev
+
+
+def _cents(col) -> "F.Column":
+    """Row-level money quantization for exact cross-engine sums.
+
+    Summing doubles is accumulation-order-dependent: Spark's partial
+    aggregates and DuckDB's sequential sum land on opposite sides of a
+    rounding boundary for half-cent-exact totals (observed at sf0.01).
+    Quantizing each row to integer cents and summing longs is exact and
+    order-independent. The +1e-6 bias makes half-cent products round
+    identically in both engines (Spark rounds the shortest decimal
+    repr, DuckDB the binary value — they disagree exactly at .5 ULPs).
+    """
+    return F.round(col * 100 + 1e-6, 0).cast("long")
+
+
+def _bp(col) -> "F.Column":
+    """Basis-point quantization (×10000) — same scheme for small ratios."""
+    return F.round(col * 10000 + 1e-6, 0).cast("long")
+
+
+# =====================================================================
+# Core relational queries (reference operator surface)
+# =====================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: A1-A4 aggregates + P2 casts + F8 arithmetic
+    (reference lib/checker_handler.py:139-154 aggregation pattern,
+    Pipelines/Test/transformations/test.sql:13-14 arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # Exact cross-engine aggregation: quantize each row to
+            # integer cents/basis points (epsilon-biased so half-cent
+            # products round identically in Spark and DuckDB), sum as
+            # longs (exact, order-independent), rescale at the end.
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0)
+            .alias("sum_base_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )) / 100.0).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_cents(F.col("l_extendedprice")))
+             / (100.0 * F.count(F.lit(1)))).alias("avg_price"),
+            (F.sum(_bp(F.col("l_discount")))
+             / (10000.0 * F.count(F.lit(1)))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT)) / 100.0
+    AS sum_base_price,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS sum_disc_price,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+      + 1e-6, 0) AS BIGINT)) / 100.0 AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  SUM(CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT))
+    / (100.0 * COUNT(*)) AS avg_price,
+  SUM(CAST(ROUND(l_discount * 10000 + 1e-6, 0) AS BIGINT))
+    / (10000.0 * COUNT(*)) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue. The dimension side
+    (filtered customer) broadcasts under AQE; lineitem never shuffles
+    for the join, only for the final groupBy."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT
+  o_orderkey, o_orderdate, o_orderpriority,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through customer-nation-region
+    with small dims broadcast explicitly."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def dedup_latest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3 dedup-latest (reference bronze/assets/assets.sql:11 shape)
+    with a deterministic tiebreaker (SURVEY.md §7.4(4))."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    # so the tiebreak chain extends until the ordering is total.
+    return dedup_latest(
+        li, ["l_orderkey"], ["l_shipdate"],
+        tiebreakers=["l_linenumber", "l_quantity", "l_extendedprice"],
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+_DEDUP_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY l_shipdate DESC, l_linenumber ASC, l_quantity ASC,
+           l_extendedprice ASC
+) = 1
+"""
+
+
+def dupflag_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 duplicate detection (reference lib/checker.py:163-165) with
+    deterministic intra-group order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.row_number().over(w) > 1).alias("is_duplicate"),
+    )
+
+
+_DUPFLAG_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) > 1)
+    AS is_duplicate
+FROM lineitem
+"""
+
+
+def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 CDC MERGE semantics (reference lib/ingestors.py:122-126,
+    corrected per SURVEY.md §7.4(2)): target = non-multiples-of-3
+    orders; source = even orders repriced, with multiples of 4 made
+    STALE (ts − 5 days → must lose to the target row)."""
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("o_totalprice"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.col("o_orderdate") - F.expr("INTERVAL 5 DAYS"),
+        )
+        .otherwise(F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS"))
+        .alias("ts"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"], "ts")
+
+
+_MERGE_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_orderdate - INTERVAL 5 DAY
+              ELSE o_orderdate + INTERVAL 1 DAY END AS ts
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (
+  SELECT *, 0 AS side FROM t
+  UNION ALL
+  SELECT *, 1 AS side FROM s
+)
+SELECT o_orderkey, o_totalprice, ts FROM u
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderkey ORDER BY ts DESC, side DESC
+) = 1
+"""
+
+
+# =====================================================================
+# Data-quality engine (reference signature feature, Q1-Q9)
+# =====================================================================
+
+_DQ_SPECS = [
+    {"column": "l_returnflag", "test_type": "missing",
+     "test_name": "missing", "mandate": "global_required"},
+    {"column": "l_orderkey", "test_type": "duplicated",
+     "test_name": "duplicated", "mandate": "global_required"},
+    {"column": "l_discount", "test_type": "outside_of_rules",
+     "test_name": "l_discount <= 0.05", "mandate": "local_required",
+     "kwargs": {"expression": "l_discount <= 0.05"}},
+    {"column": "l_shipdate", "test_type": "outdated",
+     "test_name": "outdated", "mandate": "local_optional",
+     "kwargs": {"threshold": 730}},
+]
+
+
+def dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q8: single-pass declarative check suite on lineitem
+    (reference lib/checker.py:277-312 compile semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return annotate(
+        li, _DQ_SPECS, ["l_orderkey", "l_linenumber"],
+        run_date=RUN_DATE, as_of=DQ_AS_OF,
+    )
+
+
+_DQ_CHECKS_ORACLE = f"""
+WITH keyed AS (
+  SELECT *,
+    CONCAT_WS('_', CAST(l_orderkey AS VARCHAR),
+                   CAST(l_linenumber AS VARCHAR)) AS df_key
+  FROM lineitem
+),
+missing AS (
+  SELECT df_key, 'missing' AS test_type, 'global_required' AS mandate,
+    'l_returnflag' AS "column", 'missing' AS test_name,
+    (l_returnflag IS NULL
+      OR CAST(l_returnflag AS VARCHAR) IN ('', '0.0')) AS failed
+  FROM keyed
+),
+duplicated AS (
+  SELECT df_key, 'duplicated' AS test_type, 'global_required' AS mandate,
+    'l_orderkey' AS "column", 'duplicated' AS test_name,
+    (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY df_key) > 1)
+      AS failed
+  FROM keyed
+),
+rules AS (
+  SELECT df_key, 'outside_of_rules' AS test_type, 'local_required' AS mandate,
+    'l_discount' AS "column", 'l_discount <= 0.05' AS test_name,
+    (l_discount IS NULL OR NOT (l_discount <= 0.05)) AS failed
+  FROM keyed
+),
+outdated AS (
+  SELECT df_key, 'outdated' AS test_type, 'local_optional' AS mandate,
+    'l_shipdate' AS "column", 'outdated' AS test_name,
+    (CAST(l_shipdate AS DATE) < DATE '{DQ_AS_OF}' - 730) AS failed
+  FROM keyed
+),
+unioned AS (
+  SELECT * FROM missing UNION ALL SELECT * FROM duplicated
+  UNION ALL SELECT * FROM rules UNION ALL SELECT * FROM outdated
+)
+SELECT df_key, test_type, mandate, "column", test_name,
+  DATE '{RUN_DATE}' AS run_date,
+  CASE WHEN failed THEN 'failed' ELSE 'passed' END AS check_result,
+  CASE WHEN failed THEN 0 ELSE 1 END AS check_score
+FROM unioned
+"""
+
+
+def dq_aggregate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9/A1-A4: scores rollup (reference lib/checker_handler.py:133-156)."""
+    results = dq_checks_lineitem(spark, sf_dir).withColumns(
+        {"layer": F.lit("silver"), "table_name": F.lit("lineitem")}
+    )
+    return results.groupBy(*AGG_KEYS).agg(
+        F.round(F.avg("check_score"), 6).alias("total_score"),
+        F.count(F.lit(1)).alias("columns_checked"),
+        F.sum(F.when(F.col("check_result") == "passed", 1).otherwise(0))
+        .cast("long").alias("passing_cols"),
+        F.sum(F.when(F.col("check_result") == "passed", 0).otherwise(1))
+        .cast("long").alias("failing_cols"),
+    )
+
+
+_DQ_AGG_ORACLE = f"""
+WITH checks AS ({_DQ_CHECKS_ORACLE}),
+std AS (
+  SELECT *, 'silver' AS layer, 'lineitem' AS table_name FROM checks
+)
+SELECT test_name, table_name, test_type, layer, run_date, mandate,
+  ROUND(AVG(check_score), 6) AS total_score,
+  CAST(COUNT(*) AS BIGINT) AS columns_checked,
+  CAST(SUM(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS passing_cols,
+  CAST(SUM(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS BIGINT)
+    AS failing_cols
+FROM std
+GROUP BY test_name, table_name, test_type, layer, run_date, mandate
+"""
+
+
+# =====================================================================
+# Events: windows, sessionization, JSON (streaming-shaped extensions)
+# =====================================================================
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (F.window; identical plan
+    works on a stream — streaming/events.py)."""
+    ev = _events(spark, sf_dir)
+    out = tumbling_agg(
+        ev, "ts", "1 hour", group_by=["event_type"],
+        aggs={"*": "count", "value": "sum"},
+    )
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT
+  DATE_TRUNC('hour', ts) AS window_start,
+  DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user (F.session_window)."""
+    ev = _events(spark, sf_dir)
+    out = session_agg(
+        ev, "ts", "30 minutes", group_by=["user_id"],
+        aggs={"*": "count", "value": "sum"},
+    )
+    return out.select(
+        "user_id",
+        F.col("window_start").alias("session_start"),
+        F.col("window_end").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+grouped AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS grp
+  FROM marked
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM grouped
+GROUP BY user_id, grp
+"""
+
+
+def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload (driver-side JSON in the
+    reference raw layer, raw/ingestors.py:35, done engine-side here)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def asof_enrich_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[extension] as-of join: each click gets the latest prior 'view'
+    value for the same user (operators/asof.py union-window rewrite)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        clicks, views, ["user_id"], "ts", "ts", ["view_value"]
+    ).select("event_id", "user_id", "ts", "view_value")
+
+
+_ASOF_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts, v.view_value
+FROM (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+) c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS view_value FROM events
+  WHERE event_type = 'view'
+) v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# =====================================================================
+# Text analysis (extensions over documents)
+# =====================================================================
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios, all JVM-side expressions
+    (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text_quality("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_obs"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_distinct_tokens"].alias("n_distinct_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+_TEXT_STATS_ORACLE = r"""
+SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS BIGINT)
+    AS n_tokens,
+  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) END
+    AS BIGINT) AS n_distinct_tokens,
+  ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g')))
+        / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+  ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))
+        / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+               ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END, 1)
+               AS DOUBLE), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def lang_guess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie order."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_guess("text").alias("guessed_lang")
+    )
+
+
+def _lang_score_sql(lang: str, markers: list[str]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE("
+        f"TRIM(text), '\\s+', ' ', 'g')), '\\s+'), t -> t IN ({in_list})))"
+    )
+
+
+def _lang_guess_oracle() -> str:
+    from mydatalake_spark.functions.text import LANG_MARKERS
+
+    scores = {
+        lang: _lang_score_sql(lang, m) for lang, m in LANG_MARKERS.items()
+    }
+    score_cols = ",\n  ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    cases = "\n    ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in scores
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE {cases} ELSE 'und' END AS guessed_lang
+FROM scored
+"""
+
+
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 over normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint (one shuffle,
+    map-side combine)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_ORACLE = r"""
+SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS keep_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard pairs ≥ 0.2 (explode + equi-join —
+    no cross join; operators/neardup.py)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+_NGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ) AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+"""
+
+
+# =====================================================================
+# Similarity search over embeddings (extensions)
+# =====================================================================
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10
+    (broadcast queries; similarity/search.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score")
+    )
+
+
+_SIM_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+)
+SELECT query_id, neighbor_id,
+  ROUND(LIST_COSINE_SIMILARITY(qv, cv), 4) AS score
+FROM q CROSS JOIN c
+WHERE neighbor_id <> query_id
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id
+  ORDER BY LIST_COSINE_SIMILARITY(qv, cv) DESC, neighbor_id ASC
+) <= 5
+"""
+
+
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes): the 100 TB scale path.
+    Approximate — rows-only check (no oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_bands=8, bits_per_band=4,
+    ).select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+
+
+def minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (approximate — rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    # Cache: the banding self-join reads the signature relation twice;
+    # without this the (expensive) signature build runs 2×. In a real
+    # pipeline signatures are a persisted silver table.
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3).cache()
+    return minhash_candidates(sigs, n_bands=8)
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (deterministic, rows-only — xxhash64
+    has no DuckDB equivalent)."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "dedup_latest_lineitem": dedup_latest_lineitem,
+        "dupflag_lineitem": dupflag_lineitem,
+        "merge_cdc_orders": merge_cdc_orders,
+        "dq_checks_lineitem": dq_checks_lineitem,
+        "dq_aggregate_lineitem": dq_aggregate_lineitem,
+        "events_tumbling": events_tumbling,
+        "events_sessionize": events_sessionize,
+        "events_json_kv": events_json_kv,
+        "asof_enrich_clicks": asof_enrich_clicks,
+        "text_stats_documents": text_stats_documents,
+        "lang_guess_documents": lang_guess_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "similarity_topk": similarity_topk,
+        "similarity_lsh": similarity_lsh,
+        "minhash_neardup_documents": minhash_neardup_documents,
+        "simhash_documents": simhash_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_ORACLE,
+        "q3_segment_revenue": _Q3_ORACLE,
+        "q5_nation_revenue": _Q5_ORACLE,
+        "dedup_latest_lineitem": _DEDUP_ORACLE,
+        "dupflag_lineitem": _DUPFLAG_ORACLE,
+        "merge_cdc_orders": _MERGE_ORACLE,
+        "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
+        "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
+        "events_tumbling": _TUMBLING_ORACLE,
+        "events_sessionize": _SESSION_ORACLE,
+        "events_json_kv": _JSON_ORACLE,
+        "asof_enrich_clicks": _ASOF_ORACLE,
+        "text_stats_documents": _TEXT_STATS_ORACLE,
+        "lang_guess_documents": _lang_guess_oracle(),
+        "fingerprint_documents": _FINGERPRINT_ORACLE,
+        "exact_dedup_documents": _EXACT_DEDUP_ORACLE,
+        "ngram_jaccard_documents": _NGRAM_ORACLE,
+        "similarity_topk": _SIM_ORACLE,
+        # similarity_lsh, minhash_neardup_documents, simhash_documents:
+        # approximate / engine-hash-dependent → rows-only checks.
+    }

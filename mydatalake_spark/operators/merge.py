@@ -68,23 +68,37 @@ def merge_upsert(
     else:
         source = source.dropDuplicates(keys)
 
-    # Row provenance via marker columns: after the full-outer join the
-    # marker is null on the side that had no matching key (null-safe
-    # join keys make key-null checks unreliable for presence).
-    t = target.withColumn("__present__", F.lit(True)).alias("t")
-    s = source.select(*cols).withColumn("__present__", F.lit(True)).alias("s")
-    joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in keys], "full_outer")
-    t_here = F.col("t.__present__").isNotNull()
-    s_here = F.col("s.__present__").isNotNull()
+    # Source columns are renamed (prefixed) before the join so every
+    # reference below is by unique name — immune to the ambiguous-
+    # column trap when target and source share lineage (e.g. both
+    # derived from the same table). Presence is tracked with marker
+    # columns: after the full-outer join the marker is null on the
+    # side that had no matching key (null-safe join keys make key-null
+    # checks unreliable for presence).
+    t = target.withColumn("__t_present__", F.lit(True))
+    s = source.select(
+        *[F.col(c).alias(f"__s_{c}") for c in cols]
+    ).withColumn("__s_present__", F.lit(True))
 
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+
+    t_here = F.col("__t_present__").isNotNull()
+    s_here = F.col("__s_present__").isNotNull()
     if ts_col is not None:
         source_wins = s_here & (
-            ~t_here | t[ts_col].isNull() | (s[ts_col] >= t[ts_col])
+            ~t_here
+            | F.col(ts_col).isNull()
+            | (F.col(f"__s_{ts_col}") >= F.col(ts_col))
         )
     else:
         source_wins = s_here
 
     picked = [
-        F.when(source_wins, s[c]).otherwise(t[c]).alias(c) for c in cols
+        F.when(source_wins, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+        for c in cols
     ]
     return joined.select(*picked)

@@ -1,0 +1,272 @@
+"""Near-duplicate detection: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+[extension] SURVEY.md §2 extension surface — the deduplication family a
+training-data pipeline needs. All-pairs comparison is quadratic and
+off the table at 100 TB; every operator here reduces to
+hash → band/bucket → equi-join → verify:
+
+- ``exact_dedup``: groupBy on a content fingerprint (one shuffle on
+  the hash, map-side combine).
+- ``minhash_signatures`` + ``minhash_candidates``: k independent
+  min-hashes over token shingles (affine transforms of xxhash64 —
+  deterministic, JVM-side); banding ORs r-size AND-bands so only
+  bucket-colliding pairs are joined.
+- ``simhash``: 64-bit bit-majority fingerprint; near-dups differ in
+  few bits. Candidate pairing joins on rotated bit-blocks (pigeonhole:
+  ≤d differing bits ⇒ some block of 4 matches exactly for d ≤ 3).
+- ``ngram_jaccard_pairs``: exact token/shingle Jaccard via
+  explode + equi-join on shingle + group count — the verify step for
+  candidate pairs, or a standalone exact method at moderate scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, shingles, tokens, normalize_text
+
+# Prime just above 2^32 for affine minhash transforms; coefficients are
+# bounded < 2^30 so a·h stays < 2^62 — no 64-bit overflow wrap.
+_PRIME = 4294967311
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One survivor (min id) per normalized-content fingerprint."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _token_hashes(text_col: str, shingle_n: int) -> Column:
+    """Distinct shingle hashes as array<long>.
+
+    Tokens are hashed ONCE (xxhash64) and shingle hashes are built by
+    polynomial combination of consecutive token hashes — far cheaper
+    than materializing shingle strings and re-hashing them (string
+    concat + hash per shingle dominated the minhash profile)."""
+    from ..functions.text import let
+
+    raw = F.transform(
+        tokens(normalize_text(text_col)), lambda t: F.xxhash64(t)
+    )
+    if shingle_n <= 1:
+        return F.array_distinct(raw)
+
+    # let-bind the token-hash array: element_at references inside the
+    # lambda would otherwise re-evaluate tokenize+hash per element.
+    def build(th: Column) -> Column:
+        k = F.size(th) - F.lit(shingle_n - 1)
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def _combine(i):
+            acc = F.element_at(th, (i + 1).cast("int"))
+            for j in range(1, shingle_n):
+                acc = acc * F.lit(1000003) + F.element_at(
+                    th, (i + j + 1).cast("int")
+                )
+            return acc
+
+        return F.array_distinct(F.transform(idx, _combine))
+
+    return let(raw, build)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) — minₛ (aᵢ·h(s)+bᵢ mod p)
+    per hash family member. Pure expressions over xxhash64; empty docs
+    get null signatures."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
+    # Stage the token-hash array as a real column first: Catalyst does
+    # NOT share the shingle+hash subtree across the num_hashes min
+    # expressions below, so inlining it recomputes tokenization 32×
+    # per row (measured: >100× slowdown at sf0.1). Pre-reducing each
+    # hash mod p once also keeps the per-family work to one
+    # multiply+add per element.
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            _token_hashes(text_col, shingle_n),
+            lambda h: F.pmod(h, F.lit(_PRIME)),
+        ).alias("__th__"),
+    )
+    th = F.col("__th__")
+
+    # One-arg lambda per hash family member, built via a factory —
+    # extra default args would change the arity PySpark infers for the
+    # higher-order function.
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME))
+
+    sig = F.array(
+        *[F.array_min(F.transform(th, _affine(a, b))) for a, b in coeffs]
+    )
+    return staged.select(
+        F.col(id_col), F.when(F.size(th) > 0, sig).alias("signature")
+    )
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+) -> DataFrame:
+    """LSH banding: pairs sharing any band bucket. One shuffle on
+    (band, bucket-hash); bucket sizes follow collision probability, and
+    AQE splits skewed buckets."""
+    n_hashes = None  # derived per-row via slice
+    sig = signatures.filter(F.col("signature").isNotNull())
+    rows_per_band = F.floor(F.size("signature") / F.lit(n_bands)).cast("int")
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        ).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash long): bit-majority over token xxhash64 values.
+    Expressed as an aggregate over a per-bit contribution array — one
+    pass, no UDF."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    hashes = _token_hashes(text_col, 1)
+    # Literal per-bit weights: 2^0..2^62, and long-min for the sign bit
+    # (1<<63 overflows; the sign-bit weight IS long-min). Bit test uses
+    # bit_get (unsigned semantics); shift functions reject column
+    # positions, so everything is driven off these literal arrays.
+    weights = [1 << i for i in range(min(bits, 63))] + (
+        [-(1 << 63)] if bits == 64 else []
+    )
+    positions = F.array(*[F.lit(i) for i in range(bits)])
+    weight_arr = F.array(*[F.lit(w).cast("long") for w in weights])
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda c, i: c + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1),
+        ),
+    )
+    # Each weight occupies a distinct bit, so summing set weights == OR.
+    fingerprint = F.aggregate(
+        F.zip_with(
+            counts,
+            weight_arr,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(hashes) > 0, fingerprint).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold.
+
+    explode → equi-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so only docs
+    *sharing* a shingle ever pair — no cross join. At 100 TB, add a
+    document-frequency cap on shingles (drop shingles appearing in
+    >X% of docs) to bound the hottest keys; AQE handles the rest.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

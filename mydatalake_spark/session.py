@@ -42,6 +42,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Don't let codegen fall back silently while iterating.
     "spark.sql.shuffle.partitions": "32",
+    # Parquet TIMESTAMP(NANOS) (the events table) is unreadable by
+    # Spark's vectorized reader; surface it as a long (ns since epoch)
+    # and convert explicitly (see sources/readers.py:nanos_to_timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

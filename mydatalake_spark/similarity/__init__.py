@@ -1,0 +1,1 @@
+from .search import brute_force_topk, lsh_topk  # noqa: F401

@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+[extension] SURVEY.md §2 extension surface. Two strategies:
+
+1. ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+   query set against the (huge) corpus, evaluate cosine JVM-side, and
+   take per-query top-k with a ranking window. The corpus side never
+   shuffles *rows* — only (query_id, score) pairs, pre-pruned
+   map-side by InferWindowGroupLimit, reach the window shuffle. This
+   is the correct 100 TB baseline when |queries| is broadcastable.
+
+2. ``lsh_topk`` — random-hyperplane LSH (sign-bit buckets): corpus and
+   queries hash to ``n_planes``-bit keys; candidates are equi-joined
+   per (band, bucket) so the cross product never materializes; exact
+   cosine re-ranks candidates. Recall grows with ``n_bands``
+   (OR-amplification), precision with bits per band. The bucket join
+   is a plain shuffle/broadcast equi-join — Catalyst/AQE pick the
+   strategy and split skewed buckets.
+
+Hyperplanes are generated from a seeded RNG on the driver (tiny:
+n_planes × dim floats) and inlined as literal arrays — deterministic
+across runs, no UDF, no closure serialization of numpy state.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators.dedup import dedup_latest
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score) — k rows per
+    query, ranked by (score desc, neighbor_id asc) for determinism."""
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec__")
+    )
+    # Broadcast the query side: the corpus stays partition-local.
+    pairs = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qvec__", "__cvec__").alias("score"),
+    )
+    return dedup_topk(scored, k)
+
+
+def dedup_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by (score desc, neighbor_id asc)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _sign_bits(vec_col, planes: list[list[float]], band: int, bits: int):
+    """Bucket key for one band: integer from sign bits of ``bits``
+    hyperplane projections."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        plane = planes[band * bits + i]
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key * 2 + F.when(proj >= 0, 1).otherwise(0)
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding."""
+    planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
+
+    def banded(df: DataFrame, idname: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _sign_bits(F.col(vec_col), planes, b, bits_per_band)
+                    .alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"__{idname}_vec__"),
+            F.explode(bands).alias("bb"),
+        ).select(idname, f"__{idname}_vec__", "bb.band", "bb.bucket")
+
+    c = banded(corpus, "neighbor_id")
+    q = banded(queries, "query_id")
+    cand = (
+        c.join(q, ["band", "bucket"])
+        .select("query_id", "neighbor_id", "__query_id_vec__", "__neighbor_id_vec__")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__query_id_vec__", "__neighbor_id_vec__").alias("score"),
+    )
+    return dedup_topk(scored, k)

@@ -22,6 +22,19 @@ from pyspark.sql import types as T
 _FILE_FORMATS = {"json", "parquet", "csv"}
 
 
+def nanos_to_timestamp(col):
+    """ns-since-epoch long → µs timestamp (truncating, matching DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast). Used with
+    ``spark.sql.legacy.parquet.nanosAsLong`` for parquet TIMESTAMP(NANOS)
+    columns. Integer ``div`` — a double division would lose precision
+    above 2^53 ns (~1970+104 days)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Decimal division keeps exactness: double division of an ~1.7e18 ns
+    # value rounds (>2^53) and can land 1 µs off after truncation.
+    us = F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(us)
+
+
 def read_source(
     spark: SparkSession,
     fmt: str,

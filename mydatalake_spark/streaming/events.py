@@ -1,0 +1,109 @@
+"""Event-stream operators: tumbling / sliding / session windows.
+
+[extension] The reference has no streaming (SURVEY.md §2.9) — its
+incremental path is batch CDC with a ``new.ts >= old.ts`` guard
+(reference lib/ingestors.py:123), the batch analogue of a watermark.
+These operators provide the streaming-shaped surface over the
+``events`` table and work identically on batch AND streaming
+DataFrames (Structured Streaming's unified model): the same
+``tumbling_agg(df)`` call compiles to an incremental stateful plan
+when ``df`` is a stream.
+
+Late data: pass ``watermark=`` on streams — mirroring the reference's
+stale-update suppression semantics (SURVEY.md §7.4(7)). At scale,
+state cleanup via watermark is what keeps the session-window state
+store bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: groupBy(window(ts, duration), *group_by).
+
+    Output flattens window.start/end to ``window_start``/``window_end``.
+    """
+    aggs = aggs or {"*": "count"}
+    df = _maybe_watermark(df, ts_col, watermark)
+    exprs = _agg_exprs(aggs)
+    out = df.groupBy(F.window(ts_col, duration), *(group_by or [])).agg(*exprs)
+    return _flatten_window(out)
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: window(ts, duration, slide)."""
+    aggs = aggs or {"*": "count"}
+    df = _maybe_watermark(df, ts_col, watermark)
+    out = df.groupBy(
+        F.window(ts_col, duration, slide), *(group_by or [])
+    ).agg(*_agg_exprs(aggs))
+    return _flatten_window(out)
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: dynamic extent, closed after ``gap`` of
+    inactivity per group (``F.session_window``). On streams this is a
+    stateful merge-able aggregation; the watermark bounds state."""
+    aggs = aggs or {"*": "count"}
+    df = _maybe_watermark(df, ts_col, watermark)
+    out = df.groupBy(
+        F.session_window(ts_col, gap), *(group_by or [])
+    ).agg(*_agg_exprs(aggs))
+    return _flatten_window(out, window_col="session_window")
+
+
+def _agg_exprs(aggs: dict[str, str]):
+    exprs = []
+    for col, fn in aggs.items():
+        if fn == "count":
+            exprs.append(F.count(F.lit(1)).alias("n_events"))
+        else:
+            exprs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return exprs
+
+
+def _flatten_window(df: DataFrame, window_col: str = "window") -> DataFrame:
+    others = [c for c in df.columns if c != window_col]
+    return df.select(
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
+        *others,
+    )
+
+
+def stream_from_json_dir(spark, path: str, schema) -> DataFrame:
+    """File-source stream (the natural OSS stand-in for the reference's
+    raw-zone JSON drops, reference lib/ingestors.py:78-79):
+    ``readStream`` over a directory; new files become micro-batches."""
+    return spark.readStream.schema(schema).json(path)
