@@ -316,6 +316,116 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's prices pipeline shape (reference
+    silver/prices/prices.sql:13 LATERAL VIEW explode of
+    historicalDataPrice array<struct>): nest lineitems per order into a
+    sorted array<struct>, then explode + struct-field access back to
+    rows (F10/F11). The oracle is the identity projection — proving
+    the round trip is lossless."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_shipdate", "l_quantity",
+                         "l_extendedprice")
+            )
+        ).alias("history")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("history").alias("it")
+    ).select(
+        "l_orderkey",
+        F.col("it.l_linenumber").alias("l_linenumber"),
+        F.col("it.l_shipdate").alias("l_shipdate"),
+        F.col("it.l_quantity").alias("l_quantity"),
+        F.col("it.l_extendedprice").alias("l_extendedprice"),
+    )
+
+
+_NESTED_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
+FROM lineitem
+"""
+
+
+_QUALIFY_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM view_lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY l_shipdate DESC, l_linenumber ASC, l_quantity ASC,
+           l_extendedprice ASC
+) = 1
+"""
+
+
+def qualify_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied transform SQL in the reference's dialect
+    (QUALIFY, reference bronze/assets/assets.sql:11) through the
+    temp-view handoff (S5, reference lib/ingestors.py:81) and the
+    QUALIFY shim (plans/qualify.py). DuckDB supports QUALIFY natively,
+    so the oracle is the same statement verbatim."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("view_lineitem")
+    from mydatalake_spark.plans.qualify import run_sql
+
+    return run_sql(spark, _QUALIFY_SQL)
+
+
+_QUALIFY_ORACLE = _QUALIFY_SQL.replace("view_lineitem", "lineitem")
+
+
+def bronze_cast_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cast-late pattern (P2): bronze lands all-string
+    (reference bronze/assets/assets.yml), silver types via CAST
+    (reference bronze/assets/assets.sql:3-9). Round-trips typed
+    columns through strings and back with try_cast (null on bad
+    input — every 100th key is corrupted to prove it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bronze = li.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.col("l_linenumber").cast("string").alias("l_linenumber"),
+        F.col("l_quantity").cast("string").alias("l_quantity"),
+        F.col("l_shipdate").cast("string").alias("l_shipdate"),
+        F.col("l_returnflag").alias("l_returnflag"),
+    )
+    return bronze.select(
+        F.col("l_orderkey").try_cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").try_cast("int").alias("l_linenumber"),
+        F.col("l_quantity").try_cast("double").alias("l_quantity"),
+        F.col("l_shipdate").try_cast("timestamp").alias("l_shipdate"),
+        "l_returnflag",
+        F.concat(
+            F.col("l_orderkey"),
+            F.when(F.col("l_orderkey").cast("long") % 100 == 0, F.lit("x"))
+            .otherwise(F.lit("")),
+        ).try_cast("long").alias("maybe_key"),
+    )
+
+
+_BRONZE_CAST_ORACLE = """
+WITH bronze AS (
+  SELECT
+    CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+    CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+    CAST(l_quantity AS VARCHAR) AS l_quantity,
+    CAST(l_shipdate AS VARCHAR) AS l_shipdate,
+    l_returnflag
+  FROM lineitem
+)
+SELECT
+  TRY_CAST(l_orderkey AS BIGINT) AS l_orderkey,
+  TRY_CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  TRY_CAST(l_quantity AS DOUBLE) AS l_quantity,
+  TRY_CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+  l_returnflag,
+  TRY_CAST(l_orderkey ||
+    CASE WHEN TRY_CAST(l_orderkey AS BIGINT) % 100 = 0 THEN 'x' ELSE '' END
+    AS BIGINT) AS maybe_key
+FROM bronze
+"""
+
+
 # =====================================================================
 # Data-quality engine (reference signature feature, Q1-Q9)
 # =====================================================================
@@ -773,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_latest_lineitem": dedup_latest_lineitem,
         "dupflag_lineitem": dupflag_lineitem,
         "merge_cdc_orders": merge_cdc_orders,
+        "nested_explode_roundtrip": nested_explode_roundtrip,
+        "qualify_transform_sql": qualify_transform_sql,
+        "bronze_cast_pipeline": bronze_cast_pipeline,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
         "events_tumbling": events_tumbling,
@@ -799,6 +912,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_latest_lineitem": _DEDUP_ORACLE,
         "dupflag_lineitem": _DUPFLAG_ORACLE,
         "merge_cdc_orders": _MERGE_ORACLE,
+        "nested_explode_roundtrip": _NESTED_ORACLE,
+        "qualify_transform_sql": _QUALIFY_ORACLE,
+        "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
         "events_tumbling": _TUMBLING_ORACLE,

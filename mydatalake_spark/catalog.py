@@ -118,6 +118,33 @@ class Catalog:
         """TRUNCATE TABLE analogue (reference lib/checker_handler.py:119)."""
         self.drop(full_name)
 
+    def list_tables(self) -> list[str]:
+        """All ``catalog.schema.table`` names present in the warehouse."""
+        out = []
+        if not os.path.isdir(self.warehouse):
+            return out
+        for cat in sorted(os.listdir(self.warehouse)):
+            cdir = os.path.join(self.warehouse, cat)
+            if not os.path.isdir(cdir):
+                continue
+            for sch in sorted(os.listdir(cdir)):
+                sdir = os.path.join(cdir, sch)
+                if not os.path.isdir(sdir):
+                    continue
+                for tbl in sorted(os.listdir(sdir)):
+                    name = f"{cat}.{sch}.{tbl}"
+                    if self.exists(name):
+                        out.append(name)
+        return out
+
+    def register_all(self) -> dict[str, str]:
+        """Register every warehouse table as a temp view; returns
+        {full_name: view_name}. Used with plans.rewrite_table_refs so
+        reference-dialect SQL naming ``bronze.brapi.tickers``
+        (reference silver/prices/prices.sql:12) resolves on OSS
+        Spark's single-catalog namespace."""
+        return {t: self.register_view(t) for t in self.list_tables()}
+
     def register_view(self, full_name: str, view_name: str | None = None) -> str:
         """Expose a stored table to Spark SQL as a temp view.
 

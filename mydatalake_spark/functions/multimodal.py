@@ -1,0 +1,166 @@
+"""Multimodal (image/audio/video) column support.
+
+[extension] SURVEY.md §2 extension surface: media travel as opaque
+``binary`` columns plus a typed metadata struct; decode / feature
+extraction / resize / frame sampling run as Arrow-batched Pandas
+functions over ``mapInPandas`` — the only layer where Python touches
+the bytes. All Spark-side plumbing (schemas, batch iteration,
+partitioning) is real; the pixel-level decode itself is stubbed:
+image/audio libraries are not installed in this environment, so the
+default codec is a clearly-marked deterministic fake and the
+PIL-backed path raises ``NotImplementedError`` until the library is
+present (import-gated, per the build contract).
+
+Scale notes (100 TB): binary payloads dominate row width, so
+- keep media in their own table keyed by content hash; join metadata,
+  don't carry bytes through transforms;
+- ``mapInPandas`` streams Arrow record batches — bound batch bytes via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+  large (a 10 MB image × 10k default batch rows would OOM the worker);
+- feature extraction is embarrassingly parallel: no shuffle, scales
+  linearly with executors.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+
+def fake_decode_meta(payload: bytes | None) -> dict[str, Any]:
+    """DETERMINISTIC FAKE decoder (no image libs in this container):
+    derives pseudo-dimensions from a crc32 of the bytes. Replace with a
+    PIL/ffprobe-backed implementation in production."""
+    if payload is None:
+        return {"mime": None, "width": None, "height": None,
+                "n_bytes": None, "content_hash": None}
+    h = zlib.crc32(payload)
+    return {
+        "mime": "image/fake",
+        "width": 64 + (h & 0x1FF),
+        "height": 64 + ((h >> 9) & 0x1FF),
+        "n_bytes": len(payload),
+        "content_hash": h,
+    }
+
+
+def decode_media_meta(
+    df: DataFrame, payload_col: str = "media", out_col: str = "media_meta"
+) -> DataFrame:
+    """Attach the typed metadata struct by decoding each payload in
+    Arrow batches (mapInPandas — the batch shape is the real
+    production plumbing; only the codec is fake)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, MEDIA_META_TYPE)]
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                fake_decode_meta(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def media_features(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """(id, feature array<float>[dim]) via an Arrow-batched extractor.
+    DETERMINISTIC FAKE features (chunked crc32s scaled to [0,1)); a real
+    model (CLIP etc.) slots into the same iterator without touching the
+    Spark plan."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                b = bytes(p)
+                vec = np.array(
+                    [
+                        zlib.crc32(b, i) % 10_000 / 10_000.0
+                        for i in range(dim)
+                    ],
+                    dtype=np.float32,
+                )
+                feats.append(vec)
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "media",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Real-codec path — requires PIL (not installed here)."""
+    if not _HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "resize_image needs Pillow; this environment has no image "
+            "libraries. The mapInPandas plumbing mirrors "
+            "decode_media_meta — install Pillow and swap the codec."
+        )
+    raise NotImplementedError("PIL path not wired in this build")
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "media", every_ms: int = 1000
+) -> DataFrame:
+    """Video frame sampling — requires an AV library (not installed)."""
+    raise NotImplementedError(
+        "sample_frames needs pyav/ffmpeg; not available in this "
+        "environment. Production shape: mapInPandas emitting one row "
+        "per sampled frame (explode-like fan-out, no shuffle)."
+    )
+
+
+def with_fake_media(
+    df: DataFrame, text_col: str = "text", out_col: str = "media"
+) -> DataFrame:
+    """Test helper: synthesize a deterministic binary payload from a
+    text column (stands in for real image bytes)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))

@@ -49,11 +49,20 @@ class Ingestor:
     input_format: str = "json"
     input_path: str | None = None
     partition_by: list[str] = field(default_factory=list)
+    # Namespace overrides from job metadata (the reference passes
+    # catalog/schema as notebook args per table,
+    # reference bronze/job_metadata.yml:6-8 + job.ipynb cell 3).
+    catalog_name: str | None = None
+    schema_name: str | None = None
 
     def __post_init__(self) -> None:
         self.meta: TableMeta = load_table_meta(
             os.path.join(self.metadata_root, self.table, f"{self.table}.yml")
         )
+        if self.catalog_name:
+            self.meta.catalog = self.catalog_name
+        if self.schema_name:
+            self.meta.schema = self.schema_name
         sql_path = os.path.join(
             self.metadata_root, self.table, f"{self.table}.sql"
         )
@@ -67,9 +76,14 @@ class Ingestor:
         """Scan + stamp + temp-view handoff + optional SQL transform
         (reference lib/ingestors.py:75-88)."""
         if self.input_format == "table":
+            # The reference's 'delta' branch: the transform SQL reads
+            # existing catalog tables directly (reference
+            # lib/ingestors.py:82-85). Register warehouse tables and
+            # shim their three-part names into flat view names.
             if not self.transform_sql:
                 raise ValueError("'table' input requires a transform SQL")
-            return run_sql(self.spark, self.transform_sql)
+            mapping = self.catalog.register_all()
+            return run_sql(self.spark, self.transform_sql, table_mapping=mapping)
         df = read_source(
             self.spark,
             self.input_format,

@@ -1,0 +1,101 @@
+"""Job orchestration: metadata-driven multi-table pipeline runs.
+
+Reference parity: ``{layer}/job_metadata.yml`` declares jobs
+(name, type ∈ {full, cdc}, table list with table_name / input_format /
+catalog / schema — reference bronze/job_metadata.yml:1-26);
+``find_job`` resolves a (job_type, job_name) pair
+(reference lib/utils.py:11-24); ``job.ipynb`` then launches one child
+notebook per table via ``dbutils.notebook.run``
+(reference bronze/job.ipynb cell 3).
+
+Rebuild: a plain in-process runner — each table's ingestion is one
+Spark job on the shared session (no notebook/process boundary; on a
+real cluster, per-table isolation comes from the scheduler above this
+layer — Airflow/spark-submit — not from the engine). The reference's
+``input_format='delta'`` ("run the transform SQL against catalog
+tables", reference lib/ingestors.py:82-85) maps to ``table``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .catalog import Catalog
+from .ingest import Ingestor, IngestorCDC
+
+try:
+    import yaml  # type: ignore
+except Exception:  # pragma: no cover
+    yaml = None
+
+
+class JobNotFound(LookupError):
+    pass
+
+
+def parse_yaml(path: str) -> dict[str, Any]:
+    """(reference lib/utils.py:2-8) — but raising instead of printing
+    and returning None on a missing file."""
+    if yaml is None:  # pragma: no cover
+        raise RuntimeError("PyYAML unavailable")
+    with open(path) as fh:
+        return yaml.safe_load(fh)
+
+
+def find_job(metadata_root: str, job_type: str, job_name: str) -> dict[str, Any]:
+    """Resolve a job declaration from ``{layer}/job_metadata.yml``
+    (reference lib/utils.py:11-24). The layer dir is the job-name
+    prefix (``bronze_full`` → ``bronze/``)."""
+    layer = job_name.split("_")[0]
+    path = os.path.join(metadata_root, layer, "job_metadata.yml")
+    data = parse_yaml(path)
+    for job in data.get("jobs", []):
+        if job.get("name") == job_name and job.get("type") == job_type:
+            return job
+    raise JobNotFound(f"no job name={job_name!r} type={job_type!r} in {path}")
+
+
+@dataclass
+class JobRunner:
+    """Run every table of a declared job (reference job.ipynb loop).
+
+    ``input_paths`` maps table_name → raw file path for file-format
+    tables (the reference derives these from its /Volumes layout,
+    reference lib/ingestors.py:15; here they are explicit).
+    """
+
+    spark: SparkSession
+    catalog: Catalog
+    metadata_root: str
+    input_paths: dict[str, str] = field(default_factory=dict)
+    partition_by: dict[str, list[str]] = field(default_factory=dict)
+
+    def run(self, job_type: str, job_name: str) -> list[str]:
+        """Execute the job; returns the full table names written."""
+        job = find_job(self.metadata_root, job_type, job_name)
+        layer = job_name.split("_")[0]
+        written: list[str] = []
+        for tbl in job.get("tables", []):
+            name = tbl["table_name"]
+            fmt = tbl.get("input_format", "json")
+            if fmt == "delta":  # reference dialect for "from catalog"
+                fmt = "table"
+            cls = IngestorCDC if job_type == "cdc" else Ingestor
+            ing = cls(
+                spark=self.spark,
+                catalog=self.catalog,
+                metadata_root=os.path.join(self.metadata_root, layer),
+                table=name,
+                input_format=fmt,
+                input_path=self.input_paths.get(name),
+                partition_by=self.partition_by.get(name, []),
+                catalog_name=tbl.get("catalog"),
+                schema_name=tbl.get("schema"),
+            )
+            ing.run()
+            written.append(ing.meta.full_name)
+        return written

@@ -145,6 +145,26 @@ def rewrite_qualify(sql: str) -> str:
     return out
 
 
-def run_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute SQL with dialect shims applied (QUALIFY today)."""
+def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Replace three-part table references (``catalog.schema.table``,
+    the reference's Unity-Catalog naming — reference
+    silver/prices/prices.sql:12) with their registered flat view names.
+    Longest names first so overlapping prefixes can't mis-rewrite."""
+    out = sql
+    for full in sorted(mapping, key=len, reverse=True):
+        out = re.sub(
+            rf"(?<![\w.`]){re.escape(full)}(?![\w.`])", mapping[full], out
+        )
+    return out
+
+
+def run_sql(
+    spark: SparkSession,
+    sql: str,
+    table_mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Execute SQL with dialect shims applied (QUALIFY + three-part
+    table references)."""
+    if table_mapping:
+        sql = rewrite_table_refs(sql, table_mapping)
     return spark.sql(rewrite_qualify(sql))

@@ -149,7 +149,11 @@ class TableMeta:
     def raw_fields(self) -> list[dict[str, Any]]:
         # The reference names the field list 'schema'
         # (reference silver/prices/prices.yml:1); we accept both.
-        return list(self.raw.get("fields", self.raw.get("schema", [])) or [])
+        fields = self.raw.get("fields")
+        if fields is None:
+            sch = self.raw.get("schema")
+            fields = sch if isinstance(sch, list) else []
+        return list(fields or [])
 
     @property
     def key_columns(self) -> list[str]:
@@ -168,8 +172,18 @@ class TableMeta:
 
 def parse_table_meta(doc: dict[str, Any]) -> TableMeta:
     """Dict (already YAML-loaded) → TableMeta."""
+    # The reference's table YAML uses the key 'schema' for the FIELD
+    # LIST (reference silver/prices/prices.yml:1); catalog/schema names
+    # arrive from job metadata (reference bronze/job_metadata.yml:6-8).
+    # Accept both layouts: 'schema' as a string = namespace name,
+    # 'schema' as a list = field specs.
+    sch = doc.get("schema")
+    fields = doc.get("fields")
+    if fields is None:
+        fields = sch if isinstance(sch, list) else []
+    schema_name = sch if isinstance(sch, str) else str(doc.get("schema_name", "default"))
     cols = []
-    for f in doc.get("fields", doc.get("schema", [])) or []:
+    for f in fields or []:
         cols.append(
             ColumnMeta(
                 name=str(f["name"]),
@@ -183,7 +197,7 @@ def parse_table_meta(doc: dict[str, Any]) -> TableMeta:
         )
     return TableMeta(
         catalog=str(doc.get("catalog", "default")),
-        schema=str(doc.get("schema", "default")),
+        schema=schema_name,
         table=str(doc.get("table_name", doc.get("table", "table"))),
         columns=cols,
         raw=doc,

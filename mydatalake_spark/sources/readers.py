@@ -55,6 +55,11 @@ def read_source(
     if options:
         reader = reader.options(**options)
     df = reader.load(path)
-    if stamp_loaded_at:
+    if stamp_loaded_at and "loaded_at" not in df.columns:
+        # The reference stamps unconditionally
+        # (reference lib/ingestors.py:80), silently clobbering a
+        # declared loaded_at data column — which then makes its
+        # dedup-latest windows order by an ingestion-constant
+        # (SURVEY.md §7.4(4)). We only stamp when absent.
         df = df.withColumn("loaded_at", F.current_timestamp())
     return df

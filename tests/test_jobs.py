@@ -1,0 +1,148 @@
+"""End-to-end medallion orchestration: bronze json job → silver
+catalog-transform job, mirroring the reference's job_metadata.yml +
+job.ipynb flow (FIXTURES.md A5)."""
+
+import json
+import os
+
+import pytest
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.jobs import JobNotFound, JobRunner, find_job
+
+BRONZE_JOBS = """
+jobs:
+  - name: 'bronze_full'
+    type: 'full'
+    tables:
+      - table_name: 'assets'
+        input_format: 'json'
+        catalog: 'bronze'
+        schema: 'brapi'
+  - name: 'bronze_cdc'
+    type: 'cdc'
+    tables:
+      - table_name: 'assets'
+        input_format: 'json'
+        catalog: 'bronze'
+        schema: 'brapi'
+"""
+
+ASSETS_YML = """
+table_name: 'assets'
+schema:
+  - name: 'stocks'
+    type: 'string'
+    key: true
+  - name: 'close'
+    type: 'string'
+  - name: 'loaded_at'
+    type: 'string'
+    date_predicate: true
+"""
+
+# reference bronze/assets/assets.sql shape: typed projection + QUALIFY dedup
+ASSETS_SQL = """
+SELECT stocks,
+       CAST(close AS double) AS close,
+       CAST(loaded_at AS timestamp) AS loaded_at
+FROM view_assets
+QUALIFY ROW_NUMBER() OVER (PARTITION BY stocks ORDER BY loaded_at DESC) = 1
+"""
+
+SILVER_JOBS = """
+jobs:
+  - name: 'silver_full'
+    type: 'full'
+    tables:
+      - table_name: 'prices'
+        input_format: 'delta'
+        catalog: 'silver'
+        schema: 'brapi'
+"""
+
+PRICES_YML = """
+table_name: 'prices'
+schema:
+  - name: 'stocks'
+    type: 'string'
+    key: true
+  - name: 'close'
+    type: 'double'
+"""
+
+# silver transform reads the bronze table by its three-part name
+# (reference silver/prices/prices.sql:12)
+PRICES_SQL = """
+SELECT stocks, close FROM bronze.brapi.assets WHERE close IS NOT NULL
+"""
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    root = tmp_path / "meta"
+    (root / "bronze" / "assets").mkdir(parents=True)
+    (root / "silver" / "prices").mkdir(parents=True)
+    (root / "bronze" / "job_metadata.yml").write_text(BRONZE_JOBS)
+    (root / "bronze" / "assets" / "assets.yml").write_text(ASSETS_YML)
+    (root / "bronze" / "assets" / "assets.sql").write_text(ASSETS_SQL)
+    (root / "silver" / "job_metadata.yml").write_text(SILVER_JOBS)
+    (root / "silver" / "prices" / "prices.yml").write_text(PRICES_YML)
+    (root / "silver" / "prices" / "prices.sql").write_text(PRICES_SQL)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        {"stocks": "AAA", "close": "10.5", "loaded_at": "2026-08-01T00:00:00"},
+        {"stocks": "AAA", "close": "11.0", "loaded_at": "2026-08-02T00:00:00"},
+        {"stocks": "BBB", "close": "oops", "loaded_at": "2026-08-01T00:00:00"},
+    ]
+    with open(raw / "batch.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return root, raw
+
+
+def test_find_job(workspace):
+    root, _ = workspace
+    job = find_job(str(root), "full", "bronze_full")
+    assert job["tables"][0]["table_name"] == "assets"
+    with pytest.raises(JobNotFound):
+        find_job(str(root), "cdc", "bronze_full")
+
+
+def test_medallion_end_to_end(spark, workspace, tmp_path):
+    root, raw = workspace
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = JobRunner(
+        spark, cat, str(root), input_paths={"assets": str(raw)}
+    )
+
+    written = runner.run("full", "bronze_full")
+    assert written == ["bronze.brapi.assets"]
+    bronze = {r.stocks: r for r in cat.read("bronze.brapi.assets").collect()}
+    # QUALIFY dedup kept the latest AAA row; 'oops' cast to null (ANSI off)
+    assert bronze["AAA"].close == 11.0
+    assert bronze["BBB"].close is None
+
+    written = runner.run("full", "silver_full")
+    assert written == ["silver.brapi.prices"]
+    silver = cat.read("silver.brapi.prices").collect()
+    # silver filters the null-close row via the catalog-table transform
+    assert [(r.stocks, r.close) for r in silver] == [("AAA", 11.0)]
+
+
+def test_cdc_job_upserts(spark, workspace, tmp_path):
+    root, raw = workspace
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    runner = JobRunner(spark, cat, str(root), input_paths={"assets": str(raw)})
+    runner.run("full", "bronze_full")
+
+    with open(raw / "batch2.json", "w") as fh:
+        fh.write(json.dumps({"stocks": "AAA", "close": "12.0",
+                             "loaded_at": "2026-08-03T00:00:00"}) + "\n")
+        fh.write(json.dumps({"stocks": "CCC", "close": "1.0",
+                             "loaded_at": "2026-08-01T00:00:00"}) + "\n")
+    runner.run("cdc", "bronze_cdc")
+    bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
+    assert bronze == {"AAA": 12.0, "BBB": None, "CCC": 1.0}

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: binary columns + Arrow-batched decode /
+feature extraction (codec is the documented deterministic fake)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from mydatalake_spark.functions.multimodal import (
+    decode_media_meta,
+    fake_decode_meta,
+    media_features,
+    resize_image,
+    sample_frames,
+    with_fake_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, documents):
+    return with_fake_media(documents.limit(50))
+
+
+def test_media_schema_is_binary(media_df):
+    assert isinstance(media_df.schema["media"].dataType, T.BinaryType)
+
+
+def test_decode_media_meta(media_df):
+    out = decode_media_meta(media_df)
+    meta_type = out.schema["media_meta"].dataType
+    assert isinstance(meta_type, T.StructType)
+    rows = out.select("doc_id", "text", "media_meta").collect()
+    assert len(rows) == 50
+    for r in rows:
+        m = r.media_meta
+        assert m.n_bytes == len(r.text.encode())
+        assert 64 <= m.width < 64 + 512
+        assert m.mime == "image/fake"
+        # decoder is deterministic: re-derive driver-side
+        expected = fake_decode_meta(r.text.encode())
+        assert m.content_hash == expected["content_hash"]
+
+
+def test_media_features_shape_and_determinism(media_df):
+    out = media_features(media_df, dim=8)
+    rows = {r.doc_id: r.features for r in out.collect()}
+    assert len(rows) == 50
+    assert all(len(v) == 8 for v in rows.values())
+    # second run identical (Arrow round trip is value-stable)
+    rows2 = {r.doc_id: r.features for r in media_features(media_df, dim=8).collect()}
+    assert rows == rows2
+    assert all(0.0 <= x < 1.0 for v in rows.values() for x in v)
+
+
+def test_null_payloads_pass_through(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, media binary")
+    out = decode_media_meta(df).collect()
+    assert out[0].media_meta.mime is None
+    feats = media_features(df).collect()
+    assert feats[0].features is None
+
+
+def test_real_codecs_are_gated(media_df):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_image(media_df)
+    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        sample_frames(media_df)

@@ -1,0 +1,182 @@
+"""Structured Streaming: file-source stream → windowed aggregations →
+memory sink; custom stateful operator. Mirrors batch semantics of the
+same operators (unified model)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mydatalake_spark.streaming.events import (
+    session_agg,
+    stream_from_json_dir,
+    tumbling_agg,
+)
+from mydatalake_spark.streaming.stateful import running_latest
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ROWS = [
+    (1, "2024-01-01T00:05:00", 1, "view", 1.0),
+    (2, "2024-01-01T00:20:00", 1, "click", 2.0),
+    (3, "2024-01-01T01:10:00", 1, "view", 3.0),   # new hour, new session
+    (4, "2024-01-01T00:30:00", 2, "view", 4.0),
+    (5, "2024-01-01T00:10:00", 2, "click", 0.5),  # late for user 2
+]
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(
+                json.dumps(
+                    dict(zip(["event_id", "ts", "user_id", "event_type", "value"], r))
+                )
+                + "\n"
+            )
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    _write_batch(src / "a.json", ROWS)
+
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    assert stream.isStreaming
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", group_by=["user_id"],
+        aggs={"*": "count", "value": "sum"}, watermark="2 hours",
+    )
+    _run_stream(agg, "tumbling_t")
+    got = {
+        (r.window_start.isoformat(), r.user_id): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_t").collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 1): (2, 3.0),
+        ("2024-01-01T01:00:00", 1): (1, 3.0),
+        ("2024-01-01T00:00:00", 2): (2, 4.5),
+    }
+
+    # unified model: identical call on the batch frame gives same rows
+    batch = spark.createDataFrame(
+        [(a, F.lit(None), c, d, e) for a, b, c, d, e in ROWS],
+        EVENT_SCHEMA,
+    ) if False else spark.read.schema(EVENT_SCHEMA).json(str(src))
+    bagg = tumbling_agg(batch, "ts", "1 hour", group_by=["user_id"],
+                        aggs={"*": "count", "value": "sum"})
+    bgot = {
+        (r.window_start.isoformat(), r.user_id): (r.n_events, r.sum_value)
+        for r in bagg.collect()
+    }
+    assert bgot == got
+
+
+def test_session_stream(spark, tmp_path):
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    _write_batch(src / "a.json", ROWS)
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    agg = session_agg(
+        stream, "ts", "30 minutes", group_by=["user_id"],
+        aggs={"*": "count"}, watermark="2 hours",
+    )
+    _run_stream(agg, "session_t")
+    got = {
+        (r.user_id, r.window_start.isoformat()): r.n_events
+        for r in spark.table("session_t").collect()
+    }
+    # user 1: events at 00:05 + 00:20 merge (gap 15m), 01:10 separate;
+    # user 2: 00:10 + 00:30 merge (gap 20m)
+    assert got == {
+        (1, "2024-01-01T00:05:00"): 2,
+        (1, "2024-01-01T01:10:00"): 1,
+        (2, "2024-01-01T00:10:00"): 2,
+    }
+
+
+def test_stateful_running_latest(spark, tmp_path):
+    src = tmp_path / "state_in"
+    src.mkdir()
+    _write_batch(src / "a.json", ROWS)
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    out = running_latest(stream, key_col="user_id", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.key: r for r in spark.table("latest_t").collect()}
+    # user 1: latest is 01:10 value 3.0 (3 in-order updates)
+    assert got[1].latest_value == 3.0
+    assert got[1].n_updates == 3 and got[1].n_stale_dropped == 0
+    # user 2: the 00:10 event sorts before 00:30 within the batch, so
+    # both apply in order (batch-internal sort); latest is 4.0
+    assert got[2].latest_value == 4.0
+    assert got[2].n_updates == 2
+
+
+def test_stateful_suppresses_stale_across_batches(spark, tmp_path):
+    """One continuous query, two micro-batches: a stale event in the
+    second batch must not overwrite the state from the first — the
+    streaming analogue of the CDC ts guard."""
+    src = tmp_path / "state2_in"
+    src.mkdir()
+    _write_batch(src / "a.json", [(1, "2024-01-01T02:00:00", 7, "view", 9.0)])
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    out = running_latest(stream, key_col="user_id", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest2_t")
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(r.key == 7 for r in spark.table("latest2_t").collect()):
+                break
+            time.sleep(0.2)
+        # second micro-batch: stale event (ts < state) — must be dropped
+        _write_batch(src / "b.json",
+                     [(2, "2024-01-01T01:00:00", 7, "view", 1.0)])
+        deadline = time.time() + 60
+        seen_stale = None
+        while time.time() < deadline:
+            rows = [r for r in spark.table("latest2_t").collect()
+                    if r.n_stale_dropped == 1]
+            if rows:
+                seen_stale = rows[-1]
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert seen_stale is not None, "second micro-batch never surfaced"
+    assert seen_stale.latest_value == 9.0  # stale event did not overwrite
+    assert seen_stale.n_updates == 1
