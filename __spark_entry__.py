@@ -531,6 +531,76 @@ GROUP BY test_name, table_name, test_type, layer, run_date, mandate
 """
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (beyond the reference's plain
+    GROUP BY — SURVEY.md §2.4 notes cube/rollup as free Spark
+    built-ins). Subtotals per (returnflag), (returnflag, linestatus),
+    and grand total; cents-quantized for exact cross-engine sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0)
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT)) / 100.0
+    AS sum_base_price,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global top-k (§2.6 [extension]): 20 highest-value
+    orders, tie-broken by key so the result set is total-ordered."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS rk
+FROM orders
+QUALIFY rk <= 20
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (§2.3 — a free Spark built-in the reference
+    never uses): customers with no order above 300k (anti-join against
+    a filtered fact; NOT EXISTS in the oracle)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
 # =====================================================================
 # Events: windows, sessionization, JSON (streaming-shaped extensions)
 # =====================================================================
@@ -557,6 +627,35 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_events,
   ROUND(SUM(value), 2) AS sum_value
 FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide): each event lands in
+    4 overlapping epoch-aligned windows (F.window with slideDuration;
+    streaming/events.py:sliding_agg)."""
+    from mydatalake_spark.streaming.events import sliding_agg
+
+    ev = _events(spark, sf_dir)
+    out = sliding_agg(
+        ev, "ts", "1 hour", "15 minutes", group_by=["event_type"],
+        aggs={"*": "count"},
+    )
+    return out.select("window_start", "window_end", "event_type", "n_events")
+
+
+_SLIDING_ORACLE = """
+WITH ex AS (
+  SELECT event_type,
+    TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS window_start
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+)
+SELECT window_start,
+  window_start + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ex
 GROUP BY 1, 2, 3
 """
 
@@ -886,6 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_explode_roundtrip": nested_explode_roundtrip,
         "qualify_transform_sql": qualify_transform_sql,
         "bronze_cast_pipeline": bronze_cast_pipeline,
+        "rollup_revenue": rollup_revenue,
+        "topk_orders": topk_orders,
+        "anti_join_customers": anti_join_customers,
+        "events_sliding": events_sliding,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
         "events_tumbling": events_tumbling,
@@ -915,6 +1018,10 @@ def oracle_sql() -> dict[str, str]:
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,
         "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,
+        "rollup_revenue": _ROLLUP_ORACLE,
+        "topk_orders": _TOPK_ORACLE,
+        "anti_join_customers": _ANTI_ORACLE,
+        "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
         "events_tumbling": _TUMBLING_ORACLE,

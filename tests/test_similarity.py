@@ -1,0 +1,109 @@
+"""Similarity search + near-dup operator tests."""
+
+from pyspark.sql import functions as F
+
+from mydatalake_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from mydatalake_spark.operators.neardup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mydatalake_spark.similarity.search import brute_force_topk, lsh_topk
+
+
+def test_vector_math(spark):
+    row = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 0.0, 0.0])], "a array<double>, b array<double>"
+    ).select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+    ).first()
+    assert row.d == 2.0
+    assert row.n == 3.0
+    assert abs(row.c - 2.0 / (3.0 * 2.0)) < 1e-12
+
+
+def test_cosine_zero_vector_is_null(spark):
+    c = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    ).select(cosine_similarity("a", "b").alias("c")).first().c
+    assert c is None
+
+
+def test_brute_force_topk_finds_identical_vector(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # identical to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.9, 0.1, 0.0]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(df, df.filter("vec_id = 1"), k=2)
+    got = [(r.neighbor_id, round(r.score, 6)) for r in out.collect()]
+    assert got[0] == (2, 1.0)           # exact duplicate first
+    assert got[1][0] == 4               # then the near vector
+    assert out.count() == 2
+
+
+def test_lsh_topk_recovers_exact_duplicate(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(20)]
+    rows.append((100, rows[5][1]))      # duplicate of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk(df, df.filter("vec_id = 100"), dim=8, k=3,
+                   n_bands=4, bits_per_band=4)
+    top = out.orderBy(F.desc("score")).first()
+    assert top.neighbor_id == 5 and abs(top.score - 1.0) < 1e-9
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "THE  QUICK brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different words appear in this text here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    rows = {r.keep_id: r.n_copies for r in out.collect()}
+    assert rows[1] == 2          # docs 1+3 share a normalized fingerprint
+    assert rows[2] == 1 and rows[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.4)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 3)] == 1.0          # identical after normalization
+    assert 0.4 <= pairs[(1, 2)] < 1.0    # near-dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_candidates_surface_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=32, shingle_n=3)
+    srows = dict((r.doc_id, r.signature) for r in sigs.collect())
+    assert srows[1] == srows[3]          # identical docs → identical sigs
+    assert len(srows[1]) == 32
+    cands = {(r.id_a, r.id_b) for r in minhash_candidates(sigs, n_bands=8).collect()}
+    assert (1, 3) in cands
+    # empty doc → null signature, excluded
+    empty = minhash_signatures(
+        spark.createDataFrame([(9, " ")], "doc_id long, text string")
+    ).first()
+    assert empty.signature is None
+
+
+def test_simhash_properties(spark):
+    out = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[3]              # normalization-invariant
+    ham_near = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far            # near-dup closer in Hamming space

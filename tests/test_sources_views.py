@@ -1,0 +1,70 @@
+"""REST source (injected transport) + materialized view recompute."""
+
+import pytest
+from pyspark.sql import types as T
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.sources.rest import RestSource
+from mydatalake_spark.views import MaterializedView
+
+
+def test_rest_source_decorates_and_types(spark):
+    calls = []
+
+    def fake_fetch(url, headers):
+        calls.append((url, headers))
+        return {
+            "symbol": "AAPL",
+            "price": 123.45,
+            "history": [{"date": "1700000000", "close": "1.5"}],
+        }
+
+    src = RestSource("https://api.example.com", {"X-Key": "k"}, fetcher=fake_fetch)
+    p1 = src.fetch("quote/AAPL", asset_type="stocks")
+    assert calls == [("https://api.example.com/quote/AAPL", {"X-Key": "k"})]
+    assert p1["asset_type"] == "stocks" and "loaded_at" in p1
+
+    schema = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("history", T.ArrayType(T.StructType([
+            T.StructField("date", T.StringType()),
+            T.StructField("close", T.StringType()),
+        ]))),
+        T.StructField("asset_type", T.StringType()),
+        T.StructField("loaded_at", T.StringType()),
+    ])
+    df = src.to_dataframe(spark, [p1], schema=schema)
+    row = df.first()
+    assert row.symbol == "AAPL" and row.price == 123.45
+    assert row.history[0].date == "1700000000"
+    assert row.asset_type == "stocks"
+
+
+def test_materialized_view_refresh(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("A", 10.0, 12.0), ("B", 5.0, 4.0)],
+        "sym string, open double, close double",
+    )
+    cat.overwrite(base, "silver.mkt.prices")
+
+    # gold MV: reference Pipelines/Test/transformations/test.sql shape
+    mv = MaterializedView(
+        spark, cat, "gold.mkt.daily",
+        sql="""SELECT sym, close - open AS intraday_change
+               FROM silver.mkt.prices""",
+    )
+    mv.refresh()
+    got = {r.sym: r.intraday_change for r in mv.read().collect()}
+    assert got == {"A": 2.0, "B": -1.0}
+
+    # base table changes → refresh recomputes
+    cat.overwrite(
+        spark.createDataFrame([("A", 10.0, 20.0)],
+                              "sym string, open double, close double"),
+        "silver.mkt.prices",
+    )
+    mv.refresh()
+    got = {r.sym: r.intraday_change for r in mv.read().collect()}
+    assert got == {"A": 10.0}

@@ -1,0 +1,62 @@
+"""Text-analysis function tests (functions/text.py)."""
+
+from pyspark.sql import functions as F
+
+from mydatalake_spark.functions.text import (
+    doc_fingerprint,
+    lang_guess,
+    normalize_text,
+    shingles,
+    text_quality,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")
+    ).first().v
+
+
+def test_tokens_and_counts(spark):
+    assert _one(spark, "a  b\tc", tokens("text")) == ["a", "b", "c"]
+    assert _one(spark, "   ", token_count("text")) == 0
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "x", token_count("text")) == 1
+
+
+def test_normalize(spark):
+    assert _one(spark, "  A  B\t C ", normalize_text("text")) == "a b c"
+
+
+def test_quality_ratios(spark):
+    q = text_quality("text")
+    row = spark.createDataFrame([("ab, cd! e5",)], "text string").select(
+        q["punct_ratio"].alias("p"), q["digit_ratio"].alias("d"),
+        q["n_tokens"].alias("t"), q["mean_token_len"].alias("m"),
+    ).first()
+    assert row.p == 0.2   # ',' and '!' of 10 chars
+    assert row.d == 0.1   # '5'
+    assert row.t == 3
+    assert row.m == round(8 / 3, 4)
+
+
+def test_lang_guess_markers_and_ties(spark):
+    assert _one(spark, "the cat and the dog", lang_guess("text")) == "en"
+    assert _one(spark, "der hund und die katze", lang_guess("text")) == "de"
+    assert _one(spark, "xyzzy blorp", lang_guess("text")) == "und"
+    # 'la' appears in both es and fr marker sets; es wins by order
+    assert _one(spark, "la la", lang_guess("text")) == "es"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    a = _one(spark, "Hello   World", doc_fingerprint("text"))
+    b = _one(spark, "  hello world ", doc_fingerprint("text"))
+    assert a == b and len(a) == 32
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", shingles("text", 3))
+    assert sorted(got) == ["a b c", "b c d"]
+    assert _one(spark, "a b", shingles("text", 3)) == []
