@@ -1,0 +1,81 @@
+"""Table maintenance: compaction + bucketed layouts.
+
+[extension, 100 TB hardening] The reference has no maintenance story
+(Databricks OPTIMIZE does it for them — SURVEY.md §7 M6). On plain
+parquet warehouses two jobs matter:
+
+- ``compact``: streaming/CDC ingestion accretes small files; a scan's
+  task count (and scheduler pressure) follows file count, not bytes.
+  Rewrite a table into ~``target_file_bytes`` files per partition.
+
+- ``write_bucketed`` / co-located joins: two big fact tables joined
+  repeatedly on the same key should be bucketed on that key — the
+  sort-merge join then reads matching buckets with NO shuffle on
+  either side (verified by plan assertion in tests). This is the
+  parquet-warehouse analogue of Delta's OPTIMIZE ZORDER + bucketing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+
+
+def table_bytes(catalog: Catalog, full_name: str) -> int:
+    total = 0
+    for root, _, files in os.walk(catalog.path(full_name)):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    catalog: Catalog,
+    full_name: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a table into ⌈bytes/target⌉ files; returns file count.
+
+    Uses coalesce (no shuffle) — good enough when input partitions are
+    uniformly small; a skewed layout would use repartition instead.
+    """
+    df = catalog.read(full_name)
+    n_files = max(1, -(-table_bytes(catalog, full_name) // target_file_bytes))
+    catalog.overwrite_via_staging(
+        df.coalesce(n_files), full_name, partition_by=partition_by
+    )
+    return n_files
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table. Joins between
+    tables bucketed identically on the join key skip the shuffle."""
+    # A fresh in-memory catalog can collide with a leftover managed
+    # location from a previous session — clear both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(leftover):
+        import shutil
+
+        shutil.rmtree(leftover, ignore_errors=True)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

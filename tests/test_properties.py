@@ -1,0 +1,80 @@
+"""Property-based checks (hypothesis) of merge/dedup semantics against
+straight-Python reference models. Few examples, tiny frames — each
+example round-trips through Spark."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mydatalake_spark.operators.dedup import dedup_latest
+from mydatalake_spark.operators.merge import merge_upsert
+
+KEYS = st.integers(min_value=0, max_value=5)
+TS = st.integers(min_value=0, max_value=9)
+VAL = st.integers(min_value=0, max_value=99)
+
+ROWS = st.lists(st.tuples(KEYS, TS, VAL), min_size=0, max_size=12)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts long, v long") if rows else \
+        spark.createDataFrame([], "k long, ts long, v long")
+
+
+def _model_merge(target, source):
+    """Python model: dedup source latest-wins (ties → min v), then
+    per key source wins iff s.ts >= t.ts."""
+    src = {}
+    for k, ts, v in source:
+        cur = src.get(k)
+        if cur is None or ts > cur[0] or (ts == cur[0] and v < cur[1]):
+            src[k] = (ts, v)
+    tgt = {}
+    for k, ts, v in target:
+        tgt[k] = (ts, v)
+    out = dict(tgt)
+    for k, (ts, v) in src.items():
+        if k not in tgt or ts >= tgt[k][0]:
+            out[k] = (ts, v)
+    return {(k, ts, v) for k, (ts, v) in out.items()}
+
+
+@given(target=ROWS, source=ROWS)
+@settings(**_SETTINGS)
+def test_merge_matches_model(spark, target, source):
+    # make target keys unique (tables have unique PKs): keep latest
+    tgt = list({k: (k, ts, v) for k, ts, v in sorted(target)}.values())
+    out = merge_upsert(
+        _df(spark, tgt), _df(spark, source), ["k"], "ts", tiebreakers=["v"]
+    )
+    got = {(r.k, r.ts, r.v) for r in out.collect()}
+    assert got == _model_merge(tgt, source)
+
+
+@given(target=ROWS, source=ROWS)
+@settings(**_SETTINGS)
+def test_merge_is_idempotent(spark, target, source):
+    tgt = list({k: (k, ts, v) for k, ts, v in sorted(target)}.values())
+    once = merge_upsert(
+        _df(spark, tgt), _df(spark, source), ["k"], "ts", tiebreakers=["v"]
+    )
+    twice = merge_upsert(once, _df(spark, source), ["k"], "ts", tiebreakers=["v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_dedup_latest_keeps_max_ts_min_tiebreak(spark, rows):
+    out = dedup_latest(_df(spark, rows), ["k"], ["ts"], tiebreakers=["v"])
+    got = {(r.k, r.ts, r.v) for r in out.collect()}
+    model = {}
+    for k, ts, v in rows:
+        cur = model.get(k)
+        if cur is None or ts > cur[0] or (ts == cur[0] and v < cur[1]):
+            model[k] = (ts, v)
+    assert got == {(k, ts, v) for k, (ts, v) in model.items()}

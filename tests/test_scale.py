@@ -1,0 +1,82 @@
+"""Scale-hardening operators: salted agg/join equivalence, bucketed
+join shuffle elimination, compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.maintenance import compact, write_bucketed
+from mydatalake_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_matches_plain(spark, lineitem):
+    plain = {
+        (r.l_returnflag): (r.s, r.c)
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.s, r.c)
+        for r in salted_agg(
+            lineitem, ["l_returnflag"],
+            {"s": ("sum", "l_quantity"), "c": ("count", "*")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, lineitem, orders):
+    dim = orders.select("o_orderkey", "o_orderpriority")
+    plain = (
+        lineitem.join(dim, lineitem.l_orderkey == dim.o_orderkey)
+        .groupBy("o_orderpriority").count()
+    )
+    salted = (
+        salted_join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            dim, ["o_orderkey"], n_salts=4,
+        ).groupBy("o_orderpriority").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, lineitem, orders):
+    write_bucketed(
+        spark, lineitem.select("l_orderkey", "l_quantity"),
+        "li_bucketed", ["l_orderkey"], n_buckets=4,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        spark, orders.select("o_orderkey", "o_totalprice"),
+        "ord_bucketed", ["o_orderkey"], n_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    a = spark.table("li_bucketed")
+    b = spark.table("ord_bucketed")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: no shuffle exchange on either join side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
+
+
+def test_compact_reduces_files(spark, lineitem, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # fragment: write with many partitions → many small files
+    cat.overwrite(lineitem.repartition(32), "silver.t.li")
+    files_before = [
+        f for f in os.listdir(cat.path("silver.t.li")) if f.endswith(".parquet")
+    ]
+    assert len(files_before) >= 32
+    n = compact(cat, "silver.t.li", target_file_bytes=64 * 1024 * 1024)
+    files_after = [
+        f for f in os.listdir(cat.path("silver.t.li")) if f.endswith(".parquet")
+    ]
+    assert len(files_after) == n < len(files_before)
+    assert cat.read("silver.t.li").count() == lineitem.count()
