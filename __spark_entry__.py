@@ -41,7 +41,7 @@ from mydatalake_spark.operators.neardup import (
 )
 from mydatalake_spark.quality.checks import annotate
 from mydatalake_spark.quality.runner import AGG_KEYS
-from mydatalake_spark.similarity.search import brute_force_topk, lsh_topk
+from mydatalake_spark.similarity.search import brute_force_topk, ivf_topk, lsh_topk
 from mydatalake_spark.streaming.events import session_agg, tumbling_agg
 
 RUN_DATE = "2026-08-13"   # fixed anchor: reproducible DQ runs
@@ -949,6 +949,17 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
 
 
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (spherical k-means cells + n_probe search):
+    the third scale path next to brute force and LSH. Approximate —
+    rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_centroids=16, n_probe=4,
+    ).select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+
+
 def minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (approximate — rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1002,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "similarity_topk": similarity_topk,
         "similarity_lsh": similarity_lsh,
+        "similarity_ivf": similarity_ivf,
         "minhash_neardup_documents": minhash_neardup_documents,
         "simhash_documents": simhash_documents,
     }

@@ -104,6 +104,42 @@ class Catalog:
         os.replace(staging, final)
         self._invalidate(full_name)
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        full_name: str,
+        partition_col: str,
+        values: list,
+    ) -> None:
+        """Rewrite ONLY the named partitions (Delta ``replaceWhere`` /
+        dynamic-partition-overwrite analogue): ``df`` must contain
+        exactly the replacement rows for those partitions. Untouched
+        partition directories are never read or written."""
+        from pyspark.sql import functions as F
+
+        base = self.path(full_name)
+        staging = base + "__pstaging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.filter(F.col(partition_col).isin(values))
+            .write.format(self.fmt)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .save(staging)
+        )
+        # Swap in every partition directory the write produced (Spark
+        # owns the value→dirname encoding; a merge never empties a
+        # partition, so staging covers all touched values with rows).
+        os.makedirs(base, exist_ok=True)
+        for entry in os.listdir(staging):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            dst = os.path.join(base, entry)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(staging, entry), dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._invalidate(full_name)
+
     def _invalidate(self, full_name: str) -> None:
         """Drop cached file listings for a rewritten path — Spark's
         shared FileStatusCache otherwise serves stale part-file lists

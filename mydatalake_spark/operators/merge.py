@@ -102,3 +102,56 @@ def merge_upsert(
         for c in cols
     ]
     return joined.select(*picked)
+
+
+def merge_upsert_partitioned(
+    catalog,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    ts_col: str | None = None,
+    tiebreakers: list[str] | None = None,
+) -> list:
+    """Partition-scoped CDC merge — the 100 TB upgrade over a
+    whole-table rewrite (SURVEY.md §7.4(8); Delta's ``replaceWhere``
+    analogue).
+
+    Requires the merge keys to determine the partition (true for
+    date-partitioned CDC feeds where the partition column is part of
+    the key, e.g. (symbol, date) keyed prices partitioned by date —
+    reference silver/prices/prices.yml:6,17). Steps:
+
+    1. collect the DISTINCT partition values present in the source —
+       a tiny driver-side list (one shuffle over source only);
+    2. read ONLY those partitions of the target (partition pruning —
+       the unchanged 99% of the table is never scanned);
+    3. join-merge within that slice;
+    4. rewrite only those partition directories.
+
+    Returns the list of touched partition values.
+    """
+    if partition_col not in keys:
+        raise ValueError(
+            "partition-scoped merge requires the partition column to be "
+            f"part of the merge keys; got partition_col={partition_col!r} "
+            f"keys={keys}"
+        )
+    touched = [
+        r[0]
+        for r in source.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    if not catalog.exists(table):
+        catalog.overwrite(source, table, partition_by=[partition_col])
+        return touched
+    target_slice = catalog.read(table).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_upsert(
+        target_slice, source.select(*target_slice.columns), keys,
+        ts_col, tiebreakers,
+    )
+    catalog.overwrite_partitions(merged, table, partition_col, touched)
+    return touched

@@ -100,6 +100,116 @@ def _sign_bits(vec_col, planes: list[list[float]], band: int, bits: int):
     return key
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, probe
+    only the ``n_probe`` nearest cells per query, exact-rerank inside.
+
+    The coarse quantizer is trained driver-side on a bounded sample
+    (numpy, seeded — centroids are a tiny n_centroids×dim literal,
+    broadcast inside the plan as constant arrays). Cell assignment is
+    a pure JVM expression (argmax over centroid dot products), so the
+    corpus pass is scan-local; the probe join is an equi-join on
+    cell id. At 100 TB: cells give ~n_probe/n_centroids scan
+    fraction, the assignment can be precomputed and partitioned-by —
+    then each query touches only its probed partitions.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col).orderBy(id_col)
+            .limit(sample_size).collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+    rng = np.random.RandomState(seed)
+    centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ]
+
+    def _cell_scores(vec) -> "F.Column":
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(vec, cl, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cl in cent_lits
+            ]
+        )
+
+    def _argmax(scores) -> "F.Column":
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        _argmax(_cell_scores(F.col(vec_col))).alias("cell"),
+    )
+    # queries probe their top-n_probe cells
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        _cell_scores(F.col(vec_col)).alias("__cs__"),
+    )
+    probe = q_scored.select(
+        "query_id",
+        "__qvec__",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(
+                    F.transform(
+                        F.col("__cs__"),
+                        lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+                    )
+                )),
+                1,
+                n_probe,
+            )
+        ).alias("p"),
+    ).select("query_id", "__qvec__", F.col("p.cell").alias("cell"))
+
+    cand = c_assigned.join(F.broadcast(probe), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qvec__", "__cvec__").alias("score"),
+    )
+    return dedup_topk(scored, k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

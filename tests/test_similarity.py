@@ -107,3 +107,16 @@ def test_simhash_properties(spark):
     ham_near = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
     ham_far = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
     assert ham_near < ham_far            # near-dup closer in Hamming space
+
+
+def test_ivf_topk_recovers_exact_duplicate(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((100, rows[5][1]))      # duplicate of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from mydatalake_spark.similarity.search import ivf_topk
+    out = ivf_topk(df, df.filter("vec_id = 100"), dim=8, k=3,
+                   n_centroids=4, n_probe=2, sample_size=60)
+    top = out.orderBy(F.desc("score")).first()
+    assert top.neighbor_id == 5 and abs(top.score - 1.0) < 1e-9
