@@ -28,6 +28,14 @@ The clause boundary scan is paren-depth aware (an ``ORDER BY`` inside
 ``OVER (...)`` belongs to the predicate; only a depth-0 ``ORDER BY`` /
 ``LIMIT`` terminates it) and skips string literals, quoted identifiers
 and comments.
+
+Known limitation vs Databricks QUALIFY: because the predicate is
+hoisted above the SELECT's projection, it can only reference the
+*projected* output columns — not un-projected base columns or LATERAL
+VIEW aliases (write ``ORDER BY volume`` rather than ``h.volume`` when
+``volume`` is in the select list). Full fidelity would need a real SQL
+parser; projected-column predicates cover every QUALIFY in the
+reference corpus.
 """
 
 from __future__ import annotations
