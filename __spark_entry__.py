@@ -58,6 +58,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's reader truncates to µs the same way)."""
     from mydatalake_spark.sources.readers import nanos_to_timestamp
 
+    # The conf is dynamic (SQLConf) — set it here so the queries also
+    # work on a driver-provided session built without our defaults.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn("ts", nanos_to_timestamp(F.col("ts")))

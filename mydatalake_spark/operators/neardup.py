@@ -71,11 +71,15 @@ def _token_hashes(text_col: str, shingle_n: int) -> Column:
         )
 
         def _combine(i):
-            acc = F.element_at(th, (i + 1).cast("int"))
+            # Modular polynomial combine, values bounded < _PRIME
+            # (~2^32) so acc·1000003 + h stays ≪ 2^63 — no overflow
+            # even under ANSI mode (a wrapping combine throws there).
+            acc = F.pmod(F.element_at(th, (i + 1).cast("int")), F.lit(_PRIME))
             for j in range(1, shingle_n):
-                acc = acc * F.lit(1000003) + F.element_at(
-                    th, (i + j + 1).cast("int")
+                nxt = F.pmod(
+                    F.element_at(th, (i + j + 1).cast("int")), F.lit(_PRIME)
                 )
+                acc = F.pmod(acc * F.lit(1000003) + nxt, F.lit(_PRIME))
             return acc
 
         return F.array_distinct(F.transform(idx, _combine))
