@@ -104,7 +104,10 @@ class Ingestor:
         )
 
     def run(self) -> None:
-        self.save(self.load())
+        from .logging_utils import log_duration
+
+        with log_duration("ingest_full", table=self.meta.full_name):
+            self.save(self.load())
 
 
 @dataclass
@@ -133,4 +136,7 @@ class IngestorCDC(Ingestor):
         )
 
     def run(self) -> None:
-        self.upsert(self.load())
+        from .logging_utils import log_duration
+
+        with log_duration("ingest_cdc", table=self.meta.full_name):
+            self.upsert(self.load())

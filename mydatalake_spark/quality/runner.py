@@ -129,8 +129,11 @@ class CheckRunner:
     def execute(self, checks: list[TableCheck]) -> DataFrame:
         """Full pipeline (reference lib/checker_handler.py:209-221);
         returns the aggregated frame."""
-        results = self.compile_results(checks)
-        self.save_results(results)
+        from ..logging_utils import log_duration
+
+        with log_duration("checks", tables=[c.table_name for c in checks]):
+            results = self.compile_results(checks)
+            self.save_results(results)
         # Aggregate over the input lineage, not a re-read of the saved
         # table: the returned frame must stay valid after a later run
         # truncates + rewrites the results table (values are identical
