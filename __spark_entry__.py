@@ -429,6 +429,74 @@ FROM bronze
 """
 
 
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (§2.8 F1-F8 + date/string/math beyond
+    the reference): one projection exercising concat_ws, lower/trim,
+    date arithmetic, epoch conversion, conditionals, and math — every
+    expression JVM-side with a DuckDB twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws("_", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")).alias("row_key"),
+        F.lower(F.trim(F.col("l_returnflag"))).alias("flag_norm"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("l_shipdate").cast("date")).alias("age_days"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("ship_epoch"),
+        F.when(F.col("l_discount") > 0.05, F.lit("high"))
+        .otherwise(F.lit("low")).alias("disc_band"),
+        F.round(F.sqrt(F.col("l_quantity")), 6).alias("qty_sqrt"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+        F.substring(F.col("l_returnflag"), 1, 1).alias("flag_initial"),
+        F.length(F.concat(F.col("l_returnflag"), F.col("l_linestatus")))
+        .cast("int").alias("cat_len"),
+    )
+
+
+_SCALAR_ORACLE = """
+SELECT
+  CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+    AS row_key,
+  LOWER(TRIM(l_returnflag)) AS flag_norm,
+  CAST(l_shipdate AS DATE) + 30 AS due_date,
+  CAST(DATEDIFF('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')
+       AS INTEGER) AS age_days,
+  CAST(EPOCH(l_shipdate) AS BIGINT) AS ship_epoch,
+  CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
+  ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+  ABS(l_quantity - 25) AS qty_dev,
+  GREATEST(l_tax, l_discount) AS max_rate,
+  SUBSTRING(l_returnflag, 1, 1) AS flag_initial,
+  CAST(LENGTH(l_returnflag || l_linestatus) AS INTEGER) AS cat_len
+FROM lineitem
+"""
+
+
+def semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): market segments counted over customers
+    that have at least one order above 250k."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 250000
+)
+GROUP BY c_mktsegment
+"""
+
+
 # =====================================================================
 # Data-quality engine (reference signature feature, Q1-Q9)
 # =====================================================================
@@ -1002,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "topk_orders": topk_orders,
         "anti_join_customers": anti_join_customers,
+        "semi_join_segments": semi_join_segments,
+        "scalar_functions": scalar_functions,
         "events_sliding": events_sliding,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
@@ -1036,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "anti_join_customers": _ANTI_ORACLE,
+        "semi_join_segments": _SEMI_ORACLE,
+        "scalar_functions": _SCALAR_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,

@@ -184,6 +184,10 @@ def annotate(
     if missing_keys:
         raise ValueError(f"Key column(s) not found in DataFrame: {missing_keys}")
 
+    # No manual column pruning needed: the final long-format projection
+    # references only df_key + checked columns, and Catalyst pushes
+    # that pruning through the window down to the scan (verified:
+    # ReadSchema lists exactly the referenced columns).
     keyed = df.withColumn(
         "df_key",
         hashed_key(key_cols).cast("string") if use_hashed_key
