@@ -33,6 +33,7 @@ from mydatalake_spark.operators.asof import asof_join
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
 from mydatalake_spark.operators.neardup import (
+    cosine_neardup_pairs,
     exact_dedup,
     minhash_candidates,
     minhash_signatures,
@@ -1047,6 +1048,26 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.45), the fifth dedup
+    family member. Exact all-pairs here (verifiable vs DuckDB
+    LIST_COSINE_SIMILARITY); ``exact=False`` is the LSH-blocked 100 TB
+    path (operators/neardup.py:cosine_neardup_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.45)
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1089,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": similarity_ivf,
         "minhash_neardup_documents": minhash_neardup_documents,
         "simhash_documents": simhash_documents,
+        "embedding_neardup": embedding_neardup,
     }
 
 
@@ -1121,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard_documents": _NGRAM_ORACLE,
         "similarity_topk": _SIM_ORACLE,
+        "embedding_neardup": _EMB_NEARDUP_ORACLE,
         # similarity_lsh, minhash_neardup_documents, simhash_documents:
         # approximate / engine-hash-dependent → rows-only checks.
     }

@@ -274,3 +274,87 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Completes the dedup family (exact / minhash / simhash / jaccard /
+    embedding-cosine; reference has none of these — [extension] per
+    SURVEY.md §7.1 M5). Vectors are L2-normalized in ONE projection
+    pass so the pairwise step is a bare dot product (JVM higher-order
+    functions, no UDF).
+
+    ``exact=True`` is the verifiable baseline: an all-pairs theta join
+    (BroadcastNestedLoopJoin) — O(n²), fine up to ~10^5 vectors per
+    run. At 100 TB set ``exact=False``: candidates come from the same
+    random-hyperplane LSH banding as ``similarity.search.lsh_topk``
+    (band equi-join ⇒ shuffle on band buckets, no cross join), then
+    the exact cosine filter verifies — a recall<1 scale path, mirroring
+    minhash_signatures → minhash_candidates → ngram_jaccard_pairs.
+    """
+    from ..functions.vectors import dot, l2_norm
+    from ..similarity.search import _hyperplanes, _sign_bits
+
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
+    )
+    normed = df.select(F.col(id_col), unit.alias("_nv"))
+
+    if exact:
+        a = normed.select(
+            F.col(id_col).alias("id_a"), F.col("_nv").alias("_va")
+        )
+        b = normed.select(
+            F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb")
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
+        banded = normed.select(
+            id_col,
+            "_nv",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        _sign_bits(F.col("_nv"), planes, band, bits_per_band)
+                        .alias("bucket"),
+                    )
+                    for band in range(n_bands)
+                ])
+            ).alias("bb"),
+        ).select(id_col, "_nv", "bb.band", "bb.bucket")
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col("_nv").alias("_va"),
+            "band", "bucket",
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb"),
+            "band", "bucket",
+        )
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    score = dot(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", score.alias("_s"))
+        .filter(F.col("_s") >= threshold)
+        .select("id_a", "id_b", F.round("_s", 4).alias("score"))
+    )

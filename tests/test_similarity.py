@@ -120,3 +120,26 @@ def test_ivf_topk_recovers_exact_duplicate(spark):
                    n_centroids=4, n_probe=2, sample_size=60)
     top = out.orderBy(F.desc("score")).first()
     assert top.neighbor_id == 5 and abs(top.score - 1.0) < 1e-9
+
+
+def test_cosine_neardup_exact_and_lsh(spark, sf_dir):
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_neardup_pairs(emb, threshold=0.40)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert exact_pairs, "threshold should surface at least one pair"
+    # symmetric input -> canonical orientation
+    assert all(a < b for a, b in exact_pairs)
+
+    lsh = cosine_neardup_pairs(
+        emb, threshold=0.40, exact=False, dim=64,
+        n_bands=16, bits_per_band=2,
+    )
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    # LSH blocking prunes candidates, never invents them (exact cosine
+    # verify runs after the bucket join)
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) >= len(exact_pairs) * 0.5, (
+        f"recall too low: {len(lsh_pairs)}/{len(exact_pairs)}"
+    )
