@@ -475,6 +475,107 @@ FROM lineitem
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem × part (broadcast dim) with a
+    conditional revenue split per ship-month. Exact cross-engine sums
+    via integer-cent quantization; the share ratio is a deterministic
+    bigint/bigint double division on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            (F.sum(promo) / 100.0).alias("promo_revenue"),
+            (F.sum(rev) / 100.0).alias("total_revenue"),
+            F.round(F.sum(promo) / F.sum(rev), 6).alias("promo_share"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT
+  DATE_TRUNC('month', l_shipdate) AS ship_month,
+  SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+        CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+             AS BIGINT) ELSE 0 END) / 100.0 AS promo_revenue,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS total_revenue,
+  ROUND(
+    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+               AS BIGINT) ELSE 0 END) AS DOUBLE)
+    / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+          AS BIGINT)), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY DATE_TRUNC('month', l_shipdate)
+"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 beyond the reference's unionByName):
+    customer nations ∩ rich-supplier nations, and customer nations ∖
+    rich-supplier nations, tagged and unioned."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    rich_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust.intersect(rich_supp).withColumn("op", F.lit("intersect"))
+    only = cust.subtract(rich_supp).withColumn("op", F.lit("except"))
+    return both.unionByName(only)
+
+
+_SET_OPS_ORACLE = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+           WHERE s_acctbal > 9000)
+SELECT nationkey, 'intersect' AS op
+FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'except' AS op
+FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary payload column →
+    Arrow-batched mapInPandas metadata decode (the deterministic fake
+    codec; functions/multimodal.py). Oracle covers the
+    codec-independent fields (mime tag, byte length)."""
+    from mydatalake_spark.functions.multimodal import decode_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    meta = decode_media_meta(payload)
+    return meta.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id, 'image/fake' AS mime,
+  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): market segments counted over customers
     that have at least one order above 250k."""
@@ -1093,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": anti_join_customers,
         "semi_join_segments": semi_join_segments,
         "scalar_functions": scalar_functions,
+        "q14_promo_revenue": q14_promo_revenue,
+        "set_ops_nations": set_ops_nations,
+        "multimodal_meta": multimodal_meta,
         "events_sliding": events_sliding,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
@@ -1130,6 +1234,9 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers": _ANTI_ORACLE,
         "semi_join_segments": _SEMI_ORACLE,
         "scalar_functions": _SCALAR_ORACLE,
+        "q14_promo_revenue": _Q14_ORACLE,
+        "set_ops_nations": _SET_OPS_ORACLE,
+        "multimodal_meta": _MULTIMODAL_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
