@@ -475,6 +475,100 @@ FROM lineitem
 """
 
 
+def window_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (§2.5 beyond the reference's rn=1
+    ranking): lag/lead, running sum with an explicit rowsBetween frame,
+    rank and ntile — all over the (l_orderkey, l_linenumber) order,
+    which is unique, so every function is deterministic cross-engine.
+    Running money sums stay exact via integer-cent quantization."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lag(F.col("l_shipdate").cast("date")).over(w).alias("prev_ship"),
+        F.lead(F.col("l_shipdate").cast("date")).over(w).alias("next_ship"),
+        (F.sum(_cents(F.col("l_extendedprice"))).over(frame) / 100.0)
+        .alias("running_price"),
+        F.rank().over(w).alias("line_rank"),
+        F.ntile(2).over(w).alias("line_half"),
+    )
+
+
+_WINDOW_FN_ORACLE = """
+SELECT
+  l_orderkey, l_linenumber,
+  LAG(CAST(l_shipdate AS DATE)) OVER w AS prev_ship,
+  LEAD(CAST(l_shipdate AS DATE)) OVER w AS next_ship,
+  SUM(CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT))
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+    AS running_price,
+  RANK() OVER w AS line_rank,
+  CAST(NTILE(2) OVER w AS INTEGER) AS line_half
+FROM lineitem
+WHERE l_orderkey < 2000
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join with a join-side predicate,
+    per-customer order count, then the count-of-counts distribution.
+    Exercises outer-join null handling through two aggregations."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one pass (complements `rollup_revenue`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: lineitem × part (broadcast dim) with a
     conditional revenue split per ship-month. Exact cross-engine sums
@@ -1197,6 +1291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "set_ops_nations": set_ops_nations,
         "multimodal_meta": multimodal_meta,
+        "window_functions_lineitem": window_functions_lineitem,
+        "q13_order_distribution": q13_order_distribution,
+        "cube_revenue": cube_revenue,
         "events_sliding": events_sliding,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
@@ -1237,6 +1334,9 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_ORACLE,
         "set_ops_nations": _SET_OPS_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
+        "window_functions_lineitem": _WINDOW_FN_ORACLE,
+        "q13_order_distribution": _Q13_ORACLE,
+        "cube_revenue": _CUBE_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
