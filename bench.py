@@ -24,6 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_segment_revenue",
     "q5_nation_revenue",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "cube_revenue",
+    "window_functions_lineitem",
     "dedup_latest_lineitem",
     "merge_cdc_orders",
     "dq_checks_lineitem",
@@ -34,6 +38,7 @@ HEADLINE = [
     "exact_dedup_documents",
     "minhash_neardup_documents",
     "similarity_topk",
+    "embedding_neardup",
     "asof_enrich_clicks",
 ]
 

@@ -292,12 +292,17 @@ def cosine_neardup_pairs(
     Completes the dedup family (exact / minhash / simhash / jaccard /
     embedding-cosine; reference has none of these — [extension] per
     SURVEY.md §7.1 M5). Vectors are L2-normalized in ONE projection
-    pass so the pairwise step is a bare dot product (JVM higher-order
-    functions, no UDF).
+    pass so the pairwise step is a bare dot product.
 
-    ``exact=True`` is the verifiable baseline: an all-pairs theta join
-    (BroadcastNestedLoopJoin) — O(n²), fine up to ~10^5 vectors per
-    run. At 100 TB set ``exact=False``: candidates come from the same
+    ``exact=True`` is the verifiable baseline: all-pairs, computed as a
+    blocked matrix product — the corpus's normalized matrix broadcasts
+    to executors once and each Arrow batch of rows multiplies against
+    it with BLAS (``mapInPandas``; a JVM theta-join with per-pair
+    higher-order-function dots measured ~25× slower at 2k vectors).
+    Work distributes over the row side; the broadcast side must fit in
+    executor memory (~3 GB at 10^6 × 384-dim float64), which bounds
+    this path at ~10^6 vectors — beyond that, block the corpus side
+    too, or use ``exact=False``: candidates from the same
     random-hyperplane LSH banding as ``similarity.search.lsh_topk``
     (band equi-join ⇒ shuffle on band buckets, no cross join), then
     the exact cosine filter verifies — a recall<1 scale path, mirroring
@@ -306,51 +311,51 @@ def cosine_neardup_pairs(
     from ..functions.vectors import dot, l2_norm
     from ..similarity.search import _hyperplanes, _sign_bits
 
+    if exact:
+        # raw vectors travel; normalization happens vectorized in numpy
+        # on both sides (cosine = dot of unit vectors)
+        raw = df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            .alias("_nv"),
+        )
+        return _exact_pairs_blas(raw, id_col, threshold)
+
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
     )
     normed = df.select(F.col(id_col), unit.alias("_nv"))
-
-    if exact:
-        a = normed.select(
-            F.col(id_col).alias("id_a"), F.col("_nv").alias("_va")
-        )
-        b = normed.select(
-            F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb")
-        )
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        if dim is None:
-            raise ValueError("dim is required for the LSH path")
-        planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
-        banded = normed.select(
-            id_col,
-            "_nv",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        _sign_bits(F.col("_nv"), planes, band, bits_per_band)
-                        .alias("bucket"),
-                    )
-                    for band in range(n_bands)
-                ])
-            ).alias("bb"),
-        ).select(id_col, "_nv", "bb.band", "bb.bucket")
-        a = banded.select(
-            F.col(id_col).alias("id_a"), F.col("_nv").alias("_va"),
-            "band", "bucket",
-        )
-        b = banded.select(
-            F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb"),
-            "band", "bucket",
-        )
-        pairs = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_va", "_vb")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+    if dim is None:
+        raise ValueError("dim is required for the LSH path")
+    planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
+    banded = normed.select(
+        id_col,
+        "_nv",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    _sign_bits(F.col("_nv"), planes, band, bits_per_band)
+                    .alias("bucket"),
+                )
+                for band in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "_nv", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_nv").alias("_va"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb"),
+        "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     score = dot(F.col("_va"), F.col("_vb"))
     return (
@@ -358,3 +363,58 @@ def cosine_neardup_pairs(
         .filter(F.col("_s") >= threshold)
         .select("id_a", "id_b", F.round("_s", 4).alias("score"))
     )
+
+
+def _exact_pairs_blas(
+    normed: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs cosine via blocked BLAS: broadcast the corpus matrix
+    (L2-normalized in numpy), stream Arrow batches of the row side
+    through ``mapInPandas``, and emit pairs ``id_a < id_b`` with
+    score >= threshold. No shuffle at all — one broadcast + an
+    embarrassingly parallel map over the row-side partitions.
+    Zero-norm vectors produce nan scores, which never pass the
+    threshold (cosine undefined ⇒ excluded, matching the SQL oracle).
+    """
+    import numpy as np
+
+    def _unit(mat: "np.ndarray") -> "np.ndarray":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    spark = normed.sparkSession
+    corpus = normed.collect()
+    if not corpus:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, score double"
+        )
+    c_ids = np.array([r[0] for r in corpus], dtype=np.int64)
+    c_mat = _unit(np.array([r[1] for r in corpus], dtype=np.float64))
+    b_ids = spark.sparkContext.broadcast(c_ids)
+    b_mat = spark.sparkContext.broadcast(c_mat)
+
+    def compute(batches):
+        import pandas as pd
+
+        ids_c = b_ids.value
+        mat_c = b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = _unit(np.array(list(pdf["_nv"]), dtype=np.float64))
+            with np.errstate(invalid="ignore"):
+                scores = rows @ mat_c.T
+                mask = (scores >= threshold) & (
+                    row_ids[:, None] < ids_c[None, :]
+                )
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": row_ids[i],
+                    "id_b": ids_c[j],
+                    "score": np.round(scores[i, j], 4),
+                }
+            )
+
+    return normed.mapInPandas(compute, "id_a long, id_b long, score double")
