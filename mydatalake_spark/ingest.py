@@ -70,6 +70,11 @@ class Ingestor:
         if os.path.exists(sql_path):
             with open(sql_path) as fh:
                 self.transform_sql = fh.read()
+        # Declarative sink partitioning: constructor arg wins, else the
+        # table YAML's partition_by (metadata-driven, like everything
+        # else about the table).
+        if not self.partition_by:
+            self.partition_by = self.meta.partition_by
 
     # -- load ---------------------------------------------------------
     def load(self) -> DataFrame:

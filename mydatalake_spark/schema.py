@@ -160,6 +160,14 @@ class TableMeta:
         return [c.name for c in self.columns if c.key]
 
     @property
+    def partition_by(self) -> list[str]:
+        """Declared sink partitioning (``partition_by:`` in the table
+        YAML) — the 100 TB layout lever the reference lacks
+        (SURVEY.md §7.4(8)); empty = unpartitioned, reference behavior."""
+        cols = self.raw.get("partition_by") or []
+        return [str(c) for c in cols] if isinstance(cols, list) else [str(cols)]
+
+    @property
     def cdc_timestamp_column(self) -> str | None:
         for c in self.columns:
             if c.date_predicate:

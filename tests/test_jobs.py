@@ -146,3 +146,60 @@ def test_cdc_job_upserts(spark, workspace, tmp_path):
     runner.run("cdc", "bronze_cdc")
     bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
     assert bronze == {"AAA": 12.0, "BBB": None, "CCC": 1.0}
+
+
+PARTED_YML = """
+table_name: 'trades'
+catalog: 'bronze'
+schema: 'brapi'
+partition_by: ['trade_date']
+fields:
+  - name: 'symbol'
+    type: 'string'
+    key: true
+  - name: 'px'
+    type: 'double'
+  - name: 'trade_date'
+    type: 'string'
+    date_predicate: true
+"""
+
+
+def test_yaml_partition_by_drives_partitioned_sink(spark, tmp_path):
+    from mydatalake_spark.ingest import Ingestor
+
+    meta = tmp_path / "meta" / "trades"
+    os.makedirs(meta)
+    (meta / "trades.yml").write_text(PARTED_YML)
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    with open(raw / "b.json", "w") as fh:
+        for sym, px, d in [("AAA", 1.0, "2026-08-01"),
+                           ("BBB", 2.0, "2026-08-01"),
+                           ("CCC", 3.0, "2026-08-02")]:
+            fh.write(json.dumps(
+                {"symbol": sym, "px": px, "trade_date": d}) + "\n")
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ing = Ingestor(spark, cat, str(tmp_path / "meta"), "trades",
+                   input_format="json", input_path=str(raw))
+    assert ing.partition_by == ["trade_date"]
+    ing.run()
+
+    table_dir = cat.path("bronze.brapi.trades")
+    parts = sorted(
+        d for d in os.listdir(table_dir) if d.startswith("trade_date=")
+    )
+    assert parts == ["trade_date=2026-08-01", "trade_date=2026-08-02"]
+
+    # partition pruning reaches the scan
+    out = cat.read("bronze.brapi.trades").filter(
+        "trade_date = '2026-08-02'"
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert any("trade_date" in l for l in plan.splitlines()
+               if "PartitionFilters" in l)
+    assert [r.symbol for r in out.collect()] == ["CCC"]
