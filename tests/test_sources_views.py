@@ -68,3 +68,23 @@ def test_materialized_view_refresh(spark, tmp_path):
     mv.refresh()
     got = {r.sym: r.intraday_change for r in mv.read().collect()}
     assert got == {"A": 10.0}
+
+
+def test_csv_source_with_declared_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mydatalake_spark.sources.readers import read_source
+
+    p = tmp_path / "raw_csv"
+    p.mkdir()
+    (p / "a.csv").write_text("symbol,px\nAAA,1.5\nBBB,2.25\n")
+    st = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("px", T.DoubleType()),
+    ])
+    df = read_source(
+        spark, "csv", str(p), schema=st, options={"header": "true"}
+    )
+    rows = {r.symbol: r.px for r in df.collect()}
+    assert rows == {"AAA": 1.5, "BBB": 2.25}
+    assert "loaded_at" in df.columns
