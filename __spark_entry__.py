@@ -1267,12 +1267,35 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 # Driver contract
 # =====================================================================
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so the package is shipped to Python workers first.
+
+    The driver hands us *its* SparkSession (possibly started from an
+    arbitrary cwd); Pandas-UDF paths need ``import mydatalake_spark``
+    inside the workers, which addPyFile guarantees (session.py:
+    ensure_package_shipped). No-op after the first call.
+    """
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mydatalake_spark.session import ensure_package_shipped
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    from mydatalake_spark.session import ensure_package_shipped
+    ensure_package_shipped(spark)
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _shipped(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,

@@ -78,6 +78,8 @@ class JobRunner:
         """Execute the job; returns the full table names written."""
         job = find_job(self.metadata_root, job_type, job_name)
         layer = job_name.split("_")[0]
+        if job_type == "quality":
+            return self._run_quality(job, layer)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -99,3 +101,33 @@ class JobRunner:
             ing.run()
             written.append(ing.meta.full_name)
         return written
+
+    def _run_quality(self, job: dict[str, Any], layer: str) -> list[str]:
+        """``type: quality`` jobs: run the declared YAML checks of every
+        listed table against its CATALOG table and persist results +
+        history (the reference's third entry point, tests.ipynb →
+        CheckerHandler.execute, reference lib/checker_handler.py:209-221
+        — orchestrated from job metadata instead of a notebook)."""
+        from .quality.runner import CheckRunner, TableCheck
+        from .schema import load_table_meta
+
+        checks: list[TableCheck] = []
+        for tbl in job.get("tables", []):
+            name = tbl["table_name"]
+            meta = load_table_meta(
+                os.path.join(self.metadata_root, layer, name, f"{name}.yml")
+            )
+            if tbl.get("catalog"):
+                meta.catalog = tbl["catalog"]
+            if tbl.get("schema"):
+                meta.schema = tbl["schema"]
+            checks.append(
+                TableCheck(
+                    df=self.catalog.read(meta.full_name),
+                    meta=meta,
+                    layer=layer,
+                )
+            )
+        runner = CheckRunner(self.spark, self.catalog)
+        runner.execute(checks)
+        return [runner.results_table, runner.history_table]

@@ -15,6 +15,8 @@ shuffle sizing, Arrow) lives here. Defaults are chosen for the
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -77,4 +79,39 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Pandas-UDF / ``mapInPandas`` closures pickle module functions *by
+    reference*, so every Python worker must be able to
+    ``import mydatalake_spark``. On a driver whose working directory is
+    the repo that happens by accident; anywhere else (and on a real
+    multi-node cluster, where executors share nothing with the driver
+    filesystem) it does not. Zipping the package once and registering
+    it with ``SparkContext.addPyFile`` is the standard Spark mechanism:
+    workers download the file and prepend it to ``sys.path``.
+
+    Idempotent per SparkContext; safe to call on a session we did not
+    create (the driver harness passes us its own).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_mydatalake_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mydatalake_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    sc._mydatalake_pkg_shipped = True

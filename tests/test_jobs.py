@@ -203,3 +203,69 @@ def test_yaml_partition_by_drives_partitioned_sink(spark, tmp_path):
     assert any("trade_date" in l for l in plan.splitlines()
                if "PartitionFilters" in l)
     assert [r.symbol for r in out.collect()] == ["CCC"]
+
+
+QUALITY_JOBS = """
+jobs:
+  - name: 'silver_quality'
+    type: 'quality'
+    tables:
+      - table_name: 'holdings'
+        catalog: 'silver'
+        schema: 'brapi'
+"""
+
+HOLDINGS_YML = """
+table_name: 'holdings'
+catalog: 'silver'
+schema: 'brapi'
+fields:
+  - name: 'symbol'
+    type: 'string'
+    key: true
+    mandate: 'global_required'
+    tests:
+      - test_type: 'missing'
+      - test_type: 'duplicated'
+  - name: 'qty'
+    type: 'double'
+    tests:
+      - test_type: 'outside_of_rules'
+        kwargs:
+          expression: 'qty < 0'
+"""
+
+
+def test_quality_job_runs_declared_checks(spark, tmp_path):
+    root = tmp_path / "meta" / "silver"
+    (root / "holdings").mkdir(parents=True)
+    (root / "job_metadata.yml").write_text(QUALITY_JOBS)
+    (root / "holdings" / "holdings.yml").write_text(HOLDINGS_YML)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("AAA", 5.0), ("BBB", -2.0), (None, 1.0)],
+        "symbol string, qty double",
+    )
+    cat.overwrite(df, "silver.brapi.holdings")
+
+    runner = JobRunner(spark, cat, str(tmp_path / "meta"))
+    written = runner.run("quality", "silver_quality")
+    assert written == [
+        "silver.checks.column_checks", "silver.checks.aggregated_checks"
+    ]
+
+    results = cat.read("silver.checks.column_checks")
+    # 3 rows × 3 tests = 9 long-format check rows
+    assert results.count() == 9
+    failed = {
+        (r.test_type, r.column)
+        for r in results.filter("check_result = 'failed'").collect()
+    }
+    # null symbol -> missing fails; qty=-2 -> rule fails; no duplicates
+    assert ("missing", "symbol") in failed
+    assert ("outside_of_rules", "qty") in failed
+    assert not any(t == "duplicated" for t, _ in failed)
+
+    history = cat.read("silver.checks.aggregated_checks")
+    assert history.filter("table_name = 'holdings'").count() == 3
