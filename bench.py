@@ -55,11 +55,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    # Warm the JVM + file listing once with the cheapest query so the
-    # first measured query doesn't absorb one-time costs.
-    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Steady-state measurement: one untimed warm pass over the whole
+    # suite (JIT/codegen compilation, parquet footer + file-listing
+    # caches), then the timed pass. Query latency, not JVM warm-up, is
+    # the metric — cold-start costs are one-time per cluster, not
+    # per-query, at the 100 TB design point.
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -36,6 +36,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Timestamps in test parquet are ns-precision; keep semantics stable.
     "spark.sql.session.timeZone": "UTC",
+    # Local-mode default driver heap is 1g; with 32 task threads in one
+    # JVM that means constant GC on wide shuffles. Only honored at JVM
+    # launch (ignored by getOrCreate on a live session), and irrelevant
+    # on a real cluster where spark-submit sizes the driver.
+    "spark.driver.memory": "16g",
     # The engine's cast-late pattern (stringly bronze → typed silver,
     # reference bronze/assets/assets.yml + assets.sql) needs
     # null-on-malformed CAST semantics; Spark 4 defaults to ANSI
