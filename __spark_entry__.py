@@ -569,6 +569,72 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()): the
+    non-hierarchical grouping combinations CUBE/ROLLUP can't express
+    individually, in one pass (Spark 4 ``DataFrame.groupingSets``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+         / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+      AS BIGINT)) / 100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
+    left-semi join back onto the fact tables, then a 5-key rollup per
+    qualifying order. The semi-join side is tiny post-HAVING, so AQE
+    broadcasts it — the lineitem re-scan never shuffles for the probe.
+    Quantities are integral doubles, so SUM is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  SUM(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: lineitem × part (broadcast dim) with a
     conditional revenue split per ship-month. Exact cross-engine sums
@@ -1316,7 +1382,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "window_functions_lineitem": window_functions_lineitem,
         "q13_order_distribution": q13_order_distribution,
+        "q18_large_orders": q18_large_orders,
         "cube_revenue": cube_revenue,
+        "grouping_sets_revenue": grouping_sets_revenue,
         "events_sliding": events_sliding,
         "dq_checks_lineitem": dq_checks_lineitem,
         "dq_aggregate_lineitem": dq_aggregate_lineitem,
@@ -1360,6 +1428,8 @@ def oracle_sql() -> dict[str, str]:
         "window_functions_lineitem": _WINDOW_FN_ORACLE,
         "q13_order_distribution": _Q13_ORACLE,
         "cube_revenue": _CUBE_ORACLE,
+        "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
+        "q18_large_orders": _Q18_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,

@@ -26,6 +26,7 @@ HEADLINE = [
     "q5_nation_revenue",
     "q13_order_distribution",
     "q14_promo_revenue",
+    "q18_large_orders",
     "cube_revenue",
     "window_functions_lineitem",
     "dedup_latest_lineitem",
