@@ -981,7 +981,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIDING_ORACLE = """
 WITH ex AS (
   SELECT event_type,
-    TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS window_start
+    CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS window_start
   FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
 )
 SELECT window_start,
