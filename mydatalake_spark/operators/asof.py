@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -49,13 +50,23 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_values
     }
 
+    # The right values travel as ONE struct so the window fill picks a
+    # single whole right row — filling each column independently would
+    # stitch non-null values from DIFFERENT right rows together when the
+    # matched row has nulls (true as-of semantics, like DuckDB ASOF
+    # JOIN, must return the matched row's nulls as-is).
+    rrow_type = StructType(
+        [
+            StructField(out_names[c], right.schema[c].dataType, True)
+            for c in right_values
+        ]
+    )
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__side__"),
         F.struct(*left.columns).alias("__lrow__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-          for c in right_values],
+        F.lit(None).cast(rrow_type).alias("__rrow__"),
     )
     r_tag = right.select(
         *on,
@@ -64,7 +75,9 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__lrow__"].dataType
         ).alias("__lrow__"),
-        *[F.col(c).alias(out_names[c]) for c in right_values],
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in right_values]
+        ).cast(rrow_type).alias("__rrow__"),
     )
 
     unioned = l_tag.unionByName(r_tag)
@@ -76,15 +89,13 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(
-                "__f_" + out_names[c]
-            )
-            for c in right_values
-        ],
+        F.last("__rrow__", ignorenulls=True).over(w).alias("__frow__"),
     ).filter(F.col("__side__") == 1)
 
     return filled.select(
         F.col("__lrow__.*"),
-        *[F.col("__f_" + out_names[c]).alias(out_names[c]) for c in right_values],
+        *[
+            F.col("__frow__")[out_names[c]].alias(out_names[c])
+            for c in right_values
+        ],
     )

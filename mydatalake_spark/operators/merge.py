@@ -54,6 +54,18 @@ def merge_upsert(
     With ``ts_col=None`` (pure equi MERGE, reference
     lib/checker_handler.py:179-191 shape) the source always wins.
 
+    Null-ts semantics (explicit): a null ``ts_col`` compares as
+    **-infinity on both sides**, so a null-ts source row loses to any
+    non-null target ts, a null-ts target row loses to any source row,
+    and null-vs-null is a tie that the source wins (``>=``). This keeps
+    "source wins iff source.ts >= target.ts" total over nulls.
+
+    Determinism: when the source has several rows with the same key AND
+    the same ``ts_col`` value, the survivor is picked by ``tiebreakers``;
+    if none are given, a stable tiebreaker is synthesized (xxhash64 of
+    all non-key columns) so re-runs and different partition layouts
+    produce the same merge result.
+
     Columns must match between target and source (updateAll/insertAll
     semantics). Returns the merged DataFrame; callers persist it via
     Catalog.overwrite (or partition-scoped overwrite at scale).
@@ -64,7 +76,18 @@ def merge_upsert(
             f"merge requires identical columns; target={cols} source={source.columns}"
         )
     if ts_col is not None:
-        source = dedup_latest(source, keys, [ts_col], tiebreakers)
+        if not tiebreakers:
+            # Synthesized stable tiebreaker: equal-(key, ts) duplicate
+            # source rows must not pick an arbitrary survivor per
+            # run/partition layout (dedup.py's determinism rule).
+            non_key = [c for c in cols if c not in keys]
+            source = source.withColumn(
+                "__tb__", F.xxhash64(*[F.col(c) for c in non_key])
+            )
+            source = dedup_latest(source, keys, [ts_col], ["__tb__"])
+            source = source.drop("__tb__")
+        else:
+            source = dedup_latest(source, keys, [ts_col], tiebreakers)
     else:
         source = source.dropDuplicates(keys)
 
@@ -89,11 +112,17 @@ def merge_upsert(
     t_here = F.col("__t_present__").isNotNull()
     s_here = F.col("__s_present__").isNotNull()
     if ts_col is not None:
-        source_wins = s_here & (
-            ~t_here
-            | F.col(ts_col).isNull()
-            | (F.col(f"__s_{ts_col}") >= F.col(ts_col))
+        # Null ts ≡ -infinity on BOTH sides (see docstring): expressed
+        # with when/otherwise so three-valued null comparisons can't
+        # leak through.
+        s_ts, t_ts = F.col(f"__s_{ts_col}"), F.col(ts_col)
+        ts_ge = (
+            F.when(s_ts.isNull() & t_ts.isNull(), F.lit(True))
+            .when(s_ts.isNull(), F.lit(False))
+            .when(t_ts.isNull(), F.lit(True))
+            .otherwise(s_ts >= t_ts)
         )
+        source_wins = s_here & (~t_here | ts_ge)
     else:
         source_wins = s_here
 

@@ -137,7 +137,7 @@ def _depth0_semicolon(sql: str, from_pos: int):
 def rewrite_qualify(sql: str) -> str:
     """Rewrite every QUALIFY clause into a filtered subquery."""
     out = sql
-    for _ in range(10):  # bounded: each pass removes one clause
+    for _ in range(100):  # bounded: each pass removes one clause
         loc = _find_clause(out)
         if loc is None:
             return out
@@ -150,7 +150,14 @@ def rewrite_qualify(sql: str) -> str:
             f"  SELECT *, ({pred}) AS __qualify__ FROM (\n{head}\n  ) __q_in__\n"
             ") __q_out__ WHERE __qualify__"
         ) + ((" " + tail) if tail else "")
-    return out
+    # Never hand partially rewritten SQL to Catalyst — the leftover
+    # QUALIFY would surface as a baffling PARSE_SYNTAX_ERROR pointing
+    # at generated text.
+    raise ValueError(
+        "rewrite_qualify: more than 100 QUALIFY clauses in one statement "
+        "(or the rewrite failed to make progress); refusing to emit "
+        "partially rewritten SQL"
+    )
 
 
 def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str:

@@ -77,6 +77,14 @@ def brute_force_topk(
     return dedup_topk(scored, k)
 
 
+def _pair_schema(corpus, queries, id_col: str, qid: str) -> str:
+    """Output schema derived from the actual id column types — ids are
+    NOT assumed integral (string doc ids work)."""
+    q_t = queries.schema[qid].dataType.simpleString()
+    n_t = corpus.schema[id_col].dataType.simpleString()
+    return f"query_id {q_t}, neighbor_id {n_t}, score double"
+
+
 def _brute_force_topk_blas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,14 +105,13 @@ def _brute_force_topk_blas(
             return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     spark = corpus.sparkSession
+    schema = _pair_schema(corpus, queries, id_col, qid)
     q_rows = queries.select(
         F.col(qid), F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ).collect()
     if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, score double"
-        )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        return spark.createDataFrame([], schema)
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = _unit(np.array([r[1] for r in q_rows], dtype=np.float64))
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qmat = spark.sparkContext.broadcast(q_mat)
@@ -123,10 +130,15 @@ def _brute_force_topk_blas(
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()
             c_mat = _unit(np.array(list(pdf["_cv"]), dtype=np.float64))
             with np.errstate(invalid="ignore"):
                 s = c_mat @ mat_q.T  # (n_corpus_batch, n_queries)
+            # Zero-norm vectors score NaN, which Spark's DESC ordering
+            # ranks ABOVE every number — mask to -inf so undefined
+            # similarity is excluded, matching the expression path
+            # (cosine_similarity → null → dropped in dedup_topk).
+            s = np.where(np.isnan(s), -np.inf, s)
             if exclude_self:
                 s = np.where(
                     c_ids[:, None] == ids_q[None, :], -np.inf, s
@@ -151,16 +163,25 @@ def _brute_force_topk_blas(
                 }
             )
 
-    scored = raw.mapInPandas(
-        score_batches, "query_id long, neighbor_id long, score double"
-    ).filter(F.col("score") != float("-inf"))
+    scored = raw.mapInPandas(score_batches, schema).filter(
+        F.col("score") != float("-inf")
+    )
     return dedup_topk(scored, k)
 
 
 def dedup_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k by (score desc, neighbor_id asc)."""
+    """Per-query top-k by (score desc, neighbor_id asc).
+
+    Rows with undefined similarity (null or NaN score — zero-norm
+    vectors) are excluded up front so every search path agrees: they
+    are never candidates, instead of ranking first (NaN sorts above
+    all numbers in Spark DESC) or last (null).
+    """
     from pyspark.sql import Window
 
+    scored = scored.filter(
+        F.col("score").isNotNull() & ~F.isnan(F.col("score"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

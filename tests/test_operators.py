@@ -135,3 +135,60 @@ def test_asof_join(spark):
     # trade A@10 matches quote A@10 (inclusive), A@25 → quote@20,
     # B@5 has no prior quote → null
     assert got == {(1, 2.0), (2, 3.0), (3, None)}
+
+
+def test_asof_join_null_right_value_not_mixed_across_rows(spark):
+    # The matched right row's nulls must come through as-is — filling
+    # value columns independently would stitch a row that never
+    # existed: (a=5, b=7) from two different right rows.
+    left = spark.createDataFrame([("K", 3, 1)], "k string, t int, lid int")
+    right = spark.createDataFrame(
+        [("K", 1, 5, None), ("K", 2, None, 7)],
+        "k string, t int, a int, b int",
+    )
+    out = asof_join(left, right, ["k"], "t", "t", ["a", "b"])
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # matched row is (t=2, a=null, b=7) — a must stay null
+    assert (r.a, r.b) == (None, 7), (r.a, r.b)
+
+
+def test_merge_upsert_null_ts_is_minus_infinity(spark):
+    target = spark.createDataFrame(
+        [(1, "t1", 10), (2, "t2", None), (3, "t3", None)],
+        "id int, v string, ts int",
+    )
+    source = spark.createDataFrame(
+        [(1, "s1", None), (2, "s2", 5), (3, "s3", None)],
+        "id int, v string, ts int",
+    )
+    out = merge_upsert(target, source, ["id"], "ts")
+    got = {(r.id, r.v) for r in out.collect()}
+    # null source ts loses to non-null target ts; null target ts loses
+    # to any source row; null-vs-null ties go to the source (>=).
+    assert got == {(1, "t1"), (2, "s2"), (3, "s3")}, got
+
+
+def test_merge_upsert_equal_ts_duplicate_source_deterministic(spark):
+    target = spark.createDataFrame([], "id int, v string, ts int")
+    source_rows = [(1, "x", 5), (1, "y", 5), (1, "z", 5)]
+    outs = set()
+    for nparts in (1, 2, 3):
+        source = spark.createDataFrame(
+            source_rows, "id int, v string, ts int"
+        ).repartition(nparts)
+        out = merge_upsert(target, source, ["id"], "ts")
+        rows = out.collect()
+        assert len(rows) == 1
+        outs.add(rows[0].v)
+    # synthesized xxhash64 tiebreaker ⇒ same survivor for every layout
+    assert len(outs) == 1, outs
+
+
+def test_qualify_rewrite_raises_on_runaway_clauses():
+    import pytest as _pytest
+
+    runaway = "SELECT 1 QUALIFY true; " * 101
+    with _pytest.raises(ValueError, match="QUALIFY"):
+        rewrite_qualify(runaway)

@@ -143,3 +143,42 @@ def test_cosine_neardup_exact_and_lsh(spark, sf_dir):
     assert len(lsh_pairs) >= len(exact_pairs) * 0.5, (
         f"recall too low: {len(lsh_pairs)}/{len(exact_pairs)}"
     )
+
+
+def test_brute_force_topk_string_ids_both_paths(spark):
+    # ids are not assumed integral: string doc ids must work in the
+    # BLAS path (schema derived from the id column) and the
+    # expression path, with identical results.
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "doc string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q", [1.0, 0.0])], "doc string, embedding array<double>"
+    )
+    for vec in (True, False):
+        out = brute_force_topk(
+            corpus, queries, k=2, id_col="doc", vectorized=vec
+        )
+        rows = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        assert rows == {("q", "a"), ("q", "b")}, (vec, rows)
+        assert dict(out.dtypes)["neighbor_id"] == "string"
+
+
+def test_brute_force_topk_zero_norm_excluded_both_paths(spark):
+    # zero-norm corpus vectors have undefined cosine: they must never
+    # be candidates — not NaN-ranked-first (BLAS) nor null-ranked-last
+    # (expression path).
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.8, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for vec in (True, False):
+        out = brute_force_topk(corpus, queries, k=3, vectorized=vec)
+        rows = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        # query 11 (zero-norm) gets NO neighbors; corpus 1 never appears
+        assert rows == {(10, 2), (10, 3)}, (vec, rows)
