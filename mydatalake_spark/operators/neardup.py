@@ -260,19 +260,86 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
     )
+    # Filter on the RAW ratio and round only in the output — mirroring
+    # the ANSI-SQL shape ``WHERE ratio >= t SELECT ROUND(ratio, 6)`` so
+    # a pair sitting just under t can't round itself into the result.
+    raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+def verify_candidates_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-verify candidate pairs: true shingle Jaccard computed for
+    ONLY the ``(id_a, id_b)`` pairs in ``candidates``.
+
+    This is the second half of the standard near-dup pipeline
+    (minhash_signatures → minhash_candidates → HERE): the quadratic
+    exact comparison runs on the tiny candidate set, not the corpus.
+    Each side of the pair joins against the per-doc distinct-shingle
+    array (two broadcast-able hash joins on doc id); the intersection
+    size is a per-row ``array_intersect`` — no explode, no shuffle
+    beyond the id joins.
+
+    Output (id_a, id_b, jaccard≥threshold) matches
+    :func:`ngram_jaccard_pairs` exactly on any candidate set with full
+    recall — which is what makes an end-to-end SQL oracle possible:
+    candidates→verify equals the exact all-pairs result iff the
+    candidate generator missed nothing above the threshold.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("__sh__"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh__").alias("__sha__")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh__").alias("__shb__")
+    )
+    inter = F.size(F.array_intersect("__sha__", "__shb__"))
+    raw = inter / (
+        F.size("__sha__") + F.size("__shb__") - inter
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+def simhash_hamming_pairs(
+    pairs: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Attach ``hamming`` = popcount(simhash_a XOR simhash_b) to each
+    ``(id_a, id_b)`` pair — two id equi-joins + a per-row bit_count,
+    no shuffle beyond the joins."""
+    fa = fingerprints.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__ha__")
+    )
+    fb = fingerprints.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__hb__")
+    )
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__"))),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .drop("__ha__", "__hb__")
     )
 
 

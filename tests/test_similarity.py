@@ -182,3 +182,71 @@ def test_brute_force_topk_zero_norm_excluded_both_paths(spark):
         rows = {(r.query_id, r.neighbor_id) for r in out.collect()}
         # query 11 (zero-norm) gets NO neighbors; corpus 1 never appears
         assert rows == {(10, 2), (10, 3)}, (vec, rows)
+
+
+def test_lsh_topk_exact_parity_on_fixture(spark, sf_dir):
+    # Hard recall gate: at 32 bands x 3 bits the banded path must
+    # reproduce exact brute-force top-5 on the fixture corpus.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in lsh_topk(emb, q, dim=64, k=5, n_bands=32,
+                             bits_per_band=3).collect()}
+    assert got == exact, f"sym_diff={got ^ exact}"
+
+
+def test_ivf_recall_floor_per_query(spark, sf_dir):
+    from collections import defaultdict
+    from mydatalake_spark.similarity.search import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact, got = defaultdict(set), defaultdict(set)
+    for r in brute_force_topk(emb, q, k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    for r in ivf_topk(emb, q, dim=64, k=5, n_centroids=16,
+                      n_probe=12).collect():
+        got[r.query_id].add(r.neighbor_id)
+    recalls = {qi: len(exact[qi] & got[qi]) / len(exact[qi])
+               for qi in exact}
+    assert all(v >= 0.6 for v in recalls.values()), recalls
+
+
+def test_minhash_candidates_contain_all_true_pairs(spark, sf_dir):
+    # Containment gate: every pair with true shingle-Jaccard >= 0.2
+    # must surface as a banding candidate (recall = 1.0 over the
+    # threshold with 32 hashes / 8 bands on the seeded corpus).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true_pairs = {(r.id_a, r.id_b)
+                  for r in ngram_jaccard_pairs(docs, n=3,
+                                               threshold=0.2).collect()}
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    cand = {(r.id_a, r.id_b)
+            for r in minhash_candidates(sigs, n_bands=8).collect()}
+    assert true_pairs <= cand, f"missed={true_pairs - cand}"
+
+
+def test_simhash_near_far_separation(spark, sf_dir):
+    # Locality gate both ways: token-set near-dups land within
+    # hamming 24; dissimilar pairs center near 32 — the means must
+    # separate clearly, else the fingerprint lost its signal.
+    from mydatalake_spark.operators.neardup import simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = simhash(docs)
+    near = ngram_jaccard_pairs(docs, n=1, threshold=0.9)
+    near_h = [r.hamming
+              for r in simhash_hamming_pairs(near, fp).collect()]
+    assert near_h and max(near_h) <= 24, max(near_h)
+
+    mid = ngram_jaccard_pairs(docs, n=1, threshold=0.3).filter(
+        F.col("jaccard") < 0.5
+    )
+    far_h = [r.hamming
+             for r in simhash_hamming_pairs(mid, fp).collect()]
+    assert far_h
+    mean_near = sum(near_h) / len(near_h)
+    mean_far = sum(far_h) / len(far_h)
+    assert mean_far > mean_near + 8, (mean_near, mean_far)
