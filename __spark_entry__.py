@@ -1411,11 +1411,28 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.9
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.45), the fifth dedup
-    family member. Exact all-pairs here (verifiable vs DuckDB
-    LIST_COSINE_SIMILARITY); ``exact=False`` is the LSH-blocked 100 TB
-    path (operators/neardup.py:cosine_neardup_pairs)."""
+    family member. ``exact=None`` auto-selects: this corpus is under
+    ``max_exact_rows`` so the verifiable BLAS all-pairs path runs; a
+    100 TB corpus would auto-route to the LSH-blocked path instead
+    (operators/neardup.py:cosine_neardup_pairs) — no corpus-sized
+    broadcast on the default path, ever."""
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(emb, threshold=0.45)
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked scale path of ``cosine_neardup_pairs``
+    (exact=False), VERIFIED against the same exact oracle: hyperplane
+    band candidates → exact cosine filter must reproduce the full
+    cos >= 0.45 pair set (32 bands × 3 bits ⇒ recall 1.0 measured at
+    sf0.001 and sf0.01 — collision prob per band ≈ 0.27, miss prob per
+    pair ≈ 0.73³² ≈ 4e-5). This is the path a 1000-executor corpus
+    takes; the oracle proves it loses nothing here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(
+        emb, threshold=0.45, exact=False, dim=64,
+        n_bands=32, bits_per_band=3,
+    )
 
 
 _EMB_NEARDUP_ORACLE = """
@@ -1503,6 +1520,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_documents": minhash_neardup_documents,
         "simhash_documents": simhash_documents,
         "embedding_neardup": embedding_neardup,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
     }
 
 
@@ -1544,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_ORACLE,
         "similarity_topk": _SIM_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        "embedding_neardup_lsh": _EMB_NEARDUP_ORACLE,
         # Approximate paths, verified end-to-end: the oracle is the
         # EXACT result the candidates→verify pipeline must reproduce
         # (recall check), or the recall-floor assertion it must meet.

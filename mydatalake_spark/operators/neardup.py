@@ -348,10 +348,11 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact: bool = True,
+    exact: bool | None = None,
     n_bands: int = 8,
     bits_per_band: int = 4,
     dim: int | None = None,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)``
     with ``id_a < id_b`` and ``cosine >= threshold``.
@@ -374,9 +375,25 @@ def cosine_neardup_pairs(
     (band equi-join ⇒ shuffle on band buckets, no cross join), then
     the exact cosine filter verifies — a recall<1 scale path, mirroring
     minhash_signatures → minhash_candidates → ngram_jaccard_pairs.
+
+    ``exact=None`` (the DEFAULT) auto-selects: corpora up to
+    ``max_exact_rows`` take the exact broadcast path, larger ones the
+    LSH-blocked path — so the default NEVER drives a corpus-sized
+    ``collect()``/broadcast into an OOM at scale. The row count is one
+    ``df.count()`` (metadata-cheap on parquet); ``dim`` is probed from
+    the first vector when not given.
     """
     from ..functions.vectors import dot, l2_norm
     from ..similarity.search import _hyperplanes, _sign_bits
+
+    if exact is None:
+        exact = df.count() <= max_exact_rows
+    if not exact and dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            exact = True  # empty input: trivially fine on the exact path
+        else:
+            dim = first["d"]
 
     if exact:
         # raw vectors travel; normalization happens vectorized in numpy
@@ -392,8 +409,6 @@ def cosine_neardup_pairs(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
     )
     normed = df.select(F.col(id_col), unit.alias("_nv"))
-    if dim is None:
-        raise ValueError("dim is required for the LSH path")
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
     banded = normed.select(
         id_col,
@@ -450,12 +465,13 @@ def _exact_pairs_blas(
             return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     spark = normed.sparkSession
+    # schema follows the actual id type — ids are not assumed integral
+    id_t = normed.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_t}, id_b {id_t}, score double"
     corpus = normed.collect()
     if not corpus:
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, score double"
-        )
-    c_ids = np.array([r[0] for r in corpus], dtype=np.int64)
+        return spark.createDataFrame([], schema)
+    c_ids = np.array([r[0] for r in corpus])
     c_mat = _unit(np.array([r[1] for r in corpus], dtype=np.float64))
     b_ids = spark.sparkContext.broadcast(c_ids)
     b_mat = spark.sparkContext.broadcast(c_mat)
@@ -468,7 +484,7 @@ def _exact_pairs_blas(
         for pdf in batches:
             if pdf.empty:
                 continue
-            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            row_ids = pdf[id_col].to_numpy()
             rows = _unit(np.array(list(pdf["_nv"]), dtype=np.float64))
             with np.errstate(invalid="ignore"):
                 scores = rows @ mat_c.T
@@ -484,4 +500,4 @@ def _exact_pairs_blas(
                 }
             )
 
-    return normed.mapInPandas(compute, "id_a long, id_b long, score double")
+    return normed.mapInPandas(compute, schema)

@@ -250,3 +250,19 @@ def test_simhash_near_far_separation(spark, sf_dir):
     mean_near = sum(near_h) / len(near_h)
     mean_far = sum(far_h) / len(far_h)
     assert mean_far > mean_near + 8, (mean_near, mean_far)
+
+
+def test_cosine_neardup_auto_switch_and_dim_probe(spark, sf_dir):
+    # exact=None (default): small corpus -> exact path; forcing a tiny
+    # max_exact_rows must route to the LSH path (dim auto-probed) and,
+    # with generous banding, still reproduce the exact pair set.
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact_pairs = {(r.id_a, r.id_b)
+                   for r in cosine_neardup_pairs(emb, 0.45).collect()}
+    lsh_auto = cosine_neardup_pairs(
+        emb, 0.45, max_exact_rows=10, n_bands=32, bits_per_band=3
+    )
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh_auto.collect()}
+    assert lsh_pairs == exact_pairs, exact_pairs ^ lsh_pairs
