@@ -15,11 +15,20 @@ path convention is identical.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def delta_available() -> bool:
+    """True when the ``delta-spark`` package is importable. The Delta
+    code paths (ACID overwrite, DeltaTable MERGE — reference
+    lib/ingestors.py:92-96,113-126) are capability-gated on this so the
+    same code runs on parquet-only and Delta-enabled clusters."""
+    return importlib.util.find_spec("delta") is not None
 
 
 def split_name(full_name: str) -> tuple[str, str, str]:
@@ -38,14 +47,26 @@ def split_name(full_name: str) -> tuple[str, str, str]:
 class Catalog:
     """Path-convention catalog with overwrite/read/exists/drop.
 
-    Storage format is parquet (delta-spark is not installed in this
-    environment — SURVEY.md §7.4(3)); the format is a constructor knob
-    so a Delta-enabled cluster can flip it.
+    Storage format defaults to parquet; ``fmt="delta"`` flips every
+    read/write to Delta Lake (reference lib/ingestors.py:92-96) and is
+    capability-gated: requesting it without ``delta-spark`` importable
+    fails fast with a clear error instead of a mid-job
+    ClassNotFoundException. On Delta, overwrites are transactional so
+    the staging-swap fallback is skipped (see overwrite_via_staging).
     """
 
     spark: SparkSession
     warehouse: str
     fmt: str = "parquet"
+
+    def __post_init__(self) -> None:
+        if self.fmt == "delta" and not delta_available():
+            raise ImportError(
+                "Catalog(fmt='delta') requires the delta-spark package; "
+                "it is not importable in this environment. Install "
+                "delta-spark (and configure the Spark session with the "
+                "Delta extensions) or use the default parquet format."
+            )
 
     def path(self, full_name: str) -> str:
         cat, sch, tbl = split_name(full_name)
@@ -90,9 +111,13 @@ class Catalog:
         Lazily reading and overwriting the same parquet directory is
         undefined in OSS Spark (the scan would see its own deletes), so
         the result is materialized to ``{path}__staging`` first and then
-        swapped in. On a transactional format (Delta/Iceberg) this is
-        MERGE's job; the staging swap is the format-agnostic fallback.
+        swapped in. On Delta the overwrite is transactional (snapshot
+        isolation: the scan reads the pre-commit version), so it
+        delegates to a plain overwrite — no staging copy.
         """
+        if self.fmt == "delta":
+            self.overwrite(df, full_name, partition_by)
+            return
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)

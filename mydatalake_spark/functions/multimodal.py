@@ -136,15 +136,41 @@ def resize_image(
     payload_col: str = "media",
     width: int = 224,
     height: int = 224,
+    out_format: str = "PNG",
 ) -> DataFrame:
-    """Real-codec path — requires PIL (not installed here)."""
-    if not _HAVE_PIL:  # pragma: no cover
+    """Resize every image payload to ``width×height`` (PIL codec,
+    re-encoded as ``out_format``), payload column replaced in place.
+
+    Requires Pillow: the codec is import-gated, so on a cluster with
+    Pillow installed this path is live; in this container (no image
+    libs) it raises up front with a clear message. The mapInPandas
+    batch plumbing is identical either way."""
+    if not _HAVE_PIL:
         raise NotImplementedError(
             "resize_image needs Pillow; this environment has no image "
-            "libraries. The mapInPandas plumbing mirrors "
-            "decode_media_meta — install Pillow and swap the codec."
+            "libraries. Install Pillow and the same call works — the "
+            "codec below is already wired."
         )
-    raise NotImplementedError("PIL path not wired in this build")
+    import io
+
+    import pandas as pd
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def _resize(p):
+                if p is None:
+                    return None
+                img = Image.open(io.BytesIO(bytes(p)))
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format=out_format)
+                return bytearray(buf.getvalue())
+
+            pdf[payload_col] = [_resize(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(do, schema=df.schema)
 
 
 def sample_frames(

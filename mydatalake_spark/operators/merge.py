@@ -37,6 +37,31 @@ from pyspark.sql import functions as F
 from .dedup import dedup_latest
 
 
+def _dedup_source(
+    source: DataFrame,
+    keys: list[str],
+    ts_col: str | None,
+    tiebreakers: list[str] | None,
+) -> DataFrame:
+    """Latest-wins pre-dedup of a changeset on its merge keys. With no
+    explicit tiebreakers, a stable one is synthesized (xxhash64 of the
+    non-key columns) so equal-(key, ts) duplicates pick the same
+    survivor under any run/partition layout (dedup.py's determinism
+    rule)."""
+    if ts_col is None:
+        return source.dropDuplicates(keys)
+    if tiebreakers:
+        return dedup_latest(source, keys, [ts_col], tiebreakers)
+    non_key = [c for c in source.columns if c not in keys]
+    return (
+        source.withColumn(
+            "__tb__", F.xxhash64(*[F.col(c) for c in non_key])
+        )
+        .transform(lambda d: dedup_latest(d, keys, [ts_col], ["__tb__"]))
+        .drop("__tb__")
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -75,21 +100,7 @@ def merge_upsert(
         raise ValueError(
             f"merge requires identical columns; target={cols} source={source.columns}"
         )
-    if ts_col is not None:
-        if not tiebreakers:
-            # Synthesized stable tiebreaker: equal-(key, ts) duplicate
-            # source rows must not pick an arbitrary survivor per
-            # run/partition layout (dedup.py's determinism rule).
-            non_key = [c for c in cols if c not in keys]
-            source = source.withColumn(
-                "__tb__", F.xxhash64(*[F.col(c) for c in non_key])
-            )
-            source = dedup_latest(source, keys, [ts_col], ["__tb__"])
-            source = source.drop("__tb__")
-        else:
-            source = dedup_latest(source, keys, [ts_col], tiebreakers)
-    else:
-        source = source.dropDuplicates(keys)
+    source = _dedup_source(source, keys, ts_col, tiebreakers)
 
     # Source columns are renamed (prefixed) before the join so every
     # reference below is by unique name — immune to the ambiguous-
@@ -131,6 +142,59 @@ def merge_upsert(
         for c in cols
     ]
     return joined.select(*picked)
+
+
+def merge_upsert_delta(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    tiebreakers: list[str] | None = None,
+) -> None:
+    """ACID MERGE into a Delta table — the capability path the
+    reference runs on Databricks (``DeltaTable.merge`` with
+    whenMatchedUpdateAll/whenNotMatchedInsertAll, reference
+    lib/ingestors.py:113-126). Semantics match :func:`merge_upsert`
+    exactly, including the two corrections:
+
+    1. the join is on KEYS ONLY; the ts guard lives in the
+       whenMatched condition (the reference's ts-in-ON treats stale
+       rows as NOT MATCHED and re-inserts duplicate keys);
+    2. the source is pre-deduped latest-wins with a stable tiebreaker
+       (Delta requires a unique source match per target row);
+    3. null ts ≡ -infinity on both sides (merge_upsert's documented
+       rule): ``t.ts IS NULL OR (s.ts IS NOT NULL AND s.ts >= t.ts)``.
+
+    Requires delta-spark; fails fast with ImportError otherwise
+    (capability flag, SURVEY.md §7.4(3)). In-place and transactional —
+    no staging swap, unchanged files are skipped via Delta's
+    find-touched-files join.
+    """
+    from ..catalog import delta_available
+
+    if not delta_available():
+        raise ImportError(
+            "merge_upsert_delta requires the delta-spark package; use "
+            "merge_upsert (join-emulation) + Catalog.overwrite_via_"
+            "staging on parquet-only clusters."
+        )
+    from delta.tables import DeltaTable  # type: ignore
+
+    src = _dedup_source(source, keys, ts_col, tiebreakers)
+    dt = DeltaTable.forPath(spark, target_path)
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    m = dt.alias("t").merge(src.alias("s"), on)
+    if ts_col is not None:
+        m = m.whenMatchedUpdateAll(
+            condition=(
+                f"t.{ts_col} IS NULL OR "
+                f"(s.{ts_col} IS NOT NULL AND s.{ts_col} >= t.{ts_col})"
+            )
+        )
+    else:
+        m = m.whenMatchedUpdateAll()
+    m.whenNotMatchedInsertAll().execute()
 
 
 def merge_upsert_partitioned(

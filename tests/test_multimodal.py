@@ -59,7 +59,26 @@ def test_null_payloads_pass_through(spark):
 
 
 def test_real_codecs_are_gated(media_df):
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        resize_image(media_df)
+    from mydatalake_spark.functions.multimodal import _HAVE_PIL
+
+    if not _HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_image(media_df)
     with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
         sample_frames(media_df)
+
+
+def test_resize_image_with_pil(spark):
+    # Skips in this container (no Pillow); on an image-enabled cluster
+    # the gated codec must be live, not a stub.
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    pil.new("RGB", (8, 6), (250, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, media binary"
+    )
+    out = resize_image(df, width=4, height=4).collect()
+    img = pil.open(io.BytesIO(bytes(out[0].media)))
+    assert img.size == (4, 4)
