@@ -937,6 +937,242 @@ WHERE NOT EXISTS (
 
 
 # =====================================================================
+# TPC-H breadth: correlated subqueries, EXISTS, multi-way joins
+# (Q2/Q4/Q7/Q17/Q22 shapes, adapted to this corpus — no partsupp
+# table and no l_commitdate/l_receiptdate columns, so each keeps the
+# decorrelation/join structure of its namesake on the columns we have)
+# =====================================================================
+
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery — suppliers whose
+    account balance equals their nation's maximum. Decorrelated the
+    Spark way: the per-nation max is a tiny partial-aggregated groupBy
+    broadcast back onto supplier (no window over the full table, no
+    per-row subquery re-execution — Catalyst's own decorrelation
+    produces this same aggregate+rejoin shape). Ties keep every
+    qualifying supplier, so no ordering dependence."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    mx = sup.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("max_bal")
+    ).withColumnRenamed("s_nationkey", "mx_nationkey")
+    return (
+        sup.join(
+            F.broadcast(mx),
+            (sup.s_nationkey == mx.mx_nationkey)
+            & (sup.s_acctbal == mx.max_bal),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+    )
+
+
+_Q2_ORACLE = """
+SELECT n_name, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MAX(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = supplier.s_nationkey
+)
+"""
+
+
+def q4_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi): orders in a quarter having
+    at least one line shipped later than 30 days after the order date,
+    counted per priority. The semi join is equi on orderkey with the
+    lateness range predicate attached — lineitem is never widened, and
+    the count dedups for free (semi emits each order once)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the 6-table multi-way join with TWO roles for
+    nation (supplier's vs customer's). Both nation sides and supplier
+    broadcast (dims); the only shuffles are lineitem⋈orders on
+    orderkey and orders⋈customer on custkey — the join order keeps the
+    fact table narrow until the final group-by on (nation, nation,
+    year)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group correlated AVG — revenue lost if
+    small-quantity orders (below 50% of the part's average quantity)
+    for one brand were dropped. Decorrelated to a per-part aggregate
+    joined back; BOTH the brand part-list and the per-part averages
+    broadcast, so the lineitem scan never shuffles. Averages divide
+    integral sums, deterministic cross-engine at this rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li_brand = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    avg_qty = (
+        li_brand.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+        .withColumnRenamed("l_partkey", "aq_partkey")
+    )
+    return (
+        li_brand.join(
+            F.broadcast(avg_qty),
+            (F.col("l_partkey") == F.col("aq_partkey"))
+            & (F.col("l_quantity") < F.col("half_avg")),
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance of
+    in-the-money customers) + NOT EXISTS (customers with no LARGE
+    order — every customer has some order in this dense-keyed corpus),
+    grouped per market segment. The scalar average is a one-row
+    broadcast cross join — no collect, stays in the plan; the NOT
+    EXISTS is a left-anti join on custkey against the filtered
+    orders side (filter pushed below the anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 250000
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 250000
+  )
+GROUP BY c_mktsegment
+"""
+
+
+# =====================================================================
 # Events: windows, sessionization, JSON (streaming-shaped extensions)
 # =====================================================================
 
@@ -1500,6 +1736,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions_lineitem": window_functions_lineitem,
         "q13_order_distribution": q13_order_distribution,
         "q18_large_orders": q18_large_orders,
+        "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+        "q4_late_shipping_priority": q4_late_shipping_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         "events_sliding": events_sliding,
@@ -1548,6 +1789,11 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _CUBE_ORACLE,
         "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
         "q18_large_orders": _Q18_ORACLE,
+        "q2_top_supplier_per_nation": _Q2_ORACLE,
+        "q4_late_shipping_priority": _Q4_ORACLE,
+        "q7_volume_shipping": _Q7_ORACLE,
+        "q17_small_quantity_revenue": _Q17_ORACLE,
+        "q22_idle_customers": _Q22_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,

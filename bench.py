@@ -27,6 +27,10 @@ HEADLINE = [
     "q13_order_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q4_late_shipping_priority",
+    "q7_volume_shipping",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
     "cube_revenue",
     "window_functions_lineitem",
     "dedup_latest_lineitem",

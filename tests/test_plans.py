@@ -83,3 +83,38 @@ def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "part_key" in pf[0], f"no partition pruning: {pf}"
     assert out.count() == 25
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir, entry):
+    # supplier + both nation roles broadcast; the only sort-merge-able
+    # shuffle joins are lineitem⋈orders and orders⋈customer
+    plan = _plan(spark, entry.queries()["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    # shipdate range must reach the lineitem scan
+    assert any(
+        "l_shipdate" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "l_shipdate range not pushed to scan"
+
+
+def test_q4_semi_join_shape(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q4_late_shipping_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must plan as a left-semi join"
+    # the quarter filter reaches the orders scan
+    assert any(
+        "o_orderdate" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "o_orderdate range not pushed to scan"
+
+
+def test_q17_per_part_avg_broadcasts(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q17_small_quantity_revenue"](spark, sf_dir))
+    # brand part-list and per-part averages both broadcast: the
+    # lineitem scan never shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q22_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as a left-anti join"
+    # one-row scalar average joins via broadcast nested loop, no shuffle
+    assert "BroadcastNestedLoopJoin" in plan
