@@ -1231,6 +1231,50 @@ GROUP BY 1, 2, 3
 """
 
 
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): every click landing inside
+    a same-user 2-hour incident window opened by an error event.
+    Planned as bin-explode + hash equi-join on (user_id, bin) + exact
+    range verify — never a BroadcastNestedLoopJoin/cross product,
+    which is how naive Spark plans a pure range predicate. Oracle is
+    DuckDB's native range join (IEJoin) over the same predicate."""
+    from mydatalake_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        clk, err, "ts", "start_ts", "end_ts",
+        bin_width="2 hours", on=["user_id"],
+    )
+    return out.select("event_id", "incident_id", "user_id")
+
+
+_RANGE_JOIN_ORACLE = """
+WITH err AS (
+  SELECT event_id AS incident_id, user_id,
+         ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, e.incident_id, c.user_id
+FROM clk c
+JOIN err e
+  ON c.user_id = e.user_id
+ AND c.ts >= e.start_ts
+ AND c.ts < e.end_ts
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user (F.session_window)."""
     ev = _events(spark, sf_dir)
@@ -1762,6 +1806,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": simhash_documents,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "range_join_incidents": range_join_incidents,
     }
 
 
@@ -1816,4 +1861,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _IVF_ORACLE,
         "minhash_neardup_documents": _NGRAM_ORACLE,
         "simhash_documents": _SIMHASH_ORACLE,
+        "range_join_incidents": _RANGE_JOIN_ORACLE,
     }

@@ -192,3 +192,55 @@ def test_qualify_rewrite_raises_on_runaway_clauses():
     runaway = "SELECT 1 QUALIFY true; " * 101
     with _pytest.raises(ValueError, match="QUALIFY"):
         rewrite_qualify(runaway)
+
+
+def test_range_join_exact_pairs(spark):
+    from datetime import datetime as DT
+
+    from mydatalake_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 1)),   # inside A
+         (2, DT(2024, 1, 1, 0, 5)),   # == A.end (exclusive) -> out
+         (3, DT(2024, 1, 1, 0, 0)),   # == A.start (inclusive) -> in
+         (4, DT(2024, 1, 1, 2, 30)),  # inside B only
+         (5, DT(2024, 1, 1, 9, 0))],  # nowhere
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("A", DT(2024, 1, 1, 0, 0), DT(2024, 1, 1, 0, 5)),
+         ("B", DT(2024, 1, 1, 2, 0), DT(2024, 1, 1, 3, 0))],
+        "iid string, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(points, intervals, "ts", "start_ts", "end_ts",
+                     bin_width="5 minutes")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(1, "A"), (3, "A"), (4, "B")}, got
+
+    inc = range_join(points, intervals, "ts", "start_ts", "end_ts",
+                     bin_width="1 hour", end_inclusive=True)
+    got_inc = {(r.pid, r.iid) for r in inc.collect()}
+    assert got_inc == {(1, "A"), (2, "A"), (3, "A"), (4, "B")}, got_inc
+
+
+def test_range_join_overlapping_intervals_and_keys(spark):
+    from datetime import datetime as DT
+
+    from mydatalake_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u", DT(2024, 1, 1, 0, 2))],
+        "pid int, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("A", "u", DT(2024, 1, 1, 0, 0), DT(2024, 1, 1, 0, 10)),
+         ("B", "u", DT(2024, 1, 1, 0, 1), DT(2024, 1, 1, 0, 3)),
+         ("C", "v", DT(2024, 1, 1, 0, 0), DT(2024, 1, 1, 0, 10))],
+        "iid string, k string, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(points, intervals, "ts", "start_ts", "end_ts",
+                     bin_width="1 minute", on=["k"])
+    # both overlapping same-key intervals match, exactly once each;
+    # the other key's interval never pairs
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, "A"), (1, "B")], got

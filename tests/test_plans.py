@@ -118,3 +118,11 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir, entry):
     assert "LeftAnti" in plan, "NOT EXISTS must plan as a left-anti join"
     # one-row scalar average joins via broadcast nested loop, no shuffle
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["range_join_incidents"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # bin-and-verify plans as a hash equi-join
+    assert "HashJoin" in plan, plan
