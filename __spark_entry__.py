@@ -936,6 +936,52 @@ WHERE NOT EXISTS (
 """
 
 
+def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch with its error contract
+    verified in-plan (functions/sketches.py): per order priority, the
+    approx_count_distinct estimate must land within 10% (5σ at
+    rsd=0.02) of the exact distinct customer count. The oracle pins
+    the exact counts and all-true bounds — a broken sketch lands ~100%
+    off and flips the booleans. At 100 TB the sketch is the only
+    single-pass mergeable option; the exact side here is the gate."""
+    from mydatalake_spark.functions.sketches import approx_distinct_check
+
+    return approx_distinct_check(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+
+
+_SKETCH_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       true AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def sketch_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style rank sketch) verified against its
+    actual contract: the estimate's RANK must sit within ±1% of the
+    target quantile (value bounds from exact percentiles at q±0.01).
+    Exact median per return flag is the oracle-checked value."""
+    from mydatalake_spark.functions.sketches import approx_quantile_check
+
+    return approx_quantile_check(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", q=0.5,
+    )
+
+
+_SKETCH_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_quantile,
+       true AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # =====================================================================
 # TPC-H breadth: correlated subqueries, EXISTS, multi-way joins
 # (Q2/Q4/Q7/Q17/Q22 shapes, adapted to this corpus — no partsupp
@@ -1807,6 +1853,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "range_join_incidents": range_join_incidents,
+        "sketch_distinct_customers": sketch_distinct_customers,
+        "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
     }
 
 
@@ -1862,4 +1910,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_documents": _NGRAM_ORACLE,
         "simhash_documents": _SIMHASH_ORACLE,
         "range_join_incidents": _RANGE_JOIN_ORACLE,
+        "sketch_distinct_customers": _SKETCH_DISTINCT_ORACLE,
+        "sketch_quantiles_lineitem": _SKETCH_QUANTILE_ORACLE,
     }

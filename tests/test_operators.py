@@ -244,3 +244,29 @@ def test_range_join_overlapping_intervals_and_keys(spark):
     # the other key's interval never pairs
     got = sorted((r.pid, r.iid) for r in out.collect())
     assert got == [(1, "A"), (1, "B")], got
+
+
+def test_approx_distinct_check_bounds(spark):
+    from mydatalake_spark.functions.sketches import approx_distinct_check
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    ok = approx_distinct_check(df, ["g"], "v", rsd=0.05, tolerance=0.2)
+    assert all(r.within_bound for r in ok.collect())
+    # zero tolerance must FAIL once HLL leaves exact mode — the check
+    # is falsifiable, not a rubber stamp
+    strict = approx_distinct_check(df, ["g"], "v", rsd=0.05, tolerance=0.0)
+    assert not all(r.within_bound for r in strict.collect())
+
+
+def test_approx_quantile_check_rank_contract(spark):
+    from mydatalake_spark.functions.sketches import approx_quantile_check
+
+    df = spark.range(10_000).select(
+        F.lit("a").alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    ok = approx_quantile_check(df, ["g"], "v", q=0.5, rank_eps=0.01)
+    rows = ok.collect()
+    assert rows[0].within_bound
+    assert rows[0].exact_quantile == 4999.5
