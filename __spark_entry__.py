@@ -1104,16 +1104,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("revenue")
         )
     )
 
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       SUM(CAST(ROUND(volume * 100 + 1e-6, 0) AS BIGINT)) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
@@ -1159,13 +1158,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < F.col("half_avg")),
         )
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
         )
     )
 
 
 _Q17_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT))
+             / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
@@ -1215,6 +1217,147 @@ WHERE c_acctbal > (
     WHERE o_custkey = c_custkey AND o_totalprice > 250000
   )
 GROUP BY c_mktsegment
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from returned
+    lineitems in one quarter. Orders is pre-filtered to the quarter
+    BEFORE the fact join (pushdown), the customer dim broadcasts, and
+    the top-20 is a rank window over the small aggregate — with an
+    explicit (revenue desc, custkey asc) tiebreak so the result set is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("revenue")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+             AS BIGINT)) / 100.0 AS revenue
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY c_custkey, c_name, c_acctbal
+)
+SELECT c_custkey, c_name, c_acctbal, revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC)
+            AS INTEGER) AS rk
+FROM rev
+QUALIFY rk <= 20
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a quarter, return
+    the supplier(s) hitting the maximum (the reference view + scalar
+    subquery form). The max is a one-row aggregate broadcast back via
+    nested-loop — ties all surface, so no ordering dependence."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             / 100.0).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx__"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+             AS BIGINT)) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    (brand/size from part, quantity from lineitem). Expressed as a
+    broadcast equi-join on partkey with the disjunction as a post-join
+    filter — Catalyst pushes the single-side conjuncts it can derive
+    (quantity bounds to the lineitem scan, brand/size union to part)
+    and evaluates the residual disjunction once, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(15, 40))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    return j.filter(cond).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+         / 100.0).alias("revenue")
+    )
+
+
+_Q19_ORACLE = """
+SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+           AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       AND l_quantity BETWEEN 20 AND 35)
 """
 
 
@@ -1831,6 +1974,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         "events_sliding": events_sliding,
@@ -1887,6 +2033,9 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": _Q7_ORACLE,
         "q17_small_quantity_revenue": _Q17_ORACLE,
         "q22_idle_customers": _Q22_ORACLE,
+        "q10_returned_items": _Q10_ORACLE,
+        "q15_top_supplier": _Q15_ORACLE,
+        "q19_disjunctive_revenue": _Q19_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,

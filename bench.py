@@ -31,6 +31,8 @@ HEADLINE = [
     "q7_volume_shipping",
     "q17_small_quantity_revenue",
     "q22_idle_customers",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
     "cube_revenue",
     "window_functions_lineitem",
     "dedup_latest_lineitem",

@@ -126,3 +126,23 @@ def test_range_join_avoids_nested_loop(spark, sf_dir, entry):
     assert "CartesianProduct" not in plan
     # bin-and-verify plans as a hash equi-join
     assert "HashJoin" in plan, plan
+
+
+def test_q10_quarter_filter_pushed_and_dim_broadcast(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q10_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter must reach the lineitem scan
+    assert any(
+        "l_returnflag" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "l_returnflag not pushed to scan"
+
+
+def test_q19_derives_single_side_conjuncts(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Catalyst derives the quantity-bound union (1..35) from the
+    # OR-of-ANDs and pushes it below the join to the lineitem scan
+    assert any(
+        "l_quantity" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "derived l_quantity bounds not pushed to lineitem scan"
