@@ -1361,6 +1361,426 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side aggregation — every predicate
+    (date range, discount band, quantity cap) is scan-pushable and the
+    aggregate has no grouping keys, so the plan is a filtered parquet
+    scan reading 4 of 11 columns, a partial sum per split, and a 1-row
+    final merge. At 100 TB this is I/O-bound and embarrassingly
+    parallel: zero shuffles of data rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+             / 100.0).alias("revenue")
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100 + 1e-6, 0)
+           AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a 7-way join (lineitem
+    ⋈ part ⋈ supplier ⋈ nation(supp) ⋈ orders ⋈ customer ⋈
+    nation(cust) ⋈ region) with a conditional share per order year.
+    Every dimension side broadcasts; the fact shuffles only for
+    lineitem⋈orders and orders⋈customer. The share is emitted as exact
+    integer-cent numerator/denominator plus a floored parts-per-million
+    ratio — deterministic cross-engine (no float-sum ordering, no
+    round-half-even ties). Adaptation: the synthetic schema has no
+    partsupp, so the part restriction is p_type (reference Q8 also
+    filters p_type)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_cents") / 100.0).alias("nation_volume"),
+            (F.col("total_cents") / 100.0).alias("total_volume"),
+            F.floor(
+                F.col("nation_cents") * 1000000.0 / F.col("total_cents")
+            ).cast("long").alias("mkt_share_ppm"),
+        )
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       SUM(nat_cents) / 100.0 AS nation_volume,
+       SUM(cents) / 100.0 AS total_volume,
+       CAST(FLOOR(SUM(nat_cents) * 1000000.0 / SUM(cents)) AS BIGINT)
+           AS mkt_share_ppm
+FROM (
+  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+              AS BIGINT) AS cents,
+         CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6,
+                              0) AS BIGINT)
+              ELSE 0 END AS nat_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+) volumes
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over a
+    5-way join with a part-name substring filter. Adaptation: no
+    partsupp/ps_supplycost in the synthetic schema, so unit cost is
+    proxied as 60% of p_retailprice — identical join/agg topology
+    (profit = revenue − cost·qty). part, supplier, nation broadcast;
+    lineitem⋈orders on orderkey is the only fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey", "p_retailprice")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit) / 100.0).alias("sum_profit"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                       - p_retailprice * 0.6 * l_quantity) * 100 + 1e-6, 0)
+                AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)
+"""
+
+
+def q12_late_shipments_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two conditional counts per group over a join
+    whose predicate does date arithmetic across the two sides
+    (l_shipdate vs o_orderdate + 90 days). Adaptation: the synthetic
+    lineitem has no shipmode/commit/receipt dates, so 'late' is
+    shipped >90 days after ordering and the group key is l_linestatus.
+    The date filter on l_shipdate pushes to the scan; the cross-side
+    lateness predicate evaluates post-join (no shuffle beyond the one
+    orderkey join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value aggregate filtered by a scalar
+    subquery over the SAME aggregate (HAVING value > fraction·total).
+    Adaptation: no partsupp, so 'value' is shipped revenue of parts
+    handled by suppliers from one nation. The per-part aggregate
+    appears twice in the logical plan (once for the total, once for
+    the filter); the subplans are identical so Spark's ReusedExchange
+    serves the second read from the first shuffle's files, and the
+    total arrives as a one-row broadcast — no correlated rescan of the
+    fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).alias("value_cents"))
+    )
+    threshold = per_part.agg(
+        (F.sum("value_cents") * F.lit(0.001)).alias("threshold_cents")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_cents") > F.col("threshold_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents") / 100.0).alias("value"),
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 + 1e-6, 0)
+                  AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents / 100.0 AS value
+FROM per_part
+WHERE value_cents > (SELECT SUM(value_cents) * 0.001 FROM per_part)
+"""
+
+
+def q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT-count of suppliers per part-attribute
+    group, excluding a brand/type slice and a NOT-IN supplier
+    blacklist subquery. Adaptation: the supplier↔part association
+    comes from lineitem (no partsupp); the blacklist (reference Q16:
+    suppliers with complaints) is negative-balance suppliers. NOT IN
+    compiles to a broadcast left-anti join (s_suppkey proven
+    non-null); count(DISTINCT) becomes Spark's two-level hash
+    aggregate — partial distinct per partition before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    an outsized volume of a name-filtered part in one year.
+    Adaptation: the availqty·0.5 threshold becomes a fixed quantity
+    floor per (supplier, part) over the year, and the nation filter is
+    dropped (no partsupp; at this SF the nation slice zeroes out —
+    the nested-subquery shape is the point). Inner: filtered-part
+    broadcast into lineitem → per-(supp,part) sum → threshold filter →
+    distinct suppkeys → left-semi into the supplier dim. Only the
+    inner aggregate shuffles, and only the qualifying-supplier set
+    (≤ |supplier|) crosses back. l_quantity is integral-valued, so the
+    double SUM is exact and order-independent (same argument as q1's
+    sum_qty)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 48)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 48)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-probes on the fact
+    table — suppliers who were the ONLY late shipper in a
+    multi-supplier finished order. 'Late' adapts to l_shipdate >
+    o_orderdate + 60 days (no commit/receipt dates in the synthetic
+    schema). Both existence probes are distinct-projected (orderkey,
+    suppkey) sets: EXISTS ⇒ left-semi, NOT EXISTS ⇒ left-anti, each
+    hash-joined on orderkey with the suppkey≠ inequality as the join
+    residual — never a nested loop. Top-20 with s_name tiebreak
+    (unique) keeps the LIMIT deterministic."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    any_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    a = late.alias("a")
+    multi = a.join(
+        any_sup.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.alias("m").join(
+        late.alias("c"),
+        (F.col("m.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+), any_sup AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM any_sup l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # =====================================================================
 # Events: windows, sessionization, JSON (streaming-shaped extensions)
 # =====================================================================
@@ -1977,6 +2397,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_part_value": q11_important_part_value,
+        "q12_late_shipments_priority": q12_late_shipments_priority,
+        "q16_supplier_part_breadth": q16_supplier_part_breadth,
+        "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         "events_sliding": events_sliding,
@@ -2036,6 +2464,14 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": _Q10_ORACLE,
         "q15_top_supplier": _Q15_ORACLE,
         "q19_disjunctive_revenue": _Q19_ORACLE,
+        "q6_forecast_revenue": _Q6_ORACLE,
+        "q8_market_share": _Q8_ORACLE,
+        "q9_product_profit": _Q9_ORACLE,
+        "q11_important_part_value": _Q11_ORACLE,
+        "q12_late_shipments_priority": _Q12_ORACLE,
+        "q16_supplier_part_breadth": _Q16_ORACLE,
+        "q20_excess_volume_suppliers": _Q20_ORACLE,
+        "q21_waiting_suppliers": _Q21_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,

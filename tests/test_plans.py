@@ -146,3 +146,58 @@ def test_q19_derives_single_side_conjuncts(spark, sf_dir, entry):
     assert any(
         "l_quantity" in l for l in plan.splitlines() if "PushedFilters" in l
     ), "derived l_quantity bounds not pushed to lineitem scan"
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q6_forecast_revenue"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, (
+        "Q6 must be scan → partial sum → 1-row merge, no data shuffle"
+    )
+    assert "Join" not in plan
+    # all three predicates reach the parquet scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and all(
+        any(c in l for l in pushed)
+        for c in ("l_shipdate", "l_discount", "l_quantity")
+    ), f"Q6 predicates not pushed: {pushed}"
+    # 4 of 11 lineitem columns read
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert schema.count(":") <= 5, f"lineitem scan not pruned: {schema}"
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q8_market_share"](spark, sf_dir))
+    # part, supplier, both nation roles, region (and at test scale the
+    # customer side) all broadcast; the fact never builds a hash table
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert any(
+        "o_orderdate" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "o_orderdate range not pushed to the orders scan"
+
+
+def test_q9_single_fact_shuffle(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q9_product_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # lineitem⋈orders plus the group-by are the only exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q16_supplier_part_breadth"](spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT IN blacklist must plan as left-anti"
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count(DISTINCT) expands to the two-level aggregate
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_q21_existence_probes_are_hash_joins(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must plan as left-semi"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as left-anti"
+    # the suppkey inequality rides as residual on orderkey hash joins —
+    # never a nested loop over the fact table
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
