@@ -23,11 +23,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mydatalake_spark.functions.text import (
+    chunk_text,
     doc_fingerprint,
     lang_guess,
     normalize_text,
+    redact_pii,
     text_quality,
     tokens,
+)
+from mydatalake_spark.operators.sampling import (
+    hash_split,
+    split_sql_case,
+    stratified_sample,
 )
 from mydatalake_spark.operators.asof import asof_join
 from mydatalake_spark.operators.dedup import dedup_latest
@@ -2127,6 +2134,197 @@ WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "v1"
+
+
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per document
+    (operators/sampling.py:hash_split). Content-addressed md5
+    bucketing: partition-layout-independent, append-stable, and
+    engine-portable — the DuckDB oracle replays the exact CASE over
+    hex-string thresholds, row for row. Pure projection: fuses into
+    the scan, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+
+
+def _hash_split_oracle() -> str:
+    case = split_sql_case("doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+_STRATA_FRACTIONS = {"src0": 1.0, "src1": 1.0, "src2": 0.5}
+_STRATA_DEFAULT = 0.25
+_STRATA_SALT = "strat1"
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling
+    (operators/sampling.py:stratified_sample): keep all of two curated
+    sources, half of one noisy source, a quarter of everything else —
+    the keep/drop decision is a scan-fused hash comparison, no
+    shuffle, no sampleBy partition-order dependence."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        _STRATA_FRACTIONS,
+        salt=_STRATA_SALT,
+        default_fraction=_STRATA_DEFAULT,
+    )
+
+
+def _stratified_oracle() -> str:
+    from mydatalake_spark.operators.sampling import _hex_bound
+
+    def bound(frac: float) -> str:
+        return _hex_bound(int(round(frac * 16 ** 4)))
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{bound(f)}'"
+        for s, f in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE SUBSTRING(MD5(CONCAT('{_STRATA_SALT}', '|',
+                            CAST(doc_id AS VARCHAR))), 1, 4)
+      < (CASE {whens} ELSE '{bound(_STRATA_DEFAULT)}' END)
+"""
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (functions/text.py:chunk_text)
+    — 256-char windows, stride 192. Row-multiplying but map-only:
+    explode(sequence)+substring fused with the scan, no shuffle. The
+    chunk content is verified via md5 so the oracle compares the exact
+    window bytes, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    chunked = chunk_text(docs, "text", size=256, stride=192)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.length(F.col("chunk")).cast("long").alias("chunk_chars"),
+    )
+
+
+_CHUNK_ORACLE = """
+WITH c AS (
+  SELECT doc_id, text,
+         UNNEST(RANGE(0, CAST(GREATEST(
+             CEIL((LENGTH(text) - 256) / 192.0) + 1, 1) AS BIGINT)))
+             AS chunk_id
+  FROM documents
+)
+SELECT doc_id, chunk_id,
+       MD5(SUBSTRING(text, CAST(chunk_id * 192 + 1 AS BIGINT), 256))
+           AS chunk_md5,
+       CAST(LENGTH(SUBSTRING(text, CAST(chunk_id * 192 + 1 AS BIGINT), 256))
+            AS BIGINT) AS chunk_chars
+FROM c
+"""
+
+
+def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py:redact_pii) over documents
+    augmented with synthetic-but-deterministic PII (the corpus itself
+    is clean, so the fixture plants one email/phone/SSN/IP per doc
+    derived from doc_id). The whole pipeline — augmentation, the
+    ordered regexp_replace chain, the tag probes — is JVM expressions;
+    the oracle replays it with RE2 regexes, proving the patterns are
+    engine-portable and replace ALL occurrences."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    red = redact_pii(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        red.contains("[EMAIL]").alias("has_email"),
+        red.contains("[SSN]").alias("has_ssn"),
+        red.contains("[PHONE]").alias("has_phone"),
+        red.contains("[IP]").alias("has_ip"),
+    )
+
+
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ph 555-'
+              || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-1234 ssn 123-45-6789 ip 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS t
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+  FROM aug
+)
+SELECT doc_id, MD5(r) AS redacted_md5,
+       CONTAINS(r, '[EMAIL]') AS has_email,
+       CONTAINS(r, '[SSN]') AS has_ssn,
+       CONTAINS(r, '[PHONE]') AS has_phone,
+       CONTAINS(r, '[IP]') AS has_ip
+FROM red
+"""
+
+
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document
+    frequency, top-100 by tf with token tiebreak (total order ⇒ the
+    LIMIT is deterministic). explode→two-level hash aggregate with
+    map-side partial counts; at 100 TB the shuffle carries one row
+    per (partition, distinct token), not per occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = normalize_text(F.col("text"))
+    return (
+        docs.filter(F.length(normed) > 0)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .select("doc_id", F.lower(F.col("token")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         LOWER(UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS token
+  FROM documents
+  WHERE LENGTH(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) > 0
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+"""
+
+
 # =====================================================================
 # Similarity search over embeddings (extensions)
 # =====================================================================
@@ -2419,6 +2617,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": fingerprint_documents,
         "exact_dedup_documents": exact_dedup_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
+        "hash_split_documents": hash_split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "chunk_documents": chunk_documents,
+        "pii_redaction_documents": pii_redaction_documents,
+        "vocab_topk_documents": vocab_topk_documents,
         "similarity_topk": similarity_topk,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
@@ -2484,6 +2687,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_ORACLE,
         "exact_dedup_documents": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard_documents": _NGRAM_ORACLE,
+        "hash_split_documents": _hash_split_oracle(),
+        "stratified_sample_documents": _stratified_oracle(),
+        "chunk_documents": _CHUNK_ORACLE,
+        "pii_redaction_documents": _PII_ORACLE,
+        "vocab_topk_documents": _VOCAB_ORACLE,
         "similarity_topk": _SIM_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         "embedding_neardup_lsh": _EMB_NEARDUP_ORACLE,

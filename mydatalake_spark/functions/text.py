@@ -127,6 +127,72 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# Ordered PII patterns — kept to syntax that Java regex (Spark) and
+# RE2 (DuckDB, Go tooling) interpret identically: no backrefs, no
+# lookaround. Email first so its digit runs can't be half-eaten by the
+# phone pattern; SSN before phone (3-2-4 vs 3-3-4 grouping).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / SSN / phone / IPv4 literals with typed
+    placeholder tags. A chain of JVM-side ``regexp_replace`` calls —
+    codegen-fused with the scan, no UDF, replaces ALL occurrences.
+    The pattern list is deliberately RE2-compatible so the exact same
+    redaction can run (and be oracle-verified) on other engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, tag)
+    return c
+
+
+def chunk_text(
+    df,
+    text_col: str = "text",
+    size: int = 512,
+    stride: int = 384,
+    chunk_col: str = "chunk",
+    index_col: str = "chunk_id",
+):
+    """Split documents into overlapping fixed-width character windows —
+    the tokenize-ready unit for LLM training shards. One chunk row per
+    window: ``chunk_id`` = 0..⌈(len−size)/stride⌉, window i covers
+    chars [i·stride, i·stride+size). Empty/short docs yield exactly
+    one (possibly short) chunk, so no document silently disappears.
+
+    Implementation is ``explode(sequence(...))`` + ``substring`` —
+    pure JVM expressions fused with the scan. The explode multiplies
+    rows ~len/stride× but never shuffles; at 100 TB chunking is
+    map-only and the output can be written back partition-aligned
+    with the input."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        (F.ceil((F.length(c) - F.lit(size)) / F.lit(float(stride))) + 1)
+        .cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        df.withColumn(
+            index_col, F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        )
+        .withColumn(
+            chunk_col,
+            F.substring(
+                c,
+                (F.col(index_col) * stride + 1).cast("int"),
+                F.lit(size),
+            ),
+        )
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles as array<string> (distinct). Built from a
     sliding index sequence — pure SQL expressions, no UDF. The token

@@ -1,0 +1,150 @@
+"""Deterministic, content-addressed sampling and dataset splitting.
+
+[extension] Training-data pipelines need train/val/test splits and
+per-stratum downsampling that are (a) reproducible run-to-run, (b)
+independent of partition layout, and (c) stable when the table is
+re-sharded, appended to, or processed incrementally — a row's
+assignment must depend only on its key, never on where it happens to
+sit. ``rand(seed)`` and ``df.sample``/``sampleBy`` fail (c): Spark
+seeds them per-partition, so a repartition reassigns rows.
+
+The scheme here hashes the row key with md5 and buckets on the first
+four hex digits (65 536 buckets). Everything is a scan-fused Column
+expression — no shuffle, no UDF, no state — so at 100 TB a split is
+literally free (it rides the scan of whatever job consumes it), and
+the same row always lands in the same split on any cluster in any
+engine that has md5 (which is why a DuckDB oracle can replay it
+exactly: the bucket thresholds compare *hex strings*, avoiding any
+engine-specific hex→int conversion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 16 ** 4  # 4 hex chars
+# Exclusive upper bound for "keep everything": lexicographically above
+# every 4-hex-digit bucket ('g' > 'f'), while format(65536,'04x') =
+# '10000' would sort BELOW 'ffff' and silently drop rows.
+_MAX_BOUND = "g"
+
+
+def _hex_bound(bucket_count: int) -> str:
+    return _MAX_BOUND if bucket_count >= _BUCKETS else format(bucket_count, "04x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """First 4 hex chars of md5(salt|key) — a uniform label in
+    ['0000', 'ffff']. String form on purpose: comparisons against
+    constant thresholds are engine-portable."""
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 4
+    )
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative-weight bucket boundaries as 4-digit hex strings.
+    Returns [(name, upper_bound_hex)] in declaration order; the last
+    split absorbs rounding remainder (its bound is exclusive-max)."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for split {name!r}")
+        cum += w / total
+        out.append((name, _hex_bound(int(round(cum * _BUCKETS)))))
+    return out
+
+
+def split_column(
+    key: Column | str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Split-name Column for ``key`` under ``weights`` (e.g.
+    ``{"train": .8, "val": .1, "test": .1}``). Deterministic,
+    partition-independent, and portable: the same (salt, key) maps to
+    the same split everywhere, and new rows never perturb existing
+    assignments (unlike fraction-of-count schemes)."""
+    key = F.col(key) if isinstance(key, str) else key
+    bucket = _bucket(key, salt)
+    names = _thresholds(weights)
+    # built right-to-left so the earliest split claims its range first
+    expr = F.lit(names[-1][0])  # remainder → last split
+    for name, bound in reversed(names[:-1]):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_sql_case(key_sql: str, weights: dict[str, float], salt: str = "") -> str:
+    """The ANSI-SQL CASE expression equivalent of :func:`split_column`
+    — used to build DuckDB oracles that replay the split bit-for-bit."""
+    names = _thresholds(weights)
+    salted = f"CONCAT('{salt}', '|', CAST({key_sql} AS VARCHAR))"
+    parts = [
+        f"WHEN SUBSTRING(MD5({salted}), 1, 4) < '{bound}' THEN '{name}'"
+        for name, bound in names[:-1]
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1][0]}' END"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split-assignment column. Pure projection:
+    fuses into the scan, no shuffle, survives any repartitioning."""
+    return df.withColumn(split_col, split_column(key_col, weights, salt))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``fraction``-sample keyed on content, not
+    position: keeps exactly the rows whose hash bucket falls below the
+    fraction threshold. Unlike ``df.sample`` the result is identical
+    across runs, partitionings, and engines, and is *consistent across
+    tables*: sampling two tables by the same key keeps matching rows
+    (the property join-aware subsampling needs)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bound = _hex_bound(int(round(fraction * _BUCKETS)))
+    return df.filter(_bucket(F.col(key_col), salt) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    sources, keep all rare-language documents). The per-row predicate
+    compares the row's hash bucket to its stratum's threshold — still
+    a scan-fused expression; the fractions table is a when-chain, not
+    a join, so no shuffle and no broadcast either."""
+    bucket = _bucket(F.col(key_col), salt)
+
+    def bound(frac: float) -> str:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+        return _hex_bound(int(round(frac * _BUCKETS)))
+
+    threshold = F.lit(bound(default_fraction))
+    for stratum, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(bound(frac))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
