@@ -33,6 +33,12 @@ HEADLINE = [
     "q22_idle_customers",
     "q10_returned_items",
     "q19_disjunctive_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipments_priority",
+    "q16_supplier_part_breadth",
+    "q21_waiting_suppliers",
     "cube_revenue",
     "window_functions_lineitem",
     "dedup_latest_lineitem",
@@ -43,6 +49,9 @@ HEADLINE = [
     "events_tumbling",
     "text_stats_documents",
     "exact_dedup_documents",
+    "chunk_documents",
+    "hash_split_documents",
+    "vocab_topk_documents",
     "minhash_neardup_documents",
     "similarity_topk",
     "embedding_neardup",

@@ -102,6 +102,31 @@ def _flatten_window(df: DataFrame, window_col: str = "window") -> DataFrame:
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key delivery over an at-least-once stream:
+    drop duplicate events by ``keys`` arriving within the watermark
+    horizon (``dropDuplicatesWithinWatermark``, the streaming analogue
+    of exact dedup — at-least-once sources like Kafka replays or
+    file-redelivery become effectively-once downstream).
+
+    Scale: state is one entry per key seen within the watermark, and
+    the watermark EVICTS state — unbounded-time dedup on a stream
+    would grow state forever, so the horizon is the contract: a
+    duplicate arriving later than ``watermark`` after the first copy
+    is not suppressed. Batch frames fall back to plain
+    ``dropDuplicates`` (full-history dedup, the batch semantics of
+    the same contract)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def stream_from_json_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream (the natural OSS stand-in for the reference's
     raw-zone JSON drops, reference lib/ingestors.py:78-79):

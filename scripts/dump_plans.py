@@ -84,6 +84,43 @@ SHOWCASE = [
         "shuffle (rank window), so k rows per query survive per partition —\n"
         "the shuffle is O(queries x k), independent of corpus size.",
     ),
+    (
+        "q6_forecast_revenue",
+        "The degenerate-but-critical shape: zero joins, zero data shuffles.\n"
+        "All three predicates appear in PushedFilters, ReadSchema lists 4 of\n"
+        "11 lineitem columns, and the aggregate is partial-per-split + a\n"
+        "1-row final merge. At 100 TB this runs at parquet-scan speed.",
+    ),
+    (
+        "q8_market_share",
+        "Seven-way join where every dimension (part, supplier, both nation\n"
+        "roles, region) broadcasts; the fact shuffles only for the\n"
+        "orderkey/custkey joins. The conditional market share is computed\n"
+        "as exact integer-cent sums — no float accumulation-order hazard —\n"
+        "with the ratio emitted as floored ppm.",
+    ),
+    (
+        "q21_waiting_suppliers",
+        "EXISTS and NOT EXISTS self-probes on the fact table planned as\n"
+        "hash LeftSemi/LeftAnti joins on orderkey with the suppkey\n"
+        "inequality as join residual — never BroadcastNestedLoopJoin. The\n"
+        "probe sides are distinct-projected (orderkey, suppkey) pairs, so\n"
+        "state is bounded by distinct pairs, not lineitem rows.",
+    ),
+    (
+        "chunk_documents",
+        "Row-multiplying chunking stays map-only: explode(sequence) +\n"
+        "substring fused with the scan — no Exchange anywhere. Output can\n"
+        "be written partition-aligned with the input; at 100 TB chunking\n"
+        "is bandwidth-bound, not shuffle-bound.",
+    ),
+    (
+        "hash_split_documents",
+        "Content-addressed train/val/test split is a pure projection over\n"
+        "the scan (md5 bucket + CASE): no shuffle, no sampling state, no\n"
+        "partition-order dependence — the property that makes the split\n"
+        "reproducible on any cluster at any parallelism.",
+    ),
 ]
 
 

@@ -180,3 +180,39 @@ def test_stateful_suppresses_stale_across_batches(spark, tmp_path):
     assert seen_stale is not None, "second micro-batch never surfaced"
     assert seen_stale.latest_value == 9.0  # stale event did not overwrite
     assert seen_stale.n_updates == 1
+
+
+def test_stream_dedup_suppresses_redelivery_across_batches(spark, tmp_path):
+    from mydatalake_spark.streaming.events import stream_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    # batch 1: events 1,2; batch 2 redelivers event 1 (same key) within
+    # the watermark plus a genuinely new event 3
+    _write_batch(src / "a.json", [
+        (1, "2024-01-01T00:05:00", 1, "view", 1.0),
+        (2, "2024-01-01T00:06:00", 1, "click", 2.0),
+    ])
+    _write_batch(src / "b.json", [
+        (1, "2024-01-01T00:05:00", 1, "view", 1.0),   # duplicate
+        (3, "2024-01-01T00:07:00", 2, "view", 3.0),
+    ])
+
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    dedup = stream_dedup(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_t").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+    # batch fallback: same call on a batch frame, full-history dedup
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    assert sorted(
+        r.event_id for r in stream_dedup(batch, ["event_id"]).collect()
+    ) == [1, 2, 3]
