@@ -32,7 +32,9 @@ from mydatalake_spark.functions.text import (
     tokens,
 )
 from mydatalake_spark.operators.sampling import (
+    capped_sample,
     hash_split,
+    pack_shards,
     split_sql_case,
     stratified_sample,
 )
@@ -48,6 +50,7 @@ from mydatalake_spark.operators.neardup import (
     simhash,
     simhash_hamming_pairs,
     verify_candidates_jaccard,
+    winnow_fingerprints,
 )
 from mydatalake_spark.quality.checks import annotate
 from mydatalake_spark.quality.runner import AGG_KEYS
@@ -1984,6 +1987,46 @@ ASOF LEFT JOIN (
 """
 
 
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-active
+    week, counted per weeks-since-cohort offset — the standard
+    engagement rollup. Two-level plan: distinct (user, week) prunes
+    the fact to one row per user-week before anything else; the
+    cohort join re-uses the user_id partitioning from the distinct
+    (no extra fact shuffle); the final groupBy is over the tiny
+    (cohort, offset) space."""
+    ev = _events(spark, sf_dir)
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    act = ev.select("user_id", week.alias("week")).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(FLOOR(DATE_DIFF('day', cohort_week, week) / 7.0) AS INTEGER)
+           AS week_offset,
+       CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # Text analysis (extensions over documents)
 # =====================================================================
@@ -2325,6 +2368,86 @@ LIMIT 100
 """
 
 
+def winnow_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints per document
+    (operators/neardup.py:winnow_fingerprints): every match of length
+    ≥ k+w−1 chars shares a fingerprint, at ~2/(w+1) the density of
+    all k-gram hashing. One scan-fused pass of higher-order
+    expressions; the selection (lexicographic min of md5-hex windows)
+    is replayed list-for-list by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=8, w=4))
+        .alias("fingerprint"),
+    )
+
+
+_WINNOW_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(t) - 7, 0) + 1),
+                        i -> MD5(SUBSTRING(t, i, 8))) AS hs
+  FROM n
+), sel AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, CASE WHEN LEN(hs) = 0 THEN 1
+                         ELSE GREATEST(LEN(hs) - 3, 1) + 1 END),
+           j -> LIST_MIN(LIST_SLICE(hs, j, j + 3)))) AS fps
+  FROM h
+)
+SELECT doc_id, UNNEST(fps) AS fingerprint FROM sel
+"""
+
+
+def capped_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ≤5-docs-per-source sample
+    (operators/sampling.py:capped_sample): rank within group by
+    md5(key) and keep the head — the balanced-mixture cap, rn≤cap
+    shape hits InferWindowGroupLimit (map-side top-cap before the
+    shuffle; plan-asserted in test_plans.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return capped_sample(docs, "source", "doc_id", cap=5, salt="cap1")
+
+
+_CAPPED_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CONCAT('cap1', '|', CAST(doc_id AS VARCHAR))),
+                    doc_id) AS rn
+  FROM documents) ranked
+WHERE rn <= 5
+"""
+
+
+def pack_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based shard packing (operators/sampling.py:pack_shards):
+    contiguous ~4000-char shards per source in deterministic doc_id
+    order — how training-shard writers cut near-equal files. The
+    running sum windows over source (parallel across sources), never
+    a global single-partition ordering."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return pack_shards(
+        docs, "doc_id", "n_chars", budget=4000, partition_cols=["source"]
+    )
+
+
+_PACK_ORACLE = """
+SELECT doc_id, source, n_chars,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_chars) / 4000.0) AS BIGINT) AS shard
+FROM documents
+"""
+
+
 # =====================================================================
 # Similarity search over embeddings (extensions)
 # =====================================================================
@@ -2622,6 +2745,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "pii_redaction_documents": pii_redaction_documents,
         "vocab_topk_documents": vocab_topk_documents,
+        "winnow_fingerprint_documents": winnow_fingerprint_documents,
+        "capped_sample_documents": capped_sample_documents,
+        "pack_shards_documents": pack_shards_documents,
+        "retention_cohorts_events": retention_cohorts_events,
         "similarity_topk": similarity_topk,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
@@ -2692,6 +2819,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_ORACLE,
         "pii_redaction_documents": _PII_ORACLE,
         "vocab_topk_documents": _VOCAB_ORACLE,
+        "winnow_fingerprint_documents": _WINNOW_ORACLE,
+        "capped_sample_documents": _CAPPED_ORACLE,
+        "pack_shards_documents": _PACK_ORACLE,
+        "retention_cohorts_events": _RETENTION_ORACLE,
         "similarity_topk": _SIM_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         "embedding_neardup_lsh": _EMB_NEARDUP_ORACLE,

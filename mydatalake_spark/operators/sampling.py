@@ -148,3 +148,65 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(bound(frac))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def capped_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen deterministically: rank
+    rows inside each group by md5(salt|key) (uniform, content-
+    addressed) and keep the first ``cap``. The balanced-mixture
+    primitive for training sets — cap boilerplate-heavy sources while
+    rare groups keep everything — with fully reproducible membership.
+
+    Scale: the rn ≤ cap shape triggers InferWindowGroupLimit, so each
+    map task forwards at most ``cap`` rows per group it sees BEFORE
+    the shuffle — a hot group costs its map-side fraction, never an
+    unbounded reducer. Changing salt draws an independent sample."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    order = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    out = df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= cap
+    )
+    return out if keep_rank else out.drop("sample_rank")
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    size_col,
+    budget: int,
+    partition_cols: list[str] | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign contiguous shard ids so each shard holds ~``budget``
+    units (chars, tokens, bytes): shard = floor(start_offset/budget)
+    where start_offset is the running size sum *excluding* the current
+    row — the standard offset-based packing that writers use to cut
+    training shards of near-equal size in a deterministic order.
+
+    Scale: the running sum is a window over ``partition_cols`` — pack
+    per source/date/split so no single global ordering serializes the
+    job; a global pack (partition_cols=None) is correct but runs the
+    window single-partition, only sensible for small curated sets
+    (both modes deliberately supported)."""
+    from pyspark.sql import Window
+
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
+    running = F.sum(size).over(w)
+    return df.withColumn(
+        shard_col,
+        F.floor((running - size) / F.lit(float(budget))).cast("long"),
+    )

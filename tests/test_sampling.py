@@ -168,3 +168,115 @@ def test_redact_pii_leaves_clean_text_alone(spark):
     )
     assert df.select(redact_pii("text").alias("r")).collect()[0]["r"] == \
         "plain text with numbers 12345 and dots a.b.c"
+
+
+def test_capped_sample_caps_and_is_deterministic(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("grp")
+    )
+    from mydatalake_spark.operators.sampling import capped_sample
+
+    out = capped_sample(df, "grp", "key", cap=10)
+    counts = [r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()]
+    assert all(c == 10 for c in counts)
+    again = set(r["key"] for r in capped_sample(df.repartition(13), "grp",
+                                                "key", cap=10).collect())
+    assert again == set(r["key"] for r in out.collect())
+
+
+def test_capped_sample_small_groups_keep_everything(spark):
+    df = spark.range(0, 4).select(
+        F.col("id").alias("key"), F.lit("g").alias("grp")
+    )
+    from mydatalake_spark.operators.sampling import capped_sample
+
+    assert capped_sample(df, "grp", "key", cap=10).count() == 4
+
+
+def test_capped_sample_gets_window_group_limit(spark):
+    from mydatalake_spark.operators.sampling import capped_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("grp")
+    )
+    plan = capped_sample(df, "grp", "key", cap=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, (
+        "rn<=cap must trigger map-side group limit before the shuffle"
+    )
+
+
+def test_pack_shards_respects_budget_and_order(spark):
+    from mydatalake_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, "s", 300) for i in range(20)], "doc_id long, src string, n long"
+    )
+    rows = pack_shards(df, "doc_id", "n", budget=1000,
+                       partition_cols=["src"]).orderBy("doc_id").collect()
+    # 300-unit items, 1000 budget, shard = floor(start_offset/1000):
+    # starts 0,300,600,900 → 0; 1200,1500,1800 → 1; 2100,2400,2700 → 2
+    assert [r["shard"] for r in rows[:8]] == [0, 0, 0, 0, 1, 1, 1, 2]
+    # shard ids are contiguous non-decreasing in pack order
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards)
+
+
+def test_pack_shards_oversized_item_gets_own_shard_progression(spark):
+    from mydatalake_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 100)], "doc_id long, n long"
+    )
+    rows = {r["doc_id"]: r["shard"] for r in
+            pack_shards(df, "doc_id", "n", budget=1000).collect()}
+    # item 2 starts inside shard 0 (offset 100) but pushes item 3 to
+    # shard floor(5100/1000)=5 — no shard id is ever reused later
+    assert rows == {1: 0, 2: 0, 3: 5}
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_long_matches(spark):
+    """Schleimer et al. guarantee: any common substring of length
+    >= k + w - 1 (= 11 here) yields at least one common fingerprint."""
+    from mydatalake_spark.operators.neardup import winnow_fingerprints
+
+    common = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + common + " BBBB"), (2, "xyzzy " + common + " qqqq")],
+        "doc_id long, text string",
+    )
+    fps = df.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=8, w=4)).alias("f")
+    ).collect()
+    s1 = {r["f"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["f"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2, "44-char shared substring must share a fingerprint"
+
+
+def test_winnowing_disjoint_texts_share_nothing(spark):
+    from mydatalake_spark.operators.neardup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")],
+        "doc_id long, text string",
+    )
+    fps = df.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=8, w=4)).alias("f")
+    ).collect()
+    s1 = {r["f"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["f"] for r in fps if r["doc_id"] == 2}
+    assert s1 and s2 and not (s1 & s2)
+
+
+def test_winnowing_short_text_single_fingerprint(spark):
+    from mydatalake_spark.operators.neardup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny txt"), (2, "shrt")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["fps"] for r in df.select(
+        "doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps")
+    ).collect()}
+    assert len(out[1]) == 1      # exactly k chars → one gram, one window
+    assert out[2] == []          # shorter than k → no fingerprints
