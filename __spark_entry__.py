@@ -992,6 +992,124 @@ GROUP BY l_returnflag
 """
 
 
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+def pivot_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order value per priority × order-year, years as columns.
+    The pivot values are declared explicitly so Spark skips the extra
+    distinct-values collection job and compiles to the two-level
+    cascade: partial/final sum over (priority, year), then a
+    pivotfirst aggregate that turns years into columns — two small
+    exchanges, no joins (plan-asserted). Exact integer-cent sums keep
+    every cell engine-reproducible."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("o_year"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .groupBy("o_orderpriority")
+        .pivot("o_year", _PIVOT_YEARS)
+        .agg((F.sum("cents") / 100.0).alias("rev"))
+    )
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n       ".join(
+        f"SUM(CASE WHEN CAST(YEAR(o_orderdate) AS INTEGER) = {y} "
+        f"THEN CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) END)"
+        f" / 100.0 AS \"{y}\""
+        for y in _PIVOT_YEARS
+    )
+    return f"SELECT o_orderpriority,\n       {cols}\nFROM orders GROUP BY o_orderpriority"
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part attributes → long (metric, value)
+    rows — the long-format feed for per-metric aggregation and DQ
+    profiling. Spark's unpivot is a zero-shuffle Expand node (each
+    input row emits one row per value column in place)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot(
+        ["p_partkey"], ["size", "retailprice"], "metric", "value"
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+FROM part
+"""
+
+
+def median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark ``median`` ≡ exact
+    percentile 0.5, NOT the approx sketch — that one is
+    sketch_quantiles_lineitem). Inputs are quantized to integer cents
+    first so the even-count midpoint (a+b)/2 is a dyadic rational both
+    engines compute bit-identically regardless of their interpolation
+    formula. Exact medians need the full value multiset per group —
+    the shuffle the sketch path avoids; both are deliberately in the
+    surface."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.median(_cents(F.col("c_acctbal"))) / 100.0)
+            .alias("median_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT n_name,
+       MEDIAN(CAST(ROUND(c_acctbal * 100 + 1e-6, 0) AS BIGINT)) / 100.0
+           AS median_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev, covariance,
+    Pearson correlation. These are float-accumulation aggregates
+    (Welford-style partial merges), so cross-engine equality is only
+    to ~12 significant digits — results are rounded to 5 decimals in
+    BOTH engines, which also documents the operator's precision
+    contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 5).alias("sd_discount"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 5)
+        .alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5)
+        .alias("corr_qty_price"),
+    )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_discount), 5) AS sd_discount,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 5) AS cov_qty_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 5) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # =====================================================================
 # TPC-H breadth: correlated subqueries, EXISTS, multi-way joins
 # (Q2/Q4/Q7/Q17/Q22 shapes, adapted to this corpus — no partsupp
@@ -2759,6 +2877,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_incidents": range_join_incidents,
         "sketch_distinct_customers": sketch_distinct_customers,
         "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
+        "pivot_revenue_by_year": pivot_revenue_by_year,
+        "unpivot_part_metrics": unpivot_part_metrics,
+        "median_acctbal_by_nation": median_acctbal_by_nation,
+        "stats_lineitem": stats_lineitem,
     }
 
 
@@ -2836,4 +2958,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_incidents": _RANGE_JOIN_ORACLE,
         "sketch_distinct_customers": _SKETCH_DISTINCT_ORACLE,
         "sketch_quantiles_lineitem": _SKETCH_QUANTILE_ORACLE,
+        "pivot_revenue_by_year": _pivot_oracle(),
+        "unpivot_part_metrics": _UNPIVOT_ORACLE,
+        "median_acctbal_by_nation": _MEDIAN_ORACLE,
+        "stats_lineitem": _STATS_ORACLE,
     }

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FILE_FORMATS = {"json", "parquet", "csv"}
+_FILE_FORMATS = {"json", "parquet", "csv", "orc"}
 
 
 def nanos_to_timestamp(col):

@@ -127,6 +127,49 @@ def stream_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same ``key`` whose timestamp falls in
+    (left_ts − within, left_ts] — e.g. attribute a click to the views
+    that preceded it. Structured Streaming keeps BOTH sides' state;
+    the time-bound condition plus the watermarks is what lets it evict
+    (an unbounded stream-stream join would grow state forever — the
+    interval is the contract that makes 100 TB/day joinable). On
+    batch frames the same call degrades to a plain range-condition
+    join (no watermark needed)."""
+    lts, rts = f"__l_{left_ts}", f"__r_{right_ts}"
+    l = left.withColumnRenamed(left_ts, lts)
+    r = right.select(
+        F.col(key).alias("__rkey"),
+        F.col(right_ts).alias(rts),
+        *[c for c in right.columns if c not in (key, right_ts)],
+    )
+    if left.isStreaming:
+        l = l.withWatermark(lts, watermark)
+    if right.isStreaming:
+        r = r.withWatermark(rts, watermark)
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) > F.col(lts) - F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond, how)
+        .drop("__rkey")
+        .withColumnRenamed(lts, left_ts)
+        .withColumnRenamed(rts, f"right_{right_ts}")
+    )
+
+
 def stream_from_json_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream (the natural OSS stand-in for the reference's
     raw-zone JSON drops, reference lib/ingestors.py:78-79):

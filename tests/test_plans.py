@@ -176,13 +176,16 @@ def test_q8_broadcasts_every_dimension(spark, sf_dir, entry):
     ), "o_orderdate range not pushed to the orders scan"
 
 
+def _hash_exchanges(plan: str) -> int:
+    # formatted explain puts the partitioning on an Arguments: line
+    return plan.count("Arguments: hashpartitioning")
+
+
 def test_q9_single_fact_shuffle(spark, sf_dir, entry):
     plan = _plan(spark, entry.queries()["q9_product_profit"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     # lineitem⋈orders plus the group-by are the only exchanges
-    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
-        "Exchange hashpartitioning"
-    )
+    assert _hash_exchanges(plan) <= 2, plan
 
 
 def test_q16_not_in_plans_as_anti_join(spark, sf_dir, entry):
@@ -201,3 +204,19 @@ def test_q21_existence_probes_are_hash_joins(spark, sf_dir, entry):
     # never a nested loop over the fact table
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_expand_without_shuffle(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["unpivot_part_metrics"](spark, sf_dir))
+    assert "Expand" in plan, "unpivot should compile to an Expand node"
+    assert "Exchange" not in plan, "unpivot must not shuffle"
+
+
+def test_pivot_is_two_level_aggregate(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["pivot_revenue_by_year"](spark, sf_dir))
+    # declared pivot values → cascaded (priority, year) sum then
+    # pivotfirst aggregate: exactly two exchanges, no value-discovery
+    # job, no joins
+    assert _hash_exchanges(plan) == 2, plan
+    assert "pivotfirst" in plan
+    assert "Join" not in plan

@@ -88,3 +88,25 @@ def test_csv_source_with_declared_schema(spark, tmp_path):
     rows = {r.symbol: r.px for r in df.collect()}
     assert rows == {"AAA": 1.5, "BBB": 2.25}
     assert "loaded_at" in df.columns
+
+
+def test_orc_source_and_catalog_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.sources.readers import read_source
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.5).alias("v")
+    )
+    src = str(tmp_path / "orc_src")
+    df.write.format("orc").save(src)
+
+    back = read_source(spark, "orc", src, stamp_loaded_at=False)
+    assert back.count() == 100 and set(back.columns) == {"id", "v"}
+
+    cat = Catalog(spark, str(tmp_path / "wh"), fmt="orc")
+    cat.overwrite(df, "bronze.t.orc_table")
+    out = cat.read("bronze.t.orc_table")
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(i * 2.5 for i in range(100))

@@ -216,3 +216,49 @@ def test_stream_dedup_suppresses_redelivery_across_batches(spark, tmp_path):
     assert sorted(
         r.event_id for r in stream_dedup(batch, ["event_id"]).collect()
     ) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from mydatalake_spark.streaming.events import stream_interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    views_dir = tmp_path / "views"
+    clicks_dir.mkdir(); views_dir.mkdir()
+    _write_batch(clicks_dir / "c.json", [
+        (10, "2024-01-01T00:10:00", 1, "click", 1.0),
+        (11, "2024-01-01T01:00:00", 1, "click", 1.0),   # no view within 10m
+        (12, "2024-01-01T00:12:00", 2, "click", 1.0),
+    ])
+    _write_batch(views_dir / "v.json", [
+        (20, "2024-01-01T00:05:00", 1, "view", 5.0),    # 5m before click 10
+        (21, "2024-01-01T00:09:00", 2, "view", 7.0),    # 3m before click 12
+        (22, "2024-01-01T02:00:00", 2, "view", 9.0),    # after every click
+    ])
+
+    clicks = stream_from_json_dir(spark, str(clicks_dir), EVENT_SCHEMA) \
+        .filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = stream_from_json_dir(spark, str(views_dir), EVENT_SCHEMA) \
+        .filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    joined = stream_interval_join(
+        clicks, views, "user_id", within="10 minutes", watermark="2 hours"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.view_value) for r in spark.table("ssj").collect()}
+    assert got == {(10, 5.0), (12, 7.0)}
+
+    # batch degradation: same call on batch frames, same rows
+    bclicks = spark.read.schema(EVENT_SCHEMA).json(str(clicks_dir)) \
+        .filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    bviews = spark.read.schema(EVENT_SCHEMA).json(str(views_dir)) \
+        .filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    bj = stream_interval_join(bclicks, bviews, "user_id", within="10 minutes")
+    assert {(r.event_id, r.view_value) for r in bj.collect()} == got
