@@ -2522,6 +2522,87 @@ SELECT doc_id, UNNEST(fps) AS fingerprint FROM sel
 """
 
 
+def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: explode →
+    self-equi-join on fingerprint → count shared ≥ 40. The join is on
+    the fingerprint hash (bucketed, like the minhash band join and the
+    shingle join) — NEVER an all-pairs comparison; hot fingerprints
+    bound the blow-up exactly like hot shingles in
+    ngram_jaccard_pairs (same DF-cap mitigation applies at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 40)
+    )
+
+
+_WINNOW_PAIRS_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(t) - 7, 0) + 1),
+                        i -> MD5(SUBSTRING(t, i, 8))) AS hs
+  FROM n
+), sel AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, CASE WHEN LEN(hs) = 0 THEN 1
+                         ELSE GREATEST(LEN(hs) - 3, 1) + 1 END),
+           j -> LIST_MIN(LIST_SLICE(hs, j, j + 3)))) AS fps
+  FROM h
+), ex AS (
+  SELECT doc_id, UNNEST(fps) AS fp FROM sel
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ex a JOIN ex b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 40
+"""
+
+
+def supplier_names_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation sorted list of supplier names
+    (sort_array(collect_list) — the deterministic form; bare
+    collect_list order is partition-dependent and would never
+    oracle-match). Array columns round-trip the comparator
+    element-wise."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+_ARRAY_AGG_ORACLE = """
+SELECT n_name,
+       LIST(s_name ORDER BY s_name) AS suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 def capped_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ≤5-docs-per-source sample
     (operators/sampling.py:capped_sample): rank within group by
@@ -2864,6 +2945,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_documents": pii_redaction_documents,
         "vocab_topk_documents": vocab_topk_documents,
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
+        "winnow_pairs_documents": winnow_pairs_documents,
+        "supplier_names_by_nation": supplier_names_by_nation,
         "capped_sample_documents": capped_sample_documents,
         "pack_shards_documents": pack_shards_documents,
         "retention_cohorts_events": retention_cohorts_events,
@@ -2942,6 +3025,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction_documents": _PII_ORACLE,
         "vocab_topk_documents": _VOCAB_ORACLE,
         "winnow_fingerprint_documents": _WINNOW_ORACLE,
+        "winnow_pairs_documents": _WINNOW_PAIRS_ORACLE,
+        "supplier_names_by_nation": _ARRAY_AGG_ORACLE,
         "capped_sample_documents": _CAPPED_ORACLE,
         "pack_shards_documents": _PACK_ORACLE,
         "retention_cohorts_events": _RETENTION_ORACLE,
