@@ -1842,41 +1842,48 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — suppliers who were the ONLY late shipper in a
     multi-supplier finished order. 'Late' adapts to l_shipdate >
     o_orderdate + 60 days (no commit/receipt dates in the synthetic
-    schema). Both existence probes are distinct-projected (orderkey,
-    suppkey) sets: EXISTS ⇒ left-semi, NOT EXISTS ⇒ left-anti, each
-    hash-joined on orderkey with the suppkey≠ inequality as the join
-    residual — never a nested loop. Top-20 with s_name tiebreak
-    (unique) keeps the LIMIT deterministic."""
+    schema).
+
+    Decorrelated to per-order aggregates instead of literal semi/anti
+    self-joins (the oracle keeps the EXISTS/NOT EXISTS SQL): with both
+    probes keyed on the same orderkey, EXISTS(other supplier) ⇔
+    n_suppliers > 1 and NOT EXISTS(other late) ⇔ n_late = 1, so ONE
+    pass over the joined fact computes both predicates as counts. That
+    replaces two wide self-joins of (orderkey, suppkey) pairs with one
+    pair-dedup aggregate reused by both probes — ~10% faster at sf0.1
+    where everything is in page cache, and structurally better at
+    scale: the self-join form shuffles the pair sets four times, this
+    form twice, and the per-order counts it joins are one row per
+    order. Top-20 with s_name tiebreak (unique) keeps LIMIT
+    deterministic."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
-    late = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        ).alias("late"),
     )
-    any_sup = li.select("l_orderkey", "l_suppkey").distinct()
-    a = late.alias("a")
-    multi = a.join(
-        any_sup.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        "left_semi",
+    # One dedup to (orderkey, suppkey, ever-late) pairs; both the
+    # per-order counts and the late-pair set derive from it, so the
+    # pair aggregate's exchange is computed once and reused.
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    sole_late = multi.alias("m").join(
-        late.alias("c"),
-        (F.col("m.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("m.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
     )
+    late_pairs = pairs.filter("late").select("l_orderkey", "l_suppkey")
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        late_pairs.join(stats, "l_orderkey")
+        .filter((F.col("n_sup") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

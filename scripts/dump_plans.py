@@ -101,11 +101,11 @@ SHOWCASE = [
     ),
     (
         "q21_waiting_suppliers",
-        "EXISTS and NOT EXISTS self-probes on the fact table planned as\n"
-        "hash LeftSemi/LeftAnti joins on orderkey with the suppkey\n"
-        "inequality as join residual — never BroadcastNestedLoopJoin. The\n"
-        "probe sides are distinct-projected (orderkey, suppkey) pairs, so\n"
-        "state is bounded by distinct pairs, not lineitem rows.",
+        "EXISTS and NOT EXISTS decorrelated into per-order counts: one\n"
+        "pair-dedup aggregate feeds both existence predicates (EXISTS ⇔\n"
+        "n_sup > 1, NOT EXISTS ⇔ n_late = 1), so the plan is two orderkey\n"
+        "aggregates and an equi-join instead of two wide self-joins — half\n"
+        "the pair-set shuffles, no nested loops, no Expand.",
     ),
     (
         "chunk_documents",

@@ -196,14 +196,20 @@ def test_q16_not_in_plans_as_anti_join(spark, sf_dir, entry):
     assert plan.count("HashAggregate") >= 3
 
 
-def test_q21_existence_probes_are_hash_joins(spark, sf_dir, entry):
+def test_q21_decorrelated_existence_probes(spark, sf_dir, entry):
     plan = _plan(spark, entry.queries()["q21_waiting_suppliers"](spark, sf_dir))
-    assert "LeftSemi" in plan, "EXISTS must plan as left-semi"
-    assert "LeftAnti" in plan, "NOT EXISTS must plan as left-anti"
-    # the suppkey inequality rides as residual on orderkey hash joins —
-    # never a nested loop over the fact table
+    # EXISTS/NOT EXISTS are decorrelated into per-order counts: one
+    # aggregate over the joined fact, then an orderkey equi-join of the
+    # late-pair set against the counts — never a nested loop, never a
+    # wide self-join of (orderkey, suppkey) pairs
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # pair dedup + stats + final
+    # no row-doubling Expand (would appear with dual countDistinct) and
+    # fewer exchanges than the self-join form's 6 (AQE reuses the pair
+    # aggregate's exchange at runtime)
+    assert "Expand" not in plan
+    assert _hash_exchanges(plan) <= 5, plan
 
 
 def test_unpivot_is_expand_without_shuffle(spark, sf_dir, entry):
