@@ -79,3 +79,32 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-cluster a table on ``cluster_by`` before writing: global
+    range repartition (each output file owns a contiguous, mostly
+    disjoint key range) + within-file sort (each parquet row group's
+    min/max stats are tight). The plain-parquet analogue of Delta's
+    OPTIMIZE ZORDER for the single-column case.
+
+    Why it matters at 100 TB: parquet scans skip whole row groups when
+    the pushed filter falls outside the group's min/max. On a randomly
+    laid-out table every group's range spans the whole domain and
+    nothing skips; after clustering, a selective range/point filter
+    reads ~1/n_files of the bytes. The effect is asserted from the
+    parquet footers themselves in tests (file ranges disjoint), not
+    just from wall clock."""
+    part = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if n_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    part.sortWithinPartitions(*cluster_by).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -80,3 +80,42 @@ def test_compact_reduces_files(spark, lineitem, tmp_path):
     ]
     assert len(files_after) == n < len(files_before)
     assert cat.read("silver.t.li").count() == lineitem.count()
+
+
+def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
+    """Footer-level evidence for data skipping: after range-clustering,
+    each parquet file's (min, max) on the cluster key is tight and the
+    files' ranges are pairwise disjoint — the precondition for parquet
+    row-group pruning to skip ~(n-1)/n of a selective scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.maintenance import write_clustered
+
+    df = spark.range(100_000).select(
+        (F.hash("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # and the rewritten table is still the same data
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(100_000))
