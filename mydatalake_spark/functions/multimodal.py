@@ -173,15 +173,94 @@ def resize_image(
     return df.mapInPandas(do, schema=df.schema)
 
 
+def _av_frame_decoder(every_ms: int):
+    """Real pyav decode path (import-gated): container → demux video →
+    keep one frame per ``every_ms`` of presentation time, re-encoded
+    as PNG bytes. Lives behind the injectable ``decoder`` seam so the
+    Spark plumbing is testable without an AV library present."""
+    import io
+
+    import av  # noqa: F401 — gated import; raises ImportError upstream
+    from PIL import Image  # noqa: F401
+
+    def decode(payload: bytes):
+        frames = []
+        with av.open(io.BytesIO(bytes(payload))) as container:
+            stream = container.streams.video[0]
+            next_ts_ms = 0
+            for frame in container.decode(stream):
+                t_ms = float(frame.time or 0) * 1000
+                if t_ms >= next_ts_ms:
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    frames.append((len(frames), bytearray(buf.getvalue())))
+                    next_ts_ms += every_ms
+        return frames
+
+    return decode
+
+
 def sample_frames(
-    df: DataFrame, payload_col: str = "media", every_ms: int = 1000
+    df: DataFrame,
+    payload_col: str = "media",
+    id_cols: list[str] | None = None,
+    every_ms: int = 1000,
+    decoder=None,
 ) -> DataFrame:
-    """Video frame sampling — requires an AV library (not installed)."""
-    raise NotImplementedError(
-        "sample_frames needs pyav/ffmpeg; not available in this "
-        "environment. Production shape: mapInPandas emitting one row "
-        "per sampled frame (explode-like fan-out, no shuffle)."
+    """Video frame sampling: one OUTPUT ROW per sampled frame —
+    (id columns..., frame_idx, frame payload). The fan-out is
+    explode-like but map-only (mapInPandas, no shuffle); frames can be
+    written partition-aligned with their source videos.
+
+    ``decoder(payload) -> [(frame_idx, frame_bytes), ...]`` is
+    injectable: pass a real codec (the pyav path above is wired and
+    used automatically when the library is importable) or a
+    deterministic fake in tests. Without pyav and without an explicit
+    decoder this raises NotImplementedError up front — the Spark-side
+    plumbing (schema, Arrow batching, fan-out shape) is identical and
+    IS tested either way."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if decoder is None:
+        try:
+            decoder = _av_frame_decoder(every_ms)
+        except ImportError:
+            raise NotImplementedError(
+                "sample_frames needs pyav (plus Pillow) for the default "
+                "codec; neither is in this environment. Pass decoder= "
+                "(payload -> [(idx, bytes)]) or install pyav — the "
+                "mapInPandas fan-out below is already wired."
+            ) from None
+
+    ids = id_cols or [c for c in df.columns if c != payload_col][:1]
+    keep = df.select(*ids, payload_col)
+    fields = [keep.schema[c] for c in ids]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
     )
+
+    def fan_out(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in ids}
+            out["frame_idx"] = []
+            out["frame"] = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                frames = [] if payload is None else decoder(payload)
+                for idx, fb in frames:
+                    for c in ids:
+                        out[c].append(row[c])
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(fb)
+            yield pd.DataFrame(out)
+
+    return keep.mapInPandas(fan_out, schema=out_schema)
 
 
 def with_fake_media(

@@ -82,3 +82,35 @@ def test_resize_image_with_pil(spark):
     out = resize_image(df, width=4, height=4).collect()
     img = pil.open(io.BytesIO(bytes(out[0].media)))
     assert img.size == (4, 4)
+
+
+def test_sample_frames_fan_out_with_injected_decoder(media_df):
+    """The Spark-side plumbing (schema, Arrow batching, one row per
+    frame) is real and runs without any AV library: inject a
+    deterministic fake codec that cuts the payload into 4-byte
+    'frames'."""
+
+    def fake_decoder(payload):
+        b = bytes(payload)
+        return [(i, bytearray(b[i * 4:(i + 1) * 4]))
+                for i in range((len(b) + 3) // 4)][:3]
+
+    out = sample_frames(
+        media_df, id_cols=["doc_id"], decoder=fake_decoder
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "frame_idx", "frame"
+    ]
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: bytes(r.media) for r in media_df.collect()
+           if r.media is not None}
+    for doc_id, frames in by_doc.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))       # dense frame ids
+        first = next(f for f in frames if f.frame_idx == 0)
+        assert bytes(first.frame) == src[doc_id][:4]  # content preserved
+    # null payloads produce no frames, non-null produce >= 1
+    assert set(by_doc) == set(src)
