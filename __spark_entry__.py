@@ -992,6 +992,90 @@ GROUP BY l_returnflag
 """
 
 
+def rolling_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue: daily aggregate, then a running ROWS
+    frame. The global (unpartitioned) window is deliberate and safe:
+    it runs AFTER the day-grain aggregate, over one row per day —
+    thousands of rows at any fact-table scale — so the
+    single-partition sort is trivial while the heavy lifting (the
+    daily rollup) is fully parallel."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        (F.col("day_cents") / 100.0).alias("day_revenue"),
+        (F.sum("day_cents").over(w) / 100.0).alias("trailing_7d"),
+    )
+
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT))
+             AS day_cents
+  FROM orders
+  GROUP BY 1
+)
+SELECT day, day_cents / 100.0 AS day_revenue,
+       SUM(day_cents) OVER (ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           / 100.0 AS trailing_7d
+FROM daily
+"""
+
+
+def rank_stats_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per nation over a total order
+    (acctbal, custkey — tie-free, so both are exact small-integer
+    ratios that reproduce bit-identically cross-engine)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_RANK_STATS_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey) AS cume
+FROM customer
+"""
+
+
+def scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar-function breadth sweep: translate, reverse,
+    regexp_extract (group + no-match → '' in both engines),
+    levenshtein — all row-parallel codegen expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.translate("source", "src", "XYZ").alias("translated"),
+        F.reverse("source").alias("reversed"),
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.levenshtein("source", F.lit("src0")).alias("lev_to_src0"),
+    )
+
+
+_SCALAR2_ORACLE = """
+SELECT doc_id,
+       TRANSLATE(source, 'src', 'XYZ') AS translated,
+       REVERSE(source) AS reversed,
+       REGEXP_EXTRACT(text, '([A-Za-z]+)', 1) AS first_word,
+       LEVENSHTEIN(source, 'src0') AS lev_to_src0
+FROM documents
+"""
+
+
 _PIVOT_YEARS = list(range(1995, 2002))
 
 
@@ -2969,6 +3053,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
         "pivot_revenue_by_year": pivot_revenue_by_year,
         "unpivot_part_metrics": unpivot_part_metrics,
+        "rolling_revenue_daily": rolling_revenue_daily,
+        "rank_stats_customers": rank_stats_customers,
+        "scalar_functions2": scalar_functions2,
         "median_acctbal_by_nation": median_acctbal_by_nation,
         "stats_lineitem": stats_lineitem,
     }
@@ -3052,6 +3139,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles_lineitem": _SKETCH_QUANTILE_ORACLE,
         "pivot_revenue_by_year": _pivot_oracle(),
         "unpivot_part_metrics": _UNPIVOT_ORACLE,
+        "rolling_revenue_daily": _ROLLING_ORACLE,
+        "rank_stats_customers": _RANK_STATS_ORACLE,
+        "scalar_functions2": _SCALAR2_ORACLE,
         "median_acctbal_by_nation": _MEDIAN_ORACLE,
         "stats_lineitem": _STATS_ORACLE,
     }
