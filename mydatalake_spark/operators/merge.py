@@ -151,6 +151,7 @@ def merge_upsert_delta(
     keys: list[str],
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
+    delta_table=None,
 ) -> None:
     """ACID MERGE into a Delta table — the capability path the
     reference runs on Databricks (``DeltaTable.merge`` with
@@ -170,19 +171,28 @@ def merge_upsert_delta(
     (capability flag, SURVEY.md §7.4(3)). In-place and transactional —
     no staging swap, unchanged files are skipped via Delta's
     find-touched-files join.
-    """
-    from ..catalog import delta_available
 
-    if not delta_available():
-        raise ImportError(
-            "merge_upsert_delta requires the delta-spark package; use "
-            "merge_upsert (join-emulation) + Catalog.overwrite_via_"
-            "staging on parquet-only clusters."
-        )
-    from delta.tables import DeltaTable  # type: ignore
+    ``delta_table`` injects a DeltaTable-like object (same
+    alias/merge/whenMatched*/execute builder surface) so the MERGE
+    condition/clause construction is contract-testable in
+    environments without delta-spark; production callers leave it
+    None and get ``DeltaTable.forPath``.
+    """
+    if delta_table is None:
+        from ..catalog import delta_available
+
+        if not delta_available():
+            raise ImportError(
+                "merge_upsert_delta requires the delta-spark package; "
+                "use merge_upsert (join-emulation) + Catalog.overwrite_"
+                "via_staging on parquet-only clusters."
+            )
+        from delta.tables import DeltaTable  # type: ignore
+
+        delta_table = DeltaTable.forPath(spark, target_path)
 
     src = _dedup_source(source, keys, ts_col, tiebreakers)
-    dt = DeltaTable.forPath(spark, target_path)
+    dt = delta_table
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
     m = dt.alias("t").merge(src.alias("s"), on)
     if ts_col is not None:
@@ -205,6 +215,7 @@ def merge_upsert_partitioned(
     partition_col: str,
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
+    max_partitions: int = 10_000,
 ) -> list:
     """Partition-scoped CDC merge — the 100 TB upgrade over a
     whole-table rewrite (SURVEY.md §7.4(8); Delta's ``replaceWhere``
@@ -222,6 +233,13 @@ def merge_upsert_partitioned(
     3. join-merge within that slice;
     4. rewrite only those partition directories.
 
+    ``max_partitions`` bounds step 1: the distinct-partition list is
+    collected to the driver, which is only safe for genuinely coarse
+    partition columns (dates, regions). A mistaken high-cardinality
+    column (an id, a timestamp) would otherwise OOM the driver —
+    instead we count first (cheap partial-agg count-distinct) and fail
+    fast with a clear error.
+
     Returns the list of touched partition values.
     """
     if partition_col not in keys:
@@ -230,10 +248,19 @@ def merge_upsert_partitioned(
             f"part of the merge keys; got partition_col={partition_col!r} "
             f"keys={keys}"
         )
-    touched = [
-        r[0]
-        for r in source.select(partition_col).distinct().collect()
-    ]
+    distinct_parts = source.select(partition_col).distinct()
+    # LIMIT max+1 bounds BOTH the count and the driver transfer: if the
+    # column is high-cardinality we learn "too many" after shipping at
+    # most max_partitions+1 values, never the full list.
+    probe = distinct_parts.limit(max_partitions + 1).collect()
+    if len(probe) > max_partitions:
+        raise ValueError(
+            f"merge_upsert_partitioned: source has more than "
+            f"{max_partitions} distinct values of {partition_col!r}; "
+            "this looks like a non-partition (high-cardinality) column. "
+            "Pick a coarse partition column or raise max_partitions."
+        )
+    touched = [r[0] for r in probe]
     if not touched:
         return []
     if not catalog.exists(table):

@@ -29,6 +29,83 @@ def test_merge_delta_without_package_fails_fast(spark, tmp_path):
         merge_upsert_delta(spark, str(tmp_path / "t"), src, ["id"], "ts")
 
 
+class _RecordingMerge:
+    """DeltaTable-like builder that records the MERGE contract."""
+
+    def __init__(self, rec):
+        self.rec = rec
+
+    def alias(self, a):
+        self.rec["target_alias"] = a
+        return self
+
+    def merge(self, src_df, condition):
+        self.rec["source_df"] = src_df
+        self.rec["on"] = condition
+        return self
+
+    def whenMatchedUpdateAll(self, condition=None):
+        self.rec["matched_update_all"] = True
+        self.rec["matched_condition"] = condition
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.rec["not_matched_insert_all"] = True
+        return self
+
+    def execute(self):
+        self.rec["executed"] = True
+
+
+def test_merge_delta_contract_with_mock(spark):
+    """Compile-level contract of the ACID path, executed WITHOUT
+    delta-spark: key-only null-safe ON clause, ts guard in the
+    whenMatched condition (null ts ≡ -infinity on both sides),
+    insert-all for new keys, and a pre-deduped (unique per key,
+    latest-wins) source — the four properties Delta MERGE needs for
+    the corrected reference semantics (reference
+    lib/ingestors.py:113-126 puts the ts guard in ON; see §7.4(2))."""
+    rec = {}
+    source = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1)],
+        "id int, v string, ts int",
+    )
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["id"], "ts",
+        delta_table=_RecordingMerge(rec),
+    )
+    assert rec["executed"]
+    assert rec["target_alias"] == "t"
+    assert rec["on"] == "t.id <=> s.id"
+    assert rec["matched_update_all"]
+    assert rec["matched_condition"] == (
+        "t.ts IS NULL OR (s.ts IS NOT NULL AND s.ts >= t.ts)"
+    )
+    assert rec["not_matched_insert_all"]
+    # Delta requires one source row per target key: pre-dedup is
+    # latest-wins on ts
+    got = {(r.id, r.v) for r in rec["source_df"].collect()}
+    assert got == {(1, "new"), (2, "x")}
+
+
+def test_merge_delta_contract_no_ts(spark):
+    """ts_col=None (the 6-col history upsert shape, reference
+    lib/checker_handler.py:179-191): unconditional update-all, multi-
+    key null-safe ON."""
+    rec = {}
+    source = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x")], "k1 int, k2 string, v string"
+    )
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["k1", "k2"], None,
+        delta_table=_RecordingMerge(rec),
+    )
+    assert rec["on"] == "t.k1 <=> s.k1 AND t.k2 <=> s.k2"
+    assert rec["matched_condition"] is None
+    assert rec["executed"]
+    assert rec["source_df"].count() == 1     # dropDuplicates on keys
+
+
 @pytest.mark.skipif(not HAVE_DELTA, reason="delta-spark not importable")
 def test_delta_cdc_merge_end_to_end(spark, tmp_path):
     """Same scenario as test_merge_upsert_semantics, on real Delta:

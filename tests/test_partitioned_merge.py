@@ -84,6 +84,25 @@ def test_first_write_bootstraps(spark, cat):
     assert cat.read("silver.mkt.p2").count() == 2
 
 
+def test_high_cardinality_partition_col_refused(spark, cat):
+    # a per-row id mistakenly used as the partition column must fail
+    # fast (bounded probe), not collect a corpus-sized list to the
+    # driver and OOM
+    src = spark.range(500).select(
+        F.col("id").cast("string").alias("sym"),
+        F.col("id").cast("string").alias("day"),   # 500 distinct "partitions"
+        F.lit(1).alias("ts"),
+        F.lit(1.0).alias("px"),
+    )
+    with pytest.raises(ValueError, match="more than 100 distinct"):
+        merge_upsert_partitioned(
+            cat, "silver.mkt.p4", src,
+            keys=["sym", "day"], partition_col="day", ts_col="ts",
+            max_partitions=100,
+        )
+    assert not cat.exists("silver.mkt.p4")
+
+
 def test_empty_source_is_noop(spark, cat):
     empty = _prices(spark, [])
     touched = merge_upsert_partitioned(
