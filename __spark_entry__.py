@@ -39,6 +39,10 @@ from mydatalake_spark.operators.sampling import (
     stratified_sample,
 )
 from mydatalake_spark.operators.asof import asof_join
+from mydatalake_spark.operators.decontam import (
+    decontaminate,
+    repetition_stats,
+)
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
 from mydatalake_spark.operators.neardup import (
@@ -2946,6 +2950,81 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 """
 
 
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram protocol,
+    [extension] — no reference analogue): treat source='src0' as the
+    held-out benchmark; every other document is flagged if it shares
+    at least one token 5-gram with it. The holdout's distinct grams
+    BROADCAST (benchmarks are MBs, the corpus is the 100 TB side), so
+    contamination detection is a map-side probe — the corpus never
+    shuffles (operators/decontam.py:decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return decontaminate(corpus, holdout, n=5)
+
+
+_DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(t) - 4, 0) + 1),
+      i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 4), ' ')))) AS gram
+  FROM toks
+),
+hold AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n
+  FROM grams g JOIN hold USING (gram)
+  WHERE g.source <> 'src0'
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+  COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> 'src0'
+"""
+
+
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style duplicate
+    2-gram fraction, [extension]) — pure codegen expressions, no
+    shuffle (operators/decontam.py:repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t,
+    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 0) + 1),
+                   i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 1), ' ')) AS g
+  FROM toks
+)
+SELECT doc_id,
+  CAST(LEN(t) AS BIGINT) AS n_tokens,
+  CAST(LEN(g) AS BIGINT) AS n_ngrams,
+  CAST(LEN(LIST_DISTINCT(g)) AS BIGINT) AS n_distinct_ngrams,
+  CASE WHEN LEN(g) > 0
+       THEN ROUND(1.0 - CAST(LEN(LIST_DISTINCT(g)) AS DOUBLE) / LEN(g), 6)
+       ELSE 0.0 END AS dup_ngram_frac
+FROM grams
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3018,6 +3097,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": stats_lineitem,
         "supplier_names_by_nation": supplier_names_by_nation,
         "retention_cohorts_events": retention_cohorts_events,
+        # --- new in r3: must land in the checked prefix ---
+        "decontaminate_documents": decontaminate_documents,
+        "repetition_stats_documents": repetition_stats_documents,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3125,6 +3207,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_ORACLE,
         "exact_dedup_documents": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard_documents": _NGRAM_ORACLE,
+        "decontaminate_documents": _DECONTAM_ORACLE,
+        "repetition_stats_documents": _REPETITION_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

@@ -49,6 +49,45 @@ MEDIA_META_TYPE = T.StructType(
 )
 
 
+# Default Python-side working-set bound for media batches. The Arrow
+# transfer is already row-bounded (session.py maxRecordsPerBatch); this
+# bounds BYTES, which row counts can't see — 2048 rows of 10 MB video
+# is 20 GB, far past worker memory.
+MAX_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def bounded_payload_chunks(
+    batches: Iterator["object"],
+    payload_col: str,
+    max_bytes: int = MAX_BATCH_BYTES,
+) -> Iterator["object"]:
+    """Re-chunk incoming pandas batches so each yielded chunk carries
+    at most ``max_bytes`` of payload.
+
+    Properties (asserted by tests/test_multimodal.py):
+    - every chunk's payload total is ≤ max_bytes, UNLESS the chunk is a
+      single row whose payload alone exceeds the bound (an indivisible
+      row is passed through alone, never silently dropped);
+    - concatenating the chunks reproduces the input rows in order.
+
+    Every media operator maps over chunks from this generator, so its
+    per-iteration working set — and anything proportional to it, like
+    decoded frames — is bounded regardless of upstream row width.
+    """
+    for pdf in batches:
+        sizes = [
+            0 if p is None else len(p) for p in pdf[payload_col]
+        ]
+        start, acc = 0, 0
+        for i, s in enumerate(sizes):
+            if acc + s > max_bytes and i > start:
+                yield pdf.iloc[start:i]
+                start, acc = i, 0
+            acc += s
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
+
 def fake_decode_meta(payload: bytes | None) -> dict[str, Any]:
     """DETERMINISTIC FAKE decoder (no image libs in this container):
     derives pseudo-dimensions from a crc32 of the bytes. Replace with a
@@ -67,11 +106,13 @@ def fake_decode_meta(payload: bytes | None) -> dict[str, Any]:
 
 
 def decode_media_meta(
-    df: DataFrame, payload_col: str = "media", out_col: str = "media_meta"
+    df: DataFrame, payload_col: str = "media", out_col: str = "media_meta",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """Attach the typed metadata struct by decoding each payload in
     Arrow batches (mapInPandas — the batch shape is the real
-    production plumbing; only the codec is fake)."""
+    production plumbing; only the codec is fake). Working set bounded
+    by ``max_batch_bytes`` via :func:`bounded_payload_chunks`."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -79,7 +120,9 @@ def decode_media_meta(
     )
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
             pdf = pdf.copy()
             pdf[out_col] = [
                 fake_decode_meta(bytes(p) if p is not None else None)
@@ -95,6 +138,7 @@ def media_features(
     payload_col: str = "media",
     id_col: str = "doc_id",
     dim: int = 16,
+    max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """(id, feature array<float>[dim]) via an Arrow-batched extractor.
     DETERMINISTIC FAKE features (chunked crc32s scaled to [0,1)); a real
@@ -111,7 +155,9 @@ def media_features(
     )
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
             feats = []
             for p in pdf[payload_col]:
                 if p is None:
@@ -137,6 +183,7 @@ def resize_image(
     width: int = 224,
     height: int = 224,
     out_format: str = "PNG",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """Resize every image payload to ``width×height`` (PIL codec,
     re-encoded as ``out_format``), payload column replaced in place.
@@ -156,7 +203,9 @@ def resize_image(
     import pandas as pd
 
     def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
             pdf = pdf.copy()
 
             def _resize(p):
@@ -206,6 +255,7 @@ def sample_frames(
     id_cols: list[str] | None = None,
     every_ms: int = 1000,
     decoder=None,
+    max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """Video frame sampling: one OUTPUT ROW per sampled frame —
     (id columns..., frame_idx, frame payload). The fan-out is
@@ -246,7 +296,11 @@ def sample_frames(
     )
 
     def fan_out(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+        # bounding INPUT chunk bytes also bounds the fan-out OUTPUT per
+        # yielded frame-batch (frames are proportional to input bytes)
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
             out: dict[str, list] = {c: [] for c in ids}
             out["frame_idx"] = []
             out["frame"] = []

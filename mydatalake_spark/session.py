@@ -29,6 +29,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched Pandas UDF transfer (similarity / multimodal paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Rows per Arrow batch crossing the JVM↔Python boundary. The
+    # default 10000 is an OOM vector for wide binary rows (10 MB
+    # media × 10k rows = 100 GB per batch); 2048 keeps batches
+    # vectorization-friendly while bounding row-count amplification.
+    # Media operators additionally re-chunk BY BYTES python-side
+    # (functions/multimodal.py:bounded_payload_chunks).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Broadcast threshold: dimension tables (region/nation/supplier …)
     # broadcast instead of shuffling the fact side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -53,6 +60,23 @@ _DEFAULT_CONF: dict[str, str] = {
     # Spark's vectorized reader; surface it as a long (ns since epoch)
     # and convert explicitly (see sources/readers.py:nanos_to_timestamp).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Streaming state store: RocksDB, not the default HDFS-backed
+    # in-memory map. At 100 TB of keyed state (streaming dedup, CDC
+    # guards, session windows) the JVM-heap provider OOMs executors;
+    # RocksDB spills to local disk and bounds heap by block cache.
+    # Verified working in this env (local[32], Spark 4.1.2).
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    # Changelog checkpointing uploads per-batch deltas instead of
+    # full RocksDB snapshots — checkpoint cost stops scaling with
+    # total state size (the difference between minutes and seconds
+    # per micro-batch on large stateful topologies).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    ".enabled": "true",
+    # Unload inactive state store providers from executors instead of
+    # holding every partition's store open forever.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "60s",
 }
 
 

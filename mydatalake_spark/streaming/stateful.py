@@ -94,3 +94,130 @@ def running_latest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Evolvable state: restart a checkpoint under a NEWER operator version
+# ---------------------------------------------------------------------
+#
+# applyInPandasWithState freezes the state store's physical value
+# schema at first checkpoint — Spark's state-schema compatibility check
+# rejects a restart whose stateStructType differs. The engine therefore
+# keeps the PHYSICAL state schema fixed at (version int, payload json
+# string) and evolves the LOGICAL schema inside the payload: a new
+# operator version reads any older payload and defaults its new fields.
+# This is the standard pre-Spark-4 production pattern for long-lived
+# streaming topologies (state outlives code).
+#
+# Spark 4's transformWithStateInPandas + Avro state encoding
+# (spark.sql.streaming.stateStore.encodingFormat=avro) is the fully
+# built-in successor — named state variables with nullable-field
+# evolution. Its Python runner needs the google.protobuf package,
+# which this container lacks (probe below), so that path is
+# capability-gated exactly like delta-spark.
+
+EVOLVABLE_STATE_TYPE = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+EVOLVABLE_OUTPUT_V1 = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("latest_ts", T.TimestampType()),
+        T.StructField("latest_value", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ]
+)
+
+# v2 adds the stale-drop counter column to the CDC guard.
+EVOLVABLE_OUTPUT_V2 = T.StructType(
+    EVOLVABLE_OUTPUT_V1.fields
+    + [T.StructField("n_stale_dropped", T.LongType())]
+)
+
+
+def _evolvable_update(version: int):
+    def update(key, pdf_iter, state: GroupState):
+        import json
+
+        import pandas as pd
+
+        if state.exists:
+            _ver, payload = state.get
+            st = json.loads(payload)
+        else:
+            st = {}
+        ts_us = st.get("ts_us", -1)
+        value = st.get("value")
+        n_up = st.get("n_updates", 0)
+        # field added in v2: absent from v1 payloads, defaults to 0
+        n_stale = st.get("n_stale_dropped", 0)
+
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values("ts").iterrows():
+                row_us = int(row["ts"].value // 1000)
+                if row_us >= ts_us:
+                    ts_us, value = row_us, float(row["value"])
+                    n_up += 1
+                else:
+                    n_stale += 1
+
+        payload = {"ts_us": ts_us, "value": value, "n_updates": n_up}
+        if version >= 2:
+            payload["n_stale_dropped"] = n_stale
+        state.update((version, json.dumps(payload)))
+        out = {
+            "key": [key[0]],
+            "latest_ts": [pd.Timestamp(ts_us, unit="us")],
+            "latest_value": [value],
+            "n_updates": [n_up],
+        }
+        if version >= 2:
+            out["n_stale_dropped"] = [n_stale]
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def running_latest_evolvable(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    version: int = 2,
+) -> DataFrame:
+    """CDC-guard stateful operator with an upgrade-stable state layout.
+
+    ``version=1`` is the frozen previous release (no stale counter);
+    ``version=2`` adds the ``n_stale_dropped`` column. Both share the
+    same physical state schema, so a v1 checkpoint restarts cleanly
+    under v2 with the new field defaulted — asserted by
+    tests/test_streaming.py::test_restart_with_evolved_state_schema.
+    """
+    renamed = df.withColumnRenamed(key_col, "key").withColumnRenamed(
+        ts_col, "ts"
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _evolvable_update(version),
+        outputStructType=(
+            EVOLVABLE_OUTPUT_V2 if version >= 2 else EVOLVABLE_OUTPUT_V1
+        ),
+        stateStructType=EVOLVABLE_STATE_TYPE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_available() -> bool:
+    """Capability probe for Spark 4's transformWithStateInPandas: its
+    streaming Python runner imports google.protobuf at startup; without
+    it the driver worker crashes (verified in this container). Gate any
+    TWS-based operator on this, like delta_available() gates MERGE."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -84,6 +84,72 @@ def test_resize_image_with_pil(spark):
     assert img.size == (4, 4)
 
 
+def test_bounded_chunks_property(spark):
+    """Batch-bytes bound (the executor-OOM vector for wide binary
+    rows): under random payload sizes, every chunk is ≤ the bound
+    unless it is a single indivisible row, and concatenation
+    reproduces the input exactly."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from mydatalake_spark.functions.multimodal import bounded_payload_chunks
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=4096),
+                       min_size=0, max_size=40),
+        max_bytes=st.integers(min_value=1, max_value=8192),
+    )
+    def check(sizes, max_bytes):
+        pdf = pd.DataFrame({
+            "doc_id": range(len(sizes)),
+            "media": [None if s == 0 else b"x" * s for s in sizes],
+        })
+        chunks = list(bounded_payload_chunks([pdf], "media", max_bytes))
+        for c in chunks:
+            total = sum(0 if p is None else len(p) for p in c["media"])
+            assert total <= max_bytes or len(c) == 1
+        if sizes:
+            cat = pd.concat(chunks) if chunks else pd.DataFrame()
+            assert list(cat["doc_id"]) == list(range(len(sizes)))
+        else:
+            assert chunks == []
+
+    check()
+
+
+def test_oversized_payloads_bounded_end_to_end(spark):
+    """Feed payloads far larger than the byte bound through
+    decode_media_meta and the sample_frames fan-out with
+    max_batch_bytes=64 KiB: every row still processes (indivisible
+    rows go through alone rather than being dropped) and results equal
+    the unbounded run — the bound changes memory shape, not output."""
+    rows = [(i, bytearray((b"%03d" % i) * 100_000)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    bound = 64 * 1024      # each payload is ~300 KB > the bound
+
+    meta = {r.doc_id: r.media_meta.n_bytes
+            for r in decode_media_meta(df, max_batch_bytes=bound).collect()}
+    assert meta == {i: 300_000 for i in range(6)}
+
+    def head_decoder(payload):
+        return [(0, bytearray(bytes(payload)[:4]))]
+
+    bounded = sorted(
+        (r.doc_id, bytes(r.frame))
+        for r in sample_frames(df, id_cols=["doc_id"],
+                               decoder=head_decoder,
+                               max_batch_bytes=bound).collect()
+    )
+    unbounded = sorted(
+        (r.doc_id, bytes(r.frame))
+        for r in sample_frames(df, id_cols=["doc_id"],
+                               decoder=head_decoder).collect()
+    )
+    assert bounded == unbounded
+    assert len(bounded) == 6
+
+
 def test_sample_frames_fan_out_with_injected_decoder(media_df):
     """The Spark-side plumbing (schema, Arrow batching, one row per
     frame) is real and runs without any AV library: inject a

@@ -218,6 +218,78 @@ def test_stream_dedup_suppresses_redelivery_across_batches(spark, tmp_path):
     ) == [1, 2, 3]
 
 
+def test_rocksdb_state_store_is_default(spark):
+    """session.py pins the RocksDB provider + changelog checkpointing:
+    keyed state lives off-heap/on-disk, so stateful topologies don't
+    OOM the JVM as state grows — the 100 TB requirement."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".changelogCheckpointing.enabled"
+    ) == "true"
+
+
+def test_restart_with_evolved_state_schema(spark, tmp_path):
+    """Upgrade path: a checkpoint written by operator v1 restarts under
+    v2, which adds a column (n_stale_dropped) to the CDC guard. The
+    physical state schema is version+payload (stateful.py), so the
+    state-schema compatibility check passes and v1 state carries over
+    with the new field defaulted — state outlives code."""
+    from mydatalake_spark.streaming.stateful import running_latest_evolvable
+
+    src = tmp_path / "evolve_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "evolve_ckpt")
+
+    # --- run 1: operator v1 (no stale counter) establishes state ---
+    _write_batch(src / "a.json", [(1, "2024-01-01T02:00:00", 7, "view", 9.0)])
+    out = running_latest_evolvable(
+        stream_from_json_dir(spark, str(src), EVENT_SCHEMA),
+        key_col="user_id", ts_col="ts", version=1,
+    )
+    assert "n_stale_dropped" not in out.columns
+    rows1: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _id: rows1.extend(df.collect())
+        )
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination(120)
+    got1 = {r.key: r for r in rows1}
+    assert got1[7].latest_value == 9.0 and got1[7].n_updates == 1
+
+    # --- run 2: SAME checkpoint, operator v2 (adds the column); the
+    # new batch carries one stale event (ts < state) and one fresh ---
+    _write_batch(src / "b.json", [
+        (2, "2024-01-01T01:00:00", 7, "view", 1.0),   # stale vs state
+        (3, "2024-01-01T03:00:00", 7, "view", 5.0),   # fresh
+    ])
+    out2 = running_latest_evolvable(
+        stream_from_json_dir(spark, str(src), EVENT_SCHEMA),
+        key_col="user_id", ts_col="ts", version=2,
+    )
+    rows2: list = []
+    q2 = (
+        out2.writeStream.foreachBatch(
+            lambda df, _id: rows2.extend(df.collect())
+        )
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r.key: r for r in rows2}
+    # v1 state survived: n_updates continues from 1 → 2; the stale
+    # event hit the carried-over CDC guard (ts from run 1), and the
+    # NEW column counted it starting from its default
+    assert got2[7].latest_value == 5.0
+    assert got2[7].n_updates == 2
+    assert got2[7].n_stale_dropped == 1
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     from mydatalake_spark.streaming.events import stream_interval_join
 
