@@ -48,6 +48,7 @@ from mydatalake_spark.operators.merge import merge_upsert
 from mydatalake_spark.operators.neardup import (
     cosine_neardup_pairs,
     exact_dedup,
+    incremental_minhash_candidates,
     minhash_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -55,6 +56,7 @@ from mydatalake_spark.operators.neardup import (
     simhash_hamming_pairs,
     verify_candidates_jaccard,
     winnow_fingerprints,
+    winnow_pairs,
 )
 from mydatalake_spark.quality.checks import annotate
 from mydatalake_spark.quality.runner import AGG_KEYS
@@ -2618,28 +2620,17 @@ SELECT doc_id, UNNEST(fps) AS fingerprint FROM sel
 
 
 def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs from winnowing fingerprints: explode →
-    self-equi-join on fingerprint → count shared ≥ 40. The join is on
-    the fingerprint hash (bucketed, like the minhash band join and the
-    shingle join) — NEVER an all-pairs comparison; hot fingerprints
-    bound the blow-up exactly like hot shingles in
-    ngram_jaccard_pairs (same DF-cap mitigation applies at scale)."""
+    """Near-dup candidate pairs from winnowing fingerprints
+    (operators/neardup.py:winnow_pairs): explode → stop-fingerprint
+    DF-cap (≤100 docs) → self-equi-join on fingerprint → count shared
+    ≥ 40. The join is on the fingerprint hash (bucketed, like the
+    minhash band join) — never all-pairs — and the DF cap bounds the
+    Σdf² join blow-up that a single ubiquitous fingerprint would
+    cause (r3 bench: 82 s → sub-second at sf0.1). The oracle applies
+    the identical cap, so the hash check pins both the winnowing
+    selection and the stop-fingerprint semantics."""
     docs = _t(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
-    )
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 40)
-    )
+    return winnow_pairs(docs, k=8, w=4, min_shared=40, max_df=100)
 
 
 _WINNOW_PAIRS_ORACLE = r"""
@@ -2660,10 +2651,14 @@ WITH n AS (
   FROM h
 ), ex AS (
   SELECT doc_id, UNNEST(fps) AS fp FROM sel
+), dfreq AS (
+  SELECT fp, COUNT(*) AS c FROM ex GROUP BY fp
+), keep AS (
+  SELECT ex.doc_id, ex.fp FROM ex JOIN dfreq USING (fp) WHERE c <= 100
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM ex a JOIN ex b USING (fp)
+FROM keep a JOIN keep b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 40
@@ -2931,7 +2926,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos >= 0.45 pair set (32 bands × 3 bits ⇒ recall 1.0 measured at
     sf0.001 and sf0.01 — collision prob per band ≈ 0.27, miss prob per
     pair ≈ 0.73³² ≈ 4e-5). This is the path a 1000-executor corpus
-    takes; the oracle proves it loses nothing here."""
+    takes; the oracle proves it loses nothing here.
+
+    Cost note: threshold 0.45 on THIS synthetic corpus (random
+    vectors, max pair cos ≈ 0.6) is sign-LSH's adversarial regime —
+    recall-1.0 banding barely prunes, so candidates ≈ all pairs and
+    the local timing is a worst case. Real near-dup corpora cluster
+    at cos ≥ 0.9, where the same banding prunes hard; and ≤1M-row
+    corpora never take this path (auto-route → BLAS exact,
+    sub-second here). Candidates travel id-only; vectors re-attach
+    per distinct pair (neardup.py:cosine_neardup_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(
         emb, threshold=0.45, exact=False, dim=64,
@@ -2947,6 +2951,57 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
+"""
+
+
+def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup, VERIFIED end-to-end: docs with
+    doc_id >= 400 play the daily increment, the rest the persisted
+    corpus. Increment signatures band-join against (corpus ∪
+    increment) — never corpus × corpus — then exact-verify. The oracle
+    is the exact shingle-Jaccard ≥ 0.2 pair set restricted to pairs
+    touching the increment, so the hash check proves the incremental
+    path finds exactly what a full re-run would have found for the new
+    docs (operators/neardup.py:incremental_minhash_candidates)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 400)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new_sigs = minhash_signatures(new, num_hashes=32, shingle_n=3).cache()
+    corpus_sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
+    cand = incremental_minhash_candidates(new_sigs, corpus_sigs, n_bands=8)
+    return verify_candidates_jaccard(cand, docs, n=3, threshold=0.2)
+
+
+_INCREMENTAL_NEARDUP_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(t, '\s+') AS w FROM n
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+      i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' '))) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b USING (sg)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(ni / (sa.ns + sb.ns - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni / (sa.ns + sb.ns - ni) >= 0.2
+  AND (id_a >= 400 OR id_b >= 400)
 """
 
 
@@ -3100,6 +3155,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3: must land in the checked prefix ---
         "decontaminate_documents": decontaminate_documents,
         "repetition_stats_documents": repetition_stats_documents,
+        "incremental_neardup_documents": incremental_neardup_documents,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3209,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_ORACLE,
         "decontaminate_documents": _DECONTAM_ORACLE,
         "repetition_stats_documents": _REPETITION_ORACLE,
+        "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

@@ -56,6 +56,10 @@ HEADLINE = [
     "similarity_topk",
     "embedding_neardup",
     "asof_enrich_clicks",
+    "winnow_pairs_documents",
+    "decontaminate_documents",
+    "repetition_stats_documents",
+    "incremental_neardup_documents",
 ]
 
 
@@ -186,8 +190,16 @@ def bench_dq_pass_modes(spark) -> dict:
     n_pass: the reference architecture (lib/checker.py:296-308 +
     checker_handler.py:101-113) — one long-format frame per test,
     unionByName fold, so the plan scans lineitem 16 times.
-    Identical output rows (sanity-checked once); the ratio is the
-    cost of the architecture, not the predicates.
+    Identical output rows (sanity-checked once).
+
+    Reported evidence is BOTH wall time and the physical plan's scan
+    count. Locally the 16 redundant scans are nearly free (a 76 MB
+    page-cache-resident file) while the single-pass chains its two
+    window sorts sequentially where n_pass runs branches in parallel —
+    so wall times are close at this size. The structural claim is the
+    scan count: at 100 TB the table does not fit in cache and each
+    extra scan is a full storage pass, which is why the engine
+    compiles checks single-pass.
     """
     from functools import reduce
 
@@ -223,6 +235,10 @@ def bench_dq_pass_modes(spark) -> dict:
     # same row count from both shapes (cheap sanity, not timed)
     assert single_pass().count() == n_pass().count()
 
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet")
+
     out = {}
     for mode, fn in (("single_pass", single_pass), ("n_pass", n_pass)):
         def run():
@@ -232,6 +248,7 @@ def bench_dq_pass_modes(spark) -> dict:
 
         run()                                  # warm
         out[f"{mode}_sec"] = min(run(), run())
+        out[f"{mode}_scans"] = n_scans(fn())
     out["n_pass_over_single"] = round(
         out["n_pass_sec"] / out["single_pass_sec"], 2
     )
@@ -280,7 +297,9 @@ def bench_scaling(spark, qs) -> dict:
                 return round(time.perf_counter() - start, 3)
 
             run()                              # warm
-            times[tag] = min(run(), run())
+            # one timed run: the quadratic-vs-linear signal (10× vs
+            # 100×) is far above host noise; keep bench wall-time down
+            times[tag] = run()
         out[name] = {
             "small_sec": times["small"],
             "big_sec": times["big"],

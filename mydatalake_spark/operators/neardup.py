@@ -176,6 +176,116 @@ def minhash_candidates(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 40,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: explode →
+    DF-cap → self-equi-join on fingerprint → count shared ≥
+    ``min_shared``.
+
+    ``max_df`` drops STOP-FINGERPRINTS — hashes occurring in more than
+    ``max_df`` documents (boilerplate/common substrings). This is the
+    standard MOSS refinement, and at scale it is load-bearing, not
+    cosmetic: join output grows as Σ df(fp)², so one fingerprint
+    shared by 3% of a corpus single-handedly quadratics the join
+    (measured at sf0.1: hottest fp in 3,379/5,000 docs → 190M join
+    rows, 82 s; capped at 100 → sub-second). A ubiquitous fingerprint
+    also carries no near-dup signal — dropping it is what makes
+    "shared fingerprints" mean similarity rather than popularity.
+    The DF computation is one cheap aggregate on the exploded
+    fingerprints; ``max_df=None`` disables the cap.
+    """
+    # The exploded fingerprints feed three plan branches (the DF
+    # aggregate and both join sides); without a cache the md5-window
+    # selection expression recomputes 3×. In a real pipeline this
+    # frame is a persisted silver table (like minhash signatures).
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w))
+        .alias("fp"),
+    ).cache()
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df__"))
+        fps = fps.join(
+            dfreq.filter(F.col("__df__") <= max_df).select("fp"), "fp"
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def incremental_minhash_candidates(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs for an INCREMENT against a persisted corpus —
+    the production dedup cadence (daily batch vs. the accumulated
+    signature table), where re-running the full self-join would redo
+    all historical work.
+
+    Band-joins the increment's signatures against (corpus ∪ increment),
+    so it finds both new-vs-corpus and new-vs-new pairs; cost scales
+    with |increment| × collision rate, NOT |corpus|² — the corpus side
+    is only scanned and hashed once per run (and its banded form can
+    itself be a persisted table, making the incremental run's shuffle
+    proportional to the increment alone). Pairs are canonicalized
+    (id_a < id_b) and deduplicated across bands.
+    """
+    def banded(sigs: DataFrame) -> DataFrame:
+        sig = sigs.filter(F.col("signature").isNotNull())
+        rows_per_band = F.floor(
+            F.size("signature") / F.lit(n_bands)
+        ).cast("int")
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"),
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band,
+                            ).cast("string")
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded(new_sigs).alias("a")
+    right = banded(corpus_sigs.unionByName(new_sigs)).alias("b")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -408,11 +518,17 @@ def cosine_neardup_pairs(
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
     )
-    normed = df.select(F.col(id_col), unit.alias("_nv"))
+    # Cached: feeds the banding AND both verify-side vector attaches.
+    normed = df.select(F.col(id_col), unit.alias("_nv")).cache()
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
+    # Candidates are NARROW (ids only): carrying the vectors through
+    # the band join would shuffle |candidates| × 2 vectors (~1 KB/row
+    # at 64-dim double — measured 10× slower at sf0.1); instead pairs
+    # dedupe as 16-byte rows and the vectors attach afterwards via two
+    # id-joins against the corpus — the standard candidates→verify
+    # shape (minhash_candidates → verify_candidates_jaccard).
     banded = normed.select(
         id_col,
-        "_nv",
         F.explode(
             F.array(*[
                 F.struct(
@@ -423,25 +539,27 @@ def cosine_neardup_pairs(
                 for band in range(n_bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "_nv", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_nv").alias("_va"),
-        "band", "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb"),
-        "band", "bucket",
-    )
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col("_nv").alias("_va")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb")
+    )
     score = dot(F.col("_va"), F.col("_vb"))
     return (
-        pairs.select("id_a", "id_b", score.alias("_s"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score.alias("_s"))
         .filter(F.col("_s") >= threshold)
         .select("id_a", "id_b", F.round("_s", 4).alias("score"))
     )

@@ -121,6 +121,22 @@ SHOWCASE = [
         "partition-order dependence — the property that makes the split\n"
         "reproducible on any cluster at any parallelism.",
     ),
+    (
+        "decontaminate_documents",
+        "Benchmark decontamination: the holdout's distinct n-grams end in a\n"
+        "BroadcastHashJoin build side, so the 100 TB corpus side is probed\n"
+        "map-side during its own scan — contamination detection adds no\n"
+        "corpus shuffle; only per-doc hit counts (KBs) aggregate.",
+    ),
+    (
+        "winnow_pairs_documents",
+        "Winnowing near-dup pairs with the stop-fingerprint DF-cap: join\n"
+        "output grows as sum(df^2) per fingerprint, so one ubiquitous hash\n"
+        "quadratics the join (measured 82 s before the cap at sf0.1, ~2.5 s\n"
+        "after). The cap is one cheap aggregate + semi-join on the exploded\n"
+        "fingerprints before the pair join — popularity keys never reach\n"
+        "the shuffle.",
+    ),
 ]
 
 

@@ -5,10 +5,12 @@ from pyspark.sql import functions as F
 from mydatalake_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from mydatalake_spark.operators.neardup import (
     exact_dedup,
+    incremental_minhash_candidates,
     minhash_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    winnow_pairs,
 )
 from mydatalake_spark.similarity.search import brute_force_topk, lsh_topk
 
@@ -99,6 +101,48 @@ def test_minhash_candidates_surface_near_dups(spark):
         spark.createDataFrame([(9, " ")], "doc_id long, text string")
     ).first()
     assert empty.signature is None
+
+
+def test_incremental_candidates_match_full_self_join(spark):
+    """Splitting the corpus into (corpus, increment) and running the
+    incremental band join must surface exactly the full self-join's
+    pairs that touch the increment — the invariant that makes daily
+    incremental dedup equivalent to a full re-run for new docs."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(sigs, n_bands=8).collect()
+    }
+    new_ids = {3, 4}
+    new_sigs = sigs.filter(F.col("doc_id").isin(*new_ids))
+    corpus_sigs = sigs.filter(~F.col("doc_id").isin(*new_ids))
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_candidates(
+            new_sigs, corpus_sigs, n_bands=8
+        ).collect()
+    }
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert all(a < b for a, b in inc)            # canonicalized
+
+
+def test_winnow_pairs_df_cap_drops_stop_fingerprints(spark):
+    """A fingerprint present in every doc must not manufacture pairs:
+    docs sharing ONLY the ubiquitous boilerplate line pair up without
+    the cap and stop pairing once the cap excludes it."""
+    boiler = "common boilerplate header line shared by every document"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " iota kappa lamda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_pairs(df, min_shared=5, max_df=None).collect()
+    capped = winnow_pairs(df, min_shared=5, max_df=2).collect()
+    assert len(uncapped) == 3            # boilerplate pairs everyone
+    assert capped == []                  # cap kills popularity pairs
 
 
 def test_simhash_properties(spark):
