@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mydatalake_spark.functions.text import (
+    bm25_scores,
     chunk_text,
     doc_fingerprint,
     lang_guess,
@@ -2954,6 +2955,46 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 """
 
 
+_BM25_TERMS = ["data", "spark", "table"]
+
+
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed probe
+    query ([extension] — retrieval primitive for corpus curation).
+    One corpus-stats aggregate (N, avgdl, per-term df → a single row)
+    broadcasts back over the corpus; the per-doc score is then a pure
+    projection — no explode, one shuffle total
+    (functions/text.py:bm25_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    k1, b = 1.2, 0.75
+    tf = {t: f"CAST(LEN(LIST_FILTER(t, x -> x = '{t}')) AS DOUBLE)"
+          for t in _BM25_TERMS}
+    dfc = {t: f"SUM(CASE WHEN LIST_CONTAINS(t, '{t}') THEN 1 ELSE 0 END)"
+           for t in _BM25_TERMS}
+    parts = " + ".join(
+        f"LN(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * ({tf[t]} * {k1 + 1})"
+        f" / ({tf[t]} + {k1} * ({1 - b} + {b} * LEN(t) / avgdl))"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(f"{dfc[t]} AS df{i}" for i, t in enumerate(_BM25_TERMS))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(LEN(t)) AS avgdl, {dfs} FROM toks
+)
+SELECT doc_id, ROUND({parts}, 4) AS bm25 FROM toks, stats
+"""
+
+
 def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup, VERIFIED end-to-end: docs with
     doc_id >= 400 play the daily increment, the rest the persisted
@@ -3156,6 +3197,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": decontaminate_documents,
         "repetition_stats_documents": repetition_stats_documents,
         "incremental_neardup_documents": incremental_neardup_documents,
+        "bm25_documents": bm25_documents,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3266,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": _DECONTAM_ORACLE,
         "repetition_stats_documents": _REPETITION_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
+        "bm25_documents": _bm25_oracle(),
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

@@ -215,3 +215,70 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         )
 
     return let(tokens(normalize_text(col)), build)
+
+
+def bm25_scores(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> "DataFrame":
+    """Okapi BM25 relevance of every document against a fixed query
+    (Robertson/Spärck Jones; the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf form, which keeps idf positive).
+
+    [extension] Retrieval primitive for training-data curation (score
+    corpora against topic probes). Two-step shape that scales:
+
+    1. ONE corpus aggregate computes N, avg document length, and each
+       query term's document frequency (a single partial-agg shuffle
+       producing ONE row);
+    2. that row broadcasts back (cross join of a 1-row frame) and the
+       per-doc score is a pure projection — term frequencies via
+       ``size(filter(tokens, ...))``, no explode, no second shuffle.
+
+    Scores round to ``round_to`` decimals: ln/division are IEEE-double
+    but not bit-specified across engines; 4 decimals is far above ulp
+    noise (the cross-engine precision contract, like stats_lineitem).
+    """
+    toks = F.coalesce(
+        tokens(normalize_text(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.avg(F.size("__toks__")).alias("__avgdl__"),
+        *[
+            F.sum(
+                F.array_contains("__toks__", t).cast("int")
+            ).alias(f"__df_{i}__")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+
+    dl = F.size("__toks__").cast("double")
+    parts = []
+    for i, t in enumerate(query_terms):
+        tf = F.size(
+            F.filter("__toks__", lambda x: x == F.lit(t))
+        ).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n__") - F.col(f"__df_{i}__") + F.lit(0.5))
+            / (F.col(f"__df_{i}__") + F.lit(0.5))
+        )
+        parts.append(
+            idf * (tf * (k1 + 1))
+            / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * dl / F.col("__avgdl__")))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return base.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.round(score, round_to).alias("bm25")
+    )

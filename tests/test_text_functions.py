@@ -60,3 +60,28 @@ def test_shingles(spark):
     got = _one(spark, "a b c d", shingles("text", 3))
     assert sorted(got) == ["a b c", "b c d"]
     assert _one(spark, "a b", shingles("text", 3)) == []
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+
+    from mydatalake_spark.functions.text import bm25_scores
+
+    rows = [(1, "data data spark"), (2, "table"), (3, "other words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["data"]).collect()}
+
+    # independent computation of Okapi BM25 (Lucene idf form)
+    n, dfq, avgdl, k1, b = 3, 1, 7 / 3, 1.2, 0.75
+    idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == round(score(2, 3), 4)
+    assert got[2] == 0.0 and got[3] == 0.0          # term absent
+    # multi-term query adds per-term contributions
+    got2 = {r.doc_id: r.bm25
+            for r in bm25_scores(df, ["data", "table"]).collect()}
+    assert got2[2] > 0.0
+    assert got2[1] == got[1]                        # no 'table' in doc 1
