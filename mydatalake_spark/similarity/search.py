@@ -279,21 +279,23 @@ def ivf_topk(
                 if n > 0:
                     centroids[c] = m / n
 
-    cent_lits = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ]
+    # One parsed SQL expression for all centroid dots — same driver-
+    # side py4j economics as _sign_bits (identical Catalyst ops).
+    def _cell_scores_sql(vec_name: str) -> "F.Column":
+        dots = ", ".join(
+            "aggregate(zip_with(`{v}`, array({arr}), "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)".format(
+                v=vec_name,
+                arr=", ".join(f"{float(x)!r}D" for x in c),
+            )
+            for c in centroids
+        )
+        return F.expr(f"array({dots})")
 
     def _cell_scores(vec) -> "F.Column":
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(vec, cl, lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cl in cent_lits
-            ]
-        )
+        name = str(vec) if not hasattr(vec, "_jc") else vec._jc.toString()
+        return _cell_scores_sql(name)
 
     def _argmax(scores) -> "F.Column":
         return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
