@@ -2955,6 +2955,73 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 """
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user
+    ([extension] product-analytics op; no reference analogue). Each
+    step's timestamp is the MIN event time STRICTLY AFTER the previous
+    step (the min-subquery funnel form — deterministic under ts ties,
+    unlike a sequential-scan fold). Each stage scans only its
+    event-type slice (filter pushed to the parquet scan) and shuffles
+    that slice once on user_id; the per-user step tables are tiny
+    aggregates, so at 100 TB the cost is three pruned scans + three
+    keyed shuffles of per-type subsets, never the full table twice."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    u2 = (
+        ev.join(u1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    u3 = (
+        ev.join(u2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        u1.join(u2, "user_id", "left")
+        .join(u3, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t_view
+  GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t_click
+  GROUP BY e.user_id
+)
+SELECT u1.user_id, u1.t_view, u2.t_click, u3.t_purchase,
+  1 + CAST(u2.t_click IS NOT NULL AS INTEGER)
+    + CAST(u3.t_purchase IS NOT NULL AS INTEGER) AS funnel_depth
+FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+LEFT JOIN u3 ON u1.user_id = u3.user_id
+"""
+
+
 _BM25_TERMS = ["data", "spark", "table"]
 
 
@@ -3198,6 +3265,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": repetition_stats_documents,
         "incremental_neardup_documents": incremental_neardup_documents,
         "bm25_documents": bm25_documents,
+        "funnel_events": funnel_events,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3309,6 +3377,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": _REPETITION_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
+        "funnel_events": _FUNNEL_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

@@ -60,6 +60,8 @@ HEADLINE = [
     "decontaminate_documents",
     "repetition_stats_documents",
     "incremental_neardup_documents",
+    "bm25_documents",
+    "funnel_events",
 ]
 
 
