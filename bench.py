@@ -350,9 +350,17 @@ def main() -> None:
             dt = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    skew = bench_skew(spark)
-    dq_modes = bench_dq_pass_modes(spark)
-    scaling = bench_scaling(spark, qs)
+    # Optional evidence sections must never cost us the headline JSON
+    # line: a failure records an error string instead of aborting.
+    def section(fn, *args):
+        try:
+            return fn(spark, *args)
+        except Exception as e:          # pragma: no cover - defensive
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    skew = section(bench_skew)
+    dq_modes = section(bench_dq_pass_modes)
+    scaling = section(bench_scaling, qs)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

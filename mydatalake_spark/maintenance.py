@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import Catalog
 
@@ -106,5 +107,77 @@ def write_clustered(
         else df.repartitionByRange(*cluster_by)
     )
     part.sortWithinPartitions(*cluster_by).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_key(
+    cols: list[str],
+    mins: list[int],
+    maxs: list[int],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key over ``cols``: each column normalizes to a
+    ``bits``-bit integer inside its [min, max] domain, then the bits
+    interleave (bit j of column c lands at position j*n_cols + c).
+    Pure integer Column arithmetic — no UDF.
+
+    Sorting by this key gives every column locality simultaneously,
+    which single-column range clustering cannot: with k files along a
+    2-D Z-curve each file covers ~sqrt(1/k) of EACH dimension, so
+    selective predicates on either column skip most row groups.
+    """
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(int(hi) - int(lo), 1)
+        scaled.append(
+            (
+                (F.col(c).cast("long") - F.lit(int(lo)))
+                * F.lit((1 << bits) - 1) / F.lit(span)
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for ci, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, j).bitwiseAND(F.lit(1)), j * n + ci
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-cluster a table on multiple columns before writing —
+    the plain-parquet analogue of Delta's OPTIMIZE ZORDER BY for the
+    multi-column case (write_clustered covers single-column range
+    clustering). Column domains come from one min/max aggregate (a
+    single driver row); the Morton key is computed in-plan, files are
+    range-partitioned on it, and rows sort by it within files so
+    every clustered column's row-group min/max stats are tight.
+    Footer-level skipping evidence is asserted in tests/test_scale.py.
+    """
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"__min_{c}__")
+          for c in cluster_by],
+        *[F.max(F.col(c).cast("long")).alias(f"__max_{c}__")
+          for c in cluster_by],
+    ).first()
+    mins = [bounds[f"__min_{c}__"] for c in cluster_by]
+    maxs = [bounds[f"__max_{c}__"] for c in cluster_by]
+    keyed = df.withColumn(
+        "__z__", zorder_key(cluster_by, mins, maxs, bits)
+    )
+    part = (
+        keyed.repartitionByRange(n_files, "__z__")
+        if n_files
+        else keyed.repartitionByRange("__z__")
+    )
+    part.sortWithinPartitions("__z__").drop("__z__").write.mode(
         "overwrite"
     ).parquet(path)

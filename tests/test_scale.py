@@ -119,3 +119,56 @@ def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(100_000))
+
+
+def test_write_zordered_gives_both_columns_locality(spark, tmp_path):
+    """Multi-column data skipping: after Z-ordering on (x, y), each
+    file's footer range on EACH column is a fraction of the global
+    domain (a 2-D Z-curve cell), so selective predicates on either
+    column prune row groups. Single-column range clustering can only
+    do this for its one key."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.maintenance import write_zordered
+
+    # two independent uniform dimensions
+    df = spark.range(100_000).select(
+        F.pmod(F.hash("id"), 10_000).alias("x"),
+        F.pmod(F.hash(F.col("id") + 1), 10_000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, ["x", "y"], n_files=16)
+
+    spans = {"x": [], "y": []}
+    schema_cols = None
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if schema_cols is None:
+            schema_cols = [
+                md.row_group(0).column(i).path_in_schema
+                for i in range(md.row_group(0).num_columns)
+            ]
+        for name in ("x", "y"):
+            idx = schema_cols.index(name)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[name].append(max(maxs) - min(mins))
+    assert len(spans["x"]) >= 8
+    # pmod → domain [0, 10000); 16 files on a 2-D Z-curve ≈ a 4×4
+    # grid, so each file spans ~1/4 (~2500) of EACH dimension. A
+    # random (or single-column-clustered) layout gives the full
+    # ~10000 span on at least one dimension.
+    for name in ("x", "y"):
+        avg_span = sum(spans[name]) / len(spans[name])
+        assert avg_span < 5_000, (name, avg_span)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(100_000))
