@@ -40,6 +40,7 @@ from mydatalake_spark.operators.sampling import (
     stratified_sample,
 )
 from mydatalake_spark.operators.asof import asof_join
+from mydatalake_spark.operators.clusters import dedup_clusters
 from mydatalake_spark.operators.decontam import (
     decontaminate,
     repetition_stats,
@@ -2955,6 +2956,66 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 """
 
 
+def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution, VERIFIED end-to-end: exact
+    shingle-Jaccard pairs (≥ 0.2) → connected components (min-label
+    fixpoint — deterministic under any execution order) → one
+    canonical survivor per cluster. Every document gets (cluster_id,
+    keep); filtering keep IS the deduplicated corpus. The oracle
+    replays the transitive closure with a recursive CTE, so the hash
+    check covers the iterative algorithm, not just one hop
+    (operators/clusters.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs)
+
+
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+      i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' '))) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b USING (sg)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.ns + sb.ns - ni) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS node, MIN(label) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+  COALESCE(cc.component, d.doc_id) AS cluster_id,
+  COALESCE(cc.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+
+
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase per user
     ([extension] product-analytics op; no reference analogue). Each
@@ -3266,6 +3327,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup_documents": incremental_neardup_documents,
         "bm25_documents": bm25_documents,
         "funnel_events": funnel_events,
+        "neardup_clusters_documents": neardup_clusters_documents,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3378,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,
+        "neardup_clusters_documents": _CLUSTERS_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

@@ -62,6 +62,7 @@ HEADLINE = [
     "incremental_neardup_documents",
     "bm25_documents",
     "funnel_events",
+    "neardup_clusters_documents",
 ]
 
 
