@@ -2956,6 +2956,65 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
 """
 
 
+_DQ_OUTLIER_SPECS = [
+    {"column": "l_extendedprice", "test_type": "outlier",
+     "test_name": "outlier_price", "mandate": "local_optional",
+     "kwargs": {"k": 2.0}},
+    {"column": "l_quantity", "test_type": "outlier",
+     "test_name": "outlier_qty", "mandate": "local_optional",
+     "kwargs": {"k": 3.0}},
+]
+
+
+def dq_outlier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative outlier checks (Q-extension beyond the
+    reference's row-local Q1-Q7): |x − mean| > k·stddev. annotate()
+    computes one stats row and broadcasts it back, so the check pass
+    itself stays single-scan (quality/checks.py:failed_outlier).
+    l_quantity is uniform (its 3σ band exceeds the domain → all pass)
+    while l_extendedprice's 2σ band flags the long tail — both the
+    all-pass and mixed cases are exercised."""
+    li = _t(spark, sf_dir, "lineitem")
+    return annotate(
+        li, _DQ_OUTLIER_SPECS, ["l_orderkey", "l_linenumber"],
+        run_date=RUN_DATE,
+    )
+
+
+_DQ_OUTLIER_ORACLE = f"""
+WITH stats AS (
+  SELECT AVG(l_extendedprice) AS m_e, STDDEV_SAMP(l_extendedprice) AS s_e,
+         AVG(l_quantity) AS m_q, STDDEV_SAMP(l_quantity) AS s_q
+  FROM lineitem
+),
+keyed AS (
+  SELECT *, CONCAT_WS('_', CAST(l_orderkey AS VARCHAR),
+                      CAST(l_linenumber AS VARCHAR)) AS df_key
+  FROM lineitem
+)
+SELECT df_key, 'outlier' AS test_type, 'local_optional' AS mandate,
+  'l_extendedprice' AS "column", 'outlier_price' AS test_name,
+  DATE '{RUN_DATE}' AS run_date,
+  CASE WHEN s_e IS NOT NULL AND s_e > 0
+            AND ABS(l_extendedprice - m_e) > 2.0 * s_e
+       THEN 'failed' ELSE 'passed' END AS check_result,
+  CASE WHEN s_e IS NOT NULL AND s_e > 0
+            AND ABS(l_extendedprice - m_e) > 2.0 * s_e
+       THEN 0 ELSE 1 END AS check_score
+FROM keyed, stats
+UNION ALL
+SELECT df_key, 'outlier', 'local_optional', 'l_quantity', 'outlier_qty',
+  DATE '{RUN_DATE}',
+  CASE WHEN s_q IS NOT NULL AND s_q > 0
+            AND ABS(l_quantity - m_q) > 3.0 * s_q
+       THEN 'failed' ELSE 'passed' END,
+  CASE WHEN s_q IS NOT NULL AND s_q > 0
+            AND ABS(l_quantity - m_q) > 3.0 * s_q
+       THEN 0 ELSE 1 END
+FROM keyed, stats
+"""
+
+
 def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution, VERIFIED end-to-end: exact
     shingle-Jaccard pairs (≥ 0.2) → connected components (min-label
@@ -3328,6 +3387,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_documents": bm25_documents,
         "funnel_events": funnel_events,
         "neardup_clusters_documents": neardup_clusters_documents,
+        "dq_outlier_lineitem": dq_outlier_lineitem,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3441,6 +3501,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,
         "neardup_clusters_documents": _CLUSTERS_ORACLE,
+        "dq_outlier_lineitem": _DQ_OUTLIER_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,

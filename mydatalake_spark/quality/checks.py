@@ -127,6 +127,30 @@ def failed_pattern_mismatch(column: str, pattern: str = "", **_: Any) -> Column:
     return ~F.col(column).rlike(pattern)
 
 
+def failed_outlier(
+    column: str, k: float = 3.0, **_: Any
+) -> Column:
+    """Q-extension (no reference analogue): corpus-relative outlier —
+    value more than ``k`` standard deviations from the column mean.
+
+    Unlike Q1-Q7 this check needs CORPUS statistics, which annotate()
+    provides by computing one tiny stats aggregate over the table and
+    broadcasting the single row back (columns ``__mean_{col}__`` /
+    ``__std_{col}__``) — the check expression itself stays a pure
+    row-local predicate, so the single-pass compilation is preserved
+    (one stats pass + one check pass; a corpus-relative check cannot
+    do better). Degenerate corpora (constant column, < 2 rows ⇒ null
+    or zero stddev) flag nothing rather than everything.
+    """
+    m = F.col(f"__mean_{column}__")
+    s = F.col(f"__std_{column}__")
+    return (
+        s.isNotNull()
+        & (s > 0)
+        & (F.abs(F.col(column).cast("double") - m) > F.lit(float(k)) * s)
+    )
+
+
 def failed_type_mismatch(column: str, expected_type: str = "string", **_: Any) -> Column:
     """Q7 (reference lib/checker.py:257-275): cast fails on a non-null
     value. Uses try_cast so the check is ANSI-mode safe (plain cast
@@ -143,6 +167,7 @@ CHECKS = {
     "not_in_list": failed_not_in_list,
     "pattern_mismatch": failed_pattern_mismatch,
     "type_mismatch": failed_type_mismatch,
+    "outlier": failed_outlier,
 }
 
 
@@ -193,6 +218,23 @@ def annotate(
         hashed_key(key_cols).cast("string") if use_hashed_key
         else composite_key(key_cols),
     )
+
+    # Corpus-relative checks (outlier): one tiny stats aggregate over
+    # the table, broadcast back as a single row. Adds exactly one
+    # extra (column-pruned) scan; every other check stays in the
+    # single main pass.
+    outlier_cols = sorted({
+        spec["column"] for spec in column_tests
+        if spec["test_type"] == "outlier"
+    })
+    if outlier_cols:
+        stats = df.agg(
+            *[F.avg(F.col(c).cast("double")).alias(f"__mean_{c}__")
+              for c in outlier_cols],
+            *[F.stddev_samp(F.col(c).cast("double")).alias(f"__std_{c}__")
+              for c in outlier_cols],
+        )
+        keyed = keyed.crossJoin(F.broadcast(stats))
 
     # Stage 1: evaluate every failed-predicate as a plain boolean
     # column. Window expressions (the `duplicated` check) must resolve

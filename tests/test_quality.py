@@ -192,3 +192,26 @@ def test_runner_history_accumulates_new_run_dates(spark, prices, tmp_path):
     a2 = r2.execute([TableCheck(df=prices, meta=meta)])
     hist = cat.read("silver.checks.aggregated_checks")
     assert hist.count() == a1.count() + a2.count()
+
+
+def test_outlier_check_flags_tail_and_ignores_constant(spark):
+    """Corpus-relative outlier check (Q-extension): an extreme value
+    fails, the bulk passes, and a constant column (stddev 0) flags
+    NOTHING — degenerate stats must not fail every row."""
+    from mydatalake_spark.quality.checks import annotate
+
+    rows = [(i, float(i % 5), 7.0) for i in range(50)] + [(99, 1000.0, 7.0)]
+    df = spark.createDataFrame(rows, "id long, x double, c double")
+    specs = [
+        {"column": "x", "test_type": "outlier", "kwargs": {"k": 3.0}},
+        {"column": "c", "test_type": "outlier", "kwargs": {"k": 3.0}},
+    ]
+    out = annotate(df, specs, ["id"], run_date="2026-01-01")
+    got = {
+        (r.df_key, r.column): r.check_result for r in out.collect()
+    }
+    assert got[("99", "x")] == "failed"           # the planted outlier
+    assert got[("0", "x")] == "passed"
+    assert all(v == "passed" for (k, c), v in got.items() if c == "c")
+    # long format intact: one row per (record x test)
+    assert len(got) == 51 * 2
