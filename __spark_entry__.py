@@ -3345,11 +3345,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this registry (observed budget: 50 rows/round). Entries are
     # ordered so the prefix maximizes cumulative driver-checked
     # coverage: first the 28 queries that had no CORRECTNESS_r02 row
-    # (ANN/near-dup/sampling/pivot/stats family — all green locally via
-    # scripts/compare_oracle.py), then one representative per distinct
-    # operator family from the r2-green set. Queries past the budget
-    # were all driver-green in r2 (CORRECTNESS_r02.json) and remain in
-    # the registry + local compare harness.
+    # (ANN/near-dup/sampling/pivot/stats family), then the 8 operators
+    # new in round 3, then one representative per distinct operator
+    # family from the r2-green set. Queries past the budget were all
+    # driver-green in r2 (CORRECTNESS_r02.json) and stay verified by
+    # the full local gate (scripts/compare_oracle.py — all entries).
     return {
         # --- driver-unchecked in r2: must land in the r3 prefix ---
         "similarity_topk": similarity_topk,
