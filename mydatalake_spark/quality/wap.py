@@ -1,0 +1,132 @@
+"""Write-Audit-Publish: the DQ engine as a publish gate.
+
+[extension] The reference RECORDS check results (reference
+lib/checker_handler.py:116-194) but publishes data regardless; the
+modern lakehouse pattern gates the publish itself: stage the batch,
+audit it with the declarative checks, and only rows that pass reach
+the production table — failing rows land in a quarantine table with
+their failure reasons, and a batch whose clean fraction falls below
+``min_clean_fraction`` aborts entirely (publishes NOTHING) so a bad
+upstream can't poison the table.
+
+Scale shape: one check pass over the staged batch (annotate's
+single-scan compilation), one distinct over failing keys, and two
+anti/semi joins on the record key — all hash-shuffles on the same key.
+The production write is all-or-nothing via the catalog's staging swap,
+so readers never observe a half-published batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .checks import annotate, composite_key
+
+
+class AuditFailed(Exception):
+    """Batch rejected: clean fraction below the publish threshold."""
+
+
+@dataclass
+class AuditReport:
+    table: str
+    rows_total: int
+    rows_clean: int
+    rows_quarantined: int
+    clean_fraction: float
+    published: bool
+
+
+def write_audit_publish(
+    catalog: Catalog,
+    table: str,
+    batch: DataFrame,
+    column_tests: list[dict[str, Any]],
+    key_cols: list[str],
+    min_clean_fraction: float = 1.0,
+    quarantine_table: str | None = None,
+    mode: str = "append",
+    run_date: str | None = None,
+    as_of: str | None = None,
+) -> AuditReport:
+    """Audit ``batch`` with the declarative checks and publish only if
+    the clean fraction meets the bar.
+
+    - clean rows → ``table`` (``mode`` 'append' or 'overwrite');
+    - failing rows → ``quarantine_table`` (default ``{table}_quarantine``)
+      together with a ``failed_tests`` array naming what they violated;
+    - clean fraction < ``min_clean_fraction`` → :class:`AuditFailed`,
+      nothing is written anywhere (the quarantine write also waits —
+      an aborted batch should be retried upstream, not half-recorded).
+    """
+    if not 0.0 <= min_clean_fraction <= 1.0:
+        raise ValueError("min_clean_fraction must be in [0, 1]")
+    quarantine_table = quarantine_table or f"{table}_quarantine"
+
+    keyed = batch.withColumn("__wap_key__", composite_key(key_cols))
+    keyed.cache()
+    try:
+        rows_total = keyed.count()
+        results = annotate(
+            batch, column_tests, key_cols, run_date=run_date, as_of=as_of
+        )
+        failures = (
+            results.filter(F.col("check_result") == "failed")
+            .groupBy("df_key")
+            .agg(F.sort_array(F.collect_set("test_name"))
+                 .alias("failed_tests"))
+        )
+        dirty = keyed.join(
+            failures, keyed["__wap_key__"] == failures["df_key"]
+        ).drop("df_key")
+        clean = keyed.join(
+            failures.select("df_key"),
+            keyed["__wap_key__"] == failures["df_key"],
+            "left_anti",
+        ).drop("__wap_key__")
+
+        rows_quarantined = dirty.count()
+        rows_clean = rows_total - rows_quarantined
+        frac = 1.0 if rows_total == 0 else rows_clean / rows_total
+        if frac < min_clean_fraction:
+            raise AuditFailed(
+                f"batch for {table} is {frac:.3%} clean, below the "
+                f"{min_clean_fraction:.3%} publish bar "
+                f"({rows_quarantined}/{rows_total} rows failed checks)"
+            )
+
+        if rows_quarantined:
+            quarantined = dirty.drop("__wap_key__")
+            if catalog.exists(quarantine_table):
+                existing = catalog.read(quarantine_table)
+                catalog.overwrite_via_staging(
+                    existing.unionByName(quarantined), quarantine_table
+                )
+            else:
+                catalog.overwrite(quarantined, quarantine_table)
+
+        if mode == "overwrite" or not catalog.exists(table):
+            catalog.overwrite(clean, table)
+        elif mode == "append":
+            existing = catalog.read(table)
+            catalog.overwrite_via_staging(
+                existing.unionByName(clean), table
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        return AuditReport(
+            table=table,
+            rows_total=rows_total,
+            rows_clean=rows_clean,
+            rows_quarantined=rows_quarantined,
+            clean_fraction=frac,
+            published=True,
+        )
+    finally:
+        keyed.unpersist()

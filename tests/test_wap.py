@@ -1,0 +1,79 @@
+"""Write-Audit-Publish: checks as a publish gate."""
+
+import pytest
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.quality.wap import AuditFailed, write_audit_publish
+
+CHECKS = [
+    {"column": "px", "test_type": "outside_of_rules",
+     "test_name": "px_positive", "kwargs": {"expression": "px > 0"}},
+    {"column": "sym", "test_type": "missing", "test_name": "sym_present"},
+]
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, sym string, px double")
+
+
+def test_publish_splits_clean_and_quarantine(spark, cat):
+    batch = _batch(spark, [
+        (1, "A", 10.0),
+        (2, "B", -5.0),          # fails px_positive
+        (3, None, 7.0),          # fails sym_present
+        (4, "D", 1.0),
+    ])
+    rep = write_audit_publish(
+        cat, "silver.mkt.px", batch, CHECKS, ["id"],
+        min_clean_fraction=0.5,
+    )
+    assert (rep.rows_total, rep.rows_clean, rep.rows_quarantined) == (4, 2, 2)
+    assert rep.published
+
+    got = {r.id for r in cat.read("silver.mkt.px").collect()}
+    assert got == {1, 4}
+    quarantined = {
+        r.id: list(r.failed_tests)
+        for r in cat.read("silver.mkt.px_quarantine").collect()
+    }
+    assert quarantined == {2: ["px_positive"], 3: ["sym_present"]}
+
+
+def test_audit_failure_publishes_nothing(spark, cat):
+    batch = _batch(spark, [(1, "A", -1.0), (2, "B", 2.0)])
+    with pytest.raises(AuditFailed, match="below the"):
+        write_audit_publish(
+            cat, "silver.mkt.px2", batch, CHECKS, ["id"],
+            min_clean_fraction=0.9,
+        )
+    assert not cat.exists("silver.mkt.px2")
+    assert not cat.exists("silver.mkt.px2_quarantine")   # nothing half-recorded
+
+
+def test_append_accumulates_and_quarantine_grows(spark, cat):
+    write_audit_publish(
+        cat, "silver.mkt.px3", _batch(spark, [(1, "A", 1.0)]),
+        CHECKS, ["id"], min_clean_fraction=0.0,
+    )
+    rep = write_audit_publish(
+        cat, "silver.mkt.px3", _batch(spark, [(2, "B", 2.0), (3, "C", -3.0)]),
+        CHECKS, ["id"], min_clean_fraction=0.0,
+    )
+    assert rep.rows_quarantined == 1
+    assert {r.id for r in cat.read("silver.mkt.px3").collect()} == {1, 2}
+    assert {r.id for r in cat.read("silver.mkt.px3_quarantine").collect()} \
+        == {3}
+
+
+def test_all_clean_batch_creates_no_quarantine(spark, cat):
+    rep = write_audit_publish(
+        cat, "silver.mkt.px4", _batch(spark, [(1, "A", 1.0)]),
+        CHECKS, ["id"],
+    )
+    assert rep.clean_fraction == 1.0
+    assert not cat.exists("silver.mkt.px4_quarantine")
