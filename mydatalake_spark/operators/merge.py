@@ -68,6 +68,7 @@ def merge_upsert(
     keys: list[str],
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Latest-wins keyed upsert of ``source`` into ``target``.
 
@@ -92,9 +93,22 @@ def merge_upsert(
     produce the same merge result.
 
     Columns must match between target and source (updateAll/insertAll
-    semantics). Returns the merged DataFrame; callers persist it via
+    semantics). With ``evolve_schema=True``, ADDITIVE drift is allowed
+    (Delta ``mergeSchema`` analogue): columns the source adds are
+    appended to the target with typed nulls for all pre-existing rows.
+    Source MISSING a target column is still an error either way — an
+    upstream silently dropping fields must surface, not quietly null
+    updated rows. Returns the merged DataFrame; callers persist it via
     Catalog.overwrite (or partition-scoped overwrite at scale).
     """
+    if evolve_schema:
+        extra = [
+            f for f in source.schema.fields if f.name not in target.columns
+        ]
+        for f in extra:
+            target = target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
     cols = target.columns
     if set(cols) != set(source.columns):
         raise ValueError(

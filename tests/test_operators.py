@@ -270,3 +270,36 @@ def test_approx_quantile_check_rank_contract(spark):
     rows = ok.collect()
     assert rows[0].within_bound
     assert rows[0].exact_quantile == 4999.5
+
+
+def test_merge_evolve_schema_additive(spark):
+    """Delta mergeSchema analogue: a source batch ADDING a column
+    merges cleanly (old rows get typed nulls), but a source DROPPING
+    a column still fails loudly — silent field loss must not null
+    updated rows."""
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "t1", 10), (2, "t2", 20)], "id int, v string, ts int"
+    )
+    source = spark.createDataFrame(
+        [(1, "s1", 11, "NEW"), (3, "s3", 1, "N3")],
+        "id int, v string, ts int, tag string",
+    )
+    got = {
+        r.id: (r.v, r.tag)
+        for r in merge_upsert(
+            target, source, ["id"], "ts", evolve_schema=True
+        ).collect()
+    }
+    assert got == {
+        1: ("s1", "NEW"),      # updated, new column populated
+        2: ("t2", None),       # untouched row: typed null
+        3: ("s3", "N3"),       # inserted
+    }
+
+    # dropping a column is never silently accepted
+    short = spark.createDataFrame([(9, 5)], "id int, ts int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="identical columns"):
+        merge_upsert(target, short, ["id"], "ts", evolve_schema=True)
