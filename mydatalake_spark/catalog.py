@@ -58,6 +58,14 @@ class Catalog:
     spark: SparkSession
     warehouse: str
     fmt: str = "parquet"
+    # Poor-man's time travel on parquet: keep the last N table states
+    # as hidden sibling snapshot dirs (Delta gets this from its log;
+    # the reference relies on that). 0 = off (no extra I/O: snapshots
+    # are directory RENAMES, never copies). Versioning is table-level:
+    # partition-scoped rewrites (overwrite_partitions) bypass it by
+    # design — snapshotting there would force copying the untouched
+    # 99% of the table, defeating the point of partition scoping.
+    keep_versions: int = 0
 
     def __post_init__(self) -> None:
         if self.fmt == "delta" and not delta_available():
@@ -82,6 +90,53 @@ class Catalog:
     def read(self, full_name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(full_name))
 
+    # -- time travel ---------------------------------------------------
+
+    def _version_root(self, full_name: str) -> str:
+        p = self.path(full_name)
+        return os.path.join(
+            os.path.dirname(p), f".{os.path.basename(p)}__versions"
+        )
+
+    def versions(self, full_name: str) -> list[str]:
+        """Retained snapshot labels, oldest first (empty when
+        versioning is off or nothing has been overwritten yet)."""
+        root = self._version_root(full_name)
+        if not os.path.isdir(root):
+            return []
+        return sorted(e for e in os.listdir(root) if e.startswith("v"))
+
+    def read_version(self, full_name: str, steps_back: int = 1) -> DataFrame:
+        """Time-travel read: the table as of ``steps_back`` overwrites
+        ago (1 = the state the last overwrite replaced)."""
+        vs = self.versions(full_name)
+        if steps_back < 1 or steps_back > len(vs):
+            raise ValueError(
+                f"{full_name} retains {len(vs)} version(s); "
+                f"steps_back={steps_back} unavailable"
+            )
+        return self.spark.read.format(self.fmt).load(
+            os.path.join(self._version_root(full_name), vs[-steps_back])
+        )
+
+    def _snapshot_or_drop(self, full_name: str) -> None:
+        """Move the current table dir aside as a snapshot (a rename,
+        not a copy) and prune beyond ``keep_versions`` — or just drop
+        it when versioning is off."""
+        final = self.path(full_name)
+        if not os.path.isdir(final):
+            return
+        if self.keep_versions <= 0:
+            shutil.rmtree(final)
+            return
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        existing = self.versions(full_name)
+        nxt = 1 + (int(existing[-1][1:]) if existing else 0)
+        os.replace(final, os.path.join(root, f"v{nxt:08d}"))
+        for stale in self.versions(full_name)[: -self.keep_versions]:
+            shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+
     def overwrite(
         self,
         df: DataFrame,
@@ -94,6 +149,7 @@ class Catalog:
         (SURVEY.md §7.4(8)): date-partitioned layout enables partition
         pruning + dynamic partition overwrite downstream.
         """
+        self._snapshot_or_drop(full_name)
         writer = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -125,7 +181,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(staging)
-        shutil.rmtree(final, ignore_errors=True)
+        self._snapshot_or_drop(full_name)
         os.replace(staging, final)
         self._invalidate(full_name)
 
@@ -173,6 +229,7 @@ class Catalog:
 
     def drop(self, full_name: str) -> None:
         shutil.rmtree(self.path(full_name), ignore_errors=True)
+        shutil.rmtree(self._version_root(full_name), ignore_errors=True)
         self._invalidate(full_name)
 
     def truncate(self, full_name: str) -> None:
@@ -193,6 +250,8 @@ class Catalog:
                 if not os.path.isdir(sdir):
                     continue
                 for tbl in sorted(os.listdir(sdir)):
+                    if tbl.startswith("."):     # version snapshots etc.
+                        continue
                     name = f"{cat}.{sch}.{tbl}"
                     if self.exists(name):
                         out.append(name)

@@ -110,3 +110,42 @@ def test_orc_source_and_catalog_roundtrip(spark, tmp_path):
     out = cat.read("bronze.t.orc_table")
     assert out.count() == 100
     assert out.agg(F.sum("v")).collect()[0][0] == sum(i * 2.5 for i in range(100))
+
+
+def test_catalog_time_travel_versions(spark, tmp_path):
+    """keep_versions retains the last N table states as rename-only
+    snapshots: read_version(1) is the state the last overwrite
+    replaced, pruning drops the oldest, version dirs stay invisible
+    to list_tables, and drop removes the history too."""
+    import pytest
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+
+    def batch(v):
+        return spark.createDataFrame([(1, v)], "id long, v string")
+
+    cat.overwrite(batch("a"), "g.s.t")
+    assert cat.versions("g.s.t") == []             # nothing replaced yet
+    cat.overwrite(batch("b"), "g.s.t")
+    cat.overwrite_via_staging(batch("c"), "g.s.t")
+    assert [r.v for r in cat.read("g.s.t").collect()] == ["c"]
+    assert [r.v for r in cat.read_version("g.s.t", 1).collect()] == ["b"]
+    assert [r.v for r in cat.read_version("g.s.t", 2).collect()] == ["a"]
+
+    cat.overwrite(batch("d"), "g.s.t")             # prunes "a"
+    assert len(cat.versions("g.s.t")) == 2
+    assert [r.v for r in cat.read_version("g.s.t", 1).collect()] == ["c"]
+    with pytest.raises(ValueError, match="retains 2"):
+        cat.read_version("g.s.t", 3)
+
+    assert cat.list_tables() == ["g.s.t"]          # snapshots hidden
+    cat.drop("g.s.t")
+    assert cat.versions("g.s.t") == []
+
+    # versioning off (default): behavior unchanged, no snapshot dirs
+    cat0 = Catalog(spark, str(tmp_path / "wh0"))
+    cat0.overwrite(batch("x"), "g.s.t0")
+    cat0.overwrite(batch("y"), "g.s.t0")
+    assert cat0.versions("g.s.t0") == []
