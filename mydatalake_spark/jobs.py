@@ -80,6 +80,8 @@ class JobRunner:
         layer = job_name.split("_")[0]
         if job_type == "quality":
             return self._run_quality(job, layer)
+        if job_type == "wap":
+            return self._run_wap(job, layer)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -100,6 +102,49 @@ class JobRunner:
             )
             ing.run()
             written.append(ing.meta.full_name)
+        return written
+
+    def _run_wap(self, job: dict[str, Any], layer: str) -> list[str]:
+        """``type: wap`` jobs: full-load ingestion GATED by the table's
+        own YAML-declared checks (quality/wap.py) — clean rows publish,
+        failing rows quarantine, and a batch below the per-table
+        ``min_clean_fraction`` (job metadata, default 1.0) aborts that
+        table's publish entirely. The checks-as-gate composition of the
+        reference's two separate entry points."""
+        from .quality.checks import specs_from_meta
+        from .quality.wap import write_audit_publish
+        from .schema import load_table_meta
+
+        written: list[str] = []
+        for tbl in job.get("tables", []):
+            name = tbl["table_name"]
+            fmt = tbl.get("input_format", "json")
+            if fmt == "delta":
+                fmt = "table"
+            ing = Ingestor(
+                spark=self.spark,
+                catalog=self.catalog,
+                metadata_root=os.path.join(self.metadata_root, layer),
+                table=name,
+                input_format=fmt,
+                input_path=self.input_paths.get(name),
+                partition_by=self.partition_by.get(name, []),
+                catalog_name=tbl.get("catalog"),
+                schema_name=tbl.get("schema"),
+            )
+            meta = ing.meta
+            report = write_audit_publish(
+                self.catalog,
+                meta.full_name,
+                ing.load(),
+                specs_from_meta(meta),
+                meta.key_columns,
+                min_clean_fraction=float(
+                    tbl.get("min_clean_fraction", 1.0)
+                ),
+                mode="overwrite",
+            )
+            written.append(report.table)
         return written
 
     def _run_quality(self, job: dict[str, Any], layer: str) -> list[str]:

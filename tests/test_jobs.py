@@ -269,3 +269,73 @@ def test_quality_job_runs_declared_checks(spark, tmp_path):
 
     history = cat.read("silver.checks.aggregated_checks")
     assert history.filter("table_name = 'holdings'").count() == 3
+
+
+WAP_JOBS = """
+jobs:
+  - name: 'bronze_wap'
+    type: 'wap'
+    tables:
+      - table_name: 'ticks'
+        input_format: 'json'
+        catalog: 'bronze'
+        schema: 'brapi'
+        min_clean_fraction: 0.5
+"""
+
+TICKS_YML = """
+table_name: 'ticks'
+schema:
+  - name: 'sym'
+    type: 'string'
+    key: true
+    tests:
+      - test_type: 'missing'
+        test_name: 'sym_present'
+  - name: 'px'
+    type: 'string'
+    tests:
+      - test_type: 'outside_of_rules'
+        test_name: 'px_positive'
+        kwargs:
+          expression: 'CAST(px AS DOUBLE) > 0'
+"""
+
+TICKS_SQL = """
+SELECT sym, px FROM view_ticks
+"""
+
+
+def test_wap_job_gates_publish(spark, tmp_path):
+    """type: wap jobs ingest through the audit gate: clean rows reach
+    the table, failing rows land in quarantine with reasons, driven
+    purely by the table's YAML-declared checks."""
+    import json as _json
+
+    root = tmp_path / "meta"
+    (root / "bronze" / "ticks").mkdir(parents=True)
+    (root / "bronze" / "job_metadata.yml").write_text(WAP_JOBS)
+    (root / "bronze" / "ticks" / "ticks.yml").write_text(TICKS_YML)
+    (root / "bronze" / "ticks" / "ticks.sql").write_text(TICKS_SQL)
+    raw = tmp_path / "raw_ticks"
+    raw.mkdir()
+    with open(raw / "b.json", "w") as fh:
+        for r in [
+            {"sym": "AAA", "px": "10.0"},
+            {"sym": "BBB", "px": "-1.0"},     # fails px_positive
+            {"sym": "CCC", "px": "3.0"},
+        ]:
+            fh.write(_json.dumps(r) + "\n")
+
+    cat = Catalog(spark, str(tmp_path / "wh_wap"))
+    runner = JobRunner(spark, cat, str(root), input_paths={"ticks": str(raw)})
+    written = runner.run("wap", "bronze_wap")
+    assert written == ["bronze.brapi.ticks"]
+
+    published = {r.sym for r in cat.read("bronze.brapi.ticks").collect()}
+    assert published == {"AAA", "CCC"}
+    quarantined = {
+        r.sym: list(r.failed_tests)
+        for r in cat.read("bronze.brapi.ticks_quarantine").collect()
+    }
+    assert quarantined == {"BBB": ["px_positive"]}
