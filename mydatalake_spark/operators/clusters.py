@@ -74,10 +74,14 @@ def connected_components(
             )
             .persist()
         )
+        # LIMIT-1 probe: proving convergence still scans everything,
+        # but a NOT-converged round stops at the first changed label
+        # instead of counting them all.
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
             .count()
         )
         labels.unpersist()
