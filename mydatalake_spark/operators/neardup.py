@@ -176,6 +176,69 @@ def minhash_candidates(
     )
 
 
+def incremental_dedup_pipeline(
+    catalog,
+    sig_table: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    n_bands: int = 8,
+    verify_threshold: float = 0.5,
+    corpus_docs: DataFrame | None = None,
+) -> DataFrame:
+    """The production incremental-dedup cadence, end to end: compute
+    the increment's minhash signatures, band-join them against the
+    PERSISTED corpus signature table, exact-verify candidates against
+    the documents, and append the increment's signatures to the table
+    for the next batch.
+
+    Per daily batch the corpus is touched exactly once (reading the
+    signature table — a fraction of the corpus bytes), never re-
+    shingled and never self-joined; cost scales with the increment.
+    First run bootstraps the signature table from the increment alone.
+
+    ``corpus_docs`` supplies the text for exact verification of
+    increment-vs-corpus candidate pairs (defaults to ``new_docs``
+    only — pass the full document table when historical text is
+    retrievable). Returns verified near-dup pairs touching the
+    increment; signatures are appended AFTER the pairs materialize so
+    a failed run can simply re-run.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    ).cache()
+
+    if catalog.exists(sig_table):
+        corpus_sigs = catalog.read(sig_table)
+        cand = incremental_minhash_candidates(
+            new_sigs, corpus_sigs, id_col=id_col, n_bands=n_bands
+        )
+    else:
+        cand = minhash_candidates(new_sigs, id_col=id_col, n_bands=n_bands)
+
+    verify_docs = corpus_docs if corpus_docs is not None else new_docs
+    pairs = verify_candidates_jaccard(
+        cand, verify_docs, text_col=text_col, id_col=id_col,
+        n=shingle_n, threshold=verify_threshold,
+    )
+    # materialize pairs BEFORE mutating the signature table
+    out = pairs.cache()
+    out.count()
+
+    if catalog.exists(sig_table):
+        existing = catalog.read(sig_table)
+        catalog.overwrite_via_staging(
+            existing.unionByName(new_sigs), sig_table
+        )
+    else:
+        catalog.overwrite(new_sigs, sig_table)
+    new_sigs.unpersist()
+    return out
+
+
 def winnow_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -310,3 +310,39 @@ def test_cosine_neardup_auto_switch_and_dim_probe(spark, sf_dir):
     )
     lsh_pairs = {(r.id_a, r.id_b) for r in lsh_auto.collect()}
     assert lsh_pairs == exact_pairs, exact_pairs ^ lsh_pairs
+
+
+def test_incremental_dedup_pipeline_two_batches(spark, tmp_path):
+    """Daily cadence e2e: batch 1 bootstraps the signature table;
+    batch 2 computes only ITS signatures, finds its near-dups against
+    the persisted corpus, and appends. The union of per-batch pairs
+    equals a from-scratch full run over all docs."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.neardup import (
+        incremental_dedup_pipeline,
+        minhash_candidates,
+        minhash_signatures,
+        verify_candidates_jaccard,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    all_docs = _docs(spark)                  # ids 1..4; (1,3) identical
+    b1 = all_docs.filter(F.col("doc_id") <= 2)
+    b2 = all_docs.filter(F.col("doc_id") >= 3)
+
+    p1 = {(r.id_a, r.id_b) for r in incremental_dedup_pipeline(
+        cat, "silver.dedup.sigs", b1, corpus_docs=all_docs,
+        verify_threshold=0.4).collect()}
+    assert cat.read("silver.dedup.sigs").count() == 2    # bootstrap
+
+    p2 = {(r.id_a, r.id_b) for r in incremental_dedup_pipeline(
+        cat, "silver.dedup.sigs", b2, corpus_docs=all_docs,
+        verify_threshold=0.4).collect()}
+    assert cat.read("silver.dedup.sigs").count() == 4    # appended
+
+    full_sigs = minhash_signatures(all_docs)
+    full = {(r.id_a, r.id_b) for r in verify_candidates_jaccard(
+        minhash_candidates(full_sigs, n_bands=8), all_docs,
+        threshold=0.4).collect()}
+    assert p1 | p2 == full
+    assert (1, 3) in p2                       # cross-batch pair found
