@@ -3142,6 +3142,47 @@ LEFT JOIN u3 ON u1.user_id = u3.user_id
 """
 
 
+def user_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time — the
+    regression-aggregate family (regr_slope / regr_intercept /
+    regr_r2 / regr_count), JVM built-ins since Spark 3.4 with exact
+    ANSI twins in DuckDB. x is DAYS SINCE A FIXED ANCHOR inside the
+    data's range, not epoch-days: the intercept is y at x=0, and an
+    epoch-origin x puts that extrapolation ~20,000 days out — slope's
+    ~1e-15 relative fp noise × 20,000 amplifies into the intercept's
+    2nd decimal (measured: 67/150 groups flipped). Anchoring keeps
+    every reported quantity cancellation-free; 4-decimal precision
+    contract (same class as stats_lineitem)."""
+    ev = _events(spark, sf_dir)
+    anchor = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01")))
+    x = ((F.unix_timestamp("ts") - anchor) / 86400.0).alias("xday")
+    base = ev.select("user_id", F.col("value").alias("y"), x)
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.round(F.regr_slope("y", "xday"), 4).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "xday"), 2).alias("intercept"),
+            F.round(F.regr_r2("y", "xday"), 4).alias("r2"),
+            F.regr_count("y", "xday").alias("n_points"),
+        )
+    )
+
+
+_USER_TREND_ORACLE = """
+WITH base AS (
+  SELECT user_id, value AS y,
+    (EPOCH(ts) - EPOCH(TIMESTAMP '2024-01-01')) / 86400.0 AS xday
+  FROM events
+)
+SELECT user_id,
+  ROUND(REGR_SLOPE(y, xday), 4) AS slope_per_day,
+  ROUND(REGR_INTERCEPT(y, xday), 2) AS intercept,
+  ROUND(REGR_R2(y, xday), 4) AS r2,
+  CAST(REGR_COUNT(y, xday) AS BIGINT) AS n_points
+FROM base GROUP BY user_id
+"""
+
+
 _BM25_TERMS = ["data", "spark", "table"]
 
 
@@ -3388,6 +3429,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": funnel_events,
         "neardup_clusters_documents": neardup_clusters_documents,
         "dq_outlier_lineitem": dq_outlier_lineitem,
+        "user_trend_events": user_trend_events,
         # --- one per operator family, r2-green (prefix filler) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3502,6 +3544,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": _FUNNEL_ORACLE,
         "neardup_clusters_documents": _CLUSTERS_ORACLE,
         "dq_outlier_lineitem": _DQ_OUTLIER_ORACLE,
+        "user_trend_events": _USER_TREND_ORACLE,
         "hash_split_documents": _hash_split_oracle(),
         "stratified_sample_documents": _stratified_oracle(),
         "chunk_documents": _CHUNK_ORACLE,
