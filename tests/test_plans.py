@@ -226,3 +226,39 @@ def test_pivot_is_two_level_aggregate(spark, sf_dir, entry):
     assert _hash_exchanges(plan) == 2, plan
     assert "pivotfirst" in plan
     assert "Join" not in plan
+
+
+def test_funnel_pushes_type_filters_to_scans(spark, sf_dir, entry):
+    """Each funnel stage must scan only its event-type slice: the
+    per-type equality predicates reach the parquet scans as
+    PushedFilters — at 100 TB that is three pruned scans, not three
+    full passes."""
+    plan = _plan(spark, entry.queries()["funnel_events"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    for step in ("view", "click", "purchase"):
+        assert any(step in l for l in pushed), (
+            f"event_type = {step} not pushed to a scan"
+        )
+
+
+def test_bm25_stats_broadcast_no_extra_shuffle(spark, sf_dir, entry):
+    """The corpus-stats row must come back via a broadcast nested-loop
+    (1-row cross join), leaving the per-doc scoring a pure projection:
+    no SortMergeJoin and no exchange other than the stats aggregate's
+    single-partition gather."""
+    plan = _plan(spark, entry.queries()["bm25_documents"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_pairs_df_cap_in_plan(spark, sf_dir, entry):
+    """The stop-fingerprint cap must filter BEFORE the pair self-join:
+    the plan carries the __df__ <= threshold predicate and the pair
+    join remains a hash equi-join on the fingerprint (no cross
+    product)."""
+    plan = _plan(
+        spark, entry.queries()["winnow_pairs_documents"](spark, sf_dir)
+    )
+    assert "__df__" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
