@@ -365,20 +365,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "skew": skew,
-                "dq_pass_modes": dq_modes,
-                "scaling": scaling,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "skew": skew,
+            "dq_pass_modes": dq_modes,
+            "scaling": scaling,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # BENCH_r03.json had "parsed": null — Spark's \r console-progress
+    # spam overwrote the start of the JSON line in the driver's tail
+    # capture. The progress bar is now off in session defaults
+    # (spark.ui.showConsoleProgress=false); belt-and-braces here:
+    # flush stderr first, start the line at column 0 on a fresh line,
+    # and flush stdout so the capture sees a complete line.
+    sys.stderr.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -148,8 +148,16 @@ class Catalog:
         ``partition_by`` is the 100 TB upgrade the reference lacks
         (SURVEY.md §7.4(8)): date-partitioned layout enables partition
         pruning + dynamic partition overwrite downstream.
+
+        On Delta the directory is left alone: Delta's ``overwrite``
+        mode is transactional and its _delta_log already provides
+        versioning/time travel, and rmtree-ing the live dir before the
+        lazy plan runs would delete the log (and the files a
+        self-referencing plan still needs to scan). Snapshot/drop is a
+        plain-file-format mechanism only.
         """
-        self._snapshot_or_drop(full_name)
+        if self.fmt != "delta":
+            self._snapshot_or_drop(full_name)
         writer = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -126,8 +126,23 @@ def zorder_key(
     which single-column range clustering cannot: with k files along a
     2-D Z-curve each file covers ~sqrt(1/k) of EACH dimension, so
     selective predicates on either column skip most row groups.
+
+    The interleaved key must fit the 63 value bits of a signed long:
+    with the default bits=16, 4 columns would place a bit at position
+    63 (the sign bit — large keys turn negative and the sort order
+    inverts) and 5+ would silently wrap. ``bits`` is auto-reduced to
+    ``63 // n_cols`` when needed; an explicit impossible request
+    (bits < 1 after reduction, i.e. > 63 columns) raises.
     """
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    max_bits = 63 // n
+    if max_bits < 1:
+        raise ValueError(
+            f"zorder_key: {n} columns cannot interleave into 63 bits"
+        )
+    bits = min(bits, max_bits)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = max(int(hi) - int(lo), 1)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import adopt
 from ..functions.text import doc_fingerprint, shingles, tokens, normalize_text
 
 # Prime just above 2^32 for affine minhash transforms; coefficients are
@@ -224,7 +225,12 @@ def incremental_dedup_pipeline(
         cand, verify_docs, text_col=text_col, id_col=id_col,
         n=shingle_n, threshold=verify_threshold,
     )
-    # materialize pairs BEFORE mutating the signature table
+    # Materialize pairs BEFORE mutating the signature table. This
+    # cache is load-bearing for CORRECTNESS, not just speed: an
+    # uncached `pairs` re-evaluated after the append below would
+    # re-scan the signature table that now already contains the
+    # increment (phantom self-pairs / changed results). Ownership of
+    # the cache transfers to the caller (caching.release(result)).
     out = pairs.cache()
     out.count()
 
@@ -236,7 +242,7 @@ def incremental_dedup_pipeline(
     else:
         catalog.overwrite(new_sigs, sig_table)
     new_sigs.unpersist()
-    return out
+    return adopt(out, out)
 
 
 def winnow_pairs(
@@ -268,18 +274,22 @@ def winnow_pairs(
     # aggregate and both join sides); without a cache the md5-window
     # selection expression recomputes 3×. In a real pipeline this
     # frame is a persisted silver table (like minhash signatures).
-    fps = df.select(
+    fps_cached = df.select(
         F.col(id_col),
         F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w))
         .alias("fp"),
     ).cache()
+    fps = fps_cached
     if max_df is not None:
         dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df__"))
         fps = fps.join(
             dfreq.filter(F.col("__df__") <= max_df).select("fp"), "fp"
         )
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    # The exploded-fingerprint cache must outlive this call (three
+    # branches of the returned lazy plan read it); the caller releases
+    # it via mydatalake_spark.caching.release(result) after the action.
+    return adopt(
         a.join(b, "fp")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
@@ -287,7 +297,8 @@ def winnow_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .filter(F.col("n_shared") >= min_shared),
+        fps_cached,
     )
 
 
@@ -596,7 +607,7 @@ def cosine_neardup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    _sign_bits(F.col("_nv"), planes, band, bits_per_band)
+                    _sign_bits("_nv", planes, band, bits_per_band)
                     .alias("bucket"),
                 )
                 for band in range(n_bands)
@@ -619,12 +630,17 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col("_nv").alias("_vb")
     )
     score = dot(F.col("_va"), F.col("_vb"))
-    return (
+    # `normed` stays cached past the return (it feeds the banding and
+    # both verify-side joins of the returned lazy plan); ownership
+    # transfers to the caller via caching.adopt — call
+    # mydatalake_spark.caching.release(result) after the action.
+    return adopt(
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", score.alias("_s"))
         .filter(F.col("_s") >= threshold)
-        .select("id_a", "id_b", F.round("_s", 4).alias("score"))
+        .select("id_a", "id_b", F.round("_s", 4).alias("score")),
+        normed,
     )
 
 

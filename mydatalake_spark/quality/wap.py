@@ -53,6 +53,7 @@ def write_audit_publish(
     mode: str = "append",
     run_date: str | None = None,
     as_of: str | None = None,
+    batch_id: str | None = None,
 ) -> AuditReport:
     """Audit ``batch`` with the declarative checks and publish only if
     the clean fraction meets the bar.
@@ -63,6 +64,19 @@ def write_audit_publish(
     - clean fraction < ``min_clean_fraction`` → :class:`AuditFailed`,
       nothing is written anywhere (the quarantine write also waits —
       an aborted batch should be retried upstream, not half-recorded).
+
+    Failure-ordering contract: the PRODUCTION table publishes first,
+    quarantine second. A crash between the two leaves production
+    correct and quarantine missing a batch (recoverable by re-running
+    the audit), never the reverse — the old quarantine-first order let
+    a failed production write strand quarantine rows with nothing
+    published, and a retry duplicated them. With ``batch_id`` set the
+    quarantine append is additionally idempotent: rows are tagged
+    ``__wap_batch__ = batch_id`` and any prior rows with the same tag
+    are dropped before the append, so retries never double-record a
+    batch. (The production append itself is at-least-once under
+    caller retries — retry with mode='overwrite', or pass a key-unique
+    table where a MERGE-style upsert applies.)
     """
     if not 0.0 <= min_clean_fraction <= 1.0:
         raise ValueError("min_clean_fraction must be in [0, 1]")
@@ -100,16 +114,6 @@ def write_audit_publish(
                 f"({rows_quarantined}/{rows_total} rows failed checks)"
             )
 
-        if rows_quarantined:
-            quarantined = dirty.drop("__wap_key__")
-            if catalog.exists(quarantine_table):
-                existing = catalog.read(quarantine_table)
-                catalog.overwrite_via_staging(
-                    existing.unionByName(quarantined), quarantine_table
-                )
-            else:
-                catalog.overwrite(quarantined, quarantine_table)
-
         if mode == "overwrite" or not catalog.exists(table):
             catalog.overwrite(clean, table)
         elif mode == "append":
@@ -119,6 +123,30 @@ def write_audit_publish(
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
+
+        if rows_quarantined:
+            quarantined = dirty.drop("__wap_key__")
+            if batch_id is not None:
+                quarantined = quarantined.withColumn(
+                    "__wap_batch__", F.lit(batch_id)
+                )
+            if catalog.exists(quarantine_table):
+                existing_q = catalog.read(quarantine_table)
+                if (
+                    batch_id is not None
+                    and "__wap_batch__" in existing_q.columns
+                ):
+                    existing_q = existing_q.filter(
+                        F.col("__wap_batch__") != F.lit(batch_id)
+                    )
+                catalog.overwrite_via_staging(
+                    existing_q.unionByName(
+                        quarantined, allowMissingColumns=True
+                    ),
+                    quarantine_table,
+                )
+            else:
+                catalog.overwrite(quarantined, quarantine_table)
 
         return AuditReport(
             table=table,

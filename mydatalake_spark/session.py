@@ -77,6 +77,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # Unload inactive state store providers from executors instead of
     # holding every partition's store open forever.
     "spark.sql.streaming.stateStore.maintenanceInterval": "60s",
+    # The \r-rewriting console progress bar corrupts line-oriented
+    # stdout captures (BENCH_r03.json lost its JSON head to it) and is
+    # useless in batch/CI runs.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -199,7 +199,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def _sign_bits(vec_col, planes: list[list[float]], band: int, bits: int):
+def _sign_bits(vec_name: str, planes: list[list[float]], band: int, bits: int):
     """Bucket key for one band: integer from sign bits of ``bits``
     hyperplane projections.
 
@@ -209,11 +209,15 @@ def _sign_bits(vec_col, planes: list[list[float]], band: int, bits: int):
     moves (measured); a parsed SQL string is one call and identical
     Catalyst expressions — same zip_with·aggregate ops in the same
     order, literals via shortest-round-trip repr, so buckets are
-    bit-identical. ``vec_col`` must be a plain column name here (both
-    call sites pass one)."""
-    vec_name = str(vec_col) if not hasattr(vec_col, "_jc") else (
-        vec_col._jc.toString()
-    )
+    bit-identical. ``vec_name`` must be a plain column NAME (str): the
+    name is embedded in SQL text, so a Column object (whose repr is
+    not a valid identifier — e.g. Spark Connect's "Column<'x'>")
+    would mis-compile silently. Enforced, not guessed."""
+    if not isinstance(vec_name, str):
+        raise TypeError(
+            "_sign_bits needs a plain column name (str), got "
+            f"{type(vec_name).__name__}; pass the name, not F.col(name)"
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         plane = planes[band * bits + i]
@@ -293,8 +297,13 @@ def ivf_topk(
         )
         return F.expr(f"array({dots})")
 
-    def _cell_scores(vec) -> "F.Column":
-        name = str(vec) if not hasattr(vec, "_jc") else vec._jc.toString()
+    def _cell_scores(name: str) -> "F.Column":
+        # plain column NAME only — embedded in SQL text (see _sign_bits)
+        if not isinstance(name, str):
+            raise TypeError(
+                "_cell_scores needs a plain column name (str), got "
+                f"{type(name).__name__}"
+            )
         return _cell_scores_sql(name)
 
     def _argmax(scores) -> "F.Column":
@@ -303,13 +312,13 @@ def ivf_topk(
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
-        _argmax(_cell_scores(F.col(vec_col))).alias("cell"),
+        _argmax(_cell_scores(vec_col)).alias("cell"),
     )
     # queries probe their top-n_probe cells
     q_scored = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
-        _cell_scores(F.col(vec_col)).alias("__cs__"),
+        _cell_scores(vec_col).alias("__cs__"),
     )
     probe = q_scored.select(
         "query_id",
@@ -359,7 +368,7 @@ def lsh_topk(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    _sign_bits(F.col(vec_col), planes, b, bits_per_band)
+                    _sign_bits(vec_col, planes, b, bits_per_band)
                     .alias("bucket"),
                 )
                 for b in range(n_bands)

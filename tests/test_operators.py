@@ -303,3 +303,28 @@ def test_merge_evolve_schema_additive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="identical columns"):
         merge_upsert(target, short, ["id"], "ts", evolve_schema=True)
+
+
+def test_operator_caches_are_caller_releasable(spark):
+    """winnow_pairs caches its exploded fingerprints past the return
+    (three plan branches read it); caching.release(result) must
+    unpersist exactly that intermediate so long-lived sessions don't
+    leak storage memory (ADVICE r3)."""
+    from pyspark import StorageLevel
+
+    from mydatalake_spark.caching import _OWNED_ATTR, release
+    from mydatalake_spark.operators.neardup import winnow_pairs
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 8)
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs(df, min_shared=1)
+    pairs.count()
+    owned = getattr(pairs, _OWNED_ATTR)
+    assert owned, "winnow_pairs should adopt its cached intermediate"
+    assert owned[0].storageLevel != StorageLevel.NONE
+    release(pairs)
+    assert owned[0].storageLevel == StorageLevel.NONE
+    release(pairs)  # idempotent

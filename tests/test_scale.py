@@ -172,3 +172,37 @@ def test_write_zordered_gives_both_columns_locality(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(100_000))
+
+
+def test_zorder_key_never_reaches_the_sign_bit(spark):
+    """4 columns x default 16 bits would place a bit at position 63
+    (the long sign bit) and invert the sort for large keys; zorder_key
+    auto-reduces bits to 63 // n_cols so the key stays non-negative."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.maintenance import zorder_key
+
+    cols = ["a", "b", "c", "d"]
+    hi = (1 << 31) - 1
+    df = spark.range(2).select(
+        *[(F.when(F.col("id") == 1, F.lit(hi)).otherwise(F.lit(0)))
+          .cast("long").alias(c) for c in cols]
+    )
+    key = zorder_key(cols, [0] * 4, [hi] * 4, bits=16)
+    rows = df.select(key.alias("z")).collect()
+    assert all(r.z >= 0 for r in rows)
+    # max-corner key uses all 4*15=60 interleaved bits, none above 62
+    assert max(r.z for r in rows) < (1 << 63)
+    assert max(r.z for r in rows) > 0
+
+
+def test_zorder_key_rejects_impossible_width():
+    import pytest
+
+    from mydatalake_spark.maintenance import zorder_key
+
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key([], [], [])
+    cols = [f"c{i}" for i in range(64)]
+    with pytest.raises(ValueError, match="cannot interleave"):
+        zorder_key(cols, [0] * 64, [1] * 64)

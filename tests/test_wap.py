@@ -77,3 +77,53 @@ def test_all_clean_batch_creates_no_quarantine(spark, cat):
     )
     assert rep.clean_fraction == 1.0
     assert not cat.exists("silver.mkt.px4_quarantine")
+
+
+def test_retry_with_batch_id_is_idempotent_in_quarantine(spark, cat):
+    """A caller-level retry of the same batch (same batch_id) must not
+    double-record quarantine rows: prior rows tagged with that id are
+    replaced, not appended to."""
+    batch = _batch(spark, [(1, "A", 1.0), (2, "B", -2.0)])
+    for _attempt in range(2):
+        write_audit_publish(
+            cat, "silver.mkt.px5", batch, CHECKS, ["id"],
+            min_clean_fraction=0.0, mode="overwrite",
+            batch_id="2024-06-01",
+        )
+    q = cat.read("silver.mkt.px5_quarantine").collect()
+    assert [r.id for r in q] == [2]
+    assert q[0]["__wap_batch__"] == "2024-06-01"
+
+    # a DIFFERENT batch id appends normally
+    write_audit_publish(
+        cat, "silver.mkt.px5",
+        _batch(spark, [(3, "C", -3.0)]),
+        CHECKS, ["id"], min_clean_fraction=0.0, batch_id="2024-06-02",
+    )
+    q2 = {r.id: r["__wap_batch__"]
+          for r in cat.read("silver.mkt.px5_quarantine").collect()}
+    assert q2 == {2: "2024-06-01", 3: "2024-06-02"}
+
+
+def test_production_publishes_before_quarantine(spark, cat, monkeypatch):
+    """Failure-ordering contract: if the quarantine write dies, the
+    production table is ALREADY published (the reverse — quarantine
+    mutated, production missing — is the unrecoverable state)."""
+    batch = _batch(spark, [(1, "A", 1.0), (2, "B", -2.0)])
+
+    real_overwrite = cat.overwrite
+
+    def exploding_overwrite(df, full_name, partition_by=None):
+        if full_name.endswith("_quarantine"):
+            raise RuntimeError("quarantine write failed")
+        return real_overwrite(df, full_name, partition_by)
+
+    monkeypatch.setattr(cat, "overwrite", exploding_overwrite)
+    with pytest.raises(RuntimeError, match="quarantine write failed"):
+        write_audit_publish(
+            cat, "silver.mkt.px6", batch, CHECKS, ["id"],
+            min_clean_fraction=0.0,
+        )
+    # production is correct and complete; only quarantine is missing
+    assert {r.id for r in cat.read("silver.mkt.px6").collect()} == {1}
+    assert not cat.exists("silver.mkt.px6_quarantine")
