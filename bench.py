@@ -266,6 +266,11 @@ SCALING_QUERIES = [
     "winnow_pairs_documents",
     "embedding_neardup_lsh",
     "similarity_lsh",
+    # r3 review asks: the two heavy non-banded operators need measured
+    # (not argued) scale curves too — the iterative CC fixpoint and the
+    # three-stage funnel.
+    "neardup_clusters_documents",
+    "funnel_events",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -283,20 +288,34 @@ def bench_scaling(spark, qs) -> dict:
     small_emb = spark.read.parquet(
         f"{SCALING_SMALL}/embeddings.parquet").count()
     big_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    small_ev = spark.read.parquet(
+        f"{SCALING_SMALL}/events.parquet").count()
+    big_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     out: dict = {"rows": {
         "documents": {"small": small_docs, "big": big_docs},
         "embeddings": {"small": small_emb, "big": big_emb},
+        "events": {"small": small_ev, "big": big_ev},
     }}
     for name in SCALING_QUERIES:
-        emb = name.startswith(("embedding", "similarity"))
-        rows_ratio = (big_emb / small_emb) if emb else (big_docs / small_docs)
+        if name.startswith(("embedding", "similarity")):
+            rows_ratio = big_emb / small_emb
+        elif "events" in name:
+            rows_ratio = big_ev / small_ev
+        else:
+            rows_ratio = big_docs / small_docs
+        iters: dict[str, int] = {}
         times = {}
         for tag, sf_dir in (("small", SCALING_SMALL), ("big", SF_DIR)):
             def run():
                 start = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
+                res = qs[name](spark, sf_dir)
+                res.write.format("noop").mode("overwrite").save()
+                it = getattr(res, "_cc_iterations", None)
+                if it is not None:
+                    iters[tag] = it
+                from mydatalake_spark.caching import release
+                release(res)
                 return round(time.perf_counter() - start, 3)
 
             run()                              # warm
@@ -310,6 +329,11 @@ def bench_scaling(spark, qs) -> dict:
             "time_ratio": round(times["big"] / max(times["small"], 1e-3), 2),
             "quadratic_bound": round(rows_ratio ** 2, 1),
         }
+        if iters:
+            # fixpoint rounds at both sizes: the iterative operator's
+            # cost model is rounds × per-round shuffle, so a flat round
+            # count IS the sub-quadratic argument
+            out[name]["cc_iterations"] = iters
     return out
 
 

@@ -30,14 +30,34 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id reachable from the node.
 
     Driver-coordinated fixpoint loop (bounded by ``max_iters``,
-    raises if not converged — a similarity graph needing >25 rounds
-    means the threshold is connecting everything and dedup semantics
-    are broken anyway).
+    raises if not converged). Two scale hardenings beyond plain
+    min-label propagation:
+
+    - **Pointer jumping** (label doubling): each round, after the
+      neighbor-min pull, every node also adopts its current label's
+      label (``label(label(u))``) — one extra self-join on the labels
+      table. Propagation distance doubles per round, so a path/chain
+      component of diameter D converges in ~log2(D) rounds instead of
+      D (plain propagation on a 60-node path would blow any sane
+      ``max_iters``; with jumping it converges in ~7).
+    - **Optional salted neighbor pull** (``salt_partitions=S``): the
+      edges⋈labels join distributes by destination node, so one
+      mega-hub (or the hot min-label of a giant component) lands its
+      whole edge list on a single reducer at 100 TB. With S set, edges
+      salt to ``(v, hash(u) % S)`` and the labels side replicates S
+      ways, bounding any node's join partition to 1/S of its degree.
+      Off by default — replication costs S× the (small) labels-side
+      shuffle, and AQE's skew-join split already covers moderate skew;
+      turn it on for graphs with known mega-hubs.
+
+    The returned DataFrame carries the number of fixpoint rounds as a
+    ``_cc_iterations`` attribute (bench/scaling evidence reads it).
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -50,20 +70,31 @@ def connected_components(
     ).persist()
     labels.count()
 
-    for _ in range(max_iters):
+    for it in range(1, max_iters + 1):
         # new label = min(own, min over neighbors' labels)
-        neighbor_min = (
-            sym.join(
-                labels.select(
-                    F.col("u").alias("v"),
-                    F.col("component").alias("nbr_label"),
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("nbr_label").alias("nbr_min"))
+        nbr_labels = labels.select(
+            F.col("u").alias("v"),
+            F.col("component").alias("nbr_label"),
         )
-        new_labels = (
+        if salt_partitions and salt_partitions > 1:
+            s = int(salt_partitions)
+            salted_edges = sym.withColumn(
+                "_s", F.pmod(F.xxhash64("u"), F.lit(s)).cast("int")
+            )
+            salted_labels = nbr_labels.withColumn(
+                "_s",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>")
+                ),
+            )
+            pulled = salted_edges.join(salted_labels, ["v", "_s"])
+        else:
+            pulled = sym.join(nbr_labels, "v")
+        neighbor_min = pulled.groupBy("u").agg(
+            F.min("nbr_label").alias("nbr_min")
+        )
+        # persisted: feeds BOTH sides of the pointer-jump self-join
+        merged = (
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
@@ -73,6 +104,28 @@ def connected_components(
                 ).alias("component"),
             )
             .persist()
+        )
+        # pointer jumping: also adopt label(label(u)) — component ids
+        # are themselves nodes, so their labels exist in the same table
+        parents = merged.select(
+            F.col("u").alias("_c"), F.col("component").alias("_parent")
+        )
+        # localCheckpoint (NOT persist): the jump self-join references
+        # `merged` twice, so lineage would DOUBLE per iteration —
+        # persist() truncates recomputation but not the analyzed plan,
+        # and by iteration ~12 the plan string hits gigabytes and the
+        # driver chokes. Eager local checkpoint materializes the round
+        # and cuts the lineage to a leaf; per-round plans stay O(1).
+        new_labels = (
+            merged.join(parents, merged["component"] == parents["_c"], "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_parent"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
         )
         # LIMIT-1 probe: proving convergence still scans everything,
         # but a NOT-converged round stops at the first changed label
@@ -84,11 +137,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        merged.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             sym.unpersist()
-            return labels.select(F.col("u").alias("node"), "component")
+            out = labels.select(F.col("u").alias("node"), "component")
+            out._cc_iterations = it
+            return out
 
     sym.unpersist()
     raise RuntimeError(
@@ -111,7 +167,7 @@ def dedup_clusters(
     Filtering ``keep`` yields the deduplicated corpus; the rest is
     the removal manifest."""
     cc = connected_components(pairs, src=src, dst=dst)
-    return docs.join(
+    out = docs.join(
         cc, docs[id_col] == cc["node"], "left"
     ).select(
         docs[id_col],
@@ -120,3 +176,6 @@ def dedup_clusters(
             F.coalesce(cc["component"], docs[id_col]) == docs[id_col]
         ).alias("keep"),
     )
+    # surface the fixpoint round count for bench/scaling evidence
+    out._cc_iterations = getattr(cc, "_cc_iterations", None)
+    return out

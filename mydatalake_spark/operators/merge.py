@@ -69,6 +69,7 @@ def merge_upsert(
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
     evolve_schema: bool = False,
+    delete_missing: bool = False,
 ) -> DataFrame:
     """Latest-wins keyed upsert of ``source`` into ``target``.
 
@@ -76,7 +77,10 @@ def merge_upsert(
       (reference semantics, reference lib/ingestors.py:123), else the
       target row is kept;
     - key only in source: inserted;
-    - key only in target: kept.
+    - key only in target: kept — unless ``delete_missing=True``
+      (full-sync semantics, Delta's ``whenNotMatchedBySourceDelete``
+      analogue: the source is the complete desired state and
+      target-only keys are dropped).
     With ``ts_col=None`` (pure equi MERGE, reference
     lib/checker_handler.py:179-191 shape) the source always wins.
 
@@ -151,6 +155,11 @@ def merge_upsert(
     else:
         source_wins = s_here
 
+    if delete_missing:
+        # full-sync: a target row whose key the source no longer has
+        # is deleted (filter before the projection — the source-side
+        # marker is the presence signal)
+        joined = joined.filter(s_here)
     picked = [
         F.when(source_wins, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
         for c in cols
@@ -166,6 +175,7 @@ def merge_upsert_delta(
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
     delta_table=None,
+    delete_missing: bool = False,
 ) -> None:
     """ACID MERGE into a Delta table — the capability path the
     reference runs on Databricks (``DeltaTable.merge`` with
@@ -180,6 +190,10 @@ def merge_upsert_delta(
        (Delta requires a unique source match per target row);
     3. null ts ≡ -infinity on both sides (merge_upsert's documented
        rule): ``t.ts IS NULL OR (s.ts IS NOT NULL AND s.ts >= t.ts)``.
+
+    ``delete_missing=True`` adds ``whenNotMatchedBySourceDelete()``
+    (full-sync: target keys absent from the source are deleted) —
+    parity with ``merge_upsert(delete_missing=True)``.
 
     Requires delta-spark; fails fast with ImportError otherwise
     (capability flag, SURVEY.md §7.4(3)). In-place and transactional —
@@ -218,7 +232,10 @@ def merge_upsert_delta(
         )
     else:
         m = m.whenMatchedUpdateAll()
-    m.whenNotMatchedInsertAll().execute()
+    m = m.whenNotMatchedInsertAll()
+    if delete_missing:
+        m = m.whenNotMatchedBySourceDelete()
+    m.execute()
 
 
 def merge_upsert_partitioned(

@@ -568,7 +568,7 @@ def cosine_neardup_pairs(
     the first vector when not given.
     """
     from ..functions.vectors import dot, l2_norm
-    from ..similarity.search import _hyperplanes, _sign_bits
+    from ..similarity.search import _hyperplanes
 
     if exact is None:
         exact = df.count() <= max_exact_rows
@@ -592,28 +592,57 @@ def cosine_neardup_pairs(
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
     )
-    # Cached: feeds the banding AND both verify-side vector attaches.
+    # Cached: feeds the verify-side vector attaches (twice).
     normed = df.select(F.col(id_col), unit.alias("_nv")).cache()
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed=2024)
+    # Banding = ONE Arrow-batched matrix multiply (mapInPandas), not
+    # n_bands×bits inline aggregate expressions: profiling at sf0.1
+    # showed the expression-tree form spends ~8 s of FIXED driver time
+    # (Catalyst optimizing 96 zip_with·aggregate plane dots) before any
+    # data moves, dominating the runtime at both scales. A (rows×dim)
+    # @ (dim×planes) BLAS product computes every projection at once;
+    # sign(P·v) is invariant to positive scaling, so the banding reads
+    # RAW vectors (no normalize pass) and emits one array<long> of
+    # bucket keys per row — n_bands longs across Arrow, exploded
+    # JVM-side. Embarrassingly parallel; no shuffle.
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+    import numpy as np
+
+    plane_mat = np.asarray(planes, dtype=np.float64)  # (bands*bits, dim)
+    bit_weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+    id_type = df.schema[id_col].dataType.simpleString()
+    nb, bpb = n_bands, bits_per_band
+
+    def _band_batches(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            mat = np.array(pdf["_rv"].tolist(), dtype=np.float64)
+            proj = mat @ plane_mat.T                      # (m, bands*bits)
+            bits_m = (proj >= 0).astype(np.int64).reshape(m, nb, bpb)
+            buckets = (bits_m * bit_weights).sum(axis=2)  # (m, bands)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "buckets": list(buckets)}
+            )
+
+    raw = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_rv"),
+    )
+    bucketed = raw.mapInPandas(
+        _band_batches, schema=f"{id_col} {id_type}, buckets array<long>"
+    )
     # Candidates are NARROW (ids only): carrying the vectors through
     # the band join would shuffle |candidates| × 2 vectors (~1 KB/row
     # at 64-dim double — measured 10× slower at sf0.1); instead pairs
     # dedupe as 16-byte rows and the vectors attach afterwards via two
     # id-joins against the corpus — the standard candidates→verify
     # shape (minhash_candidates → verify_candidates_jaccard).
-    banded = normed.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    _sign_bits("_nv", planes, band, bits_per_band)
-                    .alias("bucket"),
-                )
-                for band in range(n_bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = bucketed.select(
+        id_col, F.posexplode("buckets").alias("band", "bucket")
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (

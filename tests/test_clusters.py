@@ -47,3 +47,37 @@ def test_dedup_clusters_keep_flags(spark):
         3: (1, False),
         20: (20, True),    # singleton keeps itself
     }
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    """A 64-node path has diameter 63; plain min-label propagation
+    needs ~63 rounds. Pointer jumping doubles propagation distance per
+    round, so it must converge within max_iters=12 (~log2(63)+slack) —
+    the adversarial-graph hardening asked for in round-3 review."""
+    n = 64
+    edges = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    out = connected_components(edges, max_iters=12)
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert out._cc_iterations <= 12
+
+
+def test_cc_salted_pull_matches_unsalted_on_hub_graph(spark):
+    """A mega-hub (node 0 connected to everything) is the degree-skew
+    shape that melts one reducer at 100 TB; the salted two-phase pull
+    must produce identical labels to the plain path."""
+    edges = _edges(spark, [(0, i) for i in range(1, 400)] + [(500, 501)])
+    plain = {r.node: r.component
+             for r in connected_components(edges).collect()}
+    salted = {r.node: r.component
+              for r in connected_components(
+                  edges, salt_partitions=8).collect()}
+    assert plain == salted
+    assert salted[399] == 0 and salted[501] == 500
+
+
+def test_cc_reports_iteration_count(spark):
+    edges = _edges(spark, [(1, 2), (3, 4)])
+    out = connected_components(edges)
+    out.collect()
+    assert isinstance(out._cc_iterations, int) and out._cc_iterations >= 1

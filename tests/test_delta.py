@@ -127,3 +127,62 @@ def test_delta_cdc_merge_end_to_end(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {(1, "s1"), (2, "t2"), (3, "s3"), (4, "s4")}
+
+
+def test_merge_delta_contract_delete_missing(spark):
+    """Full-sync parity: delete_missing=True must add
+    whenNotMatchedBySourceDelete() to the Delta MERGE — the clause
+    whose join-emulation twin (merge_upsert delete_missing) drops
+    target-only keys."""
+    rec = {}
+    source = spark.createDataFrame([(1, "a", 1)], "id int, v string, ts int")
+
+    class _Rec(_RecordingMerge):
+        def whenNotMatchedBySourceDelete(self):
+            self.rec["not_matched_by_source_delete"] = True
+            return self
+
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["id"], "ts",
+        delta_table=_Rec(rec), delete_missing=True,
+    )
+    assert rec["executed"]
+    assert rec.get("not_matched_by_source_delete") is True
+
+    # default path must NOT request the clause (upsert keeps
+    # target-only rows)
+    rec2 = {}
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["id"], "ts",
+        delta_table=_Rec(rec2),
+    )
+    assert rec2["executed"]
+    assert "not_matched_by_source_delete" not in rec2
+
+
+def test_merge_upsert_delete_missing_semantics(spark):
+    """Join-emulation semantics the Delta clause mirrors: matched keys
+    follow latest-wins, source-only keys insert, target-only keys are
+    DELETED under delete_missing (kept without it)."""
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "t1", 10), (2, "t2", 20), (3, "t3", 30)],
+        "id int, v string, ts int",
+    )
+    source = spark.createDataFrame(
+        [(1, "s1", 11), (4, "s4", 1)], "id int, v string, ts int",
+    )
+    full_sync = {
+        (r.id, r.v)
+        for r in merge_upsert(
+            target, source, ["id"], "ts", delete_missing=True
+        ).collect()
+    }
+    assert full_sync == {(1, "s1"), (4, "s4")}    # 2 and 3 deleted
+
+    upsert = {
+        (r.id, r.v)
+        for r in merge_upsert(target, source, ["id"], "ts").collect()
+    }
+    assert upsert == {(1, "s1"), (2, "t2"), (3, "t3"), (4, "s4")}
