@@ -26,6 +26,7 @@ from mydatalake_spark.functions.text import (
     bm25_scores,
     chunk_text,
     doc_fingerprint,
+    gopher_quality_flags,
     lang_guess,
     normalize_text,
     redact_pii,
@@ -42,9 +43,12 @@ from mydatalake_spark.operators.sampling import (
 from mydatalake_spark.operators.asof import asof_join
 from mydatalake_spark.operators.clusters import dedup_clusters
 from mydatalake_spark.operators.decontam import (
+    _all_ngrams,
     decontaminate,
     repetition_stats,
 )
+from mydatalake_spark.operators.heavyhitters import heavy_hitters
+from mydatalake_spark.operators.paradedup import paragraph_dedup
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
 from mydatalake_spark.operators.neardup import (
@@ -3354,6 +3358,157 @@ FROM grams
 
 
 # =====================================================================
+# Round-4 operators: corpus curation at scale
+# =====================================================================
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composed quality filter
+    (functions/text.py:gopher_quality_flags): token-count bounds,
+    mean-token-length bounds, symbol ratio, alpha-token fraction and
+    stop-word hits, each surfaced as a per-rule boolean plus the
+    composed ``keep`` — the standard pre-training corpus gate (Gopher
+    §A1.1 / C4) with drop *reasons* kept for curation telemetry.
+
+    One tokenization feeds every rule (subexpression-eliminated in the
+    generated code); the whole filter is a narrow map fused with the
+    parquet scan — zero shuffles (plan-asserted in test_plans.py), so
+    at 100 TB it runs at scan speed. Bounds here are tuned to the
+    synthetic corpus (~30 short tokens/doc) so the verdict is mixed
+    rather than degenerate."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        "text",
+        min_tokens=20,
+        max_tokens=100,
+        min_mean_token_len=3.0,
+        max_mean_token_len=4.5,
+        max_symbol_ratio=0.1,
+        min_alpha_frac=0.8,
+        min_stopword_hits=2,
+        stopwords=["the", "a", "value", "table"],
+    )
+    return docs.select(
+        "doc_id", *[flags[k].alias(k) for k in flags]
+    )
+
+
+_QUALITY_FILTER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN LENGTH(TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))) = 0
+         THEN []
+         ELSE STRING_SPLIT_REGEX(
+                TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))), '\s+')
+    END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, text, t,
+    CAST(LEN(t) AS BIGINT) AS n_tok,
+    CAST(GREATEST(LEN(t), 1) AS DOUBLE) AS safe_tok,
+    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x))), 0) AS DOUBLE)
+        / CAST(GREATEST(LEN(t), 1) AS DOUBLE) AS mean_len,
+    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[#…]', '', 'g')))
+      + (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\.\.\.', '', 'g'))) / 3
+        AS n_symbol,
+    LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '[a-z]'))) AS n_alpha,
+    LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['the','a','value','table'], x)))
+        AS n_stop
+  FROM toks
+)
+SELECT doc_id,
+  n_tok AS n_tokens,
+  ROUND(mean_len, 4) AS mean_token_len,
+  (n_tok >= 20 AND n_tok <= 100) AS ok_tokens,
+  (mean_len >= 3.0 AND mean_len <= 4.5) AS ok_mean_len,
+  (n_symbol / safe_tok <= 0.1) AS ok_symbols,
+  (n_alpha / safe_tok >= 0.8) AS ok_alpha,
+  (n_stop >= 2) AS ok_stopwords,
+  ((n_tok >= 20 AND n_tok <= 100)
+   AND (mean_len >= 3.0 AND mean_len <= 4.5)
+   AND (n_symbol / safe_tok <= 0.1)
+   AND (n_alpha / safe_tok >= 0.8)
+   AND (n_stop >= 2)) AS keep
+FROM m
+"""
+
+
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent bigrams (operators/heavyhitters.py): every token
+    2-gram making up ≥0.15% of the corpus stream, with exact counts.
+    Two passes — per-partition Misra–Gries candidates (mapInPandas,
+    vectorized value_counts; the sentinel row carries partition size so
+    n comes from the same pass), then a broadcast-semi-join recount of
+    candidates only. The full token stream is never shuffled and
+    nothing is collected to the driver; the oracle is the naive
+    GROUP BY … HAVING, which the candidate-superset guarantee makes
+    exactly equal."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    grams = docs.select(
+        F.explode(_all_ngrams(toks, 2)).alias("gram")
+    )
+    return heavy_hitters(grams, "gram", threshold_frac=0.0015)
+
+
+_HEAVY_HITTERS_ORACLE = r"""
+WITH toks AS (
+  SELECT STRING_SPLIT_REGEX(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 0) + 1),
+           i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 1), ' '))) AS gram
+  FROM toks
+), tot AS (SELECT COUNT(*) AS n FROM grams)
+SELECT gram AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM grams
+GROUP BY gram
+HAVING COUNT(*) >= (SELECT CEIL(n * 0.0015) FROM tot)
+"""
+
+
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators/paradedup.py): 48-char
+    segments, global first-occurrence election via a hash-partitioned
+    rn=1 window (map-side group limit), reassembly keyed on doc_id —
+    two shuffles total, one row out per input document even when every
+    segment was a duplicate. ~4% of segments in this corpus repeat
+    across documents; document-level dedup sees none of them."""
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "text", "doc_id", size=48)
+
+
+_PARA_DEDUP_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         UNNEST(RANGE(0, CAST(GREATEST(
+             CEIL((LENGTH(text) - 48) / 48.0) + 1, 1) AS BIGINT)))
+             AS chunk_id,
+         text
+  FROM documents
+), ch AS (
+  SELECT doc_id, chunk_id,
+         SUBSTRING(text, CAST(chunk_id * 48 + 1 AS BIGINT), 48) AS chunk
+  FROM c
+), r AS (
+  SELECT doc_id, chunk_id, chunk,
+         ROW_NUMBER() OVER (PARTITION BY MD5(chunk)
+                            ORDER BY doc_id, chunk_id) = 1 AS is_first
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_chunks,
+       MD5(COALESCE(STRING_AGG(CASE WHEN is_first THEN chunk END, ''
+                               ORDER BY chunk_id), '')) AS dedup_md5
+FROM r
+GROUP BY doc_id
+"""
+
+
+# =====================================================================
 # Driver contract
 # =====================================================================
 
@@ -3435,7 +3590,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         # --- new in r4: must land in the checked prefix ---
-        # (inserted here as they are added this round)
+        "quality_filter_documents": quality_filter_documents,
+        "heavy_hitters_tokens": heavy_hitters_tokens,
+        "paragraph_dedup_documents": paragraph_dedup_documents,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3544,6 +3701,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_ORACLE,
         "decontaminate_documents": _DECONTAM_ORACLE,
         "repetition_stats_documents": _REPETITION_ORACLE,
+        "quality_filter_documents": _QUALITY_FILTER_ORACLE,
+        "heavy_hitters_tokens": _HEAVY_HITTERS_ORACLE,
+        "paragraph_dedup_documents": _PARA_DEDUP_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

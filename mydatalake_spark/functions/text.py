@@ -217,6 +217,101 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return let(tokens(normalize_text(col)), build)
 
 
+# Gopher-rule defaults (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1). The
+# bounds are constructor parameters because real corpora tune them;
+# these are the published paper values.
+GOPHER_DEFAULTS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_frac": 0.8,
+    "min_stopword_hits": 2,
+}
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules as named boolean Columns
+    plus the composed ``keep`` flag.
+
+    [extension] The standard pre-training corpus filter (Gopher §A1.1 /
+    C4): token-count bounds, mean-token-length bounds, symbol-to-token
+    ratio (# and … as junk markers), fraction of tokens containing an
+    alphabetic character, and a minimum stop-word hit count.
+
+    Every rule is a pure ``pyspark.sql.functions`` expression over one
+    tokenization (let-bound so it evaluates once), so the whole filter
+    is a narrow map fused with the scan — zero shuffles, zero UDFs; at
+    100 TB it streams at scan speed and the per-rule booleans let a
+    curation pipeline report *why* documents were dropped without a
+    second pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = stopwords or GOPHER_STOPWORDS
+    toks = tokens(normalize_text(c))
+
+    def build(t: Column) -> Column:
+        n_tok = F.size(t).cast("long")
+        safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+        mean_len = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double") / safe_tok
+        n_symbol = char_class_count(c, r"[#…]") + (
+            F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+        ) / F.lit(3)
+        n_alpha_tok = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        marker = F.array(*[F.lit(w) for w in words])
+        n_stop = F.size(F.filter(t, lambda x: F.array_contains(marker, x)))
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            F.round(mean_len, 4).alias("mean_token_len"),
+            ((n_tok >= min_tokens) & (n_tok <= max_tokens)).alias("ok_tokens"),
+            (
+                (mean_len >= min_mean_token_len)
+                & (mean_len <= max_mean_token_len)
+            ).alias("ok_mean_len"),
+            (n_symbol / safe_tok <= max_symbol_ratio).alias("ok_symbols"),
+            (n_alpha_tok / safe_tok >= min_alpha_frac).alias("ok_alpha"),
+            (n_stop >= min_stopword_hits).alias("ok_stopwords"),
+        )
+
+    s = let(toks, build)
+    flags = {
+        name: s.getField(name)
+        for name in (
+            "n_tokens",
+            "mean_token_len",
+            "ok_tokens",
+            "ok_mean_len",
+            "ok_symbols",
+            "ok_alpha",
+            "ok_stopwords",
+        )
+    }
+    flags["keep"] = (
+        flags["ok_tokens"]
+        & flags["ok_mean_len"]
+        & flags["ok_symbols"]
+        & flags["ok_alpha"]
+        & flags["ok_stopwords"]
+    )
+    return flags
+
+
 def bm25_scores(
     df: "DataFrame",
     query_terms: list[str],
