@@ -1,0 +1,98 @@
+"""Iterative graph analytics over edge DataFrames.
+
+[extension] PageRank as the representative iterative-numeric operator
+(connected components — the iterative *label* operator — lives in
+operators/clusters.py). Pipelines use PageRank-style scores to weight
+web documents by link authority before sampling a pre-training mix
+(the Common Crawl curation recipe).
+
+Spark-first shape (Pregel-by-DataFrames, same discipline as
+clusters.py:connected_components):
+
+- edges ⋈ out-degree is computed once, persisted, and reused by every
+  iteration — the only per-iteration work is one equi-join
+  (edge source → current rank) and one sum-aggregate keyed on the
+  destination, i.e. two hash-partitioned shuffles on node id;
+- the node count reaches the plan as a one-row broadcast (no
+  ``collect``), so teleport mass ``(1-d)/N`` is a column expression;
+- a fixed iteration count keeps the operator deterministic and
+  oracle-expressible (each power step unrolls to ANSI SQL); dangling
+  nodes (no out-edges) leak their mass — the textbook uncorrected
+  power iteration — so callers that need a stochastic matrix
+  symmetrize their edges or add self-loops first, which is also what
+  keeps the oracle exactly equal.
+
+At 100 TB: ranks and edges shuffle on the same key every iteration, so
+pre-partitioning edges by ``src`` (bucketed write) makes the join
+shuffle-free and only the dst-sum moves data; skewed in-degree (the
+whole point of authority scoring) is an aggregation hot key, which AQE
+splits, and the final ranks are ~bytes per node — orders of magnitude
+smaller than the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import adopt
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    round_to: int = 7,
+) -> DataFrame:
+    """Fixed-``iters`` power-iteration PageRank over a directed edge
+    list. Returns ``(node, rank)`` for every node appearing as a
+    source or destination, with ``rank`` rounded to ``round_to``
+    decimals (shuffle-order float sums are only reproducible up to
+    ulps; rounding is the cross-engine precision contract, as in
+    stats_lineitem).
+
+    The caller owns the returned frame's adopted caches
+    (caching.release) — the edge⋈degree intermediate is persisted for
+    reuse across iterations."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n__"))
+    nodes = nodes.crossJoin(F.broadcast(n_row)).persist()
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg__"))
+    e_deg = e.join(deg, "src").persist()
+
+    d = float(damping)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.col("__n__")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__outdeg__")).alias("__c__"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) / F.col("__n__")
+                    + F.lit(d) * F.coalesce(F.col("__in__"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    out = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return adopt(out, nodes, e_deg)

@@ -14,8 +14,9 @@ Spark-first shape, two keyed shuffles total:
    the scan);
 2. first-occurrence election: ``row_number() over (partition by
    segment-hash order by doc_id, chunk_id) = 1`` — ONE hash-partitioned
-   shuffle, and the rn=1 shape hits InferWindowGroupLimit so each map
-   task pre-trims to one candidate row per hash before shuffling;
+   shuffle. (No map-side window-group-limit here, deliberately: every
+   segment row survives to the reassembly with its ``is_first`` verdict
+   — the window trims nothing, it only elects.)
 3. reassembly: group by document, sort surviving segments by offset,
    concatenate — the second shuffle, keyed on doc id.
 
@@ -25,9 +26,9 @@ out beforehand), so the output is always one row per input document —
 an invariant downstream curation joins rely on.
 
 At 100 TB the segment-hash shuffle carries ``(hash, doc_id, chunk_id,
-segment)``; hashes are uniformly distributed so there is no skew, and
-the boilerplate hot keys (the whole point of the operator) are bounded
-per-reducer by the map-side window group limit.
+segment)``; hashes are uniformly distributed so there is no skew
+beyond genuinely hot boilerplate segments, whose window sort is a
+cheap per-key scan (one comparison per duplicate).
 """
 
 from __future__ import annotations

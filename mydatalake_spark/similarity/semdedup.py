@@ -1,0 +1,111 @@
+"""SemDeDup: cluster-scoped semantic deduplication of embeddings.
+
+[extension] The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication"):
+partition the embedding space into clusters, compare vectors only
+*within* their cluster, and drop every vector that has a
+higher-priority near-identical neighbor (cosine ≥ θ) in the same
+cluster. Compared to global pairwise near-dup (operators/neardup.py:
+cosine_neardup_pairs) the pair candidate space shrinks from n² to
+Σ cellᵢ² — with k balanced cells that is n²/k, and the cluster
+assignment itself is a map-only pass.
+
+Determinism: production SemDeDup uses k-means centroids (see
+similarity/search.py:ivf_topk for that quantizer); here the centroid
+*election* is content-addressed — the ``n_clusters`` vectors with the
+smallest ``md5(id)`` — so the whole operator is reproducible and
+oracle-expressible in ANSI SQL, independent of partitioning. Cell
+assignment is argmax of cosine (rounded to 6 dp so both engines agree
+at ties) with the centroid ordinal as tie-breaker.
+
+Scale: assignment is a pure JVM expression against ``n_clusters``
+literal centroid arrays (no UDF, no shuffle); the intra-cell pair join
+is an equi-join on cell id, so AQE splits a skewed cell the same way
+it splits any hot join key. At 100 TB you raise ``n_clusters`` so the
+expected cell is small (SemDeDup's paper setting: 50k clusters for
+LAION-scale corpora) and optionally pre-partition the assigned corpus
+by cell, after which every cell's pair scan is partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per input vector: ``(id_col, cell int, is_dup boolean)``
+    where ``is_dup`` marks vectors having a same-cell neighbor with a
+    smaller id at cosine ≥ ``threshold`` (the keep-lowest-id survivor
+    policy — deterministic, the SemDeDup "keep one per semantic
+    duplicate set within a cluster" rule)."""
+    # Content-addressed centroid election: tiny (n_clusters × dim),
+    # bounded collect — the deterministic stand-in for a k-means fit.
+    cent_rows = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("__h__", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h__")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in cent_rows]
+
+    scores = F.array(
+        *[
+            F.coalesce(
+                F.round(
+                    cosine_similarity(
+                        vec_col, F.array(*[F.lit(float(x)) for x in c])
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),  # zero-norm vectors: below every cosine
+            )
+            for c in centroids
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v__"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    a = assigned.select(
+        F.col(id_col).alias("__ida__"),
+        F.col("__v__").alias("__va__"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb__"),
+        F.col("__v__").alias("__vb__"),
+        "cell",
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("__ida__") < F.col("__idb__"))
+        .where(cosine_similarity("__va__", "__vb__") >= threshold)
+        .select(F.col("__idb__").alias(id_col))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__dup__"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -137,6 +137,42 @@ SHOWCASE = [
         "fingerprints before the pair join — popularity keys never reach\n"
         "the shuffle.",
     ),
+    (
+        "quality_filter_documents",
+        "Gopher quality rules as one codegen-fused projection: zero\n"
+        "Exchange nodes, and ReadSchema shows only (doc_id, text) leaving\n"
+        "the scan — the filter runs at scan speed regardless of corpus\n"
+        "size, with per-rule drop reasons for free.",
+    ),
+    (
+        "heavy_hitters_tokens",
+        "Two-pass exact heavy hitters: the token stream appears only under\n"
+        "map-side stages (explode + mapInPandas Misra–Gries, then a\n"
+        "BroadcastHashJoin probe against the candidate set) — the only\n"
+        "grouped shuffle carries candidate-matched rows. The naive\n"
+        "equivalent shuffles every token once.",
+    ),
+    (
+        "paragraph_dedup_documents",
+        "Sub-document dedup in exactly two exchanges: segment-hash window\n"
+        "election, then doc-keyed reassembly with partial ObjectHashAggregate\n"
+        "before the second shuffle. No window group limit is possible —\n"
+        "every segment row must carry its is_first verdict to reassembly.",
+    ),
+    (
+        "semantic_dedup_embeddings",
+        "SemDeDup: centroid cosine argmax is pure JVM expressions (no\n"
+        "Python eval nodes), the pair join is an equi-join on cell id —\n"
+        "candidate space is sum(cell^2), never n^2, and no\n"
+        "CartesianProduct/BroadcastNestedLoopJoin appears.",
+    ),
+    (
+        "pagerank_trade_graph",
+        "Power-iteration PageRank: per iteration one src-keyed\n"
+        "BroadcastHashJoin/shuffle join plus one dst-keyed partial-agg sum;\n"
+        "the edge⋈degree frame is InMemoryRelation (persisted once), and\n"
+        "the node count enters as a one-row broadcast, not a collect.",
+    ),
 ]
 
 

@@ -1,0 +1,181 @@
+"""Round-4 corpus-curation operators: quality filter, heavy hitters,
+paragraph dedup, SemDeDup, PageRank."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mydatalake_spark.caching import release
+from mydatalake_spark.functions.text import gopher_quality_flags
+from mydatalake_spark.operators.graphs import pagerank
+from mydatalake_spark.operators.heavyhitters import heavy_hitters
+from mydatalake_spark.operators.paradedup import paragraph_dedup
+from mydatalake_spark.similarity.semdedup import semantic_dedup
+
+
+# ---------------------------------------------------------------- quality
+
+def _flags_row(spark, text, **kw):
+    df = spark.createDataFrame([Row(text=text)])
+    flags = gopher_quality_flags("text", **kw)
+    return df.select(*[flags[k].alias(k) for k in flags]).collect()[0]
+
+
+def test_quality_empty_text_fails_closed(spark):
+    r = _flags_row(spark, "", min_tokens=1)
+    assert r.n_tokens == 0
+    assert not r.ok_tokens and not r.keep
+
+
+def test_quality_good_doc_keeps(spark):
+    r = _flags_row(
+        spark,
+        "the quick brown fox jumps over the lazy dog and runs home",
+        min_tokens=5,
+        min_mean_token_len=2.0,
+        max_mean_token_len=10.0,
+        stopwords=["the", "and"],
+    )
+    assert r.keep
+    assert r.ok_stopwords  # "the" ×2 + "and"
+
+
+def test_quality_symbol_ratio_drops(spark):
+    r = _flags_row(
+        spark,
+        "alpha # beta # gamma # delta ... epsilon",
+        min_tokens=1,
+        min_mean_token_len=1.0,
+        min_stopword_hits=0,
+    )
+    assert not r.ok_symbols and not r.keep
+
+
+def test_quality_mean_len_bounds(spark):
+    r = _flags_row(spark, "aa bb cc", min_tokens=1, min_stopword_hits=0)
+    assert r.mean_token_len == 2.0
+    assert not r.ok_mean_len  # below the default 3.0 floor
+
+
+# ----------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    # skewed stream: item i appears 2^i times, i in 0..9
+    rows = [Row(item=f"t{i}") for i in range(10) for _ in range(2 ** i)]
+    df = spark.createDataFrame(rows).repartition(7)  # force multi-partition
+    frac = 0.1
+    got = {
+        r.token: r.cnt
+        for r in heavy_hitters(df, "item", threshold_frac=frac).collect()
+    }
+    n = len(rows)
+    want = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+        if r["cnt"] >= -(-n * frac // 1)  # ceil
+    }
+    assert got == want
+    assert got  # non-degenerate
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    # capacity barely above 1/frac: the MG guarantee is the whole story
+    rows = [Row(item=str(i % 13)) for i in range(1000)]
+    df = spark.createDataFrame(rows).repartition(5)
+    got = heavy_hitters(df, "item", threshold_frac=0.05, capacity=21).count()
+    assert got == 13  # uniform: every residue is ≥5%
+
+
+def test_heavy_hitters_rejects_bad_capacity(spark):
+    df = spark.createDataFrame([Row(item="x")])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", threshold_frac=0.01, capacity=50)
+
+
+# --------------------------------------------------------- paragraph dedup
+
+def test_paragraph_dedup_invariants(spark, documents):
+    out = paragraph_dedup(documents, "text", "doc_id", size=48)
+    res = out.collect()
+    assert len(res) == documents.count()  # one row per input doc, always
+    assert all(0 <= r.kept_chunks <= r.total_chunks for r in res)
+    # something was actually deduped in this corpus
+    assert any(r.kept_chunks < r.total_chunks for r in res)
+
+
+def test_paragraph_dedup_identical_docs_keep_first_only(spark):
+    txt = "x" * 96  # exactly two 48-char segments
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=txt), Row(doc_id=2, text=txt)]
+    )
+    res = {r.doc_id: r for r in paragraph_dedup(df, size=48).collect()}
+    # doc 1 keeps one segment ("xxxx..." dedups against itself too —
+    # both its segments are the same 48 bytes), doc 2 keeps none
+    assert res[1].kept_chunks == 1
+    assert res[2].kept_chunks == 0
+    assert res[2].total_chunks == 2
+
+
+# ---------------------------------------------------------------- semdedup
+
+def test_semantic_dedup_survivor_policy(spark):
+    # two exact-duplicate groups + one singleton
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[2.0, 0.0, 0.0]),   # same direction as 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 3.0, 0.0]),   # same direction as 3
+        Row(vec_id=5, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    res = {r.vec_id: r.is_dup
+           for r in semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
+    assert len(res) == 5  # every vector classified
+    # lowest id of each duplicate direction survives
+    assert res[2] or res[1]  # one of the pair flagged…
+    assert not (res[1] and res[2])  # …but never both
+    dup_count = sum(res.values())
+    assert dup_count == 2  # exactly one loser per duplicate pair
+
+
+def test_semantic_dedup_threshold_1_means_no_dups_across_angles(spark):
+    rows = [
+        Row(vec_id=i, embedding=[1.0, float(i) / 10.0]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    res = semantic_dedup(df, n_clusters=2, threshold=1.1)
+    assert res.where("is_dup").count() == 0
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # undirected triangle + pendant: stochastic after symmetrization
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und]
+        + [Row(src=b, dst=a) for a, b in und]
+    )
+    out = pagerank(edges, iters=5, round_to=7)
+    rows = out.collect()
+    release(out)
+    assert len(rows) == 4
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-5  # no dangling leak
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert ranks[3] == max(ranks.values())  # degree-3 hub wins
+    assert ranks[4] == min(ranks.values())  # pendant loses
+
+
+def test_pagerank_dangling_leaks_mass_as_documented(spark):
+    edges = spark.createDataFrame([Row(src=1, dst=2)])  # 2 dangles
+    out = pagerank(edges, iters=3)
+    total = sum(r["rank"] for r in out.collect())
+    release(out)
+    assert total < 1.0  # textbook uncorrected power iteration
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    edges = spark.createDataFrame([Row(src=1, dst=2)])
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)

@@ -262,3 +262,64 @@ def test_winnow_pairs_df_cap_in_plan(spark, sf_dir, entry):
     assert "__df__" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_is_scan_speed_map(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["quality_filter_documents"](spark, sf_dir)
+    )
+    assert "Exchange" not in plan, "quality filter must not shuffle"
+    # only doc_id and text leave the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "n_chars" not in read and "source" not in read, (
+        f"documents scan not pruned: {read}"
+    )
+
+
+def test_heavy_hitters_recount_is_broadcast_join(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["heavy_hitters_tokens"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "candidate recount must broadcast the candidate set, not "
+        "shuffle the token stream"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_window_group_limit(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["paragraph_dedup_documents"](spark, sf_dir)
+    )
+    # exactly two keyed shuffles: segment-hash election + doc
+    # reassembly (no group limit possible — every row must survive
+    # with its is_first verdict)
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l
+    ]
+    assert len(exchanges) == 2, plan
+    assert "Window" in plan
+
+
+def test_semantic_dedup_assignment_has_no_udf(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["semantic_dedup_embeddings"](spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "cell assignment must stay JVM-side"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_is_single_partial_agg(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["histogram_events_value"](spark, sf_dir)
+    )
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l
+    ]
+    assert len(exchanges) <= 1, "histogram needs one shuffle max"
+    assert "partial" in plan.lower(), "map-side combine missing"
