@@ -50,6 +50,7 @@ from mydatalake_spark.operators.decontam import (
 from mydatalake_spark.operators.graphs import pagerank
 from mydatalake_spark.operators.heavyhitters import heavy_hitters
 from mydatalake_spark.operators.paradedup import paragraph_dedup
+from mydatalake_spark.operators.scd2 import apply_cdc_ops, scd2_build
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
 from mydatalake_spark.operators.neardup import (
@@ -3668,6 +3669,116 @@ GROUP BY 1
 """
 
 
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd2.py:scd2_build):
+    orders as a change stream keyed on customer, tracking order-status
+    state — consecutive identical states collapse, each surviving run
+    gets valid_from/valid_to/version/is_current. One hash shuffle on
+    the key; the change-detection lag, validity lead and version
+    number all run inside the same window partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_build(
+        orders,
+        key="o_custkey",
+        ts="o_orderdate",
+        attrs=["o_orderstatus"],
+        tiebreak="o_orderkey",
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+  FROM orders
+), kept AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev
+)
+SELECT o_custkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER)
+           AS version,
+       (LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL)
+           AS is_current
+FROM kept
+"""
+
+
+def cdc_ops_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-aware CDC apply (operators/scd2.py:apply_cdc_ops): a
+    two-version Debezium-style change batch (updates then a mix of
+    updates and deletes) applied to the orders snapshot — the latest
+    change per key wins, terminal deletes drop the key, untouched rows
+    pass through. One key-partitioned anti join + union; the
+    WHEN MATCHED AND op='D' THEN DELETE Delta clause as DataFrame
+    algebra. The change stream is synthesized deterministically from
+    the snapshot itself (keys ≡ 0 mod 7; deletes where also ≡ 0 mod
+    3) so the oracle can replay it."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 7 == 0)
+    v1 = base.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .alias("change_ts"),
+        F.lit("U").alias("op"),
+    )
+    v2 = base.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY"))
+        .alias("change_ts"),
+        F.when(F.col("o_orderkey") % 3 == 0, "D").otherwise("U")
+        .alias("op"),
+    )
+    return apply_cdc_ops(
+        orders, v1.unionByName(v2), key="o_orderkey", ts="change_ts"
+    )
+
+
+_CDC_OPS_ORACLE = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 = 0
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+         o_orderpriority, o_orderdate + INTERVAL 1 DAY AS change_ts,
+         'U' AS op
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 20.0 AS o_totalprice, o_orderdate,
+         o_orderpriority, o_orderdate + INTERVAL 2 DAY AS change_ts,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM base
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY change_ts DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+WHERE l.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3756,6 +3867,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "pagerank_trade_graph": pagerank_trade_graph,
         "histogram_events_value": histogram_events_value,
+        "scd2_customer_status": scd2_customer_status,
+        "cdc_ops_apply_orders": cdc_ops_apply_orders,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3870,6 +3983,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _SEMDEDUP_ORACLE,
         "pagerank_trade_graph": _PAGERANK_ORACLE,
         "histogram_events_value": _HISTOGRAM_ORACLE,
+        "scd2_customer_status": _SCD2_ORACLE,
+        "cdc_ops_apply_orders": _CDC_OPS_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

@@ -179,3 +179,74 @@ def test_pagerank_rejects_zero_iters(spark):
     edges = spark.createDataFrame([Row(src=1, dst=2)])
     with pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+# ------------------------------------------------------------------- scd2
+
+def test_scd2_collapses_noop_changes(spark):
+    from mydatalake_spark.operators.scd2 import scd2_build
+
+    rows = [
+        Row(k=1, ts=1, v="a", cid=1),
+        Row(k=1, ts=2, v="a", cid=2),   # no-op: collapses
+        Row(k=1, ts=3, v="b", cid=3),
+        Row(k=1, ts=4, v="a", cid=4),   # back to a: NEW version
+        Row(k=2, ts=1, v="x", cid=5),
+    ]
+    out = scd2_build(
+        spark.createDataFrame(rows), key="k", ts="ts", attrs=["v"],
+        tiebreak="cid",
+    ).collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.version)
+    assert [(r.v, r.valid_from, r.valid_to) for r in k1] == [
+        ("a", 1, 3), ("b", 3, 4), ("a", 4, None)
+    ]
+    assert [r.is_current for r in k1] == [False, False, True]
+    (k2,) = [r for r in out if r.k == 2]
+    assert k2.version == 1 and k2.is_current
+
+
+def test_scd2_tiebreak_orders_same_ts_changes(spark):
+    from mydatalake_spark.operators.scd2 import scd2_build
+
+    rows = [
+        Row(k=1, ts=1, v="b", cid=2),
+        Row(k=1, ts=1, v="a", cid=1),   # same ts: cid breaks the tie
+    ]
+    out = sorted(
+        scd2_build(
+            spark.createDataFrame(rows), key="k", ts="ts",
+            attrs=["v"], tiebreak="cid",
+        ).collect(),
+        key=lambda r: r.version,
+    )
+    assert [r.v for r in out] == ["a", "b"]
+    assert out[1].is_current
+
+
+def test_apply_cdc_ops_delete_update_insert(spark):
+    from mydatalake_spark.operators.scd2 import apply_cdc_ops
+
+    target = spark.createDataFrame(
+        [Row(k=1, val="old1"), Row(k=2, val="old2"), Row(k=3, val="old3")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, val="new1", ts=1, op="U"),   # update
+            Row(k=2, val="x", ts=1, op="U"),
+            Row(k=2, val="x", ts=2, op="D"),      # terminal delete wins
+            Row(k=4, val="new4", ts=1, op="U"),   # insert
+        ]
+    )
+    out = {r.k: r.val
+           for r in apply_cdc_ops(target, changes, "k", "ts").collect()}
+    assert out == {1: "new1", 3: "old3", 4: "new4"}
+
+
+def test_apply_cdc_ops_requires_full_row_images(spark):
+    from mydatalake_spark.operators.scd2 import apply_cdc_ops
+
+    target = spark.createDataFrame([Row(k=1, val="old")])
+    partial = spark.createDataFrame([Row(k=1, ts=1, op="U")])  # no val
+    with pytest.raises(ValueError, match="val"):
+        apply_cdc_ops(target, partial, "k", "ts")

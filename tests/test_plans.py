@@ -323,3 +323,25 @@ def test_histogram_is_single_partial_agg(spark, sf_dir, entry):
     ]
     assert len(exchanges) <= 1, "histogram needs one shuffle max"
     assert "partial" in plan.lower(), "map-side combine missing"
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["scd2_customer_status"](spark, sf_dir)
+    )
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l
+    ]
+    assert len(exchanges) == 1, (
+        "lag-collapse + lead/version must share one key partitioning"
+    )
+
+
+def test_cdc_ops_apply_no_cartesian(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["cdc_ops_apply_orders"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "untouched rows must flow via anti join"
