@@ -28,6 +28,7 @@ from mydatalake_spark.functions.text import (
     doc_fingerprint,
     gopher_quality_flags,
     lang_guess,
+    let,
     normalize_text,
     redact_pii,
     text_quality,
@@ -3438,20 +3439,29 @@ FROM m
 
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent bigrams (operators/heavyhitters.py): every token
-    2-gram making up ≥0.15% of the corpus stream, with exact counts.
-    Two passes — per-partition Misra–Gries candidates (mapInPandas,
-    vectorized value_counts; the sentinel row carries partition size so
-    n comes from the same pass), then a broadcast-semi-join recount of
+    2-gram making up ≥0.125% of the corpus stream, with exact counts
+    (a mixed verdict at both sf0.01 and sf0.1 — the bigram count
+    distribution concentrates toward the mean as n grows). Two passes
+    — per-partition Misra–Gries candidates (mapInPandas, vectorized
+    value_counts; the sentinel row carries partition size so n comes
+    from the same pass), then a broadcast-semi-join recount of
     candidates only. The full token stream is never shuffled and
     nothing is collected to the driver; the oracle is the naive
     GROUP BY … HAVING, which the candidate-superset guarantee makes
-    exactly equal."""
+    exactly equal. The token array is let-bound before the n-gram
+    transform — element_at inside the lambda would otherwise re-run
+    the tokenizer per n-gram element (measured 19 s → <1 s at sf0.1
+    for the explode alone)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(normalize_text(F.col("text")))
     grams = docs.select(
-        F.explode(_all_ngrams(toks, 2)).alias("gram")
+        F.explode(
+            let(
+                tokens(normalize_text(F.col("text"))),
+                lambda t: _all_ngrams(t, 2),
+            )
+        ).alias("gram")
     )
-    return heavy_hitters(grams, "gram", threshold_frac=0.0015)
+    return heavy_hitters(grams, "gram", threshold_frac=0.00125)
 
 
 _HEAVY_HITTERS_ORACLE = r"""
@@ -3467,7 +3477,7 @@ WITH toks AS (
 SELECT gram AS token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM grams
 GROUP BY gram
-HAVING COUNT(*) >= (SELECT CEIL(n * 0.0015) FROM tot)
+HAVING COUNT(*) >= (SELECT CEIL(n * 0.00125) FROM tot)
 """
 
 

@@ -58,7 +58,14 @@ def pagerank(
     reuse across iterations."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list feeds four plan branches (both node-set arms, the
+    # degree aggregate, and the per-iteration join); without its own
+    # persist the upstream edge derivation would re-execute for each —
+    # caching edges is the standard first move of any iterative graph
+    # algorithm (GraphX does the same).
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -95,4 +102,4 @@ def pagerank(
             )
         )
     out = ranks.select("node", F.round("rank", round_to).alias("rank"))
-    return adopt(out, nodes, e_deg)
+    return adopt(out, e, nodes, e_deg)
