@@ -51,6 +51,7 @@ from mydatalake_spark.operators.decontam import (
 from mydatalake_spark.operators.graphs import pagerank
 from mydatalake_spark.operators.heavyhitters import heavy_hitters
 from mydatalake_spark.operators.paradedup import paragraph_dedup
+from mydatalake_spark.operators.profile import profile_table
 from mydatalake_spark.operators.scd2 import apply_cdc_ops, scd2_build
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
@@ -3789,6 +3790,66 @@ FROM latest WHERE op <> 'D'
 """
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (operators/profile.py): per-column
+    row/null/exact-distinct counts and numeric min/max for six mixed
+    lineitem columns, all from ONE aggregation over ONE scan (the
+    multi-count-distinct Expand strategy — n columns profiled in one
+    read instead of n). The oracle computes each column independently
+    and must agree exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+         "l_linestatus", "l_discount"],
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT 'l_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_orderkey) AS DOUBLE) AS min_value,
+       CAST(MAX(l_orderkey) AS DOUBLE) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+       CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+       CAST(MIN(l_extendedprice) AS DOUBLE),
+       CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3879,6 +3940,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": histogram_events_value,
         "scd2_customer_status": scd2_customer_status,
         "cdc_ops_apply_orders": cdc_ops_apply_orders,
+        "profile_lineitem": profile_lineitem,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -3995,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_events_value": _HISTOGRAM_ORACLE,
         "scd2_customer_status": _SCD2_ORACLE,
         "cdc_ops_apply_orders": _CDC_OPS_ORACLE,
+        "profile_lineitem": _PROFILE_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

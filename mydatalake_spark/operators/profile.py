@@ -1,0 +1,75 @@
+"""One-pass table profiling (ANALYZE-style column statistics).
+
+[extension] The catalog-maintenance primitive behind cost-based
+decisions and data-quality dashboards: per-column row count, null
+count, exact distinct count, and numeric min/max — as a long-format
+DataFrame so downstream tooling (DQ history tables, drift monitors)
+can diff profiles across runs without schema churn.
+
+Spark-first shape: ONE aggregation over ONE scan computes every
+column's statistics simultaneously; multiple exact ``count(distinct)``
+aggregates make Catalyst plan an Expand (each input row fans out once
+per distinct-aggregate) followed by two-level partial aggregation —
+the standard multi-distinct strategy, still a single pass over the
+data and a single shuffle keyed on the expanded group id. At 100 TB
+you trade the Expand's row multiplication for scan count: n columns
+profiled in one read instead of n reads. (If approximate counts are
+acceptable, swap in ``approx_count_distinct`` and the Expand
+disappears — but then no engine-exact oracle, which is why the exact
+form is the default here.)
+
+The wide one-row aggregate is reshaped to long format with a
+``stack``-style explode of per-column structs — a projection over one
+row, free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
+            "decimal"}
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column statistics in one pass: ``(column, n_rows, n_null,
+    n_distinct, min_value, max_value)`` — min/max as doubles for
+    numeric columns, null otherwise (casting arbitrary types to
+    strings is not engine-portable; numeric min/max are).
+
+    ``n_distinct`` is exact and excludes nulls (SQL COUNT(DISTINCT)
+    semantics); ``n_null`` counts them separately so the two always
+    reconcile to ``n_rows``."""
+    names = cols or df.columns
+    types = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in names:
+        is_num = types[c].split("(")[0] in _NUMERIC
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}__"))
+        aggs.append(
+            (F.min(F.col(c)).cast("double") if is_num
+             else F.lit(None).cast("double")).alias(f"__min_{c}__")
+        )
+        aggs.append(
+            (F.max(F.col(c)).cast("double") if is_num
+             else F.lit(None).cast("double")).alias(f"__max_{c}__")
+        )
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n_rows"),
+                F.col(f"__null_{c}__").alias("n_null"),
+                F.col(f"__nd_{c}__").alias("n_distinct"),
+                F.col(f"__min_{c}__").alias("min_value"),
+                F.col(f"__max_{c}__").alias("max_value"),
+            )
+            for c in names
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("s")).select("s.*")

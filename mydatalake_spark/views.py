@@ -49,3 +49,74 @@ class MaterializedView:
 
     def read(self) -> DataFrame:
         return self.catalog.read(self.name)
+
+
+@dataclass
+class IncrementalAggView:
+    """A grouped-aggregate materialization maintained by DELTA MERGES
+    instead of full recomputes.
+
+    [extension] The incremental-view-maintenance half of the gold
+    layer: for self-mergeable aggregates (SUM/COUNT — and anything
+    derivable from them at read time, e.g. AVG = sum/cnt), applying a
+    new batch costs ``agg(batch) ⊕ stored_partials``, not a re-scan of
+    all history. At 100 TB that is the difference between touching the
+    day's partition and touching three years of them.
+
+    Contract: ``keys`` group the view; ``measures`` maps output column
+    → input expression summed per group; an ``n_rows`` count per
+    group is always maintained (``n_rows`` is therefore a reserved
+    output name). Sources must be append-only (no
+    retractions) — updates/deletes need the CDC path
+    (operators/scd2.py:apply_cdc_ops) upstream, after which a full
+    refresh re-baselines the view.
+
+    The merge is one groupBy over (stored partials ∪ batch partials),
+    written back with a staged swap (the scan reads the pre-commit
+    files; catalog.py:overwrite_via_staging) so a crash mid-write
+    never corrupts the view.
+    """
+
+    spark: SparkSession
+    catalog: Catalog
+    name: str                       # catalog.schema.table of the view
+    keys: list[str]
+    measures: dict[str, str]        # out-col -> input SQL expression
+
+    def _partials(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if "n_rows" in self.measures:
+            raise ValueError(
+                "'n_rows' is reserved for the maintained group count"
+            )
+        aggs = [
+            F.sum(F.expr(expr)).alias(out)
+            for out, expr in self.measures.items()
+        ]
+        aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        return batch.groupBy(*self.keys).agg(*aggs)
+
+    def apply(self, batch: DataFrame) -> None:
+        """Fold one append-only batch into the stored aggregates."""
+        from pyspark.sql import functions as F
+
+        fresh = self._partials(batch)
+        if self.catalog.exists(self.name):
+            merged = (
+                self.catalog.read(self.name)
+                .unionByName(fresh)
+                .groupBy(*self.keys)
+                .agg(
+                    *[
+                        F.sum(out).alias(out)
+                        for out in (*self.measures, "n_rows")
+                    ]
+                )
+            )
+            self.catalog.overwrite_via_staging(merged, self.name)
+        else:
+            self.catalog.overwrite(fresh, self.name)
+
+    def read(self) -> DataFrame:
+        return self.catalog.read(self.name)

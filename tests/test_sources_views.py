@@ -149,3 +149,62 @@ def test_catalog_time_travel_versions(spark, tmp_path):
     cat0.overwrite(batch("x"), "g.s.t0")
     cat0.overwrite(batch("y"), "g.s.t0")
     assert cat0.versions("g.s.t0") == []
+
+
+def test_incremental_agg_view_matches_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.views import IncrementalAggView
+
+    cat = Catalog(spark, str(tmp_path / "wh_inc"))
+    iv = IncrementalAggView(
+        spark, cat, "gold.mkt.rev",
+        keys=["k"],
+        measures={"revenue": "qty * price", "qty_total": "qty"},
+    )
+    b1 = spark.createDataFrame(
+        [("A", 2.0, 10.0), ("B", 1.0, 5.0)],
+        "k string, qty double, price double",
+    )
+    b2 = spark.createDataFrame(
+        [("A", 3.0, 10.0), ("C", 4.0, 2.0)],
+        "k string, qty double, price double",
+    )
+    iv.apply(b1)
+    iv.apply(b2)
+    got = {
+        r.k: (r.revenue, r.qty_total, r.n_rows)
+        for r in iv.read().collect()
+    }
+    # equals the one-shot aggregate over b1 ∪ b2
+    full = {
+        r.k: (r.revenue, r.qty_total, r.cnt)
+        for r in b1.unionByName(b2)
+        .groupBy("k")
+        .agg(
+            F.sum(F.expr("qty * price")).alias("revenue"),
+            F.sum("qty").alias("qty_total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert got == full
+    assert got["A"] == (50.0, 5.0, 2)
+
+
+def test_incremental_agg_view_idempotent_schema_and_avg_at_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.views import IncrementalAggView
+
+    cat = Catalog(spark, str(tmp_path / "wh_inc2"))
+    iv = IncrementalAggView(
+        spark, cat, "gold.mkt.avgdemo",
+        keys=["k"], measures={"total": "v"},
+    )
+    iv.apply(spark.createDataFrame([("A", 1.0), ("A", 3.0)], "k string, v double"))
+    iv.apply(spark.createDataFrame([("A", 5.0)], "k string, v double"))
+    row = iv.read().select(
+        "k", (F.col("total") / F.col("n_rows")).alias("avg_v")
+    ).collect()[0]
+    assert row.k == "A" and row.avg_v == 3.0
