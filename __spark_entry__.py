@@ -40,6 +40,7 @@ from mydatalake_spark.operators.sampling import (
     pack_shards,
     split_sql_case,
     stratified_sample,
+    weighted_sample,
 )
 from mydatalake_spark.operators.asof import asof_join
 from mydatalake_spark.operators.clusters import dedup_clusters
@@ -52,6 +53,7 @@ from mydatalake_spark.operators.graphs import pagerank
 from mydatalake_spark.operators.heavyhitters import heavy_hitters
 from mydatalake_spark.operators.paradedup import paragraph_dedup
 from mydatalake_spark.operators.profile import profile_table
+from mydatalake_spark.operators.rangejoin import interval_join
 from mydatalake_spark.operators.scd2 import apply_cdc_ops, scd2_build
 from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import merge_upsert
@@ -3576,13 +3578,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Numeric node ids (even = supplier, odd = customer): a bigint key
+    # halves the distinct/join shuffle bytes vs 'S123'-style strings —
+    # the right graph encoding at any scale.
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-            .alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -3593,8 +3596,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAGERANK_ORACLE = """
 WITH pairs AS (
-  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), edges AS (
   SELECT src, dst FROM pairs
@@ -3850,6 +3852,79 @@ FROM lineitem
 """
 
 
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/rangejoin.py:interval_join):
+    same-user 2-hour error-incident windows × 1-hour purchase-session
+    windows that intersect. Planned bin-and-verify as a hash equi-join on
+    (user_id, bin); each overlapping pair is claimed by exactly one
+    bin (the later start bin) so there is no dedup shuffle and no
+    cross product (plan-asserted). Oracle is DuckDB's native interval
+    overlap (IEJoin)."""
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("err_end"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("session_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pur_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("pur_end"),
+    )
+    out = interval_join(
+        err, pur, "err_start", "err_end", "pur_start", "pur_end",
+        bin_width="1 hour", on=["user_id"],
+    )
+    return out.select("incident_id", "session_id", "user_id")
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH err AS (
+  SELECT event_id AS incident_id, user_id,
+         ts AS err_start, ts + INTERVAL 2 HOUR AS err_end
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS session_id, user_id,
+         ts AS pur_start, ts + INTERVAL 1 HOUR AS pur_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.incident_id, p.session_id, e.user_id
+FROM err e JOIN pur p
+  ON e.user_id = p.user_id
+ AND e.err_start < p.pur_end
+ AND p.pur_start < e.err_end
+"""
+
+
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling
+    (operators/sampling.py:weighted_sample): each document keeps with
+    probability ∝ its length signal (min(n_chars/200, 1)) — the
+    corpus-mixing primitive (temperature-/quality-weighted source
+    blending) — decided by content hash, so the sample is reproducible
+    across runs, partitionings, and engines, and append-stable. Pure
+    scan-fused predicate: zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    return weighted_sample(docs, "doc_id", w, salt="wq1").select(
+        "doc_id", "n_chars"
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST('0x' || SUBSTRING(
+          MD5(CONCAT('wq1', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+      AS INTEGER)
+    < FLOOR(LEAST(GREATEST(
+          n_chars / CAST(200.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          CAST(1.0 AS DOUBLE)) * 65536)
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3941,6 +4016,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_status": scd2_customer_status,
         "cdc_ops_apply_orders": cdc_ops_apply_orders,
         "profile_lineitem": profile_lineitem,
+        "interval_join_events": interval_join_events,
+        "weighted_sample_documents": weighted_sample_documents,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4058,6 +4135,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_status": _SCD2_ORACLE,
         "cdc_ops_apply_orders": _CDC_OPS_ORACLE,
         "profile_lineitem": _PROFILE_ORACLE,
+        "interval_join_events": _INTERVAL_JOIN_ORACLE,
+        "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

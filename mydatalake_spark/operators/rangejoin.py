@@ -89,3 +89,55 @@ def _bin_seconds(bin_width: str) -> int:
     if n <= 0:
         raise ValueError(f"bin_width must be positive: {bin_width!r}")
     return n * mult[unit]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: str = "5 minutes",
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose half-open
+    windows intersect (``l_start < r_end AND r_start < l_end``),
+    optionally ANDed with equi-keys ``on``. Column names must be
+    disjoint apart from ``on``.
+
+    Same bin-and-verify rewrite as :func:`range_join`, with one twist:
+    two overlapping intervals co-occupy every bin their overlap spans,
+    so a plain bin equi-join would emit the pair once per shared bin.
+    Instead of a dedup shuffle, each pair is claimed by exactly ONE
+    bin — the later of the two start bins (the first bin where both
+    intervals exist) — via a post-join equality predicate. Output
+    stays exactly one row per overlapping pair, and the join remains a
+    hash equi-join on (keys, bin): no cross product, no
+    dropDuplicates pass, AQE splits hot bins.
+    """
+    on = on or []
+    secs = _bin_seconds(bin_width)
+
+    def bins(s: str, e: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(s)) / secs),
+                F.floor(F.unix_timestamp(F.col(e)) / secs),
+            )
+        )
+
+    l = left.withColumn("__bin__", bins(l_start, l_end))
+    r = right.withColumn("__bin__", bins(r_start, r_end))
+    overlap = (F.col(l_start) < F.col(r_end)) & (
+        F.col(r_start) < F.col(l_end)
+    )
+    claimed = F.col("__bin__") == F.greatest(
+        F.floor(F.unix_timestamp(F.col(l_start)) / secs),
+        F.floor(F.unix_timestamp(F.col(r_start)) / secs),
+    )
+    return (
+        l.join(r, on + ["__bin__"], "inner")
+        .filter(overlap & claimed)
+        .drop("__bin__")
+    )

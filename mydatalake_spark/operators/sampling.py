@@ -122,6 +122,33 @@ def hash_sample(
     return df.filter(_bucket(F.col(key_col), salt) < F.lit(bound))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column | str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability = ``weight`` (a Column,
+    clamped to [0, 1]), decided by the row's content hash — the
+    corpus-mixing primitive (quality- or temperature-weighted source
+    blending in pre-training data recipes).
+
+    Unlike ``df.sample``, the decision is a pure function of
+    (salt, key, weight): reproducible across runs, partitionings and
+    engines, append-stable (new rows never flip old decisions), and
+    consistent across tables sharing the key. The hash bucket converts
+    to an integer (``conv`` base 16) so it can compare against the
+    row-dependent threshold ``floor(weight · 65536)`` — a dynamic
+    bound the static hex-string comparison of :func:`hash_sample`
+    cannot express. Scan-fused predicate: no shuffle, no UDF."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    clamped = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    bucket_int = F.conv(
+        _bucket(F.col(key_col), salt), 16, 10
+    ).cast("long")
+    return df.filter(bucket_int < F.floor(clamped * _BUCKETS))
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -250,3 +250,55 @@ def test_apply_cdc_ops_requires_full_row_images(spark):
     partial = spark.createDataFrame([Row(k=1, ts=1, op="U")])  # no val
     with pytest.raises(ValueError, match="val"):
         apply_cdc_ops(target, partial, "k", "ts")
+
+
+# ------------------------------------------------- interval join / sampling
+
+def test_interval_join_emits_each_pair_once(spark):
+    import datetime as dt
+
+    from mydatalake_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # long overlap spanning MANY 5-minute bins: the claimed-bin trick
+    # must still emit the pair exactly once
+    left = spark.createDataFrame(
+        [Row(lid=1, ls=ts(0), le=ts(120)), Row(lid=2, ls=ts(200), le=ts(210))]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, rs=ts(30), re=ts(90)),    # inside lid=1
+            Row(rid=11, rs=ts(119), re=ts(125)),  # tail overlap lid=1
+            Row(rid=12, rs=ts(120), re=ts(130)),  # touches end: half-open, no
+            Row(rid=13, rs=ts(300), re=ts(310)),  # disjoint
+        ]
+    )
+    out = interval_join(
+        left, right, "ls", "le", "rs", "re", bin_width="5 minutes"
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    assert pairs == [(1, 10), (1, 11)]  # each exactly once
+
+
+def test_weighted_sample_extremes_and_monotonicity(spark):
+    from mydatalake_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([Row(k=i) for i in range(500)])
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 500
+    assert weighted_sample(df, "k", F.lit(2.0)).count() == 500  # clamped
+    n_low = weighted_sample(df, "k", F.lit(0.2), salt="s").count()
+    n_high = weighted_sample(df, "k", F.lit(0.8), salt="s").count()
+    assert 0 < n_low < n_high < 500
+    # nested property: raising the weight only ADDS rows (same salt)
+    low_ids = {
+        r.k for r in weighted_sample(df, "k", F.lit(0.2), salt="s").collect()
+    }
+    high_ids = {
+        r.k for r in weighted_sample(df, "k", F.lit(0.8), salt="s").collect()
+    }
+    assert low_ids <= high_ids

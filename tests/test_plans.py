@@ -345,3 +345,21 @@ def test_cdc_ops_apply_no_cartesian(spark, sf_dir, entry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan, "untouched rows must flow via anti join"
+
+
+def test_interval_join_no_cartesian_no_dedup(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["interval_join_events"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    # the claimed-bin predicate replaces a dropDuplicates pass
+    assert "HashAggregate" not in plan or "distinct" not in plan.lower()
+
+
+def test_weighted_sample_is_scan_fused(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["weighted_sample_documents"](spark, sf_dir)
+    )
+    assert "Exchange" not in plan, "weighted sampling must not shuffle"
