@@ -217,20 +217,9 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return let(tokens(normalize_text(col)), build)
 
 
-# Gopher-rule defaults (Rae et al. 2021, "Scaling Language Models:
-# Methods, Analysis & Insights from Training Gopher", §A1.1). The
-# bounds are constructor parameters because real corpora tune them;
-# these are the published paper values.
-GOPHER_DEFAULTS = {
-    "min_tokens": 50,
-    "max_tokens": 100_000,
-    "min_mean_token_len": 3.0,
-    "max_mean_token_len": 10.0,
-    "max_symbol_ratio": 0.1,
-    "min_alpha_frac": 0.8,
-    "min_stopword_hits": 2,
-}
-
+# Default stop-word markers for the Gopher quality rules (the paper's
+# "must contain ≥2 of a small stop-word list" rule, Rae et al. 2021
+# §A1.1); real corpora tune the list per language.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

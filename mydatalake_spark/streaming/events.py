@@ -175,3 +175,36 @@ def stream_from_json_dir(spark, path: str, schema) -> DataFrame:
     raw-zone JSON drops, reference lib/ingestors.py:78-79):
     ``readStream`` over a directory; new files become micro-batches."""
     return spark.readStream.schema(schema).json(path)
+
+
+def stream_into_view(
+    stream_df: DataFrame,
+    view,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously maintain an ``IncrementalAggView`` from a stream:
+    every micro-batch's partial aggregates fold into the stored gold
+    table via ``foreachBatch`` — streaming incremental-view
+    maintenance, the DLT "streaming table feeds a materialized view"
+    shape on OSS Spark.
+
+    Exactly-once composition: the foreachBatch sink is at-least-once
+    under retries, and the view's fold is NOT idempotent by itself, so
+    the checkpoint must outlive the view table (Spark replays a failed
+    batch only until the checkpoint commits). For a re-baseline, drop
+    BOTH the view table and this checkpoint, then replay history.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            view.apply(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -167,6 +167,19 @@ SHOWCASE = [
         "CartesianProduct/BroadcastNestedLoopJoin appears.",
     ),
     (
+        "interval_join_events",
+        "Interval-overlap join via bin-and-verify: a hash equi-join on\n"
+        "(user_id, bin) with each overlapping pair claimed by exactly one\n"
+        "bin — no CartesianProduct, no dropDuplicates pass. Naive Spark\n"
+        "plans a pure overlap predicate as a nested-loop join.",
+    ),
+    (
+        "weighted_sample_documents",
+        "Quality-weighted sampling as a scan-fused predicate: the content\n"
+        "hash compares against a per-row floor(w*65536) threshold — zero\n"
+        "Exchange nodes, deterministic at any parallelism.",
+    ),
+    (
         "pagerank_trade_graph",
         "Power-iteration PageRank: per iteration one src-keyed\n"
         "BroadcastHashJoin/shuffle join plus one dst-keyed partial-agg sum;\n"

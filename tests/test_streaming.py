@@ -334,3 +334,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .select("user_id", "ts", F.col("value").alias("view_value"))
     bj = stream_interval_join(bclicks, bviews, "user_id", within="10 minutes")
     assert {(r.event_id, r.view_value) for r in bj.collect()} == got
+
+
+def test_stream_into_incremental_view(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.streaming.events import (
+        stream_from_json_dir,
+        stream_into_view,
+    )
+    from mydatalake_spark.views import IncrementalAggView
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _write_batch(str(src / "b1.json"), ROWS[:3])
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    view = IncrementalAggView(
+        spark, cat, "gold.ev.by_user",
+        keys=["user_id"], measures={"value_sum": "value"},
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_into_view(
+        stream_from_json_dir(spark, str(src), schema), view, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {r.user_id: (r.value_sum, r.n_rows) for r in view.read().collect()}
+    assert got == {1: (6.0, 3)}
+
+    # second file → second micro-batch folds in incrementally
+    _write_batch(str(src / "b2.json"), ROWS[3:])
+    q2 = stream_into_view(
+        stream_from_json_dir(spark, str(src), schema), view, ckpt
+    )
+    q2.awaitTermination(120)
+    got = {r.user_id: (r.value_sum, r.n_rows) for r in view.read().collect()}
+    assert got == {1: (6.0, 3), 2: (4.5, 2)}
