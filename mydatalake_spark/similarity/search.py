@@ -199,38 +199,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def _sign_bits(vec_name: str, planes: list[list[float]], band: int, bits: int):
-    """Bucket key for one band: integer from sign bits of ``bits``
-    hyperplane projections.
-
-    Each projection is assembled as ONE ``F.expr`` SQL string rather
-    than per-coefficient Column objects: building 96 plane dots from
-    ~70 py4j calls each costs ~7 s of DRIVER time before any data
-    moves (measured); a parsed SQL string is one call and identical
-    Catalyst expressions — same zip_with·aggregate ops in the same
-    order, literals via shortest-round-trip repr, so buckets are
-    bit-identical. ``vec_name`` must be a plain column NAME (str): the
-    name is embedded in SQL text, so a Column object (whose repr is
-    not a valid identifier — e.g. Spark Connect's "Column<'x'>")
-    would mis-compile silently. Enforced, not guessed."""
-    if not isinstance(vec_name, str):
-        raise TypeError(
-            "_sign_bits needs a plain column name (str), got "
-            f"{type(vec_name).__name__}; pass the name, not F.col(name)"
-        )
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        plane = planes[band * bits + i]
-        arr = ", ".join(f"{float(x)!r}D" for x in plane)
-        proj = F.expr(
-            f"aggregate(zip_with(`{vec_name}`, array({arr}), "
-            "(x, y) -> cast(x as double) * y), "
-            "cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-        key = key * 2 + F.when(proj >= 0, 1).otherwise(0)
-    return key
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,8 +251,10 @@ def ivf_topk(
                 if n > 0:
                     centroids[c] = m / n
 
-    # One parsed SQL expression for all centroid dots — same driver-
-    # side py4j economics as _sign_bits (identical Catalyst ops).
+    # One parsed SQL expression for all centroid dots: building them
+    # from per-coefficient Column objects would cost ~70 py4j calls
+    # per dot of driver time; a parsed SQL string is one call and
+    # identical Catalyst expressions.
     def _cell_scores_sql(vec_name: str) -> "F.Column":
         dots = ", ".join(
             "aggregate(zip_with(`{v}`, array({arr}), "
@@ -298,7 +268,9 @@ def ivf_topk(
         return F.expr(f"array({dots})")
 
     def _cell_scores(name: str) -> "F.Column":
-        # plain column NAME only — embedded in SQL text (see _sign_bits)
+        # plain column NAME only — it is embedded in SQL text; a
+        # Column object's repr is not a valid identifier (e.g. Spark
+        # Connect's "Column<'x'>") and would mis-compile silently
         if not isinstance(name, str):
             raise TypeError(
                 "_cell_scores needs a plain column name (str), got "
@@ -348,6 +320,53 @@ def ivf_topk(
     return dedup_topk(scored, k)
 
 
+def _band_buckets_blas(
+    df: DataFrame,
+    id_col: str,
+    out_id: str,
+    vec_col: str,
+    plane_mat,
+    n_bands: int,
+    bits_per_band: int,
+) -> DataFrame:
+    """Sign-bit band buckets as ONE Arrow-batched matrix multiply —
+    the same rewrite as operators/neardup.py:cosine_neardup_pairs:
+    building ``bands×bits`` inline aggregate expressions costs seconds
+    of FIXED driver time (Catalyst optimizing ~100 zip_with·aggregate
+    plane dots) before any data moves, dominating small inputs. A
+    (rows×dim) @ (dim×planes) BLAS product computes every projection
+    at once; one (band, bucket) pair per row per band comes back via
+    posexplode. Embarrassingly parallel; no shuffle."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    bit_weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    nb, bpb = n_bands, bits_per_band
+
+    def band_batches(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            mat = np.array(pdf["_rv"].tolist(), dtype=np.float64)
+            proj = mat @ plane_mat.T                      # (m, bands*bits)
+            bits_m = (proj >= 0).astype(np.int64).reshape(m, nb, bpb)
+            buckets = (bits_m * bit_weights).sum(axis=2)  # (m, bands)
+            yield pd.DataFrame(
+                {out_id: pdf[id_col], "buckets": list(buckets)}
+            )
+
+    raw = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_rv"),
+    )
+    return raw.mapInPandas(
+        band_batches, schema=f"{out_id} {id_type}, buckets array<long>"
+    ).select(out_id, F.posexplode("buckets").alias("band", "bucket"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -360,38 +379,48 @@ def lsh_topk(
     seed: int = 42,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH banding."""
+    """Approximate cosine top-k via random-hyperplane LSH banding.
+
+    Banding is the Arrow-batched matrix multiply
+    (:func:`_band_buckets_blas`); candidates travel NARROW (ids only)
+    through the band join and the vectors re-attach afterwards via id
+    equi-joins — shuffling two ~KB vectors per candidate pair through
+    the band join is measurably slower than the extra joins (same
+    finding as the neardup LSH path)."""
+    import numpy as np
+
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
+    plane_mat = np.asarray(planes, dtype=np.float64)
 
-    def banded(df: DataFrame, idname: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _sign_bits(vec_col, planes, b, bits_per_band)
-                    .alias("bucket"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"__{idname}_vec__"),
-            F.explode(bands).alias("bb"),
-        ).select(idname, f"__{idname}_vec__", "bb.band", "bb.bucket")
-
-    c = banded(corpus, "neighbor_id")
-    q = banded(queries, "query_id")
+    c = _band_buckets_blas(
+        corpus, id_col, "neighbor_id", vec_col, plane_mat,
+        n_bands, bits_per_band,
+    )
+    q = _band_buckets_blas(
+        queries, id_col, "query_id", vec_col, plane_mat,
+        n_bands, bits_per_band,
+    )
     cand = (
         c.join(q, ["band", "bucket"])
-        .select("query_id", "neighbor_id", "__query_id_vec__", "__neighbor_id_vec__")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity("__query_id_vec__", "__neighbor_id_vec__").alias("score"),
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec__")
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qvec__", "__cvec__").alias("score"),
+        )
     )
     return dedup_topk(scored, k)
