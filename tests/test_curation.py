@@ -302,3 +302,31 @@ def test_weighted_sample_extremes_and_monotonicity(spark):
         r.k for r in weighted_sample(df, "k", F.lit(0.8), salt="s").collect()
     }
     assert low_ids <= high_ids
+
+
+def test_semantic_dedup_backends_agree(spark, embeddings_df=None):
+    from mydatalake_spark.similarity.semdedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blas = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in semantic_dedup(
+            emb, n_clusters=4, threshold=0.35, pair_backend="blas"
+        ).collect()
+    }
+    expr = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in semantic_dedup(
+            emb, n_clusters=4, threshold=0.35, pair_backend="expr"
+        ).collect()
+    }
+    assert blas == expr
+    assert any(d for _, _, d in blas)  # non-degenerate
+
+
+def test_semantic_dedup_rejects_unknown_backend(spark):
+    from mydatalake_spark.similarity.semdedup import semantic_dedup
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError):
+        semantic_dedup(df, pair_backend="gpu")

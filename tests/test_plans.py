@@ -306,11 +306,24 @@ def test_semantic_dedup_assignment_has_no_udf(spark, sf_dir, entry):
     plan = _plan(
         spark, entry.queries()["semantic_dedup_embeddings"](spark, sf_dir)
     )
+    # cell assignment stays JVM-side (no row-wise Python eval); the
+    # intra-cell scan is exactly one grouped Arrow stage
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "cell assignment must stay JVM-side"
     )
+    grouped = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "FlatMapGroupsInPandas" in l
+    ]
+    assert len(grouped) == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # one shuffle total: the groupBy(cell) for the pair scan
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l
+    ]
+    assert len(exchanges) == 1, plan
 
 
 def test_histogram_is_single_partial_agg(spark, sf_dir, entry):
