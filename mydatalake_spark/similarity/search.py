@@ -192,6 +192,55 @@ def dedup_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def lsh_plan(
+    threshold: float,
+    target_recall: float = 0.95,
+    n_rows: int = 1_000_000,
+    target_bucket_rows: int = 64,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Choose ``(n_bands, bits_per_band)`` for sign-bit LSH from first
+    principles — the knob that keeps LSH *sub-quadratic as the corpus
+    grows* instead of silently saturating.
+
+    With FIXED band parameters, expected candidate pairs scale as
+    ``n² / 2^bits`` per band: quadratic over a constant, which is why
+    a 4× corpus costs ~4× even though the plan "looks" bucketed. The
+    scale-correct discipline is to grow ``bits`` with ``log2(n)`` so
+    the expected bucket stays ``target_bucket_rows`` (candidates then
+    scale ~linearly), and to compensate the recall loss by adding
+    bands via the standard S-curve: a pair at cosine ``threshold``
+    agrees on one sign bit with probability ``p = 1 − arccos(θ)/π``
+    (Goemans–Williamson), survives a band with ``p^bits``, and is
+    caught by ≥1 of ``r`` bands with ``1 − (1 − p^bits)^r ≥ recall``
+    ⇒ ``r = ln(1−recall)/ln(1−p^bits)``.
+
+    If the required bands exceed ``max_bands`` (tiny buckets + high
+    recall + low threshold), bits step down until feasible — trading
+    candidate volume for hash work, loudly deterministic. Returns the
+    planned ``(n_bands, bits_per_band)``; the collision-probability
+    guarantee is against the *threshold* cosine — pairs far above θ
+    are caught with higher probability.
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1) cosine")
+    if not 0 < target_recall < 1:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    bits = max(1, math.ceil(math.log2(max(n_rows, 2) / target_bucket_rows)))
+    while bits > 1:
+        p_band = p ** bits
+        if p_band > 1e-12:
+            r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+            if r <= max_bands:
+                return r, bits
+        bits -= 1
+    r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    return min(r, max_bands), 1
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

@@ -346,3 +346,54 @@ def test_incremental_dedup_pipeline_two_batches(spark, tmp_path):
         threshold=0.4).collect()}
     assert p1 | p2 == full
     assert (1, 3) in p2                       # cross-batch pair found
+
+
+def test_lsh_plan_scales_bits_with_corpus_and_caps_bands():
+    from mydatalake_spark.similarity.search import lsh_plan
+
+    r1, b1 = lsh_plan(0.8, 0.95, 1_000)
+    r2, b2 = lsh_plan(0.8, 0.95, 1_000_000)
+    assert b2 > b1          # buckets stay bounded as n grows
+    assert r2 >= r1         # extra bands pay the recall back
+    r, b = lsh_plan(0.6, 0.99, 10**9, max_bands=64)
+    assert r <= 64          # feasibility cap honored
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_plan(1.5)
+    with _pt.raises(ValueError):
+        lsh_plan(0.5, target_recall=1.0)
+
+
+def test_lsh_plan_hits_recall_empirically(spark):
+    from mydatalake_spark.similarity.search import (
+        brute_force_topk,
+        lsh_plan,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    theta, target = 0.4, 0.95
+    n = emb.count()
+    n_bands, bits = lsh_plan(theta, target, n, target_bucket_rows=32)
+
+    # whole corpus as the query set: enough θ-qualified pairs (132)
+    # for the recall estimate to be meaningful
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+        if r.score >= theta
+    }
+    assert exact  # the fixture corpus has qualifying pairs
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(
+            emb, emb, dim=64, k=5,
+            n_bands=n_bands, bits_per_band=bits,
+        ).collect()
+    }
+    hit = len(exact & approx) / len(exact)
+    # the S-curve guarantee is per-pair AT the threshold; pairs barely
+    # above θ sit exactly at the design point, so the empirical mean
+    # over ~130 pairs carries binomial noise (σ≈0.02) — assert the
+    # design target minus sampling slack
+    assert hit >= target - 0.05, (n_bands, bits, hit, len(exact))
