@@ -2641,7 +2641,16 @@ def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σdf² join blow-up that a single ubiquitous fingerprint would
     cause (r3 bench: 82 s → sub-second at sf0.1). The oracle applies
     the identical cap, so the hash check pins both the winnowing
-    selection and the stop-fingerprint semantics."""
+    selection and the stop-fingerprint semantics.
+
+    Bench-history note: r3 reported ~2.6 s at sf0.1, but that was
+    measured WITH the (since-fixed) operator cache leak — the
+    identical fingerprint plan stayed persisted across passes and
+    Spark's cache manager reused it. With caches correctly released
+    per run (caching.py ownership), the honest independent-run cost
+    is ~5.6 s, of which ~3.4 s is the per-doc md5 k-gram hashing
+    itself; the join-side plan is unchanged (verified: retained-cache
+    rerun still hits ~2.2 s)."""
     docs = _t(spark, sf_dir, "documents")
     return winnow_pairs(docs, k=8, w=4, min_shared=40, max_df=100)
 

@@ -162,9 +162,11 @@ SHOWCASE = [
     (
         "semantic_dedup_embeddings",
         "SemDeDup: centroid cosine argmax is pure JVM expressions (no\n"
-        "Python eval nodes), the pair join is an equi-join on cell id —\n"
-        "candidate space is sum(cell^2), never n^2, and no\n"
-        "CartesianProduct/BroadcastNestedLoopJoin appears.",
+        "row-wise Python eval nodes); the intra-cell duplicate scan is\n"
+        "ONE shuffle on cell id feeding ONE grouped Arrow stage\n"
+        "(FlatMapGroupsInPandas gram matrix per cell) — candidate space\n"
+        "is sum(cell^2), never n^2, with no pair join and no\n"
+        "CartesianProduct/BroadcastNestedLoopJoin anywhere.",
     ),
     (
         "interval_join_events",
