@@ -36,6 +36,7 @@ from mydatalake_spark.functions.text import (
 )
 from mydatalake_spark.operators.sampling import (
     capped_sample,
+    hash_sample,
     hash_split,
     pack_shards,
     split_sql_case,
@@ -3934,6 +3935,53 @@ WHERE CAST('0x' || SUBSTRING(
 """
 
 
+def consistent_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aware subsampling: orders AND lineitem both hash-sampled
+    at 20% on the SAME key+salt (operators/sampling.py:hash_sample),
+    then joined and aggregated. Content-addressed sampling keeps
+    MATCHING rows on both sides — every surviving lineitem still finds
+    its order — so the join of samples equals the sample of the join;
+    positional `df.sample` would decimate the join to ~4% and break
+    referential integrity. The revenue-per-status aggregate over the
+    co-sample is exactly reproducible cross-engine (integer-cent
+    sums)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_s = hash_sample(orders, "o_orderkey", 0.2, salt="cs1")
+    l_s = hash_sample(li, "l_orderkey", 0.2, salt="cs1")
+    return (
+        l_s.join(o_s, l_s.l_orderkey == o_s.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+_CONSISTENT_SAMPLE_ORACLE = """
+WITH o_s AS (
+  SELECT * FROM orders
+  WHERE SUBSTRING(MD5(CONCAT('cs1', '|', CAST(o_orderkey AS VARCHAR))),
+                  1, 4) < '3333'
+), l_s AS (
+  SELECT * FROM lineitem
+  WHERE SUBSTRING(MD5(CONCAT('cs1', '|', CAST(l_orderkey AS VARCHAR))),
+                  1, 4) < '3333'
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM l_s JOIN o_s ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4027,6 +4075,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": profile_lineitem,
         "interval_join_events": interval_join_events,
         "weighted_sample_documents": weighted_sample_documents,
+        "consistent_sample_join": consistent_sample_join,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4146,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _PROFILE_ORACLE,
         "interval_join_events": _INTERVAL_JOIN_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,
+        "consistent_sample_join": _CONSISTENT_SAMPLE_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,
