@@ -78,3 +78,74 @@ def test_dedup_latest_keeps_max_ts_min_tiebreak(spark, rows):
         if cur is None or ts > cur[0] or (ts == cur[0] and v < cur[1]):
             model[k] = (ts, v)
     assert got == {(k, ts, v) for k, (ts, v) in model.items()}
+
+
+# -------------------------------------------------- round-4 operator models
+
+def _items_df(spark, items):
+    if items:
+        return spark.createDataFrame([(i,) for i in items], "item string")
+    return spark.createDataFrame([], "item string")
+
+
+@given(
+    items=st.lists(
+        st.sampled_from([f"w{i}" for i in range(8)]), min_size=1, max_size=60
+    ),
+    frac=st.sampled_from([0.05, 0.1, 0.25, 0.5]),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_matches_naive_model(spark, items, frac):
+    import math
+
+    from mydatalake_spark.operators.heavyhitters import heavy_hitters
+
+    df = _items_df(spark, items).repartition(3)
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(df, "item", threshold_frac=frac).collect()
+    }
+    n = len(items)
+    thr = math.ceil(n * frac)
+    from collections import Counter
+
+    want = {(t, c) for t, c in Counter(items).items() if c >= thr}
+    assert got == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 9),          # ts
+            st.sampled_from(["a", "b"]),  # state
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_matches_run_length_model(spark, changes):
+    from mydatalake_spark.operators.scd2 import scd2_build
+
+    # unique change ids as the tiebreak
+    rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "k long, ts long, v string, cid long")
+    out = scd2_build(df, key="k", ts="ts", attrs=["v"], tiebreak="cid")
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in out.collect()
+    }
+
+    want = set()
+    bykey: dict = {}
+    for k, ts, v, cid in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        bykey.setdefault(k, []).append((ts, v))
+    for k, seq in bykey.items():
+        runs = [seq[0]]
+        for ts, v in seq[1:]:
+            if v != runs[-1][1]:
+                runs.append((ts, v))
+        for i, (ts, v) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.add((k, v, ts, nxt, i + 1, nxt is None))
+    assert got == want
