@@ -52,6 +52,10 @@ def paragraph_dedup(
     offset order (md5 so the result is engine-portable and compact —
     callers that need the text itself use the same plan minus the
     hash)."""
+    # NULL text would make chunk_text's sequence() null and the
+    # explode would silently drop the document — breaking the
+    # one-row-per-input-doc invariant. Treat null as empty.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     chunks = chunk_text(df, text_col, size=size, stride=size)
     w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_id")
     flagged = chunks.withColumn(

@@ -330,3 +330,17 @@ def test_semantic_dedup_rejects_unknown_backend(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
     with pytest.raises(ValueError):
         semantic_dedup(df, pair_backend="gpu")
+
+
+def test_paragraph_dedup_null_text_keeps_doc_row(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="hello world")]
+    )
+    res = {r.doc_id: r for r in paragraph_dedup(df, size=48).collect()}
+    assert set(res) == {1, 2}  # the null-text doc still has a row
+    assert res[1].total_chunks == 1  # one empty chunk
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "item string")
+    assert heavy_hitters(df, "item", threshold_frac=0.1).count() == 0
