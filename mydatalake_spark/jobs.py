@@ -82,6 +82,8 @@ class JobRunner:
             return self._run_quality(job, layer)
         if job_type == "wap":
             return self._run_wap(job, layer)
+        if job_type == "streaming":
+            return self._run_streaming(job, layer)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -95,6 +97,32 @@ class JobRunner:
                 metadata_root=os.path.join(self.metadata_root, layer),
                 table=name,
                 input_format=fmt,
+                input_path=self.input_paths.get(name),
+                partition_by=self.partition_by.get(name, []),
+                catalog_name=tbl.get("catalog"),
+                schema_name=tbl.get("schema"),
+            )
+            ing.run()
+            written.append(ing.meta.full_name)
+        return written
+
+    def _run_streaming(self, job: dict[str, Any], layer: str) -> list[str]:
+        """``type: streaming`` jobs: the raw zone consumed as a
+        file-source stream, each micro-batch CDC-merged under the same
+        table metadata (ingest.py:IngestorStreaming). availableNow
+        drain per run — rerunning the job picks up only files the
+        checkpoint hasn't seen."""
+        from .ingest import IngestorStreaming
+
+        written: list[str] = []
+        for tbl in job.get("tables", []):
+            name = tbl["table_name"]
+            ing = IngestorStreaming(
+                spark=self.spark,
+                catalog=self.catalog,
+                metadata_root=os.path.join(self.metadata_root, layer),
+                table=name,
+                input_format=tbl.get("input_format", "json"),
                 input_path=self.input_paths.get(name),
                 partition_by=self.partition_by.get(name, []),
                 catalog_name=tbl.get("catalog"),

@@ -26,6 +26,13 @@ jobs:
         input_format: 'json'
         catalog: 'bronze'
         schema: 'brapi'
+  - name: 'bronze_stream'
+    type: 'streaming'
+    tables:
+      - table_name: 'assets'
+        input_format: 'json'
+        catalog: 'bronze'
+        schema: 'brapi'
 """
 
 ASSETS_YML = """
@@ -339,3 +346,33 @@ def test_wap_job_gates_publish(spark, tmp_path):
         for r in cat.read("bronze.brapi.ticks_quarantine").collect()
     }
     assert quarantined == {"BBB": ["px_positive"]}
+
+
+def test_streaming_job_drains_and_merges(spark, workspace, tmp_path):
+    """type: streaming — the raw dir consumed as a checkpointed
+    stream; rerunning drains only NEW files, and each micro-batch is
+    CDC-merged (replay-idempotent), matching the batch CDC result."""
+    root, raw = workspace
+    cat = Catalog(spark, str(tmp_path / "wh_stream"))
+    runner = JobRunner(spark, cat, str(root), input_paths={"assets": str(raw)})
+
+    written = runner.run("streaming", "bronze_stream")
+    assert written == ["bronze.brapi.assets"]
+    bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
+    # QUALIFY dedup inside the batch kept the latest AAA row
+    assert bronze == {"AAA": 11.0, "BBB": None}
+
+    # second file → only the delta is consumed on rerun (checkpoint)
+    with open(raw / "batch2.json", "w") as fh:
+        fh.write(json.dumps({"stocks": "AAA", "close": "12.0",
+                             "loaded_at": "2026-08-03T00:00:00"}) + "\n")
+        fh.write(json.dumps({"stocks": "CCC", "close": "1.0",
+                             "loaded_at": "2026-08-01T00:00:00"}) + "\n")
+    runner.run("streaming", "bronze_stream")
+    bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
+    assert bronze == {"AAA": 12.0, "BBB": None, "CCC": 1.0}
+
+    # idle rerun: nothing new, table unchanged
+    runner.run("streaming", "bronze_stream")
+    again = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
+    assert again == bronze
