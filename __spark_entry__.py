@@ -3982,6 +3982,116 @@ GROUP BY o_orderstatus
 """
 
 
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation recipe as ONE declarative plan —
+    Gopher quality gate → language ID → exact-dup first-occurrence
+    election → length-weighted sampling — emitting the per-document
+    verdict trail (each stage's boolean plus the composed ``kept``),
+    the shape a curation run persists for audit.
+
+    Composition is the point: every stage is a column expression over
+    the same scan except the dedup window (the single shuffle), so at
+    100 TB the whole recipe costs one pass + one hash shuffle, not
+    four chained jobs with materialized intermediates. Stage
+    parameters mirror quality_filter_documents /
+    weighted_sample_documents; the oracle replays all four stages in
+    one SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        "text",
+        min_tokens=20, max_tokens=100,
+        min_mean_token_len=3.0, max_mean_token_len=4.5,
+        max_symbol_ratio=0.1, min_alpha_frac=0.8, min_stopword_hits=2,
+        stopwords=["the", "a", "value", "table"],
+    )
+    w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
+    bucket_int = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("cur1"),
+                              F.col("doc_id").cast("string"))), 1, 4
+        ), 16, 10,
+    ).cast("long")
+    sampled = bucket_int < F.floor(
+        F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0)) * 65536
+    )
+    staged = docs.select(
+        "doc_id",
+        flags["keep"].alias("quality_ok"),
+        lang_guess("text").alias("guessed_lang"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+        sampled.alias("sampled"),
+    )
+    return staged.withColumn(
+        "kept",
+        F.col("quality_ok")
+        & (F.col("guessed_lang") == "en")
+        & F.col("is_first")
+        & F.col("sampled"),
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    from mydatalake_spark.functions.text import LANG_MARKERS
+
+    scores = {
+        lang: _lang_score_sql(lang, m) for lang, m in LANG_MARKERS.items()
+    }
+    score_cols = ",\n    ".join(
+        f"{sql} AS s_{lang}" for lang, sql in scores.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    cases = "\n      ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in scores
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars,
+    CASE WHEN LENGTH(TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))) = 0
+         THEN []
+         ELSE STRING_SPLIT_REGEX(
+                TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))), '\s+')
+    END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars, t,
+    CAST(LEN(t) AS BIGINT) AS n_tok,
+    CAST(GREATEST(LEN(t), 1) AS DOUBLE) AS safe_tok,
+    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x))), 0) AS DOUBLE)
+        / CAST(GREATEST(LEN(t), 1) AS DOUBLE) AS mean_len,
+    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[#…]', '', 'g')))
+      + (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\.\.\.', '', 'g'))) / 3
+        AS n_symbol,
+    LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '[a-z]'))) AS n_alpha,
+    LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['the','a','value','table'], x)))
+        AS n_stop,
+    {score_cols}
+  FROM toks
+), staged AS (
+  SELECT doc_id,
+    ((n_tok >= 20 AND n_tok <= 100)
+     AND (mean_len >= 3.0 AND mean_len <= 4.5)
+     AND (n_symbol / safe_tok <= 0.1)
+     AND (n_alpha / safe_tok >= 0.8)
+     AND (n_stop >= 2)) AS quality_ok,
+    CASE {cases} ELSE 'und' END AS guessed_lang,
+    ROW_NUMBER() OVER (
+        PARTITION BY MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1 AS is_first,
+    CAST('0x' || SUBSTRING(
+        MD5(CONCAT('cur1', '|', CAST(doc_id AS VARCHAR))), 1, 4)
+        AS INTEGER)
+      < FLOOR(LEAST(n_chars / CAST(200.0 AS DOUBLE),
+                    CAST(1.0 AS DOUBLE)) * 65536) AS sampled
+  FROM m
+)
+SELECT doc_id, quality_ok, guessed_lang, is_first, sampled,
+       (quality_ok AND guessed_lang = 'en' AND is_first AND sampled)
+           AS kept
+FROM staged
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4076,6 +4186,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": interval_join_events,
         "weighted_sample_documents": weighted_sample_documents,
         "consistent_sample_join": consistent_sample_join,
+        "curation_pipeline_documents": curation_pipeline_documents,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4196,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": _INTERVAL_JOIN_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,
         "consistent_sample_join": _CONSISTENT_SAMPLE_ORACLE,
+        "curation_pipeline_documents": _curation_pipeline_oracle(),
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

@@ -376,3 +376,16 @@ def test_weighted_sample_is_scan_fused(spark, sf_dir, entry):
         spark, entry.queries()["weighted_sample_documents"](spark, sf_dir)
     )
     assert "Exchange" not in plan, "weighted sampling must not shuffle"
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["curation_pipeline_documents"](spark, sf_dir)
+    )
+    # four stages, ONE pass + ONE hash shuffle (the dedup window)
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "Join" not in plan
