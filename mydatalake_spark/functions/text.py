@@ -301,6 +301,92 @@ def gopher_quality_flags(
     return flags
 
 
+def lm_perplexity(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    round_to: int = 4,
+) -> "DataFrame":
+    """Corpus-trained bigram language-model perplexity per document —
+    the CCNet-style quality signal (train an n-gram LM, keep documents
+    the model finds unsurprising; real pipelines use KenLM, the math
+    here is the same with add-k smoothing).
+
+    Per document: ``ppl = exp(−mean log P(wᵢ | wᵢ₋₁))`` with
+    ``P(w|h) = (c(h,w) + k) / (c(h) + k·V)`` over corpus-global bigram
+    and unigram counts and vocabulary size V. Documents with no bigram
+    (< 2 tokens) report null.
+
+    Scale shape: the LM itself is two aggregations over the exploded
+    token stream (bigram and unigram counts — partial-agg shuffles of
+    at most |vocab²| and |vocab| groups), joined back to the per-doc
+    bigram stream on the bigram key; the V and token-total constants
+    ride a one-row broadcast. At web scale the vocabulary is pruned to
+    top-K first (heavy_hitters is exactly that operator), which also
+    bounds the LM join's build side to broadcastable size."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(normalize_text(F.col(text_col)))
+
+    def grams(t: Column) -> Column:
+        k = F.size(t) - 1
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, (i + 1).cast("int")).alias("h"),
+                F.element_at(t, (i + 2).cast("int")).alias("w"),
+            ),
+        )
+
+    doc_bigrams = df.select(
+        F.col(id_col), F.explode(let(toks, grams)).alias("g")
+    ).select(id_col, F.col("g.h").alias("h"), F.col("g.w").alias("w"))
+
+    bigram_c = doc_bigrams.groupBy("h", "w").agg(
+        F.count(F.lit(1)).alias("__cbg__")
+    )
+    unigram_c = (
+        df.select(F.explode(toks).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cug__"))
+    )
+    vocab = unigram_c.agg(
+        F.count(F.lit(1)).cast("double").alias("__v__")
+    )
+
+    lm = bigram_c.join(unigram_c, "h")
+    scored = (
+        doc_bigrams.join(lm, ["h", "w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("__cbg__") + F.lit(add_k))
+                / (F.col("__cug__") + F.lit(add_k) * F.col("__v__"))
+            ).alias("__lp__"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg("__lp__")), round_to).alias("perplexity"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    # short docs (no bigram) keep a row with null perplexity
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "perplexity",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+            .alias("n_bigrams"),
+        )
+    )
+
+
 def bm25_scores(
     df: "DataFrame",
     query_terms: list[str],

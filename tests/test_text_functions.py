@@ -85,3 +85,33 @@ def test_bm25_scores_match_reference_formula(spark):
             for r in bm25_scores(df, ["data", "table"]).collect()}
     assert got2[2] > 0.0
     assert got2[1] == got[1]                        # no 'table' in doc 1
+
+
+def test_lm_perplexity_prefers_predictable_text(spark):
+    from pyspark.sql import Row
+
+    from mydatalake_spark.functions.text import lm_perplexity
+
+    # corpus dominated by "a b a b ..." — the repetitive doc must score
+    # LOWER perplexity than the one breaking the pattern
+    rows = [Row(doc_id=i, text="a b " * 10) for i in range(9)]
+    rows.append(Row(doc_id=99, text="a q b z a m"))
+    out = {
+        r.doc_id: r.perplexity
+        for r in lm_perplexity(spark.createDataFrame(rows)).collect()
+    }
+    assert out[0] < out[99]
+
+
+def test_lm_perplexity_short_docs_get_null_row(spark):
+    from pyspark.sql import Row
+
+    from mydatalake_spark.functions.text import lm_perplexity
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="hello world")]
+    )
+    out = {r.doc_id: (r.perplexity, r.n_bigrams)
+           for r in lm_perplexity(df).collect()}
+    assert out[1] == (None, 0)       # <2 tokens: row kept, null ppl
+    assert out[2][1] == 1
