@@ -68,6 +68,15 @@ HEADLINE = [
     "paragraph_dedup_documents",
     "semantic_dedup_embeddings",
     "pagerank_trade_graph",
+    "histogram_events_value",
+    "scd2_customer_status",
+    "cdc_ops_apply_orders",
+    "profile_lineitem",
+    "interval_join_events",
+    "weighted_sample_documents",
+    "consistent_sample_join",
+    "curation_pipeline_documents",
+    "perplexity_documents",
 ]
 
 

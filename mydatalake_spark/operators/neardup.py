@@ -537,6 +537,8 @@ def cosine_neardup_pairs(
     bits_per_band: int = 4,
     dim: int | None = None,
     max_exact_rows: int = 1_000_000,
+    auto_plan: bool = False,
+    auto_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)``
     with ``id_a < id_b`` and ``cosine >= threshold``.
@@ -559,6 +561,11 @@ def cosine_neardup_pairs(
     (band equi-join ⇒ shuffle on band buckets, no cross join), then
     the exact cosine filter verifies — a recall<1 scale path, mirroring
     minhash_signatures → minhash_candidates → ngram_jaccard_pairs.
+    ``auto_plan=True`` derives ``(n_bands, bits_per_band)`` from the
+    corpus size via ``similarity.search.lsh_plan`` (bits ∝ log2(n)
+    keeps buckets — and thus candidate growth — bounded; extra bands
+    restore ``auto_recall``); leave it off where reproducible fixed
+    parameters matter more than asymptotics (e.g. the oracle queries).
 
     ``exact=None`` (the DEFAULT) auto-selects: corpora up to
     ``max_exact_rows`` take the exact broadcast path, larger ones the
@@ -568,16 +575,24 @@ def cosine_neardup_pairs(
     the first vector when not given.
     """
     from ..functions.vectors import dot, l2_norm
-    from ..similarity.search import _hyperplanes
+    from ..similarity.search import _hyperplanes, lsh_plan
 
+    n_rows: int | None = None
     if exact is None:
-        exact = df.count() <= max_exact_rows
+        n_rows = df.count()
+        exact = n_rows <= max_exact_rows
     if not exact and dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             exact = True  # empty input: trivially fine on the exact path
         else:
             dim = first["d"]
+    if not exact and auto_plan:
+        if n_rows is None:
+            n_rows = df.count()
+        n_bands, bits_per_band = lsh_plan(
+            threshold, target_recall=auto_recall, n_rows=n_rows
+        )
 
     if exact:
         # raw vectors travel; normalization happens vectorized in numpy

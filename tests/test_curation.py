@@ -344,3 +344,26 @@ def test_paragraph_dedup_null_text_keeps_doc_row(spark):
 def test_heavy_hitters_empty_input(spark):
     df = spark.createDataFrame([], "item string")
     assert heavy_hitters(df, "item", threshold_frac=0.1).count() == 0
+
+
+def test_cosine_neardup_auto_plan_scales_bits(spark):
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+    from mydatalake_spark.similarity.search import lsh_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # auto-planned LSH path must still find the exact pairs at this
+    # size; design recall 0.99 — with only ~7 qualifying pairs the
+    # empirical rate carries heavy binomial noise, so assert ≥ 0.85
+    auto = cosine_neardup_pairs(
+        emb, threshold=0.45, exact=False, dim=64,
+        auto_plan=True, auto_recall=0.99,
+    )
+    exact = cosine_neardup_pairs(emb, threshold=0.45, exact=True)
+    a = {(r.id_a, r.id_b) for r in auto.collect()}
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert e, "fixture corpus must contain qualifying pairs"
+    assert len(a & e) / len(e) >= 0.85
+    # and the planner gives more bits to a bigger corpus
+    _, bits_small = lsh_plan(0.45, 0.95, 1_000)
+    _, bits_big = lsh_plan(0.45, 0.95, 1_000_000)
+    assert bits_big > bits_small
