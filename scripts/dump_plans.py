@@ -182,6 +182,22 @@ SHOWCASE = [
         "Exchange nodes, deterministic at any parallelism.",
     ),
     (
+        "curation_pipeline_documents",
+        "Four curation stages (quality rules, language ID, exact-dup\n"
+        "election, weighted sampling) compile into one scan + one hash\n"
+        "shuffle (the dedup window) with no joins — the per-stage verdict\n"
+        "trail costs nothing extra because every rule is a column\n"
+        "expression over the same pass.",
+    ),
+    (
+        "perplexity_documents",
+        "Bigram-LM perplexity: two count aggregations build the model,\n"
+        "the document bigram stream joins it on the bigram key, and the\n"
+        "vocabulary size arrives as a one-row broadcast — no collect, no\n"
+        "UDF; at web scale the model side is vocabulary-pruned (via\n"
+        "heavy_hitters) down to broadcastable size.",
+    ),
+    (
         "pagerank_trade_graph",
         "Power-iteration PageRank: per iteration one src-keyed\n"
         "BroadcastHashJoin/shuffle join plus one dst-keyed partial-agg sum;\n"
