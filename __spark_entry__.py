@@ -35,6 +35,7 @@ from mydatalake_spark.functions.text import (
     text_quality,
     tokens,
 )
+from mydatalake_spark.functions.vectors import mean_pool
 from mydatalake_spark.operators.sampling import (
     capped_sample,
     hash_sample,
@@ -4141,6 +4142,45 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (functions/vectors.py:mean_pool)
+    — dimension-parallel pooling: posexplode → avg per (label, dim) →
+    ordered reassembly, so a huge class spreads across dim reducers
+    instead of hot-spotting one. Components round to 6 dp and the
+    array projects as a '|'-joined string (driver canonicalizer can't
+    hash list cells — same trick as supplier_names_by_nation); the
+    oracle replays via UNNEST WITH ORDINALITY."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool(emb, ["label"], "embedding", round_to=6)
+    return pooled.select(
+        "label",
+        F.array_join(
+            F.transform(
+                F.col("centroid"),
+                # +0.0 canonicalizes -0.0 before formatting
+                lambda x: F.format_number(x + F.lit(0.0), 6),
+            ),
+            "|",
+        ).alias("centroid_str"),
+    )
+
+
+_MEAN_POOL_ORACLE = """
+WITH e AS (
+  SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings
+), m AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS m FROM e GROUP BY label, pos
+)
+SELECT label,
+       STRING_AGG(FORMAT('{:.6f}', m + 0.0), '|' ORDER BY pos)
+           AS centroid_str
+FROM m
+GROUP BY label
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4239,6 +4279,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         "consistent_sample_join": consistent_sample_join,
+        "label_centroids_embeddings": label_centroids_embeddings,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4361,6 +4402,7 @@ def oracle_sql() -> dict[str, str]:
         "consistent_sample_join": _CONSISTENT_SAMPLE_ORACLE,
         "curation_pipeline_documents": _curation_pipeline_oracle(),
         "perplexity_documents": _PERPLEXITY_ORACLE,
+        "label_centroids_embeddings": _MEAN_POOL_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

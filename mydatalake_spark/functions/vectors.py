@@ -33,3 +33,48 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a,b) with 0-norm guard (null on zero vectors)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def mean_pool(
+    df: "DataFrame",
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+    round_to: int | None = 6,
+):
+    """Element-wise mean of embedding vectors per group — the pooling
+    primitive behind class centroids, chunk→document embeddings, and
+    cluster prototypes.
+
+    Dimension-parallel shape: ``posexplode`` the vectors and aggregate
+    ``avg`` per (group, position) — the shuffle is keyed on
+    (group, dim-position), so a single huge group still spreads over
+    ``dim`` reducers instead of hot-spotting one (collect_list-based
+    pooling would ship every member vector to one task). The pooled
+    array reassembles with a sorted-struct transform, positions sorted
+    numerically. ``round_to`` rounds each component (shuffle-order
+    float sums; the cross-engine precision contract) — pass None for
+    raw doubles."""
+    from pyspark.sql import functions as F
+
+    exploded = df.select(
+        *group_cols,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__pos__", "__x__"),
+    )
+    per_dim = exploded.groupBy(*group_cols, "__pos__").agg(
+        F.avg("__x__").alias("__m__")
+    )
+    comp = F.col("__m__") if round_to is None else F.round("__m__", round_to)
+    return (
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos__"), comp.alias("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias(out_col)
+        )
+    )

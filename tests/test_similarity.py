@@ -397,3 +397,24 @@ def test_lsh_plan_hits_recall_empirically(spark):
     # over ~130 pairs carries binomial noise (σ≈0.02) — assert the
     # design target minus sampling slack
     assert hit >= target - 0.05, (n_bands, bits, hit, len(exact))
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+
+    from mydatalake_spark.functions.vectors import mean_pool
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r.label: list(r.centroid)
+        for r in mean_pool(emb, ["label"], round_to=6).collect()
+    }
+    rows = emb.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            [float(x) for x in r.embedding]
+        )
+    for label, vecs in by_label.items():
+        want = np.round(np.mean(np.array(vecs), axis=0), 6)
+        assert np.allclose(got[label], want, atol=1e-9), label
