@@ -77,3 +77,53 @@ def approx_quantile_check(
             & (F.col("__approx__") <= F.col("__hi__"))
         ).alias("within_bound"),
     )
+
+
+def hll_shard_union_check(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    shard_col: str,
+    lg_k: int = 14,
+    tolerance: float = 0.10,
+) -> DataFrame:
+    """Two-level mergeable-sketch pipeline: per (group, shard) build a
+    Datasketches HLL sketch of ``col``; per group, *union the shard
+    sketches* and estimate; verify the estimate lands within
+    ``tolerance`` relative error of the exact distinct count.
+
+    This is the pattern ``approx_count_distinct`` can't express:
+    ``hll_sketch_agg`` emits a *binary, mergeable* sketch, so shard
+    sketches can be persisted as a tiny stats table and re-unioned
+    later across any shard subset — incremental distinct-count
+    maintenance without ever rescanning the fact table. At 100 TB the
+    per-shard pass is a map-side partial aggregate (each sketch is
+    ≤ 2^lg_k bytes, regardless of input rows), the union pass moves
+    only #groups × #shards sketches, and appending a new shard costs
+    one scan of that shard alone. lg_k=14 gives rsd ≈ 1.04/√2¹⁴
+    ≈ 0.8%; the default tolerance sits >10σ out so the check is
+    deterministic-in-practice (cf. approx_distinct_check).
+
+    The exact side exists for the correctness gate; production reads
+    estimate-only.
+    """
+    shard_sketches = df.groupBy(*group_by, shard_col).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("__sk__")
+    )
+    merged = shard_sketches.groupBy(*group_by).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk__")).alias("__est__"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    exact = df.groupBy(*group_by).agg(
+        F.countDistinct(col).alias("exact_distinct")
+    )
+    rel_err = (
+        F.abs(F.col("__est__") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    )
+    return merged.join(exact, list(group_by)).select(
+        *group_by,
+        "n_shards",
+        "exact_distinct",
+        (rel_err <= tolerance).alias("within_bound"),
+    )

@@ -38,6 +38,81 @@ from pyspark.sql import functions as F
 from ..caching import adopt
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Returns ``(node, n_triangles)`` for every node belonging to at
+    least one triangle. Input edges may be directed/duplicated; they
+    are canonicalized to distinct ``u < v`` pairs first.
+
+    Spark-first shape — the degree-ordered orientation algorithm
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every edge from its lower-rank
+    endpoint to its higher-rank endpoint where rank = (degree, id).
+    The oriented graph is a DAG along ranks, so each triangle {x,y,z}
+    with rank x<y<z materializes exactly once as the length-2 path
+    x→y→z closed by the edge x→z: counting is one self-join on the
+    path's middle node plus one closing equi-join — and the join
+    fan-out per middle node is in-degree × *oriented* out-degree,
+    where the orientation bounds out-degree by O(√m) regardless of
+    raw degree skew. A
+    mega-hub (raw degree 10⁶) contributes wedges only through its
+    low-degree neighbors — this is what makes the plan survive
+    power-law graphs at 100 TB, where the naive u<v self-join dies on
+    the hub's C(deg,2) wedge explosion. The closing join keys on the
+    (lo,hi) edge pair — equi-join, never a cross product.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg__"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("__deg__").alias("__du__"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__deg__").alias("__dv__"))
+    # Orient low-rank → high-rank; rank = (degree, id) is a total order.
+    lower_first = (F.col("__du__") < F.col("__dv__")) | (
+        (F.col("__du__") == F.col("__dv__")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .persist()
+    )
+    w1 = oe.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = oe.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = oe.select(F.col("a").alias("cx"), F.col("b").alias("cz"))
+    tri = (
+        w1.join(w2, "y")
+        .join(
+            closing,
+            (F.col("x") == F.col("cx")) & (F.col("z") == F.col("cz")),
+        )
+        .select(F.array("x", "y", "z").alias("__nodes__"))
+    )
+    out = (
+        tri.select(F.explode("__nodes__").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return adopt(out, e, oe)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

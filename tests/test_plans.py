@@ -389,3 +389,47 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir, entry):
     ]
     assert len(exchanges) == 1, plan
     assert "Join" not in plan
+
+
+def test_triangle_count_no_cartesian_orientation_joins(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["triangle_count_parts"](spark, sf_dir)
+    )
+    # wedge + closing joins must both be equi-joins — a cartesian or
+    # nested-loop here means the orientation rewrite regressed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_rollup_has_partial_aggregate(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["gapfill_nation_revenue"](spark, sf_dir)
+    )
+    # the input-sized daily rollup must partial-aggregate map-side
+    # before its exchange (the only input-sized shuffle in the plan)
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_levenshtein_jvm_side(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["fuzzy_pairs_documents"](spark, sf_dir)
+    )
+    # verification is the built-in JVM levenshtein with the threshold
+    # short-circuit — never a Python UDF
+    assert "levenshtein" in plan.lower()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_shards_partial_sketch_aggregation(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["hll_shards_customers"](spark, sf_dir)
+    )
+    # sketches must build as map-side partial aggregates (the whole
+    # point of a mergeable sketch) and union without any UDF
+    assert "hll_sketch_agg" in plan or "hll_union_agg" in plan, plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,213 @@
+"""triangle_counts / resample_daily / edit_ratio_pairs /
+hll_shard_union_check — the operator families added late in round 4."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mydatalake_spark.functions.sketches import hll_shard_union_check
+from mydatalake_spark.operators.fuzzy import edit_ratio_pairs
+from mydatalake_spark.operators.graphs import triangle_counts
+from mydatalake_spark.operators.timeseries import resample_daily
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_k4(spark):
+    # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_counts(_edges(spark, k4)).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_triangle_counts_triangle_free_graph_is_empty(spark):
+    # a path and a 4-cycle have no triangles
+    assert (
+        triangle_counts(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (8, 5)])
+        ).count()
+        == 0
+    )
+
+
+def test_triangle_counts_canonicalizes_directed_duplicate_edges(spark):
+    # duplicated and reversed edges collapse to one undirected edge;
+    # self-loops are dropped — the single triangle counts once per node
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (1, 2), (2, 2)]
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_counts(_edges(spark, raw)).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_triangle_counts_hub_star_plus_closing_edge(spark):
+    # star around 100 has no triangles until two leaves connect; the
+    # orientation sends leaf→hub (degree 1 < degree n), so the hub
+    # never fans out wedges — the skew-survival property
+    star = [(100, leaf) for leaf in range(1, 21)]
+    assert triangle_counts(_edges(spark, star)).count() == 0
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_counts(_edges(spark, star + [(1, 2)])).collect()
+    }
+    assert got == {(100, 1), (1, 1), (2, 1)}
+
+
+# ---------------------------------------------------------- resample_daily
+
+
+def _days(spark, rows):
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def test_resample_daily_fills_gaps_and_carries_gauge(spark):
+    df = _days(
+        spark,
+        [
+            ("A", dt.datetime(2024, 1, 1), 10.0),
+            ("A", dt.datetime(2024, 1, 1), 20.0),
+            ("A", dt.datetime(2024, 1, 4), 40.0),
+        ],
+    )
+    out = {
+        r.day.isoformat(): (r.total, r.n_rows, r.gauge)
+        for r in resample_daily(df, "g", "ts", "v").collect()
+    }
+    assert out == {
+        "2024-01-01": (30.0, 2, 15.0),
+        "2024-01-02": (0.0, 0, 15.0),
+        "2024-01-03": (0.0, 0, 15.0),
+        "2024-01-04": (40.0, 1, 40.0),
+    }
+
+
+def test_resample_daily_groups_have_independent_ranges(spark):
+    df = _days(
+        spark,
+        [
+            ("A", dt.datetime(2024, 1, 1), 1.0),
+            ("A", dt.datetime(2024, 1, 3), 3.0),
+            ("B", dt.datetime(2024, 2, 10), 5.0),
+        ],
+    )
+    out = resample_daily(df, "g", "ts", "v")
+    per_group = {
+        r.g: r.n_days
+        for r in out.groupBy("g").agg(F.count("*").alias("n_days")).collect()
+    }
+    # A spans 3 days, B's grid is its single observed day
+    assert per_group == {"A": 3, "B": 1}
+    b_row = out.where("g = 'B'").collect()[0]
+    assert (b_row.total, b_row.n_rows, b_row.gauge) == (5.0, 1, 5.0)
+
+
+# --------------------------------------------------------- edit_ratio_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_edit_ratio_pairs_small_edit_passes_unrelated_excluded(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "hazy")
+    df = _docs(
+        spark,
+        [
+            (1, base),
+            (2, near),
+            (3, "completely different words about spark query planning"),
+        ],
+    )
+    got = [
+        (r.id_a, r.id_b, r.edit_ratio)
+        for r in edit_ratio_pairs(df, candidate_threshold=0.3).collect()
+    ]
+    assert len(got) == 1
+    id_a, id_b, ratio = got[0]
+    assert (id_a, id_b) == (1, 2)
+    assert 0 < ratio < 0.1
+
+
+def test_edit_ratio_pairs_blocking_gates_identical_text(spark):
+    # identical docs that share no shingle with threshold-met Jaccard
+    # candidates are not compared at all: explicit block→verify
+    # contract (candidates frame is the recall knob)
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "one two three four")])
+    cands = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert edit_ratio_pairs(df, candidates=cands).count() == 0
+
+
+def test_edit_ratio_pairs_ratio_threshold_excludes_heavy_edits(spark):
+    a = " ".join(["tok%d" % i for i in range(30)])
+    # same token multiset start, heavy tail rewrite: candidates via
+    # shared shingles, but edit ratio well above 0.3
+    b = " ".join(["tok%d" % i for i in range(10)]) + " " + " ".join(
+        ["zz%d yy%d" % (i, i) for i in range(15)]
+    )
+    df = _docs(spark, [(1, a), (2, b)])
+    out = edit_ratio_pairs(
+        df, candidate_threshold=0.05, prefix_len=200, max_ratio=0.3
+    )
+    assert out.count() == 0
+
+
+def test_edit_ratio_pairs_lev_cap_matches_ratio_filter(spark):
+    # a pair whose distance exceeds floor(max_ratio*prefix_len) must be
+    # dropped by BOTH the -1 short-circuit and the ratio filter — i.e.
+    # the cap can never drop a pair the ratio filter would keep
+    a = "x" * 100
+    b = "y" * 100
+    df = _docs(spark, [(1, a), (2, b)])
+    cands = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    assert (
+        edit_ratio_pairs(
+            df, candidates=cands, prefix_len=100, max_ratio=0.3
+        ).count()
+        == 0
+    )
+    # and one within the cap survives with the exact ratio
+    c = "x" * 90 + "y" * 10
+    df2 = _docs(spark, [(1, a), (2, c)])
+    got = edit_ratio_pairs(
+        df2, candidates=cands, prefix_len=100, max_ratio=0.3
+    ).collect()
+    assert [(r.id_a, r.id_b, r.edit_ratio) for r in got] == [(1, 2, 0.1)]
+
+
+# ------------------------------------------------------ hll shard union
+
+
+def test_hll_shard_union_check_exact_and_within_bound(spark):
+    rows = [
+        ("g1", shard, "u%d" % u)
+        for shard in (2023, 2024)
+        for u in range(shard % 100, shard % 100 + 40)
+    ] + [("g2", 2024, "solo")]
+    df = spark.createDataFrame(rows, "g string, yr int, user string")
+    got = {
+        r.g: (r.n_shards, r.exact_distinct, r.within_bound)
+        for r in hll_shard_union_check(
+            df, ["g"], "user", "yr", lg_k=14, tolerance=0.10
+        ).collect()
+    }
+    # g1: shards 2023→users 23..62, 2024→users 24..63 ⇒ 41 distinct
+    assert got == {"g1": (2, 41, True), "g2": (1, 1, True)}
+
+
+def test_hll_shard_union_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 1, None), ("g", 2, "a"), ("g", 2, "b")],
+        "g string, yr int, user string",
+    )
+    row = hll_shard_union_check(df, ["g"], "user", "yr").collect()[0]
+    assert (row.n_shards, row.exact_distinct, row.within_bound) == (2, 2, True)
