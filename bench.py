@@ -77,6 +77,13 @@ HEADLINE = [
     "consistent_sample_join",
     "curation_pipeline_documents",
     "perplexity_documents",
+    "triangle_count_parts",
+    "gapfill_nation_revenue",
+    "fuzzy_pairs_documents",
+    "hll_shards_customers",
+    "ab_test_events",
+    "event_transitions",
+    "top_paths_events",
 ]
 
 

@@ -433,3 +433,27 @@ def test_hll_shards_partial_sketch_aggregation(spark, sf_dir, entry):
     assert "hll_sketch_agg" in plan or "hll_union_agg" in plan, plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_ab_test_single_pass_no_join(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["ab_test_events"](spark, sf_dir))
+    # one conditional-aggregate pass: no join anywhere in the plan and
+    # a map-side partial aggregate before the single-row merge
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_event_transitions_totals_broadcast(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["event_transitions"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_paths_no_window_over_input(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["top_paths_events"](spark, sf_dir))
+    # the rank window must sit above the per-path aggregate (one row
+    # per distinct path), and the per-key collapse is sort_array — so
+    # exactly one Window operator and no input-sized window sort
+    assert plan.count("Window") >= 1
+    assert "sort_array" in plan
+    assert "BatchEvalPython" not in plan

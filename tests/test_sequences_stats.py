@@ -1,0 +1,87 @@
+"""welch_ttest / transition_matrix / top_paths."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mydatalake_spark.functions.stats import welch_ttest
+from mydatalake_spark.operators.sequences import top_paths, transition_matrix
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [(0, v) for v in a] + [(1, v) for v in b], "variant int, v double"
+    )
+    row = welch_ttest(df, F.col("variant"), "v", round_to=6).collect()[0]
+    ma, mb = sum(a) / 4, sum(b) / 3
+    sa = sum((x - ma) ** 2 for x in a) / 3
+    sb = sum((x - mb) ** 2 for x in b) / 2
+    se2 = sa / 4 + sb / 3
+    t = (mb - ma) / math.sqrt(se2)
+    dof = se2**2 / ((sa / 4) ** 2 / 3 + (sb / 3) ** 2 / 2)
+    assert (row.n_a, row.n_b) == (4, 3)
+    assert row.mean_a == round(ma, 6) and row.mean_b == round(mb, 6)
+    assert row.t_stat == round(t, 6)
+    assert row.welch_df == round(dof, 6)
+
+
+def test_welch_ttest_excludes_null_metric_rows(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, None), (1, 2.0), (1, 3.0), (1, None)],
+        "variant int, v double",
+    )
+    row = welch_ttest(df, F.col("variant"), "v").collect()[0]
+    assert (row.n_a, row.n_b) == (1, 2)
+
+
+def test_transition_matrix_counts_and_rowwise_probabilities(spark):
+    # user 1: A B A B ; user 2: A B B
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "B"),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, s string")
+    got = {
+        (r.prev_state, r.next_state): (r.n, r.p)
+        for r in transition_matrix(df, "u", ["seq"], "s").collect()
+    }
+    # transitions: A->B x3, B->A x1, B->B x1
+    assert got == {
+        ("A", "B"): (3, 1.0),
+        ("B", "A"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_never_crosses_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (2, 2, "B")], "u int, seq int, s string"
+    )
+    assert transition_matrix(df, "u", ["seq"], "s").count() == 0
+
+
+def test_top_paths_truncates_ranks_and_breaks_ties_by_path(spark):
+    rows = (
+        [(u, i, s) for u in (1, 2) for i, s in enumerate("ABCDEFG")]
+        + [(3, 0, "Z"), (3, 1, "Z")]
+        + [(4, 0, "A"), (4, 1, "A")]
+    )
+    df = spark.createDataFrame(rows, "u int, seq int, s string")
+    got = [
+        (r.path, r.n_keys, r.rank)
+        for r in top_paths(df, "u", ["seq"], "s", max_steps=5, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # users 1,2 share the truncated 5-step path; A>A before Z>Z on tie
+    assert got == [("A>B>C>D>E", 2, 1), ("A>A", 1, 2)]
+
+
+def test_top_paths_order_is_data_not_arrival(spark):
+    # rows arrive shuffled; the struct sort must reconstruct seq order
+    rows = [(1, 3, "C"), (1, 1, "A"), (1, 2, "B")]
+    df = spark.createDataFrame(rows, "u int, seq int, s string").repartition(4)
+    got = top_paths(df, "u", ["seq"], "s", max_steps=5, k=1).collect()
+    assert [(r.path, r.n_keys, r.rank) for r in got] == [("A>B>C", 1, 1)]
