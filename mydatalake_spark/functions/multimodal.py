@@ -5,11 +5,19 @@
 extraction / resize / frame sampling run as Arrow-batched Pandas
 functions over ``mapInPandas`` — the only layer where Python touches
 the bytes. All Spark-side plumbing (schemas, batch iteration,
-partitioning) is real; the pixel-level decode itself is stubbed:
-image/audio libraries are not installed in this environment, so the
-default codec is a clearly-marked deterministic fake and the
-PIL-backed path raises ``NotImplementedError`` until the library is
-present (import-gated, per the build contract).
+partitioning) is real. The codec layer is tiered:
+
+- **uncompressed images (BMP 24-bit, PPM P6): fully live** via the
+  dependency-free numpy codec in functions/imagecodec.py — real
+  header parse, pixel decode, nearest-neighbor resize
+  (:func:`resize_image_np`), channel-statistics features. Detection
+  is strict (declared geometry must account for the byte length), so
+  non-image payloads can never misroute here;
+- compressed images / video: import-gated behind PIL / pyav
+  (``NotImplementedError`` with the library absent, as in this
+  container);
+- anything undecodable falls back to the clearly-marked deterministic
+  fake codec, keeping every pipeline runnable end-to-end.
 
 Scale notes (100 TB): binary payloads dominate row width, so
 - keep media in their own table keyed by content hash; join metadata,
@@ -105,14 +113,36 @@ def fake_decode_meta(payload: bytes | None) -> dict[str, Any]:
     }
 
 
+def _decode_meta(payload: bytes | None) -> dict[str, Any]:
+    """Tiered metadata decode: the real numpy codec for uncompressed
+    images (strict detection), the deterministic fake for everything
+    else. Codec-independent fields (n_bytes, content_hash) are
+    identical either way."""
+    if payload is not None:
+        from .imagecodec import parse_image_meta
+
+        meta = parse_image_meta(payload)
+        if meta is not None:
+            mime, width, height = meta
+            return {
+                "mime": mime,
+                "width": width,
+                "height": height,
+                "n_bytes": len(payload),
+                "content_hash": zlib.crc32(payload),
+            }
+    return fake_decode_meta(payload)
+
+
 def decode_media_meta(
     df: DataFrame, payload_col: str = "media", out_col: str = "media_meta",
     max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """Attach the typed metadata struct by decoding each payload in
     Arrow batches (mapInPandas — the batch shape is the real
-    production plumbing; only the codec is fake). Working set bounded
-    by ``max_batch_bytes`` via :func:`bounded_payload_chunks`."""
+    production plumbing; BMP/PPM payloads decode for real, the rest
+    via the fake codec). Working set bounded by ``max_batch_bytes``
+    via :func:`bounded_payload_chunks`."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -125,7 +155,7 @@ def decode_media_meta(
         ):
             pdf = pdf.copy()
             pdf[out_col] = [
-                fake_decode_meta(bytes(p) if p is not None else None)
+                _decode_meta(bytes(p) if p is not None else None)
                 for p in pdf[payload_col]
             ]
             yield pdf
@@ -141,11 +171,18 @@ def media_features(
     max_batch_bytes: int = MAX_BATCH_BYTES,
 ) -> DataFrame:
     """(id, feature array<float>[dim]) via an Arrow-batched extractor.
-    DETERMINISTIC FAKE features (chunked crc32s scaled to [0,1)); a real
-    model (CLIP etc.) slots into the same iterator without touching the
+    Uncompressed image payloads get REAL features (per-channel
+    mean/std + grayscale thumbnail, functions/imagecodec.py), padded
+    or truncated to ``dim``; undecodable payloads get the
+    deterministic fake (chunked crc32s scaled to [0,1)). A real model
+    (CLIP etc.) slots into the same iterator without touching the
     Spark plan."""
+    import math
+
     import numpy as np
     import pandas as pd
+
+    from .imagecodec import channel_features, decode_image
 
     out_schema = T.StructType(
         [
@@ -153,6 +190,7 @@ def media_features(
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
     )
+    thumb = max(int(math.isqrt(max(dim - 6, 0))), 1)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in bounded_payload_chunks(
@@ -164,14 +202,19 @@ def media_features(
                     feats.append(None)
                     continue
                 b = bytes(p)
-                vec = np.array(
-                    [
-                        zlib.crc32(b, i) % 10_000 / 10_000.0
-                        for i in range(dim)
-                    ],
-                    dtype=np.float32,
-                )
-                feats.append(vec)
+                arr = decode_image(b)
+                if arr is not None:
+                    vec = channel_features(arr, thumb=thumb)[:dim]
+                    vec = np.pad(vec, (0, dim - len(vec)))
+                else:
+                    vec = np.array(
+                        [
+                            zlib.crc32(b, i) % 10_000 / 10_000.0
+                            for i in range(dim)
+                        ],
+                        dtype=np.float32,
+                    )
+                feats.append(vec.astype(np.float32))
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.mapInPandas(extract, schema=out_schema)
@@ -215,6 +258,53 @@ def resize_image(
                 buf = io.BytesIO()
                 img.resize((width, height)).save(buf, format=out_format)
                 return bytearray(buf.getvalue())
+
+            pdf[payload_col] = [_resize(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(do, schema=df.schema)
+
+
+def resize_image_np(
+    df: DataFrame,
+    payload_col: str = "media",
+    width: int = 224,
+    height: int = 224,
+    out_format: str = "ppm",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """LIVE resize for uncompressed images (BMP 24-bit / PPM P6) —
+    the zero-dependency numpy codec: decode → nearest-neighbor sample
+    → re-encode as ``out_format`` ('ppm' or 'bmp'). Payloads that are
+    not decodable uncompressed images pass through as null (callers
+    route those to the PIL path or drop them); payload column replaced
+    in place, same mapInPandas plumbing as :func:`resize_image`."""
+    import pandas as pd
+
+    from .imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    if out_format not in ("ppm", "bmp"):
+        raise ValueError("out_format must be 'ppm' or 'bmp'")
+    encode = encode_ppm if out_format == "ppm" else encode_bmp
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
+            pdf = pdf.copy()
+
+            def _resize(p):
+                if p is None:
+                    return None
+                arr = decode_image(bytes(p))
+                if arr is None:
+                    return None
+                return bytearray(encode(resize_nearest(arr, width, height)))
 
             pdf[payload_col] = [_resize(p) for p in pdf[payload_col]]
             yield pdf
