@@ -407,6 +407,104 @@ def sample_frames(
     return keep.mapInPandas(fan_out, schema=out_schema)
 
 
+AUDIO_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "media", out_col: str = "audio_meta",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """Attach the typed audio metadata struct — LIVE for PCM WAV
+    payloads (functions/audiocodec.py, strict RIFF validation); other
+    payloads get a null-mime struct with the codec-independent fields
+    (n_bytes, content_hash) still populated. Same bounded-batch
+    mapInPandas plumbing as :func:`decode_media_meta`."""
+    import pandas as pd
+
+    from .audiocodec import parse_wav_meta
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_TYPE)]
+    )
+
+    def meta_of(p) -> dict[str, Any]:
+        if p is None:
+            return {k.name: None for k in AUDIO_META_TYPE.fields}
+        b = bytes(p)
+        parsed = parse_wav_meta(b)
+        base = {"n_bytes": len(b), "content_hash": zlib.crc32(b)}
+        if parsed is None:
+            return {"mime": None, "n_channels": None, "sample_rate": None,
+                    "n_samples": None, **base}
+        mime, n_channels, sample_rate, n_samples = parsed
+        return {"mime": mime, "n_channels": n_channels,
+                "sample_rate": sample_rate, "n_samples": n_samples, **base}
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
+            pdf = pdf.copy()
+            pdf[out_col] = [meta_of(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def audio_features_wav(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """(id, duration_s, rms, peak, zcr) — REAL signal features for PCM
+    WAV payloads via the zero-dependency decoder; undecodable payloads
+    yield a null row (route them to the pyav path or drop). Map-only,
+    no shuffle: scales linearly with executors."""
+    import pandas as pd
+
+    from .audiocodec import audio_features, decode_wav
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
+            rows = {c: [] for c in
+                    (id_col, "duration_s", "rms", "peak", "zcr")}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                decoded = None if p is None else decode_wav(bytes(p))
+                feats = (
+                    audio_features(*decoded) if decoded is not None
+                    else {"duration_s": None, "rms": None,
+                          "peak": None, "zcr": None}
+                )
+                rows[id_col].append(rid)
+                for k in ("duration_s", "rms", "peak", "zcr"):
+                    rows[k].append(feats[k])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
 def with_fake_media(
     df: DataFrame, text_col: str = "text", out_col: str = "media"
 ) -> DataFrame:
