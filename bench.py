@@ -84,6 +84,7 @@ HEADLINE = [
     "ab_test_events",
     "event_transitions",
     "top_paths_events",
+    "snapshot_diff_orders",
 ]
 
 

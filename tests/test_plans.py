@@ -457,3 +457,12 @@ def test_top_paths_no_window_over_input(spark, sf_dir, entry):
     assert plan.count("Window") >= 1
     assert "sort_array" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_single_outer_join(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["snapshot_diff_orders"](spark, sf_dir))
+    # one full outer join on the key, comparator as column arithmetic:
+    # no cartesian, no per-column join fan-out, no Python
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
