@@ -31,6 +31,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    include_new_values: bool = False,
 ) -> DataFrame:
     """Keyed diff ``old → new``.
 
@@ -41,6 +42,13 @@ def snapshot_diff(
     the standard snapshot contract (enforce upstream with
     dedup_latest); comparison is null-safe, so NULL→NULL is
     "unchanged" and NULL→value is a change.
+
+    With ``include_new_values`` the result adds a ``new_row`` struct
+    (the compare columns from the new side; null for deletes), making
+    the diff a *replayable changeset*: :func:`apply_snapshot_diff`
+    folds it into the old snapshot and reproduces the new one exactly
+    — the incremental-replication contract, property-tested as
+    apply(old, diff(old, new)) ≡ new.
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]
@@ -89,15 +97,52 @@ def snapshot_diff(
         F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
         for k in keys
     ]
-    return (
-        joined.select(
-            *key_out,
-            op.alias("op"),
-            F.when(in_old & in_new, changed_cols)
-            .otherwise(F.array().cast("array<string>"))
-            .alias("changed_cols"),
+    out_cols = [
+        *key_out,
+        op.alias("op"),
+        F.when(in_old & in_new, changed_cols)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    ]
+    if include_new_values:
+        new_row = F.struct(
+            *[F.col(f"__n_{c}").alias(c) for c in compare_cols]
         )
-        .where(
-            (F.col("op") != "update") | (F.size("changed_cols") > 0)
+        out_cols.append(
+            F.when(in_new, new_row).alias("new_row")
         )
+    return joined.select(*out_cols).where(
+        (F.col("op") != "update") | (F.size("changed_cols") > 0)
     )
+
+
+def apply_snapshot_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Fold a value-carrying changeset (``snapshot_diff`` with
+    ``include_new_values=True``) into ``old``, reproducing the new
+    snapshot: untouched rows survive via one left-anti join against
+    the changeset keys; insert/update rows come from the changeset's
+    ``new_row`` structs; deletes simply don't re-enter. Column order
+    follows ``old``. This is join + union — the same shapes as
+    merge_upsert — so it inherits the co-partitioning story."""
+    if "new_row" not in diff.columns:
+        raise ValueError(
+            "diff must carry new_row structs — build it with "
+            "snapshot_diff(..., include_new_values=True)"
+        )
+    carried = set(keys) | set(diff.schema["new_row"].dataType.fieldNames())
+    missing = [c for c in old.columns if c not in carried]
+    if missing:
+        raise ValueError(
+            "diff was built with pruned compare_cols and cannot rebuild "
+            f"columns {missing}; apply needs a full-column diff"
+        )
+    touched = diff.select(*keys)
+    untouched = old.join(touched, keys, "left_anti")
+    replacements = diff.where(F.col("op") != "delete").select(
+        *keys, "new_row.*"
+    )
+    return untouched.unionByName(replacements.select(*old.columns))

@@ -149,3 +149,127 @@ def test_scd2_matches_run_length_model(spark, changes):
             nxt = runs[i + 1][0] if i + 1 < len(runs) else None
             want.add((k, v, ts, nxt, i + 1, nxt is None))
     assert got == want
+
+
+# -------------------------------------------------- snapshot diff/apply
+
+from mydatalake_spark.operators.diff import apply_snapshot_diff, snapshot_diff
+
+SNAP = st.dictionaries(
+    KEYS, st.tuples(st.one_of(st.none(), VAL), st.one_of(st.none(), VAL)),
+    max_size=8,
+)
+
+
+def _snap_df(spark, snap):
+    rows = [(k, a, b) for k, (a, b) in snap.items()]
+    return spark.createDataFrame(rows, "k long, a long, b long") if rows else \
+        spark.createDataFrame([], "k long, a long, b long")
+
+
+@given(old=SNAP, new=SNAP)
+@settings(**_SETTINGS)
+def test_diff_matches_set_model(spark, old, new):
+    got = {
+        r.k: (r.op, tuple(r.changed_cols))
+        for r in snapshot_diff(
+            _snap_df(spark, old), _snap_df(spark, new), ["k"]
+        ).collect()
+    }
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            expect[k] = ("delete", ())
+        elif k not in old:
+            expect[k] = ("insert", ())
+        else:
+            chg = tuple(
+                c for c, i in (("a", 0), ("b", 1)) if old[k][i] != new[k][i]
+            )
+            if chg:
+                expect[k] = ("update", chg)
+    assert got == expect
+
+
+@given(old=SNAP, new=SNAP)
+@settings(**_SETTINGS)
+def test_diff_apply_roundtrip_reproduces_new(spark, old, new):
+    old_df, new_df = _snap_df(spark, old), _snap_df(spark, new)
+    diff = snapshot_diff(old_df, new_df, ["k"], include_new_values=True)
+    rebuilt = {
+        (r.k, r.a, r.b)
+        for r in apply_snapshot_diff(old_df, diff, ["k"]).collect()
+    }
+    assert rebuilt == {(k, a, b) for k, (a, b) in new.items()}
+
+
+# ------------------------------------------------ triangles vs naive
+
+from itertools import combinations
+
+from mydatalake_spark.operators.graphs import triangle_counts
+
+EDGE = st.tuples(
+    st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+)
+
+
+@given(edges=st.lists(EDGE, min_size=0, max_size=20))
+@settings(**_SETTINGS)
+def test_triangle_counts_match_naive_model(spark, edges):
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = {n for e in canon for n in e}
+    expect = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= canon:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = (
+        spark.createDataFrame(list(canon), "src long, dst long")
+        if canon
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+# --------------------------------------------- transition matrix model
+
+from mydatalake_spark.operators.sequences import transition_matrix
+
+SEQS = st.dictionaries(
+    st.integers(min_value=0, max_value=3),
+    st.lists(st.sampled_from("AB"), min_size=0, max_size=6),
+    max_size=4,
+)
+
+
+@given(seqs=SEQS)
+@settings(**_SETTINGS)
+def test_transition_matrix_matches_model_and_rows_sum_to_one(spark, seqs):
+    rows = [
+        (u, i, s) for u, states in seqs.items() for i, s in enumerate(states)
+    ]
+    df = (
+        spark.createDataFrame(rows, "u long, seq long, s string")
+        if rows
+        else spark.createDataFrame([], "u long, seq long, s string")
+    )
+    got = {
+        (r.prev_state, r.next_state): r.n
+        for r in transition_matrix(df, "u", ["seq"], "s").collect()
+    }
+    expect = {}
+    for states in seqs.values():
+        for p, n in zip(states, states[1:]):
+            expect[(p, n)] = expect.get((p, n), 0) + 1
+    assert got == expect
+    # probabilities row-normalize exactly
+    out = transition_matrix(df, "u", ["seq"], "s").collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r.prev_state, []).append((r.n, r.p))
+    for rows_p in by_prev.values():
+        tot = sum(n for n, _ in rows_p)
+        for n, p in rows_p:
+            assert abs(p - round(n / tot, 6)) < 1e-12
