@@ -96,6 +96,89 @@ def running_latest(
     )
 
 
+TRANSITION_OUTPUT_TYPE = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("prev_state", T.StringType()),
+        T.StructField("next_state", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+TRANSITION_STATE_TYPE = T.StructType(
+    [
+        T.StructField("last_state", T.StringType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator["object"],
+    state: GroupState,
+) -> Iterator["object"]:
+    """Per-key last-state carry: count consecutive (prev, next) pairs
+    within the batch, seeded by the state's carried last state so the
+    transition ACROSS a micro-batch boundary is never lost."""
+    import pandas as pd
+
+    last_state, last_ts_us = state.get if state.exists else (None, -1)
+
+    counts: dict[tuple[str, str], int] = {}
+    for pdf in pdf_iter:
+        sort_cols = [c for c in ("ts", "event_id") if c in pdf.columns]
+        for _, row in pdf.sort_values(sort_cols).iterrows():
+            cur = row["state"]
+            if last_state is not None:
+                pair = (last_state, cur)
+                counts[pair] = counts.get(pair, 0) + 1
+            last_state = cur
+            last_ts_us = int(row["ts"].value // 1000)
+
+    state.update((last_state, last_ts_us))
+    if counts:
+        pairs = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(pairs),
+                "prev_state": [p for p, _ in pairs],
+                "next_state": [n for _, n in pairs],
+                "n": [counts[p] for p in pairs],
+            }
+        )
+
+
+def stream_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming first-order transition counts — the incremental
+    sibling of operators/sequences.py:transition_matrix. Emits per
+    micro-batch the (key, prev_state, next_state, n) increments
+    observed in that batch; the per-key state carries only the LAST
+    seen state (a few bytes per key), so cross-batch transitions
+    count exactly and state never grows with history. Summing the
+    increments over any drain sequence equals the batch operator's
+    counts on the concatenated input (batch-parity tested, including
+    the boundary transition). Downstream, fold the increments with a
+    grouped sum (update mode) or stream_into_view."""
+    renamed = (
+        df.withColumnRenamed(key_col, "key")
+        .withColumnRenamed(ts_col, "ts")
+        .withColumnRenamed(state_col, "state")
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_OUTPUT_TYPE,
+        stateStructType=TRANSITION_STATE_TYPE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------
 # Evolvable state: restart a checkpoint under a NEWER operator version
 # ---------------------------------------------------------------------

@@ -380,3 +380,70 @@ def test_stream_into_incremental_view(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.user_id: (r.value_sum, r.n_rows) for r in view.read().collect()}
     assert got == {1: (6.0, 3), 2: (4.5, 2)}
+
+
+def test_stream_transitions_batch_parity_across_batches(spark, tmp_path):
+    """Two availableNow drains over a growing directory: summed
+    transition increments must equal the batch transition_matrix on
+    the concatenated input — including the transition that SPANS the
+    batch boundary (carried by the per-key last-state)."""
+    from mydatalake_spark.operators.sequences import transition_matrix
+    from mydatalake_spark.streaming.stateful import stream_transitions
+
+    batch1 = [
+        (1, "2024-01-01T00:05:00", 1, "view", 1.0),
+        (2, "2024-01-01T00:20:00", 1, "click", 2.0),
+        (3, "2024-01-01T00:30:00", 2, "view", 4.0),
+    ]
+    batch2 = [
+        # user 1 continues: click(b1) -> purchase is the BOUNDARY pair
+        (4, "2024-01-01T01:00:00", 1, "purchase", 3.0),
+        (5, "2024-01-01T01:10:00", 2, "view", 0.5),
+        (6, "2024-01-01T01:20:00", 2, "error", 0.1),
+    ]
+    src = tmp_path / "trans_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "trans_ckpt")
+
+    collected: list = []
+
+    def drain():
+        stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+        out = stream_transitions(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src / "a.json", batch1)
+    drain()
+    _write_batch(src / "b.json", batch2)
+    drain()
+    rows = collected
+
+    got: dict = {}
+    for r in rows:
+        got[(r.prev_state, r.next_state)] = (
+            got.get((r.prev_state, r.next_state), 0) + r.n
+        )
+
+    all_rows = [
+        {"u": r[2], "seq": r[0], "s": r[3]} for r in batch1 + batch2
+    ]
+    batch_df = spark.createDataFrame(
+        [(d["u"], d["seq"], d["s"]) for d in all_rows],
+        "u long, seq long, s string",
+    )
+    expect = {
+        (r.prev_state, r.next_state): r.n
+        for r in transition_matrix(batch_df, "u", ["seq"], "s").collect()
+    }
+    assert got == expect
+    # the boundary pair specifically
+    assert got[("click", "purchase")] == 1
