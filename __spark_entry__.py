@@ -3894,6 +3894,65 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def dq_fk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[extension] Referential-integrity DQ check (the 8th check type,
+    quality/checks.py:failed_foreign_key): orders.o_custkey validated
+    against a restricted parent (customers outside the BUILDING
+    segment — a filtered dim, so ~1/5 of orders genuinely fail), plus
+    a missing check in the SAME single pass. The parent joins in once
+    as a distinct-key left join (broadcast here; AQE decides at
+    scale); the child table still scans once for all checks."""
+    orders = _t(spark, sf_dir, "orders")
+    parent = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") != "BUILDING"
+    )
+    return annotate(
+        orders,
+        [
+            {"column": "o_custkey", "test_type": "foreign_key",
+             "mandate": "global_required",
+             "kwargs": {"parent": "customer_active",
+                        "parent_key": "c_custkey"}},
+            {"column": "o_orderpriority", "test_type": "missing",
+             "mandate": "local_required"},
+        ],
+        ["o_orderkey"],
+        run_date=RUN_DATE,
+        fk_parents={"customer_active": parent},
+    )
+
+
+_DQ_FK_ORACLE = f"""
+WITH keyed AS (
+  SELECT *, CAST(o_orderkey AS VARCHAR) AS df_key FROM orders
+),
+parent AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING'
+),
+fk AS (
+  SELECT df_key, 'foreign_key' AS test_type, 'global_required' AS mandate,
+    'o_custkey' AS "column", 'foreign_key' AS test_name,
+    (o_custkey IS NOT NULL AND p.c_custkey IS NULL) AS failed
+  FROM keyed LEFT JOIN parent p ON keyed.o_custkey = p.c_custkey
+),
+miss AS (
+  SELECT df_key, 'missing' AS test_type, 'local_required' AS mandate,
+    'o_orderpriority' AS "column", 'missing' AS test_name,
+    (o_orderpriority IS NULL
+      OR CAST(o_orderpriority AS VARCHAR) IN ('', '0.0')) AS failed
+  FROM keyed
+),
+unioned AS (
+  SELECT * FROM fk UNION ALL SELECT * FROM miss
+)
+SELECT df_key, test_type, mandate, "column", test_name,
+  DATE '{RUN_DATE}' AS run_date,
+  CASE WHEN failed THEN 'failed' ELSE 'passed' END AS check_result,
+  CASE WHEN failed THEN 0 ELSE 1 END AS check_score
+FROM unioned
+"""
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/diff.py:snapshot_diff):
     orders vs a deterministically mutated copy — keys %97 deleted,
@@ -4624,7 +4683,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
         "q4_late_shipping_priority": q4_late_shipping_priority,
         "q7_volume_shipping": q7_volume_shipping,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_customers": q22_idle_customers,
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
@@ -4662,6 +4720,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": event_transitions,
         "top_paths_events": top_paths_events,
         "snapshot_diff_orders": snapshot_diff_orders,
+        "dq_fk_orders": dq_fk_orders,
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         # --- r1+r2-green entries displaced from the prefix this round ---
@@ -4675,6 +4734,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": cube_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4806,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _TRANSITIONS_ORACLE,
         "top_paths_events": _TOP_PATHS_ORACLE,
         "snapshot_diff_orders": _SNAPSHOT_DIFF_ORACLE,
+        "dq_fk_orders": _DQ_FK_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

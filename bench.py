@@ -85,6 +85,7 @@ HEADLINE = [
     "event_transitions",
     "top_paths_events",
     "snapshot_diff_orders",
+    "dq_fk_orders",
 ]
 
 
@@ -293,6 +294,11 @@ SCALING_QUERIES = [
     # three-stage funnel.
     "neardup_clusters_documents",
     "funnel_events",
+    # r4 additions: the wedge join (degree-ordered orientation) and the
+    # block→verify fuzzy pipeline — both must track candidate growth,
+    # not the pair bound.
+    "triangle_count_parts",
+    "fuzzy_pairs_documents",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -313,17 +319,23 @@ def bench_scaling(spark, qs) -> dict:
     small_ev = spark.read.parquet(
         f"{SCALING_SMALL}/events.parquet").count()
     big_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    small_li = spark.read.parquet(
+        f"{SCALING_SMALL}/lineitem.parquet").count()
+    big_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     out: dict = {"rows": {
         "documents": {"small": small_docs, "big": big_docs},
         "embeddings": {"small": small_emb, "big": big_emb},
         "events": {"small": small_ev, "big": big_ev},
+        "lineitem": {"small": small_li, "big": big_li},
     }}
     for name in SCALING_QUERIES:
         if name.startswith(("embedding", "similarity")):
             rows_ratio = big_emb / small_emb
         elif "events" in name:
             rows_ratio = big_ev / small_ev
+        elif "parts" in name:
+            rows_ratio = big_li / small_li
         else:
             rows_ratio = big_docs / small_docs
         iters: dict[str, int] = {}

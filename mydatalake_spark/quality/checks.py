@@ -159,6 +159,18 @@ def failed_type_mismatch(column: str, expected_type: str = "string", **_: Any) -
     return c.try_cast(expected_type).isNull() & c.isNotNull()
 
 
+def failed_foreign_key(column: str, hit_col: str) -> Column:
+    """[extension] Referential integrity: a non-null child value with
+    no match in the parent key set fails. Null children pass — FK
+    semantics leave presence to the ``missing`` check, matching SQL's
+    treatment of NULL foreign keys. The ``hit_col`` flag is attached
+    by :func:`annotate` via a left join against the parent's distinct
+    keys (the same auxiliary-frame seam as ``outlier``'s broadcast
+    stats row): dim-sized parents broadcast, and AQE picks the
+    strategy beyond that — the child table still scans once."""
+    return F.col(column).isNotNull() & F.col(hit_col).isNull()
+
+
 CHECKS = {
     "missing": failed_missing,
     "duplicated": failed_duplicated,
@@ -192,6 +204,7 @@ def annotate(
     as_of: str | None = None,
     missing_sentinels: list[str] | None = None,
     use_hashed_key: bool = False,
+    fk_parents: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile every declared test into ONE pass over ``df``.
 
@@ -236,6 +249,37 @@ def annotate(
         )
         keyed = keyed.crossJoin(F.broadcast(stats))
 
+    # Referential checks (foreign_key): one left join per distinct
+    # (child column, parent, parent key) triple against the parent's
+    # distinct keys — the relational analogue of the outlier stats
+    # row. The child table still scans once; parent key sets are
+    # dim-sized after distinct.
+    fk_hit_cols: dict[tuple[str, str, str], str] = {}
+    for spec in column_tests:
+        if spec["test_type"] != "foreign_key":
+            continue
+        kw = dict(spec.get("kwargs", {}) or {})
+        parent, parent_key = kw.get("parent"), kw.get("parent_key")
+        if not parent or not parent_key:
+            raise ValueError(
+                "foreign_key check needs kwargs.parent and kwargs.parent_key"
+            )
+        if fk_parents is None or parent not in fk_parents:
+            raise ValueError(
+                f"foreign_key parent '{parent}' not supplied via fk_parents"
+            )
+        sig = (spec["column"], parent, parent_key)
+        if sig not in fk_hit_cols:
+            hit = f"__fk_hit_{len(fk_hit_cols)}__"
+            pk = (
+                fk_parents[parent]
+                .select(F.col(parent_key).alias(spec["column"]))
+                .distinct()
+                .withColumn(hit, F.lit(True))
+            )
+            keyed = keyed.join(pk, spec["column"], "left")
+            fk_hit_cols[sig] = hit
+
     # Stage 1: evaluate every failed-predicate as a plain boolean
     # column. Window expressions (the `duplicated` check) must resolve
     # at the top level of a projection — they cannot live inside the
@@ -250,9 +294,14 @@ def annotate(
             kw.setdefault("sentinels", missing_sentinels)
         if test_type == "outdated" and as_of is not None:
             kw.setdefault("as_of", as_of)
-        failed = build_check(
-            test_type, column, declared_type=spec.get("type", "string"), **kw
-        )
+        if test_type == "foreign_key":
+            sig = (column, kw["parent"], kw["parent_key"])
+            failed = failed_foreign_key(column, fk_hit_cols[sig])
+        else:
+            failed = build_check(
+                test_type, column, declared_type=spec.get("type", "string"),
+                **kw,
+            )
         name = f"__failed_{i}__"
         flag_cols.append(name)
         flags.append(failed.alias(name))

@@ -204,6 +204,49 @@ SHOWCASE = [
         "the edge⋈degree frame is InMemoryRelation (persisted once), and\n"
         "the node count enters as a one-row broadcast, not a collect.",
     ),
+    (
+        "triangle_count_parts",
+        "Degree-ordered triangle counting: the wedge self-join and the\n"
+        "closing join are both equi-joins (no CartesianProduct /\n"
+        "BroadcastNestedLoopJoin anywhere); orientation bounds per-node\n"
+        "fan-out by the oriented out-degree ≤ O(√m), which is what\n"
+        "survives power-law hubs at 100 TB.",
+    ),
+    (
+        "gapfill_nation_revenue",
+        "Calendar gap-fill: the daily rollup partial-aggregates map-side —\n"
+        "the ONLY input-sized exchange; sequence()+explode generates the\n"
+        "grid output-sized, and the forward-fill window sorts one group's\n"
+        "calendar per task, never the input.",
+    ),
+    (
+        "fuzzy_pairs_documents",
+        "Block→verify fuzzy matching: candidates from the shingle\n"
+        "equi-join; the levenshtein verifier is the JVM built-in with the\n"
+        "threshold short-circuit (no Python evaluator node in the plan),\n"
+        "attached via two id-keyed hash joins — per-pair cost O(prefix·t).",
+    ),
+    (
+        "hll_shards_customers",
+        "Mergeable-sketch pipeline: hll_sketch_agg appears as a partial\n"
+        "(map-side) aggregate per shard, hll_union_agg merges shard\n"
+        "sketches per group — each sketch ≤ 2^lg_k bytes regardless of\n"
+        "input rows, so the exchange moves |groups|×|shards| sketches.",
+    ),
+    (
+        "snapshot_diff_orders",
+        "Snapshot reconciliation: ONE full-outer key join; the per-column\n"
+        "null-safe comparator and changed-column list are array\n"
+        "expressions inside the projection, so unchanged rows (the vast\n"
+        "majority) die in the post-join filter without materializing.",
+    ),
+    (
+        "top_paths_events",
+        "Journey mining: the per-user collapse is sort_array over structs\n"
+        "(no input-sized window sort); the single Window (rank) operator\n"
+        "runs above the distinct-path aggregate — one row per path, not\n"
+        "per user.",
+    ),
 ]
 
 

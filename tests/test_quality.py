@@ -215,3 +215,64 @@ def test_outlier_check_flags_tail_and_ignores_constant(spark):
     assert all(v == "passed" for (k, c), v in got.items() if c == "c")
     # long format intact: one row per (record x test)
     assert len(got) == 51 * 2
+
+
+def test_foreign_key_check_flags_orphans(spark):
+    from mydatalake_spark.quality.checks import annotate
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = annotate(
+        child,
+        [{"column": "fk", "test_type": "foreign_key",
+          "kwargs": {"parent": "p", "parent_key": "pk"}}],
+        ["id"],
+        run_date="2026-01-01",
+        fk_parents={"p": parent},
+    )
+    got = {r.df_key: r.check_result for r in out.collect()}
+    # 99 is an orphan; NULL fk passes (presence is the missing check's job)
+    assert got == {"1": "passed", "2": "passed", "3": "failed", "4": "passed"}
+
+
+def test_foreign_key_check_requires_parent(spark):
+    import pytest as _pytest
+
+    from mydatalake_spark.quality.checks import annotate
+
+    child = spark.createDataFrame([(1, 10)], "id long, fk long")
+    spec = [{"column": "fk", "test_type": "foreign_key",
+             "kwargs": {"parent": "p", "parent_key": "pk"}}]
+    with _pytest.raises(ValueError, match="not supplied"):
+        annotate(child, spec, ["id"], fk_parents={})
+    with _pytest.raises(ValueError, match="parent_key"):
+        annotate(child, [{"column": "fk", "test_type": "foreign_key"}],
+                 ["id"], fk_parents={})
+
+
+def test_foreign_key_shares_the_single_pass(spark):
+    """fk + missing + rule checks in one annotate: one result row per
+    (record x test), and the fk join does not duplicate records."""
+    from mydatalake_spark.quality.checks import annotate
+
+    child = spark.createDataFrame(
+        [(1, 10, "a"), (2, 77, None)], "id long, fk long, s string"
+    )
+    parent = spark.createDataFrame([(10,), (10,)], "pk long")  # dup parent keys
+    out = annotate(
+        child,
+        [
+            {"column": "fk", "test_type": "foreign_key",
+             "kwargs": {"parent": "p", "parent_key": "pk"}},
+            {"column": "s", "test_type": "missing"},
+        ],
+        ["id"],
+        fk_parents={"p": parent},
+    ).collect()
+    assert len(out) == 4  # 2 records x 2 tests — distinct() absorbed dup pks
+    got = {(r.df_key, r.test_type): r.check_result for r in out}
+    assert got[("1", "foreign_key")] == "passed"
+    assert got[("2", "foreign_key")] == "failed"
+    assert got[("2", "missing")] == "failed"
