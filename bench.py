@@ -371,6 +371,54 @@ def bench_scaling(spark, qs) -> dict:
     return out
 
 
+def bench_lsh_planned(spark) -> dict:
+    """lsh_plan asymptotics, MEASURED: the embedding-cosine LSH path
+    with auto-planned (bands, bits) — bits ∝ log2(n) pins bucket size
+    so candidate growth stays ~linear — timed at both corpus sizes
+    with recall measured against the exact BLAS pair set at the same
+    size. This is the answer to the fixed-parameter scaling point in
+    the registry query (32×3 is pinned there for the recall-1.0
+    oracle): at scale you run the PLANNED parameters, and this section
+    shows what they cost and what recall they buy.
+    """
+    from mydatalake_spark.caching import release
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    out: dict = {}
+    for tag, sf_dir in (("small", SCALING_SMALL), ("big", SF_DIR)):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def run():
+            start = time.perf_counter()
+            res = cosine_neardup_pairs(
+                emb, threshold=0.45, exact=False, dim=64,
+                auto_plan=True, auto_recall=0.95,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            release(res)
+            return round(time.perf_counter() - start, 3)
+
+        run()                                  # warm
+        out[f"{tag}_sec"] = run()
+        planned = cosine_neardup_pairs(
+            emb, threshold=0.45, exact=False, dim=64,
+            auto_plan=True, auto_recall=0.95,
+        )
+        got = {(r.id_a, r.id_b) for r in planned.collect()}
+        release(planned)
+        exact = cosine_neardup_pairs(emb, threshold=0.45, exact=True)
+        truth = {(r.id_a, r.id_b) for r in exact.collect()}
+        release(exact)
+        out[f"{tag}_recall"] = (
+            round(len(got & truth) / len(truth), 4) if truth else 1.0
+        )
+        out[f"{tag}_true_pairs"] = len(truth)
+    out["time_ratio"] = round(
+        out["big_sec"] / max(out["small_sec"], 1e-3), 2
+    )
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from mydatalake_spark.session import get_spark
@@ -424,6 +472,7 @@ def main() -> None:
     skew = section(bench_skew)
     dq_modes = section(bench_dq_pass_modes)
     scaling = section(bench_scaling, qs)
+    lsh_planned = section(bench_lsh_planned)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -436,6 +485,7 @@ def main() -> None:
             "skew": skew,
             "dq_pass_modes": dq_modes,
             "scaling": scaling,
+            "lsh_planned": lsh_planned,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
