@@ -4071,9 +4071,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sequences.py:transition_matrix) over each user's
     event stream, ordered by (ts, event_id) — the event-id tiebreak
     makes lag() reproducible under timestamp collisions. One
-    input-sized shuffle (the per-user window partitioning); the
-    |states|² matrix is constant-sized however large the input, and
-    the per-source totals join back as an explicit broadcast."""
+    input-sized shuffle (the per-user window partitioning) and ONE
+    input scan (plan-asserted): row-normalization is a window sum
+    over the aggregated |states|² matrix, never a totals join that
+    would re-derive the lag branch."""
     from mydatalake_spark.operators.sequences import transition_matrix
 
     ev = _t(spark, sf_dir, "events")

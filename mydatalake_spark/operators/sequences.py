@@ -10,10 +10,11 @@ oracle-expressible — LAG + GROUP BY, and ordered STRING_AGG.
 Spark-first shapes:
 
 - ``transition_matrix``: one window pass (lag over the per-key
-  ordered stream) + one count aggregate + a per-source total joined
-  back via an explicit broadcast. Exactly one input-sized shuffle
-  (the key partitioning); the matrix itself is |states|² — trivially
-  small however big the input.
+  ordered stream) + one count aggregate; row-normalization is a
+  window sum over the aggregated |states|² matrix — no join, no
+  second pass over the input. Exactly one input-sized shuffle (the
+  key partitioning); the matrix itself is trivially small however
+  big the input.
 - ``top_paths``: per-key ordered states collapse to a single path
   string via sort_array over structs (deterministic regardless of
   partition order — the array sorts on the order columns, not on
@@ -57,15 +58,15 @@ def transition_matrix(
         .groupBy("prev_state", "next_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    totals = steps.groupBy("prev_state").agg(F.sum("n").alias("__tot__"))
-    return (
-        steps.join(F.broadcast(totals), "prev_state")
-        .select(
-            "prev_state",
-            "next_state",
-            "n",
-            F.round(F.col("n") / F.col("__tot__"), round_to).alias("p"),
-        )
+    # Normalize with a window sum over the aggregated matrix — a
+    # totals-join would re-derive the lag/count branch a second time
+    # (two input passes); the window sees only |states|² rows.
+    tot = F.sum("n").over(Window.partitionBy("prev_state"))
+    return steps.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / tot, round_to).alias("p"),
     )
 
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import adopt
+
 
 def resample_daily(
     df: DataFrame,
@@ -56,11 +58,16 @@ def resample_daily(
     (the cross-engine float contract, as in stats_lineitem).
     """
     day = F.col(date_col).cast("date")
+    # daily feeds two plan branches (the bounds chain and the grid
+    # join); without its own persist the input-sized rollup would
+    # execute twice. It is grid-sized — safe to cache at any input
+    # scale; the caller owns release (caching.release), as with the
+    # iterative graph operators.
     daily = df.groupBy(F.col(group_col), day.alias("day")).agg(
         F.round(F.sum(value_col), round_to).alias("__total__"),
         F.count(F.lit(1)).alias("__n__"),
         F.round(F.avg(value_col), round_to).alias("__gauge__"),
-    )
+    ).persist()
     bounds = daily.groupBy(group_col).agg(
         F.min("day").alias("__lo__"), F.max("day").alias("__hi__")
     )
@@ -75,7 +82,7 @@ def resample_daily(
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         grid.join(daily, [group_col, "day"], "left")
         .select(
             group_col,
@@ -85,3 +92,4 @@ def resample_daily(
             F.last("__gauge__", ignorenulls=True).over(w).alias("gauge"),
         )
     )
+    return adopt(out, daily)

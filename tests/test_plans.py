@@ -443,10 +443,15 @@ def test_ab_test_single_pass_no_join(spark, sf_dir, entry):
     assert "partial" in plan.lower()
 
 
-def test_event_transitions_totals_broadcast(spark, sf_dir, entry):
+def test_event_transitions_single_pass_no_join(spark, sf_dir, entry):
     plan = _plan(spark, entry.queries()["event_transitions"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    # row-normalization is a window over the aggregated matrix — a
+    # totals join would re-derive the input-sized lag branch twice
+    assert "Join" not in plan
+    import re as _re
+
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
 
 
 def test_top_paths_no_window_over_input(spark, sf_dir, entry):
