@@ -86,6 +86,7 @@ HEADLINE = [
     "top_paths_events",
     "snapshot_diff_orders",
     "dq_fk_orders",
+    "multimodal_real_decode",
 ]
 
 
