@@ -84,6 +84,8 @@ class JobRunner:
             return self._run_wap(job, layer)
         if job_type == "streaming":
             return self._run_streaming(job, layer)
+        if job_type == "reconcile":
+            return self._run_reconcile(job)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -104,6 +106,35 @@ class JobRunner:
             )
             ing.run()
             written.append(ing.meta.full_name)
+        return written
+
+    def _run_reconcile(self, job: dict[str, Any]) -> list[str]:
+        """``type: reconcile`` jobs: snapshot-diff two catalog tables
+        (operators/diff.py) and persist the changeset as an audit
+        table — the replication-validation / publish-verification job
+        of a lakehouse. Per table the YAML declares ``source_table``,
+        ``target_table``, ``keys``, optional ``compare_cols``,
+        ``include_values`` (carry new_row structs so the changeset is
+        replayable via apply_snapshot_diff), and ``output_table``
+        (default: ``{target_table}_diff``)."""
+        from .operators.diff import snapshot_diff
+
+        written: list[str] = []
+        for tbl in job.get("tables", []):
+            src = self.catalog.read(tbl["source_table"])
+            tgt = self.catalog.read(tbl["target_table"])
+            diff = snapshot_diff(
+                src,
+                tgt,
+                keys=list(tbl["keys"]),
+                compare_cols=tbl.get("compare_cols"),
+                include_new_values=bool(tbl.get("include_values", False)),
+            )
+            out_name = tbl.get(
+                "output_table", f"{tbl['target_table']}_diff"
+            )
+            self.catalog.overwrite(diff, out_name)
+            written.append(out_name)
         return written
 
     def _run_streaming(self, job: dict[str, Any], layer: str) -> list[str]:

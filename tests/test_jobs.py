@@ -376,3 +376,60 @@ def test_streaming_job_drains_and_merges(spark, workspace, tmp_path):
     runner.run("streaming", "bronze_stream")
     again = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
     assert again == bronze
+
+
+RECONCILE_JOBS = """
+jobs:
+  - name: 'audit_assets'
+    type: 'reconcile'
+    tables:
+      - source_table: 'bronze.brapi.assets'
+        target_table: 'bronze.brapi.assets_v2'
+        keys: ['stocks']
+        include_values: true
+"""
+
+
+def test_reconcile_job_writes_changeset(spark, workspace, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.operators.diff import apply_snapshot_diff
+
+    root, raw = workspace
+    (root / "audit").mkdir()
+    (root / "audit" / "job_metadata.yml").write_text(RECONCILE_JOBS)
+    cat = Catalog(spark, str(tmp_path / "wh_rec"))
+    runner = JobRunner(spark, cat, str(root), input_paths={"assets": str(raw)})
+    runner.run("full", "bronze_full")
+
+    # mutated copy: AAA repriced, BBB dropped, CCC inserted
+    base = cat.read("bronze.brapi.assets")
+    v2 = (
+        base.where(F.col("stocks") != "BBB")
+        .withColumn(
+            "close",
+            F.when(F.col("stocks") == "AAA", F.lit(99.0)).otherwise(
+                F.col("close")
+            ),
+        )
+        .unionByName(
+            base.where(F.col("stocks") == "AAA").withColumn(
+                "stocks", F.lit("CCC")
+            )
+        )
+    )
+    cat.overwrite(v2, "bronze.brapi.assets_v2")
+
+    written = runner.run("reconcile", "audit_assets")
+    assert written == ["bronze.brapi.assets_v2_diff"]
+
+    diff = cat.read("bronze.brapi.assets_v2_diff")
+    got = {r.stocks: r.op for r in diff.collect()}
+    assert got == {"AAA": "update", "BBB": "delete", "CCC": "insert"}
+    # the persisted changeset is replayable
+    rebuilt = apply_snapshot_diff(
+        cat.read("bronze.brapi.assets"), diff, ["stocks"]
+    )
+    expect = {(r.stocks, r.close) for r in cat.read(
+        "bronze.brapi.assets_v2").collect()}
+    assert {(r.stocks, r.close) for r in rebuilt.collect()} == expect
