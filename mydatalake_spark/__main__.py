@@ -20,7 +20,10 @@ def main(argv: list[str] | None = None) -> int:
     run = sub.add_parser("run-job", help="run a declared job")
     run.add_argument("--metadata-root", required=True)
     run.add_argument("--warehouse", required=True)
-    run.add_argument("--job-type", required=True, choices=["full", "cdc"])
+    run.add_argument(
+        "--job-type", required=True,
+        choices=["full", "cdc", "quality", "wap", "streaming", "reconcile"],
+    )
     run.add_argument("--job-name", required=True)
     run.add_argument(
         "--input-path", action="append", default=[],
