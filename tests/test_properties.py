@@ -273,3 +273,44 @@ def test_transition_matrix_matches_model_and_rows_sum_to_one(spark, seqs):
         tot = sum(n for n, _ in rows_p)
         for n, p in rows_p:
             assert abs(p - round(n / tot, 6)) < 1e-12
+
+
+# ------------------------------------------------- codec round-trips
+
+import numpy as np
+
+from mydatalake_spark.functions.audiocodec import decode_wav, encode_wav
+from mydatalake_spark.functions.imagecodec import (
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+)
+
+DIMS = st.tuples(
+    st.integers(min_value=1, max_value=9), st.integers(min_value=1, max_value=9)
+)
+
+
+@given(dims=DIMS, seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(**_SETTINGS)
+def test_image_codecs_round_trip_bit_exact(dims, seed):
+    h, w = dims
+    arr = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+    assert np.array_equal(decode_image(encode_bmp(arr)), arr)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_wav_round_trip_within_quantization(n, ch, seed):
+    rng = np.random.RandomState(seed)
+    arr = (rng.rand(n, ch) * 2 - 1).astype(np.float32)
+    out, sr = decode_wav(encode_wav(arr, 8000))
+    assert sr == 8000 and out.shape == (n, ch)
+    assert float(np.max(np.abs(out - arr))) <= 1.0 / 32768 + 1e-6
