@@ -161,10 +161,16 @@ def stream_transitions(
     observed in that batch; the per-key state carries only the LAST
     seen state (a few bytes per key), so cross-batch transitions
     count exactly and state never grows with history. Summing the
-    increments over any drain sequence equals the batch operator's
+    increments over a drain sequence equals the batch operator's
     counts on the concatenated input (batch-parity tested, including
-    the boundary transition). Downstream, fold the increments with a
-    grouped sum (update mode) or stream_into_view."""
+    the boundary transition) PROVIDED micro-batches partition each
+    key's stream in event-time order — the append-only file-source
+    pattern; an event older than the carried state counts in arrival
+    order instead (the state keeps last_ts_us so such regressions are
+    detectable, but a few-bytes state cannot re-sort history — feed
+    from a watermark-ordered source when strict event-time parity
+    matters). Downstream, fold the increments with a grouped sum
+    (update mode) or stream_into_view."""
     renamed = (
         df.withColumnRenamed(key_col, "key")
         .withColumnRenamed(ts_col, "ts")
