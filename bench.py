@@ -87,6 +87,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "dq_fk_orders",
     "multimodal_real_decode",
+    "pit_join_orders",
 ]
 
 

@@ -109,3 +109,47 @@ def apply_cdc_ops(
         *target.columns
     )
     return untouched.unionByName(upserts)
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    whose half-open validity window [valid_from, valid_to) covers the
+    fact timestamp — THE consumer of an SCD2 dimension ("what was the
+    customer's state when this event happened").
+
+    Shape: an equi-join on the key with the interval predicate as a
+    join filter — evaluated during the hash-join probe, so the
+    per-fact fan-out is bounded by the key's *version count* (small
+    by construction) and at most one row survives: ``scd2_build``'s
+    versions tile each key's timeline without overlap (zero-length
+    windows from same-timestamp changes can match nothing under the
+    half-open contract). Never a range cross-product, and unlike an
+    as-of join it honors explicit validity ends. ``how='left'`` keeps
+    facts predating the first version (null dimension columns).
+    """
+    dim_key = dim_key or fact_key
+    clash = [
+        c for c in dim.columns
+        if c != dim_key and c in fact.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"dim columns collide with fact columns: {clash}; "
+            "rename or pre-select the dim side"
+        )
+    d = dim.withColumnRenamed(dim_key, "__pit_pk__")
+    cond = (
+        (F.col(fact_key) == F.col("__pit_pk__"))
+        & (F.col(fact_ts) >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to)))
+    )
+    return fact.join(d, cond, how).drop("__pit_pk__")

@@ -471,3 +471,12 @@ def test_snapshot_diff_single_outer_join(spark, sf_dir, entry):
     assert plan.count("FullOuter") >= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pit_join_is_hash_join_with_range_filter(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["pit_join_orders"](spark, sf_dir))
+    # equi-join on the key; the validity window rides as a join filter,
+    # never a BroadcastNestedLoopJoin/cartesian range product
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

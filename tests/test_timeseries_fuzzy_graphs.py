@@ -211,3 +211,77 @@ def test_hll_shard_union_ignores_nulls(spark):
     )
     row = hll_shard_union_check(df, ["g"], "user", "yr").collect()[0]
     assert (row.n_shards, row.exact_distinct, row.within_bound) == (2, 2, True)
+
+
+# -------------------------------------------------------------- pit_join
+
+import datetime as _dt
+
+from mydatalake_spark.operators.scd2 import pit_join
+
+
+def _ts(s):
+    return _dt.datetime.fromisoformat(s)
+
+
+def test_pit_join_picks_covering_version(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", _ts("2024-01-01"), _ts("2024-03-01"), 1),
+            (1, "gold", _ts("2024-03-01"), None, 2),
+        ],
+        "k long, tier string, valid_from timestamp, "
+        "valid_to timestamp, version int",
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-02-15")),   # inside v1
+            (101, 1, _ts("2024-03-01")),   # boundary: half-open → v2
+            (102, 1, _ts("2025-01-01")),   # open-ended v2
+            (103, 1, _ts("2023-12-31")),   # before first version
+            (104, 2, _ts("2024-02-01")),   # unknown key
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    got = {
+        r.fid: (r.tier, r.version)
+        for r in pit_join(fact, dim, "k", "ts").collect()
+    }
+    assert got == {
+        100: ("bronze", 1),
+        101: ("gold", 2),
+        102: ("gold", 2),
+        103: (None, None),
+        104: (None, None),
+    }
+    # every fact row appears exactly once (no interval fan-out)
+    assert pit_join(fact, dim, "k", "ts").count() == 5
+
+
+def test_pit_join_rejects_column_clash(spark):
+    dim = spark.createDataFrame(
+        [(1, "x", _ts("2024-01-01"), None)],
+        "k long, ts string, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame([(1, 1, _ts("2024-02-01"))],
+                                 "fid long, k long, ts timestamp")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        pit_join(fact, dim, "k", "ts")
+
+
+def test_pit_join_zero_length_window_matches_nothing(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01"), _ts("2024-01-01"), 1),
+            (1, "b", _ts("2024-01-01"), None, 2),
+        ],
+        "k long, tier string, valid_from timestamp, "
+        "valid_to timestamp, version int",
+    )
+    fact = spark.createDataFrame(
+        [(100, 1, _ts("2024-01-01"))], "fid long, k long, ts timestamp"
+    )
+    got = pit_join(fact, dim, "k", "ts").collect()
+    assert [(r.fid, r.tier) for r in got] == [(100, "b")]
