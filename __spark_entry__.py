@@ -4225,6 +4225,91 @@ FROM kept
 """
 
 
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event is credited to the
+    user's most recent PRECEDING non-purchase event type — the
+    conditional carry-forward window pattern
+    (last(when(...), ignorenulls) over rows-to-1-preceding) that
+    funnel/sessionize queries don't exercise. One window pass on the
+    per-user ordering, then a constant-sized rollup of conversions by
+    touch type."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM touched WHERE event_type = 'purchase'
+GROUP BY touch
+"""
+
+
+def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, so its weight is that duration in
+    seconds — lead(ts) over the per-user ordering, then a weighted
+    sum / sum-of-weights rollup. The temporal aggregation that plain
+    AVG gets wrong whenever sampling is irregular. The last
+    observation per user (no successor) carries zero weight — the
+    standard right-open convention. Rounded to 6 dp (float-sum
+    contract)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct double cast; hop through TIMESTAMP
+    # (session tz = UTC, so the epoch matches DuckDB's naive EPOCH())
+    sec = F.col("ts").cast("timestamp").cast("double")
+    dur = F.lead(sec).over(w) - sec
+    per = ev.select("user_id", "value", dur.alias("dur"))
+    return (
+        per.where(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+_TWAP_ORACLE = """
+WITH obs AS (
+  SELECT user_id, value,
+         EPOCH(LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))
+           - EPOCH(ts) AS dur
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       ROUND(SUM(value * dur) / SUM(dur), 6) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM obs WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/scd2.py:pit_join): 1998+ orders
     look up the customer-status SCD2 version (built from pre-1998
@@ -4805,8 +4890,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_shipping_priority": q4_late_shipping_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q15_top_supplier": q15_top_supplier,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_part_value": q11_important_part_value,
@@ -4842,6 +4925,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_fk_orders": dq_fk_orders,
         "multimodal_real_decode": multimodal_real_decode,
         "pit_join_orders": pit_join_orders,
+        "attribution_events": attribution_events,
+        "twap_events": twap_events,
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         # --- r1+r2-green entries displaced from the prefix this round ---
@@ -4858,6 +4943,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_customers": q22_idle_customers,
         "q10_returned_items": q10_returned_items,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -4992,6 +5079,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_fk_orders": _DQ_FK_ORACLE,
         "multimodal_real_decode": _MULTIMODAL_REAL_ORACLE,
         "pit_join_orders": _PIT_JOIN_ORACLE,
+        "attribution_events": _ATTRIBUTION_ORACLE,
+        "twap_events": _TWAP_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

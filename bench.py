@@ -88,6 +88,8 @@ HEADLINE = [
     "dq_fk_orders",
     "multimodal_real_decode",
     "pit_join_orders",
+    "attribution_events",
+    "twap_events",
 ]
 
 
