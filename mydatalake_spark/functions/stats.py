@@ -16,8 +16,110 @@ aggregate producing one row per partition, merged once.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _poisson_cdf_hex_bounds(max_w: int = 6) -> list[str]:
+    """Cumulative Poisson(1) probabilities mapped to 4-hex-digit
+    bucket bounds (16⁴ buckets — the same md5-bucket scheme as
+    operators/sampling.py, so the mapping is engine-portable)."""
+    bounds, cum, fact = [], 0.0, 1.0
+    for w in range(max_w):
+        fact = fact * w if w > 0 else 1.0
+        cum += math.exp(-1.0) / fact
+        bounds.append(format(int(cum * 16**4), "04x"))
+    return bounds
+
+
+_POISSON_BOUNDS = _poisson_cdf_hex_bounds()
+
+
+def poisson_weight(key: Column) -> Column:
+    """Deterministic Poisson(1)-distributed integer weight for ``key``
+    (truncated at 6; tail mass beyond is ~1e-4 of a unit). The
+    resampling primitive of the Poisson bootstrap: independent
+    per-(row, resample) weights with no global coordination."""
+    b = F.substring(F.md5(key), 1, 4)
+    expr = F.when(b < F.lit(_POISSON_BOUNDS[0]), F.lit(0))
+    for w, bound in enumerate(_POISSON_BOUNDS[1:], start=1):
+        expr = expr.when(b < F.lit(bound), F.lit(w))
+    return expr.otherwise(F.lit(len(_POISSON_BOUNDS)))
+
+
+def poisson_weight_sql(key_sql: str) -> str:
+    """The ANSI-SQL CASE replaying :func:`poisson_weight` bit-for-bit
+    (DuckDB-oracle generator)."""
+    parts = [
+        f"WHEN SUBSTRING(MD5({key_sql}), 1, 4) < '{bound}' THEN {w}"
+        for w, bound in enumerate(_POISSON_BOUNDS)
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE {len(_POISSON_BOUNDS)} END"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 20,
+    salt: str = "boot",
+    z: float = 1.96,
+    round_to: int = 4,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean of ``value_col`` —
+    the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of materializing
+    B resampled datasets, each row contributes to resample *b* with an
+    independent Poisson(1) multiplicity, here derived deterministically
+    from md5(salt#id#b) so the estimate is reproducible and
+    engine-portable.
+
+    Plan shape: ONE aggregation pass computing the plain mean plus B
+    weighted means as sibling aggregate expressions — no explode, no
+    row replication, no shuffle beyond the single partial-agg merge;
+    the resample spread then folds over a B-element array on the
+    one-row result. At 100 TB this costs one scan with ~2B+2 partial
+    aggregates per partition, the textbook map-side shape.
+
+    Returns one row: ``n, mean, boot_se, ci_lo, ci_hi`` (rounded).
+    """
+    v = F.col(value_col)
+    base = df.where(v.isNotNull())
+    resample_means = []
+    for b in range(n_resamples):
+        w = poisson_weight(
+            F.concat_ws(
+                "#",
+                F.lit(salt),
+                F.col(id_col).cast("string"),
+                F.lit(str(b)),
+            )
+        )
+        resample_means.append(
+            (F.sum(v * w) / F.sum(w)).alias(f"__m{b}__")
+        )
+    row = base.agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("__mean__"),
+        *resample_means,
+    )
+    arr = F.array(*[F.col(f"__m{b}__") for b in range(n_resamples)])
+    mu = (
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n_resamples
+    )
+    var = F.aggregate(
+        arr, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
+    ) / (n_resamples - 1)
+    se = F.sqrt(var)
+    return row.select(
+        "n",
+        F.round("__mean__", round_to).alias("mean"),
+        F.round(se, round_to).alias("boot_se"),
+        F.round(F.col("__mean__") - z * se, round_to).alias("ci_lo"),
+        F.round(F.col("__mean__") + z * se, round_to).alias("ci_hi"),
+    )
 
 
 def welch_ttest(

@@ -480,3 +480,15 @@ def test_pit_join_is_hash_join_with_range_filter(spark, sf_dir, entry):
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_single_pass_no_explode(spark, sf_dir, entry):
+    plan = _plan(spark, entry.queries()["bootstrap_ci_events"](spark, sf_dir))
+    # all B resamples are sibling aggregates in ONE pass: no row
+    # replication (Generate/explode), no join, map-side partials
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -85,3 +85,39 @@ def test_top_paths_order_is_data_not_arrival(spark):
     df = spark.createDataFrame(rows, "u int, seq int, s string").repartition(4)
     got = top_paths(df, "u", ["seq"], "s", max_steps=5, k=1).collect()
     assert [(r.path, r.n_keys, r.rank) for r in got] == [("A>B>C", 1, 1)]
+
+
+def test_poisson_weights_distribution_and_determinism(spark):
+    from mydatalake_spark.functions.stats import poisson_weight
+
+    df = spark.range(20000).select(
+        poisson_weight(F.concat_ws("#", F.lit("s"), F.col("id").cast("string")))
+        .alias("w")
+    )
+    stats = df.agg(
+        F.avg("w").alias("mean"), F.var_samp("w").alias("var")
+    ).collect()[0]
+    # Poisson(1): mean ≈ 1, variance ≈ 1 (truncation at 6 shaves ~1e-4)
+    assert abs(stats.mean - 1.0) < 0.03
+    assert abs(stats.var - 1.0) < 0.06
+    # deterministic: same keys → same weights
+    again = spark.range(20000).select(
+        poisson_weight(F.concat_ws("#", F.lit("s"), F.col("id").cast("string")))
+        .alias("w")
+    )
+    assert df.exceptAll(again).count() == 0
+
+
+def test_bootstrap_ci_covers_true_mean_on_synthetic(spark):
+    from mydatalake_spark.functions.stats import poisson_bootstrap_ci
+
+    # 5000 iid uniform(0, 100): mean 50, se ≈ 29/√5000 ≈ 0.41
+    df = spark.range(5000).select(
+        F.col("id").alias("rid"),
+        (F.pmod(F.xxhash64(F.col("id")), 10000) / 100.0).alias("v"),
+    )
+    row = poisson_bootstrap_ci(df, "rid", "v", n_resamples=20).collect()[0]
+    assert row.n == 5000
+    assert row.ci_lo < row.mean < row.ci_hi
+    assert 0.1 < row.boot_se < 1.5  # right order of magnitude
+    assert row.ci_lo < 50.5 < row.ci_hi or abs(row.mean - 50) < 3
