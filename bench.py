@@ -91,6 +91,7 @@ HEADLINE = [
     "attribution_events",
     "twap_events",
     "bootstrap_ci_events",
+    "rolling_distinct_users",
 ]
 
 

@@ -79,6 +79,74 @@ def approx_quantile_check(
     )
 
 
+def rolling_distinct_check(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+    lg_k: int = 14,
+    tolerance: float = 0.10,
+) -> DataFrame:
+    """Rolling N-day distinct count via mergeable daily sketches: one
+    HLL sketch per day, then a rows-cheap *window union* over the last
+    N daily sketches — rolling distinct users without ever re-scanning
+    N days of raw data, the query that's impossible with plain
+    ``approx_count_distinct`` (not mergeable) and ruinous with exact
+    ``COUNT(DISTINCT)`` (N-fold re-scan or an N-day shuffle per day).
+
+    At 100 TB: the daily sketch build is the only input-sized pass
+    (map-side partial agg, ≤2^lg_k bytes per day); the union window
+    runs over #days sketch rows — kilobytes — so it is deliberately
+    unpartitioned. Day gaps are handled by a RANGE frame on
+    days-since-epoch, not a ROWS frame (a missing day must not widen
+    the window).
+
+    Returns ``(day, exact_distinct, within_bound)`` per observed day
+    — the exact side (distinct pairs exploded to the ≤N windows each
+    covers, equi-joined to observed days; no nested-loop range join)
+    exists for the correctness gate; production reads the estimate
+    alone.
+    """
+    from pyspark.sql import Window
+
+    day = F.col(ts_col).cast("date")
+    base = (
+        df.select(day.alias("day"), F.col(key_col).alias("__k__"))
+        .where(F.col("__k__").isNotNull())
+    )
+    daily = base.groupBy("day").agg(
+        F.hll_sketch_agg("__k__", F.lit(lg_k)).alias("__sk__")
+    )
+    dayn = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayn).rangeBetween(-(window_days - 1), 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("__sk__").over(w)).alias(
+            "__est__"
+        ),
+    )
+    pairs = base.distinct()
+    cover = pairs.select(
+        F.explode(
+            F.sequence("day", F.date_add("day", window_days - 1))
+        ).alias("wday"),
+        "__k__",
+    )
+    days = daily.select(F.col("day").alias("wday"))
+    exact = (
+        cover.join(days, "wday")
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("__k__").alias("exact_distinct"))
+    )
+    rel = (
+        F.abs(F.col("__est__") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    )
+    return est.join(exact, "day").select(
+        "day", "exact_distinct", (rel <= tolerance).alias("within_bound")
+    )
+
+
 def hll_shard_union_check(
     df: DataFrame,
     group_by: list[str],

@@ -492,3 +492,14 @@ def test_bootstrap_single_pass_no_explode(spark, sf_dir, entry):
     import re as _re
 
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rolling_distinct_no_nested_loop(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["rolling_distinct_users"](spark, sf_dir)
+    )
+    # exact side explodes pairs to their windows — equi-join, never a
+    # BETWEEN nested-loop; sketch union appears as a window aggregate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hll_union_agg" in plan

@@ -285,3 +285,45 @@ def test_pit_join_zero_length_window_matches_nothing(spark):
     )
     got = pit_join(fact, dim, "k", "ts").collect()
     assert [(r.fid, r.tier) for r in got] == [(100, "b")]
+
+
+# ------------------------------------------------- rolling distinct
+
+
+def test_rolling_distinct_gap_days_use_range_frame(spark):
+    from mydatalake_spark.functions.sketches import rolling_distinct_check
+
+    # days 1, 2, 10: under a ROWS frame day 10's window would wrongly
+    # include days 1-2; the RANGE frame must exclude them
+    rows = [
+        (dt.datetime(2024, 1, 1), "a"),
+        (dt.datetime(2024, 1, 1), "b"),
+        (dt.datetime(2024, 1, 2), "b"),
+        (dt.datetime(2024, 1, 2), "c"),
+        (dt.datetime(2024, 1, 10), "z"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    got = {
+        r.day.isoformat(): (r.exact_distinct, r.within_bound)
+        for r in rolling_distinct_check(
+            df, "ts", "user", window_days=7
+        ).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, True),
+        "2024-01-02": (3, True),   # a,b,c within 7 days
+        "2024-01-10": (1, True),   # 1-2 are 8+ days back: excluded
+    }
+
+
+def test_rolling_distinct_dedups_within_window(spark):
+    from mydatalake_spark.functions.sketches import rolling_distinct_check
+
+    # same user every day: rolling distinct stays 1
+    rows = [
+        (dt.datetime(2024, 2, d), "only") for d in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    out = rolling_distinct_check(df, "ts", "user", window_days=7).collect()
+    assert all(r.exact_distinct == 1 and r.within_bound for r in out)
+    assert len(out) == 5
