@@ -247,6 +247,27 @@ SHOWCASE = [
         "runs above the distinct-path aggregate — one row per path, not\n"
         "per user.",
     ),
+    (
+        "pit_join_orders",
+        "SCD2 point-in-time join: equi-join on the key with the half-open\n"
+        "validity window riding as a join filter — fan-out bounded by\n"
+        "versions-per-key, ≤1 survivor per fact row, no\n"
+        "BroadcastNestedLoopJoin range product.",
+    ),
+    (
+        "bootstrap_ci_events",
+        "Poisson bootstrap: all 20 resamples are sibling aggregate\n"
+        "expressions in ONE scan (no Generate/explode, no join); the\n"
+        "resample spread folds over a 20-element array on the single\n"
+        "result row — the textbook map-side uncertainty estimator.",
+    ),
+    (
+        "rolling_distinct_users",
+        "Rolling 7-day distinct: daily HLL sketches unioned by a window\n"
+        "aggregate over a RANGE days frame (gaps can't widen the window);\n"
+        "the input is scanned once for the sketches — never re-scanned\n"
+        "per window — and the union moves kilobytes of sketch bytes.",
+    ),
 ]
 
 
