@@ -120,3 +120,81 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         return self.catalog.read(self.name)
+
+
+@dataclass
+class SketchDistinctView:
+    """Incrementally maintained per-key DISTINCT-count sketches — the
+    sketch sibling of :class:`IncrementalAggView` for the one aggregate
+    SUM/COUNT partials cannot express.
+
+    [extension] Stores one Datasketches HLL sketch (binary, ≤2^lg_k
+    bytes) per key group; applying a batch costs
+    ``sketch(batch) ⊕ stored sketches`` — one union-merge over
+    key-count rows — never a re-scan of history, and the stored table
+    answers "distinct per key" (``estimates``) and, with a date key,
+    "rolling N-day distinct" (``rolling_estimates``) without touching
+    raw data again. Append-only contract as IncrementalAggView;
+    staged-swap write for crash safety.
+    """
+
+    spark: SparkSession
+    catalog: Catalog
+    name: str                       # catalog.schema.table of the view
+    keys: list[str]
+    col: str                        # the column whose distincts we track
+    lg_k: int = 14
+
+    def _partials(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return batch.groupBy(*self.keys).agg(
+            F.hll_sketch_agg(self.col, F.lit(self.lg_k)).alias("__sk__")
+        )
+
+    def apply(self, batch: DataFrame) -> None:
+        """Fold one append-only batch into the stored sketches."""
+        from pyspark.sql import functions as F
+
+        fresh = self._partials(batch)
+        if self.catalog.exists(self.name):
+            merged = (
+                self.catalog.read(self.name)
+                .unionByName(fresh)
+                .groupBy(*self.keys)
+                .agg(F.hll_union_agg("__sk__").alias("__sk__"))
+            )
+            self.catalog.overwrite_via_staging(merged, self.name)
+        else:
+            self.catalog.overwrite(fresh, self.name)
+
+    def estimates(self) -> DataFrame:
+        """(keys..., distinct_estimate) from the stored sketches."""
+        from pyspark.sql import functions as F
+
+        return self.catalog.read(self.name).select(
+            *self.keys,
+            F.hll_sketch_estimate("__sk__").alias("distinct_estimate"),
+        )
+
+    def rolling_estimates(
+        self, date_key: str, window_days: int = 7
+    ) -> DataFrame:
+        """Rolling N-day distinct per ``date_key`` (must be one of
+        ``keys``, date-typed): a window union over the STORED daily
+        sketches — kilobytes — on a RANGE days frame so calendar gaps
+        never widen the window (cf. sketches.rolling_distinct_check,
+        which verifies the same plan shape against exact counts)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        dayn = F.datediff(
+            F.col(date_key), F.lit("1970-01-01").cast("date")
+        )
+        w = Window.orderBy(dayn).rangeBetween(-(window_days - 1), 0)
+        return self.catalog.read(self.name).select(
+            *self.keys,
+            F.hll_sketch_estimate(
+                F.hll_union_agg("__sk__").over(w)
+            ).alias("rolling_distinct"),
+        )

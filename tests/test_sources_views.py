@@ -208,3 +208,66 @@ def test_incremental_agg_view_idempotent_schema_and_avg_at_read(spark, tmp_path)
         "k", (F.col("total") / F.col("n_rows")).alias("avg_v")
     ).collect()[0]
     assert row.k == "A" and row.avg_v == 3.0
+
+
+def test_sketch_view_two_batch_fold_equals_one_shot(spark, tmp_path):
+    import datetime as dt
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import SketchDistinctView
+
+    cat = Catalog(spark, str(tmp_path / "wh_sk"))
+    view = SketchDistinctView(
+        spark, cat, "gold.metrics.daily_users", keys=["day"], col="user"
+    )
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    b1 = spark.createDataFrame(
+        [(d1, "a"), (d1, "b"), (d2, "a")], "day date, user string"
+    )
+    b2 = spark.createDataFrame(
+        [(d1, "b"), (d1, "c"), (d2, "z")], "day date, user string"
+    )
+    view.apply(b1)
+    view.apply(b2)
+    got = {
+        r.day.isoformat(): r.distinct_estimate
+        for r in view.estimates().collect()
+    }
+    # small cardinalities: HLL is exact in sparse mode — incremental
+    # fold across batches deduplicates (b twice counts once)
+    assert got == {"2024-01-01": 3.0, "2024-01-02": 2.0}
+
+    # one-shot over the concatenated input gives identical estimates
+    cat2 = Catalog(spark, str(tmp_path / "wh_sk2"))
+    ones = SketchDistinctView(
+        spark, cat2, "gold.metrics.daily_users", keys=["day"], col="user"
+    )
+    ones.apply(b1.unionByName(b2))
+    assert got == {
+        r.day.isoformat(): r.distinct_estimate
+        for r in ones.estimates().collect()
+    }
+
+
+def test_sketch_view_rolling_estimates_range_frame(spark, tmp_path):
+    import datetime as dt
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import SketchDistinctView
+
+    cat = Catalog(spark, str(tmp_path / "wh_sk3"))
+    view = SketchDistinctView(
+        spark, cat, "gold.metrics.daily_users", keys=["day"], col="user"
+    )
+    rows = [
+        (dt.date(2024, 1, 1), "a"),
+        (dt.date(2024, 1, 2), "b"),
+        (dt.date(2024, 1, 10), "a"),   # 8-day gap
+    ]
+    view.apply(spark.createDataFrame(rows, "day date, user string"))
+    got = {
+        r.day.isoformat(): r.rolling_distinct
+        for r in view.rolling_estimates("day", window_days=7).collect()
+    }
+    # day 10's window excludes days 1-2 (RANGE frame, not ROWS)
+    assert got == {"2024-01-01": 1.0, "2024-01-02": 2.0, "2024-01-10": 1.0}
