@@ -183,11 +183,14 @@ def stream_into_view(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
 ):
-    """Continuously maintain an ``IncrementalAggView`` from a stream:
-    every micro-batch's partial aggregates fold into the stored gold
-    table via ``foreachBatch`` — streaming incremental-view
-    maintenance, the DLT "streaming table feeds a materialized view"
-    shape on OSS Spark.
+    """Continuously maintain an incremental view from a stream: every
+    micro-batch folds into the stored gold table via ``foreachBatch``
+    — streaming incremental-view maintenance, the DLT "streaming
+    table feeds a materialized view" shape on OSS Spark. ``view`` is
+    anything with an append-only ``apply(batch)`` fold —
+    ``IncrementalAggView`` (SUM/COUNT partials) and
+    ``SketchDistinctView`` (mergeable HLL distinct sketches) both
+    qualify.
 
     Exactly-once composition: the foreachBatch sink is at-least-once
     under retries, and the view's fold is NOT idempotent by itself, so

@@ -447,3 +447,55 @@ def test_stream_transitions_batch_parity_across_batches(spark, tmp_path):
     assert got == expect
     # the boundary pair specifically
     assert got[("click", "purchase")] == 1
+
+
+def test_stream_into_sketch_view(spark, tmp_path):
+    """Streaming distinct-IVM: micro-batches fold into the stored
+    per-day HLL sketches; a second drain merges with (not replaces)
+    the first batch's sketches — cross-batch dedup included."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.streaming.events import (
+        stream_from_json_dir,
+        stream_into_view,
+    )
+    from mydatalake_spark.views import SketchDistinctView
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "skv_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "skv_ckpt")
+    cat = Catalog(spark, str(tmp_path / "skv_wh"))
+    view = SketchDistinctView(
+        spark, cat, "gold.metrics.daily_users", keys=["day"], col="user_id"
+    )
+
+    class DayView:
+        def apply(self, batch):
+            view.apply(
+                batch.select(
+                    F.col("ts").cast("date").alias("day"),
+                    F.col("user_id").cast("string").alias("user_id"),
+                )
+            )
+
+    def drain():
+        stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+        q = stream_into_view(stream, DayView(), ckpt)
+        q.awaitTermination(120)
+
+    _write_batch(src / "a.json", [
+        (1, "2024-01-01T01:00:00", 7, "view", 1.0),
+        (2, "2024-01-01T02:00:00", 8, "view", 1.0),
+    ])
+    drain()
+    _write_batch(src / "b.json", [
+        (3, "2024-01-01T03:00:00", 7, "view", 1.0),   # user 7 again
+        (4, "2024-01-02T01:00:00", 9, "view", 1.0),
+    ])
+    drain()
+    got = {
+        r.day.isoformat(): r.distinct_estimate
+        for r in view.estimates().collect()
+    }
+    assert got == {"2024-01-01": 2.0, "2024-01-02": 1.0}
