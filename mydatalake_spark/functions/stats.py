@@ -67,6 +67,7 @@ def poisson_bootstrap_ci(
     salt: str = "boot",
     z: float = 1.96,
     round_to: int = 4,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Bootstrap confidence interval for the mean of ``value_col`` —
     the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
@@ -83,7 +84,8 @@ def poisson_bootstrap_ci(
     one-row result. At 100 TB this costs one scan with ~2B+2 partial
     aggregates per partition, the textbook map-side shape.
 
-    Returns one row: ``n, mean, boot_se, ci_lo, ci_hi`` (rounded).
+    Returns one row per group (one row total without ``group_by``):
+    ``(group..., n, mean, boot_se, ci_lo, ci_hi)`` (rounded).
     """
     v = F.col(value_col)
     base = df.where(v.isNotNull())
@@ -100,10 +102,13 @@ def poisson_bootstrap_ci(
         resample_means.append(
             (F.sum(v * w) / F.sum(w)).alias(f"__m{b}__")
         )
-    row = base.agg(
+    aggs = [
         F.count(v).alias("n"),
         F.avg(v).alias("__mean__"),
         *resample_means,
+    ]
+    row = (
+        base.groupBy(*group_by).agg(*aggs) if group_by else base.agg(*aggs)
     )
     arr = F.array(*[F.col(f"__m{b}__") for b in range(n_resamples)])
     mu = (
@@ -114,6 +119,7 @@ def poisson_bootstrap_ci(
     ) / (n_resamples - 1)
     se = F.sqrt(var)
     return row.select(
+        *(group_by or []),
         "n",
         F.round("__mean__", round_to).alias("mean"),
         F.round(se, round_to).alias("boot_se"),

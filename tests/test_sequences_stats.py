@@ -121,3 +121,27 @@ def test_bootstrap_ci_covers_true_mean_on_synthetic(spark):
     assert row.ci_lo < row.mean < row.ci_hi
     assert 0.1 < row.boot_se < 1.5  # right order of magnitude
     assert row.ci_lo < 50.5 < row.ci_hi or abs(row.mean - 50) < 3
+
+
+def test_bootstrap_grouped_matches_per_group_ungrouped(spark):
+    from mydatalake_spark.functions.stats import poisson_bootstrap_ci
+
+    df = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.pmod(F.xxhash64(F.col("id")), 1000) / 10.0).alias("v"),
+    )
+    grouped = {
+        r.g: (r.n, r.mean, r.boot_se, r.ci_lo, r.ci_hi)
+        for r in poisson_bootstrap_ci(
+            df, "rid", "v", group_by=["g"]
+        ).collect()
+    }
+    for g in ("0", "1"):
+        solo = poisson_bootstrap_ci(
+            df.where(F.col("g") == g), "rid", "v"
+        ).collect()[0]
+        # same ids → same deterministic weights → identical CI
+        assert grouped[g] == (
+            solo.n, solo.mean, solo.boot_se, solo.ci_lo, solo.ci_hi
+        )
