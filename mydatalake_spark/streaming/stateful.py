@@ -185,6 +185,130 @@ def stream_transitions(
     )
 
 
+SESSION_OUTPUT_TYPE = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_TYPE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _closed_session_updater(gap_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator["object"],
+        state: GroupState,
+    ) -> Iterator["object"]:
+        import pandas as pd
+
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new data:
+            # the open session IS closed — emit and clear
+            if state.exists:
+                closed.append(state.get)
+            state.remove()
+        else:
+            start_us, end_us, n = state.get if state.exists else (
+                None, None, 0,
+            )
+            for pdf in pdf_iter:
+                sort_cols = [
+                    c for c in ("ts", "event_id") if c in pdf.columns
+                ]
+                for _, row in pdf.sort_values(sort_cols).iterrows():
+                    t_us = int(row["ts"].value // 1000)
+                    if start_us is None:
+                        start_us, end_us, n = t_us, t_us, 1
+                    elif t_us - end_us > gap_ms * 1000:
+                        closed.append((start_us, end_us, n))
+                        start_us, end_us, n = t_us, t_us, 1
+                    else:
+                        end_us, n = max(end_us, t_us), n + 1
+            if start_us is not None:
+                state.update((start_us, end_us, n))
+                # fire when the EVENT-TIME watermark passes the open
+                # session's end + gap — late stragglers inside the gap
+                # (and the watermark slack) still extend it
+                state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return update
+
+
+def closed_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Closed-session detection via EVENT-TIME TIMEOUTS — the state
+    API surface none of the other stateful operators use: a session
+    stays open in state while events keep arriving within ``gap``;
+    when the event-time watermark passes the last event + gap, Spark
+    calls the function with ``hasTimedOut`` and the session emits as
+    CLOSED — exactly once, without waiting for the key's next event
+    (the failure mode of purely data-driven sessionization: a user
+    who never returns never flushes).
+
+    Complements ``events.session_agg`` (session_window): that emits
+    per-window aggregates under append mode; this one owns its state,
+    so sessions can carry arbitrary custom payloads and the close
+    event itself is a first-class record. State per key = 3 longs;
+    the watermark bounds how long a straggler can still extend a
+    session.
+    """
+    from pyspark.sql import functions as F
+
+    gap_ms = _duration_ms(gap)
+    renamed = (
+        df.withColumnRenamed(key_col, "key")
+        .withColumnRenamed(ts_col, "ts")
+        .withWatermark("ts", watermark)
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _closed_session_updater(gap_ms),
+        outputStructType=SESSION_OUTPUT_TYPE,
+        stateStructType=SESSION_STATE_TYPE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    qty, unit = spec.split()
+    factor = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(qty) * factor
+
+
 # ---------------------------------------------------------------------
 # Evolvable state: restart a checkpoint under a NEWER operator version
 # ---------------------------------------------------------------------

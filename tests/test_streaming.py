@@ -499,3 +499,58 @@ def test_stream_into_sketch_view(spark, tmp_path):
         for r in view.estimates().collect()
     }
     assert got == {"2024-01-01": 2.0, "2024-01-02": 1.0}
+
+
+def test_closed_sessions_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout session closing: drain 1 opens a session for
+    user 7; drain 2 carries only OTHER-user events whose timestamps
+    advance the watermark past user 7's last event + gap — the state
+    times out and the closed session emits WITHOUT user 7 ever
+    returning. In-batch gap splits also close sessions inline."""
+    from mydatalake_spark.streaming.stateful import closed_sessions
+
+    src = tmp_path / "sess_close_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_close_ckpt")
+    collected: list = []
+
+    def drain():
+        stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+        out = closed_sessions(
+            stream, gap="30 minutes", watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src / "a.json", [
+        (1, "2024-01-01T00:00:00", 7, "view", 1.0),
+        (2, "2024-01-01T00:10:00", 7, "click", 1.0),
+        # same batch, >30 min later: first session closes INLINE
+        (3, "2024-01-01T01:00:00", 7, "view", 1.0),
+    ])
+    drain()
+    inline = [(r.key, r.session_start.isoformat(),
+               r.session_end.isoformat(), r.n_events) for r in collected]
+    assert inline == [(7, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
+
+    # drain 2: other-user traffic pushes the watermark far past
+    # 01:00 + 30min gap → user 7's open session times out
+    _write_batch(src / "b.json", [
+        (4, "2024-01-01T03:00:00", 8, "view", 1.0),
+    ])
+    drain()
+    _write_batch(src / "c.json", [
+        (5, "2024-01-01T05:00:00", 8, "view", 1.0),
+    ])
+    drain()
+    got = {(r.key, r.session_start.isoformat(), r.n_events)
+           for r in collected}
+    assert (7, "2024-01-01T01:00:00", 1) in got, got
