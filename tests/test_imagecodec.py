@@ -132,3 +132,37 @@ def test_resize_image_np_rejects_unknown_format(media_mixed):
     df, _ = media_mixed
     with pytest.raises(ValueError, match="ppm"):
         resize_image_np(df, out_format="png")
+
+
+def test_image_neardup_end_to_end_via_real_features(spark):
+    """Cross-module composition: PPM bytes → live decode →
+    channel-stat features → embedding-cosine near-dup. The two
+    almost-identical images pair up; the unrelated ones don't."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.multimodal import media_features
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    # edit a pixel the 3x3 thumbnail (rows/cols 0,5,10) does NOT
+    # sample: only the global mean/std stats move, by ~1/256
+    near[1, 1] = [0, 0, 0]
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(near))),
+        (3, bytearray(encode_ppm(rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)))),
+        (4, bytearray(encode_ppm(255 - base))),  # inverted: far away
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    feats = media_features(media, dim=16).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(feats, threshold=0.999).collect()
+    }
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs
