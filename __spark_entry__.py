@@ -2601,6 +2601,103 @@ LIMIT 100
 """
 
 
+def zipf_alpha_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: regress log(tf) on
+    log(rank) (rank by tf desc, token tiebreak — a total order, so
+    ranks are deterministic) and report the slope (−alpha for a
+    Zipfian corpus, ≈ −1 for natural text), the fit r², and the
+    vocabulary size. The corpus-health diagnostic of a curation
+    pipeline: synthetic/templated text departs from the Zipf line.
+    One token aggregate + one rank window over the (small) vocabulary
+    + regr_* aggregates to a single row."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = normalize_text(F.col("text"))
+    vocab = (
+        docs.filter(F.length(normed) > 0)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .select(F.lower(F.col("token")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), "token")
+    ranked = vocab.select(
+        F.log(F.col("tf").cast("double")).alias("y"),
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("fit_r2"),
+    )
+
+
+_ZIPF_ORACLE = r"""
+WITH toks AS (
+  SELECT LOWER(UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS token
+  FROM documents
+  WHERE LENGTH(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) > 0
+), vocab AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+), ranked AS (
+  SELECT LN(tf) AS y,
+         LN(ROW_NUMBER() OVER (ORDER BY tf DESC, token)) AS x
+  FROM vocab
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND(REGR_SLOPE(y, x), 4) AS zipf_slope,
+       ROUND(REGR_R2(y, x), 4) AS fit_r2
+FROM ranked
+"""
+
+
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality measure behind "what share of revenue comes from the
+    top customers". Exact sort-based formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues ranked ascending
+    with a customer-key tiebreak (total order ⇒ deterministic ranks;
+    the formula itself is tie-invariant since equal values commute).
+    Revenue in exact integer cents; one aggregate + one rank window
+    over per-customer totals (customer-count sized, not order-count
+    sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents")
+    )
+    w = Window.orderBy("rev_cents", "o_custkey")
+    ranked = per_cust.select(
+        "rev_cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev_cents"))
+            / (F.count(F.lit(1)) * F.sum("rev_cents"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey) AS i
+  FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(i * rev_cents)
+             / (COUNT(*) * SUM(rev_cents))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
 def winnow_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints per document
     (operators/neardup.py:winnow_fingerprints): every match of length
@@ -5025,6 +5122,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "grouping_sets_revenue": grouping_sets_revenue,
+        # --- added after the r4 prefix froze: locally verified, take
+        # prefix slots in r5 with the rest of the rotation ---
+        "zipf_alpha_documents": zipf_alpha_documents,
+        "gini_revenue_customers": gini_revenue_customers,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -5163,6 +5264,8 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _TWAP_ORACLE,
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+        "zipf_alpha_documents": _ZIPF_ORACLE,
+        "gini_revenue_customers": _GINI_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

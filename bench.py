@@ -92,6 +92,8 @@ HEADLINE = [
     "twap_events",
     "bootstrap_ci_events",
     "rolling_distinct_users",
+    "zipf_alpha_documents",
+    "gini_revenue_customers",
 ]
 
 
