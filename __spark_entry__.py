@@ -2601,6 +2601,97 @@ LIMIT 100
 """
 
 
+def dedup_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup dashboard: one row summarizing what the dedup
+    family would remove — exact-duplicate rows (fingerprint groups
+    beyond their keeper; the null-text group is excluded — absent
+    text is the missing-check's business, not a duplicate) and
+    near-duplicate membership (docs in ≥1 Jaccard≥0.2 pair). Three
+    one-row aggregates combined by scalar cross-joins (the
+    established 1-row broadcast idiom) — the report a curation run
+    prints before committing to a dedup pass."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    fp = exact_dedup(docs).where(F.col("fingerprint").isNotNull())
+    exact = fp.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
+    )
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    near_docs = (
+        near.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_near_docs"))
+    )
+    return (
+        total.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(near_docs))
+        .select(
+            "n_docs",
+            "n_fingerprints",
+            "n_exact_dup_rows",
+            F.round(
+                F.col("n_exact_dup_rows") / F.col("n_docs"), 6
+            ).alias("exact_dup_ratio"),
+            "n_near_docs",
+            F.round(F.col("n_near_docs") / F.col("n_docs"), 6).alias(
+                "near_dup_ratio"
+            ),
+        )
+    )
+
+
+_DEDUP_SUMMARY_ORACLE = r"""
+WITH fp AS (
+  SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
+           AS fingerprint,
+         COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+         CAST(SUM(n_copies - 1) AS BIGINT) AS n_exact_dup_rows
+  FROM fp WHERE fingerprint IS NOT NULL
+), toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 2, 0) + 1),
+        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    ) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_near_docs FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+)
+SELECT n_docs, n_fingerprints, n_exact_dup_rows,
+       ROUND(n_exact_dup_rows / n_docs, 6) AS exact_dup_ratio,
+       n_near_docs,
+       ROUND(n_near_docs / n_docs, 6) AS near_dup_ratio
+FROM t, e, nd
+"""
+
+
 def zipf_alpha_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the corpus vocabulary: regress log(tf) on
     log(rank) (rank by tf desc, token tiebreak — a total order, so
@@ -5126,6 +5217,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix slots in r5 with the rest of the rotation ---
         "zipf_alpha_documents": zipf_alpha_documents,
         "gini_revenue_customers": gini_revenue_customers,
+        "dedup_summary_documents": dedup_summary_documents,
         # --- r3-green fillers (prefix tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "merge_cdc_orders": merge_cdc_orders,
@@ -5266,6 +5358,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "zipf_alpha_documents": _ZIPF_ORACLE,
         "gini_revenue_customers": _GINI_ORACLE,
+        "dedup_summary_documents": _DEDUP_SUMMARY_ORACLE,
         "incremental_neardup_documents": _INCREMENTAL_NEARDUP_ORACLE,
         "bm25_documents": _bm25_oracle(),
         "funnel_events": _FUNNEL_ORACLE,

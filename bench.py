@@ -94,6 +94,7 @@ HEADLINE = [
     "rolling_distinct_users",
     "zipf_alpha_documents",
     "gini_revenue_customers",
+    "dedup_summary_documents",
 ]
 
 

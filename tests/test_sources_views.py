@@ -271,3 +271,41 @@ def test_sketch_view_rolling_estimates_range_frame(spark, tmp_path):
     }
     # day 10's window excludes days 1-2 (RANGE frame, not ROWS)
     assert got == {"2024-01-01": 1.0, "2024-01-02": 2.0, "2024-01-10": 1.0}
+
+
+def test_read_source_csv_and_orc_round_trip(spark, tmp_path):
+    """csv + orc raw-zone scans with explicit schemas: declared types
+    land (no inference pass), loaded_at stamps, and an orc write/read
+    round-trips — the two file formats the parquet/json tests skip."""
+    from pyspark.sql import types as T
+
+    from mydatalake_spark.sources.readers import read_source
+
+    csv_dir = tmp_path / "csv_raw"
+    csv_dir.mkdir()
+    (csv_dir / "part1.csv").write_text("stock,price\nAAA,5.5\nBBB,6.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("stock", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_source(
+        spark, "csv", str(csv_dir), schema, options={"header": "true"}
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "double", "timestamp",
+    ]
+    got = {r.stock: r.price for r in df.collect()}
+    assert got == {"AAA": 5.5, "BBB": 6.25}
+    assert all(r.loaded_at is not None for r in df.collect())
+
+    orc_dir = str(tmp_path / "orc_raw")
+    df.drop("loaded_at").write.format("orc").save(orc_dir)
+    back = read_source(spark, "orc", orc_dir, schema)
+    assert {r.stock: r.price for r in back.collect()} == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_source(spark, "avro", orc_dir, schema)
