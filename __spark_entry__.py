@@ -2751,22 +2751,14 @@ def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue in exact integer cents; one aggregate + one rank window
     over per-customer totals (customer-count sized, not order-count
     sized)."""
+    from mydatalake_spark.functions.stats import gini_coefficient
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents")
     )
-    w = Window.orderBy("rev_cents", "o_custkey")
-    ranked = per_cust.select(
-        "rev_cents", F.row_number().over(w).cast("long").alias("i")
-    )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            2.0 * F.sum(F.col("i") * F.col("rev_cents"))
-            / (F.count(F.lit(1)) * F.sum("rev_cents"))
-            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
-            6,
-        ).alias("gini"),
+    return gini_coefficient(per_cust, "rev_cents", "o_custkey").select(
+        F.col("n").alias("n_customers"), "gini"
     )
 
 

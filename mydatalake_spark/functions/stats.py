@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,6 +57,36 @@ def poisson_weight_sql(key_sql: str) -> str:
         for w, bound in enumerate(_POISSON_BOUNDS)
     ]
     return "CASE " + " ".join(parts) + f" ELSE {len(_POISSON_BOUNDS)} END"
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact Gini coefficient of ``value_col``'s concentration:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values ranked ascending with
+    ``tiebreak_col`` completing a total order (deterministic ranks;
+    the formula is tie-invariant since equal values commute). One
+    unpartitioned rank window — size the input accordingly: feed
+    per-entity AGGREGATES (customer totals, not order rows), which is
+    also what the statistic means. Returns one row ``(n, gini)``."""
+    w = Window.orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        F.col(value_col).alias("__x__"),
+        F.row_number().over(w).cast("long").alias("__i__"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n"),
+        F.round(
+            2.0 * F.sum(F.col("__i__") * F.col("__x__"))
+            / (n * F.sum("__x__"))
+            - (n + 1) / n,
+            round_to,
+        ).alias("gini"),
+    )
 
 
 def poisson_bootstrap_ci(

@@ -145,3 +145,30 @@ def test_bootstrap_grouped_matches_per_group_ungrouped(spark):
         assert grouped[g] == (
             solo.n, solo.mean, solo.boot_se, solo.ci_lo, solo.ci_hi
         )
+
+
+def test_gini_known_distributions_and_numpy_model(spark):
+    import numpy as np
+
+    from mydatalake_spark.functions.stats import gini_coefficient
+
+    def gini_of(values):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(values)], "k long, v double"
+        )
+        row = gini_coefficient(df, "v", "k").collect()[0]
+        return row.n, row.gini
+
+    # perfect equality → 0
+    assert gini_of([5.0] * 10) == (10, 0.0)
+    # one holder of everything → (n-1)/n
+    n, g = gini_of([0.0] * 9 + [100.0])
+    assert (n, g) == (10, 0.9)
+    # arbitrary sample matches the numpy mean-absolute-difference model
+    rng = np.random.RandomState(3)
+    vals = rng.gamma(2.0, 10.0, size=50)
+    _, got = gini_of(vals)
+    mad = np.abs(vals[:, None] - vals[None, :]).mean()
+    expect = mad / (2 * vals.mean())
+    # sort-formula Gini == MAD/2μ exactly (up to rounding)
+    assert abs(got - round(expect * 50 / 50, 6)) < 2e-6
