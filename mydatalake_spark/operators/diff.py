@@ -40,8 +40,10 @@ def snapshot_diff(
     array of differing column names (empty for insert/delete).
     Unchanged rows are omitted. Key sets must be unique per side —
     the standard snapshot contract (enforce upstream with
-    dedup_latest); comparison is null-safe, so NULL→NULL is
-    "unchanged" and NULL→value is a change.
+    dedup_latest); comparison AND key matching are null-safe, so
+    NULL→NULL is "unchanged", NULL→value is a change, and a
+    NULL-keyed row matches its counterpart instead of surfacing as a
+    spurious delete+insert pair.
 
     With ``include_new_values`` the result adds a ``new_row`` struct
     (the compare columns from the new side; null for deletes), making
@@ -56,21 +58,28 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"compare_cols absent from new side: {missing}")
 
+    # Null-safe key join + explicit presence flags: a row whose key
+    # column is NULL still matches its counterpart (eqNullSafe) and
+    # presence is carried by a literal marker, not key nullity — so
+    # NULL-keyed rows diff as update/unchanged, never as a spurious
+    # delete+insert pair.
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (F.col(f"__ko_{k}") == F.col(f"__kn_{k}"))
+        cond = cond & F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
-    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     changed_flags = F.array(
         *[
             F.struct(
@@ -140,8 +149,16 @@ def apply_snapshot_diff(
             "diff was built with pruned compare_cols and cannot rebuild "
             f"columns {missing}; apply needs a full-column diff"
         )
-    touched = diff.select(*keys)
-    untouched = old.join(touched, keys, "left_anti")
+    # null-safe anti-join to mirror snapshot_diff's key matching: a
+    # NULL-keyed old row whose key appears in the changeset must be
+    # replaced, not carried alongside its replacement
+    touched = diff.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys]
+    )
+    anti_cond = F.lit(True)
+    for k in keys:
+        anti_cond = anti_cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+    untouched = old.join(touched, anti_cond, "left_anti")
     replacements = diff.where(F.col("op") != "delete").select(
         *keys, "new_row.*"
     )

@@ -41,6 +41,44 @@ STATE_TYPE = T.StructType(
 )
 
 
+def _with_key_type(
+    base: T.StructType, key_type: "T.DataType"
+) -> T.StructType:
+    """Rebind the ``key`` field of a schema to the caller's actual key
+    column type — the templates below default to LongType, but key_col
+    is a free parameter (string user ids must not hit an Arrow
+    output-schema mismatch at runtime)."""
+    return T.StructType(
+        [
+            T.StructField("key", key_type)
+            if f.name == "key"
+            else f
+            for f in base.fields
+        ]
+    )
+
+
+def _concat_sorted(pdf_iter: Iterator["object"], sort_cols_from=None):
+    """Concatenate ALL Arrow chunks of a group and sort ONCE: Spark
+    may split a large group across chunks, and sorting each chunk
+    independently would process in-watermark out-of-order events in
+    arrival order whenever they span a chunk boundary — making
+    results depend on chunk size. Returns None for an empty group
+    (e.g. a timeout-only invocation)."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    cols = [
+        c
+        for c in (sort_cols_from or ("ts", "event_id"))
+        if c in pdf.columns
+    ]
+    return pdf.sort_values(cols, kind="stable") if cols else pdf
+
+
 def _update_latest(
     key: tuple[Any, ...],
     pdf_iter: Iterator["object"],
@@ -55,8 +93,9 @@ def _update_latest(
     else:
         ts_us, value, n_up, n_stale = -1, None, 0, 0
 
-    for pdf in pdf_iter:
-        for _, row in pdf.sort_values("ts").iterrows():
+    pdf = _concat_sorted(pdf_iter, ("ts",))
+    if pdf is not None:
+        for _, row in pdf.iterrows():
             row_us = int(row["ts"].value // 1000)  # pandas ns → µs
             if row_us >= ts_us:
                 ts_us, value = row_us, float(row["value"])
@@ -89,7 +128,9 @@ def running_latest(
     )
     return renamed.groupBy("key").applyInPandasWithState(
         _update_latest,
-        outputStructType=OUTPUT_TYPE,
+        outputStructType=_with_key_type(
+            OUTPUT_TYPE, renamed.schema["key"].dataType
+        ),
         stateStructType=STATE_TYPE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -126,9 +167,9 @@ def _update_transitions(
     last_state, last_ts_us = state.get if state.exists else (None, -1)
 
     counts: dict[tuple[str, str], int] = {}
-    for pdf in pdf_iter:
-        sort_cols = [c for c in ("ts", "event_id") if c in pdf.columns]
-        for _, row in pdf.sort_values(sort_cols).iterrows():
+    pdf_all = _concat_sorted(pdf_iter)
+    if pdf_all is not None:
+        for _, row in pdf_all.iterrows():
             cur = row["state"]
             if last_state is not None:
                 pair = (last_state, cur)
@@ -178,7 +219,9 @@ def stream_transitions(
     )
     return renamed.groupBy("key").applyInPandasWithState(
         _update_transitions,
-        outputStructType=TRANSITION_OUTPUT_TYPE,
+        outputStructType=_with_key_type(
+            TRANSITION_OUTPUT_TYPE, renamed.schema["key"].dataType
+        ),
         stateStructType=TRANSITION_STATE_TYPE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -222,11 +265,9 @@ def _closed_session_updater(gap_ms: int):
             start_us, end_us, n = state.get if state.exists else (
                 None, None, 0,
             )
-            for pdf in pdf_iter:
-                sort_cols = [
-                    c for c in ("ts", "event_id") if c in pdf.columns
-                ]
-                for _, row in pdf.sort_values(sort_cols).iterrows():
+            pdf_all = _concat_sorted(pdf_iter)
+            if pdf_all is not None:
+                for _, row in pdf_all.iterrows():
                     t_us = int(row["ts"].value // 1000)
                     if start_us is None:
                         start_us, end_us, n = t_us, t_us, 1
@@ -291,7 +332,9 @@ def closed_sessions(
     )
     return renamed.groupBy("key").applyInPandasWithState(
         _closed_session_updater(gap_ms),
-        outputStructType=SESSION_OUTPUT_TYPE,
+        outputStructType=_with_key_type(
+            SESSION_OUTPUT_TYPE, renamed.schema["key"].dataType
+        ),
         stateStructType=SESSION_STATE_TYPE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -369,8 +412,9 @@ def _evolvable_update(version: int):
         # field added in v2: absent from v1 payloads, defaults to 0
         n_stale = st.get("n_stale_dropped", 0)
 
-        for pdf in pdf_iter:
-            for _, row in pdf.sort_values("ts").iterrows():
+        pdf_all = _concat_sorted(pdf_iter, ("ts",))
+        if pdf_all is not None:
+            for _, row in pdf_all.iterrows():
                 row_us = int(row["ts"].value // 1000)
                 if row_us >= ts_us:
                     ts_us, value = row_us, float(row["value"])
@@ -414,8 +458,9 @@ def running_latest_evolvable(
     )
     return renamed.groupBy("key").applyInPandasWithState(
         _evolvable_update(version),
-        outputStructType=(
-            EVOLVABLE_OUTPUT_V2 if version >= 2 else EVOLVABLE_OUTPUT_V1
+        outputStructType=_with_key_type(
+            EVOLVABLE_OUTPUT_V2 if version >= 2 else EVOLVABLE_OUTPUT_V1,
+            renamed.schema["key"].dataType,
         ),
         stateStructType=EVOLVABLE_STATE_TYPE,
         outputMode="update",

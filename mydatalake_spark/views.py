@@ -184,14 +184,29 @@ class SketchDistinctView:
         ``keys``, date-typed): a window union over the STORED daily
         sketches — kilobytes — on a RANGE days frame so calendar gaps
         never widen the window (cf. sketches.rolling_distinct_check,
-        which verifies the same plan shape against exact counts)."""
+        which verifies the same plan shape against exact counts).
+
+        With multi-column ``keys`` the window is PARTITIONED by the
+        non-date keys, so each key group rolls over its own daily
+        sketches only — unioning across groups would silently inflate
+        the estimate (distinct users of *any* country, not *this*
+        one)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        if date_key not in self.keys:
+            raise ValueError(
+                f"date_key {date_key!r} must be one of keys={self.keys}"
+            )
         dayn = F.datediff(
             F.col(date_key), F.lit("1970-01-01").cast("date")
         )
-        w = Window.orderBy(dayn).rangeBetween(-(window_days - 1), 0)
+        other_keys = [k for k in self.keys if k != date_key]
+        w = (
+            Window.partitionBy(*other_keys).orderBy(dayn)
+            if other_keys
+            else Window.orderBy(dayn)
+        ).rangeBetween(-(window_days - 1), 0)
         return self.catalog.read(self.name).select(
             *self.keys,
             F.hll_sketch_estimate(

@@ -69,3 +69,38 @@ def test_snapshot_diff_rejects_missing_compare_col(spark):
 def test_snapshot_diff_identical_snapshots_empty(spark):
     old, _ = _pair(spark)
     assert snapshot_diff(old, old, ["k"]).count() == 0
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """r4 advice regression: NULL-keyed rows must diff as
+    update/unchanged via the null-safe key join — not surface as a
+    spurious delete+insert pair."""
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 5.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, 2.0), (1, 5.0)], "k int, v double"
+    )
+    got = {
+        (r.k, r.op, tuple(r.changed_cols))
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # the NULL-keyed row changed value → ONE update; row k=1 unchanged
+    assert got == {(None, "update", ("v",))}
+
+
+def test_apply_snapshot_diff_replays_null_keyed_changes(spark):
+    from mydatalake_spark.operators.diff import apply_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 5.0), (2, 7.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, 2.0), (1, 5.0)], "k int, v double"
+    )
+    d = snapshot_diff(old, new, ["k"], include_new_values=True)
+    rebuilt = apply_snapshot_diff(old, d, ["k"])
+    assert sorted(
+        ((r.k, r.v) for r in rebuilt.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    ) == [(1, 5.0), (None, 2.0)]

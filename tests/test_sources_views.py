@@ -273,6 +273,48 @@ def test_sketch_view_rolling_estimates_range_frame(spark, tmp_path):
     assert got == {"2024-01-01": 1.0, "2024-01-02": 2.0, "2024-01-10": 1.0}
 
 
+def test_sketch_view_rolling_estimates_partitions_by_non_date_keys(
+    spark, tmp_path
+):
+    """Multi-column keys: the rolling window must union sketches only
+    WITHIN each non-date key group (regression: an unpartitioned
+    Window.orderBy(day) merged every country's daily sketches, turning
+    per-country rolling distincts into global ones)."""
+    import datetime as dt
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import SketchDistinctView
+
+    cat = Catalog(spark, str(tmp_path / "wh_sk4"))
+    view = SketchDistinctView(
+        spark, cat, "gold.metrics.daily_users_cc",
+        keys=["day", "country"], col="user",
+    )
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    rows = [
+        (d1, "US", "a"),
+        (d1, "BR", "x"),
+        (d2, "US", "a"),      # repeat within US → still 1 distinct
+        (d2, "BR", "y"),      # BR gains a second user
+    ]
+    view.apply(spark.createDataFrame(rows, "day date, country string, user string"))
+    got = {
+        (r.day.isoformat(), r.country): r.rolling_distinct
+        for r in view.rolling_estimates("day", window_days=7).collect()
+    }
+    assert got == {
+        ("2024-01-01", "US"): 1.0,
+        ("2024-01-01", "BR"): 1.0,
+        ("2024-01-02", "US"): 1.0,   # a∪a — not merged with BR's x
+        ("2024-01-02", "BR"): 2.0,   # x∪y
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must be one of keys"):
+        view.rolling_estimates("not_a_key")
+
+
 def test_read_source_csv_and_orc_round_trip(spark, tmp_path):
     """csv + orc raw-zone scans with explicit schemas: declared types
     land (no inference pass), loaded_at stamps, and an orc write/read

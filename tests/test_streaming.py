@@ -554,3 +554,95 @@ def test_closed_sessions_event_time_timeout(spark, tmp_path):
     got = {(r.key, r.session_start.isoformat(), r.n_events)
            for r in collected}
     assert (7, "2024-01-01T01:00:00", 1) in got, got
+
+
+def test_concat_sorted_merges_chunks_before_sorting():
+    """Regression (r4 advice): chunks of one group must be sorted as a
+    WHOLE — per-chunk sorting processes boundary-spanning out-of-order
+    events in arrival order, making results depend on Arrow chunk
+    size."""
+    import pandas as pd
+
+    from mydatalake_spark.streaming.stateful import _concat_sorted
+
+    c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:20"]),
+                       "event_id": [2], "state": ["click"]})
+    c2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:05"]),
+                       "event_id": [1], "state": ["view"]})
+    merged = _concat_sorted(iter([c1, c2]))
+    assert list(merged["state"]) == ["view", "click"]
+    # empty group (timeout-only invocation) → None
+    assert _concat_sorted(iter([])) is None
+    assert _concat_sorted(iter([c1.iloc[0:0]])) is None
+
+
+def test_update_transitions_chunk_boundary_order():
+    """_update_transitions with a multi-chunk iterator whose events
+    arrive out of event-time order ACROSS the chunk boundary: counts
+    must follow event time, not arrival order."""
+    import pandas as pd
+
+    from mydatalake_spark.streaming.stateful import _update_transitions
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    # event-time order: view(00:05) -> click(00:10) -> buy(00:20)
+    # arrival order across chunks: click, buy | view
+    c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:10",
+                                             "2024-01-01 00:20"]),
+                       "event_id": [2, 3], "state": ["click", "buy"]})
+    c2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:05"]),
+                       "event_id": [1], "state": ["view"]})
+    out = list(_update_transitions((1,), iter([c1, c2]), FakeState()))
+    got = {(p, n): c for p, n, c in zip(out[0]["prev_state"],
+                                        out[0]["next_state"], out[0]["n"])}
+    assert got == {("view", "click"): 1, ("click", "buy"): 1}
+
+
+def test_stateful_operators_accept_string_keys(spark, tmp_path):
+    """key_col is a free parameter: non-long keys (string user ids)
+    must not hit an Arrow output-schema mismatch (r4 advice — the
+    output templates hardcoded LongType)."""
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("uid", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = tmp_path / "strkey_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for r in [(1, "2024-01-01T00:05:00", "alice", "view", 1.0),
+                  (2, "2024-01-01T00:10:00", "alice", "click", 2.0),
+                  (3, "2024-01-01T00:20:00", "bob", "view", 7.0)]:
+            fh.write(json.dumps(dict(zip(
+                ["event_id", "ts", "uid", "event_type", "value"], r))) + "\n")
+    stream = stream_from_json_dir(spark, str(src), schema)
+    out = running_latest(stream, key_col="uid", ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("strkey_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.key: r.latest_value for r in spark.table("strkey_t").collect()}
+    assert got == {"alice": 2.0, "bob": 7.0}
+
+    from mydatalake_spark.streaming.stateful import stream_transitions
+
+    stream2 = stream_from_json_dir(spark, str(src), schema)
+    out2 = stream_transitions(stream2, key_col="uid")
+    q2 = (out2.writeStream.format("memory").queryName("strkey_tr")
+          .outputMode("update").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = spark.table("strkey_tr").collect()
+    assert {(r.key, r.prev_state, r.next_state, r.n) for r in rows} == {
+        ("alice", "view", "click", 1)
+    }
