@@ -3636,20 +3636,34 @@ FROM m
 
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent bigrams (operators/heavyhitters.py): every token
-    2-gram making up ≥0.125% of the corpus stream, with exact counts
-    (a mixed verdict at both sf0.01 and sf0.1 — the bigram count
-    distribution concentrates toward the mean as n grows). Two passes
-    — per-partition Misra–Gries candidates (mapInPandas, vectorized
-    value_counts; the sentinel row carries partition size so n comes
-    from the same pass), then a broadcast-semi-join recount of
-    candidates only. The full token stream is never shuffled and
-    nothing is collected to the driver; the oracle is the naive
-    GROUP BY … HAVING, which the candidate-superset guarantee makes
-    exactly equal. The token array is let-bound before the n-gram
-    transform — element_at inside the lambda would otherwise re-run
-    the tokenizer per n-gram element (measured 19 s → <1 s at sf0.1
-    for the explode alone)."""
+    2-gram with at least ``ceil(n_docs / 20)`` corpus occurrences —
+    i.e. averaging ≥1 occurrence per 20 documents. Phrasing support
+    PER DOCUMENT (not as a fraction of the gram stream) makes the
+    selected set scale-invariant by construction: per-bigram
+    occurrence rates converge as the corpus grows, so the same
+    formula stays non-empty at every scale factor — no constant tuned
+    to a fixture (the r4 threshold 0.125%-of-stream drifted with
+    stream-length concentration). Two passes — per-partition
+    Misra–Gries candidates (mapInPandas, vectorized value_counts; the
+    sentinel row carries partition size so n comes from the same
+    pass), then a broadcast-semi-join recount of candidates only. The
+    full token stream is never shuffled and nothing is collected to
+    the driver except the one n_docs scalar that parameterizes the
+    threshold; MG capacity 4096 covers any corpus up to ~204
+    grams/doc (docs here run ~53), and the operator's in-plan guard
+    raises rather than under-reporting if that bound is ever
+    exceeded. The oracle is the naive GROUP BY … HAVING with the same
+    ceil(n_docs/20) threshold, which the candidate-superset guarantee
+    makes exactly equal. The token array is let-bound before the
+    n-gram transform — element_at inside the lambda would otherwise
+    re-run the tokenizer per n-gram element (measured 19 s → <1 s at
+    sf0.1 for the explode alone)."""
+    import math
+
     docs = _t(spark, sf_dir, "documents")
+    # bounded driver scalar: one count() of the documents table
+    n_docs = docs.count()
+    min_count = math.ceil(n_docs / 20.0)
     grams = docs.select(
         F.explode(
             let(
@@ -3658,7 +3672,9 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram")
     )
-    return heavy_hitters(grams, "gram", threshold_frac=0.00125)
+    return heavy_hitters(
+        grams, "gram", min_count=min_count, capacity=4096
+    )
 
 
 _HEAVY_HITTERS_ORACLE = r"""
@@ -3670,11 +3686,11 @@ WITH toks AS (
   SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 0) + 1),
            i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 1), ' '))) AS gram
   FROM toks
-), tot AS (SELECT COUNT(*) AS n FROM grams)
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT gram AS token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM grams
 GROUP BY gram
-HAVING COUNT(*) >= (SELECT CEIL(n * 0.00125) FROM tot)
+HAVING COUNT(*) >= (SELECT CEIL(n_docs / 20.0) FROM nd)
 """
 
 
@@ -3770,13 +3786,22 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast. The oracle unrolls the three power steps to
     chained CTEs; ranks round to 7 dp (shuffle-order float-sum
     contract)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Pre-distinct the lineitem side BEFORE the join: ~4 lineitems per
+    # (order, supplier) pair collapse map-side, so the join probes a
+    # quarter of the rows. Broadcast the 2-column orders projection
+    # (~16 bytes/row — ~24 MB even at sf=100) so edge derivation is a
+    # map-side hash join with no shuffle of the big side.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # Numeric node ids (even = supplier, odd = customer): a bigint key
     # halves the distinct/join shuffle bytes vs 'S123'-style strings —
     # the right graph encoding at any scale.
     pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("l_suppkey") * 2).alias("src"),
             (F.col("o_custkey") * 2 + 1).alias("dst"),
@@ -3785,7 +3810,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.union(pairs.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    return pagerank(edges, damping=0.85, iters=3, round_to=7)
+    return pagerank(edges, damping=0.85, iters=3, round_to=7,
+                    symmetric=True)
 
 
 _PAGERANK_ORACLE = """
@@ -4722,6 +4748,8 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
          "l_linestatus", "l_discount"],
+        approx=False,   # engine-exact for the oracle; approx=True is
+                        # the scale default (no Expand node)
     )
 
 

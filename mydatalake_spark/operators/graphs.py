@@ -120,6 +120,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     round_to: int = 7,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-``iters`` power-iteration PageRank over a directed edge
     list. Returns ``(node, rank)`` for every node appearing as a
@@ -141,22 +142,33 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n__"))
-    nodes = nodes.crossJoin(F.broadcast(n_row)).persist()
-
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg__"))
     e_deg = e.join(deg, "src").persist()
+    if symmetric:
+        # Symmetric edge lists (every node has out-edges): the degree
+        # aggregate already enumerates every node, so the node set is
+        # a projection of ``deg`` — the union+distinct shuffle over
+        # 2|E| rows disappears entirely. Caller asserts symmetry.
+        nodes0 = deg.select(F.col("src").alias("node")).persist()
+    else:
+        # Persist the PLAIN node set, then derive both the broadcast
+        # count and the (node, n) frame from the cached copy —
+        # building the count from the un-persisted distinct would
+        # execute that distinct twice (broadcast job + cache fill).
+        nodes0 = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+    n_row = nodes0.agg(F.count(F.lit(1)).alias("__n__"))
+    nodes = nodes0.crossJoin(F.broadcast(n_row))
 
     d = float(damping)
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.col("__n__")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e_deg.join(ranks, e_deg.src == ranks.node)
             .select(
@@ -176,5 +188,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Bound lineage for arbitrary iters: each round's ranks nests
+        # the previous round's plan, so by iteration ~30 the analyzer
+        # cost alone dominates. Every 8th round, eager localCheckpoint
+        # truncates the logical plan (the clusters.py lesson: persist
+        # bounds recomputation, not plan depth) — plan nesting stays
+        # ≤8 deep at any iters, and the default iters=3 pays zero
+        # extra actions.
+        if i < iters - 1 and (i + 1) % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.round("rank", round_to).alias("rank"))
-    return adopt(out, e, nodes, e_deg)
+    return adopt(out, e, nodes0, e_deg)

@@ -77,27 +77,50 @@ def _mg_partition(capacity: int):
 def heavy_hitters(
     df: DataFrame,
     item: Column | str,
-    threshold_frac: float,
+    threshold_frac: float | None = None,
     capacity: int | None = None,
+    min_count: int | None = None,
 ) -> DataFrame:
-    """Items whose frequency ≥ ``threshold_frac`` of all rows, with
+    """Items whose frequency ≥ ``threshold_frac`` of all rows (or,
+    with ``min_count``, whose absolute count ≥ ``min_count``), with
     exact counts: ``(token string, cnt long)``. Equivalent to
-    ``SELECT item, count(*) FROM df GROUP BY item
-    HAVING count(*) >= ceil(threshold_frac * n)`` but never shuffles
-    the full stream (see module docstring).
+    ``SELECT item, count(*) FROM df GROUP BY item HAVING count(*) >=
+    ceil(threshold_frac * n)`` (resp. ``>= min_count``) but never
+    shuffles the full stream (see module docstring).
 
     ``capacity`` defaults to ``floor(1/threshold_frac) + 2`` — the
     smallest size for which the Misra–Gries candidate superset
     guarantee holds strictly.
+
+    ``min_count`` mode (exactly one of the two thresholds): an
+    ABSOLUTE support level, the scale-stable way to phrase "frequent"
+    when the stream length grows with the corpus but per-entity rates
+    don't (e.g. ``ceil(r × n_docs)`` occurrences of an n-gram). The
+    stream length is unknown until the pass runs, so the MG
+    completeness condition ``min_count × (capacity+1) > n`` is
+    enforced IN-PLAN: if the stream outgrows the caller's ``capacity``
+    sizing, the query raises instead of silently dropping hitters.
+    ``capacity`` is required in this mode.
     """
-    if not 0 < threshold_frac < 1:
-        raise ValueError("threshold_frac must be in (0, 1)")
-    k = capacity or int(math.floor(1.0 / threshold_frac)) + 2
-    if k + 1 <= 1.0 / threshold_frac:
+    if (threshold_frac is None) == (min_count is None):
         raise ValueError(
-            f"capacity {k} too small for threshold {threshold_frac}: "
-            f"need capacity + 1 > 1/threshold"
+            "pass exactly one of threshold_frac / min_count"
         )
+    if min_count is not None:
+        if capacity is None:
+            raise ValueError("min_count mode requires explicit capacity")
+        if min_count < 1:
+            raise ValueError("min_count must be >= 1")
+        k = capacity
+    else:
+        if not 0 < threshold_frac < 1:
+            raise ValueError("threshold_frac must be in (0, 1)")
+        k = capacity or int(math.floor(1.0 / threshold_frac)) + 2
+        if k + 1 <= 1.0 / threshold_frac:
+            raise ValueError(
+                f"capacity {k} too small for threshold {threshold_frac}: "
+                f"need capacity + 1 > 1/threshold"
+            )
     c = F.col(item) if isinstance(item, str) else item
     items = df.select(c.cast("string").alias("item")).where(c.isNotNull())
 
@@ -112,10 +135,36 @@ def heavy_hitters(
     candidates = summary.select(
         F.explode("cands").alias("item"), "n_total"
     )
-    return (
+    counted = (
         items.join(F.broadcast(candidates), "item")
         .groupBy("item", "n_total")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= F.ceil(F.col("n_total") * threshold_frac))
+    )
+    if min_count is not None:
+        # In-plan completeness guard: MG guarantees every item with
+        # count > n/(k+1) survives, so absolute-threshold mode is
+        # complete iff min_count × (k+1) > n. The stream length is
+        # only known here — raise loudly rather than silently drop
+        # hitters if the corpus outgrew the caller's capacity sizing.
+        guard = F.when(
+            F.col("n_total") < F.lit(int(min_count) * (k + 1)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"heavy_hitters: capacity {k} too small for "
+                        f"min_count {min_count} at stream length "
+                    ),
+                    F.col("n_total").cast("string"),
+                )
+            )
+        )
+        threshold = F.lit(int(min_count))
+    else:
+        guard = F.lit(True)
+        threshold = F.ceil(F.col("n_total") * threshold_frac)
+    return (
+        counted.where(guard & (F.col("cnt") >= threshold))
         .select(F.col("item").alias("token"), F.col("cnt"))
     )

@@ -11,12 +11,15 @@ column's statistics simultaneously; multiple exact ``count(distinct)``
 aggregates make Catalyst plan an Expand (each input row fans out once
 per distinct-aggregate) followed by two-level partial aggregation —
 the standard multi-distinct strategy, still a single pass over the
-data and a single shuffle keyed on the expanded group id. At 100 TB
-you trade the Expand's row multiplication for scan count: n columns
-profiled in one read instead of n reads. (If approximate counts are
-acceptable, swap in ``approx_count_distinct`` and the Expand
-disappears — but then no engine-exact oracle, which is why the exact
-form is the default here.)
+data and a single shuffle keyed on the expanded group id.
+
+At 100 TB the Expand's row multiplication (×(n_cols+1)) is the cost
+that matters, so the SCALE DEFAULT is ``approx=True``: HLL++-based
+``approx_count_distinct`` folds every column's sketch into the same
+plain hash aggregate — no Expand, no per-column fan-out, one
+map-side-combined pass (relative standard error defaults to 5%,
+tunable via ``rsd``). ``approx=False`` keeps the exact Expand plan
+for engine-exact parity checks (the DuckDB oracle query uses it).
 
 The wide one-row aggregate is reshaped to long format with a
 ``stack``-style explode of per-column structs — a projection over one
@@ -32,15 +35,24 @@ _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
             "decimal"}
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Per-column statistics in one pass: ``(column, n_rows, n_null,
     n_distinct, min_value, max_value)`` — min/max as doubles for
     numeric columns, null otherwise (casting arbitrary types to
     strings is not engine-portable; numeric min/max are).
 
-    ``n_distinct`` is exact and excludes nulls (SQL COUNT(DISTINCT)
-    semantics); ``n_null`` counts them separately so the two always
-    reconcile to ``n_rows``."""
+    ``approx=True`` (the scale default) estimates ``n_distinct`` with
+    ``approx_count_distinct`` (HLL++, relative standard error ``rsd``,
+    default 5%) so the plan is a plain hash aggregate with NO Expand
+    node; ``approx=False`` is exact COUNT(DISTINCT) (excludes nulls)
+    at the cost of an Expand ×(n_cols+1) row fan-out. Either way
+    ``n_null`` counts nulls separately so null+distinct reconcile to
+    ``n_rows`` in the exact mode."""
     names = cols or df.columns
     types = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n__")]
@@ -49,7 +61,13 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}__"))
+        aggs.append(
+            (
+                F.approx_count_distinct(F.col(c), rsd)
+                if approx
+                else F.count_distinct(F.col(c))
+            ).alias(f"__nd_{c}__")
+        )
         aggs.append(
             (F.min(F.col(c)).cast("double") if is_num
              else F.lit(None).cast("double")).alias(f"__min_{c}__")

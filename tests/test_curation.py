@@ -367,3 +367,47 @@ def test_cosine_neardup_auto_plan_scales_bits(spark):
     _, bits_small = lsh_plan(0.45, 0.95, 1_000)
     _, bits_big = lsh_plan(0.45, 0.95, 1_000_000)
     assert bits_big > bits_small
+
+
+def test_heavy_hitters_min_count_mode_exact(spark):
+    """Absolute-support mode: equals the naive GROUP BY ... HAVING
+    cnt >= min_count, and the API enforces exactly-one-threshold."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("w"), (F.col("id") % 37).cast("string")).alias("item")
+    )
+    naive = {
+        (r.item, r.c)
+        for r in df.groupBy("item").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 28).collect()
+    }
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(df, "item", min_count=28, capacity=64)
+        .collect()
+    }
+    assert got == naive and got
+
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(df, "item", threshold_frac=0.1, min_count=5)
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(df, "item")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "item", min_count=5)
+
+
+def test_heavy_hitters_min_count_guard_raises_when_capacity_outgrown(spark):
+    """The in-plan completeness guard: a stream longer than
+    min_count*(capacity+1) would break the MG superset guarantee —
+    the query must raise, never silently drop hitters."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("item")
+    )
+    # n=2000, min_count=2, capacity=3 → guard bound 2*4=8 < 2000
+    with pytest.raises(Exception, match="capacity 3 too small"):
+        heavy_hitters(df, "item", min_count=2, capacity=3).collect()

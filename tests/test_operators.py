@@ -328,3 +328,26 @@ def test_operator_caches_are_caller_releasable(spark):
     release(pairs)
     assert owned[0].storageLevel == StorageLevel.NONE
     release(pairs)  # idempotent
+
+
+def test_profile_table_approx_estimates_within_rsd(spark):
+    """approx=True n_distinct lands within the configured relative
+    error of exact; all other stats (rows/nulls/min/max) are exact in
+    both modes."""
+    from mydatalake_spark.operators.profile import profile_table
+
+    df = spark.range(5000).selectExpr(
+        "id", "id % 40 AS a",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 500 AS DOUBLE) END AS b",
+    )
+    exact = {r.column: r for r in profile_table(df, approx=False).collect()}
+    approx = {r.column: r
+              for r in profile_table(df, rsd=0.02).collect()}
+    for c in ("id", "a", "b"):
+        e, ap = exact[c], approx[c]
+        assert (ap.n_rows, ap.n_null, ap.min_value, ap.max_value) == (
+            e.n_rows, e.n_null, e.min_value, e.max_value
+        )
+        assert abs(ap.n_distinct - e.n_distinct) <= max(
+            3, 0.1 * e.n_distinct
+        ), (c, ap.n_distinct, e.n_distinct)

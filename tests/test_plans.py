@@ -520,3 +520,19 @@ def test_every_registry_query_has_docstring(entry):
         if not (fn.__doc__ and len(fn.__doc__.strip()) > 40)
     ]
     assert not undocumented, undocumented
+
+
+def test_profile_table_approx_mode_drops_expand(spark):
+    """profile_table: exact multi-COUNT(DISTINCT) compiles to an
+    Expand (×(n_cols+1) row fan-out — the 100 TB cost), approx=True
+    (the scale default) folds HLL++ sketches into a plain hash
+    aggregate with NO Expand node."""
+    from mydatalake_spark.operators.profile import profile_table
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS a", "CAST(id % 3 AS DOUBLE) AS b"
+    )
+    exact_plan = _plan(spark, profile_table(df, approx=False))
+    approx_plan = _plan(spark, profile_table(df))
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan

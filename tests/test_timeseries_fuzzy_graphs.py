@@ -327,3 +327,21 @@ def test_rolling_distinct_dedups_within_window(spark):
     out = rolling_distinct_check(df, "ts", "user", window_days=7).collect()
     assert all(r.exact_distinct == 1 and r.within_bound for r in out)
     assert len(out) == 5
+
+
+def test_pagerank_high_iters_bounded_lineage(spark):
+    """iters=30 must complete without analyzer/lineage blowup (per-
+    iteration persist + periodic eager localCheckpoint) and still sum
+    to ~1 (stochastic invariant)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)], "src long, dst long"
+    )
+    from mydatalake_spark.caching import release
+    from mydatalake_spark.operators.graphs import pagerank
+
+    out = pagerank(edges, iters=30)
+    rows = {r.node: r.rank for r in out.collect()}
+    release(out)
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+    # dangling-free core (1,2,3) dominates the dangling feeder 4
+    assert rows[4] < min(rows[1], rows[2], rows[3])
