@@ -95,6 +95,16 @@ HEADLINE = [
     "zipf_alpha_documents",
     "gini_revenue_customers",
     "dedup_summary_documents",
+    "audio_real_decode",
+    "copurchase_lift_parts",
+    "rfm_segments_customers",
+    "ewma_daily_revenue",
+    "event_entropy_users",
+    "zscore_anomalies_events",
+    "corr_matrix_lineitem",
+    "mode_returnflag_by_priority",
+    "key_skew_profile_lineitem",
+    "source_overlap_documents",
 ]
 
 
@@ -380,6 +390,54 @@ def bench_scaling(spark, qs) -> dict:
     return out
 
 
+def bench_dedup_summary_fed(spark) -> dict:
+    """dedup_summary's two paths at SF_DIR: recompute (exact shingle
+    self-join — the oracle-checked path) vs fed (persisted minhash
+    signature table → band candidates → exact verify). The fed path
+    is the production cadence: the dashboard reads silver-layer state
+    instead of re-shingling the corpus, so its cost scales with
+    signatures + candidates, not the shingle join."""
+    import shutil
+    import tempfile
+
+    from mydatalake_spark.caching import release
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.neardup import (
+        dedup_summary,
+        incremental_dedup_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wh = tempfile.mkdtemp(prefix="bench_dsum_")
+    try:
+        cat = Catalog(spark, wh)
+        t0 = time.perf_counter()
+        pairs = incremental_dedup_pipeline(
+            cat, "silver.dedup.sigs", docs, verify_threshold=0.2
+        )
+        release(pairs)
+        build_sec = round(time.perf_counter() - t0, 3)
+
+        out = {}
+        for tag, kw in (
+            ("recompute", {}),
+            ("fed", {"catalog": cat, "sig_table": "silver.dedup.sigs"}),
+        ):
+            def run():
+                start = time.perf_counter()
+                res = dedup_summary(docs, jaccard_threshold=0.2, **kw)
+                res.write.format("noop").mode("overwrite").save()
+                release(res)
+                return round(time.perf_counter() - start, 3)
+
+            run()                              # warm
+            out[f"{tag}_sec"] = min(run(), run())
+        out["sig_build_sec"] = build_sec
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def bench_lsh_planned(spark) -> dict:
     """lsh_plan asymptotics, MEASURED: the embedding-cosine LSH path
     with auto-planned (bands, bits) — bits ∝ log2(n) pins bucket size
@@ -482,6 +540,7 @@ def main() -> None:
     dq_modes = section(bench_dq_pass_modes)
     scaling = section(bench_scaling, qs)
     lsh_planned = section(bench_lsh_planned)
+    dedup_fed = section(bench_dedup_summary_fed)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -495,6 +554,7 @@ def main() -> None:
             "dq_pass_modes": dq_modes,
             "scaling": scaling,
             "lsh_planned": lsh_planned,
+            "dedup_summary_fed": dedup_fed,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

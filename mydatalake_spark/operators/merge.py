@@ -176,6 +176,7 @@ def merge_upsert_delta(
     tiebreakers: list[str] | None = None,
     delta_table=None,
     delete_missing: bool = False,
+    evolve_schema: bool = False,
 ) -> None:
     """ACID MERGE into a Delta table — the capability path the
     reference runs on Databricks (``DeltaTable.merge`` with
@@ -194,6 +195,15 @@ def merge_upsert_delta(
     ``delete_missing=True`` adds ``whenNotMatchedBySourceDelete()``
     (full-sync: target keys absent from the source are deleted) —
     parity with ``merge_upsert(delete_missing=True)``.
+
+    ``evolve_schema=True`` calls ``withSchemaEvolution()`` on the
+    merge builder (Delta ≥3.1's per-statement schema evolution):
+    ADDITIVE source columns are appended to the target schema during
+    the MERGE, existing rows reading NULL for them — exactly the
+    contract of ``merge_upsert(evolve_schema=True)`` on the
+    join-emulation path. Column REMOVALS still update the missing
+    column to NULL via update-all semantics rather than dropping it,
+    matching the emulated path's keep-and-null rule.
 
     Requires delta-spark; fails fast with ImportError otherwise
     (capability flag, SURVEY.md §7.4(3)). In-place and transactional —
@@ -223,6 +233,8 @@ def merge_upsert_delta(
     dt = delta_table
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
     m = dt.alias("t").merge(src.alias("s"), on)
+    if evolve_schema:
+        m = m.withSchemaEvolution()
     if ts_col is not None:
         m = m.whenMatchedUpdateAll(
             condition=(

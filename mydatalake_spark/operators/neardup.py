@@ -533,11 +533,11 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool | None = None,
-    n_bands: int = 8,
-    bits_per_band: int = 4,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
     dim: int | None = None,
     max_exact_rows: int = 1_000_000,
-    auto_plan: bool = False,
+    auto_plan: bool = True,
     auto_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)``
@@ -561,11 +561,14 @@ def cosine_neardup_pairs(
     (band equi-join ⇒ shuffle on band buckets, no cross join), then
     the exact cosine filter verifies — a recall<1 scale path, mirroring
     minhash_signatures → minhash_candidates → ngram_jaccard_pairs.
-    ``auto_plan=True`` derives ``(n_bands, bits_per_band)`` from the
-    corpus size via ``similarity.search.lsh_plan`` (bits ∝ log2(n)
-    keeps buckets — and thus candidate growth — bounded; extra bands
-    restore ``auto_recall``); leave it off where reproducible fixed
-    parameters matter more than asymptotics (e.g. the oracle queries).
+    ``auto_plan=True`` (the DEFAULT) derives ``(n_bands,
+    bits_per_band)`` from the corpus size via
+    ``similarity.search.lsh_plan`` (bits ∝ log2(n) keeps buckets —
+    and thus candidate growth — bounded; extra bands restore
+    ``auto_recall``, with the planner's quartered miss budget covering
+    single-draw variance). Passing explicit ``n_bands`` AND
+    ``bits_per_band`` pins the banding and disables the planner —
+    for reproducible fixed parameters (e.g. the oracle queries).
 
     ``exact=None`` (the DEFAULT) auto-selects: corpora up to
     ``max_exact_rows`` take the exact broadcast path, larger ones the
@@ -587,12 +590,19 @@ def cosine_neardup_pairs(
             exact = True  # empty input: trivially fine on the exact path
         else:
             dim = first["d"]
-    if not exact and auto_plan:
-        if n_rows is None:
-            n_rows = df.count()
-        n_bands, bits_per_band = lsh_plan(
-            threshold, target_recall=auto_recall, n_rows=n_rows
-        )
+    if not exact:
+        pinned = n_bands is not None and bits_per_band is not None
+        if not pinned and not auto_plan:
+            n_bands = n_bands if n_bands is not None else 8
+            bits_per_band = (
+                bits_per_band if bits_per_band is not None else 4
+            )
+        elif not pinned:
+            if n_rows is None:
+                n_rows = df.count()
+            n_bands, bits_per_band = lsh_plan(
+                threshold, target_recall=auto_recall, n_rows=n_rows
+            )
 
     if exact:
         # raw vectors travel; normalization happens vectorized in numpy
@@ -791,3 +801,80 @@ def winnow_fingerprints(
 
     c = F.col(col) if isinstance(col, str) else col
     return _let(normalize_text(c), build)
+
+
+def dedup_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.2,
+    catalog=None,
+    sig_table: str | None = None,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Corpus dedup dashboard: ONE row summarizing what the dedup
+    family would remove — exact-duplicate rows (fingerprint groups
+    beyond their keeper; the null-text group excluded) and
+    near-duplicate membership (docs in ≥1 Jaccard≥threshold pair).
+    Three one-row aggregates combined by broadcast scalar cross-joins.
+
+    Near-pair generation has two paths:
+
+    - **fed** (``catalog`` + existing ``sig_table``): band-join the
+      PERSISTED minhash signature table (built by
+      :func:`incremental_dedup_pipeline`) and exact-verify only the
+      candidates — O(signatures + candidates), the 100 TB cadence
+      where the dashboard reads silver-layer state instead of
+      re-shingling the corpus. Recall follows the banding S-curve,
+      so the fed number is the production estimate.
+    - **recompute** (fallback): exact :func:`ngram_jaccard_pairs`
+      over the documents — full recall, full shingle self-join cost;
+      this is the oracle-checked path.
+    """
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    fp = exact_dedup(docs, text_col=text_col).where(
+        F.col("fingerprint").isNotNull()
+    )
+    exact = fp.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
+    )
+    if (
+        catalog is not None
+        and sig_table is not None
+        and catalog.exists(sig_table)
+    ):
+        cand = minhash_candidates(
+            catalog.read(sig_table), id_col=id_col, n_bands=n_bands
+        )
+        near = verify_candidates_jaccard(
+            cand, docs, text_col=text_col, id_col=id_col,
+            n=jaccard_n, threshold=jaccard_threshold,
+        )
+    else:
+        near = ngram_jaccard_pairs(
+            docs, text_col=text_col, id_col=id_col,
+            n=jaccard_n, threshold=jaccard_threshold,
+        )
+    near_docs = (
+        near.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_near_docs"))
+    )
+    return (
+        total.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(near_docs))
+        .select(
+            "n_docs",
+            "n_fingerprints",
+            "n_exact_dup_rows",
+            F.round(
+                F.col("n_exact_dup_rows") / F.col("n_docs"), 6
+            ).alias("exact_dup_ratio"),
+            "n_near_docs",
+            F.round(F.col("n_near_docs") / F.col("n_docs"), 6).alias(
+                "near_dup_ratio"
+            ),
+        )
+    )

@@ -28,7 +28,7 @@ row, free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
@@ -91,3 +91,63 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_n: int = 10
+) -> DataFrame:
+    """ONE-row skew diagnostic for a prospective shuffle/join key —
+    the measurement behind choosing salting (operators/skew.py),
+    AQE skew-join thresholds, or a different partitioning altogether:
+
+    ``(n_rows, n_keys, top1_share, topn_share, max_over_mean, gini)``
+
+    where ``top1_share``/``topn_share`` are the row fraction owned by
+    the hottest 1/``top_n`` keys, ``max_over_mean`` is the hot
+    partition's overload factor under hash partitioning (≈ job
+    straggler ratio), and ``gini`` is the Gini coefficient of the
+    per-key row-count distribution (0 = uniform, →1 = one key owns
+    everything).
+
+    Spark-first shape: one groupBy(key) count (the same shuffle the
+    real join would do), then ALL statistics come from one pass over
+    the key-count frame — a rank window for the top-N split plus a
+    single aggregate; gini folds in via the rank identity
+    Σ(2i−n−1)·x_i / (n·Σx) on counts ordered ascending. Output is one
+    row; nothing is collected.
+    """
+    counts = df.groupBy(F.col(key).alias("__k__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    # descending rank for top-shares; ascending rank for the gini sum
+    w_desc = Window.orderBy(F.col("__c__").desc(), F.col("__k__"))
+    w_asc = Window.orderBy(F.col("__c__").asc(), F.col("__k__"))
+    ranked = counts.select(
+        "__c__",
+        F.row_number().over(w_desc).alias("__rd__"),
+        F.row_number().over(w_asc).alias("__ra__"),
+    )
+    # G = (2·Σ(rank_asc·c) − (n+1)·Σc) / (n·Σc): every term is a plain
+    # aggregate over the ranked key-count frame — one pass.
+    return ranked.agg(
+        F.sum("__c__").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        (
+            F.max(F.when(F.col("__rd__") == 1, F.col("__c__")))
+            / F.sum("__c__")
+        ).alias("top1_share"),
+        (
+            F.sum(F.when(F.col("__rd__") <= top_n, F.col("__c__")))
+            / F.sum("__c__")
+        ).alias("topn_share"),
+        (
+            F.max("__c__") / (F.sum("__c__") / F.count(F.lit(1)))
+        ).alias("max_over_mean"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("__ra__") * F.col("__c__"))
+                - (F.count(F.lit(1)) + 1) * F.sum("__c__")
+            )
+            / (F.count(F.lit(1)) * F.sum("__c__"))
+        ).alias("gini"),
+    )

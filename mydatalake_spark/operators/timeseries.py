@@ -32,7 +32,7 @@ no single task ever sorts more than one group's calendar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import adopt
@@ -93,3 +93,62 @@ def resample_daily(
         )
     )
     return adopt(out, daily)
+
+
+def ewma_smoothed(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    window_days: int = 14,
+) -> DataFrame:
+    """Exponentially weighted moving average over a DENSE daily series
+    (compose after :func:`resample_daily`, whose gap-fill makes row
+    offsets equal calendar-day offsets): for each day,
+
+        ewma = Σ_d value(t−d)·2^−d / Σ_d 2^−d,  d = 0..window_days−1
+
+    — a half-life-of-one-day decay truncated at ``window_days`` taps
+    and renormalized over the taps actually present, so the series
+    head (fewer than window_days rows) is unbiased rather than
+    zero-padded.
+
+    Spark-first shape: ONE window ``collect_list`` over a rows-frame
+    (the frame is tap-count bounded — window_days doubles per row, not
+    history-sized state), then the weighted sum is per-row array
+    arithmetic (``zip_with`` + ``aggregate``) inside codegen; the
+    normalizer collapses to the closed form 2·(1−2^−s), exact in
+    binary floating point. No self-join, no UDF; one shuffle on the
+    group key that the downstream day-ordered window reuses.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(date_col)
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+
+    def weighted(a: Column) -> Column:
+        s = F.size(a)
+        num = F.aggregate(
+            F.zip_with(
+                a,
+                F.sequence(F.lit(1), s),
+                lambda x, i: x * F.pow(F.lit(0.5), (s - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        den = F.lit(2.0) * (
+            F.lit(1.0) - F.pow(F.lit(0.5), s.cast("double"))
+        )
+        return num / den
+
+    from ..functions.text import let as _let
+
+    return df.select(
+        F.col(group_col),
+        F.col(date_col),
+        F.col(value_col),
+        _let(arr, weighted).alias("ewma"),
+    )

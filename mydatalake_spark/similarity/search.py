@@ -221,6 +221,16 @@ def lsh_plan(
     planned ``(n_bands, bits_per_band)``; the collision-probability
     guarantee is against the *threshold* cosine — pairs far above θ
     are caught with higher probability.
+
+    The band solve budgets per-pair miss probability at
+    ``(1 − target_recall)/4``, not ``1 − target_recall``: the S-curve
+    is an EXPECTATION over hyperplane draws, but a deployment uses ONE
+    fixed draw, and pairs sitting exactly at θ share that draw — on a
+    small truth set a single unlucky draw drags observed recall well
+    under the expectation (measured in r4: 0.857 observed vs 0.959
+    expected on 14 θ-adjacent pairs). Quartering the budget costs
+    ~40% more bands and restored observed recall to 1.0 at both bench
+    sizes.
     """
     import math
 
@@ -228,16 +238,17 @@ def lsh_plan(
         raise ValueError("threshold must be in (0, 1) cosine")
     if not 0 < target_recall < 1:
         raise ValueError("target_recall must be in (0, 1)")
+    miss_budget = (1.0 - target_recall) / 4.0
     p = 1.0 - math.acos(threshold) / math.pi
     bits = max(1, math.ceil(math.log2(max(n_rows, 2) / target_bucket_rows)))
     while bits > 1:
         p_band = p ** bits
         if p_band > 1e-12:
-            r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+            r = math.ceil(math.log(miss_budget) / math.log(1.0 - p_band))
             if r <= max_bands:
                 return r, bits
         bits -= 1
-    r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    r = math.ceil(math.log(miss_budget) / math.log(1.0 - p))
     return min(r, max_bands), 1
 
 

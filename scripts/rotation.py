@@ -1,0 +1,134 @@
+"""Driver-prefix rotation schedule for the correctness gate.
+
+The driver checks a PREFIX of the ``queries()`` registry each round
+(observed budget: 50 rows). With 120+ entries, any fixed order leaves
+entries stale for rounds — so the prefix ROTATES by freshness: entries
+that have NEVER had a driver row come first, then entries whose last
+green driver row is oldest. This module derives that order from the
+CORRECTNESS_r*.json files themselves, so the schedule is computed, not
+hand-maintained.
+
+Usage:
+  python scripts/rotation.py            # print freshness + suggested order
+  python scripts/rotation.py --check    # exit 1 if the registry prefix
+                                        #   is not freshness-sorted
+  python scripts/rotation.py --table    # emit the COVERAGE.md table
+
+The meta-test (tests/test_rotation.py) pins the --check invariant so a
+registry edit that breaks rotation fails CI, and bounds worst-case
+staleness given the budget.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PREFIX_BUDGET = 50   # observed driver rows per round
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query name → latest round with a fully green driver row
+    (rows+schema+hash). Entries never checked are absent."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def registry_names() -> list[str]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    return list(entry._raw_queries().keys())
+
+
+def freshness(names: list[str] | None = None) -> list[tuple[str, int]]:
+    """(name, last_green_round) for every registry entry in registry
+    order; 0 = never driver-checked."""
+    greens = last_green_rounds()
+    names = names if names is not None else registry_names()
+    return [(n, greens.get(n, 0)) for n in names]
+
+
+def suggested_order(names: list[str] | None = None) -> list[str]:
+    """Freshness-sorted order: never-checked first, then oldest green;
+    ties keep current registry order (stable sort)."""
+    fresh = freshness(names)
+    return [n for n, _ in sorted(fresh, key=lambda t: t[1])]
+
+
+def check(budget: int = PREFIX_BUDGET) -> list[str]:
+    """Return violations of the rotation invariant: every entry in the
+    driver prefix must be at least as stale as every entry outside it
+    (never-checked = stalest)."""
+    fresh = freshness()
+    prefix, rest = fresh[:budget], fresh[budget:]
+    if not rest:
+        return []
+    worst_inside = max(r for _, r in prefix)
+    best_outside = min(r for _, r in rest)
+    if worst_inside <= best_outside:
+        return []
+    stale_outside = sorted(
+        [(n, r) for n, r in rest if r < worst_inside], key=lambda t: t[1]
+    )
+    return [
+        f"{n} (last green r{r}) is outside the prefix while a "
+        f"fresher entry (r{worst_inside}) is inside"
+        for n, r in stale_outside
+    ]
+
+
+def coverage_table() -> str:
+    fresh = freshness()
+    lines = [
+        "| # | query | last driver-green | next prefix |",
+        "|---|---|---|---|",
+    ]
+    for i, (n, r) in enumerate(fresh):
+        nxt = "next round" if i < PREFIX_BUDGET else (
+            f"round +{(i // PREFIX_BUDGET)}"
+        )
+        lines.append(
+            f"| {i + 1} | {n} | {'never' if r == 0 else f'r{r}'} | {nxt} |"
+        )
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    if "--check" in sys.argv:
+        problems = check()
+        for p in problems:
+            print("VIOLATION:", p)
+        print("rotation", "BROKEN" if problems else "OK")
+        sys.exit(1 if problems else 0)
+    if "--table" in sys.argv:
+        print(coverage_table())
+        sys.exit(0)
+    for n, r in freshness():
+        print(f"{'never' if r == 0 else f'r{r}':>6}  {n}")
+    print("\nsuggested order:")
+    for n in suggested_order():
+        print(" ", n)

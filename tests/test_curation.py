@@ -411,3 +411,45 @@ def test_heavy_hitters_min_count_guard_raises_when_capacity_outgrown(spark):
     # n=2000, min_count=2, capacity=3 → guard bound 2*4=8 < 2000
     with pytest.raises(Exception, match="capacity 3 too small"):
         heavy_hitters(df, "item", min_count=2, capacity=3).collect()
+
+
+def test_dedup_summary_fed_path_matches_recompute(spark, tmp_path):
+    """dedup_summary: the signature-fed path (persisted minhash table
+    -> band candidates -> exact verify) reports the same exact-dup
+    stats and, on this corpus, the same near-dup membership as the
+    full-recall recompute path (32-hash/8-band signatures at
+    threshold 0.2 recall every true pair here)."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.neardup import (
+        dedup_summary,
+        incremental_dedup_pipeline,
+    )
+    from mydatalake_spark.caching import release
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4),
+            (2, base * 4),                      # exact dup of 1
+            (3, base * 4 + "with a tail of different words here"),
+            (4, "completely unrelated text about spark shuffles"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    recompute = dedup_summary(docs, jaccard_threshold=0.2).collect()[0]
+
+    cat = Catalog(spark, str(tmp_path / "wh_dsum"))
+    pairs = incremental_dedup_pipeline(
+        cat, "silver.dedup.sigs", docs, verify_threshold=0.2
+    )
+    release(pairs)
+    fed = dedup_summary(
+        docs, jaccard_threshold=0.2,
+        catalog=cat, sig_table="silver.dedup.sigs",
+    ).collect()[0]
+
+    assert fed.n_docs == recompute.n_docs == 5
+    assert fed.n_exact_dup_rows == recompute.n_exact_dup_rows == 1
+    assert fed.n_near_docs == recompute.n_near_docs == 3
+    assert fed.near_dup_ratio == recompute.near_dup_ratio

@@ -186,3 +186,87 @@ def test_merge_upsert_delete_missing_semantics(spark):
         for r in merge_upsert(target, source, ["id"], "ts").collect()
     }
     assert upsert == {(1, "s1"), (2, "t2"), (3, "t3"), (4, "s4")}
+
+
+class _RecordingMergeEvolve(_RecordingMerge):
+    def withSchemaEvolution(self):
+        self.rec["schema_evolution"] = True
+        return self
+
+
+def test_merge_delta_contract_schema_evolution(spark):
+    """evolve_schema=True must call withSchemaEvolution() on the
+    merge builder (Delta >=3.1 per-statement evolution) BEFORE the
+    clause chain, with the rest of the contract unchanged — parity
+    with merge_upsert(evolve_schema=True)'s additive-drift rule."""
+    rec = {}
+    source = spark.createDataFrame(
+        [(1, "new", 2, "extra")], "id int, v string, ts int, added string"
+    )
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["id"], "ts",
+        delta_table=_RecordingMergeEvolve(rec), evolve_schema=True,
+    )
+    assert rec["schema_evolution"]
+    assert rec["on"] == "t.id <=> s.id"
+    assert rec["matched_update_all"] and rec["not_matched_insert_all"]
+    assert rec["executed"]
+    # the evolving column rides along in the deduped source
+    assert "added" in rec["source_df"].columns
+
+    # default: evolution NOT requested -> builder never touched
+    rec2 = {}
+    merge_upsert_delta(
+        spark, "/nonexistent", source.drop("added"), ["id"], "ts",
+        delta_table=_RecordingMerge(rec2),
+    )
+    assert "schema_evolution" not in rec2
+
+
+def test_merge_emulated_schema_evolution_parity(spark):
+    """The join-emulation path's evolve_schema contract the Delta
+    clause must match: additive source columns append with typed
+    nulls for untouched rows; updated/inserted rows carry the source
+    value."""
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "keep", 5), (2, "stale", 5)], "id int, v string, ts int"
+    )
+    source = spark.createDataFrame(
+        [(2, "fresh", 9, "N2"), (3, "ins", 9, "N3")],
+        "id int, v string, ts int, region string",
+    )
+    out = {
+        r.id: (r.v, r.region)
+        for r in merge_upsert(
+            target, source, ["id"], "ts", evolve_schema=True
+        ).collect()
+    }
+    assert out == {
+        1: ("keep", None),       # untouched row reads NULL in new col
+        2: ("fresh", "N2"),
+        3: ("ins", "N3"),
+    }
+
+
+@pytest.mark.skipif(not HAVE_DELTA, reason="delta-spark not importable")
+def test_delta_schema_evolution_end_to_end(spark, tmp_path):
+    """Auto-enables when a compatible delta-spark appears: additive
+    MERGE evolution against a real Delta table."""
+    path = str(tmp_path / "dtab_evo")
+    spark.createDataFrame(
+        [(1, "keep", 5), (2, "stale", 5)], "id int, v string, ts int"
+    ).write.format("delta").save(path)
+    source = spark.createDataFrame(
+        [(2, "fresh", 9, "N2"), (3, "ins", 9, "N3")],
+        "id int, v string, ts int, region string",
+    )
+    merge_upsert_delta(spark, path, source, ["id"], "ts",
+                       evolve_schema=True)
+    got = {
+        r.id: (r.v, r.region)
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {1: ("keep", None), 2: ("fresh", "N2"),
+                   3: ("ins", "N3")}

@@ -418,3 +418,23 @@ def test_mean_pool_matches_numpy(spark):
     for label, vecs in by_label.items():
         want = np.round(np.mean(np.array(vecs), axis=0), 6)
         assert np.allclose(got[label], want, atol=1e-9), label
+
+
+def test_cosine_neardup_auto_plan_default_full_recall(spark):
+    """auto_plan is now the LSH-path DEFAULT: an unpinned exact=False
+    call plans (bands, bits) from corpus size and must reproduce the
+    exact pair set on this corpus (the planner's quartered miss budget
+    covers single-draw variance — the r4 calibration gap)."""
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    truth = {(r.id_a, r.id_b)
+             for r in cosine_neardup_pairs(emb, 0.45, exact=True).collect()}
+    planned = cosine_neardup_pairs(emb, 0.45, exact=False, dim=64)
+    got = {(r.id_a, r.id_b) for r in planned.collect()}
+    assert truth and got == truth, truth ^ got
+    # pinning both band params disables the planner (reproducibility)
+    pinned = cosine_neardup_pairs(
+        emb, 0.45, exact=False, dim=64, n_bands=32, bits_per_band=3
+    )
+    assert {(r.id_a, r.id_b) for r in pinned.collect()} == truth
