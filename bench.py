@@ -96,6 +96,7 @@ HEADLINE = [
     "gini_revenue_customers",
     "dedup_summary_documents",
     "audio_real_decode",
+    "video_real_decode",
     "copurchase_lift_parts",
     "rfm_segments_customers",
     "ewma_daily_revenue",

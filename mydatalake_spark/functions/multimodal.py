@@ -367,12 +367,12 @@ def sample_frames(
         try:
             decoder = _av_frame_decoder(every_ms)
         except ImportError:
-            raise NotImplementedError(
-                "sample_frames needs pyav (plus Pillow) for the default "
-                "codec; neither is in this environment. Pass decoder= "
-                "(payload -> [(idx, bytes)]) or install pyav — the "
-                "mapInPandas fan-out below is already wired."
-            ) from None
+            # live zero-dependency fallback: uncompressed Y4M decodes
+            # with numpy alone (functions/videocodec.py); strict magic
+            # validation means compressed containers simply yield no
+            # frames rather than misrouting — install pyav (plus
+            # Pillow) to cover MP4/WebM, or pass decoder= explicitly.
+            decoder = y4m_frame_decoder(every_ms)
 
     ids = id_cols or [c for c in df.columns if c != payload_col][:1]
     keep = df.select(*ids, payload_col)
@@ -511,3 +511,137 @@ def with_fake_media(
     """Test helper: synthesize a deterministic binary payload from a
     text column (stands in for real image bytes)."""
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+
+def decode_video_meta(
+    df: DataFrame, payload_col: str = "media", out_col: str = "video_meta",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """Attach the typed video metadata struct — LIVE for Y4M payloads
+    (functions/videocodec.py, strict YUV4MPEG2 validation); other
+    payloads get a null-mime struct with the codec-independent fields
+    (n_bytes, content_hash) still populated. Same bounded-batch
+    mapInPandas plumbing as decode_media_meta / decode_audio_meta."""
+    import pandas as pd
+
+    from .videocodec import parse_y4m_meta
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, VIDEO_META_TYPE)]
+    )
+
+    def meta_of(p) -> dict[str, Any]:
+        if p is None:
+            return {k.name: None for k in VIDEO_META_TYPE.fields}
+        b = bytes(p)
+        parsed = parse_y4m_meta(b)
+        base = {"n_bytes": len(b), "content_hash": zlib.crc32(b)}
+        if parsed is None:
+            return {"mime": None, "width": None, "height": None,
+                    "fps_num": None, "fps_den": None,
+                    "colorspace": None, "n_frames": None, **base}
+        mime, w, h, fn, fd, cs, nf = parsed
+        return {"mime": mime, "width": w, "height": h,
+                "fps_num": fn, "fps_den": fd, "colorspace": cs,
+                "n_frames": nf, **base}
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
+            pdf = pdf.copy()
+            pdf[out_col] = [meta_of(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def y4m_frame_decoder(every_ms: int = 1000):
+    """Live zero-dependency ``decoder`` for :func:`sample_frames`:
+    decodes Y4M payloads with the numpy codec and keeps one luma frame
+    per ``every_ms`` of presentation time (re-encoded as single-frame
+    mono Y4M bytes, so sampled frames stay self-describing payloads).
+    Non-Y4M payloads yield no frames — strict magic validation means
+    nothing misroutes."""
+    from .videocodec import decode_y4m_luma, encode_y4m, parse_y4m_meta
+
+    def decode(payload: bytes):
+        b = bytes(payload)
+        meta = parse_y4m_meta(b)
+        if meta is None:
+            return []
+        _mime, _w, _h, fn, fd, _cs, _nf = meta
+        luma = decode_y4m_luma(b)
+        frames = []
+        next_ms = 0.0
+        for i in range(luma.shape[0]):
+            t_ms = i * 1000.0 * fd / fn
+            if t_ms >= next_ms:
+                frames.append(
+                    (len(frames), bytearray(encode_y4m(luma[i:i + 1],
+                                                       (fn, fd))))
+                )
+                next_ms += every_ms
+        return frames
+
+    return decode
+
+
+def video_features_y4m(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """(id, n_frames, duration_s, mean_luma, min_frame_luma,
+    max_frame_luma, motion) — REAL per-clip signal features for Y4M
+    payloads via the zero-dependency decoder; undecodable payloads
+    yield a null row (route them to the pyav path or drop). Map-only,
+    no shuffle: scales linearly with executors."""
+    import pandas as pd
+
+    from .videocodec import decode_y4m_luma, parse_y4m_meta, video_features
+
+    cols = ("n_frames", "duration_s", "mean_luma",
+            "min_frame_luma", "max_frame_luma", "motion")
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField("n_frames", T.IntegerType())]
+        + [T.StructField(c, T.DoubleType()) for c in cols[1:]]
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in bounded_payload_chunks(
+            batches, payload_col, max_batch_bytes
+        ):
+            rows: dict[str, list] = {id_col: []}
+            rows.update({c: [] for c in cols})
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = None if p is None else parse_y4m_meta(bytes(p))
+                rows[id_col].append(rid)
+                if meta is None:
+                    for c in cols:
+                        rows[c].append(None)
+                    continue
+                _m, _w, _h, fn, fd, _cs, _nf = meta
+                feats = video_features(decode_y4m_luma(bytes(p)), fn, fd)
+                for c in cols:
+                    rows[c].append(feats[c])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, schema=out_schema)

@@ -536,3 +536,30 @@ def test_profile_table_approx_mode_drops_expand(spark):
     approx_plan = _plan(spark, profile_table(df))
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+def test_zscore_uses_grouped_stats_not_type_partitioned_window(
+    spark, sf_dir, entry
+):
+    """A window partitioned by a 5-value column is 5 tasks holding the
+    whole corpus; the anomaly query must compute per-type stats with a
+    map-side-combinable aggregate and broadcast them back."""
+    plan = _plan(
+        spark, entry.queries()["zscore_anomalies_events"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_stddev_samp" in plan or "HashAggregate" in plan
+
+
+def test_copurchase_and_source_overlap_no_cartesian(spark, sf_dir, entry):
+    for name in ("copurchase_lift_parts", "source_overlap_documents"):
+        plan = _plan(spark, entry.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_corr_matrix_single_aggregate_no_expand(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["corr_matrix_lineitem"](spark, sf_dir)
+    )
+    assert "Expand" not in plan      # co-moment folds, not multi-distinct
