@@ -646,3 +646,52 @@ def test_stateful_operators_accept_string_keys(spark, tmp_path):
     assert {(r.key, r.prev_state, r.next_state, r.n) for r in rows} == {
         ("alice", "view", "click", 1)
     }
+
+
+def test_stream_quality_gate_splits_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Two availableNow drains over a growing directory: clean rows
+    accumulate in production, failing rows in quarantine with their
+    failed_tests; quarantine batch tags make replay idempotent."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.streaming.quality_gate import stream_quality_gate
+
+    src = tmp_path / "gate_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "gate_ckpt")
+    cat = Catalog(spark, str(tmp_path / "gate_wh"))
+    tests = [
+        {"column": "value", "test_type": "outside_of_rules",
+         "kwargs": {"expression": "value < 100"}},
+        {"column": "event_type", "test_type": "missing"},
+    ]
+
+    def drain():
+        stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+        q = stream_quality_gate(
+            stream, cat, "silver.ev.clean", tests, ["event_id"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src / "a.json", [
+        (1, "2024-01-01T00:05:00", 1, "view", 1.0),
+        (2, "2024-01-01T00:06:00", 1, "click", 500.0),   # fails rule
+        (3, "2024-01-01T00:07:00", 2, None, 2.0),        # missing type
+    ])
+    drain()
+    _write_batch(src / "b.json", [
+        (4, "2024-01-01T01:00:00", 2, "view", 3.0),
+    ])
+    drain()
+
+    clean = {r.event_id for r in cat.read("silver.ev.clean").collect()}
+    assert clean == {1, 4}
+    quarantined = {
+        r.event_id: set(r.failed_tests)
+        for r in cat.read("silver.ev.clean_quarantine").collect()
+    }
+    assert set(quarantined) == {2, 3}
+    assert quarantined[2] == {"outside_of_rules"}
+    assert quarantined[3] == {"missing"}
