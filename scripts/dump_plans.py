@@ -268,6 +268,44 @@ SHOWCASE = [
         "the input is scanned once for the sketches — never re-scanned\n"
         "per window — and the union moves kilobytes of sketch bytes.",
     ),
+    (
+        "copurchase_lift_parts",
+        "Association rules: the dim side (part brands) broadcasts into the\n"
+        "basket derivation, the pair generator is a self-EQUI-join on the\n"
+        "basket id (fan-out C(brands_per_order,2) ≈ 6, bounded by basket\n"
+        "width, not corpus size), and the support/confidence/lift joins are\n"
+        "broadcasts of the catalog-sized item counts + one 1-row scalar.",
+    ),
+    (
+        "ewma_daily_revenue",
+        "EWMA over the gap-filled grid: the dense calendar comes from\n"
+        "sequence+explode (output-sized); the decay is ONE window\n"
+        "collect_list over a 14-row frame with the weighted sum as per-row\n"
+        "array arithmetic inside codegen — no self-join, no UDF, and the\n"
+        "only input-sized shuffle is the daily rollup.",
+    ),
+    (
+        "zscore_anomalies_events",
+        "Distribution-relative outliers: per-type stats via a map-side-\n"
+        "combinable HashAggregate broadcast back onto the stream —\n"
+        "deliberately NOT a window partitioned by the 5-value type column,\n"
+        "which would serialize the whole corpus through 5 tasks at 100 TB.",
+    ),
+    (
+        "key_skew_profile_lineitem",
+        "Skew diagnostic: one groupBy(key) count (the same shuffle the\n"
+        "prospective join would do), then every statistic — top shares,\n"
+        "max/mean overload, Gini via the rank identity — folds in one pass\n"
+        "over the key-count frame. The output is one row.",
+    ),
+    (
+        "rfm_segments_customers",
+        "RFM: one customer groupBy, the max-date anchor as a 1-row\n"
+        "broadcast scalar join, then three NTILE windows over the\n"
+        "customer-AGGREGATED frame (not the order stream) — global ranks\n"
+        "are inherent to quantile segmentation; the frame they sort is the\n"
+        "small one.",
+    ),
 ]
 
 
