@@ -259,6 +259,82 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+
+def _train_spherical_kmeans(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 5,
+):
+    """Coarse-quantizer training shared by the per-query IVF path and
+    the persisted index: spherical k-means on a BOUNDED, deterministic
+    sample (orderBy(id).limit — reproducible across runs), driver-side
+    numpy. The result is a tiny n_centroids×dim array that travels as
+    a plan literal; nothing corpus-sized is ever collected."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col).orderBy(id_col)
+            .limit(sample_size).collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+    rng = np.random.RandomState(seed)
+    centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def _centroid_scores_expr(centroids):
+    """Column-name → array<double> of centroid dot products, as ONE
+    parsed SQL expression: building it from per-coefficient Column
+    objects would cost ~70 py4j calls per dot of driver time; a parsed
+    SQL string is one call and identical Catalyst expressions."""
+
+    def scores(vec_name: str) -> "F.Column":
+        # plain column NAME only — it is embedded in SQL text; a
+        # Column object's repr is not a valid identifier (e.g. Spark
+        # Connect's "Column<'x'>") and would mis-compile silently
+        if not isinstance(vec_name, str):
+            raise TypeError(
+                "_centroid_scores_expr needs a plain column name "
+                f"(str), got {type(vec_name).__name__}"
+            )
+        dots = ", ".join(
+            "aggregate(zip_with(`{v}`, array({arr}), "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)".format(
+                v=vec_name,
+                arr=", ".join(f"{float(x)!r}D" for x in c),
+            )
+            for c in centroids
+        )
+        return F.expr(f"array({dots})")
+
+    return scores
+
+
+def _argmax_cell(scores) -> "F.Column":
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -285,61 +361,12 @@ def ivf_topk(
     fraction, the assignment can be precomputed and partitioned-by —
     then each query touches only its probed partitions.
     """
-    import numpy as np
-
-    sample = np.array(
-        [
-            [float(x) for x in r[0]]
-            for r in corpus.select(vec_col).orderBy(id_col)
-            .limit(sample_size).collect()
-        ],
-        dtype=np.float64,
+    centroids = _train_spherical_kmeans(
+        corpus, id_col, vec_col, n_centroids,
+        seed=seed, sample_size=sample_size, iters=iters,
     )
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = sample / norms
-    rng = np.random.RandomState(seed)
-    centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
-    for _ in range(iters):  # spherical k-means on the sample
-        sims = unit @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(n_centroids):
-            members = unit[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    centroids[c] = m / n
-
-    # One parsed SQL expression for all centroid dots: building them
-    # from per-coefficient Column objects would cost ~70 py4j calls
-    # per dot of driver time; a parsed SQL string is one call and
-    # identical Catalyst expressions.
-    def _cell_scores_sql(vec_name: str) -> "F.Column":
-        dots = ", ".join(
-            "aggregate(zip_with(`{v}`, array({arr}), "
-            "(x, y) -> cast(x as double) * y), "
-            "cast(0.0 as double), (acc, x) -> acc + x)".format(
-                v=vec_name,
-                arr=", ".join(f"{float(x)!r}D" for x in c),
-            )
-            for c in centroids
-        )
-        return F.expr(f"array({dots})")
-
-    def _cell_scores(name: str) -> "F.Column":
-        # plain column NAME only — it is embedded in SQL text; a
-        # Column object's repr is not a valid identifier (e.g. Spark
-        # Connect's "Column<'x'>") and would mis-compile silently
-        if not isinstance(name, str):
-            raise TypeError(
-                "_cell_scores needs a plain column name (str), got "
-                f"{type(name).__name__}"
-            )
-        return _cell_scores_sql(name)
-
-    def _argmax(scores) -> "F.Column":
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    _cell_scores = _centroid_scores_expr(centroids)
+    _argmax = _argmax_cell
 
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -438,3 +438,56 @@ def test_cosine_neardup_auto_plan_default_full_recall(spark):
         emb, 0.45, exact=False, dim=64, n_bands=32, bits_per_band=3
     )
     assert {(r.id_a, r.id_b) for r in pinned.collect()} == truth
+
+
+def test_persisted_ivf_index_build_search_append(spark, tmp_path):
+    """Index build/search separation: searching the persisted index
+    matches the per-query ivf_topk with identical parameters (same
+    seeded quantizer), the cells table is partitioned by cell id, and
+    an appended increment is discoverable WITHOUT retraining."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from mydatalake_spark.similarity.search import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(10)
+    cat = Catalog(spark, str(tmp_path / "ivf_wh"))
+    build_ivf_index(cat, "silver.ann.docs", emb, n_centroids=8)
+
+    # physical layout: partitioned by cell
+    import os
+    cells_dir = cat.path("silver.ann.docs_cells")
+    assert any(d.startswith("cell=") for d in os.listdir(cells_dir))
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in search_ivf_index(
+            cat, "silver.ann.docs", queries, k=3, n_probe=3
+        ).collect()
+    }
+    expect = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, dim=64, k=3, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    assert got == expect and got
+
+    # append an obvious near-duplicate of query vector 0, then search:
+    # the new id must surface as that query's top neighbor
+    q0 = queries.orderBy("vec_id").first()
+    newbie = spark.createDataFrame(
+        [(99999, [float(x) * 2.0 for x in q0.embedding], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append_to_ivf_index(cat, "silver.ann.docs", newbie)
+    after = search_ivf_index(
+        cat, "silver.ann.docs",
+        queries.where(F.col("vec_id") == q0.vec_id), k=1, n_probe=2,
+    ).collect()
+    assert after[0].neighbor_id == 99999
+    assert after[0].score == 1.0   # scaled copy: cosine exactly 1
