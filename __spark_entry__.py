@@ -5731,6 +5731,77 @@ JOIN sizes sb ON sb.source = inter.source_b
 """
 
 
+def cumulative_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: per day, the cumulative count of DISTINCT
+    users ever seen — the exact MAU/"total accounts" metric. The scale
+    trick: cumulative distinct is NOT a distinct per window — each
+    user collapses to their FIRST-SEEN day (one groupBy), the daily
+    first-seen counts are day-grid sized, and the running total is a
+    window cumsum over that tiny frame. Input is scanned once; the
+    global-ordered window sorts days, not events."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+def monthly_growth_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly order revenue with the
+    previous month's value and percent change (lag window over the
+    month-grid frame — the rollup shuffles input once; everything
+    after is month-count sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        .alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6)
+        .alias("pct_change"),
+    )
+
+
+_MONTHLY_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100.0, 6)
+         AS pct_change
+FROM monthly
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -5753,6 +5824,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary_documents": dedup_summary_documents,
         "audio_real_decode": audio_real_decode,
         "video_real_decode": video_real_decode,
+        "cumulative_users_events": cumulative_users_events,
+        "monthly_growth_revenue": monthly_growth_revenue,
         "copurchase_lift_parts": copurchase_lift_parts,
         "rfm_segments_customers": rfm_segments_customers,
         "ewma_daily_revenue": ewma_daily_revenue,
@@ -5798,9 +5871,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "simhash_documents": simhash_documents,
+        # ==== past the observed 50-row driver budget from here ====
         "embedding_neardup": embedding_neardup,
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
-        # ==== past the observed 50-row driver budget from here ====
         "winnow_pairs_documents": winnow_pairs_documents,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_documents": stratified_sample_documents,
@@ -5966,6 +6039,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": _MULTIMODAL_REAL_ORACLE,
         "audio_real_decode": _AUDIO_REAL_ORACLE,
         "video_real_decode": _VIDEO_REAL_ORACLE,
+        "cumulative_users_events": _CUMULATIVE_USERS_ORACLE,
+        "monthly_growth_revenue": _MONTHLY_GROWTH_ORACLE,
         "copurchase_lift_parts": _COPURCHASE_ORACLE,
         "rfm_segments_customers": _RFM_ORACLE,
         "ewma_daily_revenue": _EWMA_ORACLE,

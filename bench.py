@@ -97,6 +97,8 @@ HEADLINE = [
     "dedup_summary_documents",
     "audio_real_decode",
     "video_real_decode",
+    "cumulative_users_events",
+    "monthly_growth_revenue",
     "copurchase_lift_parts",
     "rfm_segments_customers",
     "ewma_daily_revenue",
