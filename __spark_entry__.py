@@ -38,6 +38,7 @@ from mydatalake_spark.functions.text import (
 )
 from mydatalake_spark.functions.vectors import mean_pool
 from mydatalake_spark.operators.sampling import (
+    temperature_sample,
     capped_sample,
     hash_sample,
     hash_split,
@@ -5802,6 +5803,45 @@ FROM monthly
 """
 
 
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.py:
+    temperature_sample): α = 0.5 flattens the 20-source distribution
+    toward uniform at an overall 50% rate — rare sources keep more of
+    their rows, dominant ones downsample. Keep decisions are content
+    hashes, so the oracle replays the exact per-source probabilities
+    AND the exact selected set (md5 thresholds, not RNG). Returns the
+    selected docs with their source keep probability rounded for the
+    cross-engine float contract."""
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, "source", "doc_id", alpha=0.5, target_rate=0.5,
+        salt="tm1",
+    )
+    return out.select(
+        "doc_id", "source", F.round("__q__", 9).alias("keep_prob")
+    )
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), totals AS (
+  SELECT SUM(n) AS nt, SUM(POWER(n, 0.5)) AS sum_na FROM counts
+), q AS (
+  SELECT source,
+         LEAST(1.0, 0.5 * nt * (POWER(n, 0.5) / sum_na) / n) AS q
+  FROM counts, totals
+)
+SELECT d.doc_id, d.source, ROUND(q.q, 9) AS keep_prob
+FROM documents d JOIN q ON d.source = q.source
+WHERE CAST('0x' || SUBSTRING(
+          MD5(CONCAT('tm1', '|', CAST(d.doc_id AS VARCHAR))), 1, 4)
+      AS INTEGER)
+    < FLOOR(LEAST(GREATEST(q.q, CAST(0.0 AS DOUBLE)),
+                  CAST(1.0 AS DOUBLE)) * 65536)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -5826,6 +5866,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_real_decode": video_real_decode,
         "cumulative_users_events": cumulative_users_events,
         "monthly_growth_revenue": monthly_growth_revenue,
+        "temperature_mix_documents": temperature_mix_documents,
         "copurchase_lift_parts": copurchase_lift_parts,
         "rfm_segments_customers": rfm_segments_customers,
         "ewma_daily_revenue": ewma_daily_revenue,
@@ -5870,8 +5911,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
-        "simhash_documents": simhash_documents,
         # ==== past the observed 50-row driver budget from here ====
+        "simhash_documents": simhash_documents,
         "embedding_neardup": embedding_neardup,
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
         "winnow_pairs_documents": winnow_pairs_documents,
@@ -6041,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "video_real_decode": _VIDEO_REAL_ORACLE,
         "cumulative_users_events": _CUMULATIVE_USERS_ORACLE,
         "monthly_growth_revenue": _MONTHLY_GROWTH_ORACLE,
+        "temperature_mix_documents": _TEMPERATURE_MIX_ORACLE,
         "copurchase_lift_parts": _COPURCHASE_ORACLE,
         "rfm_segments_customers": _RFM_ORACLE,
         "ewma_daily_revenue": _EWMA_ORACLE,

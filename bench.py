@@ -99,6 +99,7 @@ HEADLINE = [
     "video_real_decode",
     "cumulative_users_events",
     "monthly_growth_revenue",
+    "temperature_mix_documents",
     "copurchase_lift_parts",
     "rfm_segments_customers",
     "ewma_daily_revenue",

@@ -237,3 +237,59 @@ def pack_shards(
         shard_col,
         F.floor((running - size) / F.lit(float(budget))).cast("long"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_rate: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing — THE pre-training data-recipe
+    primitive (multilingual/multi-source blending): sample so the
+    selected corpus's source distribution follows
+    ``p_s ∝ share_s^alpha`` (α < 1 boosts rare sources, α = 1 keeps
+    natural proportions, α = 0 equalizes), at an overall ``target_rate``
+    of the corpus.
+
+    Per-source keep probability ``q_s = min(1,
+    target_rate · N · p_s / n_s)``; the min-clamp means over-demanded
+    tiny sources keep everything (you cannot upsample by filtering),
+    so the realized rate can land slightly under target — by design,
+    no iterative re-solve, fully deterministic.
+
+    Spark-first shape: source counts are one map-side-combinable
+    groupBy; N and Σ share^α fold in as 1-row broadcast scalar joins;
+    the per-source ``q_s`` table (catalog-sized) broadcast-joins back
+    onto the corpus; the keep decision is
+    :func:`weighted_sample`'s content-hash predicate — reproducible
+    across runs, partitionings, and engines, and append-stable.
+    Returns the input columns plus ``__q__`` (the row's source keep
+    probability, for audit)."""
+    if not 0 < target_rate <= 1:
+        raise ValueError("target_rate must be in (0, 1]")
+    # p_s = share^alpha / Σ share^alpha = n^alpha / Σ n^alpha — the N^alpha
+    # cancels, so ONE totals row (N, Σ n^alpha) parameterizes every q.
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # totals fold in as unpartitioned window sums over the counts
+    # frame — it is catalog-sized (one row per source), so the single
+    # window partition holds sources, never corpus rows; a crossJoin
+    # against agg-of-self would hit Spark's ambiguous-attribute trap.
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    n_total = F.sum("__n__").over(everything)
+    sum_na = F.sum(F.pow("__n__", float(alpha))).over(everything)
+    q = counts.select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rate)) * n_total
+            * (F.pow("__n__", float(alpha)) / sum_na)
+            / F.col("__n__"),
+        ).alias("__q__"),
+    )
+    joined = df.join(F.broadcast(q), group_col)
+    return weighted_sample(joined, key_col, "__q__", salt=salt)

@@ -64,8 +64,11 @@ def test_real_codecs_are_gated(media_df):
     if not _HAVE_PIL:
         with pytest.raises(NotImplementedError, match="Pillow"):
             resize_image(media_df)
-    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
-        sample_frames(media_df)
+    # sample_frames no longer raises without pyav: it falls back to
+    # the live zero-dependency Y4M decoder (functions/videocodec.py).
+    # Non-Y4M payloads fail the strict magic check and yield no
+    # frames — nothing misroutes, nothing crashes.
+    assert sample_frames(media_df).count() == 0
 
 
 def test_resize_image_with_pil(spark):

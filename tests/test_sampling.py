@@ -280,3 +280,41 @@ def test_winnowing_short_text_single_fingerprint(spark):
     ).collect()}
     assert len(out[1]) == 1      # exactly k chars → one gram, one window
     assert out[2] == []          # shorter than k → no fingerprints
+
+
+def test_temperature_sample_flattens_source_distribution(spark):
+    """alpha=0.5 at target_rate=0.5: the rare source keeps (nearly)
+    everything, the dominant one downsamples hardest, keep
+    probabilities follow min(1, r·N·p_s/n_s) exactly, and decisions
+    are deterministic (re-run -> identical set)."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "rare"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(
+        df, "source", "doc_id", alpha=0.5, target_rate=0.5, salt="t1"
+    )
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.max("__q__").alias("q"),
+    ).collect()
+    by = {r.source: r for r in got}
+
+    import math
+    sum_na = math.sqrt(900) + math.sqrt(90) + math.sqrt(10)
+    for s, n in (("big", 900), ("mid", 90), ("rare", 10)):
+        expect_q = min(1.0, 0.5 * 1000 * (math.sqrt(n) / sum_na) / n)
+        assert by[s].q == pytest.approx(expect_q, rel=1e-12), s
+    # the two small sources over-demand and clamp to keep-everything;
+    # the dominant source absorbs all the downsampling
+    assert by["rare"].q == 1.0 and by["rare"].kept == 10
+    assert by["mid"].q == 1.0 and by["mid"].kept == 90
+    assert by["big"].q < 0.5
+    # determinism: identical second run
+    again = {r.doc_id for r in temperature_sample(
+        df, "source", "doc_id", alpha=0.5, target_rate=0.5, salt="t1"
+    ).collect()}
+    assert again == {r.doc_id for r in out.collect()}
