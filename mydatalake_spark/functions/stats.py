@@ -78,12 +78,18 @@ def gini_coefficient(
         F.row_number().over(w).cast("long").alias("__i__"),
     )
     n = F.count(F.lit(1))
+    # rank·value products and n·Σx accumulate in DOUBLE space: with
+    # integer-cent inputs the long arithmetic wraps int64 around
+    # n·Σx ≈ 10^19 (large-sf corpora); doubles stay exact below 2^53
+    # and degrade gracefully above, inside the 9-significant-digit
+    # cross-engine comparator contract.
     return ranked.agg(
         n.alias("n"),
         F.round(
-            2.0 * F.sum(F.col("__i__") * F.col("__x__"))
-            / (n * F.sum("__x__"))
-            - (n + 1) / n,
+            2.0 * F.sum(F.col("__i__").cast("double")
+                        * F.col("__x__").cast("double"))
+            / (n.cast("double") * F.sum(F.col("__x__").cast("double")))
+            - (n + 1).cast("double") / n.cast("double"),
             round_to,
         ).alias("gini"),
     )

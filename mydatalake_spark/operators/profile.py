@@ -143,11 +143,22 @@ def key_skew_profile(
         (
             F.max("__c__") / (F.sum("__c__") / F.count(F.lit(1)))
         ).alias("max_over_mean"),
+        # double-space arithmetic: the long products (rank·count,
+        # n_keys·n_rows) wrap int64 for high-cardinality keys at 100 TB
+        # scale; doubles stay exact below 2^53 and degrade gracefully
+        # above, and the oracle's HUGEINT/double division agrees within
+        # the 9-significant-digit comparator contract either way.
         (
             (
-                F.lit(2) * F.sum(F.col("__ra__") * F.col("__c__"))
-                - (F.count(F.lit(1)) + 1) * F.sum("__c__")
+                F.lit(2.0) * F.sum(
+                    F.col("__ra__").cast("double") * F.col("__c__")
+                )
+                - (F.count(F.lit(1)) + 1).cast("double")
+                * F.sum(F.col("__c__").cast("double"))
             )
-            / (F.count(F.lit(1)) * F.sum("__c__"))
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("__c__").cast("double"))
+            )
         ).alias("gini"),
     )
