@@ -113,6 +113,11 @@ def ewma_smoothed(
     head (fewer than window_days rows) is unbiased rather than
     zero-padded.
 
+    Contract: the series must be DENSE and NON-NULL per (group, day)
+    — ``collect_list`` skips nulls, which would silently misalign the
+    decay exponents; ``resample_daily`` guarantees both (gap days fill
+    with 0.0).
+
     Spark-first shape: ONE window ``collect_list`` over a rows-frame
     (the frame is tap-count bounded — window_days doubles per row, not
     history-sized state), then the weighted sum is per-row array

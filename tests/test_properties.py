@@ -314,3 +314,74 @@ def test_wav_round_trip_within_quantization(n, ch, seed):
     out, sr = decode_wav(encode_wav(arr, 8000))
     assert sr == 8000 and out.shape == (n, ch)
     assert float(np.max(np.abs(out - arr))) <= 1.0 / 32768 + 1e-6
+
+
+@given(
+    items=st.lists(
+        st.sampled_from([f"w{i}" for i in range(6)]), min_size=1,
+        max_size=50,
+    ),
+    min_count=st.sampled_from([1, 2, 4]),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_min_count_matches_naive_model(
+    spark, items, min_count
+):
+    from collections import Counter
+
+    from mydatalake_spark.operators.heavyhitters import heavy_hitters
+
+    df = _items_df(spark, items).repartition(3)
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(
+            df, "item", min_count=min_count, capacity=64
+        ).collect()
+    }
+    want = {
+        (t, c) for t, c in Counter(items).items() if c >= min_count
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.sampled_from(list("abcd"))),
+        min_size=1, max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_association_rules_matches_naive_model(spark, rows):
+    from itertools import combinations
+
+    from mydatalake_spark.caching import release
+    from mydatalake_spark.operators.market import association_rules
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_pair_count=1)
+    got = {
+        (r.item_a, r.item_b): (r.n_pair, r.support, r.lift)
+        for r in out.collect()
+    }
+    release(out)
+
+    baskets: dict = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n_baskets = len(baskets)
+    item_counts: dict = {}
+    pair_counts: dict = {}
+    for items in baskets.values():
+        for i in items:
+            item_counts[i] = item_counts.get(i, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    want = {
+        p: (
+            c,
+            c / n_baskets,
+            (c * n_baskets) / (item_counts[p[0]] * item_counts[p[1]]),
+        )
+        for p, c in pair_counts.items()
+    }
+    assert got == want
