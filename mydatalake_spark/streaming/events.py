@@ -211,3 +211,25 @@ def stream_into_view(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the bread-and-butter
+    streaming join Structured Streaming supports natively: each
+    micro-batch of the stream joins against the (batch) dimension
+    table, re-read per batch so slowly-changing dims stay current
+    without restarting the query.
+
+    ``broadcast_dim=True`` hints the dim side broadcast (the right
+    call for catalog-sized dims at any scale — the stream side never
+    shuffles); pass False for a dim too big to broadcast and let AQE
+    decide per batch. ``how`` follows Spark's stream-static support
+    matrix (inner/left from the stream side)."""
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, keys, how)

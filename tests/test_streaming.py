@@ -695,3 +695,22 @@ def test_stream_quality_gate_splits_and_replays_idempotently(
     assert set(quarantined) == {2, 3}
     assert quarantined[2] == {"outside_of_rules"}
     assert quarantined[3] == {"missing"}
+
+
+def test_enrich_stream_static_dim(spark, tmp_path):
+    from mydatalake_spark.streaming.events import enrich_stream
+
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    _write_batch(src / "a.json", ROWS)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+    out = enrich_stream(stream, dim, ["user_id"])
+    q = (out.writeStream.format("memory").queryName("enrich_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.tier) for r in spark.table("enrich_t").collect()}
+    assert got == {(1, "gold"), (2, "gold"), (3, "gold"),
+                   (4, "basic"), (5, "basic")}
