@@ -3346,31 +3346,90 @@ def user_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (same class as stats_lineitem)."""
     ev = _events(spark, sf_dir)
     anchor = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01")))
-    x = ((F.unix_timestamp("ts") - anchor) / 86400.0).alias("xday")
-    base = ev.select("user_id", F.col("value").alias("y"), x)
-    return (
-        base.groupBy("user_id")
-        .agg(
-            F.round(F.regr_slope("y", "xday"), 4).alias("slope_per_day"),
-            F.round(F.regr_intercept("y", "xday"), 2).alias("intercept"),
-            F.round(F.regr_r2("y", "xday"), 4).alias("r2"),
-            F.regr_count("y", "xday").alias("n_points"),
-        )
+    # Integer-exact co-moments: y quantized to millis, x to whole
+    # seconds since the anchor — every Σx, Σy, Σxy, Σx², Σy² then
+    # accumulates EXACTLY in int64 (bounds at sf100: y_milli ≤ 5e5,
+    # x_sec ≤ 2.6e6, all products × group size ≪ 2^63), so slope/
+    # intercept/r² derive from identical integers on both engines and
+    # the rounded outputs are bit-equal BY CONSTRUCTION — float
+    # regr_* builtins differ in summation order and flip ~1e-3 of
+    # groups at the rounding boundary (measured: 4/1500 at sf0.1).
+    x = (F.unix_timestamp("ts") - anchor).cast("long").alias("xs")
+    y = F.floor(F.col("value") * 1000 + F.lit(0.5)).alias("ym")
+    base = ev.select("user_id", y, x)
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("xs") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).alias("syy"),
+    )
+    # exact-integer numerators/denominators, ONE double division each;
+    # unit conversion: slope [milli-y/sec] → [y/day] = ×86400/1000
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_ms = cov_n.cast("double") / var_x.cast("double")
+    slope_day = slope_ms * F.lit(86400.0) / F.lit(1000.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(1000.0)
+        - slope_ms / F.lit(1000.0) * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (
+        (cov_n.cast("double") * cov_n.cast("double"))
+        / (var_x.cast("double") * var_y.cast("double"))
+    )
+    # floor-based half-up rounding: floor(x*10^k + 0.5)/10^k is the
+    # SAME double arithmetic on both engines — F.round goes through
+    # BigDecimal HALF_UP on the exact binary expansion, which can
+    # disagree with DuckDB's ROUND by 1 ulp at the .5 boundary
+    # (measured: r2 0.0831 vs 0.0832 on one of 1500 groups).
+    def _r(col, k):
+        s = float(10**k)
+        return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+    return agg.select(
+        "user_id",
+        _r(slope_day, 4).alias("slope_per_day"),
+        _r(intercept, 2).alias("intercept"),
+        _r(r2, 4).alias("r2"),
+        F.col("n").alias("n_points"),
     )
 
 
 _USER_TREND_ORACLE = """
 WITH base AS (
-  SELECT user_id, value AS y,
-    (EPOCH(ts) - EPOCH(TIMESTAMP '2024-01-01')) / 86400.0 AS xday
+  SELECT user_id,
+    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS ym,
+    CAST(FLOOR(EPOCH(ts)) - EPOCH(TIMESTAMP '2024-01-01') AS BIGINT) AS xs
   FROM events
+), agg AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(xs) AS sx, SUM(ym) AS sy,
+         SUM(xs * ym) AS sxy, SUM(xs * xs) AS sxx,
+         SUM(ym * ym) AS syy
+  FROM base GROUP BY user_id
 )
+-- floor(x*10^k + 0.5)/10^k mirrors the Spark side's rounding in the
+-- SAME double arithmetic (ROUND implementations disagree by 1 ulp at
+-- the .5 boundary between the two engines)
 SELECT user_id,
-  ROUND(REGR_SLOPE(y, xday), 4) AS slope_per_day,
-  ROUND(REGR_INTERCEPT(y, xday), 2) AS intercept,
-  ROUND(REGR_R2(y, xday), 4) AS r2,
-  CAST(REGR_COUNT(y, xday) AS BIGINT) AS n_points
-FROM base GROUP BY user_id
+  FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE)) * 86400.0 / 1000.0
+        * 10000.0 + 0.5) / 10000.0 AS slope_per_day,
+  FLOOR((CAST(sy AS DOUBLE) / 1000.0
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000.0
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) * 100.0 + 0.5) / 100.0 AS intercept,
+  FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE))
+        / (CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE))
+        * 10000.0 + 0.5) / 10000.0 AS r2,
+  CAST(n AS BIGINT) AS n_points
+FROM agg
 """
 
 
