@@ -5901,6 +5901,194 @@ WHERE CAST('0x' || SUBSTRING(
 """
 
 
+def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test
+    (functions/stats.py:mann_whitney_u) — the nonparametric sibling of
+    ab_test_events over the same parity split. Ranks come from a
+    cumulative window over the DISTINCT-value frame (one shuffle at
+    value cardinality, never a global per-row sort); midranks are
+    .5-multiples and counts integers, so both engines fold identical
+    numbers."""
+    from mydatalake_spark.functions.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, F.col("user_id") % 2, "value", round_to=4)
+
+
+_MANNWHITNEY_ORACLE = """
+WITH per_val AS (
+  SELECT value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), ranked AS (
+  SELECT t, tb,
+    SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) - t + (t + 1) / 2.0 AS mr
+  FROM per_val
+), agg AS (
+  SELECT SUM(t) AS n, SUM(tb) AS nb, SUM(tb * mr) AS rb,
+         SUM(t * t * t - t) AS ties
+  FROM ranked
+)
+SELECT CAST(n - nb AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(rb - nb * (nb + 1) / 2.0, 1) AS u_stat,
+       ROUND((rb - nb * (nb + 1) / 2.0
+              - CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / SQRT(CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                    * ((CAST(n AS DOUBLE) + 1.0)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))), 4) AS z_stat,
+       ROUND(2.0 * (rb - nb * (nb + 1) / 2.0)
+             / (CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 4)
+         AS rank_biserial
+FROM agg
+"""
+
+
+def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-shift test
+    (functions/stats.py:ks_2samp) over the parity split — the standard
+    drift detector between two corpus snapshots. Same distinct-value
+    window shape as mannwhitney_events; ECDF gaps are exact integer
+    ratios, deterministic on any engine."""
+    from mydatalake_spark.functions.stats import ks_2samp
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_2samp(ev, F.col("user_id") % 2, "value", round_to=6)
+
+
+_KS_TEST_ORACLE = """
+WITH per_val AS (
+  SELECT value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), cum AS (
+  SELECT
+    SUM(t - tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ca,
+    SUM(tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cb,
+    SUM(t - tb) OVER () AS na,
+    SUM(tb) OVER () AS nb
+  FROM per_val
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+         AS d_stat,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             * SQRT(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+                    / (CAST(MAX(na) AS DOUBLE)
+                       + CAST(MAX(nb) AS DOUBLE))), 6) AS ks_scaled
+FROM cum
+"""
+
+
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V between order
+    priority and order status (functions/stats.py:chi2_independence).
+    One
+    input-sized shuffle to the contingency cells; marginals are window
+    sums over the tiny cell frame, the scan never repeats. The
+    algebraic χ² = N·Σ o²/(rt·ct) − N form keeps every per-cell term a
+    ratio of exact counts."""
+    from mydatalake_spark.functions.stats import chi2_independence
+
+    od = _t(spark, sf_dir, "orders")
+    return chi2_independence(
+        od, "o_orderpriority", "o_orderstatus", round_to=4
+    )
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), enr AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY x) AS rt,
+         SUM(o) OVER (PARTITION BY y) AS ct,
+         SUM(o) OVER () AS n
+  FROM cells
+), dims AS (
+  SELECT COUNT(DISTINCT o_orderpriority) AS nx,
+         COUNT(DISTINCT o_orderstatus) AS ny
+  FROM orders
+), agg AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) AS s
+  FROM enr
+)
+SELECT CAST(agg.n AS BIGINT) AS n,
+       CAST((dims.nx - 1) * (dims.ny - 1) AS BIGINT) AS dof,
+       ROUND(CAST(agg.n AS DOUBLE) * agg.s - CAST(agg.n AS DOUBLE), 4)
+         AS chi2,
+       ROUND(SQRT((CAST(agg.n AS DOUBLE) * agg.s
+                   - CAST(agg.n AS DOUBLE))
+                  / (CAST(agg.n AS DOUBLE)
+                     * CAST(LEAST(dims.nx, dims.ny) - 1 AS DOUBLE))), 4)
+         AS cramers_v
+FROM agg, dims
+"""
+
+
+def theil_sen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen robust trend — the median of all pairwise
+    slopes (functions/stats.py:theil_sen_trend), the outlier-immune
+    counterpart of user_trend_events' OLS. Pair generation is a
+    per-group self-join co-partitioned on user_id (bounded groups:
+    these are per-entity series, ≤~100 points each), one shuffle,
+    cross-group pairs never materialize. x is anchored days, so
+    engines agree on every slope; top-20 steepest users keeps the
+    result stable and small."""
+    from mydatalake_spark.functions.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    anchor = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01")))
+    base = ev.where(F.col("value").isNotNull()).select(
+        "user_id",
+        ((F.unix_timestamp("ts") - anchor) / 86400.0).alias("xday"),
+        "value",
+    )
+    out = theil_sen_trend(
+        base, "user_id", F.col("xday"), F.col("value"), round_to=6
+    )
+    return out.orderBy(
+        F.col("ts_slope").desc(), F.col("user_id")
+    ).limit(20)
+
+
+_THEIL_SEN_ORACLE = """
+WITH base AS (
+  SELECT user_id AS g,
+    (FLOOR(EPOCH(ts)) - EPOCH(TIMESTAMP '2024-01-01')) / 86400.0 AS x,
+    value AS y
+  FROM events WHERE value IS NOT NULL
+), pairs AS (
+  SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+  FROM base a JOIN base b ON a.g = b.g AND a.x < b.x
+), slopes AS (
+  SELECT g, COUNT(*) AS n_pairs, ROUND(MEDIAN(s), 6) AS ts_slope
+  FROM pairs GROUP BY g
+), counts AS (
+  SELECT g, COUNT(*) AS n_points FROM base GROUP BY g
+)
+SELECT counts.g AS user_id,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ts_slope
+FROM counts JOIN slopes USING (g)
+WHERE n_points >= 3
+ORDER BY ts_slope DESC, user_id
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -5918,6 +6106,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: take prefix slots first ---
+        "mannwhitney_events": mannwhitney_events,
+        "ks_test_events": ks_test_events,
+        "chi2_priority_status": chi2_priority_status,
+        "theil_sen_users": theil_sen_users,
         "zipf_alpha_documents": zipf_alpha_documents,
         "gini_revenue_customers": gini_revenue_customers,
         "dedup_summary_documents": dedup_summary_documents,
@@ -6156,6 +6348,10 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _TWAP_ORACLE,
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+        "mannwhitney_events": _MANNWHITNEY_ORACLE,
+        "ks_test_events": _KS_TEST_ORACLE,
+        "chi2_priority_status": _CHI2_ORACLE,
+        "theil_sen_users": _THEIL_SEN_ORACLE,
         "zipf_alpha_documents": _ZIPF_ORACLE,
         "gini_revenue_customers": _GINI_ORACLE,
         "dedup_summary_documents": _DEDUP_SUMMARY_ORACLE,

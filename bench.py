@@ -82,6 +82,10 @@ HEADLINE = [
     "fuzzy_pairs_documents",
     "hll_shards_customers",
     "ab_test_events",
+    "mannwhitney_events",
+    "ks_test_events",
+    "chi2_priority_status",
+    "theil_sen_users",
     "event_transitions",
     "top_paths_events",
     "snapshot_diff_orders",

@@ -207,3 +207,236 @@ def welch_ttest(
         F.round(t, round_to).alias("t_stat"),
         F.round(dof, round_to).alias("welch_df"),
     )
+
+def mann_whitney_u(
+    df: DataFrame,
+    variant_col: Column,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (nonparametric Welch sibling)
+    between ``variant_col`` == 0 (A) and == 1 (B).
+
+    Scale shape: ranks are NOT computed by a global per-row window —
+    the stream is first aggregated to DISTINCT metric values with
+    per-variant counts (one shuffle, cardinality = |distinct values|),
+    and midranks come from a cumulative window over that small grouped
+    frame. The rank-sum then folds back as Σ count_b·midrank. Midranks
+    are .5-multiples and all counts are integers, so every aggregate
+    accumulates exactly in double/int64 — both engines derive the
+    statistic from identical numbers regardless of execution order.
+
+    Returns one row: n_a, n_b, u_stat (U of B), z (normal
+    approximation WITH tie correction), and the rank-biserial effect
+    size r = 2U/(n_a·n_b) − 1.
+    """
+    per_val = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v__"),
+        F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
+    ).groupBy("__v__").agg(
+        F.count(F.lit(1)).alias("__t__"),
+        F.sum("__isb__").alias("__tb__"),
+    )
+    w = (
+        Window.orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.select(
+        "__t__",
+        "__tb__",
+        # midrank of a tie-group = cum_before + (t+1)/2
+        (
+            F.sum("__t__").over(w) - F.col("__t__")
+            + (F.col("__t__") + 1) / 2.0
+        ).alias("__mr__"),
+    )
+    agg = ranked.agg(
+        F.sum("__t__").alias("__n__"),
+        F.sum("__tb__").alias("n_b"),
+        F.sum(F.col("__tb__") * F.col("__mr__")).alias("__rb__"),
+        F.sum(
+            F.col("__t__") * F.col("__t__") * F.col("__t__")
+            - F.col("__t__")
+        ).alias("__ties__"),
+    )
+    n_a = (F.col("__n__") - F.col("n_b")).cast("long")
+    n_b = F.col("n_b").cast("long")
+    u = F.col("__rb__") - n_b * (n_b + 1) / 2.0
+    mu = n_a.cast("double") * n_b.cast("double") / 2.0
+    nn = F.col("__n__").cast("double")
+    sigma2 = (
+        n_a.cast("double") * n_b.cast("double") / 12.0
+        * ((nn + 1.0) - F.col("__ties__").cast("double")
+           / (nn * (nn - 1.0)))
+    )
+    z = (u - mu) / F.sqrt(sigma2)
+    effect = 2.0 * u / (n_a.cast("double") * n_b.cast("double")) - 1.0
+    return agg.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, round_to).alias("z_stat"),
+        F.round(effect, round_to).alias("rank_biserial"),
+    )
+
+
+def ks_2samp(
+    df: DataFrame,
+    variant_col: Column,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between
+    ``variant_col`` == 0 (A) and == 1 (B): the max ECDF gap
+    D = max_v |F_a(v) − F_b(v)|, plus the scaled statistic
+    D·√(n_a·n_b/(n_a+n_b)) used by the asymptotic p-value.
+
+    Same scale shape as :func:`mann_whitney_u`: aggregate to distinct
+    values first (one shuffle), cumulative counts via a window over
+    the grouped frame, then a single max. ECDF values are exact
+    integer ratios, so D is the same double on any engine.
+    """
+    per_val = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v__"),
+        F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
+    ).groupBy("__v__").agg(
+        F.count(F.lit(1)).alias("__t__"),
+        F.sum("__isb__").alias("__tb__"),
+    )
+    w = (
+        Window.orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = Window.orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        (F.sum(F.col("__t__") - F.col("__tb__")).over(w)).alias("__ca__"),
+        F.sum("__tb__").over(w).alias("__cb__"),
+        F.sum(F.col("__t__") - F.col("__tb__")).over(wfull).alias("__na__"),
+        F.sum("__tb__").over(wfull).alias("__nb__"),
+    )
+    gap = F.abs(
+        F.col("__ca__").cast("double") / F.col("__na__").cast("double")
+        - F.col("__cb__").cast("double") / F.col("__nb__").cast("double")
+    )
+    na = F.max("__na__").cast("double")
+    nb = F.max("__nb__").cast("double")
+    return cum.agg(
+        F.max("__na__").cast("long").alias("n_a"),
+        F.max("__nb__").cast("long").alias("n_b"),
+        F.round(F.max(gap), round_to).alias("d_stat"),
+        F.round(
+            F.max(gap) * F.sqrt(na * nb / (na + nb)),
+            round_to,
+        ).alias("ks_scaled"),
+    )
+
+def chi2_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns, plus Cramér's V effect size.
+
+    One groupBy over the (x, y) cells (a single input-sized shuffle
+    keyed on the pair), then row/column marginals as window sums over
+    the tiny cell frame — the input is never scanned twice. Uses the
+    algebraic identity χ² = N·(Σ o²/(rowtot·coltot)) − N so every
+    per-cell term is a ratio of exact int64 counts (< 2^53, exact in
+    double); only the final Σ over ≤|X|·|Y| cells is float.
+
+    Returns one row: n, dof, chi2, cramers_v.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("__x__"), F.col(y_col).alias("__y__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    wx = Window.partitionBy("__x__")
+    wy = Window.partitionBy("__y__")
+    wall = Window.partitionBy()
+    enriched = cells.select(
+        "__o__",
+        F.sum("__o__").over(wx).alias("__rt__"),
+        F.sum("__o__").over(wy).alias("__ct__"),
+        F.sum("__o__").over(wall).alias("__n__"),
+        F.size(F.collect_set("__x__").over(wall)).alias("__nx__"),
+        F.size(F.collect_set("__y__").over(wall)).alias("__ny__"),
+    )
+    term = (
+        F.col("__o__").cast("double") * F.col("__o__").cast("double")
+        / (F.col("__rt__").cast("double") * F.col("__ct__").cast("double"))
+    )
+    agg = enriched.agg(
+        F.max("__n__").alias("n"),
+        F.max("__nx__").alias("__r__"),
+        F.max("__ny__").alias("__c__"),
+        F.sum(term).alias("__s__"),
+    )
+    nn = F.col("n").cast("double")
+    chi2 = nn * F.col("__s__") - nn
+    mindim = F.least(F.col("__r__"), F.col("__c__")) - 1
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("__r__") - 1) * (F.col("__c__") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (nn * mindim.cast("double"))), round_to
+        ).alias("cramers_v"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: Column,
+    y_col: Column,
+    min_points: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), immune to outliers that wreck OLS.
+
+    Pair generation is a per-group self-join — O(n²) rows per group —
+    so the contract is BOUNDED GROUPS (per-entity series, n ≲ 10³;
+    the same contract the reference-scale median-of-slopes estimator
+    carries everywhere). The join is a single shuffle co-partitioned
+    on the group key; cross-group pairs never materialize. Groups
+    with fewer than ``min_points`` observations are dropped (a slope
+    median over <3 points is noise).
+
+    Returns (group, n_points, n_pairs, ts_slope).
+    """
+    base = df.select(
+        F.col(group_col).alias("__g__"),
+        x_col.cast("double").alias("__x__"),
+        y_col.cast("double").alias("__y__"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, on="__g__").where(
+        F.col("a.__x__") < F.col("b.__x__")
+    )
+    slope = (F.col("b.__y__") - F.col("a.__y__")) / (
+        F.col("b.__x__") - F.col("a.__x__")
+    )
+    out = pairs.groupBy("__g__").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median(slope), round_to).alias("ts_slope"),
+    )
+    counts = base.groupBy("__g__").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    return (
+        counts.where(F.col("n_points") >= min_points)
+        .join(out, on="__g__")
+        .select(
+            F.col("__g__").alias(group_col),
+            "n_points",
+            "n_pairs",
+            "ts_slope",
+        )
+    )

@@ -563,3 +563,39 @@ def test_corr_matrix_single_aggregate_no_expand(spark, sf_dir, entry):
         spark, entry.queries()["corr_matrix_lineitem"](spark, sf_dir)
     )
     assert "Expand" not in plan      # co-moment folds, not multi-distinct
+
+def test_rank_tests_aggregate_before_window(spark, sf_dir, entry):
+    """mann_whitney / ks: ranks come from a window over the DISTINCT
+    value frame — the plan must aggregate (shuffle on value) BEFORE the
+    unpartitioned window, and never sort the raw input globally."""
+    for q in ("mannwhitney_events", "ks_test_events"):
+        plan = _plan(spark, entry.queries()[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        w = plan.find("Window")
+        agg = plan.find("HashAggregate")
+        assert w != -1 and agg != -1
+        # formatted explain lists operators leaf-first: the aggregate
+        # node must appear before the window consumes it
+        assert agg < w, f"{q}: window not fed by pre-aggregated values"
+
+
+def test_chi2_single_scan_window_marginals(spark, sf_dir, entry):
+    """Marginals are window sums over the cell frame — one orders scan,
+    no join back to the input."""
+    import re
+
+    plan = _plan(
+        spark, entry.queries()["chi2_priority_status"](spark, sf_dir)
+    )
+    # formatted explain shows each node twice (tree + detail); count
+    # detail entries only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_join_is_co_partitioned_equi(spark, sf_dir, entry):
+    """Pairwise slopes come from an equi-join on the group key (then an
+    in-join range filter) — never a cartesian pair blowup."""
+    plan = _plan(spark, entry.queries()["theil_sen_users"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

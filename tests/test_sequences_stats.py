@@ -172,3 +172,137 @@ def test_gini_known_distributions_and_numpy_model(spark):
     expect = mad / (2 * vals.mean())
     # sort-formula Gini == MAD/2μ exactly (up to rounding)
     assert abs(got - round(expect * 50 / 50, 6)) < 2e-6
+
+def test_mann_whitney_matches_numpy_model(spark):
+    """U, tie-corrected z, and rank-biserial vs a direct numpy
+    midrank implementation (the scipy formulas)."""
+    import numpy as np
+    from mydatalake_spark.functions.stats import mann_whitney_u
+
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(10, 2, 40), 1)
+    b = np.round(rng.normal(11, 2, 35), 1)
+    rows = [(0, float(v)) for v in a] + [(1, float(v)) for v in b]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    row = mann_whitney_u(df, F.col("variant"), "v", round_to=6).collect()[0]
+
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    # midranks
+    sv = allv[order]
+    r = np.arange(1, len(allv) + 1, dtype=float)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        r[i:j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    ranks[order] = r
+    rb = ranks[len(a):].sum()
+    nb, na, n = float(len(b)), float(len(a)), float(len(allv))
+    u = rb - nb * (nb + 1) / 2.0
+    _, counts = np.unique(allv, return_counts=True)
+    ties = float((counts ** 3 - counts).sum())
+    sigma2 = na * nb / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    z = (u - na * nb / 2.0) / np.sqrt(sigma2)
+    assert row.n_a == 40 and row.n_b == 35
+    assert row.u_stat == round(u, 1)
+    assert abs(row.z_stat - z) < 1e-4
+    assert abs(row.rank_biserial - (2.0 * u / (na * nb) - 1.0)) < 1e-4
+
+
+def test_mann_whitney_symmetric_under_label_swap(spark):
+    from mydatalake_spark.functions.stats import mann_whitney_u
+
+    rows = [(0, 1.0), (0, 2.0), (0, 5.0), (1, 3.0), (1, 4.0), (1, 9.0)]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    z1 = mann_whitney_u(df, F.col("variant"), "v").collect()[0]
+    z2 = mann_whitney_u(df, 1 - F.col("variant"), "v").collect()[0]
+    assert z1.z_stat == -z2.z_stat
+    assert z1.rank_biserial == -z2.rank_biserial
+
+
+def test_ks_2samp_matches_numpy_ecdf(spark):
+    import numpy as np
+    from mydatalake_spark.functions.stats import ks_2samp
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(0, 1, 50), 2)
+    b = np.round(rng.normal(0.7, 1, 45), 2)
+    rows = [(0, float(v)) for v in a] + [(1, float(v)) for v in b]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    row = ks_2samp(df, F.col("variant"), "v", round_to=6).collect()[0]
+
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    assert row.n_a == 50 and row.n_b == 45
+    assert abs(row.d_stat - d) < 1e-6
+    assert abs(
+        row.ks_scaled - d * np.sqrt(50 * 45 / 95.0)
+    ) < 1e-5
+
+
+def test_chi2_independence_perfect_and_independent(spark):
+    from mydatalake_spark.functions.stats import chi2_independence
+
+    # perfectly dependent: x determines y -> V = 1
+    dep = spark.createDataFrame(
+        [("a", "p")] * 10 + [("b", "q")] * 10, "x string, y string"
+    )
+    r = chi2_independence(dep, "x", "y").collect()[0]
+    assert r.n == 20 and r.dof == 1
+    assert r.cramers_v == 1.0
+    assert r.chi2 == 20.0
+
+    # exactly independent margins -> chi2 = 0
+    ind = spark.createDataFrame(
+        [("a", "p")] * 6 + [("a", "q")] * 2
+        + [("b", "p")] * 3 + [("b", "q")] * 1,
+        "x string, y string",
+    )
+    r2 = chi2_independence(ind, "x", "y").collect()[0]
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+
+
+def test_chi2_matches_numpy_model(spark):
+    import numpy as np
+    from mydatalake_spark.functions.stats import chi2_independence
+
+    rng = np.random.default_rng(3)
+    xs = rng.choice(["a", "b", "c"], 200)
+    ys = rng.choice(["p", "q"], 200)
+    df = spark.createDataFrame(
+        [(str(x), str(y)) for x, y in zip(xs, ys)], "x string, y string"
+    )
+    row = chi2_independence(df, "x", "y").collect()[0]
+    cats_x = sorted(set(xs)); cats_y = sorted(set(ys))
+    obs = np.array([[np.sum((xs == cx) & (ys == cy)) for cy in cats_y]
+                    for cx in cats_x], dtype=float)
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert row.dof == (len(cats_x) - 1) * (len(cats_y) - 1)
+    assert abs(row.chi2 - chi2) < 1e-3
+    v = np.sqrt(chi2 / (obs.sum() * (min(len(cats_x), len(cats_y)) - 1)))
+    assert abs(row.cramers_v - v) < 1e-4
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from mydatalake_spark.functions.stats import theil_sen_trend
+
+    # y = 2x + noiseless, with one wild outlier that wrecks OLS
+    rows = [(1, float(x), 2.0 * x) for x in range(10)]
+    rows[5] = (1, 5.0, 1000.0)
+    # group 2: below min_points
+    rows += [(2, 0.0, 0.0), (2, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = theil_sen_trend(
+        df, "g", F.col("x"), F.col("y"), min_points=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.g == 1 and r.n_points == 10 and r.n_pairs == 45
+    assert r.ts_slope == 2.0
