@@ -6089,6 +6089,64 @@ LIMIT 20
 """
 
 
+def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
+    symmetrized supplier↔customer trade graph (same encoding as
+    pagerank_trade_graph): minimum hop distance from nation-0's
+    suppliers, ≤3 hops. Each level is one frontier equi-join + one
+    anti-join against the visited set — min-distance semantics come
+    from first-arrival, not a min-aggregate. The oracle replays the
+    whole expansion with a recursive CTE + MIN(depth), so the hash
+    check covers the iterative traversal end to end."""
+    from mydatalake_spark.operators.graphs import bfs_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    return bfs_hops(edges, sources, max_hops=3)
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst, src FROM pairs
+), sources AS (
+  SELECT DISTINCT s_suppkey * 2 AS node
+  FROM supplier WHERE s_nationkey = 0
+), walk(node, d) AS (
+  SELECT node, 0 FROM sources
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 3
+)
+SELECT node, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -6106,6 +6164,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: take prefix slots first ---
+        "bfs_hops_trade": bfs_hops_trade,
         "mannwhitney_events": mannwhitney_events,
         "ks_test_events": ks_test_events,
         "chi2_priority_status": chi2_priority_status,
@@ -6348,6 +6407,7 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _TWAP_ORACLE,
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+        "bfs_hops_trade": _BFS_ORACLE,
         "mannwhitney_events": _MANNWHITNEY_ORACLE,
         "ks_test_events": _KS_TEST_ORACLE,
         "chi2_priority_status": _CHI2_ORACLE,

@@ -83,6 +83,7 @@ HEADLINE = [
     "hll_shards_customers",
     "ab_test_events",
     "mannwhitney_events",
+    "bfs_hops_trade",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

@@ -199,3 +199,58 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return adopt(out, e, nodes0, e_deg)
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS distance from a source node set, bounded depth.
+
+    Returns ``(node, hops)`` for every node reachable within
+    ``max_hops`` edges (sources themselves at hop 0). The classic
+    frontier expansion as DataFrames: each level is ONE equi-join
+    (frontier → neighbors, shuffle keyed on node id) plus ONE
+    left-anti join against the visited set — min-distance semantics
+    fall out because a node joins the visited set the first level it
+    appears and the anti-join drops later sightings. Every level's
+    frontier is persisted and feeds exactly two consumers (expansion
+    and the union), so nothing recomputes; lineage depth is bounded
+    by ``max_hops``.
+
+    At 100 TB: the frontier is the working set — it starts tiny and
+    peaks at the graph's neighborhood growth rate, while the full
+    edge set is only ever probed through the equi-join (bucketing
+    edges by ``src`` makes that probe shuffle-free). Visited-set
+    membership is the one structure that grows monotonically; it
+    stays (node, hop) pairs — bytes per reached node.
+    """
+    frontier = (
+        sources.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+        .persist()
+    )
+    visited = frontier
+    caches = [frontier]
+    e = edges.select(
+        F.col(src).cast("long").alias("__s__"),
+        F.col(dst).cast("long").alias("__d__"),
+    )
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(e, frontier["node"] == e["__s__"])
+            .select(F.col("__d__").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            nbrs.join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .persist()
+        )
+        caches.append(frontier)
+        visited = visited.union(frontier)
+    return adopt(visited, *caches)

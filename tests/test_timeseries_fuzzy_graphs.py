@@ -345,3 +345,36 @@ def test_pagerank_high_iters_bounded_lineage(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-4
     # dangling-free core (1,2,3) dominates the dangling feeder 4
     assert rows[4] < min(rows[1], rows[2], rows[3])
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    from mydatalake_spark.operators.graphs import bfs_hops
+    from mydatalake_spark.caching import release
+
+    # diamond 1→2→4, 1→3→4 (4 reachable two ways at hop 2), chain
+    # 4→5→6→7 (7 beyond max_hops=3), island 9, and a back-edge 2→1
+    # (source must stay hop 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7),
+         (2, 1), (8, 9)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    out = bfs_hops(edges, sources, max_hops=3)
+    got = {r.node: r.hops for r in out.collect()}
+    release(out)
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_hops_multi_source_first_arrival(spark):
+    from mydatalake_spark.operators.graphs import bfs_hops
+    from mydatalake_spark.caching import release
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (10,)], "node long")
+    out = bfs_hops(edges, sources, max_hops=3)
+    got = {r.node: r.hops for r in out.collect()}
+    release(out)
+    # 3 is hop 2 from source 1 but hop 1 from source 10 — min wins
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}
