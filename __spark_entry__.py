@@ -6089,6 +6089,83 @@ LIMIT 20
 """
 
 
+def minhash_calibration_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration
+    (operators/neardup.py:minhash_calibration): every exact-Jaccard
+    pair ≥ 0.2 with its 16-hash MinHash estimate and absolute error —
+    the ±1/√k accuracy claim LSH dedup rests on, as a measured table.
+    Uses the md5 hash family (portable_minhash_signatures) precisely
+    so the oracle derives bit-identical signatures and the hash check
+    covers the ESTIMATOR, not just the exact path."""
+    from mydatalake_spark.operators.neardup import minhash_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_calibration(
+        docs, num_hashes=16, shingle_n=3, threshold=0.2
+    )
+
+
+_MINHASH_CALIB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ) AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+    ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+      AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+),
+hs AS (
+  SELECT doc_id, i,
+    MIN(CAST(('0x' || SUBSTRING(
+          MD5(CAST(i AS VARCHAR) || '|' || shingle), 1, 8)) AS BIGINT))
+      AS h
+  FROM ex CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS i) ii
+  GROUP BY doc_id, i
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS e
+  FROM pairs p
+  JOIN hs ha ON ha.doc_id = p.id_a
+  JOIN hs hb ON hb.doc_id = p.id_b AND hb.i = ha.i
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+  ROUND(e, 6) AS est_jaccard,
+  ROUND(ABS(p.jaccard - e), 6) AS abs_err
+FROM pairs p JOIN est USING (id_a, id_b)
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6165,6 +6242,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: take prefix slots first ---
         "bfs_hops_trade": bfs_hops_trade,
+        "minhash_calibration_documents": minhash_calibration_documents,
         "mannwhitney_events": mannwhitney_events,
         "ks_test_events": ks_test_events,
         "chi2_priority_status": chi2_priority_status,
@@ -6408,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
+        "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,
         "mannwhitney_events": _MANNWHITNEY_ORACLE,
         "ks_test_events": _KS_TEST_ORACLE,
         "chi2_priority_status": _CHI2_ORACLE,

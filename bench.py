@@ -84,6 +84,7 @@ HEADLINE = [
     "ab_test_events",
     "mannwhitney_events",
     "bfs_hops_trade",
+    "minhash_calibration_documents",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

@@ -878,3 +878,96 @@ def dedup_summary(
             ),
         )
     )
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures from an md5 hash family — ENGINE-PORTABLE
+    (h_i(s) = first 8 hex chars of md5(i|s), replayable in ANSI SQL),
+    unlike the xxhash64 family of :func:`minhash_signatures`, which is
+    the production path. This variant exists so the *estimator itself*
+    can be oracle-measured: est-vs-exact Jaccard calibration needs both
+    engines to derive bit-identical signatures.
+
+    Same staging discipline as minhash_signatures: the distinct shingle
+    array materializes once per row; each family member is one
+    array_min(transform(..)) — map-side only, no shuffle, no UDF.
+    """
+    staged = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh__")
+    )
+    sh = F.col("__sh__")
+
+    def _h(i: int):
+        return lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(i)), s)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _h(i))) for i in range(num_hashes)]
+    )
+    return staged.select(
+        F.col(id_col), F.when(F.size(sh) > 0, sig).alias("signature")
+    )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Estimator-quality measurement: for every exact-Jaccard pair ≥
+    ``threshold``, the MinHash estimate (matching-signature-position
+    fraction) next to the exact value and the absolute error.
+
+    The accuracy claim LSH dedup rests on ("k hashes ⇒ ±1/√k error")
+    becomes a measured, oracle-checkable table instead of folklore.
+    Cost shape: the exact pair set comes from the shingle equi-join
+    (bounded, never all-pairs); signatures add one map-side pass; the
+    estimate join touches only the surviving pairs.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=shingle_n,
+        threshold=threshold,
+    )
+    sigs = portable_minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__siga__")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sigb__")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__siga__"), F.col("__sigb__"), lambda x, y: x == y
+            ),
+            lambda m: m,
+        )
+    )
+    est = matches.cast("double") / float(num_hashes)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )

@@ -491,3 +491,48 @@ def test_persisted_ivf_index_build_search_append(spark, tmp_path):
     ).collect()
     assert after[0].neighbor_id == 99999
     assert after[0].score == 1.0   # scaled copy: cosine exactly 1
+
+def test_portable_minhash_estimates_track_exact_jaccard(spark):
+    """est is an unbiased k-sample estimate: identical docs -> 1.0,
+    disjoint docs -> 0.0, and a known-overlap pair lands within the
+    binomial envelope for k=16."""
+    from mydatalake_spark.operators.neardup import minhash_calibration
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    overlap = base + " with a small tail of extra words appended here"
+    rows = [
+        (1, base),
+        (2, base),                      # exact duplicate: jaccard 1.0
+        (3, overlap),                   # high overlap
+        (4, "completely different text about spark shuffles and joins"
+            " at massive scale with no shared shingles at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in minhash_calibration(
+        df, num_hashes=16, shingle_n=3, threshold=0.1).collect()}
+    dup = out[(1, 2)]
+    assert dup.jaccard == 1.0 and dup.est_jaccard == 1.0
+    assert dup.abs_err == 0.0
+    hi = out[(1, 3)]
+    # k=16 binomial: se = sqrt(j(1-j)/16) <= 0.125; allow 4 se
+    assert abs(hi.est_jaccard - hi.jaccard) <= 0.5
+    assert (4, 1) not in out and (1, 4) not in out
+
+
+def test_portable_minhash_signature_is_deterministic(spark):
+    from mydatalake_spark.operators.neardup import (
+        portable_minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    s1 = portable_minhash_signatures(df).collect()[0].signature
+    s2 = portable_minhash_signatures(df).collect()[0].signature
+    assert s1 == s2 and len(s1) == 16
+    # empty doc -> null signature
+    e = portable_minhash_signatures(
+        spark.createDataFrame([(1, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert e.signature is None
