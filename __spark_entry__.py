@@ -6166,6 +6166,73 @@ FROM pairs p JOIN est USING (id_a, id_b)
 """
 
 
+def quantized_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of int8-quantized cosine search vs the fp32 exact
+    ranking (similarity/quantize.py) for query vectors vec_id < 10 —
+    the 4×-memory-compression lever measured, not assumed. Quantized
+    codes use floor-based half-up rounding and integer dot products
+    (exact in int64), so the oracle replays the entire quantized
+    ranking bit-for-bit; the fp32 side reuses the similarity_topk
+    contract."""
+    from mydatalake_spark.similarity.quantize import quantized_recall
+    from mydatalake_spark.similarity.search import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10
+    ).select("query_id", "neighbor_id")
+    return quantized_recall(emb, exact, k=10)
+
+
+_QUANTIZED_RECALL_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id
+  FROM c q JOIN c c2 ON c2.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY LIST_COSINE_SIMILARITY(q.v, c2.v) DESC, c2.vec_id ASC
+  ) <= 10
+),
+qz AS (
+  SELECT vec_id,
+    LIST_TRANSFORM(
+      v, x -> CAST(FLOOR(x / m * 127.0 + 0.5) AS DOUBLE)) AS qv
+  FROM (
+    SELECT vec_id, v,
+           LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS m
+    FROM c
+  ) WHERE m > 0
+),
+qk AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY LIST_COSINE_SIMILARITY(a.qv, b.qv) DESC, b.vec_id ASC
+  ) <= 10
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_overlap
+  FROM ex e SEMI JOIN qk
+    ON e.query_id = qk.query_id AND e.neighbor_id = qk.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0) / 10.0, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM ex) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6242,6 +6309,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: take prefix slots first ---
         "bfs_hops_trade": bfs_hops_trade,
+        "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
         "mannwhitney_events": mannwhitney_events,
         "ks_test_events": ks_test_events,
@@ -6486,6 +6554,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
+        "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,
         "mannwhitney_events": _MANNWHITNEY_ORACLE,
         "ks_test_events": _KS_TEST_ORACLE,

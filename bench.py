@@ -85,6 +85,7 @@ HEADLINE = [
     "mannwhitney_events",
     "bfs_hops_trade",
     "minhash_calibration_documents",
+    "quantized_recall_embeddings",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

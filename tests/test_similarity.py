@@ -536,3 +536,38 @@ def test_portable_minhash_signature_is_deterministic(spark):
         spark.createDataFrame([(1, "")], "doc_id long, text string")
     ).collect()[0]
     assert e.signature is None
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    from mydatalake_spark.similarity.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # scale = 1.0/127 -> codes = round(x*127)
+    assert rows[1].qvec == [127, -63, 32, 0]
+    import math
+    assert abs(rows[1].qnorm
+               - math.sqrt(127**2 + 63**2 + 32**2)) < 1e-9
+    assert rows[2].qvec is None
+
+
+def test_quantized_recall_perfect_on_separable_corpus(spark):
+    import numpy as np
+    from mydatalake_spark.similarity.quantize import quantized_recall
+    from mydatalake_spark.similarity.search import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = brute_force_topk(
+        df, df.filter(F.col("vec_id") < 3), k=5
+    ).select("query_id", "neighbor_id")
+    out = quantized_recall(df, exact, k=5).collect()
+    assert len(out) == 3
+    assert all(r.recall >= 0.6 for r in out)   # int8 on 8 dims is coarse
+    assert all(0 <= r.n_overlap <= 5 for r in out)
