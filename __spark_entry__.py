@@ -6233,6 +6233,78 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
+def cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (functions/stats.py:cuped_adjusted): pre-period (before Jan 15)
+    user means as the covariate, post-period means as the metric,
+    parity split as in ab_test_events. Integer-exact co-moments (the
+    user_trend_events construction) make θ, the adjusted means, and
+    the variance-reduction ratio bit-identical across engines."""
+    from mydatalake_spark.functions.stats import cuped_adjusted
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjusted(
+        ev,
+        "user_id",
+        F.col("user_id") % 2,
+        "value",
+        "ts",
+        "2024-01-15",
+        round_to=4,
+    )
+
+
+_CUPED_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        THEN CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) END) AS ps,
+    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 END) AS pn,
+    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        THEN CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) END) AS qs,
+    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END) AS qn
+  FROM events GROUP BY user_id
+  HAVING pn > 0 AND qn > 0
+), users AS (
+  SELECT user_id,
+    CAST(FLOOR(CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE) + 0.5)
+         AS BIGINT) AS x,
+    CAST(FLOOR(CAST(qs AS DOUBLE) / CAST(qn AS DOUBLE) + 0.5)
+         AS BIGINT) AS y
+  FROM per_user
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM users
+), scalars AS (
+  SELECT
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+    (CAST(n * sxy - sx * sy AS DOUBLE)
+     * CAST(n * sxy - sx * sy AS DOUBLE))
+      / (CAST(n * sxx - sx * sx AS DOUBLE)
+         * CAST(n * syy - sy * sy AS DOUBLE)) AS vr,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom
+), per_variant AS (
+  SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+         SUM(x) AS vsx, SUM(y) AS vsy
+  FROM users GROUP BY 1
+)
+SELECT variant,
+  CAST(n_users AS BIGINT) AS n_users,
+  FLOOR(CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE) / 1000.0
+        * 10000.0 + 0.5) / 10000.0 AS mean_post,
+  FLOOR((CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE)
+         - theta * (CAST(vsx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                    - xbar)) / 1000.0 * 10000.0 + 0.5) / 10000.0
+    AS mean_adjusted,
+  FLOOR(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+  FLOOR(vr * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
+FROM per_variant, scalars
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6309,6 +6381,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: take prefix slots first ---
         "bfs_hops_trade": bfs_hops_trade,
+        "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
         "mannwhitney_events": mannwhitney_events,
@@ -6554,6 +6627,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
+        "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,
         "mannwhitney_events": _MANNWHITNEY_ORACLE,

@@ -86,6 +86,7 @@ HEADLINE = [
     "bfs_hops_trade",
     "minhash_calibration_documents",
     "quantized_recall_embeddings",
+    "cuped_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

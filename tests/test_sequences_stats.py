@@ -306,3 +306,59 @@ def test_theil_sen_robust_to_outlier(spark):
     r = out[0]
     assert r.g == 1 and r.n_points == 10 and r.n_pairs == 45
     assert r.ts_slope == 2.0
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    """Synthetic experiment where post = pre + effect + noise: theta
+    near 1, variance reduction substantial, adjusted lift preserved."""
+    import numpy as np
+    from mydatalake_spark.functions.stats import cuped_adjusted
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for u in range(200):
+        base = float(rng.normal(100, 20))
+        effect = 5.0 if u % 2 == 1 else 0.0
+        for d in range(3):          # pre period
+            rows.append((u, f"2024-01-0{d+1} 00:00:00",
+                         base + float(rng.normal(0, 2))))
+        for d in range(3):          # post period
+            rows.append((u, f"2024-01-2{d+1} 00:00:00",
+                         base + effect + float(rng.normal(0, 2))))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    out = {r.variant: r for r in cuped_adjusted(
+        df, "user_id", F.col("user_id") % 2, "value", "ts",
+        "2024-01-15").collect()}
+    assert set(out) == {0, 1}
+    r0, r1 = out[0], out[1]
+    # covariate explains most of the metric variance
+    assert r0.var_reduction > 0.9
+    assert 0.9 < r0.theta < 1.1
+    # the true +5 lift survives adjustment (and tightens toward it)
+    raw_lift = r1.mean_post - r0.mean_post
+    adj_lift = r1.mean_adjusted - r0.mean_adjusted
+    assert abs(adj_lift - 5.0) < 1.0
+    assert abs(adj_lift - 5.0) <= abs(raw_lift - 5.0) + 0.5
+
+
+def test_cuped_requires_both_periods(spark):
+    from mydatalake_spark.functions.stats import cuped_adjusted
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),   # pre only -> dropped
+        (2, "2024-01-20 00:00:00", 20.0),   # post only -> dropped
+        (3, "2024-01-01 00:00:00", 30.0),
+        (3, "2024-01-20 00:00:00", 31.0),
+        (4, "2024-01-02 00:00:00", 40.0),
+        (4, "2024-01-21 00:00:00", 39.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    out = cuped_adjusted(
+        df, "user_id", F.col("user_id") % 2, "value", "ts",
+        "2024-01-15").collect()
+    assert sum(r.n_users for r in out) == 2
