@@ -6305,6 +6305,44 @@ FROM per_variant, scalars
 """
 
 
+def emd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover's distance (functions/stats.py:emd_1d) between
+    the parity-split value distributions — drift magnitude in metric
+    units, completing the drift toolbox next to ks_test_events (worst
+    gap) and mannwhitney_events (rank shift). Same distinct-value
+    window frame; the integral is one final sum."""
+    from mydatalake_spark.functions.stats import emd_1d
+
+    ev = _t(spark, sf_dir, "events")
+    return emd_1d(ev, F.col("user_id") % 2, "value", round_to=6)
+
+
+_EMD_ORACLE = """
+WITH per_val AS (
+  SELECT value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), cum AS (
+  SELECT CAST(v AS DOUBLE) AS vd,
+    SUM(t - tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ca,
+    SUM(tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cb,
+    SUM(t - tb) OVER () AS na,
+    SUM(tb) OVER () AS nb,
+    LEAD(CAST(v AS DOUBLE)) OVER (ORDER BY v) AS vn
+  FROM per_val
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(SUM(CASE WHEN vn IS NOT NULL THEN
+         ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * (vn - vd)
+         ELSE 0.0 END), 6) AS emd
+FROM cum
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6381,6 +6419,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: take prefix slots first ---
         "bfs_hops_trade": bfs_hops_trade,
+        "emd_events": emd_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6627,6 +6666,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
+        "emd_events": _EMD_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

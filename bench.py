@@ -87,6 +87,7 @@ HEADLINE = [
     "minhash_calibration_documents",
     "quantized_recall_embeddings",
     "cuped_events",
+    "emd_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

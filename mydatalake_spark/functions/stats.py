@@ -546,3 +546,56 @@ def cuped_adjusted(
         _r(F.col("__theta__"), 6).alias("theta"),
         _r(F.col("__vr__"), 6).alias("var_reduction"),
     )
+
+def emd_1d(
+    df: DataFrame,
+    variant_col: Column,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """1-D earth-mover's (Wasserstein-1) distance between the
+    ``variant_col`` == 0 and == 1 value distributions:
+    W₁ = ∫|F_a − F_b| dv = Σ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ).
+
+    Where KS reports only the WORST ECDF gap, W₁ integrates the whole
+    displacement — the drift magnitude in metric units, the right
+    scalar for "how far did the distribution move". Same scale shape
+    as :func:`ks_2samp`: one shuffle to the distinct-value frame,
+    cumulative + lead windows over that small frame, one final sum.
+    """
+    per_val = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v__"),
+        F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
+    ).groupBy("__v__").agg(
+        F.count(F.lit(1)).alias("__t__"),
+        F.sum("__isb__").alias("__tb__"),
+    )
+    w = (
+        Window.orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = Window.orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlead = Window.orderBy("__v__")
+    cum = per_val.select(
+        F.col("__v__").cast("double").alias("__vd__"),
+        (F.sum(F.col("__t__") - F.col("__tb__")).over(w)).alias("__ca__"),
+        F.sum("__tb__").over(w).alias("__cb__"),
+        F.sum(F.col("__t__") - F.col("__tb__")).over(wfull).alias("__na__"),
+        F.sum("__tb__").over(wfull).alias("__nb__"),
+        F.lead(F.col("__v__").cast("double")).over(wlead).alias("__vn__"),
+    )
+    gap = F.abs(
+        F.col("__ca__").cast("double") / F.col("__na__").cast("double")
+        - F.col("__cb__").cast("double") / F.col("__nb__").cast("double")
+    )
+    term = F.when(
+        F.col("__vn__").isNotNull(),
+        gap * (F.col("__vn__") - F.col("__vd__")),
+    ).otherwise(F.lit(0.0))
+    return cum.agg(
+        F.max("__na__").cast("long").alias("n_a"),
+        F.max("__nb__").cast("long").alias("n_b"),
+        F.round(F.sum(term), round_to).alias("emd"),
+    )

@@ -362,3 +362,29 @@ def test_cuped_requires_both_periods(spark):
         df, "user_id", F.col("user_id") % 2, "value", "ts",
         "2024-01-15").collect()
     assert sum(r.n_users for r in out) == 2
+
+def test_emd_1d_matches_scipy_style_model(spark):
+    """W1 equals the mean-shift for a pure translation, and matches a
+    numpy ECDF-integral on random data."""
+    import numpy as np
+    from mydatalake_spark.functions.stats import emd_1d
+
+    # pure translation: W1(a, a + c) = c
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [v + 2.5 for v in a]
+    rows = [(0, v) for v in a] + [(1, v) for v in b]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    r = emd_1d(df, F.col("variant"), "v").collect()[0]
+    assert r.emd == 2.5
+
+    rng = np.random.default_rng(23)
+    x = np.round(rng.normal(0, 1, 60), 2)
+    y = np.round(rng.normal(0.5, 1.5, 50), 2)
+    rows = [(0, float(v)) for v in x] + [(1, float(v)) for v in y]
+    df2 = spark.createDataFrame(rows, "variant int, v double")
+    r2 = emd_1d(df2, F.col("variant"), "v").collect()[0]
+    grid = np.unique(np.concatenate([x, y]))
+    fa = np.searchsorted(np.sort(x), grid, side="right") / len(x)
+    fb = np.searchsorted(np.sort(y), grid, side="right") / len(y)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    assert abs(r2.emd - w1) < 1e-6
