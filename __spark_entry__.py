@@ -6343,6 +6343,87 @@ FROM cum
 """
 
 
+def scorecard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric experiment scorecard: the parametric (Welch t) and
+    nonparametric (Mann–Whitney z, rank-biserial) readouts side by
+    side for EVERY event_type segment, each computed grouped in a
+    single pass (functions/stats.py group_by mode — the rank windows
+    partition by segment, so no segment sees another's ranks). The
+    production decision table: metric × both test families, one
+    query."""
+    from mydatalake_spark.functions.stats import (
+        mann_whitney_u,
+        welch_ttest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    variant = F.col("user_id") % 2
+    mw = mann_whitney_u(
+        ev, variant, "value", round_to=4, group_by="event_type"
+    )
+    wt = welch_ttest(
+        ev, variant, "value", round_to=4, group_by="event_type"
+    ).select(
+        "event_type",
+        F.col("mean_diff"),
+        F.col("t_stat"),
+    )
+    return mw.join(wt, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_diff",
+        "t_stat",
+        "z_stat",
+        "rank_biserial",
+    )
+
+
+_SCORECARD_ORACLE = """
+WITH per_val AS (
+  SELECT event_type, value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+), ranked AS (
+  SELECT event_type, t, tb,
+    SUM(t) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - t + (t + 1) / 2.0 AS mr
+  FROM per_val
+), mw AS (
+  SELECT event_type, SUM(t) AS n, SUM(tb) AS nb, SUM(tb * mr) AS rb,
+         SUM(t * t * t - t) AS ties
+  FROM ranked GROUP BY event_type
+), welch AS (
+  SELECT event_type,
+    AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+    AVG(CASE WHEN user_id % 2 = 1 THEN value END) AS mb,
+    VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) AS sa,
+    VAR_SAMP(CASE WHEN user_id % 2 = 1 THEN value END) AS sb,
+    COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS wna,
+    COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS wnb
+  FROM events GROUP BY event_type
+)
+SELECT mw.event_type,
+  CAST(mw.n - mw.nb AS BIGINT) AS n_a,
+  CAST(mw.nb AS BIGINT) AS n_b,
+  ROUND(w.mb - w.ma, 4) AS mean_diff,
+  ROUND((w.mb - w.ma) / SQRT(w.sa / w.wna + w.sb / w.wnb), 4) AS t_stat,
+  ROUND((rb - nb * (nb + 1) / 2.0
+         - CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        / SQRT(CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+               * ((CAST(n AS DOUBLE) + 1.0)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1.0)))), 4) AS z_stat,
+  ROUND(2.0 * (rb - nb * (nb + 1) / 2.0)
+        / (CAST((n - nb) AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 4)
+    AS rank_biserial
+FROM mw JOIN welch w ON w.event_type = mw.event_type
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6420,6 +6501,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked: take prefix slots first ---
         "bfs_hops_trade": bfs_hops_trade,
         "emd_events": emd_events,
+        "scorecard_events": scorecard_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6667,6 +6749,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
         "emd_events": _EMD_ORACLE,
+        "scorecard_events": _SCORECARD_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

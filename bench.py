@@ -88,6 +88,7 @@ HEADLINE = [
     "quantized_recall_embeddings",
     "cuped_events",
     "emd_events",
+    "scorecard_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

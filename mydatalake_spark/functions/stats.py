@@ -169,6 +169,7 @@ def welch_ttest(
     variant_col: Column,
     value_col: str,
     round_to: int = 6,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Two-sample Welch t-test between ``variant_col`` == 0 and == 1.
 
@@ -181,14 +182,15 @@ def welch_ttest(
     """
     va = F.when(variant_col == 0, F.col(value_col))
     vb = F.when(variant_col == 1, F.col(value_col))
-    agg = df.agg(
+    aggs = [
         F.count(va).alias("n_a"),
         F.count(vb).alias("n_b"),
         F.avg(va).alias("__ma__"),
         F.avg(vb).alias("__mb__"),
         F.var_samp(va).alias("__sa__"),
         F.var_samp(vb).alias("__sb__"),
-    )
+    ]
+    agg = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
     se_a = F.col("__sa__") / F.col("n_a")
     se_b = F.col("__sb__") / F.col("n_b")
     se2 = se_a + se_b
@@ -197,6 +199,7 @@ def welch_ttest(
         se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
     )
     return agg.select(
+        *([group_by] if group_by else []),
         "n_a",
         "n_b",
         F.round("__ma__", round_to).alias("mean_a"),
@@ -213,6 +216,7 @@ def mann_whitney_u(
     variant_col: Column,
     value_col: str,
     round_to: int = 4,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Mann–Whitney U rank-sum test (nonparametric Welch sibling)
     between ``variant_col`` == 0 (A) and == 1 (B).
@@ -226,22 +230,29 @@ def mann_whitney_u(
     accumulates exactly in double/int64 — both engines derive the
     statistic from identical numbers regardless of execution order.
 
-    Returns one row: n_a, n_b, u_stat (U of B), z (normal
-    approximation WITH tie correction), and the rank-biserial effect
-    size r = 2U/(n_a·n_b) − 1.
+    Returns one row (per ``group_by`` value when set): n_a, n_b,
+    u_stat (U of B), z (normal approximation WITH tie correction), and
+    the rank-biserial effect size r = 2U/(n_a·n_b) − 1. With
+    ``group_by`` the whole test runs once per metric/segment in the
+    SAME pass — the experiment-scorecard shape — and the windows
+    partition by the group key, so no group ever sees another's ranks.
     """
+    gcols = [group_by] if group_by else []
     per_val = df.where(F.col(value_col).isNotNull()).select(
+        *gcols,
         F.col(value_col).alias("__v__"),
         F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
-    ).groupBy("__v__").agg(
+    ).groupBy(*gcols, "__v__").agg(
         F.count(F.lit(1)).alias("__t__"),
         F.sum("__isb__").alias("__tb__"),
     )
     w = (
-        Window.orderBy("__v__")
+        Window.partitionBy(*gcols)
+        .orderBy("__v__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = per_val.select(
+        *gcols,
         "__t__",
         "__tb__",
         # midrank of a tie-group = cum_before + (t+1)/2
@@ -250,7 +261,7 @@ def mann_whitney_u(
             + (F.col("__t__") + 1) / 2.0
         ).alias("__mr__"),
     )
-    agg = ranked.agg(
+    aggs = [
         F.sum("__t__").alias("__n__"),
         F.sum("__tb__").alias("n_b"),
         F.sum(F.col("__tb__") * F.col("__mr__")).alias("__rb__"),
@@ -258,6 +269,9 @@ def mann_whitney_u(
             F.col("__t__") * F.col("__t__") * F.col("__t__")
             - F.col("__t__")
         ).alias("__ties__"),
+    ]
+    agg = (
+        ranked.groupBy(*gcols).agg(*aggs) if gcols else ranked.agg(*aggs)
     )
     n_a = (F.col("__n__") - F.col("n_b")).cast("long")
     n_b = F.col("n_b").cast("long")
@@ -272,6 +286,7 @@ def mann_whitney_u(
     z = (u - mu) / F.sqrt(sigma2)
     effect = 2.0 * u / (n_a.cast("double") * n_b.cast("double")) - 1.0
     return agg.select(
+        *gcols,
         n_a.alias("n_a"),
         n_b.alias("n_b"),
         F.round(u, 1).alias("u_stat"),

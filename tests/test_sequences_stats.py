@@ -388,3 +388,31 @@ def test_emd_1d_matches_scipy_style_model(spark):
     fb = np.searchsorted(np.sort(y), grid, side="right") / len(y)
     w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
     assert abs(r2.emd - w1) < 1e-6
+
+def test_grouped_mann_whitney_isolates_groups(spark):
+    """A grouped run must equal per-group standalone runs — no rank
+    leakage across the partition key."""
+    from mydatalake_spark.functions.stats import mann_whitney_u
+
+    rows = (
+        [("m1", 0, float(v)) for v in (1, 2, 3, 4)]
+        + [("m1", 1, float(v)) for v in (5, 6, 7, 8)]
+        + [("m2", 0, float(v)) for v in (10, 20)]
+        + [("m2", 1, float(v)) for v in (5, 15, 25)]
+    )
+    df = spark.createDataFrame(rows, "metric string, variant int, v double")
+    grouped = {
+        r.metric: r
+        for r in mann_whitney_u(
+            df, F.col("variant"), "v", group_by="metric"
+        ).collect()
+    }
+    for m in ("m1", "m2"):
+        solo = mann_whitney_u(
+            df.where(F.col("metric") == m), F.col("variant"), "v"
+        ).collect()[0]
+        g = grouped[m]
+        assert (g.n_a, g.n_b, g.u_stat, g.z_stat, g.rank_biserial) == (
+            solo.n_a, solo.n_b, solo.u_stat, solo.z_stat,
+            solo.rank_biserial,
+        )
