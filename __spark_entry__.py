@@ -6424,6 +6424,59 @@ FROM mw JOIN welch w ON w.event_type = mw.event_type
 """
 
 
+def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period drift report
+    (streaming/drift.py:drift_report — the same comparison the
+    streaming monitor appends per micro-batch, run batch): the
+    first-half-month value distribution as reference, the second half
+    as the probe; KS worst-gap + scaled statistic + EMD magnitude in
+    ONE row."""
+    from mydatalake_spark.streaming.drift import drift_report
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    return drift_report(
+        ev.where(F.col("ts") < split),
+        ev.where(F.col("ts") >= split),
+        "value",
+    )
+
+
+_DRIFT_REPORT_ORACLE = """
+WITH per_val AS (
+  SELECT value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+             THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), cum AS (
+  SELECT CAST(v AS DOUBLE) AS vd,
+    SUM(t - tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ca,
+    SUM(tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cb,
+    SUM(t - tb) OVER () AS na,
+    SUM(tb) OVER () AS nb,
+    LEAD(CAST(v AS DOUBLE)) OVER (ORDER BY v) AS vn
+  FROM per_val
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+       CAST(MAX(nb) AS BIGINT) AS n_batch,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+         AS d_stat,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             * SQRT(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+                    / (CAST(MAX(na) AS DOUBLE)
+                       + CAST(MAX(nb) AS DOUBLE))), 6) AS ks_scaled,
+       ROUND(SUM(CASE WHEN vn IS NOT NULL THEN
+         ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * (vn - vd)
+         ELSE 0.0 END), 6) AS emd
+FROM cum
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6502,6 +6555,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_trade": bfs_hops_trade,
         "emd_events": emd_events,
         "scorecard_events": scorecard_events,
+        "drift_report_events": drift_report_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6750,6 +6804,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops_trade": _BFS_ORACLE,
         "emd_events": _EMD_ORACLE,
         "scorecard_events": _SCORECARD_ORACLE,
+        "drift_report_events": _DRIFT_REPORT_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

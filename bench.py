@@ -89,6 +89,7 @@ HEADLINE = [
     "cuped_events",
     "emd_events",
     "scorecard_events",
+    "drift_report_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

@@ -1,0 +1,108 @@
+"""Streaming distribution-drift monitor: per-micro-batch KS / EMD
+against a static reference.
+
+[extension] The continuous sibling of the drift queries
+(ks_test_events / emd_events): production pipelines don't re-test a
+static split, they watch TODAY'S data against a frozen reference
+window. Each micro-batch is compared to the reference distribution
+with the two-sample KS statistic (worst ECDF gap) and the 1-D
+earth-mover's distance (drift magnitude in metric units), and one
+monitor row per batch appends to a catalog table — a time series of
+drift that downstream DQ gates or dashboards consume.
+
+Scale shape: the reference is persisted once and reduced to its
+distinct-value frame per comparison (functions/stats.py:ks_2samp /
+emd_1d — one shuffle at value cardinality); the micro-batch side is
+batch-sized. The monitor row is O(1). foreachBatch is at-least-once:
+replays overwrite the same ``batch_id`` key, so the monitor table
+stays idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.stats import emd_1d, ks_2samp
+
+
+def drift_report(
+    reference_df: DataFrame,
+    batch_df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """One-row drift comparison of ``batch_df`` vs ``reference_df``:
+    (n_ref, n_batch, d_stat, ks_scaled, emd). Batch-usable directly;
+    the streaming monitor calls it per micro-batch."""
+    combined = reference_df.select(
+        F.lit(0).alias("__side__"), F.col(value_col).alias("__val__")
+    ).unionByName(
+        batch_df.select(
+            F.lit(1).alias("__side__"), F.col(value_col).alias("__val__")
+        )
+    )
+    ks = ks_2samp(combined, F.col("__side__"), "__val__")
+    emd = emd_1d(combined, F.col("__side__"), "__val__")
+    return (
+        ks.select(
+            F.col("n_a").alias("n_ref"),
+            F.col("n_b").alias("n_batch"),
+            "d_stat",
+            "ks_scaled",
+        )
+        .crossJoin(emd.select("emd"))
+    )
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    value_col: str,
+    catalog: Catalog,
+    monitor_table: str,
+    checkpoint_dir: str,
+    d_alert: float = 0.2,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query appending one drift row per micro-batch
+    to ``monitor_table``: (batch_id, n_ref, n_batch, d_stat,
+    ks_scaled, emd, drifted). ``drifted`` flags d_stat ≥ ``d_alert``
+    — the hook a paging rule or a WAP gate keys on.
+
+    Idempotent under replay: the row is keyed by batch_id and
+    re-merged, not blindly appended. Returns the started
+    StreamingQuery."""
+    ref = reference_df.select(F.col(value_col)).persist()
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = drift_report(ref, batch_df, value_col).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            "n_ref",
+            "n_batch",
+            "d_stat",
+            "ks_scaled",
+            "emd",
+            (F.col("d_stat") >= d_alert).alias("drifted"),
+        )
+        from ..operators.merge import merge_upsert
+
+        if catalog.exists(monitor_table):
+            current = catalog.read(monitor_table)
+            merged = merge_upsert(
+                current, row, keys=["batch_id"], ts_col=None
+            )
+            catalog.overwrite_via_staging(merged, monitor_table)
+        else:
+            catalog.overwrite(row, monitor_table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -714,3 +714,70 @@ def test_enrich_stream_static_dim(spark, tmp_path):
     got = {(r.event_id, r.tier) for r in spark.table("enrich_t").collect()}
     assert got == {(1, "gold"), (2, "gold"), (3, "gold"),
                    (4, "basic"), (5, "basic")}
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """Two micro-batch drains: an in-distribution batch then a shifted
+    one — monitor rows must match the batch drift_report exactly and
+    flag only the shifted batch."""
+    import json
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.streaming.drift import (
+        drift_report,
+        stream_drift_monitor,
+    )
+    from mydatalake_spark.streaming.events import stream_from_json_dir
+
+    ref_rows = [(i, float(v)) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 15, 16, 17, 18, 19])]
+    ref = spark.createDataFrame(ref_rows, "id long, value double")
+
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, values):
+        with open(src / name, "w") as fh:
+            for i, v in enumerate(values):
+                fh.write(json.dumps({
+                    "event_id": i, "ts": "2024-01-01 00:00:00",
+                    "user_id": i, "event_type": "x", "value": v,
+                }) + "\n")
+
+    # batch 0: same distribution; batch 1: shifted by +50
+    write_batch("b0.json", [10.5, 12.5, 14.5, 16.5, 18.5])
+    q = stream_drift_monitor(
+        stream_from_json_dir(spark, str(src), EVENT_SCHEMA),
+        ref, "value", cat, "catalog.monitor.drift", ckpt,
+        d_alert=0.5,
+    )
+    q.awaitTermination(120)
+    write_batch("b1.json", [60.5, 62.5, 64.5, 66.5, 68.5])
+    q2 = stream_drift_monitor(
+        stream_from_json_dir(spark, str(src), EVENT_SCHEMA),
+        ref, "value", cat, "catalog.monitor.drift", ckpt,
+        d_alert=0.5,
+    )
+    q2.awaitTermination(120)
+
+    rows = {r.batch_id: r for r in
+            cat.read("catalog.monitor.drift").collect()}
+    assert len(rows) == 2
+    flags = sorted(r.drifted for r in rows.values())
+    assert flags == [False, True]
+    shifted = next(r for r in rows.values() if r.drifted)
+    clean = next(r for r in rows.values() if not r.drifted)
+    assert shifted.d_stat == 1.0      # disjoint supports
+    assert clean.d_stat < 0.5
+    assert shifted.emd > clean.emd
+
+    # batch parity: monitor row == drift_report on the same data
+    b1 = spark.createDataFrame(
+        [(float(v),) for v in [60.5, 62.5, 64.5, 66.5, 68.5]],
+        "value double",
+    )
+    rep = drift_report(ref, b1, "value").collect()[0]
+    assert (rep.d_stat, rep.emd) == (shifted.d_stat, shifted.emd)
+    assert rep.n_ref == 10 and rep.n_batch == 5
