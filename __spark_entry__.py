@@ -6477,6 +6477,51 @@ FROM cum
 """
 
 
+def tfidf_keywords_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 TF-IDF keywords per document
+    (functions/text.py:tfidf_keywords): tf · ln((N+1)/(df+1)) with
+    ranking on the ROUNDED score so mathematically-equal scores
+    computed via different expressions can't flip order across
+    engines. One explode pass, document frequency derived from the
+    aggregated pair frame, corpus size as a 1-row broadcast."""
+    from mydatalake_spark.functions.text import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, top_k=3)
+
+
+_TFIDF_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), ex AS (
+  SELECT doc_id, UNNEST(w) AS term FROM base
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS nd FROM documents
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+  ROUND(CAST(tf AS DOUBLE)
+        * LN(CAST(nd + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)), 6)
+    AS tfidf,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY ROUND(CAST(tf AS DOUBLE)
+        * LN(CAST(nd + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)), 6)
+      DESC, term) AS INTEGER) AS rank
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6556,6 +6601,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_events": emd_events,
         "scorecard_events": scorecard_events,
         "drift_report_events": drift_report_events,
+        "tfidf_keywords_documents": tfidf_keywords_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6805,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         "emd_events": _EMD_ORACLE,
         "scorecard_events": _SCORECARD_ORACLE,
         "drift_report_events": _DRIFT_REPORT_ORACLE,
+        "tfidf_keywords_documents": _TFIDF_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

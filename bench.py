@@ -90,6 +90,7 @@ HEADLINE = [
     "emd_events",
     "scorecard_events",
     "drift_report_events",
+    "tfidf_keywords_documents",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

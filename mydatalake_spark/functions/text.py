@@ -452,3 +452,63 @@ def bm25_scores(
     return base.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), F.round(score, round_to).alias("bm25")
     )
+
+def tfidf_keywords(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    round_to: int = 6,
+) -> "DataFrame":
+    """Per-document top-k keywords by smoothed TF-IDF
+    tf · ln((N+1)/(df+1)) — the classic content-descriptor extraction
+    (the per-document dual of vocab_topk's corpus view).
+
+    Shape: explode to (doc, term) once, aggregate term frequency (one
+    input-sized shuffle on the pair), derive document frequency from
+    the SAME aggregated frame (a term-keyed shuffle of distinct pairs,
+    not a second scan), broadcast the 1-row corpus count, and rank
+    with a per-doc window over the scored frame. Ranking is on the
+    ROUNDED score (ties broken by term): mathematically-equal scores
+    computed via different expressions (2·ln 2.25 = 4·ln 1.5) can
+    differ in the last ulp across engines, and rounding first makes
+    the order — not just the values — engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    n = df.agg(F.count(F.lit(1)).alias("__n__"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("__n__") + 1).cast("double")
+                    / (F.col("__df__") + 1).cast("double")
+                ),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -115,3 +115,37 @@ def test_lm_perplexity_short_docs_get_null_row(spark):
            for r in lm_perplexity(df).collect()}
     assert out[1] == (None, 0)       # <2 tokens: row kept, null ppl
     assert out[2][1] == 1
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from mydatalake_spark.functions.text import tfidf_keywords
+
+    rows = [
+        (1, "common common common unique1 unique1"),
+        (2, "common common unique2"),
+        (3, "common unique3 unique3 unique3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, top_k=2).collect()
+    top = {r.doc_id: [x.term for x in sorted(
+        [q for q in out if q.doc_id == r.doc_id], key=lambda q: q.rank)]
+        for r in out}
+    # the doc-specific term must outrank the corpus-wide one
+    assert top[1][0] == "unique1"
+    assert top[2][0] == "unique2"
+    assert top[3][0] == "unique3"
+    # 'common' appears in every doc -> idf = ln(4/4) = 0 -> score 0
+    for r in out:
+        if r.term == "common":
+            assert r.tfidf == 0.0
+
+
+def test_tfidf_keywords_skips_empty_and_null_docs(spark):
+    from mydatalake_spark.functions.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, top_k=5).collect()
+    assert {r.doc_id for r in out} == {1}
