@@ -6522,6 +6522,103 @@ QUALIFY rank <= 3
 """
 
 
+def mutual_info_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status
+    (functions/stats.py:mutual_information) — the information-theoretic
+    dependence measure next to chi2_priority_status' frequency test,
+    over the same single-scan contingency-cell plan."""
+    from mydatalake_spark.functions.stats import mutual_information
+
+    od = _t(spark, sf_dir, "orders")
+    return mutual_information(
+        od, "o_orderpriority", "o_orderstatus", round_to=6
+    )
+
+
+_MUTUAL_INFO_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), enr AS (
+  SELECT o, x, y,
+         SUM(o) OVER (PARTITION BY x) AS rt,
+         SUM(o) OVER (PARTITION BY y) AS ct,
+         SUM(o) OVER () AS n,
+         COUNT(*) OVER (PARTITION BY x) AS cx,
+         COUNT(*) OVER (PARTITION BY y) AS cy
+  FROM cells
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+  ROUND(SUM((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))), 6)
+    AS mi_nats,
+  ROUND(SUM((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))))
+        / LEAST(
+            SUM((CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))
+                / CAST(cx AS DOUBLE)),
+            SUM((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE))
+                / CAST(cy AS DOUBLE))), 6) AS mi_normalized
+FROM enr
+"""
+
+
+def psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index
+    (functions/stats.py:population_stability_index) between the
+    first-half-month and second-half-month value distributions —
+    the industry-standard drift score over 10 equal-width bins, with
+    the +0.5 pseudo-count smoothing for empty bins. Bin edges are an
+    exact arithmetic function of (min, max), so both engines bin
+    identically."""
+    from mydatalake_spark.functions.stats import (
+        population_stability_index,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    probe = (
+        F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
+    ).cast("int")
+    return population_stability_index(
+        ev, probe, "value", n_bins=10, round_to=6
+    )
+
+
+_PSI_ORACLE = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END
+           AS isb
+  FROM events WHERE value IS NOT NULL
+), rng AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM base
+), binned AS (
+  SELECT isb,
+    LEAST(9, CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INTEGER)) AS bin
+  FROM base, rng
+), cells AS (
+  SELECT bin, SUM(1 - isb) AS a, SUM(isb) AS b
+  FROM binned GROUP BY bin
+), enr AS (
+  SELECT a, b, SUM(a) OVER () AS na, SUM(b) OVER () AS nb FROM cells
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+       CAST(MAX(nb) AS BIGINT) AS n_probe,
+       ROUND(SUM(
+         ((CAST(a AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * 10)
+          - (CAST(b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 10))
+         * LN(((CAST(a AS DOUBLE) + 0.5)
+               / (CAST(na AS DOUBLE) + 0.5 * 10))
+              / ((CAST(b AS DOUBLE) + 0.5)
+                 / (CAST(nb AS DOUBLE) + 0.5 * 10)))), 6) AS psi
+FROM enr
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6602,6 +6699,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_events": scorecard_events,
         "drift_report_events": drift_report_events,
         "tfidf_keywords_documents": tfidf_keywords_documents,
+        "mutual_info_orders": mutual_info_orders,
+        "psi_events": psi_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6852,6 +6951,8 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_events": _SCORECARD_ORACLE,
         "drift_report_events": _DRIFT_REPORT_ORACLE,
         "tfidf_keywords_documents": _TFIDF_ORACLE,
+        "mutual_info_orders": _MUTUAL_INFO_ORACLE,
+        "psi_events": _PSI_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -91,6 +91,8 @@ HEADLINE = [
     "scorecard_events",
     "drift_report_events",
     "tfidf_keywords_documents",
+    "mutual_info_orders",
+    "psi_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

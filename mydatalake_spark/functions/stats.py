@@ -614,3 +614,127 @@ def emd_1d(
         F.max("__nb__").cast("long").alias("n_b"),
         F.round(F.sum(term), round_to).alias("emd"),
     )
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    between two categorical columns, in nats, plus the normalized
+    variant I/min(H(X), H(Y)) ∈ [0,1] — the information-theoretic
+    dependence measure next to :func:`chi2_independence`'s frequency
+    test (MI sees nonlinear association chi-squared dilutes across
+    cells).
+
+    Same plan shape as chi2_independence: one shuffle to the
+    contingency cells, marginals and entropies as window sums over the
+    tiny cell frame — the input scans once. ln terms are IEEE-double;
+    the round contract covers cross-engine ulp noise.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("__x__"), F.col(y_col).alias("__y__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    wx = Window.partitionBy("__x__")
+    wy = Window.partitionBy("__y__")
+    wall = Window.partitionBy()
+    enr = cells.select(
+        "__o__",
+        "__x__",
+        "__y__",
+        F.sum("__o__").over(wx).alias("__rt__"),
+        F.sum("__o__").over(wy).alias("__ct__"),
+        F.sum("__o__").over(wall).alias("__n__"),
+        F.count(F.lit(1)).over(wx).alias("__cx__"),
+        F.count(F.lit(1)).over(wy).alias("__cy__"),
+    )
+    o = F.col("__o__").cast("double")
+    rt = F.col("__rt__").cast("double")
+    ct = F.col("__ct__").cast("double")
+    nn = F.col("__n__").cast("double")
+    mi_term = (o / nn) * F.log(o * nn / (rt * ct))
+    # marginal entropies: sum each marginal term once (divide the
+    # per-cell contribution by the number of cells sharing it)
+    hx_term = (rt / nn) * F.log(nn / rt) / F.col("__cx__").cast("double")
+    hy_term = (ct / nn) * F.log(nn / ct) / F.col("__cy__").cast("double")
+    agg = enr.agg(
+        F.max("__n__").alias("n"),
+        F.sum(mi_term).alias("__mi__"),
+        F.sum(hx_term).alias("__hx__"),
+        F.sum(hy_term).alias("__hy__"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__mi__"), round_to).alias("mi_nats"),
+        F.round(
+            F.col("__mi__") / F.least(F.col("__hx__"), F.col("__hy__")),
+            round_to,
+        ).alias("mi_normalized"),
+    )
+
+def population_stability_index(
+    df: DataFrame,
+    variant_col: Column,
+    value_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between the ``variant_col`` == 0
+    (reference) and == 1 (probe) distributions:
+    PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over equal-width bins spanning the
+    combined min/max — the industry-standard drift score (rule of
+    thumb: <0.1 stable, 0.1–0.25 shifting, >0.25 drifted).
+
+    Equal-width binning keeps the bin edges an exact arithmetic
+    function of (min, max, n_bins) — no quantile estimation — so both
+    engines bin identically; empty bins get the standard +0.5
+    pseudo-count on BOTH sides to keep ln finite without biasing the
+    direction. Plan: one min/max aggregate (1-row broadcast), one
+    binned groupBy, one scalar fold. Returns one row:
+    (n_ref, n_probe, psi).
+    """
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v__"),
+        F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
+    )
+    rng = base.agg(
+        F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__")
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        "__isb__",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("__v__") - F.col("__lo__"))
+                / (F.col("__hi__") - F.col("__lo__"))
+                * n_bins
+            ).cast("int"),
+        ).alias("__bin__"),
+    )
+    cells = binned.groupBy("__bin__").agg(
+        F.sum(1 - F.col("__isb__")).alias("__a__"),
+        F.sum("__isb__").alias("__b__"),
+    )
+    wall = Window.partitionBy()
+    enr = cells.select(
+        "__a__",
+        "__b__",
+        F.sum("__a__").over(wall).alias("__na__"),
+        F.sum("__b__").over(wall).alias("__nb__"),
+    )
+    # +0.5 pseudo-count keeps empty bins finite (standard smoothing);
+    # note bins BOTH sides miss entirely are absent from the frame,
+    # contributing exactly 0 — identical on both engines
+    p = (F.col("__a__").cast("double") + 0.5) / (
+        F.col("__na__").cast("double") + 0.5 * n_bins
+    )
+    q = (F.col("__b__").cast("double") + 0.5) / (
+        F.col("__nb__").cast("double") + 0.5 * n_bins
+    )
+    term = (p - q) * F.log(p / q)
+    return enr.agg(
+        F.max("__na__").cast("long").alias("n_ref"),
+        F.max("__nb__").cast("long").alias("n_probe"),
+        F.round(F.sum(term), round_to).alias("psi"),
+    )

@@ -416,3 +416,48 @@ def test_grouped_mann_whitney_isolates_groups(spark):
             solo.n_a, solo.n_b, solo.u_stat, solo.z_stat,
             solo.rank_biserial,
         )
+
+def test_mutual_information_known_cases(spark):
+    import math
+    from mydatalake_spark.functions.stats import mutual_information
+
+    # perfect dependence: MI = H(X) = ln 2, normalized = 1
+    dep = spark.createDataFrame(
+        [("a", "p")] * 8 + [("b", "q")] * 8, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r.mi_nats - math.log(2)) < 1e-6
+    assert r.mi_normalized == 1.0
+
+    # exact independence: MI = 0
+    ind = spark.createDataFrame(
+        [("a", "p")] * 6 + [("a", "q")] * 2
+        + [("b", "p")] * 3 + [("b", "q")] * 1,
+        "x string, y string",
+    )
+    r2 = mutual_information(ind, "x", "y").collect()[0]
+    assert r2.mi_nats == 0.0 and r2.mi_normalized == 0.0
+
+
+def test_psi_stable_vs_shifted(spark):
+    from mydatalake_spark.functions.stats import (
+        population_stability_index,
+    )
+
+    same = [(0, float(v)) for v in range(100)] + [
+        (1, float(v)) for v in range(100)
+    ]
+    r = population_stability_index(
+        spark.createDataFrame(same, "g int, v double"),
+        F.col("g"), "v",
+    ).collect()[0]
+    assert r.psi < 0.01 and r.n_ref == 100 and r.n_probe == 100
+
+    shifted = [(0, float(v)) for v in range(100)] + [
+        (1, 1000.0 + v) for v in range(100)
+    ]
+    r2 = population_stability_index(
+        spark.createDataFrame(shifted, "g int, v double"),
+        F.col("g"), "v",
+    ).collect()[0]
+    assert r2.psi > 0.25
