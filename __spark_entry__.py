@@ -6619,6 +6619,49 @@ FROM enr
 """
 
 
+def trimmed_means_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type trimmed (drop 5% each end) and winsorized
+    (clamp) means (functions/stats.py:trimmed_stats) — the robust
+    metric pair for heavy-tailed KPIs. Rank windows with event_id
+    tiebreak make the dropped set deterministic; k = floor(n·trim) is
+    integer arithmetic on both engines."""
+    from mydatalake_spark.functions.stats import trimmed_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_stats(
+        ev, "event_type", "value", "event_id", trim=0.05, round_to=4
+    )
+
+
+_TRIMMED_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), enr AS (
+  SELECT event_type, v,
+    rn >= CAST(FLOOR(n * 0.05) AS BIGINT) + 1
+      AND rn <= n - CAST(FLOOR(n * 0.05) AS BIGINT) AS kept,
+    LEAST(
+      GREATEST(v,
+        MAX(CASE WHEN rn = CAST(FLOOR(n * 0.05) AS BIGINT) + 1
+            THEN v END) OVER (PARTITION BY event_type)),
+      MAX(CASE WHEN rn = n - CAST(FLOOR(n * 0.05) AS BIGINT)
+          THEN v END) OVER (PARTITION BY event_type)) AS wv
+  FROM ranked
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+  ROUND(AVG(v), 4) AS mean,
+  ROUND(AVG(CASE WHEN kept THEN v END), 4) AS trimmed_mean,
+  ROUND(AVG(wv), 4) AS winsorized_mean
+FROM enr GROUP BY event_type
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6701,6 +6744,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_documents": tfidf_keywords_documents,
         "mutual_info_orders": mutual_info_orders,
         "psi_events": psi_events,
+        "trimmed_means_events": trimmed_means_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6953,6 +6997,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_documents": _TFIDF_ORACLE,
         "mutual_info_orders": _MUTUAL_INFO_ORACLE,
         "psi_events": _PSI_ORACLE,
+        "trimmed_means_events": _TRIMMED_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

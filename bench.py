@@ -93,6 +93,7 @@ HEADLINE = [
     "tfidf_keywords_documents",
     "mutual_info_orders",
     "psi_events",
+    "trimmed_means_events",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

@@ -738,3 +738,61 @@ def population_stability_index(
         F.max("__nb__").cast("long").alias("n_probe"),
         F.round(F.sum(term), round_to).alias("psi"),
     )
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    trim: float = 0.05,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means — the robust metric pair
+    for heavy-tailed KPIs (trimming DROPS the top/bottom ``trim``
+    fraction; winsorizing CLAMPS values to the surviving boundary).
+
+    One rank window per group (tiebreak column completes a total
+    order, so the dropped set is deterministic), then a single
+    conditional aggregate; k = floor(n·trim) rows come off EACH end —
+    integer arithmetic, identical on every engine. At scale this is
+    the same shuffle the group-by already pays; nothing input-sized
+    is re-sorted globally.
+
+    Returns (group, n, n_trimmed, mean, trimmed_mean,
+    winsorized_mean).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(tiebreak_col)
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("__v__"),
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(wg).alias("__n__"),
+    )
+    k = F.floor(F.col("__n__") * trim).cast("long")
+    lo = k + 1
+    hi = F.col("__n__") - k
+    kept = (F.col("__rn__") >= lo) & (F.col("__rn__") <= hi)
+    # winsorize: values below the kept range clamp to the lo-rank
+    # value, above to the hi-rank value — carried via window max/min
+    # over the kept flag
+    lo_val = F.max(F.when(F.col("__rn__") == lo, F.col("__v__"))).over(wg)
+    hi_val = F.max(F.when(F.col("__rn__") == hi, F.col("__v__"))).over(wg)
+    enr = ranked.select(
+        F.col(group_col),
+        "__v__",
+        kept.alias("__kept__"),
+        F.least(F.greatest(F.col("__v__"), lo_val), hi_val)
+        .alias("__wv__"),
+    )
+    return enr.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__kept__").cast("long")).alias("n_trimmed"),
+        F.round(F.avg("__v__"), round_to).alias("mean"),
+        F.round(
+            F.avg(F.when(F.col("__kept__"), F.col("__v__"))), round_to
+        ).alias("trimmed_mean"),
+        F.round(F.avg("__wv__"), round_to).alias("winsorized_mean"),
+    )

@@ -461,3 +461,19 @@ def test_psi_stable_vs_shifted(spark):
         F.col("g"), "v",
     ).collect()[0]
     assert r2.psi > 0.25
+
+def test_trimmed_stats_drops_outliers_symmetrically(spark):
+    from mydatalake_spark.functions.stats import trimmed_stats
+
+    # 20 clean values 1..20 plus outliers at both ends
+    rows = [("g", float(v), v) for v in range(1, 21)]
+    rows += [("g", -1000.0, 100), ("g", 1000.0, 101)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    r = trimmed_stats(df, "g", "v", "id", trim=0.05).collect()[0]
+    # n=22, k=floor(22*0.05)=1: exactly the two outliers drop
+    assert r.n == 22 and r.n_trimmed == 20
+    assert r.trimmed_mean == 10.5
+    # winsorized: outliers clamp to 1 and 20
+    assert r.winsorized_mean == round((sum(range(1, 21)) + 1 + 20) / 22, 4)
+    # raw mean is polluted
+    assert r.mean == round((sum(range(1, 21))) / 22, 4)
