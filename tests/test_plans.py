@@ -599,3 +599,20 @@ def test_theil_sen_join_is_co_partitioned_equi(spark, sf_dir, entry):
     plan = _plan(spark, entry.queries()["theil_sen_users"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_mutual_info_single_scan_no_cartesian(spark, sf_dir, entry):
+    import re
+
+    plan = _plan(spark, entry.queries()["mutual_info_orders"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_trimmed_means_single_scan(spark, sf_dir, entry):
+    import re
+
+    plan = _plan(
+        spark, entry.queries()["trimmed_means_events"](spark, sf_dir)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan
