@@ -236,10 +236,14 @@ def bfs_hops(
     )
     visited = frontier
     caches = [frontier]
+    # persist the normalized edge frame: every level probes it, and
+    # without this the (possibly expensive) edge-derivation lineage
+    # re-executes once per hop
     e = edges.select(
         F.col(src).cast("long").alias("__s__"),
         F.col(dst).cast("long").alias("__d__"),
-    )
+    ).persist()
+    caches.append(e)
     for h in range(1, max_hops + 1):
         nbrs = (
             frontier.join(e, frontier["node"] == e["__s__"])
