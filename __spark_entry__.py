@@ -6662,6 +6662,44 @@ FROM enr GROUP BY event_type
 """
 
 
+def duplicate_spans_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring duplication stats
+    (operators/neardup.py:duplicate_span_stats): 40-char windows at
+    stride 10, a position counts as duplicated when its exact content
+    appears in ≥2 distinct documents — the windowed form of Lee et
+    al. 2022's exact-substring dedup, as a per-document measurement
+    the curation pipeline thresholds on."""
+    from mydatalake_spark.operators.neardup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, window=40, stride=10)
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id,
+    LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS s
+  FROM documents WHERE text IS NOT NULL
+), eligible AS (
+  SELECT doc_id, s FROM norm WHERE LEN(s) >= 40
+), wins AS (
+  SELECT doc_id, SUBSTRING(s, CAST(p AS INTEGER), 40) AS w
+  FROM eligible, UNNEST(RANGE(1, LEN(s) - 39 + 1, 10)) AS t(p)
+), docs_per AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS frac_dup
+FROM wins JOIN docs_per USING (w)
+GROUP BY doc_id
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6745,6 +6783,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": mutual_info_orders,
         "psi_events": psi_events,
         "trimmed_means_events": trimmed_means_events,
+        "duplicate_spans_documents": duplicate_spans_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -6998,6 +7037,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_orders": _MUTUAL_INFO_ORACLE,
         "psi_events": _PSI_ORACLE,
         "trimmed_means_events": _TRIMMED_ORACLE,
+        "duplicate_spans_documents": _DUP_SPANS_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -94,6 +94,7 @@ HEADLINE = [
     "mutual_info_orders",
     "psi_events",
     "trimmed_means_events",
+    "duplicate_spans_documents",
     "ks_test_events",
     "chi2_priority_status",
     "theil_sen_users",

@@ -971,3 +971,78 @@ def minhash_calibration(
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
         )
     )
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication stats (the windowed form of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": long verbatim spans shared across documents are the
+    highest-value dedup target). A ``window``-char window slides with
+    ``stride`` over the normalized text; a position is DUPLICATED when
+    its exact content appears in ≥2 distinct documents (internal
+    repeats within one doc don't count — the cross-doc contract of the
+    decontamination family). Returns per-doc
+    (doc_id, n_windows, n_dup, frac_dup).
+
+    Stride tradeoff: ``stride > 1`` only detects copies ALIGNED to the
+    stride grid in both documents (full copies and common
+    boilerplate-at-position are; arbitrarily-shifted fragments need
+    ``stride=1`` at window×cost, or the suffix-array construction of
+    the paper).
+
+    Scale shape: windows explode to (doc, position) rows —
+    len/stride per doc, a bounded constant-factor blowup chosen by
+    ``stride`` — then ONE groupBy on window content (the join key is
+    the content itself, so only genuinely repeated spans ever meet)
+    and one doc-keyed rollup. No all-pairs anything; the hot keys are
+    boilerplate spans, which is exactly what AQE skew-splits.
+    """
+    from ..functions.text import normalize_text
+
+    norm = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__s__")
+    ).where(F.length("__s__") >= window)
+    pos = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length("__s__") - F.lit(window - 1),
+                F.lit(stride),
+            )
+        ).alias("__p__"),
+        "__s__",
+    )
+    wins = pos.select(
+        F.col(id_col),
+        F.substring(F.col("__s__"), F.col("__p__"), F.lit(window))
+        .alias("__w__"),
+    )
+    docs_per = (
+        wins.distinct()
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+    )
+    return (
+        wins.join(docs_per, "__w__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__nd__") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("frac_dup"),
+        )
+    )

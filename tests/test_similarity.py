@@ -571,3 +571,39 @@ def test_quantized_recall_perfect_on_separable_corpus(spark):
     assert len(out) == 3
     assert all(r.recall >= 0.6 for r in out)   # int8 on 8 dims is coarse
     assert all(0 <= r.n_overlap <= 5 for r in out)
+
+def test_duplicate_span_stats_flags_shared_spans_only(spark):
+    from mydatalake_spark.operators.neardup import duplicate_span_stats
+
+    shared = "x" * 20 + "the exact same forty character span here!!" + "y" * 20
+    rows = [
+        (1, shared),
+        (2, "prefix differs a lot " + shared[15:]),   # shares the span
+        (3, "entirely unrelated text " + "z" * 60),   # no overlap
+        (4, "ab " * 10),                               # shorter than window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # stride=1: windowed detection only matches stride-ALIGNED copies
+    # (the suffix-array-free tradeoff); unit stride removes alignment
+    # from the test
+    out = {r.doc_id: r for r in duplicate_span_stats(
+        df, window=40, stride=1).collect()}
+    # doc 4 too short -> absent
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_dup > 0 and out[2].n_dup > 0
+    assert out[3].n_dup == 0 and out[3].frac_dup == 0.0
+    for r in out.values():
+        assert 0 <= r.n_dup <= r.n_windows
+
+
+def test_duplicate_span_internal_repeat_not_cross_doc(spark):
+    from mydatalake_spark.operators.neardup import duplicate_span_stats
+
+    rep = ("q" * 50) + ("q" * 50)       # internal repetition only
+    df = spark.createDataFrame(
+        [(1, rep), (2, "totally different content " + "w" * 40)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(
+        df, window=40, stride=10).collect()}
+    assert out[1].n_dup == 0            # repeats within one doc don't count
