@@ -338,6 +338,12 @@ SCALING_QUERIES = [
     # not the pair bound.
     "triangle_count_parts",
     "fuzzy_pairs_documents",
+    # r5 additions: the bounded-depth frontier BFS (cost tracks frontier
+    # growth, not |V|²) and the bounded-group pairwise-slope join (cost
+    # is Σn² over per-entity series, not corpus²).
+    "bfs_hops_trade",
+    "theil_sen_users",
+    "duplicate_spans_documents",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -371,9 +377,9 @@ def bench_scaling(spark, qs) -> dict:
     for name in SCALING_QUERIES:
         if name.startswith(("embedding", "similarity")):
             rows_ratio = big_emb / small_emb
-        elif "events" in name:
+        elif "events" in name or name == "theil_sen_users":
             rows_ratio = big_ev / small_ev
-        elif "parts" in name:
+        elif "parts" in name or "trade" in name:
             rows_ratio = big_li / small_li
         else:
             rows_ratio = big_docs / small_docs
