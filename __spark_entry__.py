@@ -6700,6 +6700,51 @@ GROUP BY doc_id
 """
 
 
+def hard_negatives_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining
+    (similarity/search.py:hard_negatives_topk): per query vector
+    (vec_id < 10) the 5 most-similar corpus vectors with a DIFFERENT
+    label — the near-boundary negatives contrastive training learns
+    most from. Label-mismatch filters before scoring; ranking follows
+    the similarity_topk determinism contract."""
+    from mydatalake_spark.similarity.search import hard_negatives_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("score", 4).alias("score"),
+    )
+
+
+_HARD_NEG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS ql
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         label AS neighbor_label
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, neighbor_label,
+  ROUND(LIST_COSINE_SIMILARITY(qv, cv), 4) AS score
+FROM q CROSS JOIN c
+WHERE neighbor_id <> query_id AND neighbor_label <> ql
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id
+  ORDER BY LIST_COSINE_SIMILARITY(qv, cv) DESC, neighbor_id ASC
+) <= 5
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6784,6 +6829,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_events": psi_events,
         "trimmed_means_events": trimmed_means_events,
         "duplicate_spans_documents": duplicate_spans_documents,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7038,6 +7084,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_events": _PSI_ORACLE,
         "trimmed_means_events": _TRIMMED_ORACLE,
         "duplicate_spans_documents": _DUP_SPANS_ORACLE,
+        "hard_negatives_embeddings": _HARD_NEG_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -86,6 +86,7 @@ HEADLINE = [
     "bfs_hops_trade",
     "minhash_calibration_documents",
     "quantized_recall_embeddings",
+    "hard_negatives_embeddings",
     "cuped_events",
     "emd_events",
     "scorecard_events",

@@ -511,3 +511,56 @@ def lsh_topk(
         )
     )
     return dedup_topk(scored, k)
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS — the
+    near-boundary examples a contrastive loss learns most from (random
+    negatives are trivially far; same-label neighbors are positives).
+
+    Same scale shape as the non-vectorized brute-force scorer (query
+    side broadcasts, corpus stays partition-local, one ranking window
+    over the scored frame) with the label-mismatch predicate applied
+    BEFORE scoring, so excluded pairs never pay the dot product. For
+    corpus-scale mining, route candidates through the IVF/LSH indexes
+    first and apply the same label filter to the candidate set.
+    Returns (query_id, neighbor_id, neighbor_label, score).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        F.col(label_col).alias("__qlab__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("__qlab__")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_similarity("__qvec__", "__cvec__").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

@@ -607,3 +607,26 @@ def test_duplicate_span_internal_repeat_not_cross_doc(spark):
     out = {r.doc_id: r for r in duplicate_span_stats(
         df, window=40, stride=10).collect()}
     assert out[1].n_dup == 0            # repeats within one doc don't count
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from mydatalake_spark.similarity.search import hard_negatives_topk
+
+    # anchor 0 (label A); 1 is an identical same-label vector (the
+    # positive — must be excluded); 2 is a near-identical different
+    # label (the hard negative — must rank first); 3 is a far negative
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [1.0, 0.0, 0.0, 0.0], 1),
+        (2, [0.99, 0.1, 0.0, 0.0], 2),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives_topk(
+        df, df.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ids = [r.neighbor_id for r in sorted(out, key=lambda r: -r.score)]
+    assert ids == [2, 3]
+    assert all(r.neighbor_label != 1 for r in out)
+    assert all(r.neighbor_id != 0 for r in out)
