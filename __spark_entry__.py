@@ -6745,6 +6745,86 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def centroid_accuracy_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid classification accuracy — the standard quick
+    probe of embedding quality (if class centroids separate the space,
+    the embedding carries the label signal). Centroids come from
+    mean_pool rounded to 6 dp (the engine-portable quantization the
+    centroid query established); every vector scores against the
+    10-row broadcast centroid table with the sequential-fold cosine
+    (deterministic summation), argmax with label tiebreak, then
+    per-true-label accuracy."""
+    from mydatalake_spark.functions.vectors import (
+        cosine_similarity,
+        mean_pool,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = mean_pool(emb, ["label"], "embedding", round_to=6).select(
+        F.col("label").alias("__clab__"), F.col("centroid")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "__clab__",
+        cosine_similarity("embedding", "centroid").alias("__s__"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__s__").desc(), F.col("__clab__")
+    )
+    pred = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(
+            "label", (F.col("__clab__") == F.col("label")).alias("__ok__")
+        )
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__ok__").cast("long")).alias("n_correct"),
+        F.round(
+            F.sum(F.col("__ok__").cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+_CENTROID_ACC_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), ex AS (
+  SELECT label, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS i
+  FROM e
+), dims AS (
+  SELECT label, i, ROUND(AVG(x), 6) AS a
+  FROM ex GROUP BY label, i
+), cents AS (
+  SELECT label AS clab, LIST(a ORDER BY i) AS c
+  FROM dims GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, cents.clab,
+         LIST_COSINE_SIMILARITY(e.v, cents.c) AS s
+  FROM e CROSS JOIN cents
+), pred AS (
+  SELECT label, clab = label AS ok
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY s DESC, clab ASC
+  ) = 1
+)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  ROUND(SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
+FROM pred GROUP BY label
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6830,6 +6910,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_means_events": trimmed_means_events,
         "duplicate_spans_documents": duplicate_spans_documents,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7085,6 +7166,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_means_events": _TRIMMED_ORACLE,
         "duplicate_spans_documents": _DUP_SPANS_ORACLE,
         "hard_negatives_embeddings": _HARD_NEG_ORACLE,
+        "centroid_accuracy_embeddings": _CENTROID_ACC_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -87,6 +87,7 @@ HEADLINE = [
     "minhash_calibration_documents",
     "quantized_recall_embeddings",
     "hard_negatives_embeddings",
+    "centroid_accuracy_embeddings",
     "cuped_events",
     "emd_events",
     "scorecard_events",

@@ -630,3 +630,37 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert ids == [2, 3]
     assert all(r.neighbor_label != 1 for r in out)
     assert all(r.neighbor_id != 0 for r in out)
+
+def test_centroid_accuracy_on_separated_clusters(spark):
+    """Well-separated clusters -> near-perfect nearest-centroid
+    accuracy; the query-shape mirror of the registry entry."""
+    import numpy as np
+    from mydatalake_spark.functions.vectors import (
+        cosine_similarity, mean_pool,
+    )
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(9)
+    rows = []
+    vid = 0
+    for lab in range(3):
+        center = np.zeros(8); center[lab] = 10.0
+        for _ in range(20):
+            v = center + rng.normal(0, 0.5, 8)
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = mean_pool(df, ["label"], "embedding", round_to=6).select(
+        F.col("label").alias("clab"), "centroid"
+    )
+    scored = df.join(F.broadcast(cents)).select(
+        "vec_id", "label", "clab",
+        cosine_similarity("embedding", "centroid").alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "clab")
+    pred = scored.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1)
+    correct = pred.where(F.col("clab") == F.col("label")).count()
+    assert correct == 60
