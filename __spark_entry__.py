@@ -6825,6 +6825,106 @@ FROM pred GROUP BY label
 """
 
 
+def split_leakage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs
+    (exact shingle-Jaccard ≥ 0.2, the neardup contract) whose two
+    sides land in DIFFERENT hash splits — the leakage that silently
+    inflates eval scores when dedup runs before splitting but not
+    ACROSS splits. Composes operators/neardup.py pair generation with
+    operators/sampling.py's content-addressed splits; output is one
+    row per (split_a, split_b) bucket with pair counts, plus the
+    leaking fraction of all near-dup pairs."""
+    from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
+    from mydatalake_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    splits = hash_split(
+        docs.select("doc_id"), "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    labeled = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    )
+    wall = Window.partitionBy()
+    agg = labeled.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return agg.select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(wall).cast("double"),
+            6,
+        ).alias("frac_of_pairs"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from mydatalake_spark.operators.sampling import split_sql_case
+
+    case = split_sql_case("doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ) AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.ns + sb.ns - ni) >= 0.2
+),
+splits AS (SELECT doc_id, {case} AS split FROM documents),
+labeled AS (
+  SELECT LEAST(s1.split, s2.split) AS split_lo,
+         GREATEST(s1.split, s2.split) AS split_hi
+  FROM pairs
+  JOIN splits s1 ON s1.doc_id = id_a
+  JOIN splits s2 ON s2.doc_id = id_b
+),
+agg AS (
+  SELECT split_lo, split_hi, COUNT(*) AS n_pairs
+  FROM labeled GROUP BY 1, 2
+)
+SELECT split_lo, split_hi,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  split_lo <> split_hi AS is_leak,
+  ROUND(CAST(n_pairs AS DOUBLE)
+        / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS frac_of_pairs
+FROM agg
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -6911,6 +7011,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": duplicate_spans_documents,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
+        "split_leakage_documents": split_leakage_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7167,6 +7268,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans_documents": _DUP_SPANS_ORACLE,
         "hard_negatives_embeddings": _HARD_NEG_ORACLE,
         "centroid_accuracy_embeddings": _CENTROID_ACC_ORACLE,
+        "split_leakage_documents": _split_leakage_oracle(),
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -88,6 +88,7 @@ HEADLINE = [
     "quantized_recall_embeddings",
     "hard_negatives_embeddings",
     "centroid_accuracy_embeddings",
+    "split_leakage_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
