@@ -385,3 +385,70 @@ def test_association_rules_matches_naive_model(spark, rows):
         for p, c in pair_counts.items()
     }
     assert got == want
+
+
+def test_rank_tests_invariant_under_monotone_transform(spark):
+    """Mann-Whitney and KS depend only on ranks: applying a strictly
+    increasing transform (exp) to every value must leave U, z, and D
+    unchanged — a property OLS-style tests do NOT have."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.stats import ks_2samp, mann_whitney_u
+
+    rows = [(i % 2, float(v)) for i, v in enumerate(
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3])]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    tdf = df.select("variant", F.exp("v").alias("v"))
+
+    mw1 = mann_whitney_u(df, F.col("variant"), "v").collect()[0]
+    mw2 = mann_whitney_u(tdf, F.col("variant"), "v").collect()[0]
+    assert (mw1.u_stat, mw1.z_stat, mw1.rank_biserial) == (
+        mw2.u_stat, mw2.z_stat, mw2.rank_biserial)
+
+    ks1 = ks_2samp(df, F.col("variant"), "v").collect()[0]
+    ks2 = ks_2samp(tdf, F.col("variant"), "v").collect()[0]
+    assert ks1.d_stat == ks2.d_stat
+
+
+def test_emd_scales_linearly_and_triangle(spark):
+    """W1 is a metric: scaling values by c scales W1 by c; swapping
+    sides leaves it unchanged (symmetry)."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.stats import emd_1d
+
+    rows = [(i % 2, float(v)) for i, v in enumerate(
+        [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4, 5, 9, 0, 4, 5])]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    base = emd_1d(df, F.col("variant"), "v").collect()[0].emd
+    scaled = emd_1d(
+        df.select("variant", (F.col("v") * 3).alias("v")),
+        F.col("variant"), "v",
+    ).collect()[0].emd
+    assert abs(scaled - 3 * base) < 1e-9
+    swapped = emd_1d(df, 1 - F.col("variant"), "v").collect()[0].emd
+    assert swapped == base
+
+
+def test_psi_symmetry_and_zero_on_identical(spark):
+    """PSI(p, q) == PSI(q, p) (the formula is antisymmetric in sign of
+    each factor, so the product is symmetric) and 0 when p == q."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.stats import (
+        population_stability_index,
+    )
+
+    rows = [(i % 2, float(i // 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    a = population_stability_index(df, F.col("g"), "v").collect()[0]
+    assert a.psi == 0.0
+    rows2 = [(0, float(v)) for v in range(50)] + [
+        (1, float(v) * 2) for v in range(50)]
+    df2 = spark.createDataFrame(rows2, "g int, v double")
+    p1 = population_stability_index(df2, F.col("g"), "v").collect()[0]
+    p2 = population_stability_index(
+        df2, 1 - F.col("g"), "v").collect()[0]
+    assert p1.psi == p2.psi and p1.psi > 0
