@@ -6925,6 +6925,90 @@ FROM agg
 """
 
 
+def pareto_revenue_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto / contribution analysis: rank customers by revenue,
+    accumulate their share of the total, and report the concentration
+    curve's key points — how many customers cover 50% / 80% / 90% / 99%
+    of revenue (the 80/20 check every revenue dashboard opens with).
+    One aggregate to customer grain, one rank window over the
+    aggregated frame, and a 4-row threshold rollup; the threshold
+    crossing is computed on exact integer cents so both engines agree
+    on every boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    rev = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                )
+            ).alias("__cents__")
+        )
+    )
+    w = Window.orderBy(F.col("__cents__").desc(), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        F.row_number().over(w).alias("__rank__"),
+        F.sum("__cents__")
+        .over(
+            Window.orderBy(F.col("__cents__").desc(), F.col("o_custkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("__cum__"),
+        F.sum("__cents__").over(wall).alias("__tot__"),
+        F.count(F.lit(1)).over(wall).alias("__nc__"),
+    )
+    thresholds = spark.createDataFrame(
+        [(50,), (80,), (90,), (99,)], "pct int"
+    )
+    # customers needed = first rank whose cumulative share reaches pct
+    hit = ranked.join(
+        F.broadcast(thresholds),
+        F.col("__cum__") * 100 >= F.col("pct") * F.col("__tot__"),
+    )
+    return hit.groupBy("pct").agg(
+        F.min("__rank__").cast("long").alias("n_customers"),
+        F.max("__nc__").cast("long").alias("n_total"),
+        F.round(
+            F.min("__rank__") / F.max("__nc__").cast("double"), 6
+        ).alias("frac_customers"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+    SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        AS BIGINT)) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+    SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    SUM(cents) OVER () AS tot,
+    COUNT(*) OVER () AS nc
+  FROM rev
+)
+SELECT pct,
+  CAST(MIN(rnk) AS BIGINT) AS n_customers,
+  CAST(MAX(nc) AS BIGINT) AS n_total,
+  ROUND(MIN(rnk) / CAST(MAX(nc) AS DOUBLE), 6) AS frac_customers
+FROM ranked
+JOIN (VALUES (50), (80), (90), (99)) AS t(pct)
+  ON cum * 100 >= pct * tot
+GROUP BY pct
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7012,6 +7096,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
         "split_leakage_documents": split_leakage_documents,
+        "pareto_revenue_customers": pareto_revenue_customers,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7269,6 +7354,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_embeddings": _HARD_NEG_ORACLE,
         "centroid_accuracy_embeddings": _CENTROID_ACC_ORACLE,
         "split_leakage_documents": _split_leakage_oracle(),
+        "pareto_revenue_customers": _PARETO_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

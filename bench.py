@@ -89,6 +89,7 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "centroid_accuracy_embeddings",
     "split_leakage_documents",
+    "pareto_revenue_customers",
     "cuped_events",
     "emd_events",
     "scorecard_events",
