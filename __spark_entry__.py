@@ -7009,6 +7009,146 @@ GROUP BY pct
 """
 
 
+def burst_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/burst heuristic over user event streams: per-user count of
+    sub-10-second inter-event gaps, median gap (seconds, integer-exact
+    via floor-truncated epochs), and a burst flag when >20% of gaps
+    are sub-10s — the standard first-cut abuse filter before training
+    on behavioral data. One lag window per user (the shuffle the
+    sessionizer already pays), one rollup; top-20 burstiest users by
+    (burst count, user) keeps the output stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("__gap__"),
+    ).where(F.col("__gap__").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum((F.col("__gap__") < 10).cast("long")).alias("n_bursty"),
+        F.median("__gap__").alias("median_gap_s"),
+    )
+    out = agg.select(
+        "user_id",
+        "n_gaps",
+        "n_bursty",
+        F.round("median_gap_s", 1).alias("median_gap_s"),
+        (
+            F.col("n_bursty").cast("double")
+            > 0.2 * F.col("n_gaps").cast("double")
+        ).alias("bursty"),
+    )
+    return out.orderBy(
+        F.col("n_bursty").desc(), F.col("user_id")
+    ).limit(20)
+
+
+_BURST_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+    CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      - CAST(FLOOR(EPOCH(LAG(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      AS gap
+  FROM events
+), g AS (
+  SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         SUM(CASE WHEN gap < 10 THEN 1 ELSE 0 END) AS n_bursty,
+         MEDIAN(gap) AS med
+  FROM g GROUP BY user_id
+)
+SELECT user_id,
+  CAST(n_gaps AS BIGINT) AS n_gaps,
+  CAST(n_bursty AS BIGINT) AS n_bursty,
+  ROUND(med, 1) AS median_gap_s,
+  CAST(n_bursty AS DOUBLE) > 0.2 * CAST(n_gaps AS DOUBLE) AS bursty
+FROM agg
+ORDER BY n_bursty DESC, user_id
+LIMIT 20
+"""
+
+
+def forecast_backtest_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast baseline backtest over daily order revenue: the naive
+    (yesterday's value) and seasonal-naive (same weekday last week)
+    forecasts scored with MAE and MAPE — the two baselines every real
+    forecasting system must beat before it ships. Revenue aggregates
+    to integer cents (engine-exact), forecasts are lag windows over
+    the daily grid, and the error rollup is one aggregate. Missing
+    days contribute no scored row (lag over the observed grid — the
+    gap-fill variant composes operators/timeseries.py first)."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        ).alias("__cents__")
+    )
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "d",
+        "__cents__",
+        F.lag("__cents__", 1).over(w).alias("__naive__"),
+        F.lag("__cents__", 7).over(w).alias("__snaive__"),
+    ).where(
+        F.col("__naive__").isNotNull() & F.col("__snaive__").isNotNull()
+    )
+    ae_n = F.abs(F.col("__cents__") - F.col("__naive__"))
+    ae_s = F.abs(F.col("__cents__") - F.col("__snaive__"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.avg(ae_n.cast("double")) / 100.0, 2
+        ).alias("naive_mae"),
+        F.round(
+            F.avg(ae_s.cast("double")) / 100.0, 2
+        ).alias("snaive_mae"),
+        F.round(
+            F.avg(
+                ae_n.cast("double") / F.col("__cents__").cast("double")
+            ),
+            6,
+        ).alias("naive_mape"),
+        F.round(
+            F.avg(
+                ae_s.cast("double") / F.col("__cents__").cast("double")
+            ),
+            6,
+        ).alias("snaive_mape"),
+    )
+
+
+_FORECAST_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderdate
+), scored AS (
+  SELECT d, cents,
+    LAG(cents, 1) OVER (ORDER BY d) AS naive,
+    LAG(cents, 7) OVER (ORDER BY d) AS snaive
+  FROM daily
+  QUALIFY naive IS NOT NULL AND snaive IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(AVG(CAST(ABS(cents - naive) AS DOUBLE)) / 100.0, 2)
+    AS naive_mae,
+  ROUND(AVG(CAST(ABS(cents - snaive) AS DOUBLE)) / 100.0, 2)
+    AS snaive_mae,
+  ROUND(AVG(CAST(ABS(cents - naive) AS DOUBLE)
+            / CAST(cents AS DOUBLE)), 6) AS naive_mape,
+  ROUND(AVG(CAST(ABS(cents - snaive) AS DOUBLE)
+            / CAST(cents AS DOUBLE)), 6) AS snaive_mape
+FROM scored
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7097,6 +7237,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
         "split_leakage_documents": split_leakage_documents,
         "pareto_revenue_customers": pareto_revenue_customers,
+        "burst_users_events": burst_users_events,
+        "forecast_backtest_revenue": forecast_backtest_revenue,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7355,6 +7497,8 @@ def oracle_sql() -> dict[str, str]:
         "centroid_accuracy_embeddings": _CENTROID_ACC_ORACLE,
         "split_leakage_documents": _split_leakage_oracle(),
         "pareto_revenue_customers": _PARETO_ORACLE,
+        "burst_users_events": _BURST_ORACLE,
+        "forecast_backtest_revenue": _FORECAST_BACKTEST_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

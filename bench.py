@@ -90,6 +90,8 @@ HEADLINE = [
     "centroid_accuracy_embeddings",
     "split_leakage_documents",
     "pareto_revenue_customers",
+    "burst_users_events",
+    "forecast_backtest_revenue",
     "cuped_events",
     "emd_events",
     "scorecard_events",
