@@ -616,3 +616,19 @@ def test_trimmed_means_single_scan(spark, sf_dir, entry):
     )
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "CartesianProduct" not in plan
+
+def test_new_olap_queries_scan_counts(spark, sf_dir, entry):
+    """pareto: fact + orders only (2 scans); burst and forecast are
+    single-scan window pipelines; none may cartesian."""
+    import re
+
+    expect = {
+        "pareto_revenue_customers": 2,
+        "burst_users_events": 1,
+        "forecast_backtest_revenue": 1,
+    }
+    for name, scans in expect.items():
+        plan = _plan(spark, entry.queries()[name](spark, sf_dir))
+        got = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert got == scans, f"{name}: {got} scans, expected {scans}"
+        assert "CartesianProduct" not in plan
