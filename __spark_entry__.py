@@ -7149,6 +7149,138 @@ FROM scored
 """
 
 
+def cusum_changepoint_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint detection over daily order revenue: the date
+    maximizing |Σ(xᵢ − x̄)| — the classic single-changepoint locator
+    (a level shift makes the cumulative deviation peak at the break).
+    Daily revenue aggregates to integer cents; Sₜ = cumₜ − t·x̄ mixes
+    exact integers with one identical double product per row, so the
+    argmax is engine-deterministic (date tiebreak). One day-grain
+    aggregate, one ordered window, one argmax row."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        ).alias("__c__")
+    )
+    w = Window.orderBy("d")
+    wall = Window.partitionBy()
+    cur = daily.select(
+        "d",
+        F.row_number().over(w).alias("__t__"),
+        F.sum("__c__")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum__"),
+        F.sum("__c__").over(wall).alias("__tot__"),
+        F.count(F.lit(1)).over(wall).alias("__n__"),
+    )
+    s = (
+        F.col("__cum__").cast("double")
+        - F.col("__t__").cast("double")
+        * (F.col("__tot__").cast("double") / F.col("__n__").cast("double"))
+    )
+    ranked = cur.select(
+        "d",
+        F.abs(s).alias("__abs_s__"),
+        s.alias("__s__"),
+    )
+    wrank = Window.orderBy(F.col("__abs_s__").desc(), F.col("d"))
+    return (
+        ranked.withColumn("__rn__", F.row_number().over(wrank))
+        .where(F.col("__rn__") == 1)
+        .select(
+            F.col("d").alias("changepoint_date"),
+            F.round(F.col("__s__") / 100.0, 2).alias("cusum_peak"),
+            F.round(F.col("__abs_s__") / 100.0, 2).alias("magnitude"),
+        )
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY o_orderdate
+), cur AS (
+  SELECT d,
+    ROW_NUMBER() OVER (ORDER BY d) AS t,
+    SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum,
+    SUM(c) OVER () AS tot,
+    COUNT(*) OVER () AS n
+  FROM daily
+), s AS (
+  SELECT d,
+    CAST(cum AS DOUBLE)
+      - CAST(t AS DOUBLE) * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+      AS sv
+  FROM cur
+)
+SELECT d AS changepoint_date,
+  ROUND(sv / 100.0, 2) AS cusum_peak,
+  ROUND(ABS(sv) / 100.0, 2) AS magnitude
+FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(sv) DESC, d) = 1
+"""
+
+
+def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days via MAD (median absolute deviation): days
+    whose daily revenue sits more than 3.5 robust z-units from the
+    median — the outlier detector that, unlike mean/stddev z-scores
+    (dq_outlier / zscore_anomalies), is not itself dragged by the
+    outliers it hunts. Integer-cents revenue keeps both medians
+    engine-exact; the 0.6745 consistency constant maps MAD to σ
+    units."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        ).alias("__c__")
+    )
+    med = daily.agg(F.median("__c__").alias("__med__"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d",
+        "__c__",
+        "__med__",
+        F.abs(F.col("__c__") - F.col("__med__")).alias("__ad__"),
+    )
+    mad = dev.agg(F.median("__ad__").alias("__mad__"))
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "d",
+        F.round(F.col("__c__") / 100.0, 2).alias("revenue"),
+        F.round(
+            0.6745
+            * (F.col("__c__") - F.col("__med__"))
+            / F.col("__mad__"),
+            4,
+        ).alias("robust_z"),
+    )
+    return scored.where(F.abs(F.col("robust_z")) > 3.5).orderBy("d")
+
+
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY o_orderdate
+), med AS (
+  SELECT MEDIAN(c) AS m FROM daily
+), dev AS (
+  SELECT d, c, m, ABS(c - m) AS ad FROM daily, med
+), mad AS (
+  SELECT MEDIAN(ad) AS md FROM dev
+)
+SELECT d, ROUND(c / 100.0, 2) AS revenue,
+  ROUND(0.6745 * (c - m) / md, 4) AS robust_z
+FROM dev, mad
+WHERE ABS(0.6745 * (c - m) / md) > 3.5
+ORDER BY d
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7239,6 +7371,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_revenue_customers": pareto_revenue_customers,
         "burst_users_events": burst_users_events,
         "forecast_backtest_revenue": forecast_backtest_revenue,
+        "cusum_changepoint_revenue": cusum_changepoint_revenue,
+        "mad_anomaly_days": mad_anomaly_days,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7499,6 +7633,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_revenue_customers": _PARETO_ORACLE,
         "burst_users_events": _BURST_ORACLE,
         "forecast_backtest_revenue": _FORECAST_BACKTEST_ORACLE,
+        "cusum_changepoint_revenue": _CUSUM_ORACLE,
+        "mad_anomaly_days": _MAD_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -92,6 +92,8 @@ HEADLINE = [
     "pareto_revenue_customers",
     "burst_users_events",
     "forecast_backtest_revenue",
+    "cusum_changepoint_revenue",
+    "mad_anomaly_days",
     "cuped_events",
     "emd_events",
     "scorecard_events",

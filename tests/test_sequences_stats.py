@@ -477,3 +477,30 @@ def test_trimmed_stats_drops_outliers_symmetrically(spark):
     assert r.winsorized_mean == round((sum(range(1, 21)) + 1 + 20) / 22, 4)
     # raw mean is polluted
     assert r.mean == round((sum(range(1, 21))) / 22, 4)
+
+def test_cusum_locates_injected_level_shift(spark):
+    """A clean level shift at day 30 must put the CUSUM peak exactly
+    at the break (query-shape mirror of the registry entry)."""
+    rows = [(f"2024-01-{d:02d}" if d <= 31 else f"2024-02-{d-31:02d}",
+             100.0 if d <= 30 else 200.0) for d in range(1, 61)]
+    df = spark.createDataFrame(rows, "ds string, o_totalprice double") \
+        .select(F.col("ds").cast("date").alias("o_orderdate"),
+                "o_totalprice")
+    daily = df.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .alias("c"))
+    from pyspark.sql import Window
+    w = Window.orderBy("d")
+    wall = Window.partitionBy()
+    cur = daily.select(
+        "d", F.row_number().over(w).alias("t"),
+        F.sum("c").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    s = (F.col("cum").cast("double")
+         - F.col("t").cast("double")
+         * (F.col("tot").cast("double") / F.col("n").cast("double")))
+    peak = cur.select("d", F.abs(s).alias("a")) \
+        .orderBy(F.col("a").desc(), "d").first()
+    assert str(peak.d) == "2024-01-30"
