@@ -7281,6 +7281,44 @@ ORDER BY d
 """
 
 
+def segment_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation
+    (functions/sketches.py:hll_intersection_check): |users(A)∩users(B)|
+    for every event-type pair via HLL inclusion–exclusion — the set
+    operation mergeable sketches can't do natively — with the exact
+    intersection and a union-scaled error contract pinned in-plan (the
+    honest bound: inclusion–exclusion compounds union-sized error).
+    Production reads sketches only; the key-grain exact side exists
+    for the contract."""
+    from mydatalake_spark.functions.sketches import hll_intersection_check
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_intersection_check(
+        ev, "event_type", "user_id", lg_k=14, tolerance=0.05
+    )
+
+
+_SEGMENT_OVERLAP_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT event_type AS seg, user_id AS k FROM events
+), pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         COUNT(*) AS exact_intersection
+  FROM e a JOIN e b ON a.k = b.k AND a.seg < b.seg
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT seg, COUNT(*) AS nd FROM e GROUP BY seg
+)
+SELECT p.seg_a, p.seg_b,
+  CAST(p.exact_intersection AS BIGINT) AS exact_intersection,
+  CAST(sa.nd + sb.nd - p.exact_intersection AS BIGINT) AS exact_union,
+  TRUE AS within_bound
+FROM pairs p
+JOIN sizes sa ON sa.seg = p.seg_a
+JOIN sizes sb ON sb.seg = p.seg_b
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7373,6 +7411,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest_revenue": forecast_backtest_revenue,
         "cusum_changepoint_revenue": cusum_changepoint_revenue,
         "mad_anomaly_days": mad_anomaly_days,
+        "segment_overlap_users": segment_overlap_users,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7635,6 +7674,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_backtest_revenue": _FORECAST_BACKTEST_ORACLE,
         "cusum_changepoint_revenue": _CUSUM_ORACLE,
         "mad_anomaly_days": _MAD_ORACLE,
+        "segment_overlap_users": _SEGMENT_OVERLAP_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

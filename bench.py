@@ -94,6 +94,7 @@ HEADLINE = [
     "forecast_backtest_revenue",
     "cusum_changepoint_revenue",
     "mad_anomaly_days",
+    "segment_overlap_users",
     "cuped_events",
     "emd_events",
     "scorecard_events",

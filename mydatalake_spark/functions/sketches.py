@@ -195,3 +195,86 @@ def hll_shard_union_check(
         "exact_distinct",
         (rel_err <= tolerance).alias("within_bound"),
     )
+
+def hll_intersection_check(
+    df: DataFrame,
+    seg_col: str,
+    key_col: str,
+    lg_k: int = 14,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Segment-overlap cardinality via HLL inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), the only way to intersect
+    mergeable sketches (HLL unions natively but cannot intersect).
+    For every segment pair: the estimate, the EXACT intersection (for
+    the contract), and ``within_bound`` — |est − exact| ≤ tolerance ·
+    |A∪B|. The bound is on the UNION scale because inclusion–exclusion
+    compounds each union-sized error: a small true intersection can
+    carry large RELATIVE error by construction, which is the honest
+    contract (Datasketches documents the same caveat for set
+    operations on HLL).
+
+    Scale shape: one sketch per segment (a segment-count-sized frame),
+    pairwise scalar ``hll_union`` over that tiny frame, and the exact
+    side is a distinct (segment, key) self-join — only the contract
+    verifier touches key-grain data; production reads sketches only.
+    """
+    e = df.select(
+        F.col(seg_col).alias("__seg__"), F.col(key_col).alias("__k__")
+    ).distinct()
+    sk = e.groupBy("__seg__").agg(
+        F.hll_sketch_agg("__k__", F.lit(lg_k)).alias("__sk__"),
+        F.count(F.lit(1)).alias("__nd__"),
+    )
+    a = sk.select(
+        F.col("__seg__").alias("seg_a"),
+        F.col("__sk__").alias("__ska__"),
+        F.col("__nd__").alias("__nda__"),
+    )
+    b = sk.select(
+        F.col("__seg__").alias("seg_b"),
+        F.col("__sk__").alias("__skb__"),
+        F.col("__nd__").alias("__ndb__"),
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    est_a = F.hll_sketch_estimate("__ska__")
+    est_b = F.hll_sketch_estimate("__skb__")
+    est_u = F.hll_sketch_estimate(
+        F.hll_union("__ska__", "__skb__", True)
+    )
+    est_i = est_a + est_b - est_u
+    ex1 = e.select(
+        F.col("__seg__").alias("seg_a"), F.col("__k__").alias("__ka__")
+    )
+    ex2 = e.select(
+        F.col("__seg__").alias("seg_b"), F.col("__k__").alias("__ka__")
+    )
+    exact = (
+        ex1.join(ex2, "__ka__")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    out = pairs.join(exact, ["seg_a", "seg_b"], "left").select(
+        "seg_a",
+        "seg_b",
+        F.coalesce("exact_intersection", F.lit(0))
+        .cast("long")
+        .alias("exact_intersection"),
+        (
+            F.col("__nda__") + F.col("__ndb__")
+            - F.coalesce("exact_intersection", F.lit(0))
+        ).cast("long").alias("exact_union"),
+        (
+            F.abs(
+                est_i
+                - F.coalesce("exact_intersection", F.lit(0)).cast("double")
+            )
+            <= tolerance
+            * (
+                F.col("__nda__") + F.col("__ndb__")
+                - F.coalesce("exact_intersection", F.lit(0))
+            ).cast("double")
+        ).alias("within_bound"),
+    )
+    return out

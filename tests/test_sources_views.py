@@ -351,3 +351,27 @@ def test_read_source_csv_and_orc_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported"):
         read_source(spark, "avro", orc_dir, schema)
+
+
+def test_hll_intersection_check_known_overlap(spark):
+    from mydatalake_spark.functions.sketches import hll_intersection_check
+
+    # A = 0..999, B = 500..1499 -> |A∩B| = 500, |A∪B| = 1500
+    rows = [("A", i) for i in range(1000)] + [
+        ("B", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, "seg string, k long")
+    r = hll_intersection_check(df, "seg", "k", tolerance=0.05).collect()[0]
+    assert (r.seg_a, r.seg_b) == ("A", "B")
+    assert r.exact_intersection == 500 and r.exact_union == 1500
+    assert r.within_bound is True
+
+
+def test_hll_intersection_disjoint_segments(spark):
+    from mydatalake_spark.functions.sketches import hll_intersection_check
+
+    rows = [("A", i) for i in range(300)] + [
+        ("B", i + 10_000) for i in range(300)]
+    df = spark.createDataFrame(rows, "seg string, k long")
+    r = hll_intersection_check(df, "seg", "k", tolerance=0.05).collect()[0]
+    assert r.exact_intersection == 0
+    assert r.within_bound is True
