@@ -7319,6 +7319,90 @@ JOIN sizes sb ON sb.seg = p.seg_b
 """
 
 
+def item_cosine_recs_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    part brands over order baskets — sim(i,j) = co(i,j)/√(n(i)·n(j))
+    — and the top-3 neighbors per brand, the classic "customers who
+    bought X" recommender. Co-occurrence counts come from the basket
+    equi-join on the order key (bounded by basket width, the
+    copurchase shape); all inputs to the cosine are exact integers,
+    and ranking compares the ROUNDED similarity (brand tiebreak) so
+    mathematically-equal scores can't flip order across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.alias("a")
+    c = ob.alias("c")
+    co = (
+        a.join(c, "l_orderkey")
+        .where(F.col("a.b") != F.col("c.b"))
+        .groupBy(
+            F.col("a.b").alias("brand"), F.col("c.b").alias("neighbor")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    na = n.select(F.col("b").alias("brand"), F.col("nb").alias("n1"))
+    nb = n.select(F.col("b").alias("neighbor"), F.col("nb").alias("n2"))
+    scored = (
+        co.join(na, "brand")
+        .join(nb, "neighbor")
+        .select(
+            "brand",
+            "neighbor",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(
+                    F.col("n1").cast("double") * F.col("n2").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= 3)
+        .drop("__rn__")
+    )
+
+
+_ITEM_COSINE_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT b, COUNT(*) AS nb FROM ob GROUP BY b
+), co AS (
+  SELECT a.b AS brand, c.b AS neighbor, COUNT(*) AS co
+  FROM ob a JOIN ob c ON a.l_orderkey = c.l_orderkey AND a.b <> c.b
+  GROUP BY 1, 2
+), scored AS (
+  SELECT brand, neighbor, co,
+    ROUND(CAST(co AS DOUBLE)
+          / SQRT(CAST(na.nb AS DOUBLE) * CAST(nc.nb AS DOUBLE)), 6)
+      AS cosine
+  FROM co
+  JOIN n na ON na.b = brand
+  JOIN n nc ON nc.b = neighbor
+)
+SELECT brand, neighbor, CAST(co AS BIGINT) AS co, cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY brand ORDER BY cosine DESC, neighbor
+) <= 3
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7412,6 +7496,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint_revenue": cusum_changepoint_revenue,
         "mad_anomaly_days": mad_anomaly_days,
         "segment_overlap_users": segment_overlap_users,
+        "item_cosine_recs_parts": item_cosine_recs_parts,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7675,6 +7760,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint_revenue": _CUSUM_ORACLE,
         "mad_anomaly_days": _MAD_ORACLE,
         "segment_overlap_users": _SEGMENT_OVERLAP_ORACLE,
+        "item_cosine_recs_parts": _ITEM_COSINE_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -95,6 +95,7 @@ HEADLINE = [
     "cusum_changepoint_revenue",
     "mad_anomaly_days",
     "segment_overlap_users",
+    "item_cosine_recs_parts",
     "cuped_events",
     "emd_events",
     "scorecard_events",
