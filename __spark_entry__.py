@@ -7403,6 +7403,56 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def bpe_merge_candidates_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The first BPE training step, distributed: corpus-wide adjacent
+    character-pair frequencies within words (the statistic every merge
+    round of byte-pair encoding maximizes), top-20 by count. One
+    tokenize+explode pass, a sequence-explode to in-word positions
+    (output bounded by corpus characters), one count aggregate —
+    iterating this map-reduce IS distributed BPE training. Integer
+    counts make ranking engine-deterministic (pair tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    from mydatalake_spark.functions.text import normalize_text, tokens
+
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+_BPE_ORACLE = r"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT_REGEX(
+      LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT w FROM toks WHERE LEN(w) >= 2
+), pairs AS (
+  SELECT SUBSTRING(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, UNNEST(RANGE(1, LEN(w))) AS t(i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7497,6 +7547,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomaly_days": mad_anomaly_days,
         "segment_overlap_users": segment_overlap_users,
         "item_cosine_recs_parts": item_cosine_recs_parts,
+        "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7761,6 +7812,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_anomaly_days": _MAD_ORACLE,
         "segment_overlap_users": _SEGMENT_OVERLAP_ORACLE,
         "item_cosine_recs_parts": _ITEM_COSINE_ORACLE,
+        "bpe_merge_candidates_documents": _BPE_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -96,6 +96,7 @@ HEADLINE = [
     "mad_anomaly_days",
     "segment_overlap_users",
     "item_cosine_recs_parts",
+    "bpe_merge_candidates_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
