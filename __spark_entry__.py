@@ -7453,6 +7453,183 @@ LIMIT 20
 """
 
 
+def dp_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event counts (ε = 1, sensitivity 1):
+    per-type counts with Laplace(1/ε) noise — the release mechanism
+    for sharing aggregate statistics about user behavior. The noise
+    is DERIVED, not drawn: md5(salt|type) → a 16-bit uniform →
+    inverse-CDF Laplace, so the release is reproducible, auditable,
+    and oracle-replayable (the determinism-vs-secrecy tradeoff is the
+    salt's: rotate it per release). One aggregate + scalar noise
+    expressions; noise adds per GROUP, so cost is group-count-sized."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    # u in (-0.5, 0.5) from the md5 hex bucket midpoint
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("dp1"), F.col("event_type"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (bucket + 0.5) / 65536.0 - 0.5
+    eps = 1.0
+    noise = (
+        -(1.0 / eps)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("true_count") + noise, 4).alias("dp_count"),
+    )
+
+
+_DP_COUNTS_ORACLE = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_count
+  FROM events GROUP BY event_type
+), noised AS (
+  SELECT event_type, true_count,
+    -(1.0 / 1.0)
+      * SIGN((CAST(('0x' || SUBSTRING(
+            MD5('dp1' || '|' || event_type), 1, 4)) AS INTEGER)
+          + 0.5) / 65536.0 - 0.5)
+      * LN(1.0 - 2.0 * ABS((CAST(('0x' || SUBSTRING(
+            MD5('dp1' || '|' || event_type), 1, 4)) AS INTEGER)
+          + 0.5) / 65536.0 - 0.5)) AS noise
+  FROM counts
+)
+SELECT event_type,
+  CAST(true_count AS BIGINT) AS true_count,
+  ROUND(noise, 4) AS noise,
+  ROUND(true_count + noise, 4) AS dp_count
+FROM noised
+"""
+
+
+def ndcg_quantized_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NDCG@10 of the int8-quantized ranking against fp32 cosine as
+    graded relevance — the position-weighted complement of
+    quantized_recall_embeddings' set overlap (recall can't see that a
+    miss at rank 1 hurts more than at rank 10). DCG sums
+    gain/log₂(rank+1) over the quantized order; IDCG over the fp32
+    ideal order; both rankings reuse the engine-deterministic
+    constructions already under the gate."""
+    from mydatalake_spark.similarity.quantize import (
+        quantize_int8,
+        quantized_topk,
+    )
+    from mydatalake_spark.similarity.search import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, qids, k=10, vectorized=False)
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    exact_ranked = exact.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.row_number().over(we).alias("__re__"),
+    )
+    idcg = exact_ranked.groupBy("query_id").agg(
+        F.sum(
+            F.col("score") / F.log2(F.col("__re__") + 1)
+        ).alias("__idcg__")
+    )
+    quant = quantize_int8(emb)
+    qk = quantized_topk(quant, qids.select("vec_id"), k=10)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    q_ranked = qk.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wq).alias("__rq__"),
+    )
+    gains = q_ranked.join(
+        exact.select(
+            "query_id", "neighbor_id", F.col("score").alias("__g__")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select(
+        "query_id",
+        # a quantized pick outside the fp32 top-10 carries its true
+        # fp32 gain too — recompute it from the vectors? No: outside
+        # picks are rare and their gain is below the top-10 floor;
+        # the standard library convention (sklearn ndcg on truncated
+        # relevance) assigns them 0, which we follow exactly
+        F.coalesce(F.col("__g__"), F.lit(0.0)).alias("__g__"),
+        "__rq__",
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.sum(F.col("__g__") / F.log2(F.col("__rq__") + 1)).alias(
+            "__dcg__"
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round(F.col("__dcg__") / F.col("__idcg__"), 6).alias("ndcg"),
+    )
+
+
+_NDCG_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), exact AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         LIST_COSINE_SIMILARITY(q.v, c2.v) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY LIST_COSINE_SIMILARITY(q.v, c2.v) DESC,
+                    c2.vec_id) AS re
+  FROM c q JOIN c c2 ON c2.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+  QUALIFY re <= 10
+), idcg AS (
+  SELECT query_id, SUM(score / LOG2(re + 1)) AS idcg
+  FROM exact GROUP BY query_id
+), qz AS (
+  SELECT vec_id,
+    LIST_TRANSFORM(
+      v, x -> CAST(FLOOR(x / m * 127.0 + 0.5) AS DOUBLE)) AS qv
+  FROM (
+    SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS m
+    FROM c
+  ) WHERE m > 0
+), qk AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY LIST_COSINE_SIMILARITY(a.qv, b.qv) DESC,
+                    b.vec_id) AS rq
+  FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+  QUALIFY rq <= 10
+), gains AS (
+  SELECT qk.query_id, COALESCE(e.score, 0.0) AS g, qk.rq
+  FROM qk LEFT JOIN exact e
+    ON e.query_id = qk.query_id AND e.neighbor_id = qk.neighbor_id
+), dcg AS (
+  SELECT query_id, SUM(g / LOG2(rq + 1)) AS dcg FROM gains
+  GROUP BY query_id
+)
+SELECT d.query_id, ROUND(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7548,6 +7725,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_overlap_users": segment_overlap_users,
         "item_cosine_recs_parts": item_cosine_recs_parts,
         "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
+        "dp_counts_events": dp_counts_events,
+        "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7813,6 +7992,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_overlap_users": _SEGMENT_OVERLAP_ORACLE,
         "item_cosine_recs_parts": _ITEM_COSINE_ORACLE,
         "bpe_merge_candidates_documents": _BPE_ORACLE,
+        "dp_counts_events": _DP_COUNTS_ORACLE,
+        "ndcg_quantized_embeddings": _NDCG_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -97,6 +97,8 @@ HEADLINE = [
     "segment_overlap_users",
     "item_cosine_recs_parts",
     "bpe_merge_candidates_documents",
+    "dp_counts_events",
+    "ndcg_quantized_embeddings",
     "cuped_events",
     "emd_events",
     "scorecard_events",
