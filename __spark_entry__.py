@@ -7630,6 +7630,49 @@ FROM dcg d JOIN idcg i ON i.query_id = d.query_id
 """
 
 
+def wor_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sample
+    (operators/sampling.py:weighted_sample_wor, Efraimidis–Spirakis):
+    exactly 20 documents per source, inclusion probability ∝ document
+    length — the exact-size quota sampler Bernoulli mixing can't give.
+    Deterministic md5 uniforms make the oracle replay the whole draw;
+    output is just (doc_id, source) so the hash check pins the
+    SELECTED SET."""
+    from mydatalake_spark.operators.sampling import weighted_sample_wor
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    out = weighted_sample_wor(
+        docs,
+        "doc_id",
+        F.length("text").cast("double"),
+        k=20,
+        strata_col="source",
+        salt="wor1",
+    )
+    return out.select("doc_id", "source")
+
+
+_WOR_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, CAST(LENGTH(text) AS DOUBLE) AS w
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id, source,
+    LN((CAST(('0x' || SUBSTRING(
+          MD5('wor1' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))
+        AS BIGINT) + 0.5) / 4294967296.0) / w AS es
+  FROM base WHERE w > 0
+)
+SELECT doc_id, source
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source ORDER BY es DESC, doc_id
+) <= 20
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7727,6 +7770,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
         "dp_counts_events": dp_counts_events,
         "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
+        "wor_sample_documents": wor_sample_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -7994,6 +8038,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_candidates_documents": _BPE_ORACLE,
         "dp_counts_events": _DP_COUNTS_ORACLE,
         "ndcg_quantized_embeddings": _NDCG_ORACLE,
+        "wor_sample_documents": _WOR_SAMPLE_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -99,6 +99,7 @@ HEADLINE = [
     "bpe_merge_candidates_documents",
     "dp_counts_events",
     "ndcg_quantized_embeddings",
+    "wor_sample_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",

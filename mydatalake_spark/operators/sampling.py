@@ -20,7 +20,7 @@ engine-specific hex→int conversion).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 16 ** 4  # 4 hex chars
@@ -293,3 +293,56 @@ def temperature_sample(
     )
     joined = df.join(F.broadcast(q), group_col)
     return weighted_sample(joined, key_col, "__q__", salt=salt)
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key_col: str,
+    weight: Column | str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one distributed pass —
+    the Efraimidis–Spirakis A-ES scheme: each row draws a key
+    u^(1/w) (equivalently ln(u)/w, monotone) from a deterministic
+    md5-derived uniform, and the top-k keys ARE a weighted
+    without-replacement sample. Solves what Bernoulli
+    :func:`weighted_sample` cannot: an EXACT sample size with
+    inclusion probability proportional to weight.
+
+    Deterministic and engine-portable like every sampler here: u is a
+    pure function of (salt, key), so the same corpus always yields the
+    same sample; per-stratum top-k via one rank window (the group-by
+    shuffle), no driver-side state. Rows with weight ≤ 0 never
+    qualify. u uses 8 hex digits (32-bit granularity) so key
+    collisions are negligible; (selection_key, key) breaks residual
+    ties deterministically.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.lit(salt), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    es_key = F.log(u) / w
+    scored = df.where(w > 0).withColumn("__es__", es_key)
+    part = [strata_col] if strata_col else []
+    win = Window.partitionBy(*part).orderBy(
+        F.col("__es__").desc(), F.col(key_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= k)
+        .drop("__es__", "__rn__")
+    )

@@ -318,3 +318,29 @@ def test_temperature_sample_flattens_source_distribution(spark):
         df, "source", "doc_id", alpha=0.5, target_rate=0.5, salt="t1"
     ).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_weighted_wor_exact_size_and_weight_bias(spark):
+    """A-ES sample: exact k per stratum, deterministic across runs,
+    and heavier rows are overrepresented vs their population share."""
+    from mydatalake_spark.operators.sampling import weighted_sample_wor
+
+    # 900 light rows (w=1) + 100 heavy rows (w=50)
+    rows = [(i, "s", 1.0) for i in range(900)] + [
+        (i, "s", 50.0) for i in range(900, 1000)]
+    df = spark.createDataFrame(rows, "id long, src string, w double")
+    out1 = weighted_sample_wor(df, "id", "w", k=100, strata_col="src",
+                               salt="t")
+    got1 = sorted(r.id for r in out1.collect())
+    assert len(got1) == 100
+    out2 = weighted_sample_wor(df, "id", "w", k=100, strata_col="src",
+                               salt="t")
+    assert sorted(r.id for r in out2.collect()) == got1
+    heavy = sum(1 for i in got1 if i >= 900)
+    # heavy rows are 10% of the population with 50x weight: expect
+    # far more than 10 of the 100 slots (E ≈ 85); 40 is a loose floor
+    assert heavy > 40
+    # zero/negative weights never selected
+    df2 = df.withColumn("w", F.when(F.col("id") < 999, 0.0).otherwise(1.0))
+    out3 = weighted_sample_wor(df2, "id", "w", k=10, strata_col="src")
+    assert [r.id for r in out3.collect()] == [999]
