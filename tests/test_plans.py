@@ -632,3 +632,19 @@ def test_new_olap_queries_scan_counts(spark, sf_dir, entry):
         got = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert got == scans, f"{name}: {got} scans, expected {scans}"
         assert "CartesianProduct" not in plan
+
+def test_wor_sampler_is_single_scan_window(spark, sf_dir, entry):
+    import re
+
+    plan = _plan(spark, entry.queries()["wor_sample_documents"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cosine_basket_join_no_cartesian(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["item_cosine_recs_parts"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # the part dimension broadcasts onto the fact scan
+    assert "BroadcastHashJoin" in plan
