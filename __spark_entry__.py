@@ -7673,6 +7673,80 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def drift_by_segment_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment drift: the two-sample KS statistic between the
+    first- and second-half-month value distributions computed for
+    EVERY event_type in one grouped pass — the segment-level drilldown
+    of drift_report_events (aggregate drift can hide a single segment
+    shifting). Distinct-value windows partition by segment, so no
+    segment sees another's ECDF."""
+    ev = _t(spark, sf_dir, "events")
+    probe = F.when(
+        F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), 1
+    ).otherwise(0)
+    per_val = ev.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").alias("__v__"), probe.alias("__b__")
+    ).groupBy("event_type", "__v__").agg(
+        F.count(F.lit(1)).alias("__t__"),
+        F.sum("__b__").alias("__tb__"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        "event_type",
+        F.sum(F.col("__t__") - F.col("__tb__")).over(w).alias("__ca__"),
+        F.sum("__tb__").over(w).alias("__cb__"),
+        F.sum(F.col("__t__") - F.col("__tb__")).over(wfull).alias("__na__"),
+        F.sum("__tb__").over(wfull).alias("__nb__"),
+    )
+    gap = F.abs(
+        F.col("__ca__").cast("double") / F.col("__na__").cast("double")
+        - F.col("__cb__").cast("double") / F.col("__nb__").cast("double")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("__na__").cast("long").alias("n_ref"),
+        F.max("__nb__").cast("long").alias("n_probe"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+    )
+
+
+_DRIFT_SEGMENT_ORACLE = """
+WITH per_val AS (
+  SELECT event_type, value AS v, COUNT(*) AS t,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+             THEN 1 ELSE 0 END) AS tb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+), cum AS (
+  SELECT event_type,
+    SUM(t - tb) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ca,
+    SUM(tb) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cb,
+    SUM(t - tb) OVER (PARTITION BY event_type) AS na,
+    SUM(tb) OVER (PARTITION BY event_type) AS nb
+  FROM per_val
+)
+SELECT event_type,
+  CAST(MAX(na) AS BIGINT) AS n_ref,
+  CAST(MAX(nb) AS BIGINT) AS n_probe,
+  ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+    AS d_stat
+FROM cum GROUP BY event_type
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7771,6 +7845,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts_events": dp_counts_events,
         "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
         "wor_sample_documents": wor_sample_documents,
+        "drift_by_segment_events": drift_by_segment_events,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8039,6 +8114,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts_events": _DP_COUNTS_ORACLE,
         "ndcg_quantized_embeddings": _NDCG_ORACLE,
         "wor_sample_documents": _WOR_SAMPLE_ORACLE,
+        "drift_by_segment_events": _DRIFT_SEGMENT_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

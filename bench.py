@@ -100,6 +100,7 @@ HEADLINE = [
     "dp_counts_events",
     "ndcg_quantized_embeddings",
     "wor_sample_documents",
+    "drift_by_segment_events",
     "cuped_events",
     "emd_events",
     "scorecard_events",
