@@ -2342,6 +2342,55 @@ FROM scored
 """
 
 
+def langid_confusion_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-marker classifier's
+    guesses against the corpus's ground-truth ``lang`` column, with
+    each cell's share of its true language — the eval that turns
+    lang_guess from a heuristic into a measured classifier (the same
+    measure-don't-assume discipline as minhash_calibration /
+    quantized_recall). One scan, one cell aggregate, one window
+    normalization."""
+    from mydatalake_spark.functions.text import lang_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", lang_guess("text").alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "guessed_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wl).cast("double"),
+            6,
+        ).alias("frac_of_lang"),
+        (F.col("lang") == F.col("guessed_lang")).alias("correct"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    inner = _lang_guess_oracle()
+    return f"""
+WITH guesses AS ({inner}),
+cells AS (
+  SELECT lang, guessed_lang, COUNT(*) AS n
+  FROM guesses GROUP BY lang, guessed_lang
+)
+SELECT lang, guessed_lang, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+    AS frac_of_lang,
+  lang = guessed_lang AS correct
+FROM cells
+"""
+
+
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 over normalized text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -7846,6 +7895,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
         "wor_sample_documents": wor_sample_documents,
         "drift_by_segment_events": drift_by_segment_events,
+        "langid_confusion_documents": langid_confusion_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8115,6 +8165,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_quantized_embeddings": _NDCG_ORACLE,
         "wor_sample_documents": _WOR_SAMPLE_ORACLE,
         "drift_by_segment_events": _DRIFT_SEGMENT_ORACLE,
+        "langid_confusion_documents": _langid_confusion_oracle(),
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

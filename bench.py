@@ -101,6 +101,7 @@ HEADLINE = [
     "ndcg_quantized_embeddings",
     "wor_sample_documents",
     "drift_by_segment_events",
+    "langid_confusion_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
