@@ -7796,6 +7796,44 @@ FROM cum GROUP BY event_type
 """
 
 
+def cycle_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment cycle time: days from order date to each line
+    item's ship date, summarized per order priority as median / p90 /
+    max — the operational-latency readout every fulfillment dashboard
+    leads with. Day differences are exact integers (DATEDIFF), so the
+    interpolated percentiles are identical on both engines; one
+    broadcast join (orders dim projection) and one grouped aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lag = li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("__days__"),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.median("__days__"), 1).alias("median_days"),
+        F.round(F.percentile("__days__", F.lit(0.9)), 1).alias("p90_days"),
+        F.max("__days__").cast("long").alias("max_days"),
+    )
+
+
+_CYCLE_TIME_ORACLE = """
+WITH lag AS (
+  SELECT o_orderpriority,
+         DATEDIFF('day', o_orderdate, l_shipdate) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  ROUND(MEDIAN(days), 1) AS median_days,
+  ROUND(QUANTILE_CONT(days, 0.9), 1) AS p90_days,
+  CAST(MAX(days) AS BIGINT) AS max_days
+FROM lag GROUP BY o_orderpriority
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7896,6 +7934,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wor_sample_documents": wor_sample_documents,
         "drift_by_segment_events": drift_by_segment_events,
         "langid_confusion_documents": langid_confusion_documents,
+        "cycle_time_priority": cycle_time_priority,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8166,6 +8205,7 @@ def oracle_sql() -> dict[str, str]:
         "wor_sample_documents": _WOR_SAMPLE_ORACLE,
         "drift_by_segment_events": _DRIFT_SEGMENT_ORACLE,
         "langid_confusion_documents": _langid_confusion_oracle(),
+        "cycle_time_priority": _CYCLE_TIME_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

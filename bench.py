@@ -102,6 +102,7 @@ HEADLINE = [
     "wor_sample_documents",
     "drift_by_segment_events",
     "langid_confusion_documents",
+    "cycle_time_priority",
     "cuped_events",
     "emd_events",
     "scorecard_events",
