@@ -7834,6 +7834,69 @@ FROM lag GROUP BY o_orderpriority
 """
 
 
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many orders are OPEN (ordered
+    but not yet fully shipped) on each day — the occupancy/backlog
+    pattern (hotel nights, active sessions, WIP inventory) solved the
+    scalable way: each interval becomes a +1 at start and a −1 after
+    end, and a running sum over the event stream yields the
+    concurrency — O(2n) events and ONE ordered window instead of an
+    interval-×-calendar join. Close date = the order's max line-item
+    ship date. Top-20 busiest days (count desc, date) keeps the output
+    stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    close = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__close__")
+    )
+    iv = od.join(
+        close, od.o_orderkey == close.l_orderkey
+    ).select("o_orderdate", "__close__")
+    deltas = iv.select(
+        F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            F.date_add(F.to_date("__close__"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("__net__"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = daily.select(
+        "d", F.sum("__net__").over(w).cast("long").alias("open_orders")
+    )
+    return running.orderBy(
+        F.col("open_orders").desc(), F.col("d")
+    ).limit(20)
+
+
+_OPEN_ORDERS_ORACLE = """
+WITH close AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS closed
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT o_orderdate, closed
+  FROM orders JOIN close ON o_orderkey = l_orderkey
+), deltas AS (
+  SELECT o_orderdate AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT closed + INTERVAL 1 DAY, -1 FROM iv
+), daily AS (
+  SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+), running AS (
+  SELECT d,
+    CAST(SUM(net) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS open_orders
+  FROM daily
+)
+SELECT CAST(d AS DATE) AS d, open_orders FROM running
+ORDER BY open_orders DESC, d
+LIMIT 20
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7935,6 +7998,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_by_segment_events": drift_by_segment_events,
         "langid_confusion_documents": langid_confusion_documents,
         "cycle_time_priority": cycle_time_priority,
+        "open_orders_daily": open_orders_daily,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8206,6 +8270,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_by_segment_events": _DRIFT_SEGMENT_ORACLE,
         "langid_confusion_documents": _langid_confusion_oracle(),
         "cycle_time_priority": _CYCLE_TIME_ORACLE,
+        "open_orders_daily": _OPEN_ORDERS_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -103,6 +103,7 @@ HEADLINE = [
     "drift_by_segment_events",
     "langid_confusion_documents",
     "cycle_time_priority",
+    "open_orders_daily",
     "cuped_events",
     "emd_events",
     "scorecard_events",
