@@ -7897,6 +7897,95 @@ LIMIT 20
 """
 
 
+def bpe_two_rounds_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed BPE, round 2: apply round 1's winning merge to the
+    corpus (greedy left-to-right, exactly what sequential BPE does)
+    and re-count adjacent-pair frequencies over the MERGED token
+    sequences — demonstrating that the merge loop itself, not just
+    one count, distributes. Token sequences travel as
+    unit-separator-joined strings, the merge is one REPLACE (both
+    engines replace non-overlapping occurrences left-to-right), and
+    each round is a count aggregate + a broadcast of one winning
+    pair. Top-10 round-2 pairs; '+' marks the merged symbol."""
+    from mydatalake_spark.functions.text import normalize_text, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sep = "\x01"
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    # char sequence as sep-joined string
+    seq = F.array_join(F.split(F.col("w"), ""), sep).alias("s")
+    seqs = words.select(seq)
+
+    def pair_counts(sdf):
+        toks = F.split(F.col("s"), sep)
+        return sdf.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        "+",
+                        F.element_at(toks, i.cast("int")),
+                        F.element_at(toks, (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("pair")
+        ).groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    r1 = pair_counts(seqs)
+    top1 = r1.orderBy(F.col("n").desc(), F.col("pair")).limit(1).select(
+        F.col("pair").alias("__top__")
+    )
+    merged = seqs.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("s"),
+            F.replace(F.col("__top__"), F.lit("+"), F.lit(sep)),
+            F.replace(F.col("__top__"), F.lit("+"), F.lit("")),
+        ).alias("s")
+    )
+    return (
+        pair_counts(merged)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(10)
+    )
+
+
+_BPE2_ORACLE = r"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT_REGEX(
+      LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT w FROM toks WHERE LEN(w) >= 2
+), seqs AS (
+  SELECT ARRAY_TO_STRING(STRING_SPLIT(w, ''), CHR(1)) AS s FROM words
+), r1 AS (
+  SELECT LIST_ELEMENT(t, CAST(i AS INTEGER)) || '+'
+           || LIST_ELEMENT(t, CAST(i AS INTEGER) + 1) AS pair
+  FROM (SELECT STRING_SPLIT(s, CHR(1)) AS t FROM seqs),
+       UNNEST(RANGE(1, LEN(t))) AS u(i)
+), top1 AS (
+  SELECT pair FROM r1 GROUP BY pair
+  ORDER BY COUNT(*) DESC, pair LIMIT 1
+), merged AS (
+  SELECT REPLACE(s,
+           REPLACE(top1.pair, '+', CHR(1)),
+           REPLACE(top1.pair, '+', '')) AS s
+  FROM seqs, top1
+), r2 AS (
+  SELECT LIST_ELEMENT(t, CAST(i AS INTEGER)) || '+'
+           || LIST_ELEMENT(t, CAST(i AS INTEGER) + 1) AS pair
+  FROM (SELECT STRING_SPLIT(s, CHR(1)) AS t FROM merged),
+       UNNEST(RANGE(1, LEN(t))) AS u(i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM r2 GROUP BY pair
+ORDER BY n DESC, pair LIMIT 10
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -7999,6 +8088,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion_documents": langid_confusion_documents,
         "cycle_time_priority": cycle_time_priority,
         "open_orders_daily": open_orders_daily,
+        "bpe_two_rounds_documents": bpe_two_rounds_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8271,6 +8361,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_documents": _langid_confusion_oracle(),
         "cycle_time_priority": _CYCLE_TIME_ORACLE,
         "open_orders_daily": _OPEN_ORDERS_ORACLE,
+        "bpe_two_rounds_documents": _BPE2_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

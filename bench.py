@@ -104,6 +104,7 @@ HEADLINE = [
     "langid_confusion_documents",
     "cycle_time_priority",
     "open_orders_daily",
+    "bpe_two_rounds_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
