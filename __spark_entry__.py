@@ -7986,6 +7986,105 @@ ORDER BY n DESC, pair LIMIT 10
 """
 
 
+def canonical_by_quality_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware canonical election: within each near-duplicate
+    cluster (exact shingle-Jaccard ≥ 0.2 → connected components, the
+    neardup_clusters pipeline), keep the doc with the MOST DISTINCT
+    TOKENS (doc_id tiebreak) instead of the arbitrary min-id — "keep
+    the best copy", the policy real curation wants (dedup_clusters'
+    min-id is the fast default). The metric is an exact integer, so
+    election is engine-deterministic; the oracle replays CC AND the
+    election."""
+    from mydatalake_spark.functions.text import (
+        distinct_token_count,
+        normalize_text,
+    )
+    from mydatalake_spark.operators.clusters import dedup_clusters
+    from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clustered = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    scored = clustered.join(
+        docs.select(
+            "doc_id",
+            distinct_token_count(normalize_text(F.col("text"))).alias(
+                "__q__"
+            ),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q__").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("__q__").alias("n_distinct_tokens"),
+            (F.col("__rn__") == 1).alias("keep"),
+        )
+    )
+
+
+_CANONICAL_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    STRING_SPLIT_REGEX(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')),
+                       '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+      i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' '))) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b USING (sg)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.ns + sb.ns - ni) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS node, MIN(label) AS component FROM reach GROUP BY u),
+clustered AS (
+  SELECT d.doc_id,
+    COALESCE(cc.component, d.doc_id) AS cluster_id,
+    CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+         ELSE LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(
+           LOWER(REGEXP_REPLACE(TRIM(d.text), '\s+', ' ', 'g')),
+           '\s+'))) END AS BIGINT) AS q
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+)
+SELECT doc_id, cluster_id, q AS n_distinct_tokens,
+  ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY q DESC, doc_id) = 1 AS keep
+FROM clustered
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -8089,6 +8188,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cycle_time_priority": cycle_time_priority,
         "open_orders_daily": open_orders_daily,
         "bpe_two_rounds_documents": bpe_two_rounds_documents,
+        "canonical_by_quality_documents": canonical_by_quality_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8362,6 +8462,7 @@ def oracle_sql() -> dict[str, str]:
         "cycle_time_priority": _CYCLE_TIME_ORACLE,
         "open_orders_daily": _OPEN_ORDERS_ORACLE,
         "bpe_two_rounds_documents": _BPE2_ORACLE,
+        "canonical_by_quality_documents": _CANONICAL_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -105,6 +105,7 @@ HEADLINE = [
     "cycle_time_priority",
     "open_orders_daily",
     "bpe_two_rounds_documents",
+    "canonical_by_quality_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
