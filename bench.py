@@ -364,6 +364,8 @@ SCALING_QUERIES = [
     "bfs_hops_trade",
     "theil_sen_users",
     "duplicate_spans_documents",
+    "split_leakage_documents",
+    "item_cosine_recs_parts",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
