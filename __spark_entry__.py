@@ -8085,6 +8085,97 @@ FROM clustered
 """
 
 
+def pixel_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL statistics through the LIVE image codec: valid P6
+    PPM payloads are synthesized in Spark (the multimodal_real_decode
+    construction — pixel data = the document's first 3·h text bytes),
+    decoded to real numpy arrays by functions/imagecodec.py through
+    the Arrow-batched mapInPandas path, and reduced to per-image
+    n_pixels / mean / min / max channel values. The corpus is ASCII,
+    so the oracle recomputes every statistic from the character codes
+    of the same text prefix — the decoder's OUTPUT BYTES are under
+    the hash check, not just its parsed geometry."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    h = F.least(F.floor(F.octet_length("text") / 3), F.lit(50)).cast("int")
+    payload = F.concat(
+        F.encode(F.format_string("P6\n1 %d\n255\n", h), "UTF-8"),
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, h * 3),
+    )
+    media = docs.where(h >= 1).select("doc_id", payload.alias("media"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pixel_bytes", T.LongType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+            T.StructField("min_pixel", T.IntegerType()),
+            T.StructField("max_pixel", T.IntegerType()),
+        ]
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        from mydatalake_spark.functions.imagecodec import decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["media"]):
+                arr = decode_image(bytes(p))
+                flat = arr.reshape(-1).astype("int64")
+                # exact integer sum → one double division: the same
+                # number the oracle's AVG over ASCII codes produces
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(flat.size),
+                        __import__("math").floor(
+                            float(flat.sum()) / float(flat.size)
+                            * 1e6 + 0.5
+                        ) / 1e6,
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_pixel_bytes",
+                    "mean_pixel",
+                    "min_pixel",
+                    "max_pixel",
+                ],
+            )
+
+    return media.mapInPandas(extract, schema=out_schema)
+
+
+_PIXEL_STATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    SUBSTRING(text, 1,
+      3 * LEAST(OCTET_LENGTH(ENCODE(text)) // 3, 50)) AS px
+  FROM documents
+  WHERE text IS NOT NULL
+    AND OCTET_LENGTH(ENCODE(text)) // 3 >= 1
+), codes AS (
+  SELECT doc_id,
+    LIST_TRANSFORM(STRING_SPLIT(px, ''), c -> ASCII(c)) AS cs
+  FROM t
+)
+SELECT doc_id,
+  CAST(LEN(cs) AS BIGINT) AS n_pixel_bytes,
+  FLOOR(CAST(LIST_SUM(cs) AS DOUBLE) / CAST(LEN(cs) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_pixel,
+  CAST(LIST_MIN(cs) AS INTEGER) AS min_pixel,
+  CAST(LIST_MAX(cs) AS INTEGER) AS max_pixel
+FROM codes
+"""
+
+
 def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graphs.py:bfs_hops) over the
     symmetrized supplier↔customer trade graph (same encoding as
@@ -8189,6 +8280,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "open_orders_daily": open_orders_daily,
         "bpe_two_rounds_documents": bpe_two_rounds_documents,
         "canonical_by_quality_documents": canonical_by_quality_documents,
+        "pixel_stats_documents": pixel_stats_documents,
         "cuped_events": cuped_events,
         "quantized_recall_embeddings": quantized_recall_embeddings,
         "minhash_calibration_documents": minhash_calibration_documents,
@@ -8463,6 +8555,7 @@ def oracle_sql() -> dict[str, str]:
         "open_orders_daily": _OPEN_ORDERS_ORACLE,
         "bpe_two_rounds_documents": _BPE2_ORACLE,
         "canonical_by_quality_documents": _CANONICAL_ORACLE,
+        "pixel_stats_documents": _PIXEL_STATS_ORACLE,
         "cuped_events": _CUPED_ORACLE,
         "quantized_recall_embeddings": _QUANTIZED_RECALL_ORACLE,
         "minhash_calibration_documents": _MINHASH_CALIB_ORACLE,

@@ -106,6 +106,7 @@ HEADLINE = [
     "open_orders_daily",
     "bpe_two_rounds_documents",
     "canonical_by_quality_documents",
+    "pixel_stats_documents",
     "cuped_events",
     "emd_events",
     "scorecard_events",
