@@ -306,6 +306,39 @@ SHOWCASE = [
         "are inherent to quantile segmentation; the frame they sort is the\n"
         "small one.",
     ),
+    (
+        "bfs_hops_trade",
+        "Bounded-depth frontier BFS: each level is one equi-join probe of\n"
+        "the persisted edge frame plus one anti-join against the visited\n"
+        "set; the edge derivation executes ONCE (persist), not per hop, and\n"
+        "lineage stays bounded by the depth.",
+    ),
+    (
+        "theil_sen_users",
+        "Pairwise-slope generation as a co-partitioned self-join on the\n"
+        "group key (SortMergeJoin on user_id, no BroadcastNestedLoop /\n"
+        "cartesian): cross-group pairs never materialize, so cost is\n"
+        "bounded by per-entity series length, not corpus size.",
+    ),
+    (
+        "minhash_calibration_documents",
+        "Estimator calibration: exact pairs from the shingle equi-join\n"
+        "(only docs SHARING a shingle ever meet) joined to map-side md5\n"
+        "minhash signatures; the estimate join touches only surviving\n"
+        "pairs.",
+    ),
+    (
+        "chi2_priority_status",
+        "Single input scan: contingency cells via one pair-keyed shuffle,\n"
+        "marginals as window sums over the tiny cell frame — no join back\n"
+        "to the input, no second scan.",
+    ),
+    (
+        "open_orders_daily",
+        "Concurrent-interval counting: +1/-1 event deltas and ONE ordered\n"
+        "running-sum window — O(2n) events instead of an\n"
+        "interval-by-calendar join.",
+    ),
 ]
 
 
