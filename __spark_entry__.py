@@ -3878,9 +3878,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     # Pre-distinct the lineitem side BEFORE the join: ~4 lineitems per
     # (order, supplier) pair collapse map-side, so the join probes a
-    # quarter of the rows. Broadcast the 2-column orders projection
-    # (~16 bytes/row — ~24 MB even at sf=100) so edge derivation is a
-    # map-side hash join with no shuffle of the big side.
+    # quarter of the rows. No broadcast hint on orders: the 2-column
+    # projection is ~2.4 GB at sf=100 (150M rows × 16 B) — too big to
+    # force; AQE broadcasts it at small SF (where it measures under the
+    # threshold) and falls back to a shuffle hash join at scale.
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -3891,7 +3892,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # halves the distinct/join shuffle bytes vs 'S123'-style strings —
     # the right graph encoding at any scale.
     pairs = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("l_suppkey") * 2).alias("src"),
             (F.col("o_custkey") * 2 + 1).alias("dst"),
@@ -8250,62 +8251,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: take prefix slots first ---
-        "bfs_hops_trade": bfs_hops_trade,
-        "emd_events": emd_events,
-        "scorecard_events": scorecard_events,
-        "drift_report_events": drift_report_events,
-        "tfidf_keywords_documents": tfidf_keywords_documents,
-        "mutual_info_orders": mutual_info_orders,
-        "psi_events": psi_events,
-        "trimmed_means_events": trimmed_means_events,
-        "duplicate_spans_documents": duplicate_spans_documents,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
-        "split_leakage_documents": split_leakage_documents,
-        "pareto_revenue_customers": pareto_revenue_customers,
-        "burst_users_events": burst_users_events,
-        "forecast_backtest_revenue": forecast_backtest_revenue,
-        "cusum_changepoint_revenue": cusum_changepoint_revenue,
-        "mad_anomaly_days": mad_anomaly_days,
-        "segment_overlap_users": segment_overlap_users,
-        "item_cosine_recs_parts": item_cosine_recs_parts,
-        "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
-        "dp_counts_events": dp_counts_events,
-        "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
-        "wor_sample_documents": wor_sample_documents,
-        "drift_by_segment_events": drift_by_segment_events,
-        "langid_confusion_documents": langid_confusion_documents,
-        "cycle_time_priority": cycle_time_priority,
-        "open_orders_daily": open_orders_daily,
-        "bpe_two_rounds_documents": bpe_two_rounds_documents,
-        "canonical_by_quality_documents": canonical_by_quality_documents,
-        "pixel_stats_documents": pixel_stats_documents,
-        "cuped_events": cuped_events,
-        "quantized_recall_embeddings": quantized_recall_embeddings,
-        "minhash_calibration_documents": minhash_calibration_documents,
-        "mannwhitney_events": mannwhitney_events,
-        "ks_test_events": ks_test_events,
-        "chi2_priority_status": chi2_priority_status,
-        "theil_sen_users": theil_sen_users,
-        "zipf_alpha_documents": zipf_alpha_documents,
-        "gini_revenue_customers": gini_revenue_customers,
-        "dedup_summary_documents": dedup_summary_documents,
-        "audio_real_decode": audio_real_decode,
-        "video_real_decode": video_real_decode,
-        "cumulative_users_events": cumulative_users_events,
-        "monthly_growth_revenue": monthly_growth_revenue,
-        "temperature_mix_documents": temperature_mix_documents,
-        "copurchase_lift_parts": copurchase_lift_parts,
-        "rfm_segments_customers": rfm_segments_customers,
-        "ewma_daily_revenue": ewma_daily_revenue,
-        "event_entropy_users": event_entropy_users,
-        "zscore_anomalies_events": zscore_anomalies_events,
+        # --- never driver-checked: prefix slots first ---
         "corr_matrix_lineitem": corr_matrix_lineitem,
         "mode_returnflag_by_priority": mode_returnflag_by_priority,
         "key_skew_profile_lineitem": key_skew_profile_lineitem,
         "source_overlap_documents": source_overlap_documents,
-        # --- last driver-green in r2 (displaced by the r4 rotation) ---
+        # --- last driver-green in r2 ---
         "window_functions_lineitem": window_functions_lineitem,
         "scalar_functions": scalar_functions,
         "topk_orders": topk_orders,
@@ -8340,7 +8291,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
-        # ==== past the observed 50-row driver budget from here ====
         "simhash_documents": simhash_documents,
         "embedding_neardup": embedding_neardup,
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
@@ -8374,7 +8324,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_json_kv": events_json_kv,
         "asof_enrich_clicks": asof_enrich_clicks,
-        # --- driver-green in r4 (freshest: past the 50-row budget) ---
+        # --- last driver-green in r4 ---
         "supplier_names_by_nation": supplier_names_by_nation,
         "multimodal_meta": multimodal_meta,
         "text_stats_documents": text_stats_documents,
@@ -8425,6 +8375,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": twap_events,
         "bootstrap_ci_events": bootstrap_ci_events,
         "rolling_distinct_users": rolling_distinct_users,
+        # --- last driver-green in r5 ---
+        "bfs_hops_trade": bfs_hops_trade,
+        "emd_events": emd_events,
+        "scorecard_events": scorecard_events,
+        "drift_report_events": drift_report_events,
+        "tfidf_keywords_documents": tfidf_keywords_documents,
+        "mutual_info_orders": mutual_info_orders,
+        "psi_events": psi_events,
+        "trimmed_means_events": trimmed_means_events,
+        "duplicate_spans_documents": duplicate_spans_documents,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
+        "split_leakage_documents": split_leakage_documents,
+        "pareto_revenue_customers": pareto_revenue_customers,
+        "burst_users_events": burst_users_events,
+        "forecast_backtest_revenue": forecast_backtest_revenue,
+        "cusum_changepoint_revenue": cusum_changepoint_revenue,
+        "mad_anomaly_days": mad_anomaly_days,
+        "segment_overlap_users": segment_overlap_users,
+        "item_cosine_recs_parts": item_cosine_recs_parts,
+        "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
+        "dp_counts_events": dp_counts_events,
+        "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
+        "wor_sample_documents": wor_sample_documents,
+        "drift_by_segment_events": drift_by_segment_events,
+        "langid_confusion_documents": langid_confusion_documents,
+        "cycle_time_priority": cycle_time_priority,
+        "open_orders_daily": open_orders_daily,
+        "bpe_two_rounds_documents": bpe_two_rounds_documents,
+        "canonical_by_quality_documents": canonical_by_quality_documents,
+        "pixel_stats_documents": pixel_stats_documents,
+        "cuped_events": cuped_events,
+        "quantized_recall_embeddings": quantized_recall_embeddings,
+        "minhash_calibration_documents": minhash_calibration_documents,
+        "mannwhitney_events": mannwhitney_events,
+        "ks_test_events": ks_test_events,
+        "chi2_priority_status": chi2_priority_status,
+        "theil_sen_users": theil_sen_users,
+        "zipf_alpha_documents": zipf_alpha_documents,
+        "gini_revenue_customers": gini_revenue_customers,
+        "dedup_summary_documents": dedup_summary_documents,
+        "audio_real_decode": audio_real_decode,
+        "video_real_decode": video_real_decode,
+        "cumulative_users_events": cumulative_users_events,
+        "monthly_growth_revenue": monthly_growth_revenue,
+        "temperature_mix_documents": temperature_mix_documents,
+        "copurchase_lift_parts": copurchase_lift_parts,
+        "rfm_segments_customers": rfm_segments_customers,
+        "ewma_daily_revenue": ewma_daily_revenue,
+        "event_entropy_users": event_entropy_users,
+        "zscore_anomalies_events": zscore_anomalies_events,
     }
 
 

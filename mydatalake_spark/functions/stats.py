@@ -295,11 +295,39 @@ def mann_whitney_u(
     )
 
 
+def _maybe_binned(df: DataFrame, value_col: str, bins: int | None):
+    """Replace a continuous value column with its bin midpoint when
+    ``bins`` is set: one cheap min/max aggregate, then a fixed-width
+    quantization expression — bounds the distinct-value frame (and so
+    the single-task ordered window downstream) to ``bins`` rows
+    regardless of input cardinality. Deterministic and
+    oracle-expressible (same min/max CTE + floor arithmetic in SQL)."""
+    if bins is None:
+        return F.col(value_col)
+    lo_hi = (
+        df.where(F.col(value_col).isNotNull())
+        .agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        )
+        .first()
+    )
+    if lo_hi is None or lo_hi.lo is None or lo_hi.hi <= lo_hi.lo:
+        return F.col(value_col)
+    width = (lo_hi.hi - lo_hi.lo) / bins
+    q = F.least(
+        F.floor((F.col(value_col).cast("double") - lo_hi.lo) / width),
+        F.lit(bins - 1),
+    )
+    return lo_hi.lo + (q + 0.5) * width
+
+
 def ks_2samp(
     df: DataFrame,
     variant_col: Column,
     value_col: str,
     round_to: int = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between
     ``variant_col`` == 0 (A) and == 1 (B): the max ECDF gap
@@ -310,9 +338,18 @@ def ks_2samp(
     values first (one shuffle), cumulative counts via a window over
     the grouped frame, then a single max. ECDF values are exact
     integer ratios, so D is the same double on any engine.
+
+    SCALE CONTRACT: the ordered cumulative window runs unpartitioned,
+    so the default (exact) path requires BOUNDED DISTINCT CARDINALITY
+    in ``value_col`` — fine for prices/counts/scores with ≤ ~10⁶
+    distinct values, wrong for e.g. raw float timestamps where
+    distinct ≈ rows. For such continuous columns pass ``bins`` (e.g.
+    10_000): values pre-quantize to fixed-width bin midpoints via
+    :func:`_maybe_binned` (one extra min/max pass), capping the window
+    frame at ``bins`` rows and bounding D's error by ~1/bins per side.
     """
     per_val = df.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).alias("__v__"),
+        _maybe_binned(df, value_col, bins).alias("__v__"),
         F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
     ).groupBy("__v__").agg(
         F.count(F.lit(1)).alias("__t__"),
@@ -567,6 +604,7 @@ def emd_1d(
     variant_col: Column,
     value_col: str,
     round_to: int = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """1-D earth-mover's (Wasserstein-1) distance between the
     ``variant_col`` == 0 and == 1 value distributions:
@@ -577,9 +615,15 @@ def emd_1d(
     scalar for "how far did the distribution move". Same scale shape
     as :func:`ks_2samp`: one shuffle to the distinct-value frame,
     cumulative + lead windows over that small frame, one final sum.
+
+    SCALE CONTRACT (same as :func:`ks_2samp`): the exact path's
+    ordered window is unpartitioned, so ``value_col`` must have
+    bounded distinct cardinality; for continuous columns pass
+    ``bins`` to pre-quantize to fixed-width bin midpoints, capping
+    the window frame at ``bins`` rows (W₁ error ≤ half a bin width).
     """
     per_val = df.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).alias("__v__"),
+        _maybe_binned(df, value_col, bins).alias("__v__"),
         F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
     ).groupBy("__v__").agg(
         F.count(F.lit(1)).alias("__t__"),

@@ -592,6 +592,20 @@ def cosine_neardup_pairs(
             dim = first["d"]
     if not exact:
         pinned = n_bands is not None and bits_per_band is not None
+        if auto_plan and not pinned and (
+            n_bands is not None or bits_per_band is not None
+        ):
+            # Pinning is all-or-nothing: the planner derives the pair
+            # jointly (bands×bits trade recall vs bucket growth), so a
+            # single supplied value would be silently overridden —
+            # fail loudly instead of surprising the caller.
+            raise ValueError(
+                "cosine_neardup_pairs: supply BOTH n_bands and "
+                "bits_per_band to pin the banding, or neither to let "
+                "the planner choose (got exactly one with "
+                "auto_plan=True; pass auto_plan=False to use the "
+                "fixed defaults for the missing value)"
+            )
         if not pinned and not auto_plan:
             n_bands = n_bands if n_bands is not None else 8
             bits_per_band = (

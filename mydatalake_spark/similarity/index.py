@@ -85,7 +85,12 @@ def append_to_ivf_index(
 ) -> None:
     """Fold an increment into the cells table using the STORED
     centroids — increment-sized work, no retraining. Appends via
-    partition-scoped overwrite of only the touched cells."""
+    ``Catalog.overwrite_partitions``: only the cells the increment
+    actually lands in are read back, unioned, and swapped; untouched
+    cell directories are never read or written, so cost is
+    O(increment + touched cells), not O(table). The touched-cell list
+    is one distinct-collect bounded by n_centroids (index metadata
+    scale, not corpus scale)."""
     cent_table, cells_table = _names(name)
     centroids = _load_centroids(catalog, cent_table)
     scores = _centroid_scores_expr(centroids)
@@ -93,12 +98,17 @@ def append_to_ivf_index(
         F.col(id_col),
         F.col(vec_col),
         _argmax_cell(scores(vec_col)).alias("cell"),
-    )
-    existing = catalog.read(cells_table)
-    merged = existing.unionByName(assigned)
-    catalog.overwrite_via_staging(
-        merged, cells_table, partition_by=["cell"]
-    )
+    ).cache()
+    touched = [r.cell for r in assigned.select("cell").distinct().collect()]
+    if not touched:
+        assigned.unpersist()
+        return
+    # Partition-pruned read of ONLY the touched cells (cell is the
+    # partition column, so the isin filter prunes directories).
+    existing = catalog.read(cells_table).filter(F.col("cell").isin(touched))
+    merged = existing.unionByName(assigned.select(*existing.columns))
+    catalog.overwrite_partitions(merged, cells_table, "cell", touched)
+    assigned.unpersist()
 
 
 def _load_centroids(catalog: Catalog, cent_table: str):

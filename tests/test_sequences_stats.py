@@ -504,3 +504,38 @@ def test_cusum_locates_injected_level_shift(spark):
     peak = cur.select("d", F.abs(s).alias("a")) \
         .orderBy(F.col("a").desc(), "d").first()
     assert str(peak.d) == "2024-01-30"
+
+
+def test_ks_emd_binned_path_close_to_exact(spark):
+    """The bins= pre-quantization (ADVICE r5: continuous columns make
+    the distinct frame ~row-sized) must stay within the documented
+    error bounds of the exact statistic: |D_binned - D| ≲ 2/bins and
+    |W1_binned - W1| ≤ half a bin width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.stats import emd_1d, ks_2samp
+
+    rng = random.Random(99)
+    rows = [(i % 2, rng.gauss(0.0, 1.0) + 0.3 * (i % 2))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "variant int, v double")
+
+    ks_exact = ks_2samp(df, F.col("variant"), "v").first()
+    ks_binned = ks_2samp(df, F.col("variant"), "v", bins=500).first()
+    assert ks_binned.n_a == ks_exact.n_a and ks_binned.n_b == ks_exact.n_b
+    assert abs(ks_binned.d_stat - ks_exact.d_stat) < 0.01
+
+    emd_exact = emd_1d(df, F.col("variant"), "v").first().emd
+    span = 8.0  # ~±4σ; half a bin width at 500 bins ≪ 0.02
+    emd_binned = emd_1d(df, F.col("variant"), "v", bins=500).first().emd
+    assert abs(emd_binned - emd_exact) < span / 500
+
+    # binned distinct frame really is capped at `bins` rows
+    from mydatalake_spark.functions.stats import _maybe_binned
+    n_distinct = (
+        df.select(_maybe_binned(df, "v", 500).alias("b"))
+        .distinct().count()
+    )
+    assert n_distinct <= 500

@@ -664,3 +664,26 @@ def test_centroid_accuracy_on_separated_clusters(spark):
         .where(F.col("rn") == 1)
     correct = pred.where(F.col("clab") == F.col("label")).count()
     assert correct == 60
+
+
+def test_cosine_neardup_rejects_half_pinned_banding(spark):
+    """Supplying exactly ONE of n_bands/bits_per_band with the default
+    auto_plan=True used to be silently overridden by the planner — now
+    it raises (ADVICE r5: surprising behavior change for callers
+    pinning just n_bands)."""
+    import pytest
+
+    from mydatalake_spark.operators.neardup import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="BOTH n_bands and"):
+        cosine_neardup_pairs(emb, 0.45, exact=False, dim=64, n_bands=16)
+    with pytest.raises(ValueError, match="BOTH n_bands and"):
+        cosine_neardup_pairs(
+            emb, 0.45, exact=False, dim=64, bits_per_band=4
+        )
+    # auto_plan=False keeps the old fixed-default completion behavior
+    df = cosine_neardup_pairs(
+        emb, 0.45, exact=False, dim=64, n_bands=16, auto_plan=False
+    )
+    assert df.columns == ["id_a", "id_b", "score"]
