@@ -8235,6 +8235,344 @@ SELECT node, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY node
 """
 
 
+# --- round 6 additions: layout, bloom pruning, agreement, ---
+# --- boilerplate stripping, hybrid retrieval fusion        ---
+
+
+def zonemap_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout effectiveness, measured (operators/layout.py):
+    three bucketings of lineitem — hash on the orderkey (what a naive
+    write leaves), 1-D linear clustering on partkey, and 2-D Z-order
+    on (partkey, suppkey) — each reduced to 64-bucket zone maps, then
+    a conjunctive 2-D box predicate (a 1/8 slice in each scaled
+    dimension) evaluated AGAINST THE ZONE MAPS ONLY. ``scan_fraction``
+    is the byte-skipping ratio each layout buys: hash scans ~100%,
+    linear ~1/8 (prunes partkey only), Z-order ~boundary-cells of
+    (1/8)² — the reason OPTIMIZE ZORDER exists. The Z-value is the
+    bit-interleave expression generated by the SAME loop that emits
+    the oracle's SQL, so the hash check pins the curve itself, not
+    just the statistics. The min/max scaling bounds come from one
+    4-aggregate row (catalog-statistics scale)."""
+    from mydatalake_spark.operators.layout import (
+        minmax_scale,
+        pruning_stats,
+        zone_maps,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    scaled = li.select(
+        "l_orderkey",
+        minmax_scale("l_partkey", float(b[0]), float(b[1]), bits=10)
+        .alias("sp"),
+        minmax_scale("l_suppkey", float(b[2]), float(b[3]), bits=10)
+        .alias("ss"),
+    )
+    pred = {"sp": (256, 383), "ss": (256, 383)}
+    zm_hash = zone_maps(scaled, F.col("l_orderkey") % 64, ["sp", "ss"])
+    zm_lin = zone_maps(scaled, F.shiftright("sp", 4), ["sp", "ss"])
+    with_z = scaled.withColumn("zv", zorder_key(["sp", "ss"], bits=10))
+    zm_z = zone_maps(with_z, F.shiftright("zv", 14), ["sp", "ss"])
+    return (
+        pruning_stats(zm_hash, pred, "hash")
+        .unionByName(pruning_stats(zm_lin, pred, "linear"))
+        .unionByName(pruning_stats(zm_z, pred, "zorder"))
+        .orderBy("layout")
+    )
+
+
+def _zonemap_pruning_oracle() -> str:
+    from mydatalake_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["sp", "ss"], bits=10)
+    cand = ("max_sp >= 256 AND min_sp <= 383 "
+            "AND max_ss >= 256 AND min_ss <= 383")
+
+    def zm(bucket: str) -> str:
+        return (
+            f"SELECT {bucket} AS bucket, COUNT(*) AS n_rows, "
+            "MIN(sp) AS min_sp, MAX(sp) AS max_sp, "
+            "MIN(ss) AS min_ss, MAX(ss) AS max_ss "
+            "FROM tagged GROUP BY 1"
+        )
+
+    def stat(label: str, src: str) -> str:
+        return f"""
+  SELECT '{label}' AS layout,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(SUM(CASE WHEN {cand} THEN 1 ELSE 0 END) AS BIGINT)
+        AS candidate_buckets,
+    CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+    ROUND(SUM(CASE WHEN {cand} THEN n_rows ELSE 0 END)
+          / CAST(SUM(n_rows) AS DOUBLE), 6) AS scan_fraction
+  FROM {src}"""
+
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_partkey) AS DOUBLE) AS lo1,
+         CAST(MAX(l_partkey) AS DOUBLE) AS hi1,
+         CAST(MIN(l_suppkey) AS DOUBLE) AS lo2,
+         CAST(MAX(l_suppkey) AS DOUBLE) AS hi2
+  FROM lineitem
+), scaled AS (
+  SELECT l_orderkey,
+    GREATEST(LEAST(CAST(FLOOR((CAST(l_partkey AS DOUBLE) - lo1)
+        / (hi1 - lo1) * 1024) AS BIGINT), 1023), 0) AS sp,
+    GREATEST(LEAST(CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - lo2)
+        / (hi2 - lo2) * 1024) AS BIGINT), 1023), 0) AS ss
+  FROM lineitem CROSS JOIN bounds
+), tagged AS (
+  SELECT sp, ss,
+         l_orderkey % 64 AS b_hash,
+         sp >> 4 AS b_lin,
+         ({z}) >> 14 AS b_z
+  FROM scaled
+), zm_hash AS ({zm("b_hash")}), zm_lin AS ({zm("b_lin")}),
+   zm_z AS ({zm("b_z")})
+SELECT * FROM ({stat("hash", "zm_hash")}
+UNION ALL {stat("linear", "zm_lin")}
+UNION ALL {stat("zorder", "zm_z")})
+ORDER BY layout
+"""
+
+
+def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured
+    (operators/bloomjoin.py): a 2^20-bit filter (32 KB of (word, mask)
+    rows — always broadcastable) built from URGENT orders' keys flags
+    which lineitem keys can possibly match BEFORE any shuffle of the
+    big side. Output is the one-row effectiveness report: pass/true
+    key counts, realized false-positive rate, and the probe-row
+    fraction that still shuffles (~selectivity + fp). The md5 position
+    family is the engine-portable one, so the oracle rebuilds the
+    FILTER BITS identically and the hash check covers the filter
+    itself, not just the counts."""
+    from mydatalake_spark.operators.bloomjoin import bloom_prune_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_prune_report(
+        li, "l_orderkey", urgent, "o_orderkey", m_bits=1 << 20, k=3
+    )
+
+
+def _bloom_prune_oracle() -> str:
+    m_bits, k = 1 << 20, 3
+
+    def pos_list(key: str) -> str:
+        terms = ", ".join(
+            f"CAST(('0x' || SUBSTRING(MD5('{i}|' || CAST({key} AS VARCHAR)),"
+            f" 1, 8)) AS BIGINT) % {m_bits}"
+            for i in range(k)
+        )
+        return f"[{terms}]"
+
+    return f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), bpos AS (
+  SELECT key, UNNEST({pos_list("key")}) AS p FROM build
+), words AS (
+  SELECT p >> 5 AS word_idx,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS mask
+  FROM bpos GROUP BY 1
+), probe AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+), ppos AS (
+  SELECT key, UNNEST({pos_list("key")}) AS p FROM probe
+), hits AS (
+  SELECT pp.key,
+         CASE WHEN (COALESCE(w.mask, 0) >> CAST(pp.p % 32 AS INT)) % 2 = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.p >> 5
+), flags AS (
+  SELECT key, MIN(hit) = 1 AS bloom_pass FROM hits GROUP BY key
+), rowsper AS (
+  SELECT l_orderkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+), j AS (
+  SELECT f.key, f.bloom_pass,
+         (b.key IS NOT NULL) AS is_true, r.n_rows
+  FROM flags f
+  LEFT JOIN build b ON b.key = f.key
+  JOIN rowsper r ON r.key = f.key
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pass_keys,
+  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_true_keys,
+  CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_pos,
+  ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+             AS DOUBLE)
+        / CAST(GREATEST(SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END), 1)
+               AS DOUBLE), 6) AS fp_rate,
+  ROUND(CAST(SUM(CASE WHEN bloom_pass THEN n_rows ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(n_rows) AS DOUBLE), 6) AS row_shuffle_fraction
+FROM j
+"""
+
+
+def langid_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's ground-truth ``lang`` labels
+    and the stopword-marker classifier's guesses
+    (functions/stats.py:cohens_kappa) — the chance-corrected scalar on
+    top of langid_confusion_documents' matrix. Observed agreement
+    alone flatters a classifier on a skewed corpus; kappa subtracts
+    the agreement the marginals produce by luck."""
+    from mydatalake_spark.functions.stats import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select("lang", lang_guess("text").alias("guessed"))
+    return cohens_kappa(labeled, "lang", "guessed")
+
+
+def _langid_kappa_oracle() -> str:
+    inner = _lang_guess_oracle()
+    return f"""
+WITH guesses AS ({inner}),
+cells AS (
+  SELECT lang AS a, guessed_lang AS b, COUNT(*) AS o
+  FROM guesses GROUP BY 1, 2
+), ma AS (SELECT a, SUM(o) AS ma FROM cells GROUP BY a),
+mb AS (SELECT b, SUM(o) AS mb FROM cells GROUP BY b),
+pe AS (
+  SELECT SUM(CAST(ma.ma AS DOUBLE) * mb.mb) AS pp
+  FROM ma JOIN mb ON ma.a = mb.b
+), nn AS (
+  SELECT SUM(o) AS n,
+         SUM(CASE WHEN a = b THEN o ELSE 0 END) AS agree
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(CAST(agree AS DOUBLE) / n, 6) AS observed_agreement,
+  ROUND(pp / (CAST(n AS DOUBLE) * n), 6) AS expected_agreement,
+  ROUND((CAST(agree AS DOUBLE) / n - pp / (CAST(n AS DOUBLE) * n))
+        / (1.0 - pp / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM nn CROSS JOIN pe
+"""
+
+
+def boilerplate_strip_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-frequency boilerplate stripping
+    (operators/paradedup.py:boilerplate_strip) — the CCNet "common
+    lines" pass: any 48-char segment occurring in MORE than one
+    document is template chrome and is removed from EVERY document
+    (including the first — unlike paragraph_dedup_documents, where
+    the first occurrence survives). One df-table groupBy + one
+    co-partitioned hash join + the reassembly groupBy; clean_md5
+    pins the reassembled text, so the hash check covers the actual
+    surviving bytes."""
+    from mydatalake_spark.operators.paradedup import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_strip(docs, size=48, max_df=1)
+
+
+_BOILERPLATE_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         UNNEST(RANGE(0, CAST(GREATEST(
+             CEIL((LENGTH(text) - 48) / 48.0) + 1, 1) AS BIGINT)))
+             AS chunk_id,
+         text
+  FROM documents
+), ch AS (
+  SELECT doc_id, chunk_id,
+         SUBSTRING(text, CAST(chunk_id * 48 + 1 AS BIGINT), 48) AS chunk
+  FROM c
+), fr AS (
+  SELECT MD5(chunk) AS h, COUNT(DISTINCT doc_id) AS dfc
+  FROM ch GROUP BY 1
+), fl AS (
+  SELECT doc_id, chunk_id, chunk, fr.dfc <= 1 AS keep
+  FROM ch JOIN fr ON MD5(ch.chunk) = fr.h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS total_chunks,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+      AS removed_chunks,
+  MD5(COALESCE(STRING_AGG(CASE WHEN keep THEN chunk END, ''
+                          ORDER BY chunk_id), '')) AS clean_md5
+FROM fl GROUP BY doc_id
+"""
+
+
+def rrf_hybrid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (similarity/fusion.py): the lexical ranking (BM25 against the
+    fixed probe terms) and the semantic ranking (embedding cosine
+    against doc 0's vector — vec_id aligns with doc_id in the test
+    corpus) each reduce to a deterministic top-50
+    (TakeOrderedAndProject, score rounded before ranking so ranks are
+    engine-portable), then fuse with k=60: union + ONE groupBy, no
+    join between rankings. Returns the fused top-20 with how many
+    rankers surfaced each doc."""
+    from mydatalake_spark.functions.vectors import cosine_similarity
+    from mydatalake_spark.similarity.fusion import rank_top_n, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = rank_top_n(
+        bm25_scores(docs, _BM25_TERMS), F.col("bm25"), "doc_id", 50
+    )
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sem_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(dbl, qlit), 4).alias("cos"),
+    )
+    sem = rank_top_n(sem_scored, F.col("cos"), "doc_id", 50)
+    fused = rrf_fuse([lex, sem], "doc_id", k=60)
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+def _rrf_hybrid_oracle() -> str:
+    bm25 = _bm25_oracle()
+    return f"""
+WITH lexall AS ({bm25}),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lexall QUALIFY rank <= 50
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = 0
+), semall AS (
+  SELECT vec_id AS doc_id,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qv FROM q)), 4) AS cos
+  FROM embeddings
+), sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+  FROM semall QUALIFY rank <= 50
+), u AS (
+  SELECT doc_id, 1.0 / (60 + CAST(rank AS DOUBLE)) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + CAST(rank AS DOUBLE)) AS c FROM sem
+), f AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS in_lists,
+         ROUND(SUM(c), 6) AS rrf_score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, in_lists, rrf_score FROM f
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -8252,6 +8590,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
+        "bloom_prune_lineitem": bloom_prune_lineitem,
+        "langid_kappa_documents": langid_kappa_documents,
+        "boilerplate_strip_documents": boilerplate_strip_documents,
+        "rrf_hybrid_documents": rrf_hybrid_documents,
         "corr_matrix_lineitem": corr_matrix_lineitem,
         "mode_returnflag_by_priority": mode_returnflag_by_priority,
         "key_skew_profile_lineitem": key_skew_profile_lineitem,
@@ -8431,6 +8774,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zonemap_pruning_lineitem": _zonemap_pruning_oracle(),
+        "bloom_prune_lineitem": _bloom_prune_oracle(),
+        "langid_kappa_documents": _langid_kappa_oracle(),
+        "boilerplate_strip_documents": _BOILERPLATE_ORACLE,
+        "rrf_hybrid_documents": _rrf_hybrid_oracle(),
         "q1_pricing_summary": _Q1_ORACLE,
         "q3_segment_revenue": _Q3_ORACLE,
         "q5_nation_revenue": _Q5_ORACLE,

@@ -840,3 +840,59 @@ def trimmed_stats(
         ).alias("trimmed_mean"),
         F.round(F.avg("__wv__"), round_to).alias("winsorized_mean"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column | str,
+    rater_b: Column | str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings: κ = (p_o − p_e) / (1 − p_e), with p_o the
+    observed agreement and p_e = Σ_c p_a(c)·p_b(c) the agreement two
+    independent raters with these marginals would reach by luck.
+
+    [extension] The label-quality scalar a training-data pipeline
+    needs once labels come from more than one source (annotator vs
+    annotator, heuristic vs model, weak supervision vs gold) — the
+    natural summary on top of a confusion matrix like
+    ``langid_confusion_documents``.
+
+    Same single-pass shape as :func:`chi2_independence`: one groupBy
+    over (a, b) cells, marginals as window sums over the tiny cell
+    frame, then scalar arithmetic. Returns one row:
+    ``n, observed_agreement, expected_agreement, kappa``.
+    """
+    a = F.col(rater_a) if isinstance(rater_a, str) else rater_a
+    b = F.col(rater_b) if isinstance(rater_b, str) else rater_b
+    cells = df.groupBy(a.alias("__a__"), b.alias("__b__")).agg(
+        F.count(F.lit(1)).alias("__o__")
+    )
+    # p_e needs one ma(c)·mb(c) term per CATEGORY, so fold the cell
+    # frame to its two marginals and inner-join on the category —
+    # a category absent from either rater contributes 0, which the
+    # inner join encodes for free. Both sides are category-count-sized.
+    marg_a = cells.groupBy("__a__").agg(F.sum("__o__").alias("ma"))
+    marg_b = cells.groupBy("__b__").agg(F.sum("__o__").alias("mb"))
+    pe_frame = marg_a.join(
+        marg_b, marg_a["__a__"] == marg_b["__b__"], "inner"
+    ).select((F.col("ma").cast("double") * F.col("mb")).alias("__pp__"))
+    n_row = cells.agg(
+        F.sum("__o__").alias("n"),
+        F.sum(
+            F.when(F.col("__a__") == F.col("__b__"), F.col("__o__"))
+            .otherwise(0)
+        ).alias("agree"),
+    )
+    pe_row = pe_frame.agg(F.sum("__pp__").alias("pp"))
+    joined = n_row.crossJoin(pe_row)
+    nn = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nn
+    pe = F.col("pp") / (nn * nn)
+    return joined.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, round_to).alias("observed_agreement"),
+        F.round(pe, round_to).alias("expected_agreement"),
+        F.round((po - pe) / (1.0 - pe), round_to).alias("kappa"),
+    )

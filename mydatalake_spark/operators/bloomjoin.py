@@ -1,0 +1,175 @@
+"""Bloom-filter semi-join pruning: filter a huge probe side down to
+(almost only) the rows that can match a selective build side, BEFORE
+the join shuffle.
+
+[extension] The explicit, measurable form of what engines call runtime
+filter pushdown (Spark's own InjectRuntimeFilter does this internally
+when statistics allow). At 100 TB the point of a bloom filter is that
+the probe side never shuffles rows that cannot match: a 2^16-bit
+filter (8 KB as 32-bit words) broadcast to every executor turns a
+full lineitem→orders shuffle join into "shuffle only the ~selectivity
+fraction that passes", at the cost of a measured false-positive rate.
+
+Spark-first shape: k hash positions per key derive from md5 substrings
+(the same engine-portable family as operators/sampling.py and
+portable_minhash_signatures, so the DuckDB oracle reproduces the
+filter BIT-IDENTICALLY); the filter itself is a tiny (word_idx, mask)
+DataFrame built by one groupBy-bit_or over the build keys and
+broadcast to the probe side. Word size is 32 bits so every mask stays
+a small positive long — no engine-specific 64-bit shift-overflow
+semantics anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_BITS = 32
+
+
+def _positions(key: Column, k: int, m_bits: int) -> Column:
+    """Array of k bit positions for a key: position_i =
+    int(md5(f"{i}|{key}")[:8], 16) % m_bits — engine-portable."""
+    ks = key.cast("string")
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), ks)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Build the filter from the build side's keys: explode each key's
+    k positions, then ONE groupBy on the word index with a ``bit_or``
+    of the per-position bits → ``(word_idx, mask)`` with at most
+    ``m_bits / 32`` rows (2048 at the default — kilobytes, always
+    broadcastable). Build cost is one map + one tiny shuffle over the
+    (already selective) build side."""
+    pos = _positions(F.col(key_col), k, m_bits)
+    # shiftleft/shiftright with a COLUMN shift amount need the SQL form
+    # (the PySpark wrappers only take literal ints).
+    return (
+        build.select(F.explode(pos).alias("__p__"))
+        .select(
+            F.shiftright("__p__", 5).alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p__ % {WORD_BITS} "
+                "AS INT))"
+            ).alias("__bit__"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__bit__)").alias("mask"))
+    )
+
+
+def bloom_probe_keys(
+    probe_keys: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Flag each (distinct) probe key with ``bloom_pass`` — true iff
+    ALL k of its positions are set in the filter. The probe explodes
+    to k rows per key, broadcast-joins the (word_idx, mask) filter —
+    never a shuffle of the probe side — and folds back with a single
+    groupBy on the key. A key whose word is absent from the filter
+    fails (left join → null mask → bit unset)."""
+    pos = _positions(F.col(key_col), k, m_bits)
+    exploded = probe_keys.select(
+        F.col(key_col), F.explode(pos).alias("__p__")
+    ).select(
+        key_col,
+        F.shiftright("__p__", 5).alias("word_idx"),
+        (F.col("__p__") % WORD_BITS).cast("int").alias("__b__"),
+    )
+    hit = (
+        F.expr("shiftright(coalesce(mask, CAST(0 AS BIGINT)), __b__)") % 2
+    ).alias("__hit__")
+    return (
+        exploded.join(F.broadcast(bloom), "word_idx", "left")
+        .select(key_col, hit)
+        .groupBy(key_col)
+        .agg((F.min("__hit__") == 1).alias("bloom_pass"))
+    )
+
+
+def bloom_prune_report(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """One-row effectiveness report for bloom-pruning ``probe`` by
+    ``build``: distinct probe keys, keys passing the filter, keys with
+    a TRUE match (exact semi-join), false positives, the realized
+    false-positive rate over non-matching keys, and the probe ROW
+    fraction that would still shuffle after pruning. The exact
+    semi-join here is the audit, not the plan — production uses only
+    the bloom pass."""
+    keys = probe.select(F.col(probe_key).alias("key")).distinct()
+    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
+    flagged = bloom_probe_keys(keys, "key", bloom, m_bits=m_bits, k=k)
+    truth = (
+        build.select(F.col(build_key).alias("key"))
+        .distinct()
+        .withColumn("is_true", F.lit(True))
+    )
+    per_key = flagged.join(truth, "key", "left").select(
+        "key",
+        "bloom_pass",
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    rows_per_key = probe.groupBy(F.col(probe_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    joined = per_key.join(rows_per_key, "key")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_keys"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_keys"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("is_true"), 1)
+                .otherwise(0)
+            ).cast("double")
+            / F.greatest(
+                F.sum(F.when(~F.col("is_true"), 1).otherwise(0)),
+                F.lit(1),
+            ).cast("double"),
+            6,
+        ).alias("fp_rate"),
+        F.round(
+            F.sum(F.when(F.col("bloom_pass"), F.col("n_rows")).otherwise(0))
+            .cast("double")
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("row_shuffle_fraction"),
+    )

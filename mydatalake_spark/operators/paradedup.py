@@ -80,3 +80,69 @@ def paragraph_dedup(
             ).alias("dedup_md5"),
         )
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 256,
+    max_df: int = 5,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet "common lines"
+    pass, complementary to :func:`paragraph_dedup`: a segment occurring
+    in MORE than ``max_df`` distinct documents is chrome/license/nav
+    boilerplate and is stripped from EVERY document (first occurrence
+    included — unlike dedup, where the first survives). Repeated-within
+    -one-doc segments stay (df counts documents, not occurrences).
+
+    Returns one row per input document:
+    ``(id_col, total_chunks, kept_chunks, removed_chunks, clean_md5)``
+    with ``clean_md5`` hashing the surviving segments in offset order.
+
+    Plan shape: segment map-only (``chunk_text``), ONE groupBy on the
+    segment hash producing the df table, ONE hash equi-join back (both
+    sides keyed on the segment hash — co-partitioned, no extra
+    shuffle), then the per-document reassembly groupBy. Boilerplate by
+    definition has high df, so the df-table groupBy sees the heavy
+    keys, but its combiner reduces them map-side to one row per
+    (partition, hash) — the aggregation is skew-immune.
+    """
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    chunks = chunk_text(df, text_col, size=size, stride=size).select(
+        id_col, "chunk_id", "chunk", F.md5("chunk").alias("__h__")
+    )
+    freq = chunks.groupBy("__h__").agg(
+        F.count_distinct(F.col(id_col)).alias("__df__")
+    )
+    flagged = chunks.join(freq, "__h__").withColumn(
+        "__keep__", F.col("__df__") <= max_df
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.sum(F.when(F.col("__keep__"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_chunks"),
+        F.sum(F.when(~F.col("__keep__"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_chunks"),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep__"),
+                                F.struct(
+                                    F.col("chunk_id").alias("i"),
+                                    F.col("chunk").alias("c"),
+                                ),
+                            )
+                        )
+                    ).getField("c"),
+                ),
+                F.lit(""),
+            )
+        ).alias("clean_md5"),
+    )

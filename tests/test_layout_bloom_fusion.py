@@ -1,0 +1,165 @@
+"""Round-6 operator tests: Z-order layout, bloom-filter pruning,
+Cohen's kappa, boilerplate stripping, RRF fusion."""
+
+from pyspark.sql import functions as F
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from mydatalake_spark.operators.layout import zorder_key
+
+    # (x=0b11, y=0b01) with 2 bits -> bits land at
+    # pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0 -> 0b0111 = 7
+    row = spark.createDataFrame([(3, 1)], "x long, y long").select(
+        zorder_key(["x", "y"], bits=2).alias("z")
+    ).first()
+    assert row.z == 7
+
+
+def test_zorder_key_sql_matches_spark(spark):
+    import duckdb
+
+    from mydatalake_spark.operators.layout import zorder_key, zorder_key_sql
+
+    rows = [(i % 17, (i * 7) % 23) for i in range(50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(["x", "y"], bits=6).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = zorder_key_sql(["x", "y"], bits=6)
+    for (x, y), z in got.items():
+        (zz,) = con.execute(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()
+        assert zz == z, (x, y, z, zz)
+
+
+def test_cluster_by_zorder_tightens_zone_maps(spark):
+    """After Z-order clustering, per-partition bounding boxes must be
+    dramatically tighter than under round-robin layout — the property
+    that makes min/max file skipping work."""
+    from mydatalake_spark.operators.layout import (
+        cluster_by_zorder,
+        zone_maps,
+    )
+
+    n = 4096
+    rows = [((i * 2654435761) % 1024, (i * 40503) % 1024)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    def avg_box_area(frame, n_parts):
+        zm = zone_maps(
+            frame.withColumn("pid", F.spark_partition_id()),
+            F.col("pid"),
+            ["a", "b"],
+        ).collect()
+        areas = [
+            (r["max_a"] - r["min_a"] + 1) * (r["max_b"] - r["min_b"] + 1)
+            for r in zm
+        ]
+        return sum(areas) / len(areas)
+
+    random_area = avg_box_area(df.repartition(16), 16)
+    clustered = cluster_by_zorder(df, ["a", "b"], n_files=16, bits=10)
+    assert "__z__" not in clustered.columns
+    clustered_area = avg_box_area(clustered, 16)
+    # random layout boxes span ~the whole 1024x1024 domain; z-ordered
+    # partitions own compact curve segments
+    assert clustered_area < random_area / 4, (clustered_area, random_area)
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_probe_keys,
+    )
+
+    build = spark.range(0, 500).withColumnRenamed("id", "k")
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bloom = bloom_build(build, "k", m_bits=1 << 16, k=3)
+    flagged = {
+        r.k: r.bloom_pass
+        for r in bloom_probe_keys(
+            probe, "k", bloom, m_bits=1 << 16, k=3
+        ).collect()
+    }
+    # no false negatives, ever
+    assert all(flagged[k] for k in range(500))
+    # false positives bounded: fill ~1500/65536 bits -> fp ~(0.023)^3
+    fps = sum(1 for k in range(500, 5000) if flagged[k])
+    assert fps < 45, fps
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from mydatalake_spark.functions.stats import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")],
+        "a string, b string",
+    )
+    assert cohens_kappa(perfect, "a", "b").first().kappa == 1.0
+
+    # independent raters with uniform marginals -> kappa ~ 0
+    rows = [(["x", "y"][i % 2], ["x", "y"][(i // 2) % 2])
+            for i in range(400)]
+    chance = spark.createDataFrame(rows, "a string, b string")
+    assert abs(cohens_kappa(chance, "a", "b").first().kappa) < 1e-9
+
+
+def test_boilerplate_strip_invariants(spark):
+    from mydatalake_spark.operators.paradedup import boilerplate_strip
+
+    common = "A" * 48
+    docs = spark.createDataFrame(
+        [
+            (0, common + "unique-zero" + "B" * 37),
+            (1, common + "unique-one-" + "C" * 37),
+            (2, "totally-distinct-text-" + "D" * 26),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_strip(
+        docs, size=48, max_df=1).collect()}
+    # one row per input doc, null text included
+    assert set(out) == {0, 1, 2, 3}
+    # the shared 48-char prefix is stripped from BOTH docs
+    assert out[0].removed_chunks == 1 and out[1].removed_chunks == 1
+    assert out[0].kept_chunks == 1 and out[2].removed_chunks == 0
+    # identical surviving remainder -> different md5 (different uniques)
+    assert out[0].clean_md5 != out[1].clean_md5
+
+
+def test_rrf_fuse_math_and_shape(spark):
+    from mydatalake_spark.similarity.fusion import rank_top_n, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([a, b], "doc_id", k=60).collect()}
+    assert got[2].in_lists == 2
+    assert abs(got[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert got[4].in_lists == 1 and abs(
+        got[4].rrf_score - round(1 / 62, 6)
+    ) < 1e-9
+
+    ranked = rank_top_n(
+        spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(20)], "doc_id long, s double"
+        ),
+        F.col("s"),
+        "doc_id",
+        n=5,
+    ).collect()
+    assert len(ranked) == 5
+    # score desc, id asc tiebreak: 4.0 scores are ids 4,9,14,19 then 3.0 id 3
+    assert [r.doc_id for r in sorted(ranked, key=lambda r: r.rank)] == [
+        4, 9, 14, 19, 3,
+    ]
