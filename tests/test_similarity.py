@@ -687,3 +687,46 @@ def test_cosine_neardup_rejects_half_pinned_banding(spark):
         emb, 0.45, exact=False, dim=64, n_bands=16, auto_plan=False
     )
     assert df.columns == ["id_a", "id_b", "score"]
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from mydatalake_spark.similarity.pq import pq_encode, train_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq(emb, m_subspaces=8, n_codes=16)
+    assert len(books) == 8 and books[0].shape == (16, 8)
+    c1 = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v)
+               for v in c1.values())
+
+
+def test_pq_rerank_beats_raw_adc_recall(spark):
+    """The ADC shortlist + exact rerank must recover most of the recall
+    raw ADC ranks lose to quantization error."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.similarity.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_search_rerank,
+        train_pq,
+    )
+    from mydatalake_spark.similarity.search import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = train_pq(emb, m_subspaces=16, n_codes=16)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    codes = pq_encode(emb, books)
+    raw = {(r.query_id, r.neighbor_id)
+           for r in pq_adc_topk(codes, q, books, k=5).collect()}
+    rr = {(r.query_id, r.neighbor_id)
+          for r in pq_search_rerank(emb, q, books, k=5,
+                                    shortlist=50).collect()}
+    raw_recall = len(raw & exact) / len(exact)
+    rr_recall = len(rr & exact) / len(exact)
+    assert rr_recall >= 0.6
+    assert rr_recall > raw_recall
