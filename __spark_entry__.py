@@ -8608,6 +8608,123 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compaction_plan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (maintenance.plan_compaction): 64 layout
+    buckets of lineitem (the "small files" a CDC ingest accretes)
+    bin-pack into ~total/8-row output groups by one cumulative-sum
+    window over the FILE LISTING — metadata-scale work that never
+    touches data bytes, and never reorders files (compacting a
+    clustered layout out of order would destroy it). Output: one row
+    per planned output group with its file count and row total."""
+    from mydatalake_spark.maintenance import plan_compaction
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy((F.col("l_orderkey") % 64).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = li.count()
+    planned = plan_compaction(files, "n_rows", "bucket", total / 8.0)
+    return (
+        planned.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+        )
+        .orderBy("group_id")
+    )
+
+
+_COMPACTION_PLAN_ORACLE = """
+WITH files AS (
+  SELECT l_orderkey % 64 AS bucket, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_rows) AS DOUBLE) / 8.0 AS target FROM files
+), planned AS (
+  SELECT bucket, n_rows,
+    CAST(FLOOR((SUM(n_rows) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)
+        / (SELECT target FROM tot)) AS BIGINT) AS group_id
+  FROM files
+)
+SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows
+FROM planned GROUP BY group_id ORDER BY group_id
+"""
+
+
+def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-product join-cardinality estimation
+    (operators/profile.py:join_cardinality_estimate) at two bucket
+    resolutions, audited against the true join count: the estimator a
+    cost-based planner runs BEFORE paying for a shuffle (two tiny
+    per-bucket aggregates instead of the join). The 1024-bucket row
+    shows the collision-inflated upper bound, the 65536-bucket row
+    shows it tightening toward truth — resolution buys accuracy,
+    linearly in (tiny) histogram size."""
+    from mydatalake_spark.operators.profile import (
+        join_cardinality_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ests = None
+    for nb in (1024, 65536):
+        e = join_cardinality_estimate(
+            li, o, "l_orderkey", "o_orderkey", n_buckets=nb
+        ).withColumn("n_buckets", F.lit(nb).cast("long"))
+        ests = e if ests is None else ests.unionByName(e)
+    true_df = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_pairs"))
+    return (
+        ests.crossJoin(true_df)
+        .select(
+            "n_buckets",
+            "n_left",
+            "n_right",
+            "est_pairs",
+            "true_pairs",
+            F.round(
+                F.col("est_pairs").cast("double")
+                / F.col("true_pairs").cast("double"),
+                4,
+            ).alias("overestimate_ratio"),
+        )
+        .orderBy("n_buckets")
+    )
+
+
+def _join_size_oracle() -> str:
+    def est(nb: int) -> str:
+        bkt_l = ("CAST(('0x' || SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR)),"
+                 f" 1, 8)) AS BIGINT) % {nb}")
+        bkt_o = ("CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)),"
+                 f" 1, 8)) AS BIGINT) % {nb}")
+        return f"""
+  SELECT CAST({nb} AS BIGINT) AS n_buckets,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_right,
+         CAST(SUM(n_a * n_b) AS BIGINT) AS est_pairs
+  FROM (SELECT {bkt_l} AS bucket, COUNT(*) AS n_a
+        FROM lineitem GROUP BY 1) a
+  JOIN (SELECT {bkt_o} AS bucket, COUNT(*) AS n_b
+        FROM orders GROUP BY 1) b USING (bucket)"""
+
+    return f"""
+WITH ests AS ({est(1024)} UNION ALL {est(65536)}),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_buckets, n_left, n_right, est_pairs, true_pairs,
+       ROUND(CAST(est_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE), 4)
+           AS overestimate_ratio
+FROM ests CROSS JOIN tp
+ORDER BY n_buckets
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -8627,6 +8744,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked: prefix slots first ---
         "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
         "pq_recall_embeddings": pq_recall_embeddings,
+        "compaction_plan_lineitem": compaction_plan_lineitem,
+        "join_size_estimate_orders": join_size_estimate_orders,
         "bloom_prune_lineitem": bloom_prune_lineitem,
         "langid_kappa_documents": langid_kappa_documents,
         "boilerplate_strip_documents": boilerplate_strip_documents,
@@ -8812,6 +8931,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "zonemap_pruning_lineitem": _zonemap_pruning_oracle(),
         "pq_recall_embeddings": _IVF_ORACLE,
+        "compaction_plan_lineitem": _COMPACTION_PLAN_ORACLE,
+        "join_size_estimate_orders": _join_size_oracle(),
         "bloom_prune_lineitem": _bloom_prune_oracle(),
         "langid_kappa_documents": _langid_kappa_oracle(),
         "boilerplate_strip_documents": _BOILERPLATE_ORACLE,

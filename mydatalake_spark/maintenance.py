@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
@@ -152,13 +152,12 @@ def zorder_key(
                 * F.lit((1 << bits) - 1) / F.lit(span)
             ).cast("long")
         )
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for ci, s in enumerate(scaled):
-            z = z + F.shiftleft(
-                F.shiftright(s, j).bitwiseAND(F.lit(1)), j * n + ci
-            )
-    return z
+    # The bit interleave itself lives in operators/layout.py (which
+    # also provides its SQL-twin generator for the oracle gate); this
+    # wrapper only adds the domain scaling + sign-bit guard.
+    from mydatalake_spark.operators.layout import zorder_key as _interleave
+
+    return _interleave(scaled, bits=bits)
 
 
 def write_zordered(
@@ -196,3 +195,29 @@ def write_zordered(
     part.sortWithinPartitions("__z__").drop("__z__").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target: float,
+) -> DataFrame:
+    """Bin-pack an ordered file/bucket listing into compaction groups
+    of ~``target`` size: each entry's group is ``floor(cumulative
+    size before it / target)`` — the deterministic, single-window
+    analogue of OPTIMIZE's file binning that never splits an input
+    file and keeps the clustering order (compacting Z-ordered files
+    out of order would destroy the layout write_zordered paid for).
+
+    The window is unpartitioned but runs over the FILE LISTING (one
+    row per file/bucket — metadata scale, like zone_maps output), not
+    the data. Returns the listing with ``group_id`` appended."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(size_col).over(w) - F.col(size_col)
+    return files.withColumn(
+        "group_id", F.floor(start / target).cast("long")
+    )

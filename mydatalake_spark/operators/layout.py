@@ -1,10 +1,15 @@
 """Multi-dimensional data layout: Z-order clustering + zone-map
 pruning statistics.
 
-[extension] The multi-column completion of ``maintenance.write_clustered``
-(single-column range clustering). The reference has no layout
-management at all — its Delta tables are written however the merge
-leaves them (reference lib/ingestors.py:92-96). At 100 TB, layout IS
+[extension] The measurement side of the layout story:
+``maintenance.write_zordered`` / ``write_clustered`` WRITE clustered
+files; this module provides the interleave primitive they share
+(``zorder_key`` — ``maintenance.zorder_key`` delegates here after its
+domain scaling), its SQL-twin generator so the oracle gate can check
+the curve bit-for-bit, and the zone-map/pruning statistics that QUANTIFY
+what a layout buys. The reference has no layout management at all —
+its Delta tables are written however the merge leaves them (reference
+lib/ingestors.py:92-96). At 100 TB, layout IS
 the query plan: a selective 2-D predicate on a randomly laid-out table
 scans every file, while on a Z-ordered table the same predicate's
 min/max zone maps exclude all but the files whose interleaved-key

@@ -162,3 +162,43 @@ def key_skew_profile(
             )
         ).alias("gini"),
     )
+
+
+def join_cardinality_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Estimate an equi-join's output row count WITHOUT running the
+    join: bucket each side's key by md5 into ``n_buckets``, aggregate
+    per-bucket counts (two input-sized map-side-combined groupBys over
+    1024 keys — tiny shuffles), then Σ_bucket n_a·n_b. The estimate is
+    an UPPER BOUND that tightens as buckets approach one key each —
+    exactly the histogram-product estimator a cost-based optimizer
+    uses to decide broadcast vs shuffle vs skew-salt BEFORE paying for
+    the real shuffle. Returns one row:
+    ``(n_left, n_right, est_pairs)``; callers compare with the true
+    count when auditing (see join_size_estimate_orders)."""
+    def bucketed(df: DataFrame, key: str, out: str) -> DataFrame:
+        bkt = F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+        ).cast("long") % n_buckets
+        return df.groupBy(bkt.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+    ca = bucketed(a, key_a, "n_a")
+    cb = bucketed(b, key_b, "n_b")
+    joined = ca.join(cb, "bucket")
+    return ca.agg(F.sum("n_a").alias("n_left")).crossJoin(
+        cb.agg(F.sum("n_b").alias("n_right"))
+    ).crossJoin(
+        joined.agg(
+            F.sum(F.col("n_a") * F.col("n_b")).alias("est_pairs")
+        )
+    ).select(
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+    )

@@ -163,3 +163,33 @@ def test_rrf_fuse_math_and_shape(spark):
     assert [r.doc_id for r in sorted(ranked, key=lambda r: r.rank)] == [
         4, 9, 14, 19, 3,
     ]
+
+
+def test_plan_compaction_groups_and_order(spark):
+    from mydatalake_spark.maintenance import plan_compaction
+
+    files = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "bucket int, n_rows long"
+    )
+    out = plan_compaction(files, "n_rows", "bucket", 250.0).collect()
+    groups = {r.bucket: r.group_id for r in out}
+    # cumulative starts 0,100,...,900 / 250 -> 0,0,0,1,1,2,2,2,3,3
+    assert [groups[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # never splits a file; order preserved within groups
+    assert all(r.n_rows == 100 for r in out)
+
+
+def test_join_cardinality_estimate_upper_bound(spark):
+    from mydatalake_spark.operators.profile import (
+        join_cardinality_estimate,
+    )
+
+    a = spark.range(0, 2000).withColumnRenamed("id", "k")
+    b = spark.range(0, 500).withColumnRenamed("id", "k")
+    est = join_cardinality_estimate(a, b, "k", "k", n_buckets=4096).first()
+    true = a.join(b, "k").count()
+    assert est.n_left == 2000 and est.n_right == 500
+    # histogram product is always >= the true cardinality, and tight
+    # at high resolution
+    assert est.est_pairs >= true
+    assert est.est_pairs < true * 2
