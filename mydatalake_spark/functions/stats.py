@@ -448,6 +448,7 @@ def theil_sen_trend(
     y_col: Column,
     min_points: int = 3,
     round_to: int = 6,
+    max_group_size: int | None = 10_000,
 ) -> DataFrame:
     """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
     slopes (y_j−y_i)/(x_j−x_i), immune to outliers that wreck OLS.
@@ -460,6 +461,14 @@ def theil_sen_trend(
     with fewer than ``min_points`` observations are dropped (a slope
     median over <3 points is noise).
 
+    The contract is ENFORCED, not just documented: one cheap bounded
+    probe (operators/guards.py) refuses with the offending key if any
+    group exceeds ``max_group_size`` — the default 10⁴ caps the
+    per-group pair stage at ~5·10⁷ rows, the last size a single task
+    absorbs gracefully; one unguarded 10⁶-row hot group would build
+    10¹² pairs. ``max_group_size=None`` disables the probe (and its
+    one extra job) for callers who pre-bounded the input themselves.
+
     Returns (group, n_points, n_pairs, ts_slope).
     """
     base = df.select(
@@ -467,6 +476,18 @@ def theil_sen_trend(
         x_col.cast("double").alias("__x__"),
         y_col.cast("double").alias("__y__"),
     )
+    if max_group_size is not None:
+        from ..operators.guards import assert_bounded_groups
+
+        assert_bounded_groups(
+            df,
+            [group_col],
+            max_group_size,
+            "theil_sen_trend",
+            "Pre-aggregate the series per group (e.g. daily means) so "
+            "group sizes stay bounded, or raise max_group_size / pass "
+            "max_group_size=None if the blow-up is intended.",
+        )
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(b, on="__g__").where(

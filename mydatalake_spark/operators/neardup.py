@@ -253,6 +253,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 40,
     max_df: int | None = 100,
+    guard_max_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidate pairs from winnowing fingerprints: explode →
     DF-cap → self-equi-join on fingerprint → count shared ≥
@@ -269,6 +270,15 @@ def winnow_pairs(
     "shared fingerprints" mean similarity rather than popularity.
     The DF computation is one cheap aggregate on the exploded
     fingerprints; ``max_df=None`` disables the cap.
+
+    The ``max_df=None`` escape hatch is GUARDED, not open: disabling
+    the cap runs one bounded probe (operators/guards.py) that refuses
+    with the offending fingerprint if any df exceeds ``guard_max_df``
+    (default 10⁴ → ≤~5·10⁷ join rows from the hottest fingerprint) —
+    the measured failure mode is one boilerplate hash in 3% of a
+    corpus quadraticing the join. ``guard_max_df=None`` additionally
+    disables the probe — an explicit double opt-in for intentionally
+    unbounded runs on pre-cleaned corpora.
     """
     # The exploded fingerprints feed three plan branches (the DF
     # aggregate and both join sides); without a cache the md5-window
@@ -285,6 +295,22 @@ def winnow_pairs(
         fps = fps.join(
             dfreq.filter(F.col("__df__") <= max_df).select("fp"), "fp"
         )
+    elif guard_max_df is not None:
+        from .guards import assert_bounded_groups
+
+        try:
+            assert_bounded_groups(
+                fps_cached,
+                ["fp"],
+                guard_max_df,
+                "winnow_pairs(max_df=None)",
+                "Set max_df to drop stop-fingerprints (the default "
+                "path), raise guard_max_df, or pass guard_max_df=None "
+                "to run unbounded on a pre-cleaned corpus.",
+            )
+        except Exception:
+            fps_cached.unpersist()
+            raise
     a, b = fps.alias("a"), fps.alias("b")
     # The exploded-fingerprint cache must outlive this call (three
     # branches of the returned lazy plan read it); the caller releases

@@ -539,3 +539,29 @@ def test_ks_emd_binned_path_close_to_exact(spark):
         .distinct().count()
     )
     assert n_distinct <= 500
+
+
+def test_theil_sen_refuses_hot_group(spark):
+    """The bounded-groups contract is enforced: a group over
+    max_group_size refuses BEFORE the pair join with the offending key
+    in the message; compliant inputs are unchanged and None disables
+    the probe (double opt-in for pre-bounded callers)."""
+    import pytest
+
+    from mydatalake_spark.functions.stats import theil_sen_trend
+    from mydatalake_spark.operators.guards import GroupSizeExceeded
+
+    rows = [(1, float(x), 2.0 * x) for x in range(30)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    with pytest.raises(GroupSizeExceeded, match="theil_sen_trend"):
+        theil_sen_trend(
+            df, "g", F.col("x"), F.col("y"), max_group_size=10
+        )
+    out = theil_sen_trend(
+        df, "g", F.col("x"), F.col("y"), max_group_size=100
+    ).collect()
+    assert len(out) == 1 and out[0].ts_slope == 2.0
+    out2 = theil_sen_trend(
+        df, "g", F.col("x"), F.col("y"), max_group_size=None
+    ).collect()
+    assert out2[0].ts_slope == 2.0

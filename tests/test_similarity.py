@@ -730,3 +730,25 @@ def test_pq_rerank_beats_raw_adc_recall(spark):
     rr_recall = len(rr & exact) / len(exact)
     assert rr_recall >= 0.6
     assert rr_recall > raw_recall
+
+
+def test_winnow_unbounded_escape_hatch_is_guarded(spark):
+    """max_df=None no longer silently quadratics: a fingerprint hotter
+    than guard_max_df refuses at call time; guard_max_df=None is the
+    explicit double opt-in that really runs unbounded."""
+    import pytest
+
+    from mydatalake_spark.operators.guards import GroupSizeExceeded
+
+    boiler = "common boilerplate header line shared by every document"
+    rows = [
+        (i, boiler + f" unique tail {i} alpha beta gamma")
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(GroupSizeExceeded, match="winnow_pairs"):
+        winnow_pairs(df, min_shared=5, max_df=None, guard_max_df=4)
+    pairs = winnow_pairs(
+        df, min_shared=5, max_df=None, guard_max_df=None
+    )
+    assert pairs.count() == 10           # boilerplate pairs all 5 docs
