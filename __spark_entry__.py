@@ -4808,6 +4808,216 @@ GROUP BY d.day
 """
 
 
+def rolling_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key incremental sketch view e2e
+    (views.py:SketchDistinctView.rolling_estimates): per-(day,
+    event_type) HLL sketches folded into a STORED catalog table in TWO
+    append-only batches (even/odd event ids — exercising the
+    union-merge fold, not just the first write), then the rolling
+    7-day distinct read straight off the stored sketches with the
+    window PARTITIONED BY event_type — each type rolls over its own
+    daily sketches only (the cross-group union bug this path just had
+    would inflate every estimate and trip the bound). Gate shape as
+    rolling_distinct_users: emit the EXACT rolling distinct (explode
+    pairs to their ≤7 windows → equi-join, no nested-loop range join)
+    plus within_bound = |HLL − exact|/exact ≤ 0.10 (lg_k=14 ⇒ ~0.8%
+    relative error, so the bound has 12× headroom)."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import SketchDistinctView
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "user_id",
+    ).where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="sketchview_"))
+    view = SketchDistinctView(
+        spark, cat, "gold.events.daily_type_users",
+        keys=["day", "event_type"], col="user_id",
+    )
+    view.apply(ev.where(F.col("event_id") % 2 == 0).drop("event_id"))
+    view.apply(ev.where(F.col("event_id") % 2 != 0).drop("event_id"))
+    est = view.rolling_estimates("day", window_days=7)
+    pairs = ev.select("day", "event_type", "user_id").distinct()
+    cover = pairs.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("wday"),
+        "event_type",
+        "user_id",
+    )
+    days = pairs.select(
+        F.col("day").alias("wday"), "event_type"
+    ).distinct()
+    exact = (
+        cover.join(days, ["wday", "event_type"])
+        .groupBy(F.col("wday").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    rel = (
+        F.abs(F.col("rolling_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    )
+    return est.join(exact, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "exact_distinct",
+        (rel <= 0.10).alias("within_bound"),
+    )
+
+
+_ROLLING_BY_TYPE_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), days AS (
+  SELECT DISTINCT day, event_type FROM base
+)
+SELECT d.day, d.event_type,
+       CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM days d
+JOIN base b ON b.event_type = d.event_type
+           AND b.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day, d.event_type
+"""
+
+
+def closed_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the EventTimeTimeout stateful sessionizer
+    (streaming/stateful.py:closed_sessions_batch — same module, same
+    close semantics, stream≡batch parity pinned in test_streaming.py):
+    sessions split on a STRICT >30-min gap (the updater's t−end>gap,
+    vs session_window's ≥), session_end is the LAST EVENT (not
+    end+gap), and a session only emits if it actually CLOSED — a
+    later same-key event beyond the gap (inline close) or the
+    end-of-input watermark max(ts)−10min strictly past end+gap
+    (timeout close); each user's final session near the stream tail
+    stays open and must NOT appear. One key-partitioned window pass +
+    one groupBy + a 1-row broadcast watermark scalar."""
+    from mydatalake_spark.streaming.stateful import closed_sessions_batch
+
+    ev = _events(spark, sf_dir)
+    return closed_sessions_batch(
+        ev, key_col="user_id", ts_col="ts",
+        gap="30 minutes", watermark="10 minutes",
+    ).select(
+        F.col("key").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+_CLOSED_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL
+),
+grouped AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS grp
+  FROM marked
+),
+sess AS (
+  SELECT user_id, grp,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM grouped
+  GROUP BY user_id, grp
+),
+tagged AS (
+  SELECT *, MAX(grp) OVER (PARTITION BY user_id) AS last_grp
+  FROM sess
+),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM tagged CROSS JOIN wm
+WHERE grp < last_grp
+   OR session_end + INTERVAL 30 MINUTE < w
+"""
+
+
+def wap_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish quarantine split e2e (quality/wap.py:
+    write_audit_publish — the EXACT function streaming/quality_gate.py
+    runs per micro-batch via foreachBatch, so this is the streaming
+    gate's batch body under the oracle): events audited against two
+    declared rules (not_in_list: event_type must be a known type —
+    'error' rows fail; outside_of_rules: value ≤ 200 — the heavy tail
+    fails), clean rows PUBLISHED to the production table, failing rows
+    to quarantine tagged with the sorted failed_tests they violated.
+    The query reads BOTH stored tables back and returns the per-row
+    verdict trail — the hash check covers the split membership and the
+    per-row failure attributions, not just counts."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.quality.wap import write_audit_publish
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wapgate_"))
+    tests = [
+        {
+            "column": "event_type",
+            "test_type": "not_in_list",
+            "test_name": "type_known",
+            "kwargs": {
+                "expected_values": ["click", "view", "purchase", "signup"]
+            },
+        },
+        {
+            "column": "value",
+            "test_type": "outside_of_rules",
+            "test_name": "value_in_range",
+            "kwargs": {"expression": "value <= 200"},
+        },
+    ]
+    write_audit_publish(
+        cat, "silver.events.gated", ev, tests, ["event_id"],
+        min_clean_fraction=0.0, mode="overwrite",
+    )
+    pub = cat.read("silver.events.gated").select(
+        "event_id",
+        F.lit("published").alias("status"),
+        F.lit("").alias("failed_tests"),
+    )
+    qua = cat.read("silver.events.gated_quarantine").select(
+        "event_id",
+        F.lit("quarantined").alias("status"),
+        F.concat_ws(",", "failed_tests").alias("failed_tests"),
+    )
+    return pub.unionByName(qua)
+
+
+_WAP_QUARANTINE_ORACLE = """
+WITH flags AS (
+  SELECT event_id,
+    CASE WHEN LOWER(TRIM(event_type))
+              NOT IN ('click','view','purchase','signup')
+         THEN 1 ELSE 0 END AS f_type,
+    CASE WHEN value IS NULL OR NOT (value <= 200)
+         THEN 1 ELSE 0 END AS f_val
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN f_type + f_val > 0 THEN 'quarantined'
+       ELSE 'published' END AS status,
+  CONCAT_WS(',',
+    CASE WHEN f_type = 1 THEN 'type_known' END,
+    CASE WHEN f_val = 1 THEN 'value_in_range' END) AS failed_tests
+FROM flags
+"""
+
+
 def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value
     (functions/stats.py:poisson_bootstrap_ci): 20 resamples as
@@ -8742,6 +8952,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "rolling_distinct_by_type": rolling_distinct_by_type,
+        "closed_sessions_events": closed_sessions_events,
+        "wap_quarantine_events": wap_quarantine_events,
         "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
         "pq_recall_embeddings": pq_recall_embeddings,
         "compaction_plan_lineitem": compaction_plan_lineitem,
@@ -9033,6 +9246,9 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _TWAP_ORACLE,
         "bootstrap_ci_events": _bootstrap_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+        "rolling_distinct_by_type": _ROLLING_BY_TYPE_ORACLE,
+        "closed_sessions_events": _CLOSED_SESSIONS_ORACLE,
+        "wap_quarantine_events": _WAP_QUARANTINE_ORACLE,
         "bfs_hops_trade": _BFS_ORACLE,
         "emd_events": _EMD_ORACLE,
         "scorecard_events": _SCORECARD_ORACLE,

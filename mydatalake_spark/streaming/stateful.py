@@ -341,6 +341,65 @@ def closed_sessions(
     )
 
 
+def closed_sessions_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of :func:`closed_sessions` — the SAME close semantics
+    replayed declaratively over a bounded frame, so the stateful
+    streaming operator has an oracle-checkable (and unit-diffable)
+    reference: sessions split where consecutive events sit STRICTLY
+    more than ``gap`` apart (the updater's ``t - end > gap``), and a
+    session is CLOSED iff either a later same-key event exists beyond
+    the gap (the inline data-driven close) or the end-of-input
+    watermark — ``max(ts) − watermark`` — strictly passed its
+    ``session_end + gap`` timeout (the EventTimeTimeout close). Each
+    key's final session stays open unless the watermark caught it,
+    exactly as the state store would hold it.
+
+    Plan shape: one key-partitioned window pass (lag → break flags →
+    running session ids), one groupBy to session rows, the global max
+    ts as a one-row broadcast scalar join — no collect, no
+    unpartitioned window over event rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap_iv = F.expr(f"INTERVAL {gap}")
+    wm_iv = F.expr(f"INTERVAL {watermark}")
+    renamed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts")
+    )
+    w = Window.partitionBy("key").orderBy("ts")
+    prev = F.lag(F.col("ts")).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") > prev + gap_iv), 1
+    ).otherwise(0)
+    grouped = renamed.withColumn(
+        "__grp__",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = grouped.groupBy("key", "__grp__").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    last_grp = F.max("__grp__").over(Window.partitionBy("key"))
+    bounds = df.agg(F.max(F.col(ts_col)).alias("__maxts__"))
+    return (
+        sess.withColumn("__last__", F.col("__grp__") == last_grp)
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (~F.col("__last__"))
+            | (F.col("session_end") + gap_iv < F.col("__maxts__") - wm_iv)
+        )
+        .select("key", "session_start", "session_end", "n_events")
+    )
+
+
 def _duration_ms(spec: str) -> int:
     qty, unit = spec.split()
     factor = {

@@ -781,3 +781,65 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     rep = drift_report(ref, b1, "value").collect()[0]
     assert (rep.d_stat, rep.emd) == (shifted.d_stat, shifted.emd)
     assert rep.n_ref == 10 and rep.n_batch == 5
+
+
+def test_closed_sessions_batch_twin_parity(spark, tmp_path):
+    """The batch twin (closed_sessions_batch) replays the stateful
+    operator's close semantics exactly: inline data-driven closes,
+    EventTimeTimeout closes once the watermark passes end + gap, and
+    each key's final session stays OPEN unless the watermark caught
+    it. Same inputs through both paths must agree row-for-row."""
+    from mydatalake_spark.streaming.stateful import (
+        closed_sessions,
+        closed_sessions_batch,
+    )
+
+    src = tmp_path / "sess_twin_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_twin_ckpt")
+    collected: list = []
+
+    def drain():
+        stream = stream_from_json_dir(spark, str(src), EVENT_SCHEMA)
+        out = closed_sessions(
+            stream, gap="30 minutes", watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src / "a.json", [
+        (1, "2024-01-01T00:00:00", 7, "view", 1.0),
+        (2, "2024-01-01T00:10:00", 7, "click", 1.0),
+        (3, "2024-01-01T01:00:00", 7, "view", 1.0),   # closes 1st inline
+        (4, "2024-01-01T00:05:00", 9, "view", 1.0),
+    ])
+    drain()
+    # far-future single event: watermark 04:50 times out user 7's
+    # 01:00 session and user 9's; user 8's own session stays open
+    _write_batch(src / "b.json", [
+        (5, "2024-01-01T05:00:00", 8, "view", 1.0),
+    ])
+    drain()
+
+    streamed = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in collected
+    }
+    batch_df = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    twinned = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in closed_sessions_batch(
+            batch_df, gap="30 minutes", watermark="10 minutes"
+        ).collect()
+    }
+    assert streamed == twinned
+    assert len(twinned) == 3             # user 8's session stays open
+    assert {k for k, *_ in twinned} == {7, 9}
