@@ -13,6 +13,12 @@ Usage:
   python scripts/rotation.py --check    # exit 1 if the registry prefix
                                         #   is not freshness-sorted
   python scripts/rotation.py --table    # emit the COVERAGE.md table
+  python scripts/rotation.py --budget-report
+                                        # staleness vs registry size:
+                                        #   how many rounds until every
+                                        #   entry is driver-re-verified,
+                                        #   and what adding N more
+                                        #   queries would cost
 
 The meta-test (tests/test_rotation.py) pins the --check invariant so a
 registry edit that breaks rotation fails CI, and bounds worst-case
@@ -117,7 +123,46 @@ def coverage_table() -> str:
     return "\n".join(lines)
 
 
+def budget_report() -> str:
+    """Staleness economics of the current registry size: the full
+    re-verification cycle length, the freshness distribution, and the
+    marginal cost of growing the registry — the number the round
+    review asks for before adding breadth."""
+    import math
+
+    fresh = freshness()
+    n = len(fresh)
+    cycle = math.ceil(n / PREFIX_BUDGET)
+    never = sum(1 for _, r in fresh if r == 0)
+    rounds = sorted({r for _, r in fresh if r > 0})
+    lines = [
+        f"registry size:        {n}",
+        f"driver prefix budget: {PREFIX_BUDGET} rows/round",
+        f"full cycle:           {cycle} rounds "
+        f"(worst-case driver staleness)",
+        f"never driver-checked: {never}",
+        "freshness distribution:",
+    ]
+    for r in rounds:
+        k = sum(1 for _, rr in fresh if rr == r)
+        lines.append(f"  last green r{r}: {k}")
+    lines.append("marginal cost of growth:")
+    for extra in (5, 10, 25, 50):
+        lines.append(
+            f"  +{extra} queries -> cycle "
+            f"{math.ceil((n + extra) / PREFIX_BUDGET)} rounds"
+        )
+    lines.append(
+        "(every entry stays verified every round by the full local gate; "
+        "this is DRIVER-row staleness only)"
+    )
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
+    if "--budget-report" in sys.argv:
+        print(budget_report())
+        sys.exit(0)
     if "--check" in sys.argv:
         problems = check()
         for p in problems:
