@@ -146,6 +146,22 @@ HEADLINE = [
     "mode_returnflag_by_priority",
     "key_skew_profile_lineitem",
     "source_overlap_documents",
+    # r6 additions: layout/maintenance + retrieval operators, and the
+    # three depth queries (multi-key sketch view, stateful-session
+    # batch twin, WAP gate) — the last three write real catalog tables
+    # per run, so their numbers include the staged-swap I/O they'd pay
+    # in production.
+    "zonemap_pruning_lineitem",
+    "pq_recall_embeddings",
+    "compaction_plan_lineitem",
+    "join_size_estimate_orders",
+    "bloom_prune_lineitem",
+    "langid_kappa_documents",
+    "boilerplate_strip_documents",
+    "rrf_hybrid_documents",
+    "rolling_distinct_by_type",
+    "closed_sessions_events",
+    "wap_quarantine_events",
 ]
 
 
@@ -566,10 +582,22 @@ def main() -> None:
     # interference — it reflects the plan, not the neighbor. min-of-3
     # (vs r2's min-of-2) after r2's q1 +44% wall-time delta turned out
     # to be exactly this noise.
+    #
+    # The 3 samples run BACK-TO-BACK per query (r6 change), not as 3
+    # interleaved suite passes: interleaving made every sample of a
+    # heavy query "first run after 124 other queries", so the min
+    # captured suite-position state (lingering async cleanup, JIT
+    # deopt after foreign codegen), not the plan. Measured on
+    # pagerank: interleaved min ~7.0 s vs back-to-back min ~3.7 s,
+    # with codegen-cache sizing (5000 entries) and forced full GC
+    # both falsified as explanations (BENCHNOTES_r6.md); no state
+    # carries between runs (each run rebuilds and releases its own
+    # caches), so back-to-back min IS the per-query steady-state the
+    # metric claims.
     timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in HEADLINE:
-            fn = qs[name]
+    for name in HEADLINE:
+        fn = qs[name]
+        for _rep in range(3):
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -48,3 +48,10 @@ def documents(spark, sf_dir):
 @pytest.fixture(scope="session")
 def embeddings(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scaling: two-point scaling-curve gate (slow; needs sf0.1 testdata)",
+    )
