@@ -339,6 +339,22 @@ SHOWCASE = [
         "running-sum window — O(2n) events instead of an\n"
         "interval-by-calendar join.",
     ),
+    (
+        "closed_sessions_events",
+        "Batch twin of the stateful sessionizer: ONE event-sized exchange\n"
+        "(the key-hash partition feeds the lag window, the running-sum\n"
+        "window, the session groupBy and the last-session window — Spark's\n"
+        "clustered-distribution reuse), plus a 1-row watermark scalar as a\n"
+        "broadcast. The streaming operator shuffles once on the same key;\n"
+        "identical asymptotics.",
+    ),
+    (
+        "rolling_distinct_by_type",
+        "Multi-key sketch view: the rolling distinct is a window union of\n"
+        "STORED daily HLL sketches partitioned by the non-date key —\n"
+        "kilobytes per group, never a raw re-scan; the exact gate side is\n"
+        "an explode + equi-join (no nested-loop range join).",
+    ),
 ]
 
 

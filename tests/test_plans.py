@@ -648,3 +648,31 @@ def test_item_cosine_basket_join_no_cartesian(spark, sf_dir, entry):
     assert "CartesianProduct" not in plan
     # the part dimension broadcasts onto the fact scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_closed_sessions_batch_one_input_shuffle(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["closed_sessions_events"](spark, sf_dir)
+    )
+    # one event-sized exchange: the key-hash partition feeds the lag
+    # window, the running-sum window, the session groupBy (clustered
+    # distribution satisfied by the key subset) and the last-session
+    # window; the only other exchange is the 1-row watermark scalar,
+    # joined as a broadcast (never a real cartesian)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ node (tree + detail render): the 1-row scalar
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_rolling_by_type_partitioned_sketch_window(spark, sf_dir, entry):
+    plan = _plan(
+        spark, entry.queries()["rolling_distinct_by_type"](spark, sf_dir)
+    )
+    # sketch union must be a window over the STORED sketch table (no
+    # raw re-scan) and the exact side an equi-join, not a range loop
+    assert "hll_union_agg" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
