@@ -110,6 +110,56 @@ def bloom_probe_keys(
     )
 
 
+def bloom_mask_array(bloom: DataFrame, m_bits: int = 1 << 16) -> list[int]:
+    """Collect the ``(word_idx, mask)`` filter into a dense word list —
+    ``m_bits / 32`` longs (8 KB at the 2^16 default; 4 MB even at
+    2^30). This is the artifact production ships: the filter is
+    driver-held and folded into the probe plan as a CONSTANT, so
+    collecting it is bounded by construction (never key-count-sized)."""
+    n_words = m_bits // WORD_BITS
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["mask"])
+    return words
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """MAP-ONLY bloom pruning — the production path
+    (:func:`bloom_probe_keys` is the per-key audit shape; this is what
+    a 100 TB scan actually wants): the word list becomes one literal
+    array that constant-folds into codegen, and each row's k md5
+    positions test bits with pure arithmetic — the probe side is
+    filtered with ZERO exchanges, zero joins, before any shuffle the
+    real join would pay. Rows whose key hits all k bits survive
+    (guaranteed superset of the true matches; false positives at the
+    filter's measured rate). Nulls fail the filter: a null key cannot
+    equi-join anyway.
+
+    The native analogue is Spark's InjectRuntimeFilter / Delta's
+    bloom indexes; this expression form keeps the same plan shape
+    while staying engine-portable (and oracle-replayable)."""
+    m_bits = len(words) * WORD_BITS
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    pos = _positions(F.col(key_col), k, m_bits)
+    flagged = probe.withColumn("__bf__", F.expr(arr_sql)).withColumn(
+        "__pos__", pos
+    )
+    cond = None
+    for i in range(k):
+        c = F.expr(
+            f"((element_at(__bf__, CAST(shiftright(element_at(__pos__, "
+            f"{i + 1}), 5) AS INT) + 1) >> CAST(element_at(__pos__, "
+            f"{i + 1}) % {WORD_BITS} AS INT)) % 2) = 1"
+        )
+        cond = c if cond is None else cond & c
+    return flagged.filter(cond).drop("__bf__", "__pos__")
+
+
 def bloom_prune_report(
     probe: DataFrame,
     probe_key: str,

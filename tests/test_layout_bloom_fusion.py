@@ -193,3 +193,41 @@ def test_join_cardinality_estimate_upper_bound(spark):
     # at high resolution
     assert est.est_pairs >= true
     assert est.est_pairs < true * 2
+
+
+def test_bloom_prune_map_only_matches_probe_keys(spark):
+    """The production map-only path (constant-folded literal filter)
+    must agree key-for-key with the audited bloom_probe_keys path, be
+    a strict superset of true matches, and add ZERO exchanges to the
+    probe plan."""
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_mask_array,
+        bloom_probe_keys,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 500).withColumnRenamed("id", "k")
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bloom = bloom_build(build, "k", m_bits=1 << 16, k=3)
+    words = bloom_mask_array(bloom, m_bits=1 << 16)
+    assert len(words) == (1 << 16) // 32
+
+    pruned = bloom_prune(probe, "k", words, k=3)
+    kept = {r.k for r in pruned.collect()}
+    flagged = {
+        r.k
+        for r in bloom_probe_keys(
+            probe, "k", bloom, m_bits=1 << 16, k=3
+        ).collect()
+        if r.bloom_pass
+    }
+    assert kept == flagged                      # cross-impl agreement
+    assert set(range(500)) <= kept              # no false negatives
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan               # pure scan + filter
+    assert "Join" not in plan
