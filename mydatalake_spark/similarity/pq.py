@@ -99,11 +99,14 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector to ``m`` small-int codes: per subspace, the
     argmax of ``v_sub·c − |c|²/2`` over the codebook (≡ L2 argmin).
     One parsed SQL expression per subspace — pure map, fused with the
-    scan; the output table is ``m`` ints per row regardless of dim."""
+    scan; the output table is ``m`` ints per row regardless of dim.
+    ``keep_cols`` carries extra columns through (e.g. the IVF cell id
+    for :func:`ivfpq_topk`)."""
     unit = _unit_expr(vec_col)
     sub_exprs = []
     subdim = len(codebooks[0][0])
@@ -127,24 +130,25 @@ def pq_encode(
     codes = f"array({', '.join(sub_exprs)})"
     return (
         df.withColumn("__u__", F.expr(unit))
-        .select(F.col(id_col), F.expr(codes).alias(codes_col))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in (keep_cols or [])],
+            F.expr(codes).alias(codes_col),
+        )
     )
 
 
-def pq_adc_topk(
-    codes: DataFrame,
+def _query_adc_tables(
     queries: DataFrame,
     codebooks,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    codes_col: str = "codes",
+    id_col: str,
+    vec_col: str,
+    extra: list = (),
 ) -> DataFrame:
-    """Asymmetric-distance top-k: each query builds its per-subspace
-    lookup tables (query-sub · codebook entry, as expression arrays),
-    broadcast-joins the code table, and scores with ``m`` element_at
-    lookups. Returns ``(query_id, neighbor_id, rank)`` with the
-    deterministic (score desc, id) tiebreak every ranking here uses."""
+    """Per-query ADC lookup tables: ``__t{j}__`` holds query-subvector ·
+    codebook-entry for every entry of subspace ``j`` — built once per
+    query row as expression arrays; scoring any code is then ``m``
+    ``element_at`` lookups."""
     unit = _unit_expr(vec_col)
     subdim = len(codebooks[0][0])
     table_cols = []
@@ -161,9 +165,13 @@ def pq_adc_topk(
             for c in book
         )
         table_cols.append(F.expr(f"array({entries})").alias(f"__t{j}__"))
-    q = queries.withColumn("__qu__", F.expr(unit)).select(
-        F.col(id_col).alias("query_id"), *table_cols
+    return queries.withColumn("__qu__", F.expr(unit)).select(
+        F.col(id_col).alias("query_id"), *extra, *table_cols
     )
+
+
+def _adc_score(codebooks, codes_col: str):
+    """Σ_j table_j[code_j] — the ADC approximate dot product."""
     score = None
     for j in range(len(codebooks)):
         term = F.expr(
@@ -171,12 +179,30 @@ def pq_adc_topk(
             "+ 1 as int))"
         )
         score = term if score is None else score + term
+    return score
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query builds its per-subspace
+    lookup tables (query-sub · codebook entry, as expression arrays),
+    broadcast-joins the code table, and scores with ``m`` element_at
+    lookups. Returns ``(query_id, neighbor_id, rank)`` with the
+    deterministic (score desc, id) tiebreak every ranking here uses."""
+    q = _query_adc_tables(queries, codebooks, id_col, vec_col)
     scored = F.broadcast(q).crossJoin(
         codes.select(F.col(id_col).alias("neighbor_id"), codes_col)
     ).select(
         "query_id",
         "neighbor_id",
-        score.alias("__s__"),
+        _adc_score(codebooks, codes_col).alias("__s__"),
     )
     from pyspark.sql import Window
 
@@ -211,15 +237,29 @@ def pq_search_rerank(
     neighbor falls outside the ADC top-``shortlist`` — measured at
     sf0.01: recall@5 jumps from 0.2 (raw ADC ranks) to ≥0.9 with a
     50-candidate shortlist over 500 vectors."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import cosine_similarity
-
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     cand = pq_adc_topk(
         codes, queries, codebooks, k=shortlist, id_col=id_col,
         vec_col=vec_col,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of a (query_id, neighbor_id) candidate set:
+    per query, ``|shortlist|`` raw-vector reads instead of a corpus
+    scan; deterministic (score desc, id) tiebreak."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
@@ -248,3 +288,93 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .drop("__s__")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF-PQ — the full FAISS production composition, on DataFrames:
+    the coarse quantizer (``search._train_spherical_kmeans``, bounded
+    seeded sample) restricts each query's ADC scan to its ``n_probe``
+    nearest cells, PQ codes score those survivors with ``m`` lookups,
+    and exact cosine reranks the shortlist. Cost per query:
+    ``~(n_probe / n_centroids) × |codes|`` lookup rows + ``shortlist``
+    raw-vector reads — against a corpus that stores 32× fewer bytes.
+
+    Plan shape: cell assignment and encoding are one fused map over
+    the corpus; the probe is an equi-join of the (tiny, broadcast)
+    exploded query×cell frame against the code table — with the code
+    table written PARTITIONED BY cell (index.py's layout), the join
+    prunes to probed partitions and the scan fraction is literal.
+    With ``n_probe = n_centroids`` this degrades exactly to
+    :func:`pq_search_rerank` (parity-tested)."""
+    from .search import (
+        _argmax_cell,
+        _centroid_scores_expr,
+        _train_spherical_kmeans,
+    )
+
+    cents = _train_spherical_kmeans(
+        corpus, id_col, vec_col, n_centroids,
+        seed=seed, sample_size=sample_size, iters=iters,
+    )
+    cell_scores = _centroid_scores_expr(cents)
+    codes = pq_encode(
+        corpus.withColumn("__cell__", _argmax_cell(cell_scores(vec_col))),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=["__cell__"],
+    )
+    q = _query_adc_tables(
+        queries, codebooks, id_col, vec_col,
+        extra=[cell_scores(vec_col).alias("__cs__")],
+    )
+    probe = q.select(
+        "query_id",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(
+                    F.transform(
+                        F.col("__cs__"),
+                        lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+                    )
+                )),
+                1,
+                n_probe,
+            )
+        ).alias("p"),
+        *[F.col(f"__t{j}__") for j in range(len(codebooks))],
+    ).select(
+        "query_id",
+        F.col("p.cell").alias("__cell__"),
+        *[F.col(f"__t{j}__") for j in range(len(codebooks))],
+    )
+    scored = codes.join(F.broadcast(probe), "__cell__").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_score(codebooks, "codes").alias("__s__"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("__s__"), "neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
