@@ -785,3 +785,72 @@ def test_ivfpq_degrades_to_pq_rerank_and_keeps_recall(spark):
                   n_centroids=8, n_probe=4,
               ).collect()}
     assert len(probed & exact) / len(exact) >= 0.6
+
+
+def test_persisted_ivfpq_index_codes_search_append(spark, tmp_path):
+    """IVF-PQ persisted index: codebooks stored as a third table, the
+    cells table carries codes, ADC search with full probe + corpus-
+    sized shortlist degrades EXACTLY to the exact-cosine path, the
+    probed search keeps a recall floor, and an appended increment is
+    encoded against the STORED codebooks and discoverable."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(10)
+    cat = Catalog(spark, str(tmp_path / "ivfpq_wh"))
+    build_ivf_index(
+        cat, "silver.ann.pq", emb, n_centroids=8, pq_subspaces=16
+    )
+    assert cat.exists("silver.ann.pq_pq")
+    assert "codes" in cat.read("silver.ann.pq_cells").columns
+
+    exact_full = {
+        (r.query_id, r.neighbor_id)
+        for r in search_ivf_index(
+            cat, "silver.ann.pq", queries, k=3, n_probe=8
+        ).collect()
+    }
+    adc_full = {
+        (r.query_id, r.neighbor_id)
+        for r in search_ivfpq_index(
+            cat, "silver.ann.pq", queries, k=3, n_probe=8,
+            shortlist=1000,
+        ).collect()
+    }
+    assert adc_full == exact_full and adc_full
+
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in search_ivfpq_index(
+            cat, "silver.ann.pq", queries, k=3, n_probe=4,
+            shortlist=50,
+        ).collect()
+    }
+    assert len(probed & exact_full) / len(exact_full) >= 0.5
+
+    q0 = queries.orderBy("vec_id").first()
+    newbie = spark.createDataFrame(
+        [(99999, [float(x) * 2.0 for x in q0.embedding], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append_to_ivf_index(cat, "silver.ann.pq", newbie)
+    assert (
+        cat.read("silver.ann.pq_cells")
+        .where(F.col("vec_id") == 99999)
+        .first()
+        .codes
+        is not None
+    )
+    after = search_ivfpq_index(
+        cat, "silver.ann.pq",
+        queries.where(F.col("vec_id") == q0.vec_id),
+        k=1, n_probe=2, shortlist=20,
+    ).collect()
+    assert after[0].neighbor_id == 99999
+    assert after[0].score == 1.0
