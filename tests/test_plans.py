@@ -676,3 +676,32 @@ def test_rolling_by_type_partitioned_sketch_window(spark, sf_dir, entry):
     assert "hll_union_agg" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_search_scans_codes_only(spark, tmp_path):
+    """The ADC branch of search_ivfpq_index must scan the cells table
+    with ONLY (id, codes) in ReadSchema — the 32x byte saving is real
+    only if the raw vector column never reaches the reader there; raw
+    vectors appear solely in the rerank branch."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.similarity.index import (
+        build_ivf_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path / "ivfpq_plan_wh"))
+    build_ivf_index(
+        cat, "silver.ann.pq", emb, n_centroids=8, pq_subspaces=16
+    )
+    df = search_ivfpq_index(
+        cat, "silver.ann.pq", emb.limit(3), k=3, n_probe=2, shortlist=20
+    )
+    plan = _plan(spark, df)
+    import re as _re
+
+    schemas = set(_re.findall(r"ReadSchema: (\S+)", plan))
+    codes_only = [
+        s for s in schemas if "codes" in s and "embedding" not in s
+    ]
+    assert codes_only, schemas
