@@ -440,18 +440,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    guard_max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
 
     explode → equi-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so only docs
-    *sharing* a shingle ever pair — no cross join. At 100 TB, add a
-    document-frequency cap on shingles (drop shingles appearing in
-    >X% of docs) to bound the hottest keys; AQE handles the rest.
+    *sharing* a shingle ever pair — no cross join, but join output
+    still grows as Σ df(shingle)², so one boilerplate shingle in 3%
+    of a corpus quadratics it (winnow_pairs measured exactly this).
+    Unlike winnow, DROPPING hot shingles here would corrupt the exact
+    Jaccard values, so the operator REFUSES instead (guards.py): any
+    shingle hotter than ``guard_max_df`` raises with the offending
+    key, pointing at the minhash path (near-dup semantics without
+    exactness) or boilerplate_strip (remove template chrome first).
+    ``guard_max_df=None`` opts out for pre-cleaned corpora.
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
     )
+    if guard_max_df is not None:
+        from .guards import assert_bounded_groups
+
+        assert_bounded_groups(
+            sh,
+            ["shingle"],
+            guard_max_df,
+            "ngram_jaccard_pairs",
+            "Strip boilerplate first (operators/paradedup.py:"
+            "boilerplate_strip), switch to minhash_candidates (banded, "
+            "df-bounded), raise guard_max_df, or pass guard_max_df=None "
+            "for a pre-cleaned corpus.",
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -854,3 +854,26 @@ def test_persisted_ivfpq_index_codes_search_append(spark, tmp_path):
     ).collect()
     assert after[0].neighbor_id == 99999
     assert after[0].score == 1.0
+
+
+def test_ngram_jaccard_refuses_hot_shingle(spark):
+    """A shingle hotter than guard_max_df refuses at call time (exact
+    Jaccard cannot silently drop it like winnow's stop-fingerprints);
+    compliant corpora and the opt-out behave unchanged."""
+    import pytest
+
+    from mydatalake_spark.operators.guards import GroupSizeExceeded
+    from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
+
+    rows = [(i, "alpha beta gamma " + f"tail{i} x{i} y{i}")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(GroupSizeExceeded, match="ngram_jaccard_pairs"):
+        ngram_jaccard_pairs(df, n=1, threshold=0.1, guard_max_df=5)
+    ok = ngram_jaccard_pairs(
+        df, n=1, threshold=0.1, guard_max_df=50
+    ).count()
+    off = ngram_jaccard_pairs(
+        df, n=1, threshold=0.1, guard_max_df=None
+    ).count()
+    assert ok == off == 15          # C(6,2): every pair shares 3 words
