@@ -383,6 +383,12 @@ SCALING_QUERIES = [
     "duplicate_spans_documents",
     "split_leakage_documents",
     "item_cosine_recs_parts",
+    # r6 additions: the corpus-frequency strip (df-table join + text
+    # reassembly) and the PQ pipeline (train/encode/ADC/rerank with
+    # the in-plan recall harness) — both must track corpus growth,
+    # not the pair/cross bound.
+    "boilerplate_strip_documents",
+    "pq_recall_embeddings",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -414,7 +420,9 @@ def bench_scaling(spark, qs) -> dict:
         "lineitem": {"small": small_li, "big": big_li},
     }}
     for name in SCALING_QUERIES:
-        if name.startswith(("embedding", "similarity")):
+        if name.startswith(("embedding", "similarity")) or name.endswith(
+            "_embeddings"
+        ):
             rows_ratio = big_emb / small_emb
         elif "events" in name or name == "theil_sen_users":
             rows_ratio = big_ev / small_ev
