@@ -8951,59 +8951,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: prefix slots first ---
-        "rolling_distinct_by_type": rolling_distinct_by_type,
-        "closed_sessions_events": closed_sessions_events,
-        "wap_quarantine_events": wap_quarantine_events,
-        "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
-        "pq_recall_embeddings": pq_recall_embeddings,
-        "compaction_plan_lineitem": compaction_plan_lineitem,
-        "join_size_estimate_orders": join_size_estimate_orders,
-        "bloom_prune_lineitem": bloom_prune_lineitem,
-        "langid_kappa_documents": langid_kappa_documents,
-        "boilerplate_strip_documents": boilerplate_strip_documents,
-        "rrf_hybrid_documents": rrf_hybrid_documents,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
-        "mode_returnflag_by_priority": mode_returnflag_by_priority,
-        "key_skew_profile_lineitem": key_skew_profile_lineitem,
-        "source_overlap_documents": source_overlap_documents,
-        # --- last driver-green in r2 ---
-        "window_functions_lineitem": window_functions_lineitem,
-        "scalar_functions": scalar_functions,
-        "topk_orders": topk_orders,
-        "anti_join_customers": anti_join_customers,
-        "semi_join_segments": semi_join_segments,
-        "set_ops_nations": set_ops_nations,
-        "rollup_revenue": rollup_revenue,
-        "cube_revenue": cube_revenue,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q10_returned_items": q10_returned_items,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q8_market_share": q8_market_share,
-        "grouping_sets_revenue": grouping_sets_revenue,
         # --- last driver-green in r3 ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "merge_cdc_orders": merge_cdc_orders,
-        "dedup_latest_lineitem": dedup_latest_lineitem,
-        "dq_checks_lineitem": dq_checks_lineitem,
-        "dq_aggregate_lineitem": dq_aggregate_lineitem,
-        "minhash_neardup_documents": minhash_neardup_documents,
-        "incremental_neardup_documents": incremental_neardup_documents,
-        "neardup_clusters_documents": neardup_clusters_documents,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "bm25_documents": bm25_documents,
-        "funnel_events": funnel_events,
-        "decontaminate_documents": decontaminate_documents,
-        "user_trend_events": user_trend_events,
-        "similarity_topk": similarity_topk,
-        "similarity_lsh": similarity_lsh,
-        "similarity_ivf": similarity_ivf,
-        "simhash_documents": simhash_documents,
-        "embedding_neardup": embedding_neardup,
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
         "winnow_pairs_documents": winnow_pairs_documents,
         "hash_split_documents": hash_split_documents,
@@ -9137,6 +9085,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue": ewma_daily_revenue,
         "event_entropy_users": event_entropy_users,
         "zscore_anomalies_events": zscore_anomalies_events,
+        # --- last driver-green in r6 ---
+        "rolling_distinct_by_type": rolling_distinct_by_type,
+        "closed_sessions_events": closed_sessions_events,
+        "wap_quarantine_events": wap_quarantine_events,
+        "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
+        "pq_recall_embeddings": pq_recall_embeddings,
+        "compaction_plan_lineitem": compaction_plan_lineitem,
+        "join_size_estimate_orders": join_size_estimate_orders,
+        "bloom_prune_lineitem": bloom_prune_lineitem,
+        "langid_kappa_documents": langid_kappa_documents,
+        "boilerplate_strip_documents": boilerplate_strip_documents,
+        "rrf_hybrid_documents": rrf_hybrid_documents,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "mode_returnflag_by_priority": mode_returnflag_by_priority,
+        "key_skew_profile_lineitem": key_skew_profile_lineitem,
+        "source_overlap_documents": source_overlap_documents,
+        "window_functions_lineitem": window_functions_lineitem,
+        "scalar_functions": scalar_functions,
+        "topk_orders": topk_orders,
+        "anti_join_customers": anti_join_customers,
+        "semi_join_segments": semi_join_segments,
+        "set_ops_nations": set_ops_nations,
+        "rollup_revenue": rollup_revenue,
+        "cube_revenue": cube_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "q10_returned_items": q10_returned_items,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "merge_cdc_orders": merge_cdc_orders,
+        "dedup_latest_lineitem": dedup_latest_lineitem,
+        "dq_checks_lineitem": dq_checks_lineitem,
+        "dq_aggregate_lineitem": dq_aggregate_lineitem,
+        "minhash_neardup_documents": minhash_neardup_documents,
+        "incremental_neardup_documents": incremental_neardup_documents,
+        "neardup_clusters_documents": neardup_clusters_documents,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "bm25_documents": bm25_documents,
+        "funnel_events": funnel_events,
+        "decontaminate_documents": decontaminate_documents,
+        "user_trend_events": user_trend_events,
+        "similarity_topk": similarity_topk,
+        "similarity_lsh": similarity_lsh,
+        "similarity_ivf": similarity_ivf,
+        "simhash_documents": simhash_documents,
+        "embedding_neardup": embedding_neardup,
     }
 
 

@@ -37,15 +37,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PREFIX_BUDGET = 50   # observed driver rows per round
 
 
-def last_green_rounds() -> dict[str, int]:
+def last_green_rounds(exclude_round: int | None = None) -> dict[str, int]:
     """query name → latest round with a fully green driver row
-    (rows+schema+hash). Entries never checked are absent."""
+    (rows+schema+hash). Entries never checked are absent.
+    ``exclude_round`` drops that round's file from the history — used by
+    :func:`check` to evaluate the pre-boundary state (see below)."""
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if exclude_round is not None and rnd == exclude_round:
+            continue
         try:
             data = json.load(open(path))
         except Exception:
@@ -70,10 +74,24 @@ def registry_names() -> list[str]:
     return list(entry._raw_queries().keys())
 
 
-def freshness(names: list[str] | None = None) -> list[tuple[str, int]]:
+def newest_round() -> int:
+    """Highest round number among the CORRECTNESS_r*.json files
+    (0 if none exist)."""
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0)
+
+
+def freshness(
+    names: list[str] | None = None,
+    exclude_round: int | None = None,
+) -> list[tuple[str, int]]:
     """(name, last_green_round) for every registry entry in registry
     order; 0 = never driver-checked."""
-    greens = last_green_rounds()
+    greens = last_green_rounds(exclude_round=exclude_round)
     names = names if names is not None else registry_names()
     return [(n, greens.get(n, 0)) for n in names]
 
@@ -85,11 +103,12 @@ def suggested_order(names: list[str] | None = None) -> list[str]:
     return [n for n, _ in sorted(fresh, key=lambda t: t[1])]
 
 
-def check(budget: int = PREFIX_BUDGET) -> list[str]:
-    """Return violations of the rotation invariant: every entry in the
+def _violations(
+    fresh: list[tuple[str, int]], budget: int = PREFIX_BUDGET
+) -> list[str]:
+    """Raw rotation invariant on a freshness list: every entry in the
     driver prefix must be at least as stale as every entry outside it
     (never-checked = stalest)."""
-    fresh = freshness()
     prefix, rest = fresh[:budget], fresh[budget:]
     if not rest:
         return []
@@ -105,6 +124,45 @@ def check(budget: int = PREFIX_BUDGET) -> list[str]:
         f"fresher entry (r{worst_inside}) is inside"
         for n, r in stale_outside
     ]
+
+
+def check(
+    budget: int = PREFIX_BUDGET,
+    fresh: list[tuple[str, int]] | None = None,
+    fresh_excl_newest: list[tuple[str, int]] | None = None,
+) -> list[str]:
+    """Round-boundary-aware rotation check.
+
+    The invariant is evaluated twice when needed:
+
+    1. On the full CORRECTNESS history. If it holds, OK.
+    2. Otherwise, on the history EXCLUDING the newest round's file. The
+       driver lands ``CORRECTNESS_r{N}.json`` *after* the builder's final
+       commit, turning the just-checked prefix into the freshest entries
+       — a state the rotation caused on purpose. If the prefix was
+       freshness-sorted *before* that file landed, every full-history
+       violation is attributable solely to the newest file (outside
+       entries never get fresher by excluding a round, and inside
+       entries can only have been upgraded by it), so the boundary
+       state is accepted. A prefix that is stale for any other reason
+       (unsorted edit, forgotten rotation spanning >1 round) still
+       fails both evaluations.
+
+    ``fresh`` / ``fresh_excl_newest`` inject freshness lists for tests.
+    """
+    full = _violations(
+        fresh if fresh is not None else freshness(), budget
+    )
+    if not full:
+        return []
+    if fresh_excl_newest is None:
+        nr = newest_round()
+        if nr == 0:
+            return full
+        fresh_excl_newest = freshness(exclude_round=nr)
+    if not _violations(fresh_excl_newest, budget):
+        return []
+    return full
 
 
 def coverage_table() -> str:

@@ -30,6 +30,40 @@ def test_registry_prefix_is_freshness_sorted():
     )
 
 
+def _fresh(rounds):
+    return [(f"q{i}", r) for i, r in enumerate(rounds)]
+
+
+def test_check_accepts_round_boundary_state():
+    """The driver lands CORRECTNESS_r{N}.json after the builder's final
+    commit, making the just-checked prefix the freshest entries. If the
+    prefix was freshness-sorted before that file landed, check() must
+    accept (r5/r6 this was the only red test at judging time)."""
+    # pre-boundary: prefix is the stale r3 entries, rest r4/r5 — sorted
+    pre = _fresh([3, 3, 4, 5])
+    # post-boundary: driver checked the 2-row prefix in r7
+    post = _fresh([7, 7, 4, 5])
+    assert rotation._violations(post, budget=2), "sanity: raw invariant trips"
+    assert not rotation.check(
+        budget=2, fresh=post, fresh_excl_newest=pre
+    ), "boundary state (newest file on a sorted prefix) must be accepted"
+
+
+def test_check_still_fails_genuinely_stale_prefix():
+    """A prefix that was ALREADY unsorted before the newest round's file
+    landed must fail both evaluations."""
+    pre = _fresh([5, 5, 3, 4])     # fresh entries inside, stale outside
+    post = _fresh([7, 7, 3, 4])    # newest round re-checked the same prefix
+    assert rotation.check(budget=2, fresh=post, fresh_excl_newest=pre), (
+        "an unsorted pre-boundary prefix must still be a violation"
+    )
+
+
+def test_check_passes_plain_sorted_state():
+    fresh = _fresh([0, 3, 4, 5])
+    assert not rotation.check(budget=2, fresh=fresh, fresh_excl_newest=fresh)
+
+
 def test_worst_case_staleness_is_bounded():
     fresh = rotation.freshness()
     n = len(fresh)
