@@ -8574,6 +8574,57 @@ def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered join, composed end-to-end
+    (operators/bloomjoin.py:bloom_filtered_join — the r6 pruner
+    promoted into a real join path): URGENT orders' keys build a
+    2^20-bit filter, the word list constant-folds into lineitem's scan
+    as a MAP-ONLY filter BELOW the join's shuffle exchange
+    (plan-asserted in tests/test_plans.py), and only the surviving
+    ~selectivity+fp row fraction shuffles into the equi-join. The
+    result is bit-identical to the plain join — bloom pass is a
+    superset of true matches, the join discards false positives — so
+    the oracle is simply the UNpruned join + aggregate, making the
+    "pruning never drops a matching row" claim itself the thing the
+    hash check verifies."""
+    from mydatalake_spark.operators.bloomjoin import bloom_filtered_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_totalprice")
+    joined = bloom_filtered_join(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"),
+        urgent,
+        "l_orderkey",
+        "o_orderkey",
+        m_bits=1 << 20,
+        k=3,
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_JOIN_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _bloom_prune_oracle() -> str:
     m_bits, k = 1 << 20, 3
 
@@ -8951,6 +9002,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
+        # --- never driver-checked: prefix slots first ---
+        "bloom_join_lineitem": bloom_join_lineitem,
         # --- last driver-green in r3 ---
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
         "winnow_pairs_documents": winnow_pairs_documents,
@@ -9146,6 +9199,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan_lineitem": _COMPACTION_PLAN_ORACLE,
         "join_size_estimate_orders": _join_size_oracle(),
         "bloom_prune_lineitem": _bloom_prune_oracle(),
+        "bloom_join_lineitem": BLOOM_JOIN_ORACLE,
         "langid_kappa_documents": _langid_kappa_oracle(),
         "boilerplate_strip_documents": _BOILERPLATE_ORACLE,
         "rrf_hybrid_documents": _rrf_hybrid_oracle(),

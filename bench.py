@@ -156,6 +156,7 @@ HEADLINE = [
     "compaction_plan_lineitem",
     "join_size_estimate_orders",
     "bloom_prune_lineitem",
+    "bloom_join_lineitem",
     "langid_kappa_documents",
     "boilerplate_strip_documents",
     "rrf_hybrid_documents",

@@ -295,6 +295,39 @@ def mann_whitney_u(
     )
 
 
+#: Default bounded-distinct contract cap for the exact (unbinned)
+#: ks_2samp / emd_1d path — matches the "≤ ~10⁶ distinct values"
+#: docstring contract those operators have carried since r5.
+ECDF_DISTINCT_CAP = 1_000_000
+
+
+def _guard_ecdf_distinct(
+    df: DataFrame, value_col: str, bins: int | None, max_distinct: int | None,
+    op_name: str,
+) -> None:
+    """Refusal probe for the exact ECDF path (see the SCALE CONTRACT in
+    :func:`ks_2samp`): when ``bins`` is None, the distinct-value frame
+    feeds an UNPARTITIONED ordered window, so a distinct≈rows input
+    (raw float timestamps, say) silently serializes the whole input
+    through one task. One approx_count_distinct probe; skipped
+    entirely when ``bins`` caps the frame or ``max_distinct=None``
+    opts back into the fully lazy plan (plan-dump tooling,
+    foreachBatch bodies)."""
+    if bins is not None or max_distinct is None:
+        return
+    from ..operators.guards import assert_bounded_distinct
+
+    assert_bounded_distinct(
+        df.where(F.col(value_col).isNotNull()),
+        value_col,
+        max_distinct,
+        op_name,
+        "Pass bins= (e.g. bins=10_000) to pre-quantize to fixed-width "
+        "bin midpoints, or max_distinct=None to accept the "
+        "single-task window.",
+    )
+
+
 def _maybe_binned(df: DataFrame, value_col: str, bins: int | None):
     """Replace a continuous value column with its bin midpoint when
     ``bins`` is set: one cheap min/max aggregate, then a fixed-width
@@ -328,6 +361,7 @@ def ks_2samp(
     value_col: str,
     round_to: int = 6,
     bins: int | None = None,
+    max_distinct: int | None = ECDF_DISTINCT_CAP,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between
     ``variant_col`` == 0 (A) and == 1 (B): the max ECDF gap
@@ -347,7 +381,15 @@ def ks_2samp(
     10_000): values pre-quantize to fixed-width bin midpoints via
     :func:`_maybe_binned` (one extra min/max pass), capping the window
     frame at ``bins`` rows and bounding D's error by ~1/bins per side.
+
+    The contract is a RUNTIME REFUSAL, not just prose: when ``bins``
+    is None, one eager ``approx_count_distinct`` probe job runs at
+    DataFrame-construction time and raises
+    :class:`~mydatalake_spark.operators.guards.DistinctCardinalityExceeded`
+    above ``max_distinct`` (default 10⁶). Pass ``max_distinct=None``
+    where laziness is assumed (plan inspection, foreachBatch).
     """
+    _guard_ecdf_distinct(df, value_col, bins, max_distinct, "ks_2samp")
     per_val = df.where(F.col(value_col).isNotNull()).select(
         _maybe_binned(df, value_col, bins).alias("__v__"),
         F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),
@@ -466,8 +508,12 @@ def theil_sen_trend(
     group exceeds ``max_group_size`` — the default 10⁴ caps the
     per-group pair stage at ~5·10⁷ rows, the last size a single task
     absorbs gracefully; one unguarded 10⁶-row hot group would build
-    10¹² pairs. ``max_group_size=None`` disables the probe (and its
-    one extra job) for callers who pre-bounded the input themselves.
+    10¹² pairs. NOTE the probe is EAGER: one Spark job runs (and may
+    raise) at DataFrame-CONSTRUCTION time, a deliberate departure
+    from lazy-plan construction (since r6). ``max_group_size=None``
+    disables the probe (and its one extra job) for callers who
+    pre-bounded the input themselves or need a fully lazy plan
+    (plan-dump tooling, foreachBatch bodies).
 
     Returns (group, n_points, n_pairs, ts_slope).
     """
@@ -626,6 +672,7 @@ def emd_1d(
     value_col: str,
     round_to: int = 6,
     bins: int | None = None,
+    max_distinct: int | None = ECDF_DISTINCT_CAP,
 ) -> DataFrame:
     """1-D earth-mover's (Wasserstein-1) distance between the
     ``variant_col`` == 0 and == 1 value distributions:
@@ -642,7 +689,12 @@ def emd_1d(
     bounded distinct cardinality; for continuous columns pass
     ``bins`` to pre-quantize to fixed-width bin midpoints, capping
     the window frame at ``bins`` rows (W₁ error ≤ half a bin width).
+    Like :func:`ks_2samp`, the contract refuses at runtime: an eager
+    distinct-cardinality probe raises ``DistinctCardinalityExceeded``
+    above ``max_distinct`` unless ``bins`` is set or
+    ``max_distinct=None`` opts back into the lazy plan.
     """
+    _guard_ecdf_distinct(df, value_col, bins, max_distinct, "emd_1d")
     per_val = df.where(F.col(value_col).isNotNull()).select(
         _maybe_binned(df, value_col, bins).alias("__v__"),
         F.when(variant_col == 1, 1).otherwise(0).alias("__isb__"),

@@ -25,13 +25,19 @@ from pyspark.sql import functions as F
 from .catalog import Catalog
 
 
-def table_bytes(catalog: Catalog, full_name: str) -> int:
-    total = 0
+def file_sizes(catalog: Catalog, full_name: str) -> list[int]:
+    """Data-file sizes of a table, from the filesystem listing —
+    metadata scale (one stat per file), no Spark job."""
+    sizes: list[int] = []
     for root, _, files in os.walk(catalog.path(full_name)):
         for f in files:
             if not f.startswith((".", "_")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    return sizes
+
+
+def table_bytes(catalog: Catalog, full_name: str) -> int:
+    return sum(file_sizes(catalog, full_name))
 
 
 def compact(
@@ -39,16 +45,34 @@ def compact(
     full_name: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    skew_threshold: float = 4.0,
 ) -> int:
     """Rewrite a table into ⌈bytes/target⌉ files; returns file count.
 
-    Uses coalesce (no shuffle) — good enough when input partitions are
-    uniformly small; a skewed layout would use repartition instead.
+    Uniform layouts take the no-shuffle fast path: ``coalesce`` only
+    unions adjacent input partitions, so when the inputs are uniformly
+    small the merged outputs land near ``target_file_bytes`` for free.
+    But coalesce can never SPLIT an input — one 10 GB file stays one
+    task and one 10 GB output file — so a skewed layout coalesced
+    stays skewed. The input file listing (metadata scale, no Spark
+    job) is probed first: if the largest file exceeds
+    ``skew_threshold`` × the mean, the rewrite switches to
+    ``repartition(n_files)``, paying one round-robin shuffle to get
+    balanced output files (the probe is the same fail-fast shape as
+    ``merge_upsert_partitioned``'s partition probe, operators/
+    merge.py).
     """
     df = catalog.read(full_name)
-    n_files = max(1, -(-table_bytes(catalog, full_name) // target_file_bytes))
+    sizes = file_sizes(catalog, full_name)
+    total = sum(sizes)
+    n_files = max(1, -(-total // target_file_bytes))
+    skewed = (
+        len(sizes) > 1
+        and max(sizes) > skew_threshold * (total / len(sizes))
+    )
+    out = df.repartition(n_files) if skewed else df.coalesce(n_files)
     catalog.overwrite_via_staging(
-        df.coalesce(n_files), full_name, partition_by=partition_by
+        out, full_name, partition_by=partition_by
     )
     return n_files
 

@@ -160,6 +160,54 @@ def bloom_prune(
     return flagged.filter(cond).drop("__bf__", "__pos__")
 
 
+def bloom_filtered_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """The composed production path: build → mask → map-only prune →
+    join. The selective ``build`` side's keys become a driver-held
+    word list (8 KB–4 MB by construction, :func:`bloom_mask_array`),
+    :func:`bloom_prune` constant-folds it into the ``probe`` scan, and
+    only the surviving ~(selectivity + fp) row fraction reaches the
+    join's shuffle — the probe-side Exchange reads POST-prune rows
+    (plan-asserted in tests/test_plans.py). Result rows are IDENTICAL
+    to the unpruned join: the bloom pass is a guaranteed superset of
+    the true matches and the equi-join discards the false positives.
+
+    That superset argument is also why ``how`` is restricted to
+    ``inner`` / ``left_semi`` / ``left_anti``-with-build-preserved
+    shapes that only keep MATCHED probe rows — an outer join would
+    need the pruned-away probe rows back. (``left_anti`` is excluded
+    for the same reason: its result is exactly the rows the filter
+    throws away.)
+
+    Eager by design: building the filter runs one Spark job over the
+    (already selective) build side before the returned plan exists —
+    the same probe-then-plan shape as ``merge_upsert_partitioned``.
+    """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} unsupported — pruning the "
+            "probe side only preserves MATCHED probe rows, so only "
+            "'inner' and 'left_semi' are sound. Use a plain join for "
+            "outer/anti semantics."
+        )
+    build_key = build_key or probe_key
+    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
+    words = bloom_mask_array(bloom, m_bits=m_bits)
+    pruned = bloom_prune(probe, probe_key, words, k=k)
+    if build_key == probe_key:
+        return pruned.join(build, on=probe_key, how=how)
+    return pruned.join(
+        build, on=pruned[probe_key] == build[build_key], how=how
+    )
+
+
 def bloom_prune_report(
     probe: DataFrame,
     probe_key: str,

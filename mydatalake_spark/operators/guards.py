@@ -45,6 +45,12 @@ def assert_bounded_groups(
 
     One partial-aggregate probe job, ``limit(1)`` driver transfer —
     cheap at any scale relative to the pair join it protects.
+
+    Rows with a NULL in any key column are EXCLUDED from the probe:
+    every protected pair stage equi-joins on the group key, and an
+    equi-join drops null keys, so a hot null-key group (e.g. many
+    events with no user id) would refuse a job that never builds
+    those pairs.
     """
     if cap <= 0:
         raise ValueError(f"{op_name}: guard cap must be positive, got {cap}")
@@ -55,6 +61,8 @@ def assert_bounded_groups(
             for c, n in zip(key_cols, names)
         ]
     )
+    for n in names:
+        keyed = keyed.where(F.col(n).isNotNull())
     hot = (
         keyed.groupBy(*names)
         .agg(F.count(F.lit(1)).alias("__n__"))
@@ -70,4 +78,46 @@ def assert_bounded_groups(
             f"the bounded-groups cap of {cap}; the pairwise stage would "
             f"build ~{row['__n__'] ** 2:,} rows for this group alone. "
             + remediation
+        )
+
+
+class DistinctCardinalityExceeded(ValueError):
+    """A column's distinct cardinality exceeds an operator's
+    bounded-distinct contract cap.
+
+    Raised BEFORE the plan whose cost is distinct-value-frame sized is
+    built (e.g. an unpartitioned ordered window over the distinct
+    values) — the alternative is one task quietly sorting a
+    rows-sized frame on a single executor.
+    """
+
+
+def assert_bounded_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    cap: int,
+    op_name: str,
+    remediation: str,
+) -> None:
+    """Refuse (raise :class:`DistinctCardinalityExceeded`) if
+    ``value_col`` has (approximately) more than ``cap`` distinct
+    values.
+
+    One ``approx_count_distinct`` probe job (HLL partial aggregate —
+    map-side, constant memory, one row to the driver). The 5% relative
+    error is fine for a refusal guard: the cap is an order-of-magnitude
+    contract, not an exact budget, and compliant inputs sit far below
+    it.
+    """
+    if cap <= 0:
+        raise ValueError(f"{op_name}: guard cap must be positive, got {cap}")
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = df.agg(
+        F.approx_count_distinct(col, rsd=0.05).alias("__nd__")
+    ).first()["__nd__"]
+    if n > cap:
+        raise DistinctCardinalityExceeded(
+            f"{op_name}: ~{n:,} distinct values (cap {cap:,}); the "
+            f"distinct-value frame would be serialized through one "
+            f"unpartitioned window task. " + remediation
         )

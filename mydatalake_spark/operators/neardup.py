@@ -456,22 +456,31 @@ def ngram_jaccard_pairs(
     exactness) or boilerplate_strip (remove template chrome first).
     ``guard_max_df=None`` opts out for pre-cleaned corpora.
     """
+    # The exploded shingle frame feeds the guard probe plus three plan
+    # branches (sizes, both join sides); cache it so shingling runs
+    # once, not 3-4× (same ownership pattern as winnow_pairs: the
+    # returned lazy plan adopts the cache, the caller releases it via
+    # caching.release(result) after the action).
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    ).cache()
     if guard_max_df is not None:
         from .guards import assert_bounded_groups
 
-        assert_bounded_groups(
-            sh,
-            ["shingle"],
-            guard_max_df,
-            "ngram_jaccard_pairs",
-            "Strip boilerplate first (operators/paradedup.py:"
-            "boilerplate_strip), switch to minhash_candidates (banded, "
-            "df-bounded), raise guard_max_df, or pass guard_max_df=None "
-            "for a pre-cleaned corpus.",
-        )
+        try:
+            assert_bounded_groups(
+                sh,
+                ["shingle"],
+                guard_max_df,
+                "ngram_jaccard_pairs",
+                "Strip boilerplate first (operators/paradedup.py:"
+                "boilerplate_strip), switch to minhash_candidates (banded, "
+                "df-bounded), raise guard_max_df, or pass guard_max_df=None "
+                "for a pre-cleaned corpus.",
+            )
+        except Exception:
+            sh.unpersist()
+            raise
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -494,11 +503,12 @@ def ngram_jaccard_pairs(
     # the ANSI-SQL shape ``WHERE ratio >= t SELECT ROUND(ratio, 6)`` so
     # a pair sitting just under t can't round itself into the result.
     raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    return adopt(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(raw >= threshold)
-        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard")),
+        sh,
     )
 
 

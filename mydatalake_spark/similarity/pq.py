@@ -182,6 +182,24 @@ def _adc_score(codebooks, codes_col: str):
     return score
 
 
+#: Bounded-query-batch contract cap for :func:`pq_adc_topk` — the
+#: broadcast side carries m lookup-table arrays (m·256 doubles ≈ 32 KB
+#: at m=16) per query, and the candidate frame is queries × corpus, so
+#: ~10³ queries is where both the broadcast and the scoring frame stop
+#: being "small side" shaped.
+ADC_QUERY_BATCH_CAP = 1024
+
+
+class QueryBatchExceeded(ValueError):
+    """The ADC query batch exceeds the bounded-batch contract.
+
+    ``pq_adc_topk`` broadcasts the per-query lookup tables and scores
+    queries × corpus candidate rows; a 10⁵-query batch against a big
+    corpus explodes both. Raised BEFORE the crossJoin is built, with
+    the probed-cell remediation in the message.
+    """
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -190,12 +208,35 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "codes",
+    max_queries: int | None = ADC_QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Asymmetric-distance top-k: each query builds its per-subspace
     lookup tables (query-sub · codebook entry, as expression arrays),
     broadcast-joins the code table, and scores with ``m`` element_at
     lookups. Returns ``(query_id, neighbor_id, rank)`` with the
-    deterministic (score desc, id) tiebreak every ranking here uses."""
+    deterministic (score desc, id) tiebreak every ranking here uses.
+
+    SCALE CONTRACT (enforced): the query batch is the BROADCAST side
+    of a crossJoin against the full code table — correct ADC shape,
+    but the candidate frame is queries × corpus, so the batch must be
+    small (default cap 1024; one ``limit(n+1).count()`` probe job,
+    driver transfer bounded at one long). A bigger batch belongs on
+    :func:`mydatalake_spark.similarity.index.ivfpq_topk`'s probed-cell
+    path, where each query scores only its ``n_probe`` cells — the
+    same routing split :func:`cosine_neardup_pairs` applies at 10⁶
+    rows. ``max_queries=None`` opts out for pre-bounded callers.
+    """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise QueryBatchExceeded(
+                f"pq_adc_topk: query batch has >{max_queries} rows; the "
+                f"broadcast lookup tables and the queries x corpus ADC "
+                f"frame both scale with the batch. Route large batches "
+                f"through similarity.index.ivfpq_topk (probed-cell ADC), "
+                f"split the batch, or pass max_queries=None for a "
+                f"corpus known to be small."
+            )
     q = _query_adc_tables(queries, codebooks, id_col, vec_col)
     scored = F.broadcast(q).crossJoin(
         codes.select(F.col(id_col).alias("neighbor_id"), codes_col)
@@ -225,6 +266,7 @@ def pq_search_rerank(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = ADC_QUERY_BATCH_CAP,
 ) -> DataFrame:
     """The production PQ shape: ADC over the compressed codes selects a
     ``shortlist`` of candidates per query (touching ONLY the ~32×
@@ -240,7 +282,7 @@ def pq_search_rerank(
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     cand = pq_adc_topk(
         codes, queries, codebooks, k=shortlist, id_col=id_col,
-        vec_col=vec_col,
+        vec_col=vec_col, max_queries=max_queries,
     ).select("query_id", "neighbor_id")
     return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
 

@@ -270,3 +270,69 @@ def test_delta_schema_evolution_end_to_end(spark, tmp_path):
     }
     assert got == {1: ("keep", None), 2: ("fresh", "N2"),
                    3: ("ins", "N3")}
+
+
+class _RecordingMergeFull(_RecordingMergeEvolve):
+    """Records the FULL clause surface: evolution + delete-missing."""
+
+    def whenNotMatchedBySourceDelete(self):
+        self.rec["not_matched_by_source_delete"] = True
+        self.rec["delete_after_insert"] = self.rec.get(
+            "not_matched_insert_all", False
+        )
+        return self
+
+
+def test_merge_delta_contract_composed_evolution_and_full_sync(spark):
+    """The composed contract (r7 standing item): schema evolution AND
+    delete_missing in ONE merge call — withSchemaEvolution() before
+    the clause chain, ts-guarded update-all, insert-all, then
+    whenNotMatchedBySourceDelete last, all on the same builder, with
+    the evolving column riding in the deduped source."""
+    rec = {}
+    source = spark.createDataFrame(
+        [(1, "old", 1, "X"), (1, "new", 2, "Y"), (4, "ins", 1, "Z")],
+        "id int, v string, ts int, added string",
+    )
+    merge_upsert_delta(
+        spark, "/nonexistent", source, ["id"], "ts",
+        delta_table=_RecordingMergeFull(rec),
+        evolve_schema=True, delete_missing=True,
+    )
+    assert rec["executed"]
+    assert rec["schema_evolution"]
+    assert rec["on"] == "t.id <=> s.id"
+    assert rec["matched_condition"] == (
+        "t.ts IS NULL OR (s.ts IS NOT NULL AND s.ts >= t.ts)"
+    )
+    assert rec["not_matched_insert_all"]
+    assert rec["not_matched_by_source_delete"]
+    # clause order Delta mandates: delete clause added after insert
+    assert rec["delete_after_insert"]
+    # evolving column present; source pre-deduped latest-wins
+    got = {(r.id, r.v, r.added) for r in rec["source_df"].collect()}
+    assert got == {(1, "new", "Y"), (4, "ins", "Z")}
+
+
+def test_merge_emulated_composed_evolution_and_full_sync(spark):
+    """Join-emulation parity for the composed call: additive column
+    appends with typed nulls, AND target-only keys are deleted —
+    both semantics in one merge_upsert invocation."""
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "keep", 5), (2, "gone", 5)], "id int, v string, ts int"
+    )
+    source = spark.createDataFrame(
+        [(1, "fresh", 9, "N1"), (3, "ins", 9, "N3")],
+        "id int, v string, ts int, region string",
+    )
+    out = {
+        r.id: (r.v, r.region)
+        for r in merge_upsert(
+            target, source, ["id"], "ts",
+            evolve_schema=True, delete_missing=True,
+        ).collect()
+    }
+    # id=2 deleted (absent from source); evolving column populated
+    assert out == {1: ("fresh", "N1"), 3: ("ins", "N3")}

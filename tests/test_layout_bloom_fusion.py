@@ -231,3 +231,38 @@ def test_bloom_prune_map_only_matches_probe_keys(spark):
     plan = pruned._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan               # pure scan + filter
     assert "Join" not in plan
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    """The composed build→mask→prune→join path must return EXACTLY the
+    plain join's rows (bloom pass is a superset of true matches, the
+    equi-join discards false positives), and refuse unsound join
+    types whose semantics need the pruned-away probe rows."""
+    import os
+
+    import pytest
+
+    from mydatalake_spark.operators.bloomjoin import bloom_filtered_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity"
+    )
+    out = bloom_filtered_join(
+        li, urgent, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=3
+    )
+    plain = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "inner"
+    )
+    assert out.count() == plain.count()
+    assert (
+        out.agg(F.sum("l_quantity")).first()[0]
+        == plain.agg(F.sum("l_quantity")).first()[0]
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey",
+                            how="left_outer")

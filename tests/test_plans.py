@@ -705,3 +705,43 @@ def test_ivfpq_search_scans_codes_only(spark, tmp_path):
         s for s in schemas if "codes" in s and "embedding" not in s
     ]
     assert codes_only, schemas
+
+
+def test_bloom_filtered_join_prunes_below_exchange(spark):
+    """bloom_filtered_join's whole point at 100 TB: the probe side's
+    shuffle Exchange must read POST-prune rows, i.e. the constant-
+    folded bloom Filter sits BELOW the Exchange (directly above the
+    scan), so rows that cannot match never shuffle."""
+    import re
+
+    from mydatalake_spark.operators.bloomjoin import bloom_filtered_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = "/root/testdata/sf0.001"
+        urgent = (
+            spark.read.parquet(os.path.join(sf, "orders.parquet"))
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = spark.read.parquet(
+            os.path.join(sf, "lineitem.parquet")
+        ).select("l_orderkey", "l_quantity")
+        out = bloom_filtered_join(
+            li, urgent, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=3
+        )
+        plan = _plan(spark, out)
+        # an Exchange whose DIRECT child is a Filter, on the probe side
+        m = re.search(r"Exchange \((\d+)\)\n[\s:+|-]*Filter \((\d+)\)", plan)
+        assert m, f"no Exchange-over-Filter branch in plan:\n{plan[:1500]}"
+        filt_id = m.group(2)
+        detail = plan.split(f"({filt_id}) Filter", 1)[1].split("\n\n")[0]
+        assert "element_at(" in detail, (
+            "the Filter under the probe Exchange is not the constant-"
+            f"folded bloom filter: {detail[:300]}"
+        )
+        # and the join itself still happened as a shuffle join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

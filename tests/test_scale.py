@@ -206,3 +206,27 @@ def test_zorder_key_rejects_impossible_width():
     cols = [f"c{i}" for i in range(64)]
     with pytest.raises(ValueError, match="cannot interleave"):
         zorder_key(cols, [0] * 64, [1] * 64)
+
+
+def test_compact_skewed_layout_rebalances(spark, lineitem, tmp_path):
+    """coalesce can never split an input file, so a skewed layout (one
+    big file + many tiny ones) must route through the repartition
+    fallback and come out balanced; a uniform layout must keep the
+    no-shuffle coalesce fast path."""
+    from mydatalake_spark.maintenance import file_sizes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # skewed: ~95% of rows in one input file, crumbs in the others
+    big = lineitem.filter("l_orderkey % 20 != 0").coalesce(1)
+    crumbs = lineitem.filter("l_orderkey % 20 = 0").repartition(16)
+    cat.overwrite(big.unionByName(crumbs), "silver.t.skewed")
+    # force a genuinely skewed on-disk layout: one file holds most bytes
+    sizes_in = file_sizes(cat, "silver.t.skewed")
+    assert max(sizes_in) > 4.0 * (sum(sizes_in) / len(sizes_in))
+    target = max(1, sum(sizes_in) // 4)
+    n = compact(cat, "silver.t.skewed", target_file_bytes=target)
+    sizes_out = file_sizes(cat, "silver.t.skewed")
+    assert len(sizes_out) == n > 1
+    # balanced output: no file dominates anymore
+    assert max(sizes_out) <= 2.0 * (sum(sizes_out) / len(sizes_out))
+    assert cat.read("silver.t.skewed").count() == lineitem.count()

@@ -565,3 +565,48 @@ def test_theil_sen_refuses_hot_group(spark):
         df, "g", F.col("x"), F.col("y"), max_group_size=None
     ).collect()
     assert out2[0].ts_slope == 2.0
+
+
+def test_ks_emd_refuse_unbounded_distinct(spark):
+    """ks_2samp/emd_1d's exact path serializes the distinct-value
+    frame through ONE unpartitioned window task, so the bounded-
+    distinct contract must refuse a distinct≈rows input — and stand
+    down when bins= caps the frame or max_distinct=None opts into
+    the lazy plan."""
+    import pytest
+
+    from mydatalake_spark.functions.stats import emd_1d, ks_2samp
+    from mydatalake_spark.operators.guards import DistinctCardinalityExceeded
+
+    rows = [(i % 2, i + i / 7919.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    with pytest.raises(DistinctCardinalityExceeded, match="ks_2samp"):
+        ks_2samp(df, F.col("variant"), "v", max_distinct=1000)
+    with pytest.raises(DistinctCardinalityExceeded, match="bins="):
+        emd_1d(df, F.col("variant"), "v", max_distinct=1000)
+    # bins= escape hatch: probe skipped, plan bounded, runs fine
+    assert ks_2samp(
+        df, F.col("variant"), "v", bins=100, max_distinct=1000
+    ).first()["d_stat"] is not None
+    # None escape hatch: fully lazy plan, no probe job
+    assert emd_1d(
+        df, F.col("variant"), "v", max_distinct=None
+    ).first()["emd"] is not None
+    # compliant input under the cap: unchanged
+    small = spark.createDataFrame(
+        [(i % 2, float(i % 50)) for i in range(400)], "variant int, v double"
+    )
+    assert ks_2samp(small, F.col("variant"), "v", max_distinct=1000).first()[
+        "n_a"
+    ] == 200
+
+
+def test_bounded_groups_probe_ignores_null_keys(spark):
+    """A hot NULL-key group must not refuse: the protected pair
+    stages equi-join on the key and never build null-key pairs."""
+    from mydatalake_spark.operators.guards import assert_bounded_groups
+
+    rows = [(None, i) for i in range(500)] + [(1, 1), (1, 2)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    # 500 null-key rows >> cap, but they are invisible to an equi-join
+    assert_bounded_groups(df, ["g"], 10, "op", "remediate")

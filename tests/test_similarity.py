@@ -877,3 +877,35 @@ def test_ngram_jaccard_refuses_hot_shingle(spark):
         df, n=1, threshold=0.1, guard_max_df=None
     ).count()
     assert ok == off == 15          # C(6,2): every pair shares 3 words
+
+
+def test_pq_adc_refuses_large_query_batch(spark):
+    """pq_adc_topk broadcasts the per-query ADC lookup tables and
+    crossJoins the full code table — a queries x corpus frame. The
+    bounded-batch contract must refuse above max_queries (pointing at
+    the ivfpq probed-cell path), leave small batches' plan unchanged,
+    and let max_queries=None opt out."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.similarity.pq import (
+        QueryBatchExceeded,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq(emb, m_subspaces=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 12)
+    with pytest.raises(QueryBatchExceeded, match="ivfpq_topk"):
+        pq_adc_topk(codes, q, books, k=3, max_queries=10)
+    # small batch under the cap: unchanged result shape
+    out = pq_adc_topk(codes, q, books, k=3, max_queries=100)
+    assert out.groupBy("query_id").count().agg(
+        F.max("count")
+    ).first()[0] == 3
+    # explicit opt-out skips the probe entirely
+    out2 = pq_adc_topk(codes, q, books, k=3, max_queries=None)
+    assert out2.select("query_id").distinct().count() == 12
