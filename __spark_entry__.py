@@ -6404,9 +6404,13 @@ pairs AS (
   WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
 ),
 hs AS (
+  -- 4-lane family (r7): hash i reads the 8 hex chars at offset
+  -- 8*(i % 4) of md5((i // 4)|shingle) — replays
+  -- portable_minhash_signatures bit-for-bit
   SELECT doc_id, i,
     MIN(CAST(('0x' || SUBSTRING(
-          MD5(CAST(i AS VARCHAR) || '|' || shingle), 1, 8)) AS BIGINT))
+          MD5(CAST(CAST(i // 4 AS INT) AS VARCHAR) || '|' || shingle),
+          1 + 8 * CAST(i % 4 AS INT), 8)) AS BIGINT))
       AS h
   FROM ex CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS i) ii
   GROUP BY doc_id, i
@@ -8574,6 +8578,141 @@ def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDALLION_BRONZE_JOBS = """
+jobs:
+  - name: 'bronze_full'
+    type: 'full'
+    tables:
+      - table_name: 'orders_raw'
+        input_format: 'parquet'
+        catalog: 'bronze'
+        schema: 'sales'
+"""
+
+_MEDALLION_ORDERS_YML = """
+table_name: 'orders_raw'
+schema:
+  - name: 'o_orderkey'
+    type: 'long'
+    key: true
+  - name: 'o_custkey'
+    type: 'long'
+  - name: 'o_orderstatus'
+    type: 'string'
+  - name: 'o_totalprice'
+    type: 'double'
+  - name: 'o_orderdate'
+    type: 'timestamp'
+  - name: 'o_orderpriority'
+    type: 'string'
+"""
+
+_MEDALLION_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice, o_orderdate
+FROM view_orders_raw
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+_MEDALLION_SILVER_JOBS = """
+jobs:
+  - name: 'silver_full'
+    type: 'full'
+    tables:
+      - table_name: 'order_summary'
+        input_format: 'delta'
+        catalog: 'silver'
+        schema: 'sales'
+"""
+
+_MEDALLION_SUMMARY_YML = """
+table_name: 'order_summary'
+schema:
+  - name: 'o_orderpriority'
+    type: 'string'
+    key: true
+  - name: 'n_customers'
+    type: 'long'
+  - name: 'sum_price'
+    type: 'double'
+  - name: 'avg_price'
+    type: 'double'
+"""
+
+_MEDALLION_SUMMARY_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM bronze.sales.orders_raw
+GROUP BY o_orderpriority
+"""
+
+
+def medallion_job_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship surface — metadata-driven medallion
+    orchestration (S12 job runner + S2/S3 declared-schema scan + S5
+    view handoff + P13 QUALIFY shim + S6 overwrite sink, jobs.py /
+    ingest.py, reference job.ipynb + job_metadata.yml) — run END TO
+    END under the oracle, not just under pytest: a bronze full job
+    ingests orders.parquet through a YAML-declared schema and a
+    QUALIFY dedup transform (one latest order per customer,
+    deterministic o_orderkey tiebreak), then a silver catalog-
+    transform job (input_format 'delta' → read the stored bronze
+    TABLE) aggregates it — both resolved purely from job_metadata.yml
+    by JobRunner into a throwaway warehouse. Returns a lazy read-back
+    of the stored silver table; the oracle replays the bronze QUALIFY
+    + silver aggregate chain over the same parquet, so the hash match
+    covers the whole pipeline: schema compile, scan, dialect shim,
+    table write, cross-layer read."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.jobs import JobRunner
+
+    root = tempfile.mkdtemp(prefix="medallion_meta_")
+    for rel, text in [
+        ("bronze/job_metadata.yml", _MEDALLION_BRONZE_JOBS),
+        ("bronze/orders_raw/orders_raw.yml", _MEDALLION_ORDERS_YML),
+        ("bronze/orders_raw/orders_raw.sql", _MEDALLION_ORDERS_SQL),
+        ("silver/job_metadata.yml", _MEDALLION_SILVER_JOBS),
+        ("silver/order_summary/order_summary.yml", _MEDALLION_SUMMARY_YML),
+        ("silver/order_summary/order_summary.sql", _MEDALLION_SUMMARY_SQL),
+    ]:
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(text)
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="medallion_wh_"))
+    runner = JobRunner(
+        spark,
+        cat,
+        root,
+        input_paths={"orders_raw": os.path.join(sf_dir, "orders.parquet")},
+    )
+    runner.run("full", "bronze_full")
+    runner.run("full", "silver_full")
+    return cat.read("silver.sales.order_summary").orderBy("o_orderpriority")
+
+
+MEDALLION_JOB_ORACLE = """
+WITH bronze AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice, o_orderdate
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM bronze
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def bloom_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filtered join, composed end-to-end
     (operators/bloomjoin.py:bloom_filtered_join — the r6 pruner
@@ -9003,6 +9142,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "medallion_job_orders": medallion_job_orders,
         "bloom_join_lineitem": bloom_join_lineitem,
         # --- last driver-green in r3 ---
         "winnow_fingerprint_documents": winnow_fingerprint_documents,
@@ -9200,6 +9340,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate_orders": _join_size_oracle(),
         "bloom_prune_lineitem": _bloom_prune_oracle(),
         "bloom_join_lineitem": BLOOM_JOIN_ORACLE,
+        "medallion_job_orders": MEDALLION_JOB_ORACLE,
         "langid_kappa_documents": _langid_kappa_oracle(),
         "boilerplate_strip_documents": _BOILERPLATE_ORACLE,
         "rrf_hybrid_documents": _rrf_hybrid_oracle(),
