@@ -391,6 +391,10 @@ SCALING_QUERIES = [
     # not the pair/cross bound.
     "boilerplate_strip_documents",
     "pq_recall_embeddings",
+    # r7 addition: the composed bloom build→prune→join path — cost must
+    # track the probe side linearly (filter build is build-side-sized,
+    # the prune is map-only, the join shuffles only survivors).
+    "bloom_join_lineitem",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -428,7 +432,7 @@ def bench_scaling(spark, qs) -> dict:
             rows_ratio = big_emb / small_emb
         elif "events" in name or name == "theil_sen_users":
             rows_ratio = big_ev / small_ev
-        elif "parts" in name or "trade" in name:
+        elif "parts" in name or "trade" in name or "lineitem" in name:
             rows_ratio = big_li / small_li
         else:
             rows_ratio = big_docs / small_docs

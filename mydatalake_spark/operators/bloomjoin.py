@@ -110,12 +110,33 @@ def bloom_probe_keys(
     )
 
 
+#: Largest filter the constant-folding path accepts: 2^22 bits =
+#: 131,072 words ≈ 1 MB as a literal array in the plan. Above this the
+#: literal itself becomes the problem (2^30 bits would inline ~33.5M
+#: longs ≈ 268 MB into the SQL/plan tree); a filter that big belongs in
+#: a broadcast (word_idx, mask) relation or Spark's own runtime-filter
+#: machinery, not an expression literal.
+MAX_FOLD_BITS = 1 << 22
+
+
 def bloom_mask_array(bloom: DataFrame, m_bits: int = 1 << 16) -> list[int]:
     """Collect the ``(word_idx, mask)`` filter into a dense word list —
-    ``m_bits / 32`` longs (8 KB at the 2^16 default; 4 MB even at
-    2^30). This is the artifact production ships: the filter is
-    driver-held and folded into the probe plan as a CONSTANT, so
-    collecting it is bounded by construction (never key-count-sized)."""
+    ``m_bits / 32`` longs (8 KB of words at the 2^16 default; ~1 MB at
+    the 2^22 constant-folding cap). This is the artifact production
+    ships: the filter is driver-held and folded into the probe plan as
+    a CONSTANT, so collecting it is bounded by construction (never
+    key-count-sized) — and bounded by :data:`MAX_FOLD_BITS`, because
+    the word list's next stop is an expression literal."""
+    if m_bits > MAX_FOLD_BITS:
+        raise ValueError(
+            f"bloom_mask_array: m_bits={m_bits} exceeds the constant-"
+            f"folding cap {MAX_FOLD_BITS} (the word list would inline "
+            f"~{m_bits // WORD_BITS:,} longs into the plan). Use a "
+            f"smaller filter (fp rate scales with fill factor, not "
+            f"absolute size — size m_bits to ~10-20 bits/key of the "
+            f"BUILD side, which is selective by assumption), or the "
+            f"broadcast (word_idx, mask) path (bloom_probe_keys)."
+        )
     n_words = m_bits // WORD_BITS
     words = [0] * n_words
     for r in bloom.collect():

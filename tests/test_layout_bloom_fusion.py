@@ -266,3 +266,24 @@ def test_bloom_filtered_join_equals_plain_join(spark):
     with pytest.raises(ValueError, match="unsupported"):
         bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey",
                             how="left_outer")
+
+
+def test_bloom_mask_array_refuses_oversize_literal(spark):
+    """The word list becomes a plan LITERAL — a 2^30-bit filter would
+    inline ~33.5M longs (~268 MB) into the expression tree. The
+    constant-folding path must refuse above MAX_FOLD_BITS with sizing
+    remediation; the cap itself must pass."""
+    import pytest
+
+    from mydatalake_spark.operators.bloomjoin import (
+        MAX_FOLD_BITS,
+        bloom_build,
+        bloom_mask_array,
+    )
+
+    build = spark.range(0, 50).withColumnRenamed("id", "k")
+    bloom = bloom_build(build, "k", m_bits=1 << 16, k=3)
+    with pytest.raises(ValueError, match="constant-folding cap"):
+        bloom_mask_array(bloom, m_bits=MAX_FOLD_BITS * 2)
+    words = bloom_mask_array(bloom, m_bits=1 << 16)
+    assert len(words) == (1 << 16) // 32
