@@ -64,7 +64,10 @@ from mydatalake_spark.operators.profile import key_skew_profile, profile_table
 from mydatalake_spark.operators.rangejoin import interval_join
 from mydatalake_spark.operators.scd2 import apply_cdc_ops, scd2_build
 from mydatalake_spark.operators.dedup import dedup_latest
-from mydatalake_spark.operators.merge import merge_upsert
+from mydatalake_spark.operators.merge import (
+    merge_upsert,
+    merge_upsert_bloomed,
+)
 from mydatalake_spark.operators.neardup import (
     cosine_neardup_pairs,
     dedup_summary,
@@ -347,6 +350,57 @@ s AS (
          CASE WHEN o_orderkey % 4 = 0 THEN o_orderdate - INTERVAL 5 DAY
               ELSE o_orderdate + INTERVAL 1 DAY END AS ts
   FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (
+  SELECT *, 0 AS side FROM t
+  UNION ALL
+  SELECT *, 1 AS side FROM s
+)
+SELECT o_orderkey, o_totalprice, ts FROM u
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderkey ORDER BY ts DESC, side DESC
+) = 1
+"""
+
+
+def merge_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated CDC merge (operators/merge.py
+    ``merge_upsert_bloomed``): a ~1% changeset (keys ≡ 0 mod 97,
+    repriced, fresher ts) merged into the FULL orders table. The
+    changeset's keys fold into a driver-held 8 KB bloom word list;
+    bloom-MISS target rows (no false negatives) bypass the merge
+    join's shuffle entirely and union into the output as a map-only
+    branch — the 100 TB CDC shape, plan-asserted in tests/
+    test_plans.py. Results are IDENTICAL to merge_upsert, so the
+    oracle replays the plain union+QUALIFY merge semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS")).alias("ts"),
+    )
+    return merge_upsert_bloomed(target, source, ["o_orderkey"], "ts")
+
+
+_MERGE_BLOOM_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate AS ts
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 97 = 0
 ),
 u AS (
   SELECT *, 0 AS side FROM t
@@ -9142,6 +9196,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "merge_bloom_orders": merge_bloom_orders,
         "medallion_job_orders": medallion_job_orders,
         "bloom_join_lineitem": bloom_join_lineitem,
         # --- last driver-green in r3 ---
@@ -9350,6 +9405,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_latest_lineitem": _DEDUP_ORACLE,
         "dupflag_lineitem": _DUPFLAG_ORACLE,
         "merge_cdc_orders": _MERGE_ORACLE,
+        "merge_bloom_orders": _MERGE_BLOOM_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,
         "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,

@@ -157,6 +157,7 @@ HEADLINE = [
     "join_size_estimate_orders",
     "bloom_prune_lineitem",
     "bloom_join_lineitem",
+    "merge_bloom_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",

@@ -144,6 +144,30 @@ def bloom_mask_array(bloom: DataFrame, m_bits: int = 1 << 16) -> list[int]:
     return words
 
 
+def _folded_filter(
+    probe: DataFrame, key_col: str, words: list[int], k: int
+) -> tuple[DataFrame, Column]:
+    """Stage the literal word array + per-row position array as
+    columns and return ``(staged_frame, pass_condition)``. Staging
+    keeps each md5 position computed ONCE even though the condition
+    tests it k times; callers filter and drop the scratch columns."""
+    m_bits = len(words) * WORD_BITS
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    pos = _positions(F.col(key_col), k, m_bits)
+    flagged = probe.withColumn("__bf__", F.expr(arr_sql)).withColumn(
+        "__pos__", pos
+    )
+    cond = None
+    for i in range(k):
+        c = F.expr(
+            f"((element_at(__bf__, CAST(shiftright(element_at(__pos__, "
+            f"{i + 1}), 5) AS INT) + 1) >> CAST(element_at(__pos__, "
+            f"{i + 1}) % {WORD_BITS} AS INT)) % 2) = 1"
+        )
+        cond = c if cond is None else cond & c
+    return flagged, cond
+
+
 def bloom_prune(
     probe: DataFrame,
     key_col: str,
@@ -164,21 +188,31 @@ def bloom_prune(
     The native analogue is Spark's InjectRuntimeFilter / Delta's
     bloom indexes; this expression form keeps the same plan shape
     while staying engine-portable (and oracle-replayable)."""
-    m_bits = len(words) * WORD_BITS
-    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    pos = _positions(F.col(key_col), k, m_bits)
-    flagged = probe.withColumn("__bf__", F.expr(arr_sql)).withColumn(
-        "__pos__", pos
-    )
-    cond = None
-    for i in range(k):
-        c = F.expr(
-            f"((element_at(__bf__, CAST(shiftright(element_at(__pos__, "
-            f"{i + 1}), 5) AS INT) + 1) >> CAST(element_at(__pos__, "
-            f"{i + 1}) % {WORD_BITS} AS INT)) % 2) = 1"
-        )
-        cond = c if cond is None else cond & c
+    flagged, cond = _folded_filter(probe, key_col, words, k)
     return flagged.filter(cond).drop("__bf__", "__pos__")
+
+
+def bloom_split(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Partition ``probe`` into ``(maybe_match, no_match)`` by the
+    constant-folded filter — both branches map-only, both read the
+    same scan. ``no_match`` rows are GUARANTEED absent from the build
+    side (blooms have no false negatives), which is what lets callers
+    route them around a join entirely (see ``merge_upsert_bloomed``).
+    Null keys land in ``no_match``: the filter condition is
+    three-valued null for them, so the miss branch keeps
+    ``NOT coalesce(cond, FALSE)`` rather than ``NOT cond`` — every
+    probe row lands in exactly one branch."""
+    flagged, cond = _folded_filter(probe, key_col, words, k)
+    hit = flagged.filter(cond).drop("__bf__", "__pos__")
+    miss = flagged.filter(~F.coalesce(cond, F.lit(False))).drop(
+        "__bf__", "__pos__"
+    )
+    return hit, miss
 
 
 def bloom_filtered_join(

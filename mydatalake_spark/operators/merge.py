@@ -31,7 +31,7 @@ accumulated table). For partitioned tables, pass
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_latest
@@ -165,6 +165,100 @@ def merge_upsert(
         for c in cols
     ]
     return joined.select(*picked)
+
+
+def _composite_key(keys: list[str]) -> Column:
+    """Canonical string form of a (possibly multi-column) merge key,
+    total over nulls: each part is cast to string with a NULL sentinel,
+    joined with a unit separator. Null-safe-equal keys (the merge's
+    ``eqNullSafe`` rule) always map to the SAME string, so a bloom
+    built over these strings has NO false negatives for the merge
+    join. A value that happens to contain the sentinel bytes can at
+    worst COLLIDE two different keys — a bloom false positive, which
+    the exact join discards anyway."""
+    parts = [
+        F.coalesce(F.col(k).cast("string"), F.lit("\x00NULL\x00"))
+        for k in keys
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def merge_upsert_bloomed(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    tiebreakers: list[str] | None = None,
+    evolve_schema: bool = False,
+    delete_missing: bool = False,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`merge_upsert` with bloom-pruned shuffle — identical
+    results, but only the target rows that MIGHT match the changeset
+    pay the merge join's shuffle.
+
+    The 100 TB shape of a CDC merge is a tiny changeset against a huge
+    accumulated table; the plain full-outer join still shuffles the
+    ENTIRE target by key. Here the changeset's keys are folded into a
+    driver-held bloom word list (:func:`~.bloomjoin.bloom_mask_array`,
+    8 KB at the default 2^16 bits, capped at ~1 MB) and the target is
+    split map-only (:func:`~.bloomjoin.bloom_split`):
+
+    - bloom-MISS rows are *guaranteed* keyless in the source (no false
+      negatives), so they bypass the join and union straight into the
+      output unchanged — no shuffle, no sort, no join state;
+    - bloom-HIT rows (true matches + the measured false-positive
+      fraction) go through the ordinary :func:`merge_upsert`, whose
+      exact ``eqNullSafe`` join discards the false positives by
+      keeping those rows unchanged.
+
+    So the merge join shuffles ~(|changeset keys| + fp·|target|) rows
+    instead of |target| — the same find-touched-rows idea Delta's
+    MERGE applies at file granularity, applied at row granularity and
+    engine-portable. The target scan runs twice (hit + miss branch),
+    both map-only; at scale two scans that shuffle 0.1% beat one scan
+    that shuffles 100%. With ``delete_missing=True`` the miss branch
+    is DROPPED instead of unioned (those keys are provably absent from
+    the source — exactly the rows full-sync deletes).
+
+    Eager by design: building the filter runs one Spark job over the
+    (small) changeset before the returned plan exists — the same
+    probe-then-plan shape as ``merge_upsert_partitioned``. Multi-col
+    and null keys are handled via a null-safe composite key string
+    (:func:`_composite_key`). Plan property (tests/test_plans.py): the
+    merge join's target-side Exchange sits ABOVE the constant-folded
+    bloom Filter, and the miss branch reaches the Union with no
+    Exchange at all.
+    """
+    from .bloomjoin import bloom_build, bloom_mask_array, bloom_split
+
+    if evolve_schema:
+        # evolve BEFORE the split so the bypass branch carries the new
+        # columns too (same additive-only rule as merge_upsert)
+        for f in source.schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge requires identical columns; "
+            f"target={target.columns} source={source.columns}"
+        )
+    key_expr = _composite_key(keys)
+    bloom = bloom_build(
+        source.select(key_expr.alias("__mk__")), "__mk__", m_bits=m_bits, k=k
+    )
+    words = bloom_mask_array(bloom, m_bits=m_bits)
+    staged = target.withColumn("__mk__", key_expr)
+    hit, miss = bloom_split(staged, "__mk__", words, k=k)
+    hit, miss = hit.drop("__mk__"), miss.drop("__mk__")
+    merged = merge_upsert(
+        hit, source, keys, ts_col, tiebreakers,
+        evolve_schema=False, delete_missing=delete_missing,
+    )
+    if delete_missing:
+        return merged
+    return merged.unionByName(miss.select(*merged.columns))
 
 
 def merge_upsert_delta(

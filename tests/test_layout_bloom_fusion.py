@@ -287,3 +287,139 @@ def test_bloom_mask_array_refuses_oversize_literal(spark):
         bloom_mask_array(bloom, m_bits=MAX_FOLD_BITS * 2)
     words = bloom_mask_array(bloom, m_bits=1 << 16)
     assert len(words) == (1 << 16) // 32
+
+
+def _merged_rows(df):
+    # key=repr so None sorts against strings without a TypeError
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_merge_upsert_bloomed_equals_plain(spark):
+    """Bloom-pruned merge must return IDENTICAL rows to merge_upsert:
+    updates, stale-ts keeps, inserts, and untouched targets — the miss
+    branch bypasses the join, the hit branch's exact join discards
+    bloom false positives."""
+    import datetime as dt
+
+    from mydatalake_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_bloomed,
+    )
+
+    def ts(d):
+        return dt.datetime(2026, 1, d)
+
+    target = spark.createDataFrame(
+        [(i, float(i), ts(10)) for i in range(1, 201)],
+        "id long, v double, ts timestamp",
+    )
+    # updates (fresh ts), stale rows (must lose), and new keys
+    source = spark.createDataFrame(
+        [(i, 1000.0 + i, ts(20)) for i in range(1, 30)]      # fresh
+        + [(i, -1.0, ts(1)) for i in range(30, 40)]          # stale
+        + [(i, 5000.0 + i, ts(20)) for i in range(300, 310)],  # insert
+        "id long, v double, ts timestamp",
+    )
+    plain = merge_upsert(target, source, ["id"], "ts")
+    bloomed = merge_upsert_bloomed(target, source, ["id"], "ts")
+    assert _merged_rows(bloomed) == _merged_rows(plain)
+
+
+def test_merge_upsert_bloomed_tiny_filter_false_positives_harmless(spark):
+    """A deliberately saturated 32-bit filter floods the hit branch
+    with false positives — the result must STILL equal the plain
+    merge (the exact join keeps fp rows unchanged)."""
+    from mydatalake_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_bloomed,
+    )
+
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "id long, v double"
+    )
+    source = spark.createDataFrame(
+        [(i, -float(i)) for i in range(0, 1000, 100)], "id long, v double"
+    )
+    plain = merge_upsert(target, source, ["id"])
+    bloomed = merge_upsert_bloomed(target, source, ["id"], m_bits=32, k=1)
+    assert _merged_rows(bloomed) == _merged_rows(plain)
+
+
+def test_merge_upsert_bloomed_null_and_multi_keys(spark):
+    """Null-safe composite key: a null-keyed source row must still
+    update the null-keyed target row (eqNullSafe merge rule), i.e. the
+    sentinel keeps null keys OUT of the bypass branch; multi-column
+    keys route through the same composite string."""
+    from mydatalake_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_bloomed,
+    )
+
+    target = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", None, 20.0), (None, 2, 30.0),
+         ("b", 2, 40.0)],
+        "k1 string, k2 int, v double",
+    )
+    source = spark.createDataFrame(
+        [("a", None, 21.0), (None, 2, 31.0), ("c", 9, 99.0)],
+        "k1 string, k2 int, v double",
+    )
+    plain = merge_upsert(target, source, ["k1", "k2"])
+    bloomed = merge_upsert_bloomed(target, source, ["k1", "k2"])
+    assert _merged_rows(bloomed) == _merged_rows(plain)
+    got = {(r.k1, r.k2): r.v for r in bloomed.collect()}
+    assert got[("a", None)] == 21.0 and got[(None, 2)] == 31.0
+    assert got[("b", 2)] == 40.0 and got[("c", 9)] == 99.0
+
+
+def test_merge_upsert_bloomed_delete_missing_and_evolve(spark):
+    """delete_missing: bloom-miss targets are exactly the full-sync
+    deletes, so the miss branch is dropped, matching merge_upsert.
+    evolve_schema: the bypass branch must carry the added column."""
+    from mydatalake_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_bloomed,
+    )
+
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    source = spark.createDataFrame(
+        [(i, -float(i)) for i in range(0, 50, 10)], "id long, v double"
+    )
+    for dm in (False, True):
+        plain = merge_upsert(target, source, ["id"], delete_missing=dm)
+        bloomed = merge_upsert_bloomed(
+            target, source, ["id"], delete_missing=dm
+        )
+        assert _merged_rows(bloomed) == _merged_rows(plain)
+
+    wide = source.withColumn("extra", F.lit("x"))
+    plain = merge_upsert(target, wide, ["id"], evolve_schema=True)
+    bloomed = merge_upsert_bloomed(target, wide, ["id"], evolve_schema=True)
+    assert _merged_rows(bloomed) == _merged_rows(plain)
+    # untouched (bypass-branch) rows read NULL for the evolved column
+    row = {r.id: r.extra for r in bloomed.collect()}
+    assert row[1] is None and row[0] == "x"
+
+
+def test_bloom_split_partitions_every_row(spark):
+    """bloom_split is a true partition: hit ∪ miss = probe, disjoint,
+    and null keys land in miss (three-valued cond handled)."""
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_mask_array,
+        bloom_split,
+    )
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)], "k long"
+    )
+    build = spark.createDataFrame([(i,) for i in range(0, 20)], "k long")
+    words = bloom_mask_array(bloom_build(build, "k"), m_bits=1 << 16)
+    hit, miss = bloom_split(probe, "k", words)
+    nh, nm = hit.count(), miss.count()
+    assert nh + nm == 101
+    hit_keys = {r.k for r in hit.collect()}
+    assert set(range(20)) <= hit_keys        # no false negatives
+    assert None not in hit_keys              # null -> miss branch

@@ -745,3 +745,55 @@ def test_bloom_filtered_join_prunes_below_exchange(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_upsert_bloomed_plan_bypasses_shuffle_for_misses(spark):
+    """The 100 TB claim of merge_upsert_bloomed, in the plan: (a) the
+    merge join's target-side Exchange sits ABOVE the constant-folded
+    bloom Filter (only maybe-matching rows shuffle), and (b) the
+    bloom-miss branch reaches the Union with ZERO Exchanges — it
+    bypasses the join entirely."""
+    import re
+
+    from mydatalake_spark.operators.merge import merge_upsert_bloomed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = "/root/testdata/sf0.001"
+        orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        target = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        source = target.filter(F.col("o_orderkey") % 50 == 0)
+        out = merge_upsert_bloomed(
+            target, source, ["o_orderkey"], "o_orderdate"
+        )
+        plan = _plan(spark, out)
+        assert "Union" in plan
+        # (a) an Exchange over the bloom Filter (modulo a Project)
+        m = re.search(
+            r"Exchange \((\d+)\)\n[\s:+|-]*(?:Project \(\d+\)\n"
+            r"[\s:+|-]*)?Filter \((\d+)\)",
+            plan,
+        )
+        assert m, f"no Exchange-over-Filter branch:\n{plan[:1500]}"
+        detail = plan.split(f"({m.group(2)}) Filter", 1)[1].split("\n\n")[0]
+        assert "element_at(" in detail, detail[:300]
+        # (b) the miss branch: tree section, Union's LAST child subtree
+        # holds Filter+Scan only — no Exchange, no Join
+        tree = plan.split("\n\n")[0]
+        union_children = tree.rsplit("Union", 1)[1]
+        last_branch = union_children.splitlines()
+        # walk lines after the Union node; the final top-level branch
+        # (the appended miss frame) must not contain an Exchange
+        miss_lines = [
+            ln for ln in last_branch if "Scan parquet" in ln or
+            "Exchange" in ln or "Join" in ln or "Filter" in ln
+        ]
+        branch_txt = "\n".join(miss_lines)
+        # everything after the join subtree: at least one Filter+Scan
+        # pair with no Exchange/Join between them at the tail
+        tail = branch_txt.strip().splitlines()
+        assert tail and "Scan parquet" in tail[-1]
+        assert "Exchange" not in tail[-2] and "Join" not in tail[-2], tail
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
