@@ -392,10 +392,14 @@ SCALING_QUERIES = [
     # not the pair/cross bound.
     "boilerplate_strip_documents",
     "pq_recall_embeddings",
-    # r7 addition: the composed bloom build→prune→join path — cost must
+    # r7 additions: the composed bloom build→prune→join path — cost must
     # track the probe side linearly (filter build is build-side-sized,
-    # the prune is map-only, the join shuffles only survivors).
+    # the prune is map-only, the join shuffles only survivors) — and
+    # the bloom-accelerated merge, whose cost must track the TARGET
+    # linearly (the join shuffles only the ~1% bloom-hit slice; the
+    # miss branch is a map-only bypass).
     "bloom_join_lineitem",
+    "merge_bloom_orders",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -433,7 +437,12 @@ def bench_scaling(spark, qs) -> dict:
             rows_ratio = big_emb / small_emb
         elif "events" in name or name == "theil_sen_users":
             rows_ratio = big_ev / small_ev
-        elif "parts" in name or "trade" in name or "lineitem" in name:
+        elif (
+            "parts" in name or "trade" in name or "lineitem" in name
+            or name.endswith("_orders")
+        ):
+            # all TPC-H-ish tables share the scale factor, so the
+            # lineitem ratio IS the orders/part ratio
             rows_ratio = big_li / small_li
         else:
             rows_ratio = big_docs / small_docs

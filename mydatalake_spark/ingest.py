@@ -28,7 +28,7 @@ from .catalog import Catalog
 from .plans.qualify import run_sql
 from .schema import TableMeta, load_table_meta
 from .sources.readers import read_source
-from .operators.merge import merge_upsert
+from .operators.merge import merge_upsert, merge_upsert_bloomed
 
 
 @dataclass
@@ -122,7 +122,27 @@ class IngestorCDC(Ingestor):
     Keys and the ordering column come from column annotations
     ``key: true`` / ``date_predicate: true``
     (reference lib/ingestors.py:35-39).
+
+    ``merge_strategy`` (declared per table in job metadata, jobs.py):
+
+    - ``"join"`` (default): full-outer join merge — every accumulated
+      target row shuffles (operators/merge.py:merge_upsert);
+    - ``"bloom"``: bloom-accelerated merge — the changeset's keys fold
+      into a driver-held word list, and target rows that provably
+      cannot match bypass the merge shuffle entirely
+      (merge_upsert_bloomed). The 100 TB choice when the daily
+      changeset ≪ the accumulated table. Results are identical.
     """
+
+    merge_strategy: str = "join"
+
+    def __post_init__(self) -> None:
+        super().__post_init__()
+        if self.merge_strategy not in ("join", "bloom"):
+            raise ValueError(
+                f"{self.table}: merge_strategy must be 'join' or "
+                f"'bloom', got {self.merge_strategy!r}"
+            )
 
     def upsert(self, df: DataFrame) -> None:
         keys = self.meta.key_columns
@@ -135,7 +155,12 @@ class IngestorCDC(Ingestor):
             self.save(df)
             return
         target = self.catalog.read(self.meta.full_name)
-        merged = merge_upsert(target, df.select(*target.columns), keys, ts)
+        merge_fn = (
+            merge_upsert_bloomed
+            if self.merge_strategy == "bloom"
+            else merge_upsert
+        )
+        merged = merge_fn(target, df.select(*target.columns), keys, ts)
         self.catalog.overwrite_via_staging(
             merged, self.meta.full_name, partition_by=self.partition_by or None
         )

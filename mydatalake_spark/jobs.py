@@ -93,6 +93,11 @@ class JobRunner:
             if fmt == "delta":  # reference dialect for "from catalog"
                 fmt = "table"
             cls = IngestorCDC if job_type == "cdc" else Ingestor
+            kwargs: dict[str, Any] = {}
+            if job_type == "cdc":
+                # per-table merge strategy (join | bloom) — declared in
+                # job metadata like everything else about the table
+                kwargs["merge_strategy"] = tbl.get("merge_strategy", "join")
             ing = cls(
                 spark=self.spark,
                 catalog=self.catalog,
@@ -103,6 +108,7 @@ class JobRunner:
                 partition_by=self.partition_by.get(name, []),
                 catalog_name=tbl.get("catalog"),
                 schema_name=tbl.get("schema"),
+                **kwargs,
             )
             ing.run()
             written.append(ing.meta.full_name)

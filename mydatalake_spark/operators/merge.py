@@ -216,9 +216,12 @@ def merge_upsert_bloomed(
     So the merge join shuffles ~(|changeset keys| + fp·|target|) rows
     instead of |target| — the same find-touched-rows idea Delta's
     MERGE applies at file granularity, applied at row granularity and
-    engine-portable. The target scan runs twice (hit + miss branch),
+    engine-portable. The target is READ TWICE (hit + miss branch),
     both map-only; at scale two scans that shuffle 0.1% beat one scan
-    that shuffles 100%. With ``delete_missing=True`` the miss branch
+    that shuffles 100%. That trade assumes the target is a (cheap,
+    prunable) table scan — the CDC shape, and what ``IngestorCDC``
+    passes; a target that is itself an expensive derived frame should
+    be persisted first or merged with plain :func:`merge_upsert`. With ``delete_missing=True`` the miss branch
     is DROPPED instead of unioned (those keys are provably absent from
     the source — exactly the rows full-sync deletes).
 

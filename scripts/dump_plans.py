@@ -51,6 +51,17 @@ SHOWCASE = [
         "latest row per key first, window-limited map-side like above.",
     ),
     (
+        "merge_bloom_orders",
+        "Bloom-accelerated CDC merge: the changeset's keys fold into a\n"
+        "driver-held word list, and the Union's second branch (Filter over\n"
+        "the target scan, ZERO exchanges) carries every bloom-miss row —\n"
+        "provably unmatched — around the merge join entirely. The join's\n"
+        "target-side Exchange sits above the constant-folded bloom Filter,\n"
+        "so only the ~1%-plus-fp slice of the target shuffles. At 100 TB\n"
+        "this is the row-granularity analogue of Delta MERGE's\n"
+        "find-touched-files pruning.",
+    ),
+    (
         "q18_large_orders",
         "HAVING-filtered aggregate subquery becomes a tiny relation that\n"
         "broadcasts into a semi join (BroadcastHashJoin ... LeftSemi): the\n"

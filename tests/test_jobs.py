@@ -26,6 +26,14 @@ jobs:
         input_format: 'json'
         catalog: 'bronze'
         schema: 'brapi'
+  - name: 'bronze_cdc_bloom'
+    type: 'cdc'
+    tables:
+      - table_name: 'assets'
+        input_format: 'json'
+        catalog: 'bronze'
+        schema: 'brapi'
+        merge_strategy: 'bloom'
   - name: 'bronze_stream'
     type: 'streaming'
     tables:
@@ -153,6 +161,40 @@ def test_cdc_job_upserts(spark, workspace, tmp_path):
     runner.run("cdc", "bronze_cdc")
     bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
     assert bronze == {"AAA": 12.0, "BBB": None, "CCC": 1.0}
+
+
+def test_cdc_job_bloom_strategy_matches_join(spark, workspace, tmp_path):
+    """merge_strategy: 'bloom' in job metadata routes the upsert
+    through merge_upsert_bloomed — same upserted table as the default
+    join strategy (the bloom is an execution strategy, not a
+    semantics change)."""
+    root, raw = workspace
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    runner = JobRunner(spark, cat, str(root), input_paths={"assets": str(raw)})
+    runner.run("full", "bronze_full")
+
+    with open(raw / "batch2.json", "w") as fh:
+        fh.write(json.dumps({"stocks": "AAA", "close": "12.0",
+                             "loaded_at": "2026-08-03T00:00:00"}) + "\n")
+        fh.write(json.dumps({"stocks": "CCC", "close": "1.0",
+                             "loaded_at": "2026-08-01T00:00:00"}) + "\n")
+    runner.run("cdc", "bronze_cdc_bloom")
+    bronze = {r.stocks: r.close for r in cat.read("bronze.brapi.assets").collect()}
+    assert bronze == {"AAA": 12.0, "BBB": None, "CCC": 1.0}
+
+
+def test_ingestor_cdc_rejects_unknown_merge_strategy(spark, workspace, tmp_path):
+    from mydatalake_spark.ingest import IngestorCDC
+
+    root, raw = workspace
+    cat = Catalog(spark, str(tmp_path / "wh4"))
+    with pytest.raises(ValueError, match="merge_strategy"):
+        IngestorCDC(
+            spark=spark, catalog=cat,
+            metadata_root=str(root / "bronze"), table="assets",
+            input_format="json", input_path=str(raw),
+            merge_strategy="hash",
+        )
 
 
 PARTED_YML = """

@@ -452,3 +452,26 @@ def test_psi_symmetry_and_zero_on_identical(spark):
     p2 = population_stability_index(
         df2, 1 - F.col("g"), "v").collect()[0]
     assert p1.psi == p2.psi and p1.psi > 0
+
+
+@given(target=ROWS, source=ROWS)
+@settings(**_SETTINGS)
+def test_merge_bloomed_matches_plain_merge(spark, target, source):
+    """merge_upsert_bloomed is an EXECUTION strategy, not a semantics
+    change: for any (target, source) it must equal merge_upsert — the
+    bloom-miss bypass loses no row, false positives change nothing.
+    A deliberately tiny 64-bit filter keeps the fp rate high so the
+    property actually exercises the hit-branch keep path."""
+    from mydatalake_spark.operators.merge import merge_upsert_bloomed
+
+    tgt = list({k: (k, ts, v) for k, ts, v in sorted(target)}.values())
+    plain = merge_upsert(
+        _df(spark, tgt), _df(spark, source), ["k"], "ts", tiebreakers=["v"]
+    )
+    bloomed = merge_upsert_bloomed(
+        _df(spark, tgt), _df(spark, source), ["k"], "ts",
+        tiebreakers=["v"], m_bits=64, k=2,
+    )
+    got_p = {(r.k, r.ts, r.v) for r in plain.collect()}
+    got_b = {(r.k, r.ts, r.v) for r in bloomed.collect()}
+    assert got_b == got_p
