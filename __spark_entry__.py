@@ -8617,10 +8617,12 @@ def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     which lineitem keys can possibly match BEFORE any shuffle of the
     big side. Output is the one-row effectiveness report: pass/true
     key counts, realized false-positive rate, and the probe-row
-    fraction that still shuffles (~selectivity + fp). The md5 position
-    family is the engine-portable one, so the oracle rebuilds the
-    FILTER BITS identically and the hash check covers the filter
-    itself, not just the counts."""
+    fraction that still shuffles (~selectivity + fp). This audit shape
+    uses the md5 digest-lane position family (``family="portable"``,
+    bloom_prune_report's default) so the oracle rebuilds the FILTER
+    BITS identically and the hash check covers the filter itself, not
+    just the counts; the production prune/join/merge paths default to
+    the codegen-fast xxhash64 family."""
     from mydatalake_spark.operators.bloomjoin import bloom_prune_report
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8822,9 +8824,13 @@ def _bloom_prune_oracle() -> str:
     m_bits, k = 1 << 20, 3
 
     def pos_list(key: str) -> str:
+        # digest-lane family (operators/bloomjoin.py:_positions):
+        # position_i = lane i%4 of md5(f"{i//4}|{key}") — hex chars
+        # 8*(i%4)+1 .. +8 of the digest, replayed bit-for-bit.
         terms = ", ".join(
-            f"CAST(('0x' || SUBSTRING(MD5('{i}|' || CAST({key} AS VARCHAR)),"
-            f" 1, 8)) AS BIGINT) % {m_bits}"
+            f"CAST(('0x' || SUBSTRING(MD5('{i // 4}|' || "
+            f"CAST({key} AS VARCHAR)), {1 + 8 * (i % 4)}, 8)) AS BIGINT)"
+            f" % {m_bits}"
             for i in range(k)
         )
         return f"[{terms}]"

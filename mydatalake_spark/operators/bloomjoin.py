@@ -10,14 +10,15 @@ filter (8 KB as 32-bit words) broadcast to every executor turns a
 full lineitem→orders shuffle join into "shuffle only the ~selectivity
 fraction that passes", at the cost of a measured false-positive rate.
 
-Spark-first shape: k hash positions per key derive from md5 substrings
-(the same engine-portable family as operators/sampling.py and
-portable_minhash_signatures, so the DuckDB oracle reproduces the
-filter BIT-IDENTICALLY); the filter itself is a tiny (word_idx, mask)
-DataFrame built by one groupBy-bit_or over the build keys and
-broadcast to the probe side. Word size is 32 bits so every mask stays
-a small positive long — no engine-specific 64-bit shift-overflow
-semantics anywhere.
+Spark-first shape: k hash positions per key derive from either
+xxhash64 (family="native" — codegen-fast, the production default) or
+md5 digest lanes (family="portable" — the engine-portable family of
+operators/sampling.py and portable_minhash_signatures, so the DuckDB
+oracle reproduces the filter BIT-IDENTICALLY; see FAMILIES); the
+filter itself is a tiny (word_idx, mask) DataFrame built by one
+groupBy-bit_or over the build keys and broadcast to the probe side.
+Word size is 32 bits so every mask stays a small positive long — no
+engine-specific 64-bit shift-overflow semantics anywhere.
 """
 
 from __future__ import annotations
@@ -28,25 +29,64 @@ from pyspark.sql import functions as F
 WORD_BITS = 32
 
 
-def _positions(key: Column, k: int, m_bits: int) -> Column:
-    """Array of k bit positions for a key: position_i =
-    int(md5(f"{i}|{key}")[:8], 16) % m_bits — engine-portable."""
+#: Hash families for the k bit positions. ``native`` — xxhash64 with
+#: the position index as a seed column: JVM-side, whole-stage-codegen,
+#: the production path. ``portable`` — md5 digest lanes (position_i =
+#: hex chars 8·(i%4)+1..+8 of md5(f"{i//4}|{key}")), bit-for-bit
+#: replayable in DuckDB for the oracle-checked audit
+#: (same convention as portable_minhash_signatures: portable pays for
+#: hash-checkability, production uses native hashes). Build and probe
+#: MUST use the same family — every composed entry point threads one
+#: ``family`` argument through both sides.
+FAMILIES = ("native", "portable")
+
+
+def _check_family(family: str) -> None:
+    if family not in FAMILIES:
+        raise ValueError(
+            f"bloom family must be one of {FAMILIES}, got {family!r}"
+        )
+
+
+def _positions(
+    key: Column, k: int, m_bits: int, family: str = "native"
+) -> Column:
+    """Array of k bit positions for a key under ``family`` (see
+    :data:`FAMILIES`). The portable md5 form derives FOUR 32-bit lanes
+    per 128-bit digest, so k positions cost ⌈k/4⌉ digests; each digest
+    is bound as a ``transform`` lambda variable and computed ONCE —
+    Catalyst cannot duplicate a lambda-bound value the way predicate
+    pushdown duplicates plain column subtrees."""
+    _check_family(family)
     ks = key.cast("string")
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}|"), ks)), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m_bits
-            )
-            for i in range(k)
-        ]
+    if family == "native":
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), ks), F.lit(m_bits)).cast(
+                    "long"
+                )
+                for i in range(k)
+            ]
+        )
+    n_digests = (k + 3) // 4
+    digests = F.array(
+        *[F.md5(F.concat(F.lit(f"{j}|"), ks)) for j in range(n_digests)]
     )
+    lanes = F.flatten(
+        F.transform(
+            digests,
+            lambda d: F.array(
+                *[
+                    F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast(
+                        "long"
+                    )
+                    % m_bits
+                    for j in range(4)
+                ]
+            ),
+        )
+    )
+    return F.slice(lanes, 1, k)
 
 
 def bloom_build(
@@ -54,6 +94,7 @@ def bloom_build(
     key_col: str,
     m_bits: int = 1 << 16,
     k: int = 3,
+    family: str = "native",
 ) -> DataFrame:
     """Build the filter from the build side's keys: explode each key's
     k positions, then ONE groupBy on the word index with a ``bit_or``
@@ -61,7 +102,7 @@ def bloom_build(
     ``m_bits / 32`` rows (2048 at the default — kilobytes, always
     broadcastable). Build cost is one map + one tiny shuffle over the
     (already selective) build side."""
-    pos = _positions(F.col(key_col), k, m_bits)
+    pos = _positions(F.col(key_col), k, m_bits, family=family)
     # shiftleft/shiftright with a COLUMN shift amount need the SQL form
     # (the PySpark wrappers only take literal ints).
     return (
@@ -84,6 +125,7 @@ def bloom_probe_keys(
     bloom: DataFrame,
     m_bits: int = 1 << 16,
     k: int = 3,
+    family: str = "native",
 ) -> DataFrame:
     """Flag each (distinct) probe key with ``bloom_pass`` — true iff
     ALL k of its positions are set in the filter. The probe explodes
@@ -91,7 +133,7 @@ def bloom_probe_keys(
     never a shuffle of the probe side — and folds back with a single
     groupBy on the key. A key whose word is absent from the filter
     fails (left join → null mask → bit unset)."""
-    pos = _positions(F.col(key_col), k, m_bits)
+    pos = _positions(F.col(key_col), k, m_bits, family=family)
     exploded = probe_keys.select(
         F.col(key_col), F.explode(pos).alias("__p__")
     ).select(
@@ -145,26 +187,70 @@ def bloom_mask_array(bloom: DataFrame, m_bits: int = 1 << 16) -> list[int]:
 
 
 def _folded_filter(
-    probe: DataFrame, key_col: str, words: list[int], k: int
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    k: int,
+    family: str = "native",
 ) -> tuple[DataFrame, Column]:
-    """Stage the literal word array + per-row position array as
-    columns and return ``(staged_frame, pass_condition)``. Staging
-    keeps each md5 position computed ONCE even though the condition
-    tests it k times; callers filter and drop the scratch columns."""
+    """Stage the literal word list as a column and return
+    ``(staged_frame, pass_condition)``. Staging parses the (up to
+    ~1 MB) array literal ONCE; predicate pushdown then inlines it into
+    the Filter as an already-folded Literal, which codegen references
+    as a constant — free however many times the condition tests it.
+
+    ``native``: k plain xxhash64 conjuncts — everything stays inside
+    whole-stage codegen, per-row cost is nanoseconds of hashing.
+    ``portable``: the md5 digest is bound as a ``forall`` lambda
+    variable so it is computed exactly once per row even after
+    pushdown duplication (a naive k-conjunct md5 form measured 6k = 18
+    digests per probe row — predicate pushdown duplicates plain column
+    subtrees, but cannot duplicate a lambda-bound value); the HOF
+    drops the Filter out of codegen, which is the portability tax —
+    use it only where a DuckDB oracle must replay the filter."""
+    _check_family(family)
     m_bits = len(words) * WORD_BITS
     arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    pos = _positions(F.col(key_col), k, m_bits)
-    flagged = probe.withColumn("__bf__", F.expr(arr_sql)).withColumn(
-        "__pos__", pos
-    )
-    cond = None
-    for i in range(k):
-        c = F.expr(
-            f"((element_at(__bf__, CAST(shiftright(element_at(__pos__, "
-            f"{i + 1}), 5) AS INT) + 1) >> CAST(element_at(__pos__, "
-            f"{i + 1}) % {WORD_BITS} AS INT)) % 2) = 1"
+    flagged = probe.withColumn("__bf__", F.expr(arr_sql))
+
+    def bit_test(p: str) -> str:
+        return (
+            f"((shiftright(element_at(__bf__, "
+            f"CAST(shiftright({p}, 5) AS INT) + 1), "
+            f"CAST({p} % {WORD_BITS} AS INT))) % 2) = 1"
         )
-        cond = c if cond is None else cond & c
+
+    key_sql = f"CAST(`{key_col}` AS STRING)"
+    if family == "native":
+        cond = F.expr(
+            " AND ".join(
+                bit_test(f"pmod(xxhash64({i}, {key_sql}), {m_bits})")
+                for i in range(k)
+            )
+        )
+        return flagged, cond
+
+    # portable: one forall per lane-count group; every md5 appears
+    # exactly once in the whole condition.
+    def lane_p(lane: int) -> str:
+        return (
+            f"(CAST(conv(substring(d, {1 + 8 * lane}, 8), 16, 10) "
+            f"AS BIGINT) % {m_bits})"
+        )
+
+    def forall_over(digest_ids: list[int], n_lanes: int) -> str:
+        arr = "array(" + ", ".join(
+            f"md5(concat('{j}|', {key_sql}))" for j in digest_ids
+        ) + ")"
+        body = " AND ".join(bit_test(lane_p(i)) for i in range(n_lanes))
+        return f"forall({arr}, d -> {body})"
+
+    parts = []
+    if k >= 4:
+        parts.append(forall_over(list(range(k // 4)), 4))
+    if k % 4:
+        parts.append(forall_over([k // 4], k % 4))
+    cond = F.expr(" AND ".join(parts))
     return flagged, cond
 
 
@@ -173,11 +259,12 @@ def bloom_prune(
     key_col: str,
     words: list[int],
     k: int = 3,
+    family: str = "native",
 ) -> DataFrame:
     """MAP-ONLY bloom pruning — the production path
     (:func:`bloom_probe_keys` is the per-key audit shape; this is what
     a 100 TB scan actually wants): the word list becomes one literal
-    array that constant-folds into codegen, and each row's k md5
+    array that constant-folds into codegen, and each row's k hash
     positions test bits with pure arithmetic — the probe side is
     filtered with ZERO exchanges, zero joins, before any shuffle the
     real join would pay. Rows whose key hits all k bits survive
@@ -185,11 +272,12 @@ def bloom_prune(
     filter's measured rate). Nulls fail the filter: a null key cannot
     equi-join anyway.
 
-    The native analogue is Spark's InjectRuntimeFilter / Delta's
-    bloom indexes; this expression form keeps the same plan shape
-    while staying engine-portable (and oracle-replayable)."""
-    flagged, cond = _folded_filter(probe, key_col, words, k)
-    return flagged.filter(cond).drop("__bf__", "__pos__")
+    The JVM analogue is Spark's InjectRuntimeFilter / Delta's bloom
+    indexes; this expression form keeps the same plan shape while
+    staying inspectable — and, under ``family="portable"``,
+    bit-for-bit oracle-replayable (see :data:`FAMILIES`)."""
+    flagged, cond = _folded_filter(probe, key_col, words, k, family=family)
+    return flagged.filter(cond).drop("__bf__")
 
 
 def bloom_split(
@@ -197,6 +285,7 @@ def bloom_split(
     key_col: str,
     words: list[int],
     k: int = 3,
+    family: str = "native",
 ) -> tuple[DataFrame, DataFrame]:
     """Partition ``probe`` into ``(maybe_match, no_match)`` by the
     constant-folded filter — both branches map-only, both read the
@@ -207,11 +296,9 @@ def bloom_split(
     three-valued null for them, so the miss branch keeps
     ``NOT coalesce(cond, FALSE)`` rather than ``NOT cond`` — every
     probe row lands in exactly one branch."""
-    flagged, cond = _folded_filter(probe, key_col, words, k)
-    hit = flagged.filter(cond).drop("__bf__", "__pos__")
-    miss = flagged.filter(~F.coalesce(cond, F.lit(False))).drop(
-        "__bf__", "__pos__"
-    )
+    flagged, cond = _folded_filter(probe, key_col, words, k, family=family)
+    hit = flagged.filter(cond).drop("__bf__")
+    miss = flagged.filter(~F.coalesce(cond, F.lit(False))).drop("__bf__")
     return hit, miss
 
 
@@ -223,6 +310,7 @@ def bloom_filtered_join(
     how: str = "inner",
     m_bits: int = 1 << 16,
     k: int = 3,
+    family: str = "native",
 ) -> DataFrame:
     """The composed production path: build → mask → map-only prune →
     join. The selective ``build`` side's keys become a driver-held
@@ -253,9 +341,9 @@ def bloom_filtered_join(
             "outer/anti semantics."
         )
     build_key = build_key or probe_key
-    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
+    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k, family=family)
     words = bloom_mask_array(bloom, m_bits=m_bits)
-    pruned = bloom_prune(probe, probe_key, words, k=k)
+    pruned = bloom_prune(probe, probe_key, words, k=k, family=family)
     if build_key == probe_key:
         return pruned.join(build, on=probe_key, how=how)
     return pruned.join(
@@ -270,6 +358,7 @@ def bloom_prune_report(
     build_key: str,
     m_bits: int = 1 << 16,
     k: int = 3,
+    family: str = "portable",
 ) -> DataFrame:
     """One-row effectiveness report for bloom-pruning ``probe`` by
     ``build``: distinct probe keys, keys passing the filter, keys with
@@ -279,8 +368,10 @@ def bloom_prune_report(
     semi-join here is the audit, not the plan — production uses only
     the bloom pass."""
     keys = probe.select(F.col(probe_key).alias("key")).distinct()
-    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
-    flagged = bloom_probe_keys(keys, "key", bloom, m_bits=m_bits, k=k)
+    bloom = bloom_build(build, build_key, m_bits=m_bits, k=k, family=family)
+    flagged = bloom_probe_keys(
+        keys, "key", bloom, m_bits=m_bits, k=k, family=family
+    )
     truth = (
         build.select(F.col(build_key).alias("key"))
         .distinct()

@@ -193,6 +193,7 @@ def merge_upsert_bloomed(
     delete_missing: bool = False,
     m_bits: int = 1 << 16,
     k: int = 3,
+    family: str = "native",
 ) -> DataFrame:
     """:func:`merge_upsert` with bloom-pruned shuffle — identical
     results, but only the target rows that MIGHT match the changeset
@@ -249,11 +250,12 @@ def merge_upsert_bloomed(
         )
     key_expr = _composite_key(keys)
     bloom = bloom_build(
-        source.select(key_expr.alias("__mk__")), "__mk__", m_bits=m_bits, k=k
+        source.select(key_expr.alias("__mk__")), "__mk__",
+        m_bits=m_bits, k=k, family=family,
     )
     words = bloom_mask_array(bloom, m_bits=m_bits)
     staged = target.withColumn("__mk__", key_expr)
-    hit, miss = bloom_split(staged, "__mk__", words, k=k)
+    hit, miss = bloom_split(staged, "__mk__", words, k=k, family=family)
     hit, miss = hit.drop("__mk__"), miss.drop("__mk__")
     merged = merge_upsert(
         hit, source, keys, ts_col, tiebreakers,

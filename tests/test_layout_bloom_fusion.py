@@ -73,6 +73,8 @@ def test_cluster_by_zorder_tightens_zone_maps(spark):
 
 
 def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    import pytest
+
     from mydatalake_spark.operators.bloomjoin import (
         bloom_build,
         bloom_probe_keys,
@@ -80,18 +82,74 @@ def test_bloom_filter_no_false_negatives_and_low_fp(spark):
 
     build = spark.range(0, 500).withColumnRenamed("id", "k")
     probe = spark.range(0, 5000).withColumnRenamed("id", "k")
-    bloom = bloom_build(build, "k", m_bits=1 << 16, k=3)
-    flagged = {
-        r.k: r.bloom_pass
-        for r in bloom_probe_keys(
-            probe, "k", bloom, m_bits=1 << 16, k=3
-        ).collect()
-    }
-    # no false negatives, ever
-    assert all(flagged[k] for k in range(500))
-    # false positives bounded: fill ~1500/65536 bits -> fp ~(0.023)^3
-    fps = sum(1 for k in range(500, 5000) if flagged[k])
-    assert fps < 45, fps
+    # both hash families share the contract: zero false negatives,
+    # bounded false positives (fill ~1500/65536 bits -> fp ~(0.023)^3)
+    for family in ("native", "portable"):
+        bloom = bloom_build(build, "k", m_bits=1 << 16, k=3, family=family)
+        flagged = {
+            r.k: r.bloom_pass
+            for r in bloom_probe_keys(
+                probe, "k", bloom, m_bits=1 << 16, k=3, family=family
+            ).collect()
+        }
+        assert all(flagged[k] for k in range(500)), family
+        fps = sum(1 for k in range(500, 5000) if flagged[k])
+        assert fps < 45, (family, fps)
+    with pytest.raises(ValueError, match="family"):
+        bloom_build(build, "k", family="sha2")
+
+
+def test_bloom_prune_portable_family_matches_native_join_result(spark):
+    """The family is an execution choice, never a semantics one: a
+    bloom_filtered_join returns the same rows under the portable md5
+    lanes as under native xxhash64 (different fp sets, same join
+    output), and the portable prune agrees key-for-key with the
+    portable probe_keys audit — the pairing the oracle replays."""
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_filtered_join,
+        bloom_mask_array,
+        bloom_probe_keys,
+        bloom_prune,
+    )
+
+    build = (
+        spark.range(0, 300)
+        .selectExpr("id * 3 AS k", "id AS payload")
+    )
+    probe = spark.range(0, 3000).selectExpr("id AS k", "id % 7 AS v")
+    outs = []
+    for family in ("native", "portable"):
+        out = bloom_filtered_join(
+            probe, build, "k", m_bits=1 << 14, k=3, family=family
+        )
+        outs.append({tuple(r) for r in out.collect()})
+    assert outs[0] == outs[1]
+
+    # prune must agree key-for-key with the probe_keys audit under the
+    # SAME family — k=3 covers the single-digest portable path, k=5
+    # the two-digest mixed-lane path (4 lanes + 1 lane).
+    for family in ("native", "portable"):
+        for k in (3, 5):
+            bloom = bloom_build(
+                build, "k", m_bits=1 << 14, k=k, family=family
+            )
+            words = bloom_mask_array(bloom, m_bits=1 << 14)
+            pruned = {
+                r.k
+                for r in bloom_prune(
+                    probe.select("k"), "k", words, k=k, family=family
+                ).collect()
+            }
+            audited = {
+                r.k
+                for r in bloom_probe_keys(
+                    probe.select("k"), "k", bloom,
+                    m_bits=1 << 14, k=k, family=family,
+                ).collect()
+                if r.bloom_pass
+            }
+            assert pruned == audited, (family, k)
 
 
 def test_cohens_kappa_perfect_and_chance(spark):
