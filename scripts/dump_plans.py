@@ -393,6 +393,13 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        # Plans can embed non-printable literal bytes (e.g. the
+        # \x1f separator / \x00NULL\x00 sentinel of merge.py's
+        # _composite_key) — escape them so PLANS.md stays a text file.
+        plan = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 32 else f"\\x{ord(ch):02x}"
+            for ch in plan
+        )
         # Keep the operator tree + the interesting node details, drop
         # codegen ids noise-free enough to read.
         out.append(f"\n## {name}\n\n{why}\n\n```\n{plan.rstrip()}\n```\n")
