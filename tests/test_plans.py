@@ -797,3 +797,40 @@ def test_merge_upsert_bloomed_plan_bypasses_shuffle_for_misses(spark):
         assert "Exchange" not in tail[-2] and "Join" not in tail[-2], tail
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_prune_digest_budget_in_optimized_plan(spark):
+    """Pin the bloom probe's per-row hash budget by COUNTING calls in
+    the optimized plan. This is the regression class the r7 rewrite
+    fixed: predicate pushdown inlines a staged position column at
+    every Filter reference, so a k-conjunct md5 condition silently ran
+    6k = 18 digests per probe row. Native must stay md5-free (k
+    xxhash64 conjuncts, one per position, codegen); portable must
+    evaluate exactly ceil(k/4) md5 digests — the forall-lambda binding
+    that pushdown cannot duplicate."""
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_mask_array,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 100).withColumnRenamed("id", "k")
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    for family, k, md5s in (
+        ("native", 3, 0),
+        ("portable", 3, 1),
+        ("portable", 5, 2),
+    ):
+        words = bloom_mask_array(
+            bloom_build(build, "k", m_bits=1 << 14, k=k, family=family),
+            m_bits=1 << 14,
+        )
+        pruned = bloom_prune(probe, "k", words, k=k, family=family)
+        opt = pruned._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("md5") == md5s, (family, k, opt.count("md5"))
+        if family == "native":
+            # each conjunct tests word-index and bit-offset, so the
+            # position expr appears twice per position: 2k xxhash64
+            # calls — the accepted (nanosecond-cheap) duplication the
+            # md5 family cannot afford
+            assert opt.count("xxhash64") == 2 * k, opt.count("xxhash64")
