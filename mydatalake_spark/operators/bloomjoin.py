@@ -152,6 +152,35 @@ def bloom_probe_keys(
     )
 
 
+def auto_m_bits(n_keys: int, bits_per_key: int = 12) -> int:
+    """Size a filter for ``n_keys`` distinct build keys: the next
+    power of two ≥ ``bits_per_key``·n_keys, clamped to [2^13,
+    :data:`MAX_FOLD_BITS`]. 12 bits/key at k=3 gives an expected fp
+    rate ≈ (1 - e^(-1/4))^3 ≈ 1.1% — filter size tracks the BUILD
+    side (selective by assumption), never the probe side."""
+    want = max(1 << 13, bits_per_key * max(n_keys, 1))
+    m = 1 << (want - 1).bit_length()
+    return min(m, MAX_FOLD_BITS)
+
+
+def expected_fp(n_keys: int, m_bits: int, k: int) -> float:
+    """Textbook bloom false-positive estimate (1 - e^(-kn/m))^k —
+    what callers use to decide whether pruning can help AT ALL before
+    paying for the build."""
+    import math
+
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n_keys / m_bits)) ** k
+
+
+#: Above this expected false-positive rate the filter passes most of
+#: the probe side anyway — pruning is pure overhead, and composed
+#: callers (bloom_filtered_join, merge_upsert_bloomed) fall back to
+#: the plain shuffle plan instead.
+FP_GIVE_UP = 0.5
+
+
 #: Largest filter the constant-folding path accepts: 2^22 bits =
 #: 131,072 words ≈ 1 MB as a literal array in the plan. Above this the
 #: literal itself becomes the problem (2^30 bits would inline ~33.5M
@@ -308,7 +337,7 @@ def bloom_filtered_join(
     probe_key: str,
     build_key: str | None = None,
     how: str = "inner",
-    m_bits: int = 1 << 16,
+    m_bits: int | str = "auto",
     k: int = 3,
     family: str = "native",
 ) -> DataFrame:
@@ -332,6 +361,15 @@ def bloom_filtered_join(
     Eager by design: building the filter runs one Spark job over the
     (already selective) build side before the returned plan exists —
     the same probe-then-plan shape as ``merge_upsert_partitioned``.
+
+    ``m_bits="auto"`` (default) counts the build side's distinct keys
+    and sizes the filter via :func:`auto_m_bits` (~12 bits/key, pow2,
+    capped at :data:`MAX_FOLD_BITS`); if even the capped filter's
+    :func:`expected_fp` exceeds :data:`FP_GIVE_UP`, the build side is
+    too large for pruning to help and the PLAIN join is returned —
+    graceful degradation, never a saturated filter scanning the probe
+    twice for nothing. Pass an int to pin the size (the oracle-checked
+    registry queries do, so their filter bits are reproducible).
     """
     if how not in ("inner", "left_semi", "semi", "leftsemi"):
         raise ValueError(
@@ -341,6 +379,35 @@ def bloom_filtered_join(
             "outer/anti semantics."
         )
     build_key = build_key or probe_key
+
+    def plain_join() -> DataFrame:
+        if build_key == probe_key:
+            return probe.join(build, on=probe_key, how=how)
+        return probe.join(
+            build, on=probe[probe_key] == build[build_key], how=how
+        )
+
+    if m_bits == "auto":
+        # size the filter to the build side's actual key count (one
+        # cheap job over the selective side, the same eager shape as
+        # the mask collect below) — a fixed size silently saturates
+        # when the build side grows: at 2^16 bits, ~50k keys already
+        # push fp past 50% and "pruning" becomes pure overhead.
+        n_keys = build.select(build_key).distinct().count()
+        m_bits = auto_m_bits(n_keys)
+        if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
+            # even the largest foldable filter passes most probe rows:
+            # fall back to the plain shuffle join rather than pay two
+            # probe scans for nothing
+            from ..logging_utils import get_logger
+
+            get_logger().warning(
+                "bloom_filtered_join: build side too large to filter "
+                "(%d keys, fp %.2f at the %d-bit cap) — using the "
+                "plain join",
+                n_keys, expected_fp(n_keys, m_bits, k), m_bits,
+            )
+            return plain_join()
     bloom = bloom_build(build, build_key, m_bits=m_bits, k=k, family=family)
     words = bloom_mask_array(bloom, m_bits=m_bits)
     pruned = bloom_prune(probe, probe_key, words, k=k, family=family)

@@ -191,7 +191,7 @@ def merge_upsert_bloomed(
     tiebreakers: list[str] | None = None,
     evolve_schema: bool = False,
     delete_missing: bool = False,
-    m_bits: int = 1 << 16,
+    m_bits: int | str = "auto",
     k: int = 3,
     family: str = "native",
 ) -> DataFrame:
@@ -203,7 +203,10 @@ def merge_upsert_bloomed(
     accumulated table; the plain full-outer join still shuffles the
     ENTIRE target by key. Here the changeset's keys are folded into a
     driver-held bloom word list (:func:`~.bloomjoin.bloom_mask_array`,
-    8 KB at the default 2^16 bits, capped at ~1 MB) and the target is
+    sized by ``m_bits="auto"`` from the changeset's distinct key count
+    at ~12 bits/key, capped at ~1 MB — and when even the capped filter
+    cannot discriminate, the changeset is no longer small and this
+    falls back to the plain :func:`merge_upsert`) and the target is
     split map-only (:func:`~.bloomjoin.bloom_split`):
 
     - bloom-MISS rows are *guaranteed* keyless in the source (no false
@@ -235,7 +238,14 @@ def merge_upsert_bloomed(
     bloom Filter, and the miss branch reaches the Union with no
     Exchange at all.
     """
-    from .bloomjoin import bloom_build, bloom_mask_array, bloom_split
+    from .bloomjoin import (
+        FP_GIVE_UP,
+        auto_m_bits,
+        bloom_build,
+        bloom_mask_array,
+        bloom_split,
+        expected_fp,
+    )
 
     if evolve_schema:
         # evolve BEFORE the split so the bypass branch carries the new
@@ -249,9 +259,31 @@ def merge_upsert_bloomed(
             f"target={target.columns} source={source.columns}"
         )
     key_expr = _composite_key(keys)
+    src_keys = source.select(key_expr.alias("__mk__"))
+    if m_bits == "auto":
+        # size the filter to the changeset's actual key count — a
+        # fixed size saturates (fp -> 1) the day the changeset grows,
+        # turning the "pruned" merge into two probe scans that shuffle
+        # everything anyway. When even the largest foldable filter
+        # can't discriminate, the changeset is no longer small relative
+        # to the target and the PLAIN merge is the right plan.
+        n_keys = src_keys.distinct().count()
+        m_bits = auto_m_bits(n_keys)
+        if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
+            from ..logging_utils import get_logger
+
+            get_logger().warning(
+                "merge_upsert_bloomed: changeset too large to filter "
+                "(%d keys, fp %.2f at the %d-bit cap) — using the "
+                "plain merge",
+                n_keys, expected_fp(n_keys, m_bits, k), m_bits,
+            )
+            return merge_upsert(
+                target, source, keys, ts_col, tiebreakers,
+                evolve_schema=False, delete_missing=delete_missing,
+            )
     bloom = bloom_build(
-        source.select(key_expr.alias("__mk__")), "__mk__",
-        m_bits=m_bits, k=k, family=family,
+        src_keys, "__mk__", m_bits=m_bits, k=k, family=family,
     )
     words = bloom_mask_array(bloom, m_bits=m_bits)
     staged = target.withColumn("__mk__", key_expr)

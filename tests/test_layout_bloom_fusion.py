@@ -481,3 +481,79 @@ def test_bloom_split_partitions_every_row(spark):
     hit_keys = {r.k for r in hit.collect()}
     assert set(range(20)) <= hit_keys        # no false negatives
     assert None not in hit_keys              # null -> miss branch
+
+
+def test_auto_m_bits_and_expected_fp():
+    from mydatalake_spark.operators.bloomjoin import (
+        FP_GIVE_UP,
+        MAX_FOLD_BITS,
+        auto_m_bits,
+        expected_fp,
+    )
+
+    assert auto_m_bits(0) == 1 << 13          # floor
+    assert auto_m_bits(100) == 1 << 13        # 1200 bits -> floor
+    assert auto_m_bits(1000) == 1 << 14       # 12000 -> 16384
+    assert auto_m_bits(10**9) == MAX_FOLD_BITS  # cap
+    # at ~12 bits/key, k=3, fp is ~1%
+    assert expected_fp(1000, auto_m_bits(1000), 3) < 0.03
+    # a build side 100x past the cap's capacity cannot be filtered
+    assert expected_fp(40_000_000, MAX_FOLD_BITS, 3) > FP_GIVE_UP
+
+
+def test_bloom_filtered_join_auto_sizes_and_degrades_gracefully(spark):
+    """m_bits='auto' sizes the filter from the build side's key count;
+    when even the capped filter can't discriminate (huge build side),
+    the PLAIN join plan comes back — same rows, no bloom Filter."""
+    from unittest import mock
+
+    from mydatalake_spark.operators import bloomjoin
+    from mydatalake_spark.operators.bloomjoin import bloom_filtered_join
+
+    build = spark.range(0, 200).selectExpr("id * 5 AS k", "id AS payload")
+    probe = spark.range(0, 2000).selectExpr("id AS k", "id % 3 AS v")
+    expected = {
+        tuple(r) for r in probe.join(build, "k", "inner").collect()
+    }
+
+    auto = bloom_filtered_join(probe, build, "k")  # m_bits defaults auto
+    assert {tuple(r) for r in auto.collect()} == expected
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at(" in plan  # pruning engaged
+
+    # force the give-up branch: pretend the build side saturates the cap
+    with mock.patch.object(bloomjoin, "expected_fp", return_value=0.99):
+        plain = bloom_filtered_join(probe, build, "k")
+    assert {tuple(r) for r in plain.collect()} == expected
+    plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at(" not in plan  # no filter — the plain join
+
+
+def test_merge_upsert_bloomed_auto_falls_back_to_plain_merge(spark):
+    from unittest import mock
+
+    from mydatalake_spark.operators import merge as merge_mod
+    from mydatalake_spark.operators import bloomjoin
+    from mydatalake_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_bloomed,
+    )
+
+    target = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(100)], "k long, ts long, v double"
+    )
+    source = spark.createDataFrame(
+        [(i, 1, -1.0) for i in range(0, 100, 10)],
+        "k long, ts long, v double",
+    )
+    expected = {
+        tuple(r)
+        for r in merge_upsert(target, source, ["k"], "ts").collect()
+    }
+    got_auto = merge_upsert_bloomed(target, source, ["k"], "ts")
+    assert {tuple(r) for r in got_auto.collect()} == expected
+    with mock.patch.object(bloomjoin, "expected_fp", return_value=0.99):
+        got_plain = merge_upsert_bloomed(target, source, ["k"], "ts")
+    assert {tuple(r) for r in got_plain.collect()} == expected
+    plan = got_plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at(" not in plan and "Union" not in plan
