@@ -388,12 +388,16 @@ def bloom_filtered_join(
         )
 
     if m_bits == "auto":
-        # size the filter to the build side's actual key count (one
-        # cheap job over the selective side, the same eager shape as
-        # the mask collect below) — a fixed size silently saturates
-        # when the build side grows: at 2^16 bits, ~50k keys already
-        # push fp past 50% and "pruning" becomes pure overhead.
-        n_keys = build.select(build_key).distinct().count()
+        # size the filter to the build side's key count (one cheap job
+        # over the selective side, the same eager shape as the mask
+        # collect below) — a fixed size silently saturates when the
+        # build side grows: at 2^16 bits, ~50k keys already push fp
+        # past 50% and "pruning" becomes pure overhead. approx distinct
+        # on purpose: partial-agg only (no full shuffle), and the pow2
+        # rounding in auto_m_bits absorbs its ~2% error.
+        n_keys = build.agg(
+            F.approx_count_distinct(build_key).alias("n")
+        ).first()["n"]
         m_bits = auto_m_bits(n_keys)
         if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
             # even the largest foldable filter passes most probe rows:

@@ -267,7 +267,11 @@ def merge_upsert_bloomed(
         # everything anyway. When even the largest foldable filter
         # can't discriminate, the changeset is no longer small relative
         # to the target and the PLAIN merge is the right plan.
-        n_keys = src_keys.distinct().count()
+        # approx distinct: partial-agg only, no full shuffle of the
+        # changeset; auto_m_bits' pow2 rounding absorbs the ~2% error
+        n_keys = src_keys.agg(
+            F.approx_count_distinct("__mk__").alias("n")
+        ).first()["n"]
         m_bits = auto_m_bits(n_keys)
         if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
             from ..logging_utils import get_logger
