@@ -3149,17 +3149,21 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     j≥0.9 pairs have hamming ≤ 17 here, random pairs center on 32).
     A broken fingerprint (wrong bit weights, majority sign, hash)
     pushes hamming toward 32 and flips booleans → hash mismatch."""
+    from mydatalake_spark.caching import transfer
+
     docs = _t(spark, sf_dir, "documents")
-    near = ngram_jaccard_pairs(docs, n=1, threshold=0.9).select(
-        "id_a", "id_b", "jaccard"
-    )
+    near_pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.9)
+    near = near_pairs.select("id_a", "id_b", "jaccard")
     fp = simhash(docs)
-    return simhash_hamming_pairs(near, fp).select(
+    # transfer: ngram_jaccard_pairs adopts its shingle cache onto ITS
+    # return value; deriving frames from it would orphan the cache, so
+    # ownership moves to the frame the caller actually releases
+    return transfer(near_pairs, simhash_hamming_pairs(near, fp).select(
         "id_a",
         "id_b",
         "jaccard",
         (F.col("hamming") <= 24).alias("simhash_close"),
-    )
+    ))
 
 
 # similarity_lsh's oracle IS the exact brute-force top-5 (_SIM_ORACLE):
@@ -3319,8 +3323,11 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     check covers the iterative algorithm, not just one hop
     (operators/clusters.py)."""
     docs = _t(spark, sf_dir, "documents")
+    from mydatalake_spark.caching import transfer
+
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
-    return dedup_clusters(docs, pairs)
+    # cache ownership moves to the released frame (see simhash query)
+    return transfer(pairs, dedup_clusters(docs, pairs))
 
 
 _CLUSTERS_ORACLE = r"""
@@ -7176,7 +7183,10 @@ def split_leakage_documents(
     agg = labeled.groupBy("split_lo", "split_hi").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    return agg.select(
+    from mydatalake_spark.caching import transfer
+
+    # cache ownership moves to the released frame (see simhash query)
+    return transfer(pairs, agg.select(
         "split_lo",
         "split_hi",
         "n_pairs",
@@ -7186,7 +7196,7 @@ def split_leakage_documents(
             / F.sum("n_pairs").over(wall).cast("double"),
             6,
         ).alias("frac_of_pairs"),
-    )
+    ))
 
 
 def _split_leakage_oracle() -> str:
@@ -8288,7 +8298,10 @@ def canonical_by_quality_documents(
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("__q__").desc(), F.col("doc_id")
     )
-    return (
+    from mydatalake_spark.caching import transfer
+
+    # cache ownership moves to the released frame (see simhash query)
+    return transfer(pairs, (
         scored.withColumn("__rn__", F.row_number().over(w))
         .select(
             "doc_id",
@@ -8296,7 +8309,7 @@ def canonical_by_quality_documents(
             F.col("__q__").alias("n_distinct_tokens"),
             (F.col("__rn__") == 1).alias("keep"),
         )
-    )
+    ))
 
 
 _CANONICAL_ORACLE = r"""

@@ -593,11 +593,16 @@ def main() -> None:
     # the metric — cold-start costs are one-time per cluster, not
     # per-query, at the 100 TB design point.
     from mydatalake_spark.caching import release as _release
+    from mydatalake_spark.caching import release_all as _release_all
 
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         _release(df)
+        # backstop: queries that derive frames from cache-adopting
+        # operators may orphan the ownership attribute; the ledger
+        # catches whatever release(df) missed
+        _release_all()
 
     # Three timed passes, keep the MIN per query: this box is a shared
     # microVM and host CPU steal produces multi-second phantom spikes
@@ -628,6 +633,7 @@ def main() -> None:
             dt = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, dt), dt)
             _release(df)
+            _release_all()
 
     # Optional evidence sections must never cost us the headline JSON
     # line: a failure records an error string instead of aborting.

@@ -60,10 +60,17 @@ def _positions(
     _check_family(family)
     ks = key.cast("string")
     if family == "native":
+        # xxhash64 skips null args (hashes the seed alone), which
+        # would give every null key the same k REAL positions; null
+        # them out so null keys behave like the portable family's
+        # (md5(null) = null -> null positions -> never a hit)
         return F.array(
             *[
-                F.pmod(F.xxhash64(F.lit(i), ks), F.lit(m_bits)).cast(
-                    "long"
+                F.when(
+                    ks.isNotNull(),
+                    F.pmod(F.xxhash64(F.lit(i), ks), F.lit(m_bits)).cast(
+                        "long"
+                    ),
                 )
                 for i in range(k)
             ]
@@ -101,12 +108,16 @@ def bloom_build(
     of the per-position bits → ``(word_idx, mask)`` with at most
     ``m_bits / 32`` rows (2048 at the default — kilobytes, always
     broadcastable). Build cost is one map + one tiny shuffle over the
-    (already selective) build side."""
+    (already selective) build side. Null build keys are DROPPED — a
+    null key can never equi-join, setting bits for it only inflates
+    the fp rate (and its null positions would otherwise surface as a
+    null word_idx row that crashes the dense-array collect)."""
     pos = _positions(F.col(key_col), k, m_bits, family=family)
     # shiftleft/shiftright with a COLUMN shift amount need the SQL form
     # (the PySpark wrappers only take literal ints).
     return (
-        build.select(F.explode(pos).alias("__p__"))
+        build.filter(F.col(key_col).isNotNull())
+        .select(F.explode(pos).alias("__p__"))
         .select(
             F.shiftright("__p__", 5).alias("word_idx"),
             F.expr(
@@ -181,6 +192,35 @@ def expected_fp(n_keys: int, m_bits: int, k: int) -> float:
 FP_GIVE_UP = 0.5
 
 
+def resolve_auto_m_bits(
+    build: DataFrame, key_col: str, k: int, caller: str
+) -> int | None:
+    """Shared ``m_bits="auto"`` policy for the composed entry points:
+    approx-count the build side's distinct keys (partial-agg only — no
+    full shuffle; :func:`auto_m_bits`'s pow2 rounding absorbs the ~2%
+    HLL error), size the filter at ~12 bits/key, and return ``None``
+    when even the capped filter's :func:`expected_fp` exceeds
+    :data:`FP_GIVE_UP` — the signal for the caller to fall back to its
+    plain (unfiltered) plan, logged once with the caller's name. One
+    policy, used by both bloom_filtered_join and merge_upsert_bloomed,
+    so their sizing and give-up behavior cannot drift apart."""
+    n_keys = build.agg(
+        F.approx_count_distinct(key_col).alias("n")
+    ).first()["n"]
+    m_bits = auto_m_bits(n_keys)
+    fp = expected_fp(n_keys, m_bits, k)
+    if fp > FP_GIVE_UP:
+        from ..logging_utils import get_logger
+
+        get_logger().warning(
+            "%s: build side too large to filter (%d keys, fp %.2f at "
+            "the %d-bit cap) — using the plain plan",
+            caller, n_keys, fp, m_bits,
+        )
+        return None
+    return m_bits
+
+
 #: Largest filter the constant-folding path accepts: 2^22 bits =
 #: 131,072 words ≈ 1 MB as a literal array in the plan. Above this the
 #: literal itself becomes the problem (2^30 bits would inline ~33.5M
@@ -251,8 +291,14 @@ def _folded_filter(
 
     key_sql = f"CAST(`{key_col}` AS STRING)"
     if family == "native":
+        # xxhash64 SKIPS null arguments (hashes the seed alone), so a
+        # null key would otherwise get k FIXED positions and pass
+        # whenever those bits happen to be set — the leading null test
+        # restores the contract (null keys never pass; bloom_split
+        # routes them to no_match via its coalesce).
         cond = F.expr(
-            " AND ".join(
+            f"({key_sql} IS NOT NULL) AND "
+            + " AND ".join(
                 bit_test(f"pmod(xxhash64({i}, {key_sql}), {m_bits})")
                 for i in range(k)
             )
@@ -321,10 +367,12 @@ def bloom_split(
     same scan. ``no_match`` rows are GUARANTEED absent from the build
     side (blooms have no false negatives), which is what lets callers
     route them around a join entirely (see ``merge_upsert_bloomed``).
-    Null keys land in ``no_match``: the filter condition is
-    three-valued null for them, so the miss branch keeps
-    ``NOT coalesce(cond, FALSE)`` rather than ``NOT cond`` — every
-    probe row lands in exactly one branch."""
+    Null keys land in ``no_match`` under BOTH families: native's
+    condition leads with an explicit ``IS NOT NULL`` (xxhash64 would
+    otherwise hash the seed alone and give null keys real positions),
+    portable's md5-of-null is three-valued null — either way the miss
+    branch's ``NOT coalesce(cond, FALSE)`` keeps them, so every probe
+    row lands in exactly one branch."""
     flagged, cond = _folded_filter(probe, key_col, words, k, family=family)
     hit = flagged.filter(cond).drop("__bf__")
     miss = flagged.filter(~F.coalesce(cond, F.lit(False))).drop("__bf__")
@@ -392,25 +440,11 @@ def bloom_filtered_join(
         # over the selective side, the same eager shape as the mask
         # collect below) — a fixed size silently saturates when the
         # build side grows: at 2^16 bits, ~50k keys already push fp
-        # past 50% and "pruning" becomes pure overhead. approx distinct
-        # on purpose: partial-agg only (no full shuffle), and the pow2
-        # rounding in auto_m_bits absorbs its ~2% error.
-        n_keys = build.agg(
-            F.approx_count_distinct(build_key).alias("n")
-        ).first()["n"]
-        m_bits = auto_m_bits(n_keys)
-        if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
-            # even the largest foldable filter passes most probe rows:
-            # fall back to the plain shuffle join rather than pay two
-            # probe scans for nothing
-            from ..logging_utils import get_logger
-
-            get_logger().warning(
-                "bloom_filtered_join: build side too large to filter "
-                "(%d keys, fp %.2f at the %d-bit cap) — using the "
-                "plain join",
-                n_keys, expected_fp(n_keys, m_bits, k), m_bits,
-            )
+        # past 50% and "pruning" becomes pure overhead.
+        m_bits = resolve_auto_m_bits(
+            build, build_key, k, "bloom_filtered_join"
+        )
+        if m_bits is None:
             return plain_join()
     bloom = bloom_build(build, build_key, m_bits=m_bits, k=k, family=family)
     words = bloom_mask_array(bloom, m_bits=m_bits)

@@ -62,6 +62,30 @@ def _dedup_source(
     )
 
 
+def _evolve_and_check(
+    target: DataFrame, source: DataFrame, evolve_schema: bool
+) -> DataFrame:
+    """Shared merge preamble: apply additive schema evolution (source
+    columns the target lacks are appended as typed nulls — the Delta
+    ``mergeSchema`` analogue), then enforce identical column sets.
+    Both merge entry points use this so their evolution semantics and
+    error contract cannot drift apart."""
+    if evolve_schema:
+        extra = [
+            f for f in source.schema.fields if f.name not in target.columns
+        ]
+        for f in extra:
+            target = target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge requires identical columns; "
+            f"target={target.columns} source={source.columns}"
+        )
+    return target
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -105,19 +129,8 @@ def merge_upsert(
     updated rows. Returns the merged DataFrame; callers persist it via
     Catalog.overwrite (or partition-scoped overwrite at scale).
     """
-    if evolve_schema:
-        extra = [
-            f for f in source.schema.fields if f.name not in target.columns
-        ]
-        for f in extra:
-            target = target.withColumn(
-                f.name, F.lit(None).cast(f.dataType)
-            )
+    target = _evolve_and_check(target, source, evolve_schema)
     cols = target.columns
-    if set(cols) != set(source.columns):
-        raise ValueError(
-            f"merge requires identical columns; target={cols} source={source.columns}"
-        )
     source = _dedup_source(source, keys, ts_col, tiebreakers)
 
     # Source columns are renamed (prefixed) before the join so every
@@ -239,25 +252,15 @@ def merge_upsert_bloomed(
     Exchange at all.
     """
     from .bloomjoin import (
-        FP_GIVE_UP,
-        auto_m_bits,
         bloom_build,
         bloom_mask_array,
         bloom_split,
-        expected_fp,
+        resolve_auto_m_bits,
     )
 
-    if evolve_schema:
-        # evolve BEFORE the split so the bypass branch carries the new
-        # columns too (same additive-only rule as merge_upsert)
-        for f in source.schema.fields:
-            if f.name not in target.columns:
-                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-    if set(target.columns) != set(source.columns):
-        raise ValueError(
-            "merge requires identical columns; "
-            f"target={target.columns} source={source.columns}"
-        )
+    # evolve BEFORE the split so the bypass branch carries the new
+    # columns too (same additive-only rule as merge_upsert)
+    target = _evolve_and_check(target, source, evolve_schema)
     key_expr = _composite_key(keys)
     src_keys = source.select(key_expr.alias("__mk__"))
     if m_bits == "auto":
@@ -267,21 +270,10 @@ def merge_upsert_bloomed(
         # everything anyway. When even the largest foldable filter
         # can't discriminate, the changeset is no longer small relative
         # to the target and the PLAIN merge is the right plan.
-        # approx distinct: partial-agg only, no full shuffle of the
-        # changeset; auto_m_bits' pow2 rounding absorbs the ~2% error
-        n_keys = src_keys.agg(
-            F.approx_count_distinct("__mk__").alias("n")
-        ).first()["n"]
-        m_bits = auto_m_bits(n_keys)
-        if expected_fp(n_keys, m_bits, k) > FP_GIVE_UP:
-            from ..logging_utils import get_logger
-
-            get_logger().warning(
-                "merge_upsert_bloomed: changeset too large to filter "
-                "(%d keys, fp %.2f at the %d-bit cap) — using the "
-                "plain merge",
-                n_keys, expected_fp(n_keys, m_bits, k), m_bits,
-            )
+        m_bits = resolve_auto_m_bits(
+            src_keys, "__mk__", k, "merge_upsert_bloomed"
+        )
+        if m_bits is None:
             return merge_upsert(
                 target, source, keys, ts_col, tiebreakers,
                 evolve_schema=False, delete_missing=delete_missing,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import adopt
+from ..caching import adopt, transfer
 from ..functions.text import doc_fingerprint, shingles, tokens, normalize_text
 
 # Prime just above 2^32 for affine minhash transforms; coefficients are
@@ -932,7 +932,10 @@ def dedup_summary(
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_near_docs"))
     )
-    return (
+    # ownership of any pair-generator cache moves to the frame the
+    # caller releases (near.select(...) above orphaned the attribute)
+    return transfer(
+        near,
         total.crossJoin(F.broadcast(exact))
         .crossJoin(F.broadcast(near_docs))
         .select(
@@ -946,7 +949,7 @@ def dedup_summary(
             F.round(F.col("n_near_docs") / F.col("n_docs"), 6).alias(
                 "near_dup_ratio"
             ),
-        )
+        ),
     )
 
 def portable_minhash_signatures(
@@ -1049,7 +1052,11 @@ def minhash_calibration(
         )
     )
     est = matches.cast("double") / float(num_hashes)
-    return (
+    # the pair generator adopted its shingle cache onto `pairs`; the
+    # joins below derive a new frame, so ownership moves to the frame
+    # the caller actually releases
+    return transfer(
+        pairs,
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -1058,7 +1065,7 @@ def minhash_calibration(
             "jaccard",
             F.round(est, 6).alias("est_jaccard"),
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
-        )
+        ),
     )
 
 def duplicate_span_stats(

@@ -24,17 +24,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.stats import emd_1d, ks_2samp
+from ..functions.stats import ECDF_DISTINCT_CAP, emd_1d, ks_2samp
 
 
 def drift_report(
     reference_df: DataFrame,
     batch_df: DataFrame,
     value_col: str,
+    bins: int | None = None,
+    max_distinct: int | None = ECDF_DISTINCT_CAP,
 ) -> DataFrame:
     """One-row drift comparison of ``batch_df`` vs ``reference_df``:
     (n_ref, n_batch, d_stat, ks_scaled, emd). Batch-usable directly;
-    the streaming monitor calls it per micro-batch."""
+    the streaming monitor calls it per micro-batch.
+
+    ``bins`` / ``max_distinct`` pass through to the underlying
+    :func:`~..functions.stats.ks_2samp` / :func:`~..functions.stats.
+    emd_1d` scale contract — for continuous high-cardinality metrics
+    pass ``bins`` (quantized ECDF, bounded state, no cardinality
+    probe). ``max_distinct`` is delegated to ks_2samp ONLY — both
+    stats share the distinct-value frame of the same combined input,
+    so one refusal probe covers both and emd never pays a second
+    one."""
     combined = reference_df.select(
         F.lit(0).alias("__side__"), F.col(value_col).alias("__val__")
     ).unionByName(
@@ -42,8 +53,14 @@ def drift_report(
             F.lit(1).alias("__side__"), F.col(value_col).alias("__val__")
         )
     )
-    ks = ks_2samp(combined, F.col("__side__"), "__val__")
-    emd = emd_1d(combined, F.col("__side__"), "__val__")
+    ks = ks_2samp(
+        combined, F.col("__side__"), "__val__",
+        bins=bins, max_distinct=max_distinct,
+    )
+    emd = emd_1d(
+        combined, F.col("__side__"), "__val__",
+        bins=bins, max_distinct=None,
+    )
     return (
         ks.select(
             F.col("n_a").alias("n_ref"),
@@ -64,11 +81,22 @@ def stream_drift_monitor(
     checkpoint_dir: str,
     d_alert: float = 0.2,
     trigger_available_now: bool = True,
+    bins: int | None = None,
+    max_distinct: int | None = ECDF_DISTINCT_CAP,
 ):
     """Start a streaming query appending one drift row per micro-batch
     to ``monitor_table``: (batch_id, n_ref, n_batch, d_stat,
     ks_scaled, emd, drifted). ``drifted`` flags d_stat ≥ ``d_alert``
     — the hook a paging rule or a WAP gate keys on.
+
+    For a CONTINUOUS high-cardinality metric, pass ``bins`` (e.g.
+    256): the ECDFs quantize, per-batch state stays bounded, and the
+    cardinality refusal probe is skipped entirely — a monitor must not
+    be able to die mid-stream because today's values got more diverse.
+    With the default exact path, one probe per micro-batch guards the
+    unpartitioned ECDF window (``DistinctCardinalityExceeded`` inside
+    ``foreachBatch`` ends the query — the loud failure mode; pass
+    ``bins`` or ``max_distinct=None`` to choose otherwise).
 
     Idempotent under replay: the row is keyed by batch_id and
     re-merged, not blindly appended. Returns the started
@@ -78,7 +106,10 @@ def stream_drift_monitor(
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        row = drift_report(ref, batch_df, value_col).select(
+        row = drift_report(
+            ref, batch_df, value_col,
+            bins=bins, max_distinct=max_distinct,
+        ).select(
             F.lit(int(batch_id)).alias("batch_id"),
             "n_ref",
             "n_batch",

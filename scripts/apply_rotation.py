@@ -77,9 +77,13 @@ def main() -> None:
     if "--dry" in sys.argv:
         print(new_body)
         return
+    order = rotation.suggested_order()
     new_src = src[: m.start(2)] + new_body + src[m.end(2):]
     open(ENTRY, "w").write(new_src)
-    print(f"rewrote {len(rotation.suggested_order())} entries")
+    # record the prefix this rotation computed — rotation.check()'s
+    # round-boundary acceptance verifies the live prefix against it
+    rotation.write_snapshot(order)
+    print(f"rewrote {len(order)} entries; snapshot {rotation.SNAPSHOT_PATH}")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,13 @@ def main() -> None:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # release operator-adopted caches between queries — 184
+            # queries in one session otherwise pin every shingle/
+            # fingerprint frame until executor-storage eviction
+            from mydatalake_spark.caching import release, release_all
+
+            release(sdf)
+            release_all()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failures.append(name)

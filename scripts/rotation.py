@@ -36,6 +36,36 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PREFIX_BUDGET = 50   # observed driver rows per round
 
+#: Snapshot of the prefix as the rotation actually computed it, written
+#: by apply_rotation.py. check()'s round-boundary acceptance compares
+#: the CURRENT prefix against this — freshness alone cannot tell "this
+#: prefix was sorted when the driver checked it" from "an entry was
+#: moved into the prefix after its round landed" (excluding the newest
+#: round zeroes both), so the order at rotation time is recorded.
+SNAPSHOT_PATH = os.path.join(REPO, ".rotation_prefix.json")
+
+
+def write_snapshot(order: list[str]) -> None:
+    """Record the prefix the rotation just computed (and the round
+    history it was computed against)."""
+    with open(SNAPSHOT_PATH, "w") as fh:
+        json.dump(
+            {
+                "computed_against_round": newest_round(),
+                "prefix": order[:PREFIX_BUDGET],
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+
+def load_snapshot() -> dict | None:
+    try:
+        return json.load(open(SNAPSHOT_PATH))
+    except Exception:
+        return None
+
 
 def last_green_rounds(exclude_round: int | None = None) -> dict[str, int]:
     """query name → latest round with a fully green driver row
@@ -130,6 +160,7 @@ def check(
     budget: int = PREFIX_BUDGET,
     fresh: list[tuple[str, int]] | None = None,
     fresh_excl_newest: list[tuple[str, int]] | None = None,
+    snapshot: dict | None = None,
 ) -> list[str]:
     """Round-boundary-aware rotation check.
 
@@ -140,19 +171,25 @@ def check(
        driver lands ``CORRECTNESS_r{N}.json`` *after* the builder's final
        commit, turning the just-checked prefix into the freshest entries
        — a state the rotation caused on purpose. If the prefix was
-       freshness-sorted *before* that file landed, every full-history
-       violation is attributable solely to the newest file (outside
-       entries never get fresher by excluding a round, and inside
-       entries can only have been upgraded by it), so the boundary
-       state is accepted. A prefix that is stale for any other reason
-       (unsorted edit, forgotten rotation spanning >1 round) still
-       fails both evaluations.
+       freshness-sorted *before* that file landed AND the current prefix
+       is the one the rotation actually computed (the
+       ``.rotation_prefix.json`` snapshot), the boundary state is
+       accepted.
 
-    ``fresh`` / ``fresh_excl_newest`` inject freshness lists for tests.
+    The snapshot comparison closes a masking hole in the exclusion
+    heuristic alone: excluding round N zeroes an entry checked ONLY in
+    round N, so a post-landing edit that moves a just-checked entry
+    INTO the prefix (displacing a never-checked one) would look sorted
+    under exclusion. Freshness cannot distinguish "was in the prefix
+    when checked" from "moved in after being checked" — the recorded
+    order at rotation time can.
+
+    ``fresh`` / ``fresh_excl_newest`` / ``snapshot`` inject state for
+    tests; with ``fresh`` injected and no snapshot, the snapshot arm is
+    skipped (pure freshness-logic tests).
     """
-    full = _violations(
-        fresh if fresh is not None else freshness(), budget
-    )
+    current = fresh if fresh is not None else freshness()
+    full = _violations(current, budget)
     if not full:
         return []
     if fresh_excl_newest is None:
@@ -160,9 +197,25 @@ def check(
         if nr == 0:
             return full
         fresh_excl_newest = freshness(exclude_round=nr)
-    if not _violations(fresh_excl_newest, budget):
+    if _violations(fresh_excl_newest, budget):
+        return full
+    if snapshot is None:
+        if fresh is not None:
+            return []  # injected freshness-only test: legacy behavior
+        snapshot = load_snapshot()
+        if snapshot is None:
+            return []  # no snapshot recorded yet (pre-hardening state)
+    snap_prefix = set(snapshot.get("prefix", []))
+    cur_prefix = {n for n, _ in current[:budget]}
+    if cur_prefix == snap_prefix:
         return []
-    return full
+    moved_in = sorted(cur_prefix - snap_prefix)
+    moved_out = sorted(snap_prefix - cur_prefix)
+    return full + [
+        "prefix does not match the rotation snapshot "
+        f"(.rotation_prefix.json): moved in {moved_in[:5]}, "
+        f"moved out {moved_out[:5]} — re-run scripts/apply_rotation.py"
+    ]
 
 
 def coverage_table() -> str:

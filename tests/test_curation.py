@@ -453,3 +453,55 @@ def test_dedup_summary_fed_path_matches_recompute(spark, tmp_path):
     assert fed.n_exact_dup_rows == recompute.n_exact_dup_rows == 1
     assert fed.n_near_docs == recompute.n_near_docs == 3
     assert fed.near_dup_ratio == recompute.near_dup_ratio
+
+
+def test_cache_transfer_and_ledger_backstop(spark):
+    """The ownership protocol end-to-end: (a) transfer() moves adopted
+    caches onto the frame the caller actually releases — deriving a
+    new frame from an adopting operator's result must not orphan the
+    cache; (b) release_all() unpersists whatever fell through anyway."""
+    from mydatalake_spark import caching
+    from mydatalake_spark.caching import (
+        adopt,
+        release,
+        release_all,
+        transfer,
+    )
+
+    def storage_cached(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    base = spark.range(0, 10).cache()
+    base.count()
+    out = adopt(spark.range(0, 5), base)
+    derived = out.selectExpr("id * 2 AS x")  # orphans the attribute
+    final = transfer(out, derived)
+    assert getattr(out, caching._OWNED_ATTR) == []
+    release(final)
+    assert not base.storageLevel.useMemory or not any(
+        c is base for c in caching._LEDGER
+    )
+    assert all(c is not base for c in caching._LEDGER)
+
+    # ledger backstop: adopt, lose the reference, release_all cleans up
+    b2 = spark.range(0, 10).cache()
+    b2.count()
+    adopt(spark.range(0, 3), b2)  # result discarded -> orphaned
+    assert any(c is b2 for c in caching._LEDGER)
+    release_all()
+    assert not caching._LEDGER
+
+    # the real composed query: canonical_by_quality's pair generator
+    # cache must reach the returned frame
+    from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    joined = transfer(pairs, pairs.selectExpr("id_a"))
+    owned = getattr(joined, caching._OWNED_ATTR)
+    assert owned, "pair-generator cache did not transfer"
+    release(joined)
+    assert not caching._LEDGER

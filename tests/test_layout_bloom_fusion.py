@@ -557,3 +557,54 @@ def test_merge_upsert_bloomed_auto_falls_back_to_plain_merge(spark):
     assert {tuple(r) for r in got_plain.collect()} == expected
     plan = got_plain._jdf.queryExecution().optimizedPlan().toString()
     assert "element_at(" not in plan and "Union" not in plan
+
+
+def test_bloom_null_keys_never_pass_either_family(spark):
+    """The null contract under BOTH families: null build keys are
+    dropped (they can never equi-join; under native they'd otherwise
+    set k fixed bits, and their null positions would crash the dense
+    collect), null probe keys never pass bloom_prune, always land in
+    bloom_split's no_match, and never flag true in the probe_keys
+    audit — even against a SATURATED filter, the adversarial case for
+    native's xxhash64-skips-nulls behavior."""
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_mask_array,
+        bloom_probe_keys,
+        bloom_prune,
+        bloom_split,
+    )
+
+    m_bits = 1 << 13
+    build = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)], "k long"
+    )
+    probe = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,), (None,)], "k long"
+    )
+    saturated = [0xFFFFFFFF] * (m_bits // 32)
+    for family in ("native", "portable"):
+        # build with a null key must not crash the dense collect
+        words = bloom_mask_array(
+            bloom_build(build, "k", m_bits=m_bits, k=3, family=family),
+            m_bits=m_bits,
+        )
+        assert len(words) == m_bits // 32
+        for w in (words, saturated):
+            pruned = bloom_prune(probe, "k", w, k=3, family=family)
+            assert all(
+                r.k is not None for r in pruned.collect()
+            ), family
+            hit, miss = bloom_split(probe, "k", w, k=3, family=family)
+            hit_rows, miss_rows = hit.collect(), miss.collect()
+            assert all(r.k is not None for r in hit_rows), family
+            nulls_in_miss = sum(1 for r in miss_rows if r.k is None)
+            assert nulls_in_miss == 2, (family, nulls_in_miss)
+            assert len(hit_rows) + len(miss_rows) == 102, family
+        flagged = bloom_probe_keys(
+            probe.distinct(), "k",
+            bloom_build(build, "k", m_bits=m_bits, k=3, family=family),
+            m_bits=m_bits, k=3, family=family,
+        ).collect()
+        null_flags = [r.bloom_pass for r in flagged if r.k is None]
+        assert null_flags and not any(null_flags), (family, null_flags)

@@ -94,3 +94,35 @@ def test_every_query_name_in_rotation_schedule_table():
     assert "## Driver-prefix rotation schedule" in cov
     missing = [n for n in rotation.registry_names() if n not in cov]
     assert not missing, missing
+
+
+def test_boundary_acceptance_requires_snapshot_prefix_match():
+    """The masking hole the snapshot closes: a post-landing edit that
+    moves a just-checked entry INTO the prefix (displacing a stale one)
+    looks sorted under round-exclusion — the moved entry's freshness
+    zeroes out with its only round excluded. With the recorded
+    rotation-time prefix, the reorder is caught; the genuine boundary
+    state (prefix unchanged since rotation) still passes."""
+    # rotation computed prefix = [q0, q1]; driver then checked it in r7
+    snapshot = {"computed_against_round": 6, "prefix": ["q0", "q1"]}
+    honest = [("q0", 7), ("q1", 7), ("q2", 4), ("q3", 5)]
+    pre = [("q0", 3), ("q1", 3), ("q2", 4), ("q3", 5)]
+    assert not rotation.check(
+        budget=2, fresh=honest, fresh_excl_newest=pre, snapshot=snapshot
+    )
+    # masked reorder: the rotation computed prefix [q3, q1], the driver
+    # checked q1 (and q0, outside) in r7, then q0 was moved INTO the
+    # prefix displacing never-checked q3. Exclusion zeroes both r7-only
+    # entries, so the post-edit prefix reads [0, 0] vs outside [4, 0] —
+    # sorted, i.e. the freshness heuristic alone is blind to the swap.
+    snapshot2 = {"computed_against_round": 6, "prefix": ["q3", "q1"]}
+    reordered = [("q0", 7), ("q1", 7), ("q2", 4), ("q3", 0)]
+    pre2 = [("q0", 0), ("q1", 0), ("q2", 4), ("q3", 0)]
+    assert not rotation._violations(pre2, budget=2), (
+        "sanity: this shape must be invisible to the exclusion arm"
+    )
+    violations = rotation.check(
+        budget=2, fresh=reordered, fresh_excl_newest=pre2,
+        snapshot=snapshot2,
+    )
+    assert violations and "snapshot" in violations[-1]

@@ -843,3 +843,59 @@ def test_closed_sessions_batch_twin_parity(spark, tmp_path):
     assert streamed == twinned
     assert len(twinned) == 3             # user 8's session stays open
     assert {k for k, *_ in twinned} == {7, 9}
+
+
+def test_stream_drift_monitor_bins_path_probe_free(spark, tmp_path):
+    """The continuous-metric configuration: bins= quantizes the ECDFs,
+    skips the per-batch cardinality probe, and still flags an obvious
+    shift — and the binned monitor row matches the binned batch
+    drift_report (parity holds per configuration)."""
+    import json
+    from unittest import mock
+
+    from mydatalake_spark import functions as _  # noqa: F401
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.functions import stats as stats_mod
+    from mydatalake_spark.streaming.drift import (
+        drift_report,
+        stream_drift_monitor,
+    )
+    from mydatalake_spark.streaming.events import stream_from_json_dir
+
+    ref = spark.createDataFrame(
+        [(i, 10.0 + i * 0.9) for i in range(10)], "id long, value double"
+    )
+    src = tmp_path / "drift_bins"
+    src.mkdir()
+    with open(src / "b0.json", "w") as fh:
+        for i, v in enumerate([60.5, 62.5, 64.5]):
+            fh.write(json.dumps({
+                "event_id": i, "ts": "2024-01-01 00:00:00",
+                "user_id": i, "event_type": "x", "value": v,
+            }) + "\n")
+    cat = Catalog(spark, str(tmp_path / "wh_bins"))
+
+    # bins= must never reach the refusal probe: wrap the guard and
+    # assert every call arrives with bins set (its probe-free arm)
+    real_guard = stats_mod._guard_ecdf_distinct
+
+    def guard_spy(df, value_col, bins, max_distinct, caller):
+        assert bins is not None, f"{caller} probed on the bins path"
+        return real_guard(df, value_col, bins, max_distinct, caller)
+
+    with mock.patch.object(
+        stats_mod, "_guard_ecdf_distinct", side_effect=guard_spy
+    ):
+        q = stream_drift_monitor(
+            stream_from_json_dir(spark, str(src), EVENT_SCHEMA),
+            ref, "value", cat, "catalog.monitor.drift_bins",
+            str(tmp_path / "ckpt_bins"), d_alert=0.5, bins=64,
+        )
+        q.awaitTermination(120)
+    rows = cat.read("catalog.monitor.drift_bins").collect()
+    assert len(rows) == 1 and rows[0].drifted
+    b0 = spark.createDataFrame(
+        [(v,) for v in [60.5, 62.5, 64.5]], "value double"
+    )
+    rep = drift_report(ref, b0, "value", bins=64).collect()[0]
+    assert (rep.d_stat, rep.emd) == (rows[0].d_stat, rows[0].emd)
