@@ -159,7 +159,15 @@ def bloom_probe_keys(
         exploded.join(F.broadcast(bloom), "word_idx", "left")
         .select(key_col, hit)
         .groupBy(key_col)
-        .agg((F.min("__hit__") == 1).alias("bloom_pass"))
+        # coalesce: a null key's positions are all null, so min(hit)
+        # aggregates to NULL — the audit must report False (cannot
+        # match), not three-valued unknown, or hit+miss partitions of
+        # the key set stop summing to the whole
+        .agg(
+            F.coalesce(F.min("__hit__") == 1, F.lit(False)).alias(
+                "bloom_pass"
+            )
+        )
     )
 
 

@@ -53,13 +53,24 @@ def drift_report(
             F.lit(1).alias("__side__"), F.col(value_col).alias("__val__")
         )
     )
+    if bins is not None:
+        # quantize ONCE here instead of letting each stat run its own
+        # eager min/max bin-edge pass over the same combined frame —
+        # halves the per-call (and per-micro-batch) driver jobs; both
+        # stats then see a ≤bins-distinct column and need no probe
+        from ..functions.stats import _maybe_binned
+
+        combined = combined.select(
+            "__side__", _maybe_binned(combined, "__val__", bins).alias(
+                "__val__"
+            )
+        )
     ks = ks_2samp(
         combined, F.col("__side__"), "__val__",
-        bins=bins, max_distinct=max_distinct,
+        max_distinct=None if bins is not None else max_distinct,
     )
     emd = emd_1d(
-        combined, F.col("__side__"), "__val__",
-        bins=bins, max_distinct=None,
+        combined, F.col("__side__"), "__val__", max_distinct=None,
     )
     return (
         ks.select(

@@ -44,9 +44,8 @@ def current_value_exprs() -> dict[str, str]:
     return out
 
 
-def build_body() -> str:
+def build_body(order: list[str]) -> str:
     greens = rotation.last_green_rounds()
-    order = rotation.suggested_order()
     exprs = current_value_exprs()
     missing = [n for n in order if n not in exprs]
     if missing:
@@ -73,11 +72,13 @@ def main() -> None:
     m = pat.search(src)
     if not m:
         raise SystemExit("could not locate _raw_queries dict body")
-    new_body = build_body()
+    # one suggested_order() call feeds BOTH the dict body and the
+    # snapshot, so they cannot disagree
+    order = rotation.suggested_order()
+    new_body = build_body(order)
     if "--dry" in sys.argv:
         print(new_body)
         return
-    order = rotation.suggested_order()
     new_src = src[: m.start(2)] + new_body + src[m.end(2):]
     open(ENTRY, "w").write(new_src)
     # record the prefix this rotation computed — rotation.check()'s

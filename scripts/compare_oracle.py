@@ -95,16 +95,23 @@ def main() -> None:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            # release operator-adopted caches between queries — 184
-            # queries in one session otherwise pin every shingle/
-            # fingerprint frame until executor-storage eviction
-            from mydatalake_spark.caching import release, release_all
-
-            release(sdf)
-            release_all()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failures.append(name)
+            skip = True
+        else:
+            skip = False
+        finally:
+            # release operator-adopted caches between queries — 184
+            # queries in one session otherwise pin every shingle/
+            # fingerprint frame until executor-storage eviction. In a
+            # finally: a FAILING query may have adopted caches before
+            # raising, and those must not leak across the rest of the
+            # run either.
+            from mydatalake_spark.caching import release_all
+
+            release_all()
+        if skip:
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")

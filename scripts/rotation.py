@@ -61,10 +61,27 @@ def write_snapshot(order: list[str]) -> None:
 
 
 def load_snapshot() -> dict | None:
-    try:
-        return json.load(open(SNAPSHOT_PATH))
-    except Exception:
+    """None iff the snapshot file is ABSENT (legacy state, accepted).
+    A present-but-corrupt snapshot raises: the hardening must fail
+    CLOSED — silently treating a truncated file as 'no snapshot'
+    would re-open the masked-reorder hole with no warning."""
+    if not os.path.exists(SNAPSHOT_PATH):
         return None
+    try:
+        snap = json.load(open(SNAPSHOT_PATH))
+    except Exception as e:
+        raise ValueError(
+            f"corrupt rotation snapshot {SNAPSHOT_PATH}: {e}; "
+            "re-run scripts/apply_rotation.py to regenerate it"
+        ) from e
+    if not isinstance(snap, dict) or not isinstance(
+        snap.get("prefix"), list
+    ):
+        raise ValueError(
+            f"malformed rotation snapshot {SNAPSHOT_PATH} "
+            "(missing 'prefix' list); re-run scripts/apply_rotation.py"
+        )
+    return snap
 
 
 def last_green_rounds(exclude_round: int | None = None) -> dict[str, int]:

@@ -607,4 +607,6 @@ def test_bloom_null_keys_never_pass_either_family(spark):
             m_bits=m_bits, k=3, family=family,
         ).collect()
         null_flags = [r.bloom_pass for r in flagged if r.k is None]
-        assert null_flags and not any(null_flags), (family, null_flags)
+        # must be literal False, not three-valued NULL — a NULL flag
+        # would vanish from BOTH filter(col) and filter(~col)
+        assert null_flags == [False], (family, null_flags)

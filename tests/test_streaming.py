@@ -880,7 +880,12 @@ def test_stream_drift_monitor_bins_path_probe_free(spark, tmp_path):
     real_guard = stats_mod._guard_ecdf_distinct
 
     def guard_spy(df, value_col, bins, max_distinct, caller):
-        assert bins is not None, f"{caller} probed on the bins path"
+        # probe-free means the guard's short-circuit arm: either the
+        # frame is pre-binned (bins set) or the probe is waived
+        # (max_distinct=None, as drift_report does after binning once)
+        assert bins is not None or max_distinct is None, (
+            f"{caller} probed on the bins path"
+        )
         return real_guard(df, value_col, bins, max_distinct, caller)
 
     with mock.patch.object(
