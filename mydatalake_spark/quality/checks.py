@@ -55,13 +55,23 @@ _RESULT_SCHEMA_COLS = [
 def composite_key(key_cols: list[str]) -> Column:
     """``df_key`` = '_'-joined stringified key columns
     (reference lib/checker.py:98). At 100 TB prefer
-    :func:`hashed_key` to bound row width (SURVEY.md §7.4(8))."""
+    :func:`hashed_key` to bound row width (SURVEY.md §7.4(8)).
+
+    DISPLAY KEY ONLY — not collision-free: concat_ws SKIPS null
+    columns ((null,'x') == ('x',null) == ('x',)) and the separator
+    admits injection (('a_b','c') == ('a','b_c')), both faithful to
+    the reference's scheme. Anything that joins rows BY IDENTITY must
+    use the raw key columns with null-safe equality (run_wap does) or
+    merge.py's sentinel-escaped _composite_key."""
     return F.concat_ws("_", *[F.col(c).cast("string") for c in key_cols])
 
 
 def hashed_key(key_cols: list[str]) -> Column:
     """64-bit stable record key — fixed-width alternative for wide
-    composite keys at scale."""
+    composite keys at scale. Same caveat as :func:`composite_key`:
+    xxhash64 SKIPS null arguments, so null-shifted key tuples
+    ((null,'x') vs ('x',null)) collide structurally — display and
+    bucketing use only, never identity joins."""
     return F.xxhash64(*[F.col(c).cast("string") for c in key_cols])
 
 
@@ -205,6 +215,7 @@ def annotate(
     missing_sentinels: list[str] | None = None,
     use_hashed_key: bool = False,
     fk_parents: dict[str, DataFrame] | None = None,
+    keep_key_cols: bool = False,
 ) -> DataFrame:
     """Compile every declared test into ONE pass over ``df``.
 
@@ -215,6 +226,13 @@ def annotate(
     Returns the reference's long format, one row per (record × test):
     ``df_key, test_type, mandate, column, test_name, run_date,
     check_result ('passed'|'failed'), check_score (1|0)``.
+
+    ``keep_key_cols=True`` appends the RAW key columns (as
+    ``__k_{col}__``) for callers that route rows by check outcome
+    (run_wap): ``df_key`` is the reference's display key and is NOT
+    collision-free — '_'-joining both skips nulls and admits separator
+    injection (('a_b','c') == ('a','b_c')) — so identity joins must
+    use the raw columns null-safely, never the string.
     """
     if not key_cols:
         raise ValueError("No key column found in schema.")
@@ -323,13 +341,19 @@ def annotate(
     run_date_col = (
         F.current_date() if run_date is None else F.to_date(F.lit(run_date))
     )
+    key_carry = (
+        [F.col(c).alias(f"__k_{c}__") for c in key_cols]
+        if keep_key_cols else []
+    )
     exploded = keyed.select(
         F.col("df_key"),
+        *key_carry,
         run_date_col.alias("run_date"),
         F.explode(F.array(*structs)).alias("t"),
     )
     return exploded.select(
         "df_key",
+        *[f"__k_{c}__" for c in (key_cols if keep_key_cols else [])],
         F.col("t.test_type").alias("test_type"),
         F.col("t.mandate").alias("mandate"),
         F.col("t.column").alias("column"),

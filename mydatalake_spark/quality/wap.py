@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from .checks import annotate, composite_key
+from .checks import annotate
 
 
 class AuditFailed(Exception):
@@ -82,27 +82,33 @@ def write_audit_publish(
         raise ValueError("min_clean_fraction must be in [0, 1]")
     quarantine_table = quarantine_table or f"{table}_quarantine"
 
-    keyed = batch.withColumn("__wap_key__", composite_key(key_cols))
+    keyed = batch
     keyed.cache()
     try:
         rows_total = keyed.count()
+        # keep_key_cols: routing joins on the RAW key columns with
+        # null-safe equality. The display df_key ('_'-joined, reference
+        # scheme) is NOT collision-free — it skips nulls and admits
+        # separator injection (('a_b','c') == ('a','b_c')) — and a
+        # collision here would quarantine a CLEAN row that merely
+        # collides with a failed one.
         results = annotate(
-            batch, column_tests, key_cols, run_date=run_date, as_of=as_of
+            batch, column_tests, key_cols, run_date=run_date, as_of=as_of,
+            keep_key_cols=True,
         )
+        kcols = [f"__k_{c}__" for c in key_cols]
         failures = (
             results.filter(F.col("check_result") == "failed")
-            .groupBy("df_key")
+            .groupBy(*kcols)
             .agg(F.sort_array(F.collect_set("test_name"))
                  .alias("failed_tests"))
         )
-        dirty = keyed.join(
-            failures, keyed["__wap_key__"] == failures["df_key"]
-        ).drop("df_key")
-        clean = keyed.join(
-            failures.select("df_key"),
-            keyed["__wap_key__"] == failures["df_key"],
-            "left_anti",
-        ).drop("__wap_key__")
+        on = None
+        for c in key_cols:
+            term = keyed[c].eqNullSafe(failures[f"__k_{c}__"])
+            on = term if on is None else on & term
+        dirty = keyed.join(failures, on).drop(*kcols)
+        clean = keyed.join(failures.select(*kcols), on, "left_anti")
 
         rows_quarantined = dirty.count()
         rows_clean = rows_total - rows_quarantined
@@ -125,7 +131,7 @@ def write_audit_publish(
             raise ValueError(f"unknown mode {mode!r}")
 
         if rows_quarantined:
-            quarantined = dirty.drop("__wap_key__")
+            quarantined = dirty
             if batch_id is not None:
                 quarantined = quarantined.withColumn(
                     "__wap_batch__", F.lit(batch_id)

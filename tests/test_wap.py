@@ -127,3 +127,37 @@ def test_production_publishes_before_quarantine(spark, cat, monkeypatch):
     # production is correct and complete; only quarantine is missing
     assert {r.id for r in cat.read("silver.mkt.px6").collect()} == {1}
     assert not cat.exists("silver.mkt.px6_quarantine")
+
+
+def test_routing_immune_to_display_key_collisions(spark, cat):
+    """The reference's '_'-joined df_key is a DISPLAY key, not an
+    identity: it skips nulls and admits separator injection — the
+    composite keys ('a_b','c') and ('a','b_c') render identically, as
+    do (null,'x') and ('x',null). Routing joins on the raw key columns
+    null-safely, so a clean row must never be quarantined because its
+    display key collides with a failed row's."""
+    batch = spark.createDataFrame(
+        [
+            # separator injection: same df_key 'a_b_c', one fails
+            ("a_b", "c", "A", 10.0),
+            ("a", "b_c", "B", -5.0),    # fails px_positive
+            # null shift: same df_key 'x', one fails
+            (None, "x", "C", 3.0),
+            ("x", None, "D", -1.0),     # fails px_positive
+        ],
+        "k1 string, k2 string, sym string, px double",
+    )
+    rep = write_audit_publish(
+        cat, "silver.mkt.coll", batch,
+        [{"column": "px", "test_type": "outside_of_rules",
+          "test_name": "px_positive", "kwargs": {"expression": "px > 0"}}],
+        ["k1", "k2"], min_clean_fraction=0.25,
+    )
+    assert (rep.rows_clean, rep.rows_quarantined) == (2, 2)
+    clean = {(r.k1, r.k2) for r in cat.read("silver.mkt.coll").collect()}
+    assert clean == {("a_b", "c"), (None, "x")}
+    dirty = {
+        (r.k1, r.k2)
+        for r in cat.read("silver.mkt.coll_quarantine").collect()
+    }
+    assert dirty == {("a", "b_c"), ("x", None)}
