@@ -45,9 +45,14 @@ def _dedup_source(
 ) -> DataFrame:
     """Latest-wins pre-dedup of a changeset on its merge keys. With no
     explicit tiebreakers, a stable one is synthesized (xxhash64 of the
-    non-key columns) so equal-(key, ts) duplicates pick the same
-    survivor under any run/partition layout (dedup.py's determinism
-    rule)."""
+    null-safe composite string of the non-key columns) so equal-
+    (key, ts) duplicates pick the same survivor under any run/
+    partition layout (dedup.py's determinism rule). The composite
+    string, not ``xxhash64(*cols)``: xxhash64 SKIPS null arguments, so
+    rows differing only by a null shift ((null,'x') vs ('x',null))
+    would share a tiebreaker and the tie would fall back to partition
+    order — exactly the nondeterminism the tiebreaker exists to
+    remove."""
     if ts_col is None:
         return source.dropDuplicates(keys)
     if tiebreakers:
@@ -55,7 +60,7 @@ def _dedup_source(
     non_key = [c for c in source.columns if c not in keys]
     return (
         source.withColumn(
-            "__tb__", F.xxhash64(*[F.col(c) for c in non_key])
+            "__tb__", F.xxhash64(_composite_key(non_key))
         )
         .transform(lambda d: dedup_latest(d, keys, [ts_col], ["__tb__"]))
         .drop("__tb__")

@@ -351,3 +351,27 @@ def test_profile_table_approx_estimates_within_rsd(spark):
         assert abs(ap.n_distinct - e.n_distinct) <= max(
             3, 0.1 * e.n_distinct
         ), (c, ap.n_distinct, e.n_distinct)
+
+
+def test_merge_synthesized_tiebreaker_distinguishes_null_shifts(spark):
+    """Equal-(key, ts) duplicate rows that differ ONLY by which column
+    is null must pick the same survivor regardless of input order:
+    the synthesized tiebreaker hashes the null-safe composite string,
+    because xxhash64(*cols) skips null args and would give (null,'x')
+    and ('x',null) the SAME tiebreaker — leaving the tie to partition
+    order."""
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 0, "old", "old")], "k long, ts long, a string, b string"
+    )
+    dup_rows = [(1, 5, None, "x"), (1, 5, "x", None)]
+    survivors = set()
+    for rows in (dup_rows, dup_rows[::-1]):
+        src = spark.createDataFrame(
+            rows, "k long, ts long, a string, b string"
+        )
+        out = merge_upsert(target, src, ["k"], "ts").collect()
+        assert len(out) == 1
+        survivors.add((out[0].a, out[0].b))
+    assert len(survivors) == 1, survivors
