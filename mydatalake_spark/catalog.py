@@ -203,7 +203,14 @@ class Catalog:
         """Rewrite ONLY the named partitions (Delta ``replaceWhere`` /
         dynamic-partition-overwrite analogue): ``df`` must contain
         exactly the replacement rows for those partitions. Untouched
-        partition directories are never read or written."""
+        partition directories are never read or written.
+
+        Atomicity is PER PARTITION (each swap is one directory
+        rename): a crash mid-loop leaves some partitions new and some
+        old — re-running the same rewrite converges, but readers in
+        the window can see a mixed state. A cross-partition-atomic
+        rewrite needs a table format with a transaction log (the Delta
+        path) or the full staging swap of overwrite_via_staging."""
         from pyspark.sql import functions as F
 
         base = self.path(full_name)
