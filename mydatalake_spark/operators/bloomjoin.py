@@ -48,6 +48,30 @@ def _check_family(family: str) -> None:
         )
 
 
+def _check_k(k: int) -> None:
+    """k=0 would build a vacuous condition (malformed SQL far from the
+    caller: ``'... AND ' + ''`` / an empty forall body); fail at the
+    entry point with a readable message instead."""
+    if k < 1:
+        raise ValueError(f"bloom k (hash count) must be >= 1, got {k}")
+
+
+def _check_m_bits(m_bits: int) -> None:
+    """Build sets bits for positions in [0, m_bits) while the dense
+    word list and _folded_filter re-derive the modulus as
+    len(words)*32 — an m_bits not divisible by the word size makes
+    build and probe disagree on the modulus, which manifests as bloom
+    FALSE NEGATIVES (a pruned-away true match). Auto sizing always
+    yields powers of two; this only blocks misuse."""
+    if m_bits < WORD_BITS or m_bits % WORD_BITS != 0:
+        raise ValueError(
+            f"bloom m_bits must be a positive multiple of {WORD_BITS} "
+            f"(build and probe re-derive the modulus from the dense "
+            f"word list, so a ragged size silently changes it and "
+            f"creates false negatives); got {m_bits}"
+        )
+
+
 def _positions(
     key: Column, k: int, m_bits: int, family: str = "native"
 ) -> Column:
@@ -58,6 +82,8 @@ def _positions(
     Catalyst cannot duplicate a lambda-bound value the way predicate
     pushdown duplicates plain column subtrees."""
     _check_family(family)
+    _check_k(k)
+    _check_m_bits(m_bits)
     ks = key.cast("string")
     if family == "native":
         # xxhash64 skips null args (hashes the seed alone), which
@@ -112,6 +138,7 @@ def bloom_build(
     null key can never equi-join, setting bits for it only inflates
     the fp rate (and its null positions would otherwise surface as a
     null word_idx row that crashes the dense-array collect)."""
+    _check_m_bits(m_bits)
     pos = _positions(F.col(key_col), k, m_bits, family=family)
     # shiftleft/shiftright with a COLUMN shift amount need the SQL form
     # (the PySpark wrappers only take literal ints).
@@ -256,6 +283,7 @@ def bloom_mask_array(bloom: DataFrame, m_bits: int = 1 << 16) -> list[int]:
             f"BUILD side, which is selective by assumption), or the "
             f"broadcast (word_idx, mask) path (bloom_probe_keys)."
         )
+    _check_m_bits(m_bits)
     n_words = m_bits // WORD_BITS
     words = [0] * n_words
     for r in bloom.collect():
@@ -286,6 +314,7 @@ def _folded_filter(
     drops the Filter out of codegen, which is the portability tax —
     use it only where a DuckDB oracle must replay the filter."""
     _check_family(family)
+    _check_k(k)
     m_bits = len(words) * WORD_BITS
     arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     flagged = probe.withColumn("__bf__", F.expr(arr_sql))
@@ -417,6 +446,13 @@ def bloom_filtered_join(
     Eager by design: building the filter runs one Spark job over the
     (already selective) build side before the returned plan exists —
     the same probe-then-plan shape as ``merge_upsert_partitioned``.
+    With ``m_bits="auto"`` the build side is evaluated up to THREE
+    times (the approx-count-distinct sizing job, the mask collect, and
+    again inside the returned join) — the same table-scan assumption
+    as ``merge_upsert_bloomed``'s target: fine when ``build`` is a
+    (cheap, prunable) scan, but a build side that is itself an
+    expensive derived frame should be ``.cache()``-ed /
+    ``localCheckpoint()``-ed by the caller first, or joined plain.
 
     ``m_bits="auto"`` (default) counts the build side's distinct keys
     and sizes the filter via :func:`auto_m_bits` (~12 bits/key, pow2,

@@ -266,6 +266,19 @@ def merge_upsert_bloomed(
     # evolve BEFORE the split so the bypass branch carries the new
     # columns too (same additive-only rule as merge_upsert)
     target = _evolve_and_check(target, source, evolve_schema)
+    # the split stages the composite key as __mk__ and _folded_filter
+    # stages the word list as __bf__; a real column by either name
+    # would be silently clobbered and dropped from the merged output —
+    # fail fast instead (merge_upsert's rename discipline has no such
+    # hole because it prefixes EVERY source column).
+    reserved = {"__mk__", "__bf__"}
+    clash = reserved & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(
+            f"merge_upsert_bloomed: column(s) {sorted(clash)} collide "
+            "with reserved staging names; rename them or use "
+            "merge_upsert."
+        )
     key_expr = _composite_key(keys)
     src_keys = source.select(key_expr.alias("__mk__"))
     if m_bits == "auto":

@@ -610,3 +610,59 @@ def test_bloom_null_keys_never_pass_either_family(spark):
         # must be literal False, not three-valued NULL — a NULL flag
         # would vanish from BOTH filter(col) and filter(~col)
         assert null_flags == [False], (family, null_flags)
+
+
+def test_bloom_rejects_ragged_m_bits_and_zero_k(spark):
+    """ADVICE r7: an m_bits not divisible by the 32-bit word size makes
+    build and probe disagree on the modulus (the dense word list
+    re-derives it as len(words)*32) -> bloom FALSE NEGATIVES, which in
+    merge_upsert_bloomed duplicate a matched key. k=0 would build a
+    vacuous/malformed condition. Both must fail at the entry point."""
+    import pytest
+
+    from mydatalake_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_mask_array,
+        bloom_probe_keys,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 10).withColumnRenamed("id", "k")
+    for bad in (100, 31, 0, -32):
+        with pytest.raises(ValueError, match="multiple of 32"):
+            bloom_build(build, "k", m_bits=bad)
+        with pytest.raises(ValueError, match="multiple of 32"):
+            bloom_mask_array(
+                bloom_build(build, "k", m_bits=1 << 13), m_bits=bad
+            )
+    for family in ("native", "portable"):
+        with pytest.raises(ValueError, match="k .hash count. must be"):
+            bloom_build(build, "k", m_bits=1 << 13, k=0, family=family)
+        with pytest.raises(ValueError, match="k .hash count. must be"):
+            bloom_prune(build, "k", [0] * 256, k=0, family=family)
+        with pytest.raises(ValueError, match="k .hash count. must be"):
+            bloom_probe_keys(
+                build, "k",
+                bloom_build(build, "k", m_bits=1 << 13, family=family),
+                m_bits=1 << 13, k=-1, family=family,
+            )
+
+
+def test_merge_upsert_bloomed_rejects_reserved_column_clash(spark):
+    """ADVICE r7: a real __mk__/__bf__ column would be clobbered by the
+    bloom staging and silently dropped from the merged output."""
+    import pytest
+
+    from mydatalake_spark.operators.merge import merge_upsert_bloomed
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10)], "k long, __mk__ string, ts long"
+    )
+    src = tgt
+    with pytest.raises(ValueError, match="__mk__"):
+        merge_upsert_bloomed(tgt, src, ["k"], ts_col="ts")
+    tgt2 = spark.createDataFrame(
+        [(1, "a", 10)], "k long, __bf__ string, ts long"
+    )
+    with pytest.raises(ValueError, match="__bf__"):
+        merge_upsert_bloomed(tgt2, tgt2, ["k"], ts_col="ts")
