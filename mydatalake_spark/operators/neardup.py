@@ -611,8 +611,12 @@ def cosine_neardup_pairs(
     higher-order-function dots measured ~25× slower at 2k vectors).
     Work distributes over the row side; the broadcast side must fit in
     executor memory (~3 GB at 10^6 × 384-dim float64), which bounds
-    this path at ~10^6 vectors — beyond that, block the corpus side
-    too, or use ``exact=False``: candidates from the same
+    this path at ~10^6 vectors — and in BYTES by
+    :data:`EXACT_BLAS_BYTES_CAP` (rows × dim × 8 vs a 1 GiB driver
+    budget, probed BEFORE the collect; ``ExactCorpusExceeded`` names
+    the LSH remediation), since the row-count route alone admits
+    multi-GB driver transfers at high dim — beyond that, block the
+    corpus side too, or use ``exact=False``: candidates from the same
     random-hyperplane LSH banding as ``similarity.search.lsh_topk``
     (band equi-join ⇒ shuffle on band buckets, no cross join), then
     the exact cosine filter verifies — a recall<1 scale path, mirroring
@@ -768,8 +772,25 @@ def cosine_neardup_pairs(
     )
 
 
+#: Driver-side budget for the exact BLAS broadcast path: the collected
+#: corpus materializes rows × dim float64 on the driver BEFORE the
+#: broadcast, so the row-count auto-route alone (≤1 M rows) still
+#: admits multi-GB transfers at high dim (1 M × 256-dim ≈ 2 GB).
+#: Mirrors similarity.pq.ADC_QUERY_BATCH_CAP: a bytes-denominated
+#: refusal with the scale-path remediation in the message.
+EXACT_BLAS_BYTES_CAP = 1 << 30
+
+
+class ExactCorpusExceeded(ValueError):
+    """The exact all-pairs corpus would exceed the driver-side byte
+    budget; the caller should take the LSH-blocked route."""
+
+
 def _exact_pairs_blas(
-    normed: DataFrame, id_col: str, threshold: float
+    normed: DataFrame,
+    id_col: str,
+    threshold: float,
+    bytes_cap: int = EXACT_BLAS_BYTES_CAP,
 ) -> DataFrame:
     """All-pairs cosine via blocked BLAS: broadcast the corpus matrix
     (L2-normalized in numpy), stream Arrow batches of the row side
@@ -778,6 +799,12 @@ def _exact_pairs_blas(
     embarrassingly parallel map over the row-side partitions.
     Zero-norm vectors produce nan scores, which never pass the
     threshold (cosine undefined ⇒ excluded, matching the SQL oracle).
+
+    Refuses (``ExactCorpusExceeded``) when rows × dim × 8 bytes would
+    exceed ``bytes_cap`` (:data:`EXACT_BLAS_BYTES_CAP`): the corpus
+    ``collect()`` lands on the DRIVER before broadcasting, and the
+    ≤1 M-row auto-route bounds rows but not bytes — one cheap
+    count+dim agg up front beats an OOM mid-collect.
     """
     import numpy as np
 
@@ -789,6 +816,19 @@ def _exact_pairs_blas(
     # schema follows the actual id type — ids are not assumed integral
     id_t = normed.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_t}, id_b {id_t}, score double"
+    stats = normed.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("_nv")).alias("d")
+    ).first()
+    est_bytes = stats["n"] * (stats["d"] or 0) * 8
+    if est_bytes > bytes_cap:
+        raise ExactCorpusExceeded(
+            f"exact all-pairs corpus is ~{est_bytes:,} bytes "
+            f"({stats['n']:,} rows × {stats['d']}-dim float64), over "
+            f"the {bytes_cap:,}-byte driver budget. Use the "
+            f"LSH-blocked route (cosine_neardup_pairs(exact=False) / "
+            f"lower max_exact_rows) — recall<1 but corpus-size-"
+            f"independent on the driver."
+        )
     corpus = normed.collect()
     if not corpus:
         return spark.createDataFrame([], schema)

@@ -909,3 +909,31 @@ def test_pq_adc_refuses_large_query_batch(spark):
     # explicit opt-out skips the probe entirely
     out2 = pq_adc_topk(codes, q, books, k=3, max_queries=None)
     assert out2.select("query_id").distinct().count() == 12
+
+
+def test_exact_blas_refuses_oversize_corpus_bytes(spark):
+    """VERDICT r7 ask #8: the <=1M-row auto-route bounds ROWS but the
+    driver-side collect materializes rows x dim float64 BYTES; the
+    bytes probe must refuse before collecting and name the LSH route."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.operators.neardup import (
+        ExactCorpusExceeded,
+        _exact_pairs_blas,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    normed = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("_nv"),
+    )
+    with pytest.raises(ExactCorpusExceeded, match="exact=False"):
+        _exact_pairs_blas(normed, "vec_id", 0.45, bytes_cap=1024)
+    # default budget: small corpora unchanged (same pairs as before)
+    pairs = cosine_neardup_pairs(emb, threshold=0.45, exact=True)
+    assert pairs.count() >= 0 and set(pairs.columns) == {
+        "id_a", "id_b", "score",
+    }
