@@ -67,6 +67,7 @@ from mydatalake_spark.operators.dedup import dedup_latest
 from mydatalake_spark.operators.merge import (
     merge_upsert,
     merge_upsert_bloomed,
+    merge_upsert_partitioned,
 )
 from mydatalake_spark.operators.neardup import (
     cosine_neardup_pairs,
@@ -410,6 +411,89 @@ u AS (
 SELECT o_orderkey, o_totalprice, ts FROM u
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY o_orderkey ORDER BY ts DESC, side DESC
+) = 1
+"""
+
+
+def merge_part_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH pruning levels of the 100 TB CDC story composed
+    (operators/merge.py ``merge_upsert_partitioned(bloom=True)``,
+    VERDICT r7 ask #4): orders keyed (o_orderkey, o_orderpriority)
+    live in a throwaway warehouse PARTITIONED by priority; a ~1%
+    changeset confined to '1-URGENT' (keys ≡ 0 mod 97, repriced,
+    fresher ts) merges with (a) partition pruning — the four untouched
+    priority partitions' files are never read or rewritten
+    (byte-identity + executed-plan shuffle counts asserted in
+    tests/test_partitioned_merge.py) — and (b) bloom row pruning
+    inside the touched slice, where guaranteed-miss target rows bypass
+    the merge join's shuffle via the map-only branch. The result is
+    identical to a plain whole-table merge, so the oracle replays the
+    union+QUALIFY merge semantics over the full orders table — the
+    hash match proves neither pruning level dropped or duplicated a
+    row. Returns a lazy read-back of the stored table."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    change = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS")).alias("ts"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="merge_part_bloom_"))
+    keys = ["o_orderkey", "o_orderpriority"]
+    merge_upsert_partitioned(
+        cat, "silver.sales.orders_cdc", base,
+        keys=keys, partition_col="o_orderpriority", ts_col="ts",
+    )
+    touched = merge_upsert_partitioned(
+        cat, "silver.sales.orders_cdc", change,
+        keys=keys, partition_col="o_orderpriority", ts_col="ts",
+        bloom=True,
+    )
+    # at tiny SFs the mod-97 changeset can be empty → no-op merge ([])
+    assert touched in ([], ["1-URGENT"]), touched
+    return cat.read("silver.sales.orders_cdc").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "ts"
+    )
+
+
+_MERGE_PART_BLOOM_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate AS ts
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+),
+u AS (
+  SELECT *, 0 AS side FROM t
+  UNION ALL
+  SELECT *, 1 AS side FROM s
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, ts FROM u
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderkey, o_orderpriority ORDER BY ts DESC, side DESC
 ) = 1
 """
 
@@ -9215,58 +9299,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
-        "merge_bloom_orders": merge_bloom_orders,
-        "medallion_job_orders": medallion_job_orders,
-        "bloom_join_lineitem": bloom_join_lineitem,
-        # --- last driver-green in r3 ---
-        "winnow_fingerprint_documents": winnow_fingerprint_documents,
-        "winnow_pairs_documents": winnow_pairs_documents,
-        "hash_split_documents": hash_split_documents,
-        "stratified_sample_documents": stratified_sample_documents,
-        "capped_sample_documents": capped_sample_documents,
-        "pack_shards_documents": pack_shards_documents,
-        "chunk_documents": chunk_documents,
-        "pii_redaction_documents": pii_redaction_documents,
-        "vocab_topk_documents": vocab_topk_documents,
-        "range_join_incidents": range_join_incidents,
-        "sketch_distinct_customers": sketch_distinct_customers,
-        "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
-        "pivot_revenue_by_year": pivot_revenue_by_year,
-        "unpivot_part_metrics": unpivot_part_metrics,
-        "rolling_revenue_daily": rolling_revenue_daily,
-        "rank_stats_customers": rank_stats_customers,
-        "scalar_functions2": scalar_functions2,
-        "median_acctbal_by_nation": median_acctbal_by_nation,
-        "stats_lineitem": stats_lineitem,
-        "retention_cohorts_events": retention_cohorts_events,
-        "repetition_stats_documents": repetition_stats_documents,
-        "dq_outlier_lineitem": dq_outlier_lineitem,
-        "qualify_transform_sql": qualify_transform_sql,
-        "bronze_cast_pipeline": bronze_cast_pipeline,
-        "nested_explode_roundtrip": nested_explode_roundtrip,
-        "dupflag_lineitem": dupflag_lineitem,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
-        "events_sessionize": events_sessionize,
-        "events_json_kv": events_json_kv,
-        "asof_enrich_clicks": asof_enrich_clicks,
+        "merge_part_bloom_orders": merge_part_bloom_orders,
         # --- last driver-green in r4 ---
-        "supplier_names_by_nation": supplier_names_by_nation,
-        "multimodal_meta": multimodal_meta,
-        "text_stats_documents": text_stats_documents,
-        "lang_guess_documents": lang_guess_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "exact_dedup_documents": exact_dedup_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q13_order_distribution": q13_order_distribution,
-        "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
-        "q4_late_shipping_priority": q4_late_shipping_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q15_top_supplier": q15_top_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_part_value": q11_important_part_value,
         "q12_late_shipments_priority": q12_late_shipments_priority,
         "q16_supplier_part_breadth": q16_supplier_part_breadth,
         "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
@@ -9403,6 +9437,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": similarity_ivf,
         "simhash_documents": simhash_documents,
         "embedding_neardup": embedding_neardup,
+        # --- last driver-green in r7 ---
+        "merge_bloom_orders": merge_bloom_orders,
+        "medallion_job_orders": medallion_job_orders,
+        "bloom_join_lineitem": bloom_join_lineitem,
+        "winnow_fingerprint_documents": winnow_fingerprint_documents,
+        "winnow_pairs_documents": winnow_pairs_documents,
+        "hash_split_documents": hash_split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "capped_sample_documents": capped_sample_documents,
+        "pack_shards_documents": pack_shards_documents,
+        "chunk_documents": chunk_documents,
+        "pii_redaction_documents": pii_redaction_documents,
+        "vocab_topk_documents": vocab_topk_documents,
+        "range_join_incidents": range_join_incidents,
+        "sketch_distinct_customers": sketch_distinct_customers,
+        "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
+        "pivot_revenue_by_year": pivot_revenue_by_year,
+        "unpivot_part_metrics": unpivot_part_metrics,
+        "rolling_revenue_daily": rolling_revenue_daily,
+        "rank_stats_customers": rank_stats_customers,
+        "scalar_functions2": scalar_functions2,
+        "median_acctbal_by_nation": median_acctbal_by_nation,
+        "stats_lineitem": stats_lineitem,
+        "retention_cohorts_events": retention_cohorts_events,
+        "repetition_stats_documents": repetition_stats_documents,
+        "dq_outlier_lineitem": dq_outlier_lineitem,
+        "qualify_transform_sql": qualify_transform_sql,
+        "bronze_cast_pipeline": bronze_cast_pipeline,
+        "nested_explode_roundtrip": nested_explode_roundtrip,
+        "dupflag_lineitem": dupflag_lineitem,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessionize": events_sessionize,
+        "events_json_kv": events_json_kv,
+        "asof_enrich_clicks": asof_enrich_clicks,
+        "supplier_names_by_nation": supplier_names_by_nation,
+        "multimodal_meta": multimodal_meta,
+        "text_stats_documents": text_stats_documents,
+        "lang_guess_documents": lang_guess_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q13_order_distribution": q13_order_distribution,
+        "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+        "q4_late_shipping_priority": q4_late_shipping_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q15_top_supplier": q15_top_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_part_value": q11_important_part_value,
     }
 
 
@@ -9425,6 +9510,7 @@ def oracle_sql() -> dict[str, str]:
         "dupflag_lineitem": _DUPFLAG_ORACLE,
         "merge_cdc_orders": _MERGE_ORACLE,
         "merge_bloom_orders": _MERGE_BLOOM_ORACLE,
+        "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,
         "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,

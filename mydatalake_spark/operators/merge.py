@@ -404,10 +404,28 @@ def merge_upsert_partitioned(
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
     max_partitions: int = 10_000,
+    bloom: bool = False,
+    bloom_m_bits: int | str = "auto",
+    bloom_k: int = 3,
+    bloom_family: str = "native",
 ) -> list:
     """Partition-scoped CDC merge — the 100 TB upgrade over a
     whole-table rewrite (SURVEY.md §7.4(8); Delta's ``replaceWhere``
     analogue).
+
+    ``bloom=True`` composes BOTH pruning levels of the 100 TB CDC
+    story (each existed separately before): partition pruning keeps
+    untouched partitions' FILES out of the merge entirely (never read,
+    never rewritten — byte-identical on disk), and within the touched
+    partitions :func:`merge_upsert_bloomed` keeps guaranteed-miss ROWS
+    out of the merge join's shuffle (they still rewrite — a partition
+    rewrite replaces the whole directory — but via the map-only bloom
+    bypass branch, never sorted/shuffled/joined). A changeset touching
+    3 of 3,000 date partitions and 1% of the rows inside them merges
+    with ~0.1% of the table's rows ever crossing an Exchange. The
+    filter is sized from the changeset (``bloom_m_bits="auto"``) and
+    degrades to the plain slice merge when it cannot discriminate —
+    same contract as :func:`merge_upsert_bloomed`.
 
     Requires the merge keys to determine the partition (true for
     date-partitioned CDC feeds where the partition column is part of
@@ -457,9 +475,13 @@ def merge_upsert_partitioned(
     target_slice = catalog.read(table).filter(
         F.col(partition_col).isin(touched)
     )
-    merged = merge_upsert(
-        target_slice, source.select(*target_slice.columns), keys,
-        ts_col, tiebreakers,
-    )
+    src = source.select(*target_slice.columns)
+    if bloom:
+        merged = merge_upsert_bloomed(
+            target_slice, src, keys, ts_col, tiebreakers,
+            m_bits=bloom_m_bits, k=bloom_k, family=bloom_family,
+        )
+    else:
+        merged = merge_upsert(target_slice, src, keys, ts_col, tiebreakers)
     catalog.overwrite_partitions(merged, table, partition_col, touched)
     return touched
