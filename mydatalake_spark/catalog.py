@@ -106,18 +106,66 @@ class Catalog:
             return []
         return sorted(e for e in os.listdir(root) if e.startswith("v"))
 
-    def read_version(self, full_name: str, steps_back: int = 1) -> DataFrame:
-        """Time-travel read: the table as of ``steps_back`` overwrites
-        ago (1 = the state the last overwrite replaced)."""
+    def read_version(
+        self,
+        full_name: str,
+        steps_back: int = 1,
+        *,
+        version: int | str | None = None,
+    ) -> DataFrame:
+        """Time-travel read (Delta ``versionAsOf`` analogue on the
+        emulated parquet path — the capability-convergence contract is
+        tests/test_delta.py::test_snapshot_read_contract_*).
+
+        Relative: ``steps_back=1`` = the state the last overwrite
+        replaced. Absolute: ``version=N`` (or a ``"vNNNNNNNN"``
+        label) addresses a snapshot by its monotonic number exactly
+        like Delta's ``versionAsOf N`` — numbers are assigned at
+        snapshot time, never reused, and stay addressable until pruned
+        by ``keep_versions`` (Delta's VACUUM analogue; a pruned
+        version raises the same ValueError as an out-of-range one).
+        """
         vs = self.versions(full_name)
-        if steps_back < 1 or steps_back > len(vs):
-            raise ValueError(
-                f"{full_name} retains {len(vs)} version(s); "
-                f"steps_back={steps_back} unavailable"
-            )
+        if version is not None:
+            label = version if isinstance(version, str) else f"v{version:08d}"
+            if label not in vs:
+                raise ValueError(
+                    f"{full_name}: version {version!r} not retained "
+                    f"(have {vs or 'none'}; pruned by keep_versions or "
+                    "never written)"
+                )
+        else:
+            if steps_back < 1 or steps_back > len(vs):
+                raise ValueError(
+                    f"{full_name} retains {len(vs)} version(s); "
+                    f"steps_back={steps_back} unavailable"
+                )
+            label = vs[-steps_back]
         return self.spark.read.format(self.fmt).load(
-            os.path.join(self._version_root(full_name), vs[-steps_back])
+            os.path.join(self._version_root(full_name), label)
         )
+
+    def history(self, full_name: str) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY`` analogue for retained snapshots:
+        one row per retained version, oldest first — monotonic version
+        number, label, and commit wall-clock time (directory mtime:
+        when that state's files were written; the snapshot rename
+        preserves it, mirroring Delta history's per-version commit
+        timestamps). The live table is not a row (it has no version
+        number until replaced), matching the read_version addressing
+        surface."""
+        root = self._version_root(full_name)
+        out = []
+        for label in self.versions(full_name):
+            p = os.path.join(root, label)
+            out.append(
+                {
+                    "version": int(label[1:]),
+                    "label": label,
+                    "snapshot_time": os.path.getmtime(p),
+                }
+            )
+        return out
 
     def _snapshot_or_drop(self, full_name: str) -> None:
         """Move the current table dir aside as a snapshot (a rename,

