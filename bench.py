@@ -625,6 +625,108 @@ def bench_lsh_planned(spark) -> dict:
     return out
 
 
+def bench_hash_family_tax(spark) -> dict:
+    """Portable-vs-native hash-family cost, measured per round
+    (VERDICT r7 ask #7): the registry replays md5/string keys so the
+    DuckDB oracle can hash-check results bit-for-bit; production runs
+    the xxhash64 codegen family. This section prices that
+    checkability per affected operator — min-of-2 seconds per family
+    at SF_DIR, plus the portable/native ratio — so "paid for hash
+    replay" is a recorded number, not a recurring explanation.
+    Defaults are unchanged (portable where the oracle needs it)."""
+    from mydatalake_spark.caching import release, release_all
+    from mydatalake_spark.operators.bloomjoin import bloom_build, bloom_prune
+    from mydatalake_spark.operators.neardup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        portable_minhash_signatures,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    blooms = {
+        fam: [
+            r.mask
+            for r in bloom_build(
+                urgent, "o_orderkey", m_bits=1 << 20, family=fam
+            ).orderBy("word_idx").collect()
+        ]
+        for fam in ("native", "portable")
+    }
+
+    cases = {
+        "minhash_sig16": {
+            "native": lambda: minhash_signatures(
+                docs, num_hashes=16, shingle_n=3
+            ),
+            "portable": lambda: portable_minhash_signatures(
+                docs, num_hashes=16, shingle_n=3
+            ),
+        },
+        "winnow_fingerprints": {
+            fam: (
+                lambda fam=fam: docs.select(
+                    F.explode(
+                        winnow_fingerprints("text", family=fam)
+                    ).alias("fp")
+                )
+            )
+            for fam in ("native", "portable")
+        },
+        "winnow_pairs": {
+            fam: (lambda fam=fam: winnow_pairs(docs, family=fam))
+            for fam in ("native", "portable")
+        },
+        "ngram_jaccard_pairs": {
+            fam: (
+                lambda fam=fam: ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.5, family=fam
+                )
+            )
+            for fam in ("native", "portable")
+        },
+        "bloom_prune": {
+            fam: (
+                lambda fam=fam: bloom_prune(
+                    li.select("l_orderkey"),
+                    "l_orderkey",
+                    blooms[fam],
+                    family=fam,
+                )
+            )
+            for fam in ("native", "portable")
+        },
+    }
+
+    out: dict = {}
+    for op, fams in cases.items():
+        row: dict = {}
+        for fam, mk in fams.items():
+            best = None
+            for _rep in range(3):  # rep 0 warms, keep min of the rest
+                start = time.perf_counter()
+                res = mk()
+                res.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - start
+                release(res)
+                release_all()
+                if _rep > 0:
+                    best = dt if best is None else min(best, dt)
+            row[fam] = round(best, 3)
+        row["portable_tax"] = round(
+            row["portable"] / max(row["native"], 1e-3), 2
+        )
+        out[op] = row
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from mydatalake_spark.session import get_spark
@@ -698,6 +800,7 @@ def main() -> None:
     scaling = section(bench_scaling, qs)
     lsh_planned = section(bench_lsh_planned)
     dedup_fed = section(bench_dedup_summary_fed)
+    family_tax = section(bench_hash_family_tax)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -715,6 +818,7 @@ def main() -> None:
             "scaling": scaling,
             "lsh_planned": lsh_planned,
             "dedup_summary_fed": dedup_fed,
+            "hash_family_tax": family_tax,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
@@ -754,6 +858,10 @@ def main() -> None:
             "slowest": slowest,
             "scaling_verdicts": scaling_verdicts,
             "skew": skew if isinstance(skew, dict) else None,
+            # the driver reliably captures only this compact line
+            # (BENCH_r07 parsed it alone), so the ask-#7 per-family
+            # numbers ride here too (~300 bytes for 5 operators)
+            "hash_family_tax": family_tax,
             # floor-vs-floor is the only defensible cross-round
             # comparison on this shared box (VERDICT r7 ask #3):
             # suite_floor_sec = Σ best-known honest per-query floors,

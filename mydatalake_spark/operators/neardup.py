@@ -254,10 +254,15 @@ def winnow_pairs(
     min_shared: int = 40,
     max_df: int | None = 100,
     guard_max_df: int | None = 10_000,
+    family: str = "portable",
 ) -> DataFrame:
     """Near-dup candidate pairs from winnowing fingerprints: explode →
     DF-cap → self-equi-join on fingerprint → count shared ≥
-    ``min_shared``.
+    ``min_shared``. ``family`` picks the k-gram hash
+    (:func:`winnow_fingerprints`): "portable" md5 replays in the
+    oracle; "native" xxhash64 is the codegen production path — the
+    join itself is family-agnostic (equi-join on whatever the
+    fingerprint values are).
 
     ``max_df`` drops STOP-FINGERPRINTS — hashes occurring in more than
     ``max_df`` documents (boilerplate/common substrings). This is the
@@ -286,8 +291,9 @@ def winnow_pairs(
     # frame is a persisted silver table (like minhash signatures).
     fps_cached = df.select(
         F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w))
-        .alias("fp"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=k, w=w, family=family)
+        ).alias("fp"),
     ).cache()
     fps = fps_cached
     if max_df is not None:
@@ -441,8 +447,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     guard_max_df: int | None = 10_000,
+    family: str = "portable",
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
+
+    ``family="portable"`` (default) shuffles and joins on the raw
+    shingle STRINGS — byte-replayable in the oracle. ``family=
+    "native"`` joins on ``xxhash64(shingle)`` instead: an 8-byte
+    fixed-width shuffle key versus a ~20–40-byte string, which at
+    100 TB is less shuffle I/O and cheaper hash-join probes for the
+    operator's dominant cost (the Σdf² self-join). Jaccard values are
+    identical unless two distinct shingles collide in xxhash64
+    (P ≈ n_distinct²/2⁶⁵ — a ~10⁹-shingle corpus has odds ~3·10⁻²,
+    and one collision perturbs one pair's count by 1); the per-round
+    md5/string-vs-native cost is measured in BENCH's
+    ``hash_family_tax`` section.
 
     explode → equi-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so only docs
@@ -461,9 +480,18 @@ def ngram_jaccard_pairs(
     # once, not 3-4× (same ownership pattern as winnow_pairs: the
     # returned lazy plan adopts the cache, the caller releases it via
     # caching.release(result) after the action).
+    if family not in ("portable", "native"):
+        raise ValueError(f"unknown hash family {family!r}")
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    ).cache()
+    )
+    if family == "native":
+        # generators can't nest inside expressions; hash post-explode
+        # (projection fuses into the same codegen stage as the explode)
+        sh = sh.select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        )
+    sh = sh.cache()
     if guard_max_df is not None:
         from .guards import assert_bounded_groups
 
@@ -868,6 +896,7 @@ def winnow_fingerprints(
     col: Column | str,
     k: int = 8,
     w: int = 4,
+    family: str = "portable",
 ) -> Column:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03): hash every char ``k``-gram of the normalized text,
@@ -877,23 +906,44 @@ def winnow_fingerprints(
     density — the standard local fingerprinting scheme for plagiarism
     and near-dup detection.
 
-    Engine-portable on purpose: the k-gram hash is md5 *hex* and the
-    window minimum is the lexicographic string min, so the exact same
-    selection replays in any engine with md5 (the DuckDB oracle
-    reproduces it list-for-list). All higher-order Column expressions
+    Two hash families, same contract (the MOSS guarantee holds for
+    any hash; the SELECTED fingerprints differ between families, so
+    pick one per corpus and stick to it):
+
+    - ``family="portable"`` (default): md5 *hex* k-gram hash, window
+      minimum = lexicographic string min — the exact same selection
+      replays in any engine with md5 (the DuckDB oracle reproduces it
+      list-for-list). This is what makes the winnow registry queries
+      hash-checkable.
+    - ``family="native"``: xxhash64 k-gram hash (whole-stage codegen,
+      no digest string materialized), numeric min — the production
+      default at scale, same split the bloom family made in r7;
+      the md5-vs-xxhash64 cost is measured per round in BENCH's
+      ``hash_family_tax`` section.
+
+    All higher-order Column expressions
     — one pass, no UDF, no shuffle; at 100 TB this fuses with the
     scan like the other text operators, and fingerprints feed the
     same explode → equi-join pairing as minhash bands (never
     all-pairs)."""
     from ..functions.text import let as _let
 
+    if family not in ("portable", "native"):
+        raise ValueError(f"unknown hash family {family!r}")
+
     def build(t: Column) -> Column:
         n_grams = F.length(t) - F.lit(k - 1)
         gram_idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)) \
             .otherwise(F.array().cast("array<int>"))
-        hashes = F.transform(
-            gram_idx, lambda i: F.md5(F.substring(t, i, F.lit(k)))
-        )
+        if family == "native":
+            hashes = F.transform(
+                gram_idx,
+                lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
+            )
+        else:
+            hashes = F.transform(
+                gram_idx, lambda i: F.md5(F.substring(t, i, F.lit(k)))
+            )
 
         def select_mins(hs: Column) -> Column:
             n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))

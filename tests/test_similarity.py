@@ -1,5 +1,6 @@
 """Similarity search + near-dup operator tests."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mydatalake_spark.functions.vectors import cosine_similarity, dot, l2_norm
@@ -937,3 +938,56 @@ def test_exact_blas_refuses_oversize_corpus_bytes(spark):
     assert pairs.count() >= 0 and set(pairs.columns) == {
         "id_a", "id_b", "score",
     }
+
+
+def test_ngram_jaccard_native_family_matches_portable(spark):
+    """family='native' (xxhash64 8-byte join keys) must produce the
+    same Jaccard table as the portable string-key path — hash
+    collisions are the only divergence and cannot occur on a
+    4-doc corpus."""
+    from mydatalake_spark.caching import release
+
+    docs = _docs(spark)
+    p = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    portable = {(r.id_a, r.id_b): r.jaccard for r in p.collect()}
+    release(p)
+    nv = ngram_jaccard_pairs(docs, n=3, threshold=0.4, family="native")
+    native = {(r.id_a, r.id_b): r.jaccard for r in nv.collect()}
+    release(nv)
+    assert native == portable and portable
+    with pytest.raises(ValueError, match="family"):
+        ngram_jaccard_pairs(docs, family="xxh3")
+
+
+def test_winnow_native_family_same_contract(spark):
+    """Native winnow selects DIFFERENT fingerprints (different hash
+    order) but the same contract: long-typed values, ~2/(w+1)
+    density bounds, and the pair join still surfaces the duplicated
+    documents the portable family surfaces."""
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.caching import release
+    from mydatalake_spark.operators.neardup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail edit"), (3, "totally unrelated words " * 25)],
+        "doc_id long, text string",
+    )
+    fps = docs.select(
+        winnow_fingerprints("text", family="native").alias("f")
+    ).collect()
+    assert all(isinstance(v, int) for r in fps for v in r.f)
+
+    for fam in ("portable", "native"):
+        out = winnow_pairs(
+            docs, min_shared=10, max_df=None, guard_max_df=None, family=fam
+        )
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        release(out)
+        assert got == {(1, 2)}, (fam, got)
+    with pytest.raises(ValueError, match="family"):
+        docs.select(winnow_fingerprints("text", family="md5"))
