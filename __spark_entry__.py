@@ -498,6 +498,67 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-read (time travel) surface under the oracle, not just
+    pytest (catalog.py ``keep_versions`` / ``read_version(version=N)``
+    / ``history()`` — the Delta versionAsOf/DESCRIBE HISTORY analogue
+    the r8 contract tests pin): orders load into a versioned throwaway
+    warehouse, an overwrite reprices them ×1.1, and the query joins
+    the LIVE table against ``read_version(version=1)`` — the state the
+    overwrite replaced — emitting both prices plus the history length.
+    The oracle recomputes both states straight from the base table, so
+    the hash match proves the snapshot is byte-faithful to the
+    pre-overwrite write and the live read reflects the post-overwrite
+    one (a stale snapshot, a renumbered version, or an overwrite leak
+    into the snapshot all break the match)."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("price"),
+    )
+    v2 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("price"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="time_travel_"), keep_versions=2
+    )
+    cat.overwrite_via_staging(v1, "silver.sales.priced")
+    cat.overwrite_via_staging(v2, "silver.sales.priced")
+    n_versions = len(cat.history("silver.sales.priced"))
+    live = cat.read("silver.sales.priced")
+    asof = cat.read_version("silver.sales.priced", version=1)
+    return live.alias("l").join(
+        asof.alias("v"), "o_orderkey"
+    ).select(
+        "o_orderkey",
+        F.col("l.price").alias("price_live"),
+        F.col("v.price").alias("price_v1"),
+        F.round(F.col("l.price") - F.col("v.price"), 2).alias("uplift"),
+        F.lit(n_versions).alias("n_versions"),
+    )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_live,
+       CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_v1,
+       ROUND(
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         - CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0,
+         2) AS uplift,
+       1 AS n_versions
+FROM orders
+"""
+
+
 def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's prices pipeline shape (reference
     silver/prices/prices.sql:13 LATERAL VIEW explode of
@@ -9299,6 +9360,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "time_travel_orders": time_travel_orders,
         "merge_part_bloom_orders": merge_part_bloom_orders,
         # --- last driver-green in r4 ---
         "q12_late_shipments_priority": q12_late_shipments_priority,
@@ -9511,6 +9573,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_cdc_orders": _MERGE_ORACLE,
         "merge_bloom_orders": _MERGE_BLOOM_ORACLE,
         "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
+        "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,
         "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,
