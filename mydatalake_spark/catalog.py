@@ -284,6 +284,95 @@ class Catalog:
         shutil.rmtree(staging, ignore_errors=True)
         self._invalidate(full_name)
 
+    def restore(
+        self,
+        full_name: str,
+        *,
+        version: int | str | None = None,
+        steps_back: int | None = None,
+    ) -> None:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue:
+        promote a retained snapshot back to live. Like Delta, restore
+        is itself a versioned operation — the CURRENT state is
+        snapshotted first (so a mistaken restore is one more restore
+        away from undone) and the source snapshot STAYS retained and
+        addressable (restore copies, never consumes).
+
+        The "copy" is hardlinks (``os.link`` per file): snapshot and
+        warehouse share a filesystem by construction, and table files
+        are immutable in this catalog — every write path replaces
+        whole directories, nothing appends in place — so linked files
+        can never diverge. Restore cost is therefore O(#files)
+        metadata ops, not O(bytes), same economics as the rename-only
+        snapshots. ``keep_versions`` pruning still applies: restoring
+        also retires the oldest snapshots beyond the retention bound.
+        """
+        if (version is None) == (steps_back is None):
+            raise ValueError("pass exactly one of version= / steps_back=")
+        vs = self.versions(full_name)
+        if version is not None:
+            label = version if isinstance(version, str) else f"v{version:08d}"
+            if label not in vs:
+                raise ValueError(
+                    f"{full_name}: version {version!r} not retained "
+                    f"(have {vs or 'none'})"
+                )
+        else:
+            if steps_back < 1 or steps_back > len(vs):
+                raise ValueError(
+                    f"{full_name} retains {len(vs)} version(s); "
+                    f"steps_back={steps_back} unavailable"
+                )
+            label = vs[-steps_back]
+        src = os.path.join(self._version_root(full_name), label)
+        final = self.path(full_name)
+        staging = final + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(src, staging, copy_function=os.link)
+        self._snapshot_or_drop(full_name)
+        os.replace(staging, final)
+        self._invalidate(full_name)
+
+    def vacuum(self, full_name: str, keep: int | None = None) -> int:
+        """Delta ``VACUUM`` analogue: drop retained version snapshots
+        beyond ``keep`` (default: this catalog's ``keep_versions``)
+        plus any orphaned ``__staging``/``__pstaging`` leftovers from
+        interrupted writes. Returns bytes freed (hardlinked files
+        still referenced by the live table or another snapshot free
+        nothing until their last reference goes — the returned number
+        counts only inodes whose link count this removal exhausts, so
+        it is the true disk reclaim, same contract as Delta's vacuum
+        log line)."""
+        keep = self.keep_versions if keep is None else keep
+        if keep < 0:
+            raise ValueError("keep must be >= 0")
+        freed = 0
+
+        def _weigh(root: str) -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    st = os.stat(os.path.join(dirpath, f))
+                    if st.st_nlink <= 1:
+                        total += st.st_size
+            return total
+
+        vs = self.versions(full_name)
+        for stale in vs[: max(0, len(vs) - keep)]:
+            p = os.path.join(self._version_root(full_name), stale)
+            freed += _weigh(p)
+            shutil.rmtree(p, ignore_errors=True)
+        if not self.versions(full_name):
+            shutil.rmtree(
+                self._version_root(full_name), ignore_errors=True
+            )
+        for suffix in ("__staging", "__pstaging"):
+            p = self.path(full_name) + suffix
+            if os.path.isdir(p):
+                freed += _weigh(p)
+                shutil.rmtree(p, ignore_errors=True)
+        return freed
+
     def _invalidate(self, full_name: str) -> None:
         """Drop cached file listings for a rewritten path — Spark's
         shared FileStatusCache otherwise serves stale part-file lists

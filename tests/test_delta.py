@@ -444,3 +444,89 @@ def test_snapshot_read_contract_wap_pre_publish_recovery(spark, tmp_path):
     # quarantine captured the failing row with its reason
     q = cat.read("g.s.t_quarantine").collect()
     assert len(q) == 1 and q[0].v == "bad"
+
+
+def test_snapshot_restore_contract(spark, tmp_path):
+    """Delta RESTORE analogue: promote a retained snapshot to live.
+    Restore is itself versioned (the replaced state becomes the newest
+    snapshot, so restores undo with another restore) and never
+    consumes its source version."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    for v in ("a", "b", "c"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    # live=c; v1=a, v2=b
+    cat.restore("g.s.t", version=1)
+    assert cat.read("g.s.t").first().v == "a"
+    # the replaced "c" became v3; source v1 still addressable
+    assert [h["version"] for h in cat.history("g.s.t")] == [1, 2, 3]
+    assert cat.read_version("g.s.t", version=3).first().v == "c"
+    assert cat.read_version("g.s.t", version=1).first().v == "a"
+    # undo the restore with another restore
+    cat.restore("g.s.t", steps_back=1)
+    assert cat.read("g.s.t").first().v == "c"
+    # argument validation
+    with pytest.raises(ValueError, match="exactly one"):
+        cat.restore("g.s.t")
+    with pytest.raises(ValueError, match="not retained"):
+        cat.restore("g.s.t", version=99)
+
+
+def test_vacuum_contract(spark, tmp_path):
+    """Delta VACUUM analogue: retire snapshots beyond the retention
+    bound and orphaned staging dirs; report true disk reclaim
+    (hardlinked files still referenced elsewhere count zero)."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=10)
+    for v in ("a", "b", "c", "d"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    assert len(cat.versions("g.s.t")) == 3
+    # orphaned staging leftover from a hypothetical crash
+    orphan = cat.path("g.s.t") + "__staging"
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.bin"), "wb") as fh:
+        fh.write(b"x" * 4096)
+
+    freed = cat.vacuum("g.s.t", keep=1)
+    assert freed >= 4096                       # junk + two snapshots
+    assert [h["version"] for h in cat.history("g.s.t")] == [3]
+    assert not os.path.isdir(orphan)
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_version("g.s.t", version=1)
+    # live table untouched
+    assert cat.read("g.s.t").first().v == "d"
+    # vacuum(keep=0) clears history entirely, version root included
+    assert cat.vacuum("g.s.t", keep=0) > 0
+    assert cat.versions("g.s.t") == []
+    with pytest.raises(ValueError, match="keep"):
+        cat.vacuum("g.s.t", keep=-1)
+
+
+def test_restore_hardlinks_never_diverge(spark, tmp_path):
+    """A restored live table shares inodes with its source snapshot;
+    later overwrites must leave the snapshot byte-identical (write
+    paths replace directories, never append in place)."""
+    import hashlib
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=5)
+    for v in ("a", "b"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    cat.restore("g.s.t", version=1)            # live hardlinks v1 ("a")
+
+    def digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    vroot = os.path.join(
+        cat._version_root("g.s.t"), "v00000001"
+    )
+    before = digest(vroot)
+    cat.overwrite_via_staging(_kv_batch(spark, "z"), "g.s.t")
+    cat.overwrite_via_staging(_kv_batch(spark, "w"), "g.s.t")
+    assert digest(vroot) == before
+    assert cat.read_version("g.s.t", version=1).first().v == "a"
