@@ -132,23 +132,62 @@ class IngestorCDC(Ingestor):
       cannot match bypass the merge shuffle entirely
       (merge_upsert_bloomed). The 100 TB choice when the daily
       changeset ≪ the accumulated table. Results are identical.
+    - ``"partitioned"`` / ``"partitioned_bloom"`` (r8): partition-
+      scoped merge — only the partitions the changeset touches are
+      read and rewritten (merge_upsert_partitioned; the untouched
+      tail of the table is untouched on disk, unlike join/bloom which
+      rewrite the whole table through the staging swap). Requires the
+      table to declare exactly one ``partition_by`` column and that
+      column to be one of the merge keys. ``partitioned_bloom``
+      additionally bloom-prunes rows inside the touched slice — both
+      pruning levels of the 100 TB CDC story, from metadata alone.
     """
 
     merge_strategy: str = "join"
 
     def __post_init__(self) -> None:
         super().__post_init__()
-        if self.merge_strategy not in ("join", "bloom"):
+        strategies = ("join", "bloom", "partitioned", "partitioned_bloom")
+        if self.merge_strategy not in strategies:
             raise ValueError(
-                f"{self.table}: merge_strategy must be 'join' or "
-                f"'bloom', got {self.merge_strategy!r}"
+                f"{self.table}: merge_strategy must be one of "
+                f"{strategies}, got {self.merge_strategy!r}"
             )
+        if self.merge_strategy.startswith("partitioned"):
+            if len(self.partition_by) != 1:
+                raise ValueError(
+                    f"{self.table}: merge_strategy="
+                    f"{self.merge_strategy!r} needs exactly one "
+                    f"partition_by column, got {self.partition_by!r}"
+                )
+            if self.partition_by[0] not in self.meta.key_columns:
+                raise ValueError(
+                    f"{self.table}: partition-scoped merge requires the "
+                    f"partition column {self.partition_by[0]!r} to be a "
+                    f"merge key (keys={self.meta.key_columns}) — "
+                    "otherwise a key's row could move between "
+                    "partitions and duplicate"
+                )
 
     def upsert(self, df: DataFrame) -> None:
+        from .operators.merge import merge_upsert_partitioned
+
         keys = self.meta.key_columns
         ts = self.meta.cdc_timestamp_column
         if not keys:
             raise ValueError(f"{self.meta.full_name}: CDC requires key columns")
+        if self.merge_strategy.startswith("partitioned"):
+            # handles first-write creation internally (partitioned)
+            merge_upsert_partitioned(
+                self.catalog,
+                self.meta.full_name,
+                df,
+                keys,
+                self.partition_by[0],
+                ts,
+                bloom=self.merge_strategy == "partitioned_bloom",
+            )
+            return
         if not self.catalog.exists(self.meta.full_name):
             # First write: plain overwrite (reference guards similarly
             # at lib/checker_handler.py:173 for the history table).

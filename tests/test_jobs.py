@@ -475,3 +475,121 @@ def test_reconcile_job_writes_changeset(spark, workspace, tmp_path):
     expect = {(r.stocks, r.close) for r in cat.read(
         "bronze.brapi.assets_v2").collect()}
     assert {(r.stocks, r.close) for r in rebuilt.collect()} == expect
+
+
+PARTED_CDC_YML = """
+table_name: 'ticks'
+catalog: 'bronze'
+schema: 'brapi'
+partition_by: ['trade_date']
+fields:
+  - name: 'symbol'
+    type: 'string'
+    key: true
+  - name: 'trade_date'
+    type: 'string'
+    key: true
+  - name: 'ts'
+    type: 'long'
+    date_predicate: true
+  - name: 'px'
+    type: 'double'
+"""
+
+
+def test_cdc_partitioned_bloom_strategy_from_metadata(spark, tmp_path):
+    """merge_strategy: 'partitioned_bloom' declared per table routes
+    the CDC upsert through merge_upsert_partitioned(bloom=True): only
+    the changeset's partitions are rewritten (untouched partition
+    files byte-identical — the join/bloom strategies rewrite the
+    whole table) and the merged values match the plain join strategy.
+    VERDICT r7 ask #4's composed path, reachable from metadata alone."""
+    import hashlib
+
+    from mydatalake_spark.ingest import IngestorCDC
+
+    meta = tmp_path / "meta" / "ticks"
+    os.makedirs(meta)
+    (meta / "ticks.yml").write_text(PARTED_CDC_YML)
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    with open(raw / "b1.json", "w") as fh:
+        for sym, d, ts, px in [
+            ("AAA", "2026-08-01", 1, 1.0), ("BBB", "2026-08-01", 1, 2.0),
+            ("AAA", "2026-08-02", 1, 3.0), ("BBB", "2026-08-02", 1, 4.0),
+        ]:
+            fh.write(json.dumps(
+                {"symbol": sym, "trade_date": d, "ts": ts, "px": px}) + "\n")
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    def ing(path):
+        return IngestorCDC(
+            spark=spark, catalog=cat, metadata_root=str(tmp_path / "meta"),
+            table="ticks", input_format="json", input_path=str(path),
+            merge_strategy="partitioned_bloom",
+        )
+
+    ing(raw / "b1.json").run()
+    table_dir = cat.path("bronze.brapi.ticks")
+    d1 = os.path.join(table_dir, "trade_date=2026-08-01")
+
+    def digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest(d1)
+    with open(raw / "b2.json", "w") as fh:
+        for sym, d, ts, px in [
+            ("AAA", "2026-08-02", 2, 30.0),     # fresher: wins
+            ("BBB", "2026-08-02", 0, -1.0),     # stale: loses
+            ("NEW", "2026-08-02", 1, 9.0),      # insert
+        ]:
+            fh.write(json.dumps(
+                {"symbol": sym, "trade_date": d, "ts": ts, "px": px}) + "\n")
+    ing(raw / "b2.json").run()
+
+    # partition-dir values type-infer to DATE on read-back; normalize
+    got = {(r.symbol, str(r.trade_date)): r.px
+           for r in cat.read("bronze.brapi.ticks").collect()}
+    assert got == {
+        ("AAA", "2026-08-01"): 1.0, ("BBB", "2026-08-01"): 2.0,
+        ("AAA", "2026-08-02"): 30.0, ("BBB", "2026-08-02"): 4.0,
+        ("NEW", "2026-08-02"): 9.0,
+    }
+    assert digest(d1) == before          # untouched partition untouched
+
+
+def test_cdc_partitioned_strategy_validation(spark, tmp_path):
+    """partitioned strategies fail fast at construction when the table
+    declares no (or multi) partition_by, or the partition column is
+    not a merge key."""
+    from mydatalake_spark.ingest import IngestorCDC
+
+    meta = tmp_path / "meta" / "trades"
+    os.makedirs(meta)
+    (meta / "trades.yml").write_text(PARTED_YML)   # key=symbol only
+    with pytest.raises(ValueError, match="merge key"):
+        IngestorCDC(
+            spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")),
+            metadata_root=str(tmp_path / "meta"), table="trades",
+            input_format="json", input_path="/dev/null",
+            merge_strategy="partitioned",
+        )
+
+    meta2 = tmp_path / "meta2" / "ticks"
+    os.makedirs(meta2)
+    (meta2 / "ticks.yml").write_text(
+        PARTED_CDC_YML.replace("partition_by: ['trade_date']\n", "")
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        IngestorCDC(
+            spark=spark, catalog=Catalog(spark, str(tmp_path / "wh2")),
+            metadata_root=str(tmp_path / "meta2"), table="ticks",
+            input_format="json", input_path="/dev/null",
+            merge_strategy="partitioned_bloom",
+        )
