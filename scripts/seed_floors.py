@@ -1,21 +1,28 @@
-"""One-shot seeder for bench_history/floors.json (VERDICT r7 ask #3).
+"""Seeder for bench_history/floors.json (VERDICT r7 ask #3).
 
-Per-query best-known HONEST floor at sf0.1, with provenance. Honesty
-rule (BENCHNOTES_r7.md): every run before the r7 cache-ownership fix
-is flattered for the cache-adopting queries (shared leaked caches
-across reps AND across same-subplan queries), so:
+Per-query best-known HONEST floor at sf0.1, with provenance.
 
-- `r7_builder_final.json` (post-fix) seeds every query;
-- `r7_builder_leaky.json` (interim, pre-fix) seeds ONLY queries
-  outside the tainted set below — for those its numbers are honest
-  (no operator cache in the plan) and it is the r7 verdict's cited
-  "interim floor" for the three unchanged-code regressions;
-- the driver's `BENCH_r07.json` compact record contributes its
-  top-10 `slowest` values (post-fix code on the driver box);
-- runs r6 and earlier are never consulted.
+HONESTY RULE, revised in r8: **no number from a pre-cache-fix run
+seeds anything.** The r7 seeding admitted the interim (pre-fix) run
+for queries whose own operators don't cache; r8 falsified that —
+Spark's CacheManager matches cached plans by LOGICAL SUBTREE, so a
+leaked cache from one query silently accelerates EVERY other query
+sharing the subplan. Measured on `ewma_daily_revenue` (owns no cache;
+shares its resample_daily subtree with `gapfill_nation_revenue`):
+honest min-of-3 1.366 s, but 0.516 s with the shared subplan left
+cached — at/below the 0.699 s interim "floor" that three rounds of
+standalone A/Bs could never reproduce. The same mechanism explains
+`join_size_estimate_orders` and `bloom_prune_lineitem` (BENCHNOTES_r8
+§ask-2-closure). Post-fix runs are immune: `release_all()` runs
+between queries.
 
-Going forward `bench.py` maintains the file itself: any timed run at
-the floors' sf that beats a floor rewrites it with provenance.
+Honest sources:
+- `r7_builder_final.json` (first post-fix full run);
+- the driver's `BENCH_r07.json` compact `slowest` values (post-fix
+  code on the driver box);
+- `r8_builder_run1.json` and every later archived run (bench.py also
+  updates floors live on every sf0.1 run, labeled via
+  SPARK_GRAFT_RUN_LABEL).
 """
 
 from __future__ import annotations
@@ -26,27 +33,10 @@ import os
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(ROOT, "bench_history")
 
-# Queries whose plans cache()-adopt an intermediate (shingle explode /
-# embedding frames) — pre-fix numbers for these are flattered
-# (BENCHNOTES_r7.md); identified there by operator family.
-TAINTED_PREFIXES = (
-    "canonical_by_quality",
-    "neardup_clusters",
-    "split_leakage",
-    "minhash_calibration",
-    "minhash_neardup",
-    "ngram_jaccard",
-    "pq_",
-    "semantic_dedup",
-    "quantized_",
-    "winnow_",
-    "fingerprint_",
-    "dedup_summary",
-)
-
-
-def _tainted(name: str) -> bool:
-    return name.startswith(TAINTED_PREFIXES)
+HONEST_RUNS = [
+    ("r7_builder_final.json", "r7_builder_final"),
+    ("r8_builder_run1.json", "r8_builder_run1"),
+]
 
 
 def main() -> None:
@@ -57,14 +47,13 @@ def main() -> None:
         if cur is None or sec < cur["sec"]:
             floors[name] = {"sec": round(float(sec), 3), "run": run}
 
-    with open(os.path.join(HIST, "r7_builder_final.json")) as fh:
-        for q, s in json.load(fh)["queries"].items():
-            offer(q, s, "r7_builder_final")
-
-    with open(os.path.join(HIST, "r7_builder_leaky.json")) as fh:
-        for q, s in json.load(fh)["queries"].items():
-            if not _tainted(q):
-                offer(q, s, "r7_builder_interim")
+    for fname, label in HONEST_RUNS:
+        path = os.path.join(HIST, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            for q, s in json.load(fh)["queries"].items():
+                offer(q, s, label)
 
     drv = os.path.join(ROOT, "BENCH_r07.json")
     if os.path.exists(drv):
@@ -78,7 +67,8 @@ def main() -> None:
         "note": (
             "best-known honest per-query seconds at sf0.1; maintained "
             "by bench.py (new floors rewritten with provenance). "
-            "Seeded per scripts/seed_floors.py honesty rule."
+            "Seeded per scripts/seed_floors.py honesty rule — no "
+            "pre-cache-fix numbers (see module docstring)."
         ),
         "floors": dict(sorted(floors.items())),
     }
