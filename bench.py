@@ -36,10 +36,16 @@ def _floor_report(timings: dict, sf: float | str) -> dict | None:
     try:
         with open(FLOORS_PATH) as fh:
             book = json.load(fh)
-    except (OSError, ValueError):
+        if book.get("sf") != sf:
+            return None  # floors are sf-specific; smoke runs don't count
+        return _floor_report_inner(book, timings)
+    except Exception:
+        # a malformed floors file must never cost the headline JSON
+        # lines (same contract as the section() wrapper)
         return None
-    if book.get("sf") != sf:
-        return None  # floors are sf-specific; smoke runs don't count
+
+
+def _floor_report_inner(book: dict, timings: dict) -> dict:
     floors = book.setdefault("floors", {})
     new_floors: dict[str, list] = {}
     above: dict[str, list] = {}
@@ -451,6 +457,12 @@ SCALING_QUERIES = [
     # miss branch is a map-only bypass).
     "bloom_join_lineitem",
     "merge_bloom_orders",
+    # r8 addition: the fully composed CDC path (partition pruning +
+    # bloom row pruning through a real warehouse write) — cost must
+    # track the TOUCHED SLICE plus the changeset, not the table; at
+    # 10× the table with the same 1/97 changeset density the curve
+    # must stay far under the quadratic bound like its parents.
+    "merge_part_bloom_orders",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
@@ -652,13 +664,17 @@ def bench_hash_family_tax(spark) -> dict:
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
+    from mydatalake_spark.operators.bloomjoin import bloom_mask_array
+
+    # bloom_mask_array densifies to exactly m_bits/32 words (zero-mask
+    # words included) — building the list from the sparse (word_idx,
+    # mask) rows directly would shift word indexes and corrupt the
+    # probe's re-derived modulus (false negatives).
     blooms = {
-        fam: [
-            r.mask
-            for r in bloom_build(
-                urgent, "o_orderkey", m_bits=1 << 20, family=fam
-            ).orderBy("word_idx").collect()
-        ]
+        fam: bloom_mask_array(
+            bloom_build(urgent, "o_orderkey", m_bits=1 << 20, family=fam),
+            m_bits=1 << 20,
+        )
         for fam in ("native", "portable")
     }
 
@@ -814,13 +830,13 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "floors": floors,
-            "skew": skew,
+                        "skew": skew,
             "dq_pass_modes": dq_modes,
             "scaling": scaling,
             "lsh_planned": lsh_planned,
             "dedup_summary_fed": dedup_fed,
             "hash_family_tax": family_tax,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_num,
         }
     )
     # BENCH_r03.json had "parsed": null — Spark's \r console-progress
@@ -883,7 +899,7 @@ def main() -> None:
                 if floors
                 else None
             ),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_num,
             "compact": True,
         }
     )

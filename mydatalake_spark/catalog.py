@@ -180,8 +180,20 @@ class Catalog:
         root = self._version_root(full_name)
         os.makedirs(root, exist_ok=True)
         existing = self.versions(full_name)
-        nxt = 1 + (int(existing[-1][1:]) if existing else 0)
+        # High-water mark: version numbers are promised never-reused
+        # even after vacuum() retires every retained snapshot, so the
+        # counter lives in a marker file, not the directory listing.
+        # (drop()/truncate() remove the whole version root — a table
+        # recreated from scratch legitimately restarts at v1.)
+        hwm_path = os.path.join(root, ".hwm")
+        hwm = 0
+        if os.path.exists(hwm_path):
+            with open(hwm_path) as fh:
+                hwm = int(fh.read().strip() or 0)
+        nxt = 1 + max(hwm, int(existing[-1][1:]) if existing else 0)
         os.replace(final, os.path.join(root, f"v{nxt:08d}"))
+        with open(hwm_path, "w") as fh:
+            fh.write(str(nxt))
         for stale in self.versions(full_name)[: -self.keep_versions]:
             shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
 
@@ -304,8 +316,12 @@ class Catalog:
         whole directories, nothing appends in place — so linked files
         can never diverge. Restore cost is therefore O(#files)
         metadata ops, not O(bytes), same economics as the rename-only
-        snapshots. ``keep_versions`` pruning still applies: restoring
-        also retires the oldest snapshots beyond the retention bound.
+        snapshots. ``keep_versions`` pruning still applies — restoring
+        retires the oldest snapshots beyond the retention bound — but
+        NEVER the restore source itself: if the source is the oldest
+        at capacity, it is re-pinned after the swap (hardlinks of the
+        just-restored live state, identical bytes), leaving
+        keep_versions+1 retained until the next snapshot event.
         """
         if (version is None) == (steps_back is None):
             raise ValueError("pass exactly one of version= / steps_back=")
@@ -331,6 +347,16 @@ class Catalog:
         shutil.copytree(src, staging, copy_function=os.link)
         self._snapshot_or_drop(full_name)
         os.replace(staging, final)
+        if label not in self.versions(full_name):
+            # retention pruning retired the source while snapshotting
+            # the replaced state — re-pin it (hardlinks of the live
+            # state just restored from it: identical bytes) so the
+            # stays-addressable promise holds.
+            shutil.copytree(
+                final,
+                os.path.join(self._version_root(full_name), label),
+                copy_function=os.link,
+            )
         self._invalidate(full_name)
 
     def vacuum(self, full_name: str, keep: int | None = None) -> int:
@@ -363,9 +389,13 @@ class Catalog:
             freed += _weigh(p)
             shutil.rmtree(p, ignore_errors=True)
         if not self.versions(full_name):
-            shutil.rmtree(
-                self._version_root(full_name), ignore_errors=True
-            )
+            # keep the root when it carries the high-water marker —
+            # version numbers must stay never-reused across a full
+            # vacuum (drop()/truncate() end the table's lifecycle and
+            # do remove it)
+            root = self._version_root(full_name)
+            if not os.path.exists(os.path.join(root, ".hwm")):
+                shutil.rmtree(root, ignore_errors=True)
         for suffix in ("__staging", "__pstaging"):
             p = self.path(full_name) + suffix
             if os.path.isdir(p):

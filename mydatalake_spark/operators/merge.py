@@ -136,6 +136,22 @@ def merge_upsert(
     """
     target = _evolve_and_check(target, source, evolve_schema)
     cols = target.columns
+    # Reserved staging names: presence markers, the synthesized
+    # tiebreaker, and the "__s_" rename prefix (a real target column
+    # "__s_x" would collide with the renamed source "x" in the joined
+    # frame). A real column by any of these names would be silently
+    # overwritten — fail fast instead (same contract as
+    # merge_upsert_bloomed's __mk__/__bf__ guard).
+    reserved = {"__t_present__", "__s_present__", "__tb__"}
+    clash = sorted(
+        c for c in cols if c in reserved or c.startswith("__s_")
+    )
+    if clash:
+        raise ValueError(
+            f"merge_upsert: column(s) {clash} collide with reserved "
+            "staging names (__t_present__/__s_present__/__tb__/"
+            "'__s_' prefix); rename them before merging."
+        )
     source = _dedup_source(source, keys, ts_col, tiebreakers)
 
     # Source columns are renamed (prefixed) before the join so every
@@ -269,8 +285,9 @@ def merge_upsert_bloomed(
     # the split stages the composite key as __mk__ and _folded_filter
     # stages the word list as __bf__; a real column by either name
     # would be silently clobbered and dropped from the merged output —
-    # fail fast instead (merge_upsert's rename discipline has no such
-    # hole because it prefixes EVERY source column).
+    # fail fast instead (merge_upsert guards its own staging names —
+    # __t_present__/__s_present__/__tb__/the "__s_" prefix — the same
+    # way).
     reserved = {"__mk__", "__bf__"}
     clash = reserved & (set(target.columns) | set(source.columns))
     if clash:

@@ -714,7 +714,7 @@ def cosine_neardup_pairs(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
             .alias("_nv"),
         )
-        return _exact_pairs_blas(raw, id_col, threshold)
+        return _exact_pairs_blas(raw, id_col, threshold, n_rows=n_rows)
 
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(vec_col)
@@ -819,6 +819,7 @@ def _exact_pairs_blas(
     id_col: str,
     threshold: float,
     bytes_cap: int = EXACT_BLAS_BYTES_CAP,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine via blocked BLAS: broadcast the corpus matrix
     (L2-normalized in numpy), stream Arrow batches of the row side
@@ -844,14 +845,21 @@ def _exact_pairs_blas(
     # schema follows the actual id type — ids are not assumed integral
     id_t = normed.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_t}, id_b {id_t}, score double"
-    stats = normed.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("_nv")).alias("d")
-    ).first()
-    est_bytes = stats["n"] * (stats["d"] or 0) * 8
+    if n_rows is not None:
+        # auto-route already paid df.count(); probe only the dim from
+        # the first row (fixed-dim embeddings — no second full pass)
+        first = normed.select(F.size("_nv").alias("d")).first()
+        n, d = n_rows, (first["d"] if first is not None else 0)
+    else:
+        stats = normed.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("_nv")).alias("d")
+        ).first()
+        n, d = stats["n"], stats["d"]
+    est_bytes = n * (d or 0) * 8
     if est_bytes > bytes_cap:
         raise ExactCorpusExceeded(
             f"exact all-pairs corpus is ~{est_bytes:,} bytes "
-            f"({stats['n']:,} rows × {stats['d']}-dim float64), over "
+            f"({n:,} rows × {d}-dim float64), over "
             f"the {bytes_cap:,}-byte driver budget. Use the "
             f"LSH-blocked route (cosine_neardup_pairs(exact=False) / "
             f"lower max_exact_rows) — recall<1 but corpus-size-"

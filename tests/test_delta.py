@@ -530,3 +530,41 @@ def test_restore_hardlinks_never_diverge(spark, tmp_path):
     cat.overwrite_via_staging(_kv_batch(spark, "w"), "g.s.t")
     assert digest(vroot) == before
     assert cat.read_version("g.s.t", version=1).first().v == "a"
+
+
+def test_vacuum_never_reuses_version_numbers(spark, tmp_path):
+    """After vacuum(keep=0) clears every snapshot, the next overwrite
+    must continue the numbering (high-water marker), not restart at
+    v1 — a caller-held absolute version must never silently resolve
+    to a different state."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    for v in ("a", "b", "c"):
+        cat.overwrite(_kv_batch(spark, v), "g.s.t")
+    assert [h["version"] for h in cat.history("g.s.t")] == [1, 2]
+    cat.vacuum("g.s.t", keep=0)
+    assert cat.versions("g.s.t") == []
+    cat.overwrite(_kv_batch(spark, "d"), "g.s.t")      # snapshots "c"
+    assert [h["version"] for h in cat.history("g.s.t")] == [3]
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_version("g.s.t", version=1)           # stays gone
+    assert cat.read_version("g.s.t", version=3).first().v == "c"
+    # drop() ends the lifecycle: a recreated table restarts at v1
+    cat.drop("g.s.t")
+    cat.overwrite(_kv_batch(spark, "x"), "g.s.t")
+    cat.overwrite(_kv_batch(spark, "y"), "g.s.t")
+    assert [h["version"] for h in cat.history("g.s.t")] == [1]
+
+
+def test_restore_repins_source_at_retention_capacity(spark, tmp_path):
+    """Restoring the OLDEST retained version at retention capacity
+    must not let the snapshot-and-prune step retire the restore
+    source — it is re-pinned and stays addressable."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    for v in ("a", "b", "c"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    # retained: v1(a), v2(b); restoring v1 snapshots "c" as v3 and
+    # pruning would retire v1 — the re-pin keeps it
+    cat.restore("g.s.t", version=1)
+    assert cat.read("g.s.t").first().v == "a"
+    assert cat.read_version("g.s.t", version=1).first().v == "a"
+    assert cat.read_version("g.s.t", version=3).first().v == "c"

@@ -375,3 +375,20 @@ def test_merge_synthesized_tiebreaker_distinguishes_null_shifts(spark):
         assert len(out) == 1
         survivors.add((out[0].a, out[0].b))
     assert len(survivors) == 1, survivors
+
+
+def test_merge_upsert_guards_reserved_staging_names(spark):
+    """A real column named like merge_upsert's staging columns
+    (presence markers, synthesized tiebreaker, the '__s_' rename
+    prefix) would be silently overwritten mid-merge — the guard
+    turns that into a loud error."""
+    import pytest
+
+    from mydatalake_spark.operators.merge import merge_upsert
+
+    for bad in ("__t_present__", "__s_present__", "__tb__", "__s_x"):
+        t = spark.createDataFrame(
+            [(1, "a", 1)], f"id int, `{bad}` string, ts int"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            merge_upsert(t, t, ["id"], "ts")
