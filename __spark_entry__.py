@@ -415,6 +415,68 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def merge_equi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J2 — the reference's 6-column equi MERGE shape (reference
+    lib/checker_handler.py:179-191: the DQ-history upsert matches on
+    six metadata columns with NO timestamp; on key match the source
+    row simply wins) — under the oracle, not just pytest. Six lineitem
+    columns form the composite key; the changeset re-states every 5th
+    order's rows with doubled quantity; ``merge_upsert(...,
+    ts_col=None)`` must apply source-wins on the full 6-key match and
+    keep everything else. The six-column composite is unique in the
+    synthetic table (verified: zero duplicate 6-key groups — note
+    (l_orderkey, l_linenumber) alone is NOT unique here), so the
+    merge is deterministic without tiebreakers; the oracle replays
+    the union + QUALIFY with side priority."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys6 = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus",
+    ]
+    target = li.select(
+        *keys6,
+        "l_quantity",
+        (_cents(F.col("l_extendedprice")) / 100.0).alias("l_extendedprice"),
+    )
+    source = li.filter(F.col("l_orderkey") % 5 == 0).select(
+        *keys6,
+        (F.col("l_quantity") * 2).alias("l_quantity"),
+        (_cents(F.col("l_extendedprice")) / 100.0).alias("l_extendedprice"),
+    )
+    return merge_upsert(target, source, keys6, ts_col=None)
+
+
+_MERGE_EQUI_ORACLE = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         l_returnflag, l_linestatus, l_quantity,
+         CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS l_extendedprice
+  FROM lineitem
+),
+s AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         l_returnflag, l_linestatus, l_quantity * 2 AS l_quantity,
+         CAST(ROUND(l_extendedprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS l_extendedprice
+  FROM lineitem WHERE l_orderkey % 5 = 0
+),
+u AS (
+  SELECT *, 0 AS side FROM t
+  UNION ALL
+  SELECT *, 1 AS side FROM s
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       l_returnflag, l_linestatus, l_quantity, l_extendedprice
+FROM u
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_returnflag, l_linestatus
+  ORDER BY side DESC
+) = 1
+"""
+
+
 def merge_part_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH pruning levels of the 100 TB CDC story composed
     (operators/merge.py ``merge_upsert_partitioned(bloom=True)``,
@@ -9360,6 +9422,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "merge_equi_lineitem": merge_equi_lineitem,
         "time_travel_orders": time_travel_orders,
         "merge_part_bloom_orders": merge_part_bloom_orders,
         # --- last driver-green in r4 ---
@@ -9574,6 +9637,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_bloom_orders": _MERGE_BLOOM_ORACLE,
         "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
+        "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,
         "bronze_cast_pipeline": _BRONZE_CAST_ORACLE,

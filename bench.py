@@ -214,6 +214,7 @@ HEADLINE = [
     "bloom_join_lineitem",
     "merge_bloom_orders",
     "merge_part_bloom_orders",
+    "merge_equi_lineitem",
     "time_travel_orders",
     "medallion_job_orders",
     "langid_kappa_documents",

@@ -79,7 +79,11 @@ def test_repo_floors_file_is_valid_and_covers_headline():
     spec.loader.exec_module(mod)
     # r8 additions: no honest sf0.1 sample existed when floors were
     # seeded; their first sf0.1 bench run seeds them (test above)
-    new_in_r8 = {"merge_part_bloom_orders", "time_travel_orders"}
+    new_in_r8 = {
+        "merge_part_bloom_orders",
+        "time_travel_orders",
+        "merge_equi_lineitem",
+    }
     missing = [
         q for q in mod.HEADLINE
         if q not in book["floors"] and q not in new_in_r8
