@@ -907,6 +907,19 @@ def main() -> None:
     sys.stdout.write(compact + "\n")
     sys.stdout.flush()
 
+    # Labeled runs self-archive (the bench protocol's manual
+    # copy-to-bench_history step, automated): full record under the
+    # run label, so floors provenance always points at an on-disk file.
+    if RUN_LABEL != "unlabeled_run":
+        try:
+            path = os.path.join(
+                os.path.dirname(FLOORS_PATH), f"{RUN_LABEL}.json"
+            )
+            with open(path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass
+
 
 if __name__ == "__main__":
     main()
