@@ -39,10 +39,12 @@ def _floor_report(timings: dict, sf: float | str) -> dict | None:
         if book.get("sf") != sf:
             return None  # floors are sf-specific; smoke runs don't count
         return _floor_report_inner(book, timings)
-    except Exception:
-        # a malformed floors file must never cost the headline JSON
-        # lines (same contract as the section() wrapper)
-        return None
+    except Exception as e:
+        # a malformed floors file/entry must never cost the headline
+        # JSON lines — but surface WHAT broke (the section() contract)
+        # so "floors stopped updating" is diagnosable from the record,
+        # not indistinguishable from an intentional smoke run (None).
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
 def _floor_report_inner(book: dict, timings: dict) -> dict:
@@ -831,7 +833,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "floors": floors,
-                        "skew": skew,
+            "skew": skew,
             "dq_pass_modes": dq_modes,
             "scaling": scaling,
             "lsh_planned": lsh_planned,
@@ -897,8 +899,8 @@ def main() -> None:
                         )[:8]
                     ),
                 }
-                if floors
-                else None
+                if floors and "error" not in floors
+                else floors
             ),
             "sf": sf_num,
             "compact": True,
@@ -910,7 +912,14 @@ def main() -> None:
     # Labeled runs self-archive (the bench protocol's manual
     # copy-to-bench_history step, automated): full record under the
     # run label, so floors provenance always points at an on-disk file.
-    if RUN_LABEL != "unlabeled_run":
+    # Label must be a safe bare filename and must not collide with the
+    # floor book (SPARK_GRAFT_RUN_LABEL=floors would clobber it with a
+    # wrong-shaped record and silently wipe all floor provenance).
+    import re
+
+    if RUN_LABEL != "unlabeled_run" and re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]*", RUN_LABEL
+    ) and RUN_LABEL != "floors":
         try:
             path = os.path.join(
                 os.path.dirname(FLOORS_PATH), f"{RUN_LABEL}.json"

@@ -192,8 +192,13 @@ class Catalog:
                 hwm = int(fh.read().strip() or 0)
         nxt = 1 + max(hwm, int(existing[-1][1:]) if existing else 0)
         os.replace(final, os.path.join(root, f"v{nxt:08d}"))
-        with open(hwm_path, "w") as fh:
+        # atomic marker update: a crash mid-write must not blank the
+        # counter (an empty .hwm after a vacuum(keep=0) would let
+        # numbering restart — the exact reuse the marker prevents)
+        tmp = hwm_path + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(nxt))
+        os.replace(tmp, hwm_path)
         for stale in self.versions(full_name)[: -self.keep_versions]:
             shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
 

@@ -391,6 +391,15 @@ def merge_upsert_delta(
 
         delta_table = DeltaTable.forPath(spark, target_path)
 
+    if "__tb__" in source.columns:
+        # same staging-name contract as merge_upsert: _dedup_source
+        # synthesizes (and then drops) __tb__, which would silently
+        # consume a real column by that name
+        raise ValueError(
+            "merge_upsert_delta: column '__tb__' collides with the "
+            "reserved tiebreaker staging name; rename it before "
+            "merging."
+        )
     src = _dedup_source(source, keys, ts_col, tiebreakers)
     dt = delta_table
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)

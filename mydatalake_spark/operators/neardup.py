@@ -846,10 +846,11 @@ def _exact_pairs_blas(
     id_t = normed.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_t}, id_b {id_t}, score double"
     if n_rows is not None:
-        # auto-route already paid df.count(); probe only the dim from
-        # the first row (fixed-dim embeddings — no second full pass)
-        first = normed.select(F.size("_nv").alias("d")).first()
-        n, d = n_rows, (first["d"] if first is not None else 0)
+        # auto-route already paid df.count(); still agg the TRUE max
+        # dim (a first-row probe would let one short/null leading
+        # vector understate a ragged corpus and defeat the OOM guard)
+        n = n_rows
+        d = normed.agg(F.max(F.size("_nv")).alias("d")).first()["d"]
     else:
         stats = normed.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("_nv")).alias("d")

@@ -77,18 +77,17 @@ def test_repo_floors_file_is_valid_and_covers_headline():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # r8 additions: no honest sf0.1 sample existed when floors were
-    # seeded; their first sf0.1 bench run seeds them (test above)
-    new_in_r8 = {
-        "merge_part_bloom_orders",
-        "time_travel_orders",
-        "merge_equi_lineitem",
-    }
-    missing = [
-        q for q in mod.HEADLINE
-        if q not in book["floors"] and q not in new_in_r8
-    ]
-    # every pre-r8 headline query has a seeded honest floor
+    # every headline query has a floor (the r8 final run seeded the
+    # round's additions; a new query's first sf0.1 run seeds its own)
+    missing = [q for q in mod.HEADLINE if q not in book["floors"]]
     assert not missing, missing
     for q, v in book["floors"].items():
         assert v["sec"] > 0 and isinstance(v["run"], str), (q, v)
+
+
+def test_malformed_floor_entry_reports_error(bench):
+    mod, floors = bench
+    floors.write_text('{"sf": 0.1, "floors": {"q1": 1.2}}')
+    rep = mod._floor_report({"q1": 2.0}, 0.1)
+    assert rep is not None and "error" in rep
+    assert "TypeError" in rep["error"] or "KeyError" in rep["error"]

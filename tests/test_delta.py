@@ -568,3 +568,18 @@ def test_restore_repins_source_at_retention_capacity(spark, tmp_path):
     assert cat.read("g.s.t").first().v == "a"
     assert cat.read_version("g.s.t", version=1).first().v == "a"
     assert cat.read_version("g.s.t", version=3).first().v == "c"
+
+
+def test_merge_delta_guards_tiebreaker_staging_name(spark):
+    """Parity with merge_upsert's staging-name guard: a real __tb__
+    column must error loudly, not be consumed by the synthesized
+    tiebreaker."""
+    rec = {}
+    source = spark.createDataFrame(
+        [(1, "a", 1)], "id int, `__tb__` string, ts int"
+    )
+    with pytest.raises(ValueError, match="__tb__"):
+        merge_upsert_delta(
+            spark, "/nonexistent", source, ["id"], "ts",
+            delta_table=_RecordingMerge(rec),
+        )
