@@ -31,6 +31,55 @@ def delta_available() -> bool:
     return importlib.util.find_spec("delta") is not None
 
 
+def partition_predicate(pcols: list[str], values: list):
+    """Exact partition-membership predicate over one or more
+    partition columns.
+
+    Single column → ``col IN (values)`` (the fast path Catalyst turns
+    into an In partition filter). Multiple columns → an
+    OR-of-conjunctions over the touched tuples: file-source partition
+    pruning evaluates arbitrary deterministic predicates over the
+    partition columns against the partition catalog, so every
+    untouched leaf directory is pruned from the scan — the touched
+    list is driver-bounded (merge's ``max_partitions`` probe), so the
+    expression stays small.
+
+    Values must not contain NULLs: ``IN``/``=`` never match NULL, so a
+    null-partition row would silently vanish from both the read slice
+    and the rewrite (ADVICE r8) — callers guard before building this.
+    """
+    from pyspark.sql import functions as F
+
+    if len(pcols) == 1:
+        vals = [
+            v[0] if isinstance(v, (tuple, list)) else v for v in values
+        ]
+        return F.col(pcols[0]).isin(vals)
+    pred = None
+    for tup in values:
+        conj = None
+        for c, v in zip(pcols, tup):
+            eq = F.col(c) == F.lit(v)
+            conj = eq if conj is None else (conj & eq)
+        pred = conj if pred is None else (pred | conj)
+    return pred
+
+
+def _check_no_null_partition_values(pcols: list[str], values: list) -> None:
+    """Fail fast on NULL partition values (ADVICE r8): equality/IN
+    predicates drop them silently, so rows would vanish without
+    error."""
+    for v in values:
+        tup = v if isinstance(v, (tuple, list)) else (v,)
+        if any(m is None for m in tup):
+            raise ValueError(
+                f"partition columns {pcols} contain NULL values in the "
+                f"changeset (e.g. {tuple(tup)!r}); partition-scoped "
+                "writes cannot address a null partition — clean or "
+                "default the partition column upstream."
+            )
+
+
 def split_name(full_name: str) -> tuple[str, str, str]:
     """``catalog.schema.table`` → parts; shorter names get defaults."""
     parts = full_name.split(".")
@@ -189,7 +238,27 @@ class Catalog:
         hwm = 0
         if os.path.exists(hwm_path):
             with open(hwm_path) as fh:
-                hwm = int(fh.read().strip() or 0)
+                raw = fh.read().strip()
+            try:
+                hwm = int(raw or 0)
+            except ValueError:
+                # A corrupted marker must not surface as a cryptic
+                # int() parse error blocking every overwrite (ADVICE
+                # r8): name the file and how to repair it. We do NOT
+                # silently fall back to max(existing labels) — after a
+                # vacuum that retired high-numbered snapshots that
+                # would reuse version numbers, the exact promise the
+                # marker exists to keep.
+                raise RuntimeError(
+                    f"{full_name}: version counter {hwm_path} is "
+                    f"corrupted (contents {raw!r}, expected an "
+                    "integer). Repair it by writing the highest "
+                    "version number ever assigned to this table (at "
+                    f"least {int(existing[-1][1:]) if existing else 0}"
+                    ", from the retained vNNNNNNNN labels), or delete "
+                    "the file to restart numbering if the table's "
+                    "history is being discarded."
+                ) from None
         nxt = 1 + max(hwm, int(existing[-1][1:]) if existing else 0)
         os.replace(final, os.path.join(root, f"v{nxt:08d}"))
         # atomic marker update: a crash mid-write must not blank the
@@ -262,7 +331,7 @@ class Catalog:
         self,
         df: DataFrame,
         full_name: str,
-        partition_col: str,
+        partition_col: str | list[str],
         values: list,
     ) -> None:
         """Rewrite ONLY the named partitions (Delta ``replaceWhere`` /
@@ -270,34 +339,54 @@ class Catalog:
         exactly the replacement rows for those partitions. Untouched
         partition directories are never read or written.
 
+        ``partition_col`` may be a LIST for hierarchically partitioned
+        tables (date, region — the real 100 TB CDC layout); ``values``
+        is then a list of tuples addressing touched LEAF partitions,
+        and the swap replaces leaf directories only — sibling leaves
+        under a touched first-level directory survive byte-identical.
+
         Atomicity is PER PARTITION (each swap is one directory
         rename): a crash mid-loop leaves some partitions new and some
         old — re-running the same rewrite converges, but readers in
         the window can see a mixed state. A cross-partition-atomic
         rewrite needs a table format with a transaction log (the Delta
         path) or the full staging swap of overwrite_via_staging."""
-        from pyspark.sql import functions as F
-
+        pcols = (
+            [partition_col]
+            if isinstance(partition_col, str)
+            else list(partition_col)
+        )
+        _check_no_null_partition_values(pcols, values)
         base = self.path(full_name)
         staging = base + "__pstaging"
         shutil.rmtree(staging, ignore_errors=True)
         (
-            df.filter(F.col(partition_col).isin(values))
+            df.filter(partition_predicate(pcols, values))
             .write.format(self.fmt)
             .mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(*pcols)
             .save(staging)
         )
-        # Swap in every partition directory the write produced (Spark
-        # owns the value→dirname encoding; a merge never empties a
-        # partition, so staging covers all touched values with rows).
+        # Swap in every LEAF partition directory the write produced
+        # (Spark owns the value→dirname encoding; a merge never
+        # empties a partition, so staging covers all touched values
+        # with rows). Intermediate levels are created, never replaced.
         os.makedirs(base, exist_ok=True)
-        for entry in os.listdir(staging):
-            if not entry.startswith(f"{partition_col}="):
-                continue
-            dst = os.path.join(base, entry)
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(os.path.join(staging, entry), dst)
+
+        def _swap(src_dir: str, dst_dir: str, depth: int) -> None:
+            for entry in os.listdir(src_dir):
+                if not entry.startswith(f"{pcols[depth]}="):
+                    continue
+                s = os.path.join(src_dir, entry)
+                d = os.path.join(dst_dir, entry)
+                if depth == len(pcols) - 1:
+                    shutil.rmtree(d, ignore_errors=True)
+                    os.replace(s, d)
+                else:
+                    os.makedirs(d, exist_ok=True)
+                    _swap(s, d, depth + 1)
+
+        _swap(staging, base, 0)
         shutil.rmtree(staging, ignore_errors=True)
         self._invalidate(full_name)
 
@@ -346,6 +435,11 @@ class Catalog:
                 )
             label = vs[-steps_back]
         src = os.path.join(self._version_root(full_name), label)
+        # Captured before pruning can retire src: if the re-pin path
+        # below recreates the snapshot, it must carry the ORIGINAL
+        # directory mtime, or history() timestamps go non-monotonic
+        # across versions (ADVICE r8).
+        src_stat = os.stat(src)
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -356,15 +450,20 @@ class Catalog:
             # retention pruning retired the source while snapshotting
             # the replaced state — re-pin it (hardlinks of the live
             # state just restored from it: identical bytes) so the
-            # stays-addressable promise holds.
-            shutil.copytree(
-                final,
-                os.path.join(self._version_root(full_name), label),
-                copy_function=os.link,
-            )
+            # stays-addressable promise holds. Restore the source's
+            # original mtime so history() stays monotonic.
+            repinned = os.path.join(self._version_root(full_name), label)
+            shutil.copytree(final, repinned, copy_function=os.link)
+            os.utime(repinned, (src_stat.st_atime, src_stat.st_mtime))
         self._invalidate(full_name)
 
-    def vacuum(self, full_name: str, keep: int | None = None) -> int:
+    def vacuum(
+        self,
+        full_name: str,
+        keep: int | None = None,
+        *,
+        staging_grace_seconds: float = 3600.0,
+    ) -> int:
         """Delta ``VACUUM`` analogue: drop retained version snapshots
         beyond ``keep`` (default: this catalog's ``keep_versions``)
         plus any orphaned ``__staging``/``__pstaging`` leftovers from
@@ -373,7 +472,14 @@ class Catalog:
         nothing until their last reference goes — the returned number
         counts only inodes whose link count this removal exhausts, so
         it is the true disk reclaim, same contract as Delta's vacuum
-        log line)."""
+        log line).
+
+        Staging dirs written to within ``staging_grace_seconds`` are
+        NOT treated as orphans (ADVICE r8): a concurrent
+        overwrite_via_staging / overwrite_partitions micro-batch on
+        the same table would otherwise lose its in-flight output —
+        the same retention-window discipline as Delta VACUUM's
+        default. Pass 0 to force-clean known-dead staging dirs."""
         keep = self.keep_versions if keep is None else keep
         if keep < 0:
             raise ValueError("keep must be >= 0")
@@ -401,9 +507,24 @@ class Catalog:
             root = self._version_root(full_name)
             if not os.path.exists(os.path.join(root, ".hwm")):
                 shutil.rmtree(root, ignore_errors=True)
+        import time
+
         for suffix in ("__staging", "__pstaging"):
             p = self.path(full_name) + suffix
             if os.path.isdir(p):
+                # Newest mtime anywhere in the tree: an in-flight
+                # Spark write touches nested task dirs, not
+                # necessarily the top-level staging dir.
+                newest = os.stat(p).st_mtime
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(newest, os.stat(dirpath).st_mtime)
+                    for f in files:
+                        newest = max(
+                            newest,
+                            os.stat(os.path.join(dirpath, f)).st_mtime,
+                        )
+                if time.time() - newest < staging_grace_seconds:
+                    continue  # possibly in-flight — not an orphan yet
                 freed += _weigh(p)
                 shutil.rmtree(p, ignore_errors=True)
         return freed

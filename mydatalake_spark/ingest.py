@@ -136,11 +136,13 @@ class IngestorCDC(Ingestor):
       scoped merge — only the partitions the changeset touches are
       read and rewritten (merge_upsert_partitioned; the untouched
       tail of the table is untouched on disk, unlike join/bloom which
-      rewrite the whole table through the staging swap). Requires the
-      table to declare exactly one ``partition_by`` column and that
-      column to be one of the merge keys. ``partitioned_bloom``
-      additionally bloom-prunes rows inside the touched slice — both
-      pruning levels of the 100 TB CDC story, from metadata alone.
+      rewrite the whole table through the staging swap). Requires
+      ≥1 ``partition_by`` columns, every one a merge key; a multi-
+      column list partitions hierarchically (date, region) and prunes
+      on the touched tuples at every directory level.
+      ``partitioned_bloom`` additionally bloom-prunes rows inside the
+      touched slice — both pruning levels of the 100 TB CDC story,
+      from metadata alone.
     """
 
     merge_strategy: str = "join"
@@ -154,19 +156,25 @@ class IngestorCDC(Ingestor):
                 f"{strategies}, got {self.merge_strategy!r}"
             )
         if self.merge_strategy.startswith("partitioned"):
-            if len(self.partition_by) != 1:
+            if not self.partition_by:
                 raise ValueError(
                     f"{self.table}: merge_strategy="
-                    f"{self.merge_strategy!r} needs exactly one "
+                    f"{self.merge_strategy!r} needs at least one "
                     f"partition_by column, got {self.partition_by!r}"
                 )
-            if self.partition_by[0] not in self.meta.key_columns:
+            non_keys = [
+                c
+                for c in self.partition_by
+                if c not in self.meta.key_columns
+            ]
+            if non_keys:
                 raise ValueError(
-                    f"{self.table}: partition-scoped merge requires the "
-                    f"partition column {self.partition_by[0]!r} to be a "
-                    f"merge key (keys={self.meta.key_columns}) — "
-                    "otherwise a key's row could move between "
-                    "partitions and duplicate"
+                    f"{self.table}: partition-scoped merge requires "
+                    f"every partition column to be a merge key; "
+                    f"{non_keys!r} are not "
+                    f"(keys={self.meta.key_columns}) — otherwise a "
+                    "key's row could move between partitions and "
+                    "duplicate"
                 )
 
     def upsert(self, df: DataFrame) -> None:
@@ -177,13 +185,14 @@ class IngestorCDC(Ingestor):
         if not keys:
             raise ValueError(f"{self.meta.full_name}: CDC requires key columns")
         if self.merge_strategy.startswith("partitioned"):
-            # handles first-write creation internally (partitioned)
+            # handles first-write creation internally (partitioned);
+            # a multi-column partition_by prunes hierarchically
             merge_upsert_partitioned(
                 self.catalog,
                 self.meta.full_name,
                 df,
                 keys,
-                self.partition_by[0],
+                self.partition_by,
                 ts,
                 bloom=self.merge_strategy == "partitioned_bloom",
             )

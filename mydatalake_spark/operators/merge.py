@@ -426,7 +426,7 @@ def merge_upsert_partitioned(
     table: str,
     source: DataFrame,
     keys: list[str],
-    partition_col: str,
+    partition_col: str | list[str],
     ts_col: str | None = None,
     tiebreakers: list[str] | None = None,
     max_partitions: int = 10_000,
@@ -456,14 +456,20 @@ def merge_upsert_partitioned(
     Requires the merge keys to determine the partition (true for
     date-partitioned CDC feeds where the partition column is part of
     the key, e.g. (symbol, date) keyed prices partitioned by date —
-    reference silver/prices/prices.yml:6,17). Steps:
+    reference silver/prices/prices.yml:6,17). ``partition_col`` may be
+    a LIST for hierarchically partitioned tables (date, region — the
+    realistic 100 TB CDC layout); every member must be a merge key
+    (same reason: a key's row must not move between partitions), the
+    touched set is the distinct TUPLES, and pruning applies at every
+    directory level — an untouched (date, region) leaf under a touched
+    date is never read or rewritten. Steps:
 
-    1. collect the DISTINCT partition values present in the source —
-       a tiny driver-side list (one shuffle over source only);
+    1. collect the DISTINCT partition values/tuples present in the
+       source — a tiny driver-side list (one shuffle over source only);
     2. read ONLY those partitions of the target (partition pruning —
        the unchanged 99% of the table is never scanned);
     3. join-merge within that slice;
-    4. rewrite only those partition directories.
+    4. rewrite only those leaf partition directories.
 
     ``max_partitions`` bounds step 1: the distinct-partition list is
     collected to the driver, which is only safe for genuinely coarse
@@ -472,15 +478,31 @@ def merge_upsert_partitioned(
     instead we count first (cheap partial-agg count-distinct) and fail
     fast with a clear error.
 
-    Returns the list of touched partition values.
+    NULL partition values in the source fail fast (ADVICE r8): the
+    membership predicates (`IN`, `=`) never match NULL, so those
+    changeset rows would otherwise silently vanish from the merge.
+
+    Returns the list of touched partition values (tuples when
+    ``partition_col`` is a list).
     """
-    if partition_col not in keys:
+    from ..catalog import (
+        _check_no_null_partition_values,
+        partition_predicate,
+    )
+
+    pcols = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    missing = [c for c in pcols if c not in keys]
+    if missing:
         raise ValueError(
-            "partition-scoped merge requires the partition column to be "
-            f"part of the merge keys; got partition_col={partition_col!r} "
-            f"keys={keys}"
+            "partition-scoped merge requires every partition column to "
+            f"be part of the merge keys; got partition_col={pcols!r} "
+            f"keys={keys} (not keys: {missing})"
         )
-    distinct_parts = source.select(partition_col).distinct()
+    distinct_parts = source.select(*pcols).distinct()
     # LIMIT max+1 bounds BOTH the count and the driver transfer: if the
     # column is high-cardinality we learn "too many" after shipping at
     # most max_partitions+1 values, never the full list.
@@ -488,18 +510,19 @@ def merge_upsert_partitioned(
     if len(probe) > max_partitions:
         raise ValueError(
             f"merge_upsert_partitioned: source has more than "
-            f"{max_partitions} distinct values of {partition_col!r}; "
+            f"{max_partitions} distinct values of {pcols!r}; "
             "this looks like a non-partition (high-cardinality) column. "
             "Pick a coarse partition column or raise max_partitions."
         )
-    touched = [r[0] for r in probe]
+    touched = [r[0] if len(pcols) == 1 else tuple(r) for r in probe]
+    _check_no_null_partition_values(pcols, touched)
     if not touched:
         return []
     if not catalog.exists(table):
-        catalog.overwrite(source, table, partition_by=[partition_col])
+        catalog.overwrite(source, table, partition_by=pcols)
         return touched
     target_slice = catalog.read(table).filter(
-        F.col(partition_col).isin(touched)
+        partition_predicate(pcols, touched)
     )
     src = source.select(*target_slice.columns)
     if bloom:
@@ -509,5 +532,5 @@ def merge_upsert_partitioned(
         )
     else:
         merged = merge_upsert(target_slice, src, keys, ts_col, tiebreakers)
-    catalog.overwrite_partitions(merged, table, partition_col, touched)
+    catalog.overwrite_partitions(merged, table, pcols, touched)
     return touched

@@ -91,3 +91,96 @@ def test_malformed_floor_entry_reports_error(bench):
     rep = mod._floor_report({"q1": 2.0}, 0.1)
     assert rep is not None and "error" in rep
     assert "TypeError" in rep["error"] or "KeyError" in rep["error"]
+
+
+def _mk_timings(n):
+    return {f"query_with_a_fairly_long_name_{i:03d}": 1.234 + i * 0.01
+            for i in range(n)}
+
+
+def test_compact_record_parses_and_fits_budget(bench):
+    """VERDICT r8 ask #1: BENCH_r08.json had parsed=null because the
+    compact line outgrew the driver's 2000-char tail capture. The
+    compact record must stay parseable and under the hard budget even
+    with a full-size suite and every optional section populated."""
+    mod, _ = bench
+    timings = _mk_timings(150)
+    floors = {
+        "suite_floor_sec": 129.3,
+        "n_new_floors": 40,
+        "new_floors": {k: [1.0, 2.0] for k in list(timings)[:40]},
+        "above_floor_1p3x": {
+            k: [2.0, 1.0, 2.0] for k in list(timings)[:20]
+        },
+    }
+    skew = {
+        "plain_sec": 2.9, "salted_sec": 1.4,
+        "plain_max_over_mean": 15.4, "salted_max_over_mean": 3.73,
+    }
+    tax = {
+        f"operator_family_name_{i}": {
+            "native": 1.1, "portable": 3.3, "portable_tax": 3.0
+        }
+        for i in range(8)
+    }
+    line = mod.build_compact_record(
+        187.654, timings, floors, skew, tax, 0.1
+    )
+    assert len(line.encode()) <= mod.COMPACT_BUDGET_BYTES
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_suite_seconds"
+    assert rec["value"] == 187.654
+    assert rec["n_queries"] == 150
+    assert rec["compact"] is True
+    assert rec["floors"]["suite_floor_sec"] == 129.3
+    assert rec["floors"]["n_above_floor"] == 20
+    # top-3 above-floor and hash-tax ratios ride when they fit
+    assert len(rec.get("above_floor_top3", {})) <= 3
+    if "hash_tax_ratio" in rec:
+        assert all(isinstance(v, float) for v in rec["hash_tax_ratio"].values())
+
+
+def test_compact_record_degrades_under_budget(bench, monkeypatch):
+    """With an absurdly small budget the record drops optional
+    sections (least-valuable first) but keeps the core fields."""
+    mod, _ = bench
+    monkeypatch.setattr(mod, "COMPACT_BUDGET_BYTES", 300)
+    line = mod.build_compact_record(
+        10.0, _mk_timings(5),
+        {"suite_floor_sec": 9.0, "n_new_floors": 1, "new_floors": {},
+         "above_floor_1p3x": {"q": [2.0, 1.0, 2.0]}},
+        {"plain_max_over_mean": 15.0, "salted_max_over_mean": 3.0},
+        {"op": {"portable_tax": 2.0}}, 0.1,
+    )
+    assert len(line.encode()) <= 300
+    rec = json.loads(line)
+    assert rec["value"] == 10.0 and rec["floors"]["n_new_floors"] == 1
+    assert "slowest3" not in rec  # first to be dropped
+
+
+def test_compact_record_surfaces_floor_error(bench):
+    mod, _ = bench
+    rec = json.loads(mod.build_compact_record(
+        1.0, {"q": 1.0}, {"error": "KeyError: sec"}, None, None, 0.1))
+    assert rec["floors"] == {"error": "KeyError: sec"}
+
+
+def test_archive_never_overwrites_existing_label(bench, tmp_path):
+    """ADVICE r8: rerunning with a used label must not clobber the
+    archived run that floors.json provenance points at."""
+    mod, _ = bench
+    p1 = mod._archive_run('{"original": true}')
+    p2 = mod._archive_run('{"second": true}')
+    p3 = mod._archive_run('{"third": true}')
+    assert p1 == str(tmp_path / "test_run.json")
+    assert p2 == str(tmp_path / "test_run.2.json")
+    assert p3 == str(tmp_path / "test_run.3.json")
+    assert json.loads(open(p1).read()) == {"original": True}
+    assert json.loads(open(p2).read()) == {"second": True}
+
+
+def test_archive_refuses_unsafe_or_reserved_labels(bench, monkeypatch):
+    mod, _ = bench
+    for label in ("unlabeled_run", "floors", "../escape", "a/b"):
+        monkeypatch.setattr(mod, "RUN_LABEL", label)
+        assert mod._archive_run("{}") is None

@@ -487,7 +487,16 @@ def test_vacuum_contract(spark, tmp_path):
     with open(os.path.join(orphan, "junk.bin"), "wb") as fh:
         fh.write(b"x" * 4096)
 
-    freed = cat.vacuum("g.s.t", keep=1)
+    # A fresh staging dir is inside the grace window: vacuum must NOT
+    # treat it as an orphan (it could be an in-flight micro-batch on
+    # the same table — ADVICE r8).
+    freed_graced = cat.vacuum("g.s.t", keep=1)
+    assert os.path.isdir(orphan)
+    # Backdate it past the window → now it IS an orphan.
+    old = __import__("time").time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(os.path.join(orphan, "junk.bin"), (old, old))
+    freed = freed_graced + cat.vacuum("g.s.t", keep=1)
     assert freed >= 4096                       # junk + two snapshots
     assert [h["version"] for h in cat.history("g.s.t")] == [3]
     assert not os.path.isdir(orphan)
@@ -500,6 +509,54 @@ def test_vacuum_contract(spark, tmp_path):
     assert cat.versions("g.s.t") == []
     with pytest.raises(ValueError, match="keep"):
         cat.vacuum("g.s.t", keep=-1)
+    # staging_grace_seconds=0 is the force path for known-dead dirs
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk2.bin"), "wb") as fh:
+        fh.write(b"y" * 1024)
+    assert cat.vacuum("g.s.t", staging_grace_seconds=0) >= 1024
+    assert not os.path.isdir(orphan)
+
+
+def test_corrupted_hwm_marker_raises_actionable_error(spark, tmp_path):
+    """ADVICE r8: a non-numeric .hwm must surface as a clear error
+    naming the marker file and the repair, not an int() ValueError."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    cat.overwrite_via_staging(_kv_batch(spark, "a"), "g.s.t")
+    cat.overwrite_via_staging(_kv_batch(spark, "b"), "g.s.t")
+    hwm = os.path.join(cat._version_root("g.s.t"), ".hwm")
+    with open(hwm, "w") as fh:
+        fh.write("garbage\n")
+    with pytest.raises(RuntimeError, match=r"\.hwm.*corrupted|corrupted"):
+        cat.overwrite_via_staging(_kv_batch(spark, "c"), "g.s.t")
+    # repair per the error message: write the highest assigned number
+    with open(hwm, "w") as fh:
+        fh.write("1")
+    cat.overwrite_via_staging(_kv_batch(spark, "c"), "g.s.t")
+    assert cat.read("g.s.t").first().v == "c"
+
+
+def test_repinned_restore_source_keeps_history_monotonic(spark, tmp_path):
+    """ADVICE r8: when restore() re-pins its source snapshot (the
+    source was the oldest at retention capacity), the recreated dir
+    must carry the ORIGINAL mtime so history() timestamps stay
+    monotonic by version number."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    for v in ("a", "b", "c"):
+        cat.overwrite_via_staging(_kv_batch(spark, v), "g.s.t")
+    # retained: v1,v2 at capacity. Restoring v1 snapshots the live
+    # state (v3), pruning retires v1 → re-pin path runs.
+    import time as _t
+
+    _t.sleep(0.05)
+    cat.restore("g.s.t", version=1)
+    hist = cat.history("g.s.t")
+    labels = [h["version"] for h in hist]
+    assert 1 in labels
+    times = [h["snapshot_time"] for h in hist]
+    assert times == sorted(times), (labels, times)
+    assert cat.read("g.s.t").first().v == "a"
 
 
 def test_restore_hardlinks_never_diverge(spark, tmp_path):

@@ -252,3 +252,135 @@ def test_bloomed_partitioned_merge_composes_both_prunes(spark, cat):
     written = captured["written"]
     assert written, "no Exchange metrics captured"
     assert max(written) <= 40, written
+
+
+def _regional(spark, rows):
+    return spark.createDataFrame(
+        rows, "sym string, day string, region string, ts long, px double"
+    )
+
+
+def test_two_level_partitioned_merge_prunes_leaf_dirs(spark, cat):
+    """VERDICT r8 ask #5: hierarchical (day, region) partitioning.
+    A changeset touching one (day, region) leaf must leave every other
+    leaf byte-identical — including the SIBLING region under the same
+    day — and the merge scan's PartitionFilters must carry both
+    columns."""
+    days = ["2026-08-01", "2026-08-02"]
+    regions = ["EU", "US"]
+    rows = [
+        (f"S{i:03d}", d, rg, 1, float(i))
+        for d in days for rg in regions for i in range(50)
+    ]
+    merge_upsert_partitioned(
+        cat, "silver.mkt.multi", _regional(spark, rows),
+        keys=["sym", "day", "region"],
+        partition_col=["day", "region"], ts_col="ts",
+    )
+    base = cat.path("silver.mkt.multi")
+    leaves = [f"day={d}/region={rg}" for d in days for rg in regions]
+    before = {lf: _file_hashes(os.path.join(base, lf)) for lf in leaves}
+    assert all(before.values()), before  # all four leaves materialized
+
+    captured = {}
+    orig = cat.overwrite_partitions
+
+    def capture(df, table, pcols, vals):
+        captured["plan"] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        orig(df, table, pcols, vals)
+
+    cat.overwrite_partitions = capture
+    try:
+        touched = merge_upsert_partitioned(
+            cat, "silver.mkt.multi",
+            _regional(spark, [
+                ("S007", "2026-08-02", "EU", 9, 700.0),   # update
+                ("S000", "2026-08-02", "EU", 0, -1.0),    # stale
+                ("SNEW", "2026-08-02", "EU", 2, 800.0),   # insert
+            ]),
+            keys=["sym", "day", "region"],
+            partition_col=["day", "region"], ts_col="ts",
+        )
+    finally:
+        cat.overwrite_partitions = orig
+    assert touched == [("2026-08-02", "EU")]
+
+    after = {lf: _file_hashes(os.path.join(base, lf)) for lf in leaves}
+    for lf in leaves:
+        if lf == "day=2026-08-02/region=EU":
+            assert after[lf] != before[lf]
+        else:
+            # untouched leaves byte-identical — notably the US sibling
+            # under the touched day
+            assert after[lf] == before[lf], lf
+
+    got = {
+        (r.sym, str(r.day), r.region): (r.ts, r.px)
+        for r in cat.read("silver.mkt.multi").collect()
+    }
+    assert got[("S007", "2026-08-02", "EU")] == (9, 700.0)
+    assert got[("S000", "2026-08-02", "EU")] == (1, 0.0)    # stale lost
+    assert got[("SNEW", "2026-08-02", "EU")] == (2, 800.0)
+    assert got[("S007", "2026-08-02", "US")] == (1, 7.0)    # sibling
+    assert len(got) == 2 * 2 * 50 + 1
+
+    # both pruning levels visible at the scan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", captured["plan"])
+    assert any("day" in f and "region" in f for f in pf), pf
+
+
+def test_two_level_first_write_bootstraps_nested_layout(spark, cat):
+    touched = merge_upsert_partitioned(
+        cat, "silver.mkt.multi2",
+        _regional(spark, [("A", "2026-08-01", "EU", 1, 1.0)]),
+        keys=["sym", "day", "region"],
+        partition_col=["day", "region"], ts_col="ts",
+    )
+    assert touched == [("2026-08-01", "EU")]
+    assert os.path.isdir(
+        os.path.join(cat.path("silver.mkt.multi2"),
+                     "day=2026-08-01", "region=EU")
+    )
+    assert cat.read("silver.mkt.multi2").count() == 1
+
+
+def test_null_partition_value_fails_fast(spark, cat):
+    """ADVICE r8: a NULL partition value would silently vanish from
+    isin()/= predicates — refuse the changeset instead."""
+    merge_upsert_partitioned(
+        cat, "silver.mkt.p5", _prices(spark, BASE),
+        keys=["sym", "day"], partition_col="day", ts_col="ts",
+    )
+    bad = spark.createDataFrame(
+        [("A", None, 5, 1.0)],
+        "sym string, day string, ts long, px double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert_partitioned(
+            cat, "silver.mkt.p5", bad,
+            keys=["sym", "day"], partition_col="day", ts_col="ts",
+        )
+    # table unchanged
+    assert cat.read("silver.mkt.p5").count() == len(BASE)
+    # multi-col: a null in EITHER member refuses
+    bad2 = _regional(spark, [("A", "2026-08-01", None, 5, 1.0)])
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert_partitioned(
+            cat, "silver.mkt.p6", bad2,
+            keys=["sym", "day", "region"],
+            partition_col=["day", "region"], ts_col="ts",
+        )
+
+
+def test_multicol_partition_requires_all_keys(spark, cat):
+    with pytest.raises(ValueError, match="region"):
+        merge_upsert_partitioned(
+            cat, "t.t.t", _regional(spark, []),
+            keys=["sym", "day"],
+            partition_col=["day", "region"], ts_col="ts",
+        )
