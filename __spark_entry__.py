@@ -621,6 +621,77 @@ FROM orders
 """
 
 
+def restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the oracle, not just pytest (VERDICT r8 ask #4:
+    catalog.restore() — the Delta ``RESTORE TABLE ... TO VERSION AS
+    OF`` analogue — was contract-tested only). Orders load into a
+    versioned throwaway warehouse, an overwrite reprices them ×1.1,
+    then ``restore(version=1)`` promotes the original state back live
+    via the hardlink path. The query joins the restored LIVE table
+    against ``read_version(version=2)`` — the ×1.1 state the restore
+    replaced (restore is itself a versioned operation) — and the
+    oracle recomputes both states straight from the base table. The
+    hash match proves the hardlink promotion is byte-faithful (a
+    corrupted restore breaks price_live), the replaced state was
+    snapshotted not lost (price_replaced), the source snapshot
+    survived the restore (versions_ok checks history labels [1, 2]
+    with monotonic timestamps), and vacuum at retention frees nothing
+    (every retained snapshot is still addressable)."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("price"),
+    )
+    v2 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("price"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="restore_"), keep_versions=3
+    )
+    tbl = "silver.sales.priced"
+    cat.overwrite_via_staging(v1, tbl)
+    cat.overwrite_via_staging(v2, tbl)          # snapshots v1
+    cat.restore(tbl, version=1)                 # snapshots v2, live=v1
+    hist = cat.history(tbl)
+    times = [h["snapshot_time"] for h in hist]
+    versions_ok = (
+        [h["version"] for h in hist] == [1, 2]
+        and times == sorted(times)
+        # at retention, vacuum must not retire an addressable snapshot
+        and cat.vacuum(tbl, keep=3) == 0
+        and len(cat.history(tbl)) == 2
+    )
+    live = cat.read(tbl)
+    replaced = cat.read_version(tbl, version=2)
+    return live.alias("l").join(
+        replaced.alias("r"), "o_orderkey"
+    ).select(
+        "o_orderkey",
+        F.col("l.price").alias("price_live"),
+        F.col("r.price").alias("price_replaced"),
+        F.lit(len(hist)).alias("n_versions"),
+        F.lit(bool(versions_ok)).alias("versions_ok"),
+    )
+
+
+_RESTORE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_live,
+       CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_replaced,
+       2 AS n_versions,
+       TRUE AS versions_ok
+FROM orders
+"""
+
+
 def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's prices pipeline shape (reference
     silver/prices/prices.sql:13 LATERAL VIEW explode of
@@ -9422,58 +9493,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
-        "merge_equi_lineitem": merge_equi_lineitem,
-        "time_travel_orders": time_travel_orders,
-        "merge_part_bloom_orders": merge_part_bloom_orders,
-        # --- last driver-green in r4 ---
-        "q12_late_shipments_priority": q12_late_shipments_priority,
-        "q16_supplier_part_breadth": q16_supplier_part_breadth,
-        "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "quality_filter_documents": quality_filter_documents,
-        "heavy_hitters_tokens": heavy_hitters_tokens,
-        "paragraph_dedup_documents": paragraph_dedup_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "pagerank_trade_graph": pagerank_trade_graph,
-        "histogram_events_value": histogram_events_value,
-        "scd2_customer_status": scd2_customer_status,
-        "cdc_ops_apply_orders": cdc_ops_apply_orders,
-        "profile_lineitem": profile_lineitem,
-        "interval_join_events": interval_join_events,
-        "weighted_sample_documents": weighted_sample_documents,
-        "perplexity_documents": perplexity_documents,
-        "curation_pipeline_documents": curation_pipeline_documents,
-        "consistent_sample_join": consistent_sample_join,
-        "label_centroids_embeddings": label_centroids_embeddings,
-        "triangle_count_parts": triangle_count_parts,
-        "gapfill_nation_revenue": gapfill_nation_revenue,
-        "fuzzy_pairs_documents": fuzzy_pairs_documents,
-        "hll_shards_customers": hll_shards_customers,
-        "ab_test_events": ab_test_events,
-        "event_transitions": event_transitions,
-        "top_paths_events": top_paths_events,
-        "snapshot_diff_orders": snapshot_diff_orders,
-        "dq_fk_orders": dq_fk_orders,
-        "multimodal_real_decode": multimodal_real_decode,
-        "pit_join_orders": pit_join_orders,
-        "attribution_events": attribution_events,
-        "twap_events": twap_events,
-        "bootstrap_ci_events": bootstrap_ci_events,
-        "rolling_distinct_users": rolling_distinct_users,
+        "restore_orders": restore_orders,
         # --- last driver-green in r5 ---
-        "bfs_hops_trade": bfs_hops_trade,
-        "emd_events": emd_events,
-        "scorecard_events": scorecard_events,
-        "drift_report_events": drift_report_events,
-        "tfidf_keywords_documents": tfidf_keywords_documents,
-        "mutual_info_orders": mutual_info_orders,
-        "psi_events": psi_events,
-        "trimmed_means_events": trimmed_means_events,
-        "duplicate_spans_documents": duplicate_spans_documents,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
-        "split_leakage_documents": split_leakage_documents,
-        "pareto_revenue_customers": pareto_revenue_customers,
         "burst_users_events": burst_users_events,
         "forecast_backtest_revenue": forecast_backtest_revenue,
         "cusum_changepoint_revenue": cusum_changepoint_revenue,
@@ -9613,6 +9634,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q9_product_profit": q9_product_profit,
         "q11_important_part_value": q11_important_part_value,
+        # --- last driver-green in r8 ---
+        "merge_equi_lineitem": merge_equi_lineitem,
+        "time_travel_orders": time_travel_orders,
+        "merge_part_bloom_orders": merge_part_bloom_orders,
+        "q12_late_shipments_priority": q12_late_shipments_priority,
+        "q16_supplier_part_breadth": q16_supplier_part_breadth,
+        "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "quality_filter_documents": quality_filter_documents,
+        "heavy_hitters_tokens": heavy_hitters_tokens,
+        "paragraph_dedup_documents": paragraph_dedup_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "pagerank_trade_graph": pagerank_trade_graph,
+        "histogram_events_value": histogram_events_value,
+        "scd2_customer_status": scd2_customer_status,
+        "cdc_ops_apply_orders": cdc_ops_apply_orders,
+        "profile_lineitem": profile_lineitem,
+        "interval_join_events": interval_join_events,
+        "weighted_sample_documents": weighted_sample_documents,
+        "perplexity_documents": perplexity_documents,
+        "curation_pipeline_documents": curation_pipeline_documents,
+        "consistent_sample_join": consistent_sample_join,
+        "label_centroids_embeddings": label_centroids_embeddings,
+        "triangle_count_parts": triangle_count_parts,
+        "gapfill_nation_revenue": gapfill_nation_revenue,
+        "fuzzy_pairs_documents": fuzzy_pairs_documents,
+        "hll_shards_customers": hll_shards_customers,
+        "ab_test_events": ab_test_events,
+        "event_transitions": event_transitions,
+        "top_paths_events": top_paths_events,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "dq_fk_orders": dq_fk_orders,
+        "multimodal_real_decode": multimodal_real_decode,
+        "pit_join_orders": pit_join_orders,
+        "attribution_events": attribution_events,
+        "twap_events": twap_events,
+        "bootstrap_ci_events": bootstrap_ci_events,
+        "rolling_distinct_users": rolling_distinct_users,
+        "bfs_hops_trade": bfs_hops_trade,
+        "emd_events": emd_events,
+        "scorecard_events": scorecard_events,
+        "drift_report_events": drift_report_events,
+        "tfidf_keywords_documents": tfidf_keywords_documents,
+        "mutual_info_orders": mutual_info_orders,
+        "psi_events": psi_events,
+        "trimmed_means_events": trimmed_means_events,
+        "duplicate_spans_documents": duplicate_spans_documents,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
+        "split_leakage_documents": split_leakage_documents,
+        "pareto_revenue_customers": pareto_revenue_customers,
     }
 
 
@@ -9637,6 +9709,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_bloom_orders": _MERGE_BLOOM_ORACLE,
         "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
+        "restore_orders": _RESTORE_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,

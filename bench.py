@@ -339,6 +339,7 @@ HEADLINE = [
     "merge_part_bloom_orders",
     "merge_equi_lineitem",
     "time_travel_orders",
+    "restore_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",
