@@ -212,6 +212,10 @@ class IngestorCDC(Ingestor):
         self.catalog.overwrite_via_staging(
             merged, self.meta.full_name, partition_by=self.partition_by or None
         )
+        # free any derived-changeset cache the bloom path adopted
+        from . import caching
+
+        caching.release(merged)
 
     def run(self) -> None:
         from .logging_utils import log_duration

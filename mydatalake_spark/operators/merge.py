@@ -265,23 +265,38 @@ def merge_upsert_bloomed(
 
     Eager by design: building the filter runs one Spark job over the
     (small) changeset before the returned plan exists — the same
-    probe-then-plan shape as ``merge_upsert_partitioned``. Multi-col
+    probe-then-plan shape as ``merge_upsert_partitioned``. A DERIVED
+    changeset (plan contains a join/agg/window/explode) is cached once
+    via ``materialize_if_derived`` so the sizing probe, mask collect
+    and final merge join don't re-run it; the cache is adopted onto
+    the returned frame (callers release after acting — IngestorCDC and
+    merge_upsert_partitioned do). Multi-col
     and null keys are handled via a null-safe composite key string
     (:func:`_composite_key`). Plan property (tests/test_plans.py): the
     merge join's target-side Exchange sits ABOVE the constant-folded
     bloom Filter, and the miss branch reaches the Union with no
     Exchange at all.
     """
+    from .. import caching
     from .bloomjoin import (
         bloom_build,
         bloom_mask_array,
         bloom_split,
+        materialize_if_derived,
         resolve_auto_m_bits,
     )
 
     # evolve BEFORE the split so the bypass branch carries the new
     # columns too (same additive-only rule as merge_upsert)
     target = _evolve_and_check(target, source, evolve_schema)
+    # a derived changeset (the build side here) is referenced by the
+    # sizing probe, the mask collect, AND the final merge join —
+    # materialize it once; scan-shaped changesets stay uncached
+    # (VERDICT r8 ask #6, same policy as bloom_filtered_join)
+    source, src_cache = materialize_if_derived(source)
+
+    def _owned(df: DataFrame) -> DataFrame:
+        return caching.adopt(df, src_cache) if src_cache else df
     # the split stages the composite key as __mk__ and _folded_filter
     # stages the word list as __bf__; a real column by either name
     # would be silently clobbered and dropped from the merged output —
@@ -309,10 +324,10 @@ def merge_upsert_bloomed(
             src_keys, "__mk__", k, "merge_upsert_bloomed"
         )
         if m_bits is None:
-            return merge_upsert(
+            return _owned(merge_upsert(
                 target, source, keys, ts_col, tiebreakers,
                 evolve_schema=False, delete_missing=delete_missing,
-            )
+            ))
     bloom = bloom_build(
         src_keys, "__mk__", m_bits=m_bits, k=k, family=family,
     )
@@ -325,8 +340,8 @@ def merge_upsert_bloomed(
         evolve_schema=False, delete_missing=delete_missing,
     )
     if delete_missing:
-        return merged
-    return merged.unionByName(miss.select(*merged.columns))
+        return _owned(merged)
+    return _owned(merged.unionByName(miss.select(*merged.columns)))
 
 
 def merge_upsert_delta(
@@ -533,4 +548,9 @@ def merge_upsert_partitioned(
     else:
         merged = merge_upsert(target_slice, src, keys, ts_col, tiebreakers)
     catalog.overwrite_partitions(merged, table, pcols, touched)
+    # the write consumed the plan; free any derived-changeset cache
+    # merge_upsert_bloomed adopted onto it
+    from .. import caching
+
+    caching.release(merged)
     return touched
