@@ -560,6 +560,96 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def merge_part2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical partition-scoped CDC merge under the oracle (r9,
+    VERDICT r8 ask #5: ``merge_upsert_partitioned`` with a partition-
+    column LIST): orders keyed (o_orderkey, o_orderpriority,
+    o_orderstatus) live in a throwaway warehouse partitioned TWO
+    levels deep (priority, then status — the date/region shape of a
+    real 100 TB CDC table); a changeset confined to the single
+    ('1-URGENT', 'F') leaf (keys ≡ 0 mod 97, repriced, fresher ts)
+    merges with tuple-level pruning: sibling status leaves under the
+    touched priority — and every other priority directory — are never
+    read or rewritten (leaf byte-identity asserted in
+    tests/test_partitioned_merge.py). The result is identical to a
+    whole-table merge, so the oracle replays union+QUALIFY over the
+    full table — a row dropped by over-pruning, duplicated by a key
+    moving between leaves, or a NULL-partition loss all break the
+    hash. Returns a lazy read-back of the stored table."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    change = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS")).alias("ts"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="merge_part2_"))
+    keys = ["o_orderkey", "o_orderpriority", "o_orderstatus"]
+    pcols = ["o_orderpriority", "o_orderstatus"]
+    merge_upsert_partitioned(
+        cat, "silver.sales.orders_2lvl", base,
+        keys=keys, partition_col=pcols, ts_col="ts",
+    )
+    touched = merge_upsert_partitioned(
+        cat, "silver.sales.orders_2lvl", change,
+        keys=keys, partition_col=pcols, ts_col="ts",
+    )
+    # at tiny SFs the mod-97 changeset can be empty → no-op merge ([])
+    assert touched in ([], [("1-URGENT", "F")]), touched
+    return cat.read("silver.sales.orders_2lvl").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        "o_totalprice", "ts",
+    )
+
+
+_MERGE_PART2_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate AS ts
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    AND o_orderkey % 97 = 0
+),
+u AS (
+  SELECT *, 0 AS side FROM t
+  UNION ALL
+  SELECT *, 1 AS side FROM s
+)
+SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice, ts
+FROM u
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderkey, o_orderpriority, o_orderstatus
+  ORDER BY ts DESC, side DESC
+) = 1
+"""
+
+
 def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-read (time travel) surface under the oracle, not just
     pytest (catalog.py ``keep_versions`` / ``read_version(version=N)``
@@ -9494,6 +9584,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: prefix slots first ---
         "restore_orders": restore_orders,
+        "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
         "burst_users_events": burst_users_events,
         "forecast_backtest_revenue": forecast_backtest_revenue,
@@ -9710,6 +9801,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "restore_orders": _RESTORE_ORACLE,
+        "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,
         "qualify_transform_sql": _QUALIFY_ORACLE,

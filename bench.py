@@ -340,6 +340,7 @@ HEADLINE = [
     "merge_equi_lineitem",
     "time_travel_orders",
     "restore_orders",
+    "merge_part2_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",
