@@ -782,6 +782,162 @@ FROM orders
 """
 
 
+def _cdf_states(spark: SparkSession, sf_dir: str):
+    """The two deterministic table states the CDF queries diff:
+    v1 = orders keyed by o_orderkey with exact integer-cent prices;
+    v2 = v1 with keys ≡3 (mod 7) deleted, keys ≡1 repriced ×1.1, and
+    keys ≡5 re-inserted under key+100000000. Prices stay in integer
+    cents end-to-end so every downstream sum is exact cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    k7 = F.col("o_orderkey") % 7
+    kept = v1.where((k7 != 3) & (k7 != 1))
+    updated = orders.where(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents(F.col("o_totalprice") * 1.1).alias("price_cents"),
+    )
+    inserted = v1.where(k7 == 5).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_orderpriority",
+        "price_cents",
+    )
+    v2 = kept.unionByName(updated).unionByName(inserted)
+    return v1, v2
+
+
+def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed under the oracle (catalog.py:table_changes —
+    the Delta ``table_changes()``/``readChangeFeed`` analogue, closing
+    the last gap in the Delta-parity family: versionAsOf ✓ HISTORY ✓
+    RESTORE ✓ VACUUM ✓ MERGE ✓ CDF now ✓). Two deterministic states
+    of a keyed orders table land in a versioned throwaway warehouse;
+    the query emits the feed between retained versions 1 and 2 —
+    delete / insert / update_preimage / update_postimage rows with
+    ``_commit_version`` — and the oracle derives the same four row
+    sets straight from the base table. A missed delete, a phantom
+    update pair on an unchanged row, swapped pre/post values, or a
+    mis-stamped commit version all break the hash. The feed itself is
+    ONE null-safe full-outer join with the classifier exploded
+    in-plan (plan-asserted in test_plans.py)."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    v1, v2 = _cdf_states(spark, sf_dir)
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="table_changes_"), keep_versions=3
+    )
+    tbl = "silver.sales.orders_cdf"
+    cat.overwrite_via_staging(v1, tbl)
+    cat.overwrite_via_staging(v2, tbl)   # snapshots v1
+    cat.overwrite_via_staging(v2, tbl)   # snapshots v2
+    return cat.table_changes(
+        tbl, ["o_orderkey"], from_version=1, to_version=2
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_cents") / 100.0).alias("price"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+_TABLE_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, price_cents / 100.0 AS price,
+       'delete' AS _change_type, 2 AS _commit_version
+FROM base WHERE o_orderkey % 7 = 3
+UNION ALL
+SELECT o_orderkey, o_orderpriority, price_cents / 100.0,
+       'update_preimage', 2
+FROM base WHERE o_orderkey % 7 = 1
+UNION ALL
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0,
+       'update_postimage', 2
+FROM orders WHERE o_orderkey % 7 = 1
+UNION ALL
+SELECT o_orderkey + 100000000, o_orderpriority, price_cents / 100.0,
+       'insert', 2
+FROM base WHERE o_orderkey % 7 = 5
+"""
+
+
+def cdf_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the change feed
+    (views.py:IncrementalAggView.apply_changes) — the operation that
+    makes CDF matter at 100 TB: a revenue-by-priority gold view is
+    built from state v1, then refreshed by folding the v1→v2 feed
+    (deletes retract, updates net post−pre, inserts add) — the
+    refresh touches only change-sized data, never the base table.
+    The oracle recomputes the aggregate directly from the v2 state,
+    so the hash match proves the retraction algebra is exact (integer
+    cents — no float drift to hide a mis-signed row) and that
+    fully-retracted groups leave the view."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import IncrementalAggView
+
+    v1, v2 = _cdf_states(spark, sf_dir)
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="cdf_agg_"), keep_versions=2
+    )
+    tbl = "silver.sales.orders_cdf"
+    cat.overwrite_via_staging(v1, tbl)
+    view = IncrementalAggView(
+        spark,
+        cat,
+        "gold.sales.revenue_by_priority",
+        keys=["o_orderpriority"],
+        measures={"revenue_cents": "price_cents"},
+    )
+    view.apply(cat.read(tbl))
+    cat.overwrite_via_staging(v2, tbl)   # snapshots v1; live = v2
+    feed = cat.table_changes(tbl, ["o_orderkey"], from_version=1)
+    view.apply_changes(feed)
+    return view.read().select(
+        "o_orderpriority",
+        (F.col("revenue_cents") / 100.0).alias("revenue"),
+        "n_rows",
+    )
+
+
+_CDF_AGG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+v2 AS (
+  SELECT * FROM base WHERE o_orderkey % 7 NOT IN (1, 3)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderpriority, price_cents
+  FROM base WHERE o_orderkey % 7 = 5
+)
+SELECT o_orderpriority,
+       SUM(price_cents) / 100.0 AS revenue,
+       COUNT(*) AS n_rows
+FROM v2
+GROUP BY o_orderpriority
+"""
+
+
 def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's prices pipeline shape (reference
     silver/prices/prices.sql:13 LATERAL VIEW explode of
@@ -9583,6 +9739,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate (scripts/compare_oracle.py).
     return {
         # --- never driver-checked: prefix slots first ---
+        "table_changes_orders": table_changes_orders,
+        "cdf_incremental_agg_orders": cdf_incremental_agg_orders,
         "restore_orders": restore_orders,
         "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
@@ -9801,6 +9959,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_part_bloom_orders": _MERGE_PART_BLOOM_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "restore_orders": _RESTORE_ORACLE,
+        "table_changes_orders": _TABLE_CHANGES_ORACLE,
+        "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
         "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,

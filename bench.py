@@ -341,6 +341,8 @@ HEADLINE = [
     "time_travel_orders",
     "restore_orders",
     "merge_part2_orders",
+    "table_changes_orders",
+    "cdf_incremental_agg_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",

@@ -21,6 +21,7 @@ import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def delta_available() -> bool:
@@ -215,6 +216,56 @@ class Catalog:
                 }
             )
         return out
+
+    def table_changes(
+        self,
+        full_name: str,
+        keys: list[str],
+        *,
+        from_version: int | str,
+        to_version: int | str | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Delta **Change Data Feed** analogue (``table_changes()`` /
+        ``spark.read.option("readChangeFeed", ...)`` — the reference's
+        Delta backend exposes exactly this surface): the net row
+        changes between two retained versions, in the CDF row shape —
+        table columns plus ``_change_type`` ∈ {'insert', 'delete',
+        'update_preimage', 'update_postimage'} and
+        ``_commit_version``.
+
+        Differences from Delta, stated: Delta's feed is per-commit
+        (one batch of rows per version in the range); snapshots here
+        are full states, so the feed is the NET diff ``from_version →
+        to_version`` — intermediate versions roll up (Delta users get
+        the same compaction by aggregating the feed themselves). With
+        ``to_version=None`` the live (not-yet-versioned) state is the
+        target and ``_commit_version`` is NULL — the live state has no
+        number until an overwrite replaces it (see _next_version);
+        emitting the predicted number would bake in a guess.
+
+        ``keys`` identify rows across versions (Delta tracks row
+        identity through the MERGE that wrote it; a snapshot diff
+        needs the key spelled out). Cost: one null-safe full-outer
+        join — see operators/diff.py:change_feed for the scale story.
+        """
+        from .operators.diff import change_feed
+
+        old = self.read_version(full_name, version=from_version)
+        if to_version is None:
+            new = self.read(full_name)
+            commit = F.lit(None).cast("int")
+        else:
+            new = self.read_version(full_name, version=to_version)
+            label = (
+                to_version
+                if isinstance(to_version, str)
+                else f"v{to_version:08d}"
+            )
+            commit = F.lit(int(label[1:])).cast("int")
+        return change_feed(old, new, keys, compare_cols).withColumn(
+            "_commit_version", commit
+        )
 
     def _snapshot_or_drop(self, full_name: str) -> None:
         """Move the current table dir aside as a snapshot (a rename,

@@ -163,3 +163,146 @@ def apply_snapshot_diff(
         *keys, "new_row.*"
     )
     return untouched.unionByName(replacements.select(*old.columns))
+
+
+CHANGE_TYPES = (
+    "insert",
+    "delete",
+    "update_preimage",
+    "update_postimage",
+)
+
+
+def change_feed(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff ``old → new`` in the Delta Lake **Change Data Feed**
+    row shape (``table_changes`` / ``readChangeFeed`` — the reference
+    runs on Delta, whose CDF emits exactly these four row kinds): the
+    table columns plus ``_change_type`` ∈ {'insert', 'delete',
+    'update_preimage', 'update_postimage'}. Updates emit TWO rows —
+    the old values (preimage) and the new ones (postimage) — so a
+    consumer can both retract and apply, which is what makes the feed
+    fold into downstream aggregates (views.py
+    ``IncrementalAggView.apply_changes``) and replay onto a copy
+    (:func:`apply_change_feed`).
+
+    Spark-first shape: ONE null-safe full-outer join on the key (the
+    same comparator contract as :func:`snapshot_diff` — NULL keys
+    match their counterpart, NULL→NULL compares unchanged), then the
+    row kind is an array-of-structs expression exploded in place:
+    insert/delete build a one-element array from the surviving side,
+    a changed pair builds [preimage, postimage], an unchanged pair
+    builds NULL (explode drops it). The whole classifier is codegen'd
+    column arithmetic — no second pass, no union of per-kind
+    branches re-scanning the join.
+
+    At 100 TB: both snapshots shuffle once on the key
+    (co-partitioned/bucketed snapshots make even that shuffle-free);
+    unchanged rows — the vast majority between adjacent versions —
+    never leave the join stage, so the feed materializes
+    change-sized. Pair with partition-scoped snapshots to prune the
+    untouched partitions out of both scans entirely.
+
+    Key sets must be unique per side (the snapshot contract; enforce
+    upstream with dedup_latest). Column types must agree across the
+    two sides — checked eagerly so a drifted schema fails with the
+    column name, not a struct-array type error from the explode.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    missing = [c for c in compare_cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"compare_cols absent from new side: {missing}")
+    out_cols = [*keys, *compare_cols]
+    o_types = dict(old.dtypes)
+    n_types = dict(new.dtypes)
+    drift = [
+        c for c in out_cols if o_types.get(c) != n_types.get(c)
+    ]
+    if drift:
+        raise ValueError(
+            "change_feed requires matching column types on both "
+            f"sides; mismatched: {drift} "
+            f"(old {[o_types.get(c) for c in drift]} vs "
+            f"new {[n_types.get(c) for c in drift]})"
+        )
+
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+
+    def _image(side: str, kind: str):
+        key_src = "__ko_" if side == "o" else "__kn_"
+        return F.struct(
+            *[F.col(f"{key_src}{k}").alias(k) for k in keys],
+            *[F.col(f"__{side}_{c}").alias(c) for c in compare_cols],
+            F.lit(kind).alias("_change_type"),
+        )
+
+    rows = (
+        F.when(in_new & ~in_old, F.array(_image("n", "insert")))
+        .when(in_old & ~in_new, F.array(_image("o", "delete")))
+        .when(
+            ~same,
+            F.array(
+                _image("o", "update_preimage"),
+                _image("n", "update_postimage"),
+            ),
+        )
+        # unchanged pair -> NULL array; explode emits nothing
+    )
+    return (
+        joined.select(F.explode(rows).alias("__chg__"))
+        .select("__chg__.*")
+    )
+
+
+def apply_change_feed(
+    old: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Replay a change feed onto ``old``, reproducing the new
+    snapshot — the CDC-consumer contract (downstream replica sync):
+    rows whose key the feed touches leave via one null-safe left-anti
+    join, then insert/update_postimage rows re-enter. Property-tested
+    as apply(old, change_feed(old, new)) ≡ new. Same join + union
+    shapes as merge_upsert, so it inherits the co-partitioning
+    story."""
+    if "_change_type" not in feed.columns:
+        raise ValueError(
+            "feed must carry _change_type — build it with "
+            "change_feed()/Catalog.table_changes()"
+        )
+    touched = feed.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys]
+    ).distinct()
+    anti_cond = F.lit(True)
+    for k in keys:
+        anti_cond = anti_cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+    untouched = old.join(touched, anti_cond, "left_anti")
+    entering = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    return untouched.unionByName(entering.select(*old.columns))

@@ -66,10 +66,10 @@ class IncrementalAggView:
     Contract: ``keys`` group the view; ``measures`` maps output column
     → input expression summed per group; an ``n_rows`` count per
     group is always maintained (``n_rows`` is therefore a reserved
-    output name). Sources must be append-only (no
-    retractions) — updates/deletes need the CDC path
-    (operators/scd2.py:apply_cdc_ops) upstream, after which a full
-    refresh re-baselines the view.
+    output name). ``apply`` takes append-only batches;
+    updates/deletes arrive as a change feed through ``apply_changes``
+    (retraction folding — the Delta-CDF consumer path), which keeps
+    the view consistent without re-baselining.
 
     The merge is one groupBy over (stored partials ∪ batch partials),
     written back with a staged swap (the scan reads the pre-commit
@@ -102,6 +102,70 @@ class IncrementalAggView:
         from pyspark.sql import functions as F
 
         fresh = self._partials(batch)
+        self._fold(fresh)
+
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Fold a change feed (operators/diff.py:change_feed /
+        catalog.py:Catalog.table_changes row shape) into the stored
+        aggregates — the retraction-aware sibling of :meth:`apply`.
+
+        Each feed row carries a sign: insert/update_postimage add
+        (+measure, +1 row), delete/update_preimage retract
+        (−measure, −1 row) — so an update nets to (post − pre) and a
+        fully-retracted group's ``n_rows`` reaches 0 and the group
+        leaves the view. Cost = agg(feed) ⊕ stored partials: the gold
+        refresh scales with the CHANGESET, never the base table —
+        which is the entire point of consuming the feed at 100 TB
+        (recompute touches three years of partitions; this touches
+        today's changes).
+
+        An unknown ``_change_type`` fails the job deterministically
+        (raise_error) rather than silently mis-signing rows.
+        """
+        from pyspark.sql import functions as F
+
+        if "_change_type" not in feed.columns:
+            raise ValueError(
+                "feed must carry _change_type — build it with "
+                "change_feed()/Catalog.table_changes()"
+            )
+        if "n_rows" in self.measures:
+            raise ValueError(
+                "'n_rows' is reserved for the maintained group count"
+            )
+        sign = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .when(
+                F.col("_change_type").isin("delete", "update_preimage"),
+                F.lit(-1),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_changes: unknown _change_type "),
+                        F.col("_change_type"),
+                    )
+                )
+            )
+        )
+        signed = feed.withColumn("__sign__", sign)
+        aggs = [
+            F.sum(F.expr(expr) * F.col("__sign__")).alias(out)
+            for out, expr in self.measures.items()
+        ]
+        aggs.append(F.sum("__sign__").alias("n_rows"))
+        fresh = signed.groupBy(*self.keys).agg(*aggs)
+        self._fold(fresh)
+
+    def _fold(self, fresh: DataFrame) -> None:
+        """Merge partials into the stored view (⊕ = grouped sum);
+        groups whose maintained row count reaches zero are dropped —
+        they no longer exist in the source."""
+        from pyspark.sql import functions as F
+
         if self.catalog.exists(self.name):
             merged = (
                 self.catalog.read(self.name)
@@ -113,10 +177,11 @@ class IncrementalAggView:
                         for out in (*self.measures, "n_rows")
                     ]
                 )
+                .where(F.col("n_rows") > 0)
             )
             self.catalog.overwrite_via_staging(merged, self.name)
         else:
-            self.catalog.overwrite(fresh, self.name)
+            self.catalog.overwrite(fresh.where(F.col("n_rows") > 0), self.name)
 
     def read(self) -> DataFrame:
         return self.catalog.read(self.name)

@@ -104,3 +104,159 @@ def test_apply_snapshot_diff_replays_null_keyed_changes(spark):
         ((r.k, r.v) for r in rebuilt.collect()),
         key=lambda t: (t[0] is None, t[0]),
     ) == [(1, 5.0), (None, 2.0)]
+
+
+# ---------------------------------------------------------------- CDF
+
+
+def test_change_feed_row_kinds(spark):
+    from mydatalake_spark.operators.diff import change_feed
+
+    old, new = _pair(spark)
+    got = sorted(
+        (r.k, r._change_type, r.s, r.v)
+        for r in change_feed(old, new, ["k"]).collect()
+    )
+    assert got == [
+        (2, "update_postimage", "B", 21.0),
+        (2, "update_preimage", "b", 20.0),
+        (4, "delete", "d", 40.0),
+        (5, "insert", "e", 50.0),
+    ]
+
+
+def test_change_feed_null_key_matches_counterpart(spark):
+    from mydatalake_spark.operators.diff import change_feed
+
+    old = spark.createDataFrame([(None, 1.0)], "k bigint, v double")
+    new = spark.createDataFrame([(None, 2.0)], "k bigint, v double")
+    kinds = sorted(
+        r._change_type for r in change_feed(old, new, ["k"]).collect()
+    )
+    # NULL key diffs as an update pair, never delete+insert
+    assert kinds == ["update_postimage", "update_preimage"]
+
+
+def test_change_feed_unchanged_rows_emit_nothing(spark):
+    from mydatalake_spark.operators.diff import change_feed
+
+    old, _ = _pair(spark)
+    assert change_feed(old, old, ["k"]).count() == 0
+
+
+def test_change_feed_schema_drift_fails_eagerly(spark):
+    from mydatalake_spark.operators.diff import change_feed
+
+    old = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    new = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="matching column types.*v"):
+        change_feed(old, new, ["k"])
+
+
+def test_apply_change_feed_reproduces_new(spark):
+    from mydatalake_spark.operators.diff import (
+        apply_change_feed,
+        change_feed,
+    )
+
+    old, new = _pair(spark)
+    rebuilt = apply_change_feed(old, change_feed(old, new, ["k"]), ["k"])
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_apply_change_feed_requires_change_type(spark):
+    from mydatalake_spark.operators.diff import apply_change_feed
+
+    old, new = _pair(spark)
+    with pytest.raises(ValueError, match="_change_type"):
+        apply_change_feed(old, new, ["k"])
+
+
+def test_table_changes_versions_and_commit_column(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    new = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k bigint, v double")
+    cat = Catalog(spark, str(tmp_path), keep_versions=3)
+    cat.overwrite_via_staging(old, "c.s.t")
+    cat.overwrite_via_staging(new, "c.s.t")   # snapshots v1
+    cat.overwrite_via_staging(new, "c.s.t")   # snapshots v2
+
+    fixed = cat.table_changes("c.s.t", ["k"], from_version=1, to_version=2)
+    got = sorted((r.k, r._change_type, r._commit_version)
+                 for r in fixed.collect())
+    assert got == [
+        (1, "delete", 2),
+        (2, "update_postimage", 2),
+        (2, "update_preimage", 2),
+        (3, "insert", 2),
+    ]
+    # live target: same net changes, NULL commit version (live state
+    # carries no number until an overwrite replaces it)
+    live = cat.table_changes("c.s.t", ["k"], from_version=1)
+    assert {r._commit_version for r in live.collect()} == {None}
+    # v2 == live here, so the two feeds agree row-for-row
+    assert (
+        live.drop("_commit_version")
+        .exceptAll(fixed.drop("_commit_version"))
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="not retained"):
+        cat.table_changes("c.s.t", ["k"], from_version=99)
+
+
+def test_incremental_agg_apply_changes_matches_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.diff import change_feed
+    from mydatalake_spark.views import IncrementalAggView
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k bigint, g string, v double",
+    )
+    # group a: one row updated; group b: fully retracted (must leave
+    # the view); group c: untouched; group d: born via insert
+    new = spark.createDataFrame(
+        [(1, "a", 15.0), (2, "a", 20.0), (4, "c", 40.0), (5, "d", 50.0)],
+        "k bigint, g string, v double",
+    )
+    cat = Catalog(spark, str(tmp_path))
+    view = IncrementalAggView(
+        spark, cat, "g.s.rev", keys=["g"], measures={"total": "v"}
+    )
+    view.apply(old)
+    view.apply_changes(change_feed(old, new, ["k"]))
+    got = {r.g: (r.total, r.n_rows) for r in view.read().collect()}
+    exp = {
+        r.g: (r.total, r.n_rows)
+        for r in new.groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == exp
+    assert "b" not in got
+
+
+def test_incremental_agg_apply_changes_rejects_bad_feed(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import IncrementalAggView
+
+    cat = Catalog(spark, str(tmp_path))
+    view = IncrementalAggView(
+        spark, cat, "g.s.rev", keys=["g"], measures={"total": "v"}
+    )
+    plain = spark.createDataFrame(
+        [(1, "a", 1.0)], "k bigint, g string, v double"
+    )
+    with pytest.raises(ValueError, match="_change_type"):
+        view.apply_changes(plain)
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0, "upsert")],
+        "k bigint, g string, v double, _change_type string",
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        view.apply_changes(bad)

@@ -6,6 +6,7 @@ optimization fails CI rather than silently degrading the 100 TB path.
 
 import importlib.util
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -930,3 +931,32 @@ def test_merge_bloomed_derived_changeset_materializes_once(spark):
         assert merged.count() == orders.count()
     finally:
         caching.release(merged)
+
+
+def test_change_feed_is_one_join_one_pass(spark, sf_dir):
+    """The CDF diff must be a single full-outer join with the row-kind
+    classifier exploded in place: exactly one SortMergeJoin, exactly
+    the two per-side key Exchanges (no post-join shuffle), one
+    Generate — never a union of per-kind branches re-scanning the
+    join."""
+    from mydatalake_spark.operators.diff import change_feed
+
+    old = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    feed = change_feed(
+        old, new, ["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    plan = _plan(spark, feed)
+    # formatted explain names each node twice (tree + detail section);
+    # count the numbered detail headers
+    def nodes(kind):
+        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+    assert nodes("SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert nodes("Exchange") == 2
+    assert nodes("Generate") == 1
+    # scans prune to key + compare cols (+ the presence marker is a
+    # literal, not a column): o_comment and friends never leave parquet
+    assert "o_comment" not in plan
