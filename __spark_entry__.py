@@ -887,15 +887,15 @@ def cdf_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.diff import change_feed
     from mydatalake_spark.views import IncrementalAggView
 
     v1, v2 = _cdf_states(spark, sf_dir)
-    # never cleaned: the returned plan reads the warehouse lazily
-    cat = Catalog(
-        spark, tempfile.mkdtemp(prefix="cdf_agg_"), keep_versions=2
-    )
-    tbl = "silver.sales.orders_cdf"
-    cat.overwrite_via_staging(v1, tbl)
+    # the view's warehouse is never cleaned: the returned plan reads
+    # it lazily. The feed comes from change_feed directly — the
+    # version-addressed catalog wiring is table_changes_orders' job;
+    # this query isolates the retraction fold.
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="cdf_agg_"))
     view = IncrementalAggView(
         spark,
         cat,
@@ -903,10 +903,8 @@ def cdf_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderpriority"],
         measures={"revenue_cents": "price_cents"},
     )
-    view.apply(cat.read(tbl))
-    cat.overwrite_via_staging(v2, tbl)   # snapshots v1; live = v2
-    feed = cat.table_changes(tbl, ["o_orderkey"], from_version=1)
-    view.apply_changes(feed)
+    view.apply(v1)
+    view.apply_changes(change_feed(v1, v2, ["o_orderkey"]))
     return view.read().select(
         "o_orderpriority",
         (F.col("revenue_cents") / 100.0).alias("revenue"),
@@ -4735,6 +4733,59 @@ FROM cand
 JOIN pre a ON a.doc_id = id_a
 JOIN pre b ON b.doc_id = id_b
 WHERE levenshtein(a.p, b.p) / GREATEST(LEN(a.p), LEN(b.p)) <= 0.3
+"""
+
+
+def fastss_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity join
+    (operators/fuzzy.py:fastss_join — FastSS deletion-neighborhood
+    signatures, Bocek et al. 2007): part names vs a deterministically
+    perturbed copy (4th character deleted), every pair at levenshtein
+    ≤ 1. Unlike the shingle-blocked edit_ratio path this candidate
+    generator is COMPLETE by construction, so the oracle can be the
+    brute-force all-pairs definition — the hash match proves the
+    deletion-neighborhood equi-join missed nothing and the threshold
+    short-circuit dropped nothing. Spark-side cost is the variant
+    equi-join (≤ n+1 variants/row), never the oracle's O(n²). Scoped
+    to one brand: TPC-H names collide so heavily (5 words from a
+    ~92-color vocabulary) that the d≤1 PAIR SET itself grows
+    quadratically with SF — an output-size property of the data, not
+    of the algorithm — so the query bounds the slice, not the
+    operator."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    base = part.select("p_partkey", F.col("p_name").alias("name"))
+    pert = part.select(
+        "p_partkey",
+        F.concat(
+            F.substring("p_name", 1, 3), F.expr("substring(p_name, 5)")
+        ).alias("name"),
+    )
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    return fastss_join(
+        base, pert, "p_partkey", "p_partkey", "name", "name",
+        max_distance=1,
+    ).select(
+        F.col("p_partkey_l"),
+        F.col("p_partkey_r"),
+        "distance",
+    )
+
+
+_FASTSS_ORACLE = """
+WITH scoped AS (SELECT * FROM part WHERE p_brand = 'Brand#11'),
+a AS (SELECT p_partkey, p_name AS s FROM scoped),
+b AS (
+  SELECT p_partkey,
+         SUBSTR(p_name, 1, 3) || SUBSTR(p_name, 5) AS s
+  FROM scoped
+)
+SELECT a.p_partkey AS p_partkey_l,
+       b.p_partkey AS p_partkey_r,
+       levenshtein(a.s, b.s) AS distance
+FROM a, b
+WHERE ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
+  AND levenshtein(a.s, b.s) <= 1
 """
 
 
@@ -9741,6 +9792,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked: prefix slots first ---
         "table_changes_orders": table_changes_orders,
         "cdf_incremental_agg_orders": cdf_incremental_agg_orders,
+        "fastss_pairs_part": fastss_pairs_part,
         "restore_orders": restore_orders,
         "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
@@ -9961,6 +10013,7 @@ def oracle_sql() -> dict[str, str]:
         "restore_orders": _RESTORE_ORACLE,
         "table_changes_orders": _TABLE_CHANGES_ORACLE,
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
+        "fastss_pairs_part": _FASTSS_ORACLE,
         "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,

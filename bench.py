@@ -343,6 +343,7 @@ HEADLINE = [
     "merge_part2_orders",
     "table_changes_orders",
     "cdf_incremental_agg_orders",
+    "fastss_pairs_part",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",

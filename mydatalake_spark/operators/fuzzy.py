@@ -82,3 +82,138 @@ def edit_ratio_pairs(
         .where((d >= 0) & (ratio <= max_ratio))
         .select("id_a", "id_b", F.round(ratio, 6).alias("edit_ratio"))
     )
+
+
+def _one_deletions(s):
+    """Array of the |s| strings reachable by deleting exactly one
+    character — codegen arithmetic (transform over a position
+    sequence + column-position substr), no Python per row."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1),
+            F.substr(s, i + 1, F.length(s)),
+        ),
+    )
+
+
+def _deletion_variants(col, max_distance: int):
+    """All strings reachable from ``col`` by deleting up to
+    ``max_distance`` characters (the FastSS deletion neighborhood),
+    duplicates removed. d=1: {s} ∪ the n one-deletions; d=2 composes
+    the one-deletion map with itself (deletions commute, so two
+    passes enumerate every ≤2-deletion string)."""
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"fastss supports max_distance 1 or 2, got {max_distance} "
+            "(the neighborhood is C(n,d)-sized — beyond d=2 use the "
+            "blocking+verify path, edit_ratio_pairs)"
+        )
+    del1 = _one_deletions(col)
+    variants = F.concat(F.array(col), del1)
+    if max_distance == 2:
+        variants = F.concat(
+            variants, F.flatten(F.transform(del1, _one_deletions))
+        )
+    return F.array_distinct(variants)
+
+
+def fastss_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 1,
+    max_len: int = 64,
+    max_candidates: int = 50_000_000,
+) -> DataFrame:
+    """Exact edit-distance similarity join (FastSS, Bocek et al. 2007
+    — public algorithm): every (left, right) pair with
+    ``levenshtein ≤ max_distance``, COMPLETE by construction — unlike
+    the shingle-blocking path (:func:`edit_ratio_pairs`), which can
+    miss pairs whose n-gram sets diverge, the deletion-neighborhood
+    signature is a *guarantee*: ed(a,b) ≤ d ⟹ some ≤d-deletion
+    variant of a equals one of b. Candidates come from ONE equi-join
+    on the variant string; the exact ``levenshtein`` (with its
+    threshold short-circuit) then removes false positives.
+
+    Returns ``(left_id + "_l", right_id + "_r", distance)``. Rows with
+    a NULL string drop out (a NULL has no edit distance to anything);
+    empty strings participate normally. Self-pairs are the caller's
+    concern (filter on the ids for a self-join).
+
+    At 100 TB: per-row fan-out is bounded (≤ n+1 variants at d=1,
+    O(n²) at d=2 — ``max_len`` refuses strings where that stops being
+    small); the join is a hash equi-join on the variant key, never
+    all-pairs; candidate blow-up through hot variants is bounded by a
+    pre-join Σ(df_left·df_right) probe that REFUSES past
+    ``max_candidates`` instead of launching a runaway shuffle (same
+    contract as the neardup band joins). Pair dedup happens on the
+    (id, id) key before verification so each pair pays the DP cost
+    once.
+    """
+    too_long = left.where(F.length(left_col) > max_len).limit(1).count()
+    too_long += right.where(F.length(right_col) > max_len).limit(1).count()
+    if too_long:
+        raise ValueError(
+            f"fastss_join: strings longer than max_len={max_len} present"
+            " — the deletion neighborhood grows O(n^d); raise max_len"
+            " only if the fan-out stays acceptable, or truncate/key the"
+            " strings upstream"
+        )
+    lv = left.select(
+        F.col(left_id).alias("__lid__"),
+        F.explode(
+            _deletion_variants(F.col(left_col), max_distance)
+        ).alias("__var__"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("__rid__"),
+        F.explode(
+            _deletion_variants(F.col(right_col), max_distance)
+        ).alias("__var__"),
+    )
+    # Blow-up probe: candidate pairs = Σ_variant df_l(v)·df_r(v). Two
+    # cheap count aggs + an equi-join on the (already tiny) distinct
+    # variant histograms — refuses BEFORE the real join can explode.
+    # The probe recomputes lv/rv (scan-shaped derivations: recompute ≈
+    # one pruned scan + explode) — deliberately uncached, same policy
+    # as bloomjoin's scan-shaped build sides.
+    ldf = lv.groupBy("__var__").agg(F.count(F.lit(1)).alias("__dfl__"))
+    rdf = rv.groupBy("__var__").agg(F.count(F.lit(1)).alias("__dfr__"))
+    est = (
+        ldf.join(rdf, "__var__")
+        .select(F.sum(F.col("__dfl__") * F.col("__dfr__")).alias("n"))
+        .collect()[0]["n"]
+    )
+    if est is not None and est > max_candidates:
+        raise ValueError(
+            f"fastss_join: candidate estimate {est:,} exceeds "
+            f"max_candidates={max_candidates:,} — hot variants are "
+            "fanning out (short or highly repetitive strings); "
+            "pre-dedup the string columns or raise the bound knowingly"
+        )
+    cand = (
+        lv.join(rv, "__var__")
+        .select("__lid__", "__rid__")
+        .distinct()
+    )
+    a = left.select(
+        F.col(left_id).alias("__lid__"), F.col(left_col).alias("__ls__")
+    )
+    b = right.select(
+        F.col(right_id).alias("__rid__"), F.col(right_col).alias("__rs__")
+    )
+    d = F.levenshtein("__ls__", "__rs__", max_distance)
+    return (
+        cand.join(a, "__lid__")
+        .join(b, "__rid__")
+        .where(d >= 0)
+        .select(
+            F.col("__lid__").alias(left_id + "_l"),
+            F.col("__rid__").alias(right_id + "_r"),
+            d.alias("distance"),
+        )
+    )

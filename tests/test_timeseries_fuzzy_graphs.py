@@ -3,6 +3,7 @@ hll_shard_union_check — the operator families added late in round 4."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from mydatalake_spark.functions.sketches import hll_shard_union_check
@@ -378,3 +379,93 @@ def test_bfs_hops_multi_source_first_arrival(spark):
     release(out)
     # 3 is hop 2 from source 1 but hop 1 from source 10 — min wins
     assert got == {1: 0, 10: 0, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------- fastss_join
+
+
+def _brute_lev(a, b):
+    m = [[i + j if 0 in (i, j) else 0 for j in range(len(b) + 1)]
+         for i in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def _fastss_vs_brute(spark, rows, d):
+    import itertools
+
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = sorted(
+        (r["id_l"], r["id_r"], r.distance)
+        for r in fastss_join(df, df, "id", "id", "s", "s", d).collect()
+        if r["id_l"] < r["id_r"]
+    )
+    exp = sorted(
+        (i, j, _brute_lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _brute_lev(a, b) <= d
+    )
+    assert got == exp, (got, exp)
+
+
+def test_fastss_complete_and_exact_d1(spark):
+    rows = [(i, s) for i, s in enumerate(
+        ["kitten", "sitten", "sittin", "sitting", "kityen",
+         "abc", "abd", "xyz", "ab", "a", ""]
+    )]
+    _fastss_vs_brute(spark, rows, 1)
+
+
+def test_fastss_complete_and_exact_d2(spark):
+    rows = [(i, s) for i, s in enumerate(
+        ["kitten", "sittin", "mittens", "abcdef", "abcf", "acdf", "xy"]
+    )]
+    _fastss_vs_brute(spark, rows, 2)
+
+
+def test_fastss_guards(spark):
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "abce")], "id int, s string"
+    )
+    with pytest.raises(ValueError, match="max_len"):
+        fastss_join(df, df, "id", "id", "s", "s", max_len=3)
+    with pytest.raises(ValueError, match="max_candidates"):
+        fastss_join(df, df, "id", "id", "s", "s", max_candidates=1)
+    with pytest.raises(ValueError, match="max_distance 1 or 2"):
+        fastss_join(df, df, "id", "id", "s", "s", max_distance=3)
+
+
+def test_fastss_null_strings_drop(spark):
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, None), (2, "ac")], "id int, s string"
+    )
+    ids = {
+        x
+        for r in fastss_join(df, df, "id", "id", "s", "s", 1).collect()
+        for x in (r["id_l"], r["id_r"])
+    }
+    assert 1 not in ids
+
+
+def test_fastss_plan_is_equi_join_never_all_pairs(spark):
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(50)], "id int, s string"
+    )
+    out = fastss_join(df, df, "id", "id", "s", "s", 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
