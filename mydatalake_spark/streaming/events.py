@@ -213,6 +213,37 @@ def stream_into_view(
     return writer.start()
 
 
+def stream_changes_into_view(
+    stream_df: DataFrame,
+    view,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """The retraction-aware sibling of :func:`stream_into_view`: the
+    stream carries Delta-CDF-shaped change rows (``_change_type`` ∈
+    insert/delete/update_preimage/update_postimage — a CDC topic, a
+    Delta change feed, or operators/diff.py:change_feed output landed
+    on a queue) and every micro-batch folds into the view through
+    ``IncrementalAggView.apply_changes``, so UPDATES and DELETES
+    maintain the gold table continuously — no re-baseline. Same
+    exactly-once composition as stream_into_view: the fold is not
+    idempotent, the checkpoint must outlive the view table. Returns
+    the started StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            view.apply_changes(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     stream_df: DataFrame,
     dim_df: DataFrame,

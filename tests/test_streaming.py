@@ -904,3 +904,65 @@ def test_stream_drift_monitor_bins_path_probe_free(spark, tmp_path):
     )
     rep = drift_report(ref, b0, "value", bins=64).collect()[0]
     assert (rep.d_stat, rep.emd) == (rows[0].d_stat, rows[0].emd)
+
+
+def test_stream_changes_into_view_retractions(spark, tmp_path):
+    """CDC stream → gold view maintenance: two availableNow drains of
+    a growing change-feed directory fold inserts, then an update pair
+    + a delete, through IncrementalAggView.apply_changes — the view
+    must track the net state exactly and drop fully-retracted
+    groups."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.streaming.events import (
+        stream_from_json_dir,
+        stream_changes_into_view,
+    )
+    from mydatalake_spark.views import IncrementalAggView
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+
+    def write(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write(str(src / "b1.json"), [
+        {"k": 1, "g": "a", "v": 10.0, "_change_type": "insert"},
+        {"k": 2, "g": "a", "v": 20.0, "_change_type": "insert"},
+        {"k": 3, "g": "b", "v": 30.0, "_change_type": "insert"},
+    ])
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("_change_type", T.StringType()),
+    ])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    view = IncrementalAggView(
+        spark, cat, "gold.cdc.by_g", keys=["g"], measures={"total": "v"}
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_changes_into_view(
+        stream_from_json_dir(spark, str(src), schema), view, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r.g: (r.total, r.n_rows) for r in view.read().collect()}
+    assert got == {"a": (30.0, 2), "b": (30.0, 1)}
+
+    # batch 2: update k=1 (10 -> 15) and fully retract group b
+    write(str(src / "b2.json"), [
+        {"k": 1, "g": "a", "v": 10.0, "_change_type": "update_preimage"},
+        {"k": 1, "g": "a", "v": 15.0, "_change_type": "update_postimage"},
+        {"k": 3, "g": "b", "v": 30.0, "_change_type": "delete"},
+    ])
+    q2 = stream_changes_into_view(
+        stream_from_json_dir(spark, str(src), schema), view, ckpt
+    )
+    q2.awaitTermination(120)
+    got = {r.g: (r.total, r.n_rows) for r in view.read().collect()}
+    assert got == {"a": (35.0, 2)}
