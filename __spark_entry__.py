@@ -3555,6 +3555,50 @@ FROM documents
 """
 
 
+def pack_greedy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting sequence packing
+    (operators/sampling.py:pack_greedy): documents packed WHOLE into
+    2048-char context windows per language stream in doc_id order —
+    the "packing without truncation" shape training pipelines use
+    when a document must never straddle a window (pack_shards is the
+    offset/straddle sibling). The fill level is a sequential
+    recurrence, not a prefix sum — Arrow-batched applyInPandas per
+    lang stream (streams pack in parallel; sequential only within,
+    which IS the contract) — and the oracle replays the identical
+    recurrence as a DuckDB RECURSIVE CTE, so a single misplaced
+    window boundary breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    return pack_greedy(
+        docs, "doc_id", "n_chars", budget=2048, partition_cols=["lang"]
+    )
+
+
+_PACK_GREEDY_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT lang, rn, doc_id, n_chars,
+         n_chars AS fill, CAST(0 AS BIGINT) AS pack
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.rn, o.doc_id, o.n_chars,
+         CASE WHEN r.fill + o.n_chars <= 2048
+              THEN r.fill + o.n_chars ELSE o.n_chars END,
+         CASE WHEN r.fill + o.n_chars <= 2048
+              THEN r.pack ELSE r.pack + 1 END
+  FROM rec r JOIN ordered o ON o.lang = r.lang AND o.rn = r.rn + 1
+)
+SELECT doc_id, lang, n_chars, pack FROM rec
+"""
+
+
 # =====================================================================
 # Similarity search over embeddings (extensions)
 # =====================================================================
@@ -9793,6 +9837,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes_orders": table_changes_orders,
         "cdf_incremental_agg_orders": cdf_incremental_agg_orders,
         "fastss_pairs_part": fastss_pairs_part,
+        "pack_greedy_documents": pack_greedy_documents,
         "restore_orders": restore_orders,
         "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
@@ -10014,6 +10059,7 @@ def oracle_sql() -> dict[str, str]:
         "table_changes_orders": _TABLE_CHANGES_ORACLE,
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,
+        "pack_greedy_documents": _PACK_GREEDY_ORACLE,
         "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,

@@ -344,6 +344,7 @@ HEADLINE = [
     "table_changes_orders",
     "cdf_incremental_agg_orders",
     "fastss_pairs_part",
+    "pack_greedy_documents",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",

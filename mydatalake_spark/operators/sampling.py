@@ -239,6 +239,110 @@ def pack_shards(
     )
 
 
+def pack_greedy(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    partition_cols: list[str],
+    pack_col: str = "pack",
+    oversize: str = "error",
+) -> DataFrame:
+    """Greedy boundary-respecting sequence packing: rows go WHOLE into
+    windows of capacity ``budget`` in ``order_col`` order within each
+    ``partition_cols`` group; a row that would overflow the current
+    window closes it and opens the next. This is the
+    "packing without truncation" variant training pipelines use when
+    documents must never straddle a context window —
+    :func:`pack_shards` is the offset-based sibling that lets them
+    straddle (and is pure window arithmetic).
+
+    The fill level is a sequential recurrence
+    (``fill' = fill+sz if it fits else sz``) — NOT prefix-sum
+    expressible, hence the one place this module uses Arrow-batched
+    Python: ``applyInPandas`` per pack group, a tight numpy loop over
+    the group's (order, size) vectors. Groups run in parallel; the
+    recurrence is only sequential WITHIN a group — which is exactly
+    the packing contract (windows are per-source/split/date streams).
+    At 100 TB you pack per shard-stream, never globally: a global
+    pack would serialize into one group (``partition_cols`` is
+    therefore required; pass a constant column to opt into a global
+    pack knowingly).
+
+    ``oversize``: 'error' (default) fails the job on any row with
+    size > budget (deterministically, naming the row's order key);
+    'own' gives such a row its own (overfull) window — matching what
+    a sample-then-truncate stage downstream would expect.
+
+    Returns ``df`` + ``pack_col`` (long, 0-based per group). Output
+    schema is declared from the input schema, so the operator
+    composes lazily like everything else.
+    """
+    if oversize not in ("error", "own"):
+        raise ValueError(f"oversize must be 'error' or 'own', not {oversize!r}")
+    if not partition_cols:
+        raise ValueError(
+            "pack_greedy requires partition_cols — a global pack "
+            "serializes into one group; pass an explicit constant "
+            "column to opt in knowingly"
+        )
+    import pandas as pd  # noqa: F401 — applyInPandas batch type
+    from pyspark.sql import types as T
+
+    # NOT df.schema.add(...): StructType.add mutates in place, which
+    # would corrupt the input DataFrame's cached schema object
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(pack_col, T.LongType())]
+    )
+    b = int(budget)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        if pdf[size_col].isna().any():
+            raise ValueError(
+                f"pack_greedy: NULL {size_col} present — sizes must be "
+                "computed (and non-null) upstream"
+            )
+        sizes = pdf[size_col].to_numpy()
+        packs = [0] * len(sizes)
+        fill = 0
+        pack = 0
+        first = True
+        for i, sz in enumerate(sizes):
+            sz = int(sz)
+            if sz > b:
+                if oversize == "error":
+                    raise ValueError(
+                        f"pack_greedy: row {order_col}="
+                        f"{pdf[order_col].iloc[i]!r} has {size_col}={sz}"
+                        f" > budget={b}; pass oversize='own' to give it"
+                        " an overfull window"
+                    )
+                # own window: close current (if any), emit alone
+                if not first:
+                    pack += 1
+                packs[i] = pack
+                pack += 1
+                fill = 0
+                first = True
+                continue
+            if first or fill + sz <= b:
+                fill += sz
+                first = False
+            else:
+                pack += 1
+                fill = sz
+            packs[i] = pack
+        pdf[pack_col] = packs
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(
+        _pack, schema=out_schema
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -344,3 +344,75 @@ def test_weighted_wor_exact_size_and_weight_bias(spark):
     df2 = df.withColumn("w", F.when(F.col("id") < 999, 0.0).otherwise(1.0))
     out3 = weighted_sample_wor(df2, "id", "w", k=10, strata_col="src")
     assert [r.id for r in out3.collect()] == [999]
+
+
+# --------------------------------------------------------- pack_greedy
+
+
+def test_pack_greedy_boundary_respecting(spark):
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    rows = [(i, "g", s) for i, s in enumerate([5, 5, 5, 9, 2, 10, 1])]
+    df = spark.createDataFrame(rows, "id int, g string, sz int")
+    got = sorted(
+        (r.id, r.pack)
+        for r in pack_greedy(df, "id", "sz", 10, ["g"]).collect()
+    )
+    # [5,5] fills 10 exactly; every later row overflows -> own window
+    assert got == [(0, 0), (1, 0), (2, 1), (3, 2), (4, 3), (5, 4), (6, 5)]
+    # no window exceeds budget
+    out = pack_greedy(df, "id", "sz", 10, ["g"])
+    sums = {
+        r.pack: r.s
+        for r in out.groupBy("pack").agg(F.sum("sz").alias("s")).collect()
+    }
+    assert all(v <= 10 for v in sums.values())
+
+
+def test_pack_greedy_groups_pack_independently(spark):
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    rows = [(0, "a", 6), (1, "a", 6), (0, "b", 6), (1, "b", 3)]
+    df = spark.createDataFrame(rows, "id int, g string, sz int")
+    got = {
+        (r.g, r.id): r.pack
+        for r in pack_greedy(df, "id", "sz", 10, ["g"]).collect()
+    }
+    assert got == {("a", 0): 0, ("a", 1): 1, ("b", 0): 0, ("b", 1): 0}
+
+
+def test_pack_greedy_oversize_modes(spark):
+    from pyspark.sql.utils import PythonException
+
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    rows = [(0, "g", 5), (1, "g", 15), (2, "g", 3)]
+    df = spark.createDataFrame(rows, "id int, g string, sz int")
+    with pytest.raises(Exception, match="budget"):
+        pack_greedy(df, "id", "sz", 10, ["g"]).collect()
+    got = sorted(
+        (r.id, r.pack)
+        for r in pack_greedy(
+            df, "id", "sz", 10, ["g"], oversize="own"
+        ).collect()
+    )
+    assert got == [(0, 0), (1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="'error' or 'own'"):
+        pack_greedy(df, "id", "sz", 10, ["g"], oversize="truncate")
+
+
+def test_pack_greedy_requires_partition_cols(spark):
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    df = spark.createDataFrame([(0, "g", 5)], "id int, g string, sz int")
+    with pytest.raises(ValueError, match="partition_cols"):
+        pack_greedy(df, "id", "sz", 10, [])
+
+
+def test_pack_greedy_does_not_mutate_input_schema(spark):
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    df = spark.createDataFrame([(0, "g", 5)], "id int, g string, sz int")
+    before = df.columns[:]
+    pack_greedy(df, "id", "sz", 10, ["g"])
+    assert df.columns == before  # StructType.add mutation regression
