@@ -508,6 +508,58 @@ class Catalog:
             os.utime(repinned, (src_stat.st_atime, src_stat.st_mtime))
         self._invalidate(full_name)
 
+    def clone(
+        self,
+        src_name: str,
+        dst_name: str,
+        *,
+        shallow: bool = True,
+        version: int | str | None = None,
+    ) -> None:
+        """Delta ``CREATE TABLE ... CLONE`` analogue: materialize an
+        independent table from a source table (or one of its retained
+        versions). ``shallow=True`` hardlinks the files — O(#files)
+        metadata ops, the Delta SHALLOW CLONE economics — which is
+        safe here for the same reason restore's hardlinks are: table
+        files are immutable in this catalog (every write path replaces
+        whole directories), so linked inodes can never diverge, and
+        any later overwrite of either table swaps its directory
+        without touching the other's links. ``shallow=False`` copies
+        bytes (DEEP CLONE — survives deleting the source warehouse's
+        filesystem entries AND vacuum-driven reclaim accounting).
+
+        The clone starts with NO version history of its own (Delta
+        semantics: a clone is a new table whose history begins at the
+        clone) and must not already exist — CLONE is CREATE, not
+        REPLACE; overwrite the destination explicitly if that is what
+        you mean."""
+        if self.exists(dst_name):
+            raise ValueError(
+                f"clone destination {dst_name} already exists — "
+                "CLONE creates a new table; drop it or overwrite "
+                "explicitly"
+            )
+        if version is not None:
+            label = version if isinstance(version, str) else f"v{version:08d}"
+            if label not in self.versions(src_name):
+                raise ValueError(
+                    f"{src_name}: version {version!r} not retained "
+                    f"(have {self.versions(src_name) or 'none'})"
+                )
+            src = os.path.join(self._version_root(src_name), label)
+        else:
+            if not self.exists(src_name):
+                raise ValueError(f"clone source {src_name} does not exist")
+            src = self.path(src_name)
+        dst = self.path(dst_name)
+        staging = dst + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        copy_fn = os.link if shallow else shutil.copy2
+        shutil.copytree(src, staging, copy_function=copy_fn)
+        os.replace(staging, dst)
+        self._invalidate(dst_name)
+
     def vacuum(
         self,
         full_name: str,

@@ -217,6 +217,13 @@ def change_feed(
     missing = [c for c in compare_cols if c not in new.columns]
     if missing:
         raise ValueError(f"compare_cols absent from new side: {missing}")
+    overlap = sorted(set(keys) & set(compare_cols))
+    if overlap:
+        raise ValueError(
+            f"columns cannot be both key and compared: {overlap} "
+            "(a key identifies the row across versions; comparing it "
+            "to itself is always 'unchanged')"
+        )
     out_cols = [*keys, *compare_cols]
     o_types = dict(old.dtypes)
     n_types = dict(new.dtypes)

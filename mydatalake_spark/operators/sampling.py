@@ -274,6 +274,12 @@ def pack_greedy(
     'own' gives such a row its own (overfull) window — matching what
     a sample-then-truncate stage downstream would expect.
 
+    ``order_col`` must be a total order within each group (a doc_id,
+    not a timestamp with ties): ties would leave the pack assignment
+    dependent on shuffle arrival order. Each group materializes as
+    one Arrow batch on one worker — the stream, not the row, is the
+    memory unit, the same sizing rule as any partition.
+
     Returns ``df`` + ``pack_col`` (long, 0-based per group). Output
     schema is declared from the input schema, so the operator
     composes lazily like everything else.

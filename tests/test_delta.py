@@ -640,3 +640,76 @@ def test_merge_delta_guards_tiebreaker_staging_name(spark):
             spark, "/nonexistent", source, ["id"], "ts",
             delta_table=_RecordingMerge(rec),
         )
+
+
+# ------------------------------------------------------------- CLONE
+
+
+def test_clone_shallow_is_independent_and_hardlinked(spark, tmp_path):
+    """Delta SHALLOW CLONE contract: the clone reads identically,
+    shares inodes (O(#files) creation, no byte copy), yet is fully
+    independent — overwriting the source never changes the clone, and
+    the clone starts with no version history of its own."""
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), keep_versions=2)
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    v2 = spark.createDataFrame([(1, 99.0)], "k int, v double")
+    cat.overwrite_via_staging(v1, "c.s.src")
+    cat.clone("c.s.src", "c.s.dst")
+    assert sorted(map(tuple, cat.read("c.s.dst").collect())) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    # shared inodes: every parquet file in the clone is a hardlink
+    dst_dir = cat.path("c.s.dst")
+    parquets = [f for f in os.listdir(dst_dir) if f.endswith(".parquet")]
+    assert parquets
+    assert all(
+        os.stat(os.path.join(dst_dir, f)).st_nlink >= 2 for f in parquets
+    )
+    # independence: source overwrite leaves the clone untouched
+    cat.overwrite_via_staging(v2, "c.s.src")
+    assert sorted(map(tuple, cat.read("c.s.dst").collect())) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    # fresh history
+    assert cat.versions("c.s.dst") == []
+    assert cat.versions("c.s.src") != []
+
+
+def test_clone_deep_copies_bytes(spark, tmp_path):
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    cat.overwrite_via_staging(v1, "c.s.src")
+    cat.clone("c.s.src", "c.s.deep", shallow=False)
+    dst_dir = cat.path("c.s.deep")
+    parquets = [f for f in os.listdir(dst_dir) if f.endswith(".parquet")]
+    assert parquets
+    assert all(
+        os.stat(os.path.join(dst_dir, f)).st_nlink == 1 for f in parquets
+    )
+    assert sorted(map(tuple, cat.read("c.s.deep").collect())) == [(1, 10.0)]
+
+
+def test_clone_of_retained_version_and_guards(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), keep_versions=2)
+    v1 = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    v2 = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    cat.overwrite_via_staging(v1, "c.s.t")
+    cat.overwrite_via_staging(v2, "c.s.t")   # v1 snapshotted
+    cat.clone("c.s.t", "c.s.asof", version=1)
+    assert [tuple(r) for r in cat.read("c.s.asof").collect()] == [(1, 1.0)]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.clone("c.s.t", "c.s.asof")
+    with pytest.raises(ValueError, match="not retained"):
+        cat.clone("c.s.t", "c.s.nope", version=99)
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.clone("c.s.ghost", "c.s.new")

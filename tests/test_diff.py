@@ -260,3 +260,11 @@ def test_incremental_agg_apply_changes_rejects_bad_feed(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unknown _change_type"):
         view.apply_changes(bad)
+
+
+def test_change_feed_rejects_key_in_compare_cols(spark):
+    from mydatalake_spark.operators.diff import change_feed
+
+    old, new = _pair(spark)
+    with pytest.raises(ValueError, match="both key and compared"):
+        change_feed(old, new, ["k"], compare_cols=["k", "v"])
