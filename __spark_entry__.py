@@ -4833,6 +4833,63 @@ WHERE ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
 """
 
 
+def fuzzy_entity_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end, exactly: FastSS self-join on part
+    names (complete edit-distance-≤1 candidate pairs within one
+    brand — operators/fuzzy.py:fastss_join) → connected components
+    (min-label fixpoint with pointer jumping,
+    operators/clusters.py:dedup_clusters) → every part labeled with
+    its entity cluster and a deterministic survivor flag. The oracle
+    replays BOTH stages: brute-force levenshtein pairs + a recursive
+    transitive closure — so the hash covers the deletion-neighborhood
+    completeness AND the iterative clustering, not just one hop."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    base = part.select("p_partkey", F.col("p_name").alias("name"))
+    from mydatalake_spark.operators.clusters import dedup_clusters
+    from mydatalake_spark.operators.fuzzy import fastss_join
+
+    pairs = (
+        fastss_join(
+            base, base, "p_partkey", "p_partkey", "name", "name",
+            max_distance=1,
+        )
+        .where(F.col("p_partkey_l") < F.col("p_partkey_r"))
+        .select(
+            F.col("p_partkey_l").alias("id_a"),
+            F.col("p_partkey_r").alias("id_b"),
+        )
+    )
+    return dedup_clusters(base, pairs, id_col="p_partkey")
+
+
+_FUZZY_CLUSTERS_ORACLE = """
+WITH RECURSIVE scoped AS (
+  SELECT p_partkey, p_name AS s FROM part WHERE p_brand = 'Brand#11'
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM scoped a JOIN scoped b ON a.p_partkey < b.p_partkey
+  WHERE ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
+    AND levenshtein(a.s, b.s) <= 1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS node, MIN(label) AS component FROM reach GROUP BY u)
+SELECT d.p_partkey,
+  COALESCE(cc.component, d.p_partkey) AS cluster_id,
+  COALESCE(cc.component, d.p_partkey) = d.p_partkey AS keep
+FROM scoped d LEFT JOIN cc ON d.p_partkey = cc.node
+"""
+
+
 def hll_shards_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch shard pipeline
     (functions/sketches.py:hll_shard_union_check): per
@@ -9838,6 +9895,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_incremental_agg_orders": cdf_incremental_agg_orders,
         "fastss_pairs_part": fastss_pairs_part,
         "pack_greedy_documents": pack_greedy_documents,
+        "fuzzy_entity_clusters_part": fuzzy_entity_clusters_part,
         "restore_orders": restore_orders,
         "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
@@ -10060,6 +10118,7 @@ def oracle_sql() -> dict[str, str]:
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,
         "pack_greedy_documents": _PACK_GREEDY_ORACLE,
+        "fuzzy_entity_clusters_part": _FUZZY_CLUSTERS_ORACLE,
         "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,

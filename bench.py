@@ -345,6 +345,7 @@ HEADLINE = [
     "cdf_incremental_agg_orders",
     "fastss_pairs_part",
     "pack_greedy_documents",
+    "fuzzy_entity_clusters_part",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",
