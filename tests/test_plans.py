@@ -960,3 +960,24 @@ def test_change_feed_is_one_join_one_pass(spark, sf_dir):
     # scans prune to key + compare cols (+ the presence marker is a
     # literal, not a column): o_comment and friends never leave parquet
     assert "o_comment" not in plan
+
+
+def test_pack_greedy_is_one_shuffle_pruned_scan(spark, sf_dir):
+    """Greedy packing is ONE Exchange on the stream key feeding one
+    Arrow FlatMapGroupsInPandas — no second shuffle, no extra
+    Python stage; the scan reads only (order, stream, size)."""
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = pack_greedy(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", 2048, ["lang"],
+    )
+    plan = _plan(spark, out)
+
+    def nodes(kind):
+        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+    assert nodes("Exchange") == 1
+    assert nodes("FlatMapGroupsInPandas") == 1
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
