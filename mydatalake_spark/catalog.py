@@ -252,6 +252,12 @@ class Catalog:
         from .operators.diff import change_feed
 
         old = self.read_version(full_name, version=from_version)
+        bad = [k for k in keys if k not in old.columns]
+        if bad:
+            raise ValueError(
+                f"{full_name}: key column(s) {bad} not in version "
+                f"{from_version!r} (has {old.columns})"
+            )
         if to_version is None:
             new = self.read(full_name)
             commit = F.lit(None).cast("int")
@@ -532,7 +538,11 @@ class Catalog:
         semantics: a clone is a new table whose history begins at the
         clone) and must not already exist — CLONE is CREATE, not
         REPLACE; overwrite the destination explicitly if that is what
-        you mean."""
+        you mean. Like vacuum, clone must not race a concurrent
+        overwrite of the SOURCE table: the staged directory swap can
+        replace files mid-copytree. Clone from a retained version
+        (``version=``) when writers are live — snapshots are
+        immutable by construction."""
         if self.exists(dst_name):
             raise ValueError(
                 f"clone destination {dst_name} already exists — "

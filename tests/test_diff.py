@@ -268,3 +268,14 @@ def test_change_feed_rejects_key_in_compare_cols(spark):
     old, new = _pair(spark)
     with pytest.raises(ValueError, match="both key and compared"):
         change_feed(old, new, ["k"], compare_cols=["k", "v"])
+
+
+def test_table_changes_names_missing_key_column(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), keep_versions=2)
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    cat.overwrite_via_staging(df, "c.s.t")
+    cat.overwrite_via_staging(df, "c.s.t")
+    with pytest.raises(ValueError, match="key column.*nope"):
+        cat.table_changes("c.s.t", ["nope"], from_version=1)
