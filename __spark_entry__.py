@@ -936,6 +936,62 @@ GROUP BY o_orderpriority
 """
 
 
+def clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the oracle (catalog.py:clone — the Delta
+    ``CREATE TABLE ... CLONE`` analogue): orders land in a throwaway
+    warehouse, a shallow (hardlink) clone is taken, then the SOURCE
+    is overwritten with ×1.1 prices. The query joins the clone
+    against the mutated source: the clone must still read the
+    ORIGINAL values (independence — a clone that shares mutable state
+    with its source breaks price_clone), the source must read the new
+    ones (price_src), and the clone must have no version history of
+    its own (n_clone_versions=0, Delta clone semantics). The oracle
+    recomputes both states from the base table."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("price"),
+    )
+    v2 = orders.select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.1) / 100.0).alias("price"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="clone_"), keep_versions=2
+    )
+    cat.overwrite_via_staging(v1, "silver.sales.src")
+    cat.clone("silver.sales.src", "silver.sales.copy")
+    cat.overwrite_via_staging(v2, "silver.sales.src")
+    n_clone_versions = len(cat.versions("silver.sales.copy"))
+    return (
+        cat.read("silver.sales.copy")
+        .alias("c")
+        .join(cat.read("silver.sales.src").alias("s"), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("c.price").alias("price_clone"),
+            F.col("s.price").alias("price_src"),
+            F.lit(n_clone_versions).alias("n_clone_versions"),
+        )
+    )
+
+
+_CLONE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_clone,
+       CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT) / 100.0
+         AS price_src,
+       0 AS n_clone_versions
+FROM orders
+"""
+
+
 def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's prices pipeline shape (reference
     silver/prices/prices.sql:13 LATERAL VIEW explode of
@@ -9896,6 +9952,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastss_pairs_part": fastss_pairs_part,
         "pack_greedy_documents": pack_greedy_documents,
         "fuzzy_entity_clusters_part": fuzzy_entity_clusters_part,
+        "clone_orders": clone_orders,
         "restore_orders": restore_orders,
         "merge_part2_orders": merge_part2_orders,
         # --- last driver-green in r5 ---
@@ -10119,6 +10176,7 @@ def oracle_sql() -> dict[str, str]:
         "fastss_pairs_part": _FASTSS_ORACLE,
         "pack_greedy_documents": _PACK_GREEDY_ORACLE,
         "fuzzy_entity_clusters_part": _FUZZY_CLUSTERS_ORACLE,
+        "clone_orders": _CLONE_ORACLE,
         "merge_part2_orders": _MERGE_PART2_ORACLE,
         "merge_equi_lineitem": _MERGE_EQUI_ORACLE,
         "nested_explode_roundtrip": _NESTED_ORACLE,

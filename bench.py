@@ -346,6 +346,7 @@ HEADLINE = [
     "fastss_pairs_part",
     "pack_greedy_documents",
     "fuzzy_entity_clusters_part",
+    "clone_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
     "boilerplate_strip_documents",
