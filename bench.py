@@ -595,6 +595,16 @@ SCALING_QUERIES = [
     # 10× the table with the same 1/97 changeset density the curve
     # must stay far under the quadratic bound like its parents.
     "merge_part_bloom_orders",
+    # r9 additions: the deletion-neighborhood similarity join (cost
+    # must track Σ df_l·df_r over variant buckets — the candidate
+    # estimate the operator itself refuses on — never |L|·|R|), the
+    # CDF diff (one full-outer join: change-sized output, table-sized
+    # shuffle, nothing quadratic), and the entity-resolution capstone
+    # (FastSS pairs + CC fixpoint — cost tracks pairs + iterations,
+    # not nodes²).
+    "fastss_pairs_part",
+    "table_changes_orders",
+    "fuzzy_entity_clusters_part",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
