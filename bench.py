@@ -24,6 +24,20 @@ FLOORS_PATH = os.path.join(
 RUN_LABEL = os.environ.get("SPARK_GRAFT_RUN_LABEL", "unlabeled_run")
 
 
+def _label_ok() -> bool:
+    """True iff RUN_LABEL is archivable: a safe bare filename that is
+    neither the unlabeled default nor the reserved floor-book name.
+    Floor WRITES and archives share this gate (VERDICT r9 ask #2):
+    every floors.json provenance entry must resolve to an on-disk
+    bench_history/{label}.json, so a run that can't archive must not
+    be allowed to set a floor either."""
+    import re
+
+    if RUN_LABEL == "unlabeled_run" or RUN_LABEL == "floors":
+        return False
+    return re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", RUN_LABEL) is not None
+
+
 def _floor_report(timings: dict, sf: float | str) -> dict | None:
     """Compare this run to the persisted best-known-floor file and
     update it (VERDICT r7 ask #3): single-run suite totals on this
@@ -48,6 +62,14 @@ def _floor_report(timings: dict, sf: float | str) -> dict | None:
 
 
 def _floor_report_inner(book: dict, timings: dict) -> dict:
+    """Only LABELED runs may write floors (VERDICT r9 ask #2): an
+    unlabeled run still gets the full comparison report (above-floor
+    ratios, would-be new floors), but the book on disk is untouched —
+    floors.json provenance must always point at an archived
+    bench_history/{label}.json, and _archive_run skips unlabeled runs,
+    so an unlabeled floor write would be evidence the archive chain
+    can't back (the r9 clone_orders hole)."""
+    persist = _label_ok()
     floors = book.setdefault("floors", {})
     new_floors: dict[str, list] = {}
     above: dict[str, list] = {}
@@ -55,16 +77,18 @@ def _floor_report_inner(book: dict, timings: dict) -> dict:
         cur = floors.get(q)
         if cur is None or t < cur["sec"]:
             prev = cur["sec"] if cur else None
-            floors[q] = {"sec": round(t, 3), "run": RUN_LABEL}
+            if persist:
+                floors[q] = {"sec": round(t, 3), "run": RUN_LABEL}
             new_floors[q] = [round(t, 3), prev]
         elif t >= 1.3 * cur["sec"] and t - cur["sec"] >= 0.3:
             above[q] = [round(t, 3), cur["sec"], round(t / cur["sec"], 2)]
-    try:
-        with open(FLOORS_PATH, "w") as fh:
-            json.dump(book, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass
+    if persist:
+        try:
+            with open(FLOORS_PATH, "w") as fh:
+                json.dump(book, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
     total_floor = round(
         sum(floors[q]["sec"] for q in timings if q in floors), 3
     )
@@ -73,6 +97,7 @@ def _floor_report_inner(book: dict, timings: dict) -> dict:
         "n_new_floors": len(new_floors),
         "new_floors": new_floors,
         "above_floor_1p3x": above,
+        "floors_persisted": persist,
     }
 
 # Driver stdout tail capture is 2000 chars; the compact line must fit
@@ -176,11 +201,7 @@ def _archive_run(line: str) -> str | None:
     point at them by label, so re-running with a used label appends a
     numeric suffix instead of clobbering the original (ADVICE r8).
     Returns the path written, or None if unlabeled/unwritable."""
-    import re
-
-    if RUN_LABEL == "unlabeled_run" or RUN_LABEL == "floors":
-        return None
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", RUN_LABEL):
+    if not _label_ok():
         return None
     try:
         base = os.path.join(os.path.dirname(FLOORS_PATH), RUN_LABEL)

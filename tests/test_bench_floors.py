@@ -85,6 +85,54 @@ def test_repo_floors_file_is_valid_and_covers_headline():
         assert v["sec"] > 0 and isinstance(v["run"], str), (q, v)
 
 
+def test_unlabeled_run_never_writes_floors(bench, monkeypatch):
+    """VERDICT r9 ask #2: floor WRITES are gated on a labeled run, the
+    same guard as _archive_run — an unlabeled run still gets the full
+    comparison report but floors.json is byte-identical afterwards, so
+    provenance can never cite 'unlabeled_run' again."""
+    mod, floors = bench
+    monkeypatch.setattr(mod, "RUN_LABEL", "unlabeled_run")
+    before = floors.read_text()
+    rep = mod._floor_report({"fast_q": 0.8, "brand_new": 3.0}, 0.1)
+    # the report still shows the would-be floors and the persist flag
+    assert rep["new_floors"] == {"fast_q": [0.8, 1.0], "brand_new": [3.0, None]}
+    assert rep["floors_persisted"] is False
+    assert floors.read_text() == before
+    # reserved/unsafe labels are equally gated
+    for label in ("floors", "../escape", "a/b"):
+        monkeypatch.setattr(mod, "RUN_LABEL", label)
+        assert mod._floor_report({"fast_q": 0.7}, 0.1)["floors_persisted"] is False
+        assert floors.read_text() == before
+
+
+def test_labeled_run_persists_and_reports_flag(bench):
+    mod, floors = bench
+    rep = mod._floor_report({"fast_q": 0.8}, 0.1)
+    assert rep["floors_persisted"] is True
+    assert json.loads(floors.read_text())["floors"]["fast_q"]["run"] == "test_run"
+
+
+def test_repo_floor_provenance_resolves_to_archives():
+    """Every floors.json entry's run label must resolve to an existing
+    bench_history archive ({label}.json or a collision-suffixed
+    {label}.N.json) — 'mins with provenance' means the evidence chain
+    is on disk (VERDICT r9 ask #2 done-criterion)."""
+    import glob
+
+    hist = os.path.join(ROOT, "bench_history")
+    with open(os.path.join(hist, "floors.json")) as fh:
+        book = json.load(fh)
+    unresolved = []
+    for q, v in book["floors"].items():
+        label = v["run"]
+        if not (
+            os.path.exists(os.path.join(hist, f"{label}.json"))
+            or glob.glob(os.path.join(hist, f"{label}.[0-9]*.json"))
+        ):
+            unresolved.append((q, label))
+    assert not unresolved, unresolved
+
+
 def test_malformed_floor_entry_reports_error(bench):
     mod, floors = bench
     floors.write_text('{"sf": 0.1, "floors": {"q1": 1.2}}')

@@ -409,6 +409,29 @@ def test_pack_greedy_requires_partition_cols(spark):
         pack_greedy(df, "id", "sz", 10, [])
 
 
+def test_pack_greedy_refuses_hot_stream(spark):
+    """VERDICT r9 ask #5: a skewed stream must fail fast with the
+    stream's key in the message (the whole group becomes ONE Arrow
+    batch on one worker), not OOM an executor — the same pre-probe
+    refusal contract as fastss_join's max_candidates."""
+    from mydatalake_spark.operators.sampling import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 8 else "cold", 5) for i in range(10)],
+        "id int, g string, sz int",
+    )
+    # rows bound: the hot stream (8 rows) trips max_group_rows=5
+    with pytest.raises(ValueError, match=r"stream \{'g': 'hot'\}.*8 rows"):
+        pack_greedy(df, "id", "sz", 10, ["g"], max_group_rows=5)
+    # units bound: 8 rows x 5 units = 40 > 30
+    with pytest.raises(ValueError, match="max_group_units=30"):
+        pack_greedy(df, "id", "sz", 10, ["g"], max_group_units=30)
+    # under both bounds the pack proceeds normally
+    assert pack_greedy(
+        df, "id", "sz", 10, ["g"], max_group_rows=8, max_group_units=40
+    ).count() == 10
+
+
 def test_pack_greedy_does_not_mutate_input_schema(spark):
     from mydatalake_spark.operators.sampling import pack_greedy
 
