@@ -81,6 +81,79 @@ def _check_no_null_partition_values(pcols: list[str], values: list) -> None:
             )
 
 
+def _leaf_partition_files(root: str, pcols: list[str]) -> dict:
+    """Map each hive-layout leaf partition under ``root`` to the
+    metadata of its data files: ``{(v1, .., vk): frozenset((relpath,
+    size, mtime_ns, inode), ...)}``. Values are the DIRNAME strings
+    (Spark's own encoding, URL-unescaped) — exactly what a membership
+    predicate over the partition columns must match. Pure directory
+    metadata: no data file is ever opened."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+
+    def walk(d: str, depth: int, vals: tuple) -> None:
+        if depth == len(pcols):
+            files = []
+            for dirpath, _dirs, fnames in os.walk(d):
+                for f in fnames:
+                    if f.startswith((".", "_")):
+                        continue  # _SUCCESS, checksums, markers
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    files.append(
+                        (
+                            os.path.relpath(p, d),
+                            st.st_size,
+                            st.st_mtime_ns,
+                            st.st_ino,
+                        )
+                    )
+            out[vals] = frozenset(files)
+            return
+        prefix = f"{pcols[depth]}="
+        for entry in sorted(os.listdir(d)):
+            if not entry.startswith(prefix):
+                continue
+            val = unquote(entry[len(prefix):])
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    f"partition column {pcols[depth]} has a NULL "
+                    f"partition under {root} — membership predicates "
+                    "cannot address it (same contract as the "
+                    "partition-scoped merge); clean the partition "
+                    "column upstream"
+                )
+            walk(os.path.join(d, entry), depth + 1, vals + (val,))
+
+    if os.path.isdir(root):
+        walk(root, 0, ())
+    return out
+
+
+def _touched_partitions(
+    old_dir: str, new_dir: str, pcols: list[str]
+) -> list[tuple]:
+    """Leaf partitions that can possibly differ between two snapshot
+    directories: present on only one side, or with differing data-file
+    metadata ((name, size, mtime, inode) sets). Equal sets PROVE the
+    leaf unchanged in this catalog — snapshots/clones are created by
+    rename or hardlink, so a carried-through leaf keeps its exact
+    inodes — which is what lets a diff prune it without reading a
+    byte. Snapshots taken via full staging rewrites share no files, so
+    every leaf reports touched and the diff gracefully degrades to the
+    full join (correct, just unpruned): pair snapshot() with
+    partition-scoped writes to get the pruning."""
+    old_leaves = _leaf_partition_files(old_dir, pcols)
+    new_leaves = _leaf_partition_files(new_dir, pcols)
+    touched = [
+        vals
+        for vals in sorted(set(old_leaves) | set(new_leaves))
+        if old_leaves.get(vals) != new_leaves.get(vals)
+    ]
+    return touched
+
+
 def split_name(full_name: str) -> tuple[str, str, str]:
     """``catalog.schema.table`` → parts; shorter names get defaults."""
     parts = full_name.split(".")
@@ -111,10 +184,12 @@ class Catalog:
     # Poor-man's time travel on parquet: keep the last N table states
     # as hidden sibling snapshot dirs (Delta gets this from its log;
     # the reference relies on that). 0 = off (no extra I/O: snapshots
-    # are directory RENAMES, never copies). Versioning is table-level:
-    # partition-scoped rewrites (overwrite_partitions) bypass it by
-    # design — snapshotting there would force copying the untouched
-    # 99% of the table, defeating the point of partition scoping.
+    # are directory RENAMES, never copies). Versioning is table-level;
+    # partition-scoped rewrites (overwrite_partitions) don't snapshot
+    # implicitly — call snapshot() around them instead: it checkpoints
+    # via HARDLINKS (O(#files) metadata, untouched leaves share
+    # inodes), which is also what makes table_changes'
+    # partition-pruned diff able to PROVE leaves untouched.
     keep_versions: int = 0
 
     def __post_init__(self) -> None:
@@ -225,32 +300,63 @@ class Catalog:
         from_version: int | str,
         to_version: int | str | None = None,
         compare_cols: list[str] | None = None,
+        granularity: str = "net",
+        partition_cols: list[str] | None = None,
     ) -> DataFrame:
         """Delta **Change Data Feed** analogue (``table_changes()`` /
         ``spark.read.option("readChangeFeed", ...)`` — the reference's
-        Delta backend exposes exactly this surface): the net row
-        changes between two retained versions, in the CDF row shape —
-        table columns plus ``_change_type`` ∈ {'insert', 'delete',
+        Delta backend exposes exactly this surface): the row changes
+        between two retained versions, in the CDF row shape — table
+        columns plus ``_change_type`` ∈ {'insert', 'delete',
         'update_preimage', 'update_postimage'} and
         ``_commit_version``.
 
-        Differences from Delta, stated: Delta's feed is per-commit
-        (one batch of rows per version in the range); snapshots here
-        are full states, so the feed is the NET diff ``from_version →
-        to_version`` — intermediate versions roll up (Delta users get
-        the same compaction by aggregating the feed themselves). With
-        ``to_version=None`` the live (not-yet-versioned) state is the
-        target and ``_commit_version`` is NULL — the live state has no
-        number until an overwrite replaces it (see _next_version);
-        emitting the predicted number would bake in a guess.
+        ``granularity``:
+
+        * ``"net"`` (default): ONE diff between the two endpoint
+          states — intermediate versions roll up, ``_commit_version``
+          stamps the endpoint.
+        * ``"commit"``: Delta ``table_changes(from, to)`` semantics —
+          one batch of rows per retained hop (from→from+1, ...,
+          to-1→to), each stamped with its DESTINATION version, so a
+          consumer replaying a 3-version range sees each commit's
+          changes, not the collapsed endpoint state. Requires every
+          intermediate version retained (contiguous numbers);
+          vacuumed gaps make per-commit history unreconstructible and
+          fail fast — fall back to ``"net"`` for a gapped range.
+
+        With ``to_version=None`` the live (not-yet-versioned) state is
+        the final target and its ``_commit_version`` is NULL — the
+        live state has no number until an overwrite replaces it (see
+        _next_version); emitting the predicted number would bake in a
+        guess.
+
+        ``partition_cols``: for a hive-partitioned table, prune leaves
+        PROVABLY unchanged between the two snapshots out of BOTH scans
+        before the diff join — a pure directory-metadata probe
+        (identical (name, size, mtime, inode) file sets; snapshots
+        here are renames/hardlinks, so carried-through leaves keep
+        their inodes — see :meth:`snapshot`). A 3,000-partition table
+        where one date partition changed diffs one partition's files.
+        Full-rewrite snapshots share no files, so everything reports
+        touched and the diff degrades gracefully to the full join.
 
         ``keys`` identify rows across versions (Delta tracks row
         identity through the MERGE that wrote it; a snapshot diff
         needs the key spelled out). Cost: one null-safe full-outer
-        join — see operators/diff.py:change_feed for the scale story.
+        join per hop — see operators/diff.py:change_feed for the
+        scale story.
         """
-        from .operators.diff import change_feed
-
+        if granularity not in ("net", "commit"):
+            raise ValueError(
+                f"granularity must be 'net' or 'commit', not "
+                f"{granularity!r}"
+            )
+        from_label = (
+            from_version
+            if isinstance(from_version, str)
+            else f"v{from_version:08d}"
+        )
         old = self.read_version(full_name, version=from_version)
         bad = [k for k in keys if k not in old.columns]
         if bad:
@@ -258,39 +364,96 @@ class Catalog:
                 f"{full_name}: key column(s) {bad} not in version "
                 f"{from_version!r} (has {old.columns})"
             )
-        if to_version is None:
-            new = self.read(full_name)
-            commit = F.lit(None).cast("int")
-        else:
-            new = self.read_version(full_name, version=to_version)
+
+        vroot = self._version_root(full_name)
+
+        def state(version):
+            """(frame, directory, commit-stamp literal) of a version
+            or — version=None — the live table."""
+            if version is None:
+                return (
+                    self.read(full_name),
+                    self.path(full_name),
+                    F.lit(None).cast("int"),
+                )
             label = (
+                version if isinstance(version, str) else f"v{version:08d}"
+            )
+            return (
+                self.read_version(full_name, version=version),
+                os.path.join(vroot, label),
+                F.lit(int(label[1:])).cast("int"),
+            )
+
+        def hop(lo, hi) -> DataFrame:
+            from .operators.diff import change_feed
+
+            o, o_dir, _ = state(lo)
+            n, n_dir, commit = state(hi)
+            if partition_cols:
+                touched = _touched_partitions(o_dir, n_dir, partition_cols)
+                pred = (
+                    partition_predicate(partition_cols, touched)
+                    if touched
+                    else F.lit(False)
+                )
+                o, n = o.filter(pred), n.filter(pred)
+            return change_feed(o, n, keys, compare_cols).withColumn(
+                "_commit_version", commit
+            )
+
+        if granularity == "net":
+            return hop(from_version, to_version)
+
+        # per-commit: enumerate the retained hops in the range
+        from_i = int(from_label[1:])
+        retained = [int(lbl[1:]) for lbl in self.versions(full_name)]
+        if to_version is None:
+            to_i = None
+            inter = [v for v in retained if v > from_i]
+        else:
+            to_label = (
                 to_version
                 if isinstance(to_version, str)
                 else f"v{to_version:08d}"
             )
-            commit = F.lit(int(label[1:])).cast("int")
-        return change_feed(old, new, keys, compare_cols).withColumn(
-            "_commit_version", commit
-        )
+            to_i = int(to_label[1:])
+            if to_i not in retained:
+                raise ValueError(
+                    f"{full_name}: version {to_version!r} not retained "
+                    f"(have {self.versions(full_name) or 'none'})"
+                )
+            inter = [v for v in retained if from_i < v <= to_i]
+        expected = list(range(from_i + 1, (inter[-1] if inter else from_i) + 1))
+        if inter != expected:
+            missing = sorted(set(expected) - set(inter))
+            raise ValueError(
+                f"{full_name}: per-commit feed over v{from_i}→"
+                f"{'live' if to_i is None else f'v{to_i}'} needs every "
+                f"intermediate version retained; missing {missing} "
+                "(vacuumed/pruned). Use granularity='net' for the "
+                "collapsed endpoint diff."
+            )
+        bounds = [from_i, *inter] + ([None] if to_version is None else [])
+        if len(bounds) < 2:
+            # from == to: no commits in range — empty feed, right shape
+            return hop(from_version, from_version)
+        feeds = [hop(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+        out = feeds[0]
+        for f in feeds[1:]:
+            out = out.unionByName(f)
+        return out
 
-    def _snapshot_or_drop(self, full_name: str) -> None:
-        """Move the current table dir aside as a snapshot (a rename,
-        not a copy) and prune beyond ``keep_versions`` — or just drop
-        it when versioning is off."""
-        final = self.path(full_name)
-        if not os.path.isdir(final):
-            return
-        if self.keep_versions <= 0:
-            shutil.rmtree(final)
-            return
+    def _next_version(self, full_name: str) -> int:
+        """Next never-reused version number for a table.
+
+        High-water mark: version numbers are promised never-reused
+        even after vacuum() retires every retained snapshot, so the
+        counter lives in a marker file, not the directory listing.
+        (drop()/truncate() remove the whole version root — a table
+        recreated from scratch legitimately restarts at v1.)"""
         root = self._version_root(full_name)
-        os.makedirs(root, exist_ok=True)
         existing = self.versions(full_name)
-        # High-water mark: version numbers are promised never-reused
-        # even after vacuum() retires every retained snapshot, so the
-        # counter lives in a marker file, not the directory listing.
-        # (drop()/truncate() remove the whole version root — a table
-        # recreated from scratch legitimately restarts at v1.)
         hwm_path = os.path.join(root, ".hwm")
         hwm = 0
         if os.path.exists(hwm_path):
@@ -316,17 +479,71 @@ class Catalog:
                     "the file to restart numbering if the table's "
                     "history is being discarded."
                 ) from None
-        nxt = 1 + max(hwm, int(existing[-1][1:]) if existing else 0)
-        os.replace(final, os.path.join(root, f"v{nxt:08d}"))
-        # atomic marker update: a crash mid-write must not blank the
-        # counter (an empty .hwm after a vacuum(keep=0) would let
-        # numbering restart — the exact reuse the marker prevents)
+        return 1 + max(hwm, int(existing[-1][1:]) if existing else 0)
+
+    def _commit_version(self, full_name: str, nxt: int) -> None:
+        """Atomic marker update: a crash mid-write must not blank the
+        counter (an empty .hwm after a vacuum(keep=0) would let
+        numbering restart — the exact reuse the marker prevents).
+        Then prune beyond keep_versions."""
+        root = self._version_root(full_name)
+        hwm_path = os.path.join(root, ".hwm")
         tmp = hwm_path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(nxt))
         os.replace(tmp, hwm_path)
         for stale in self.versions(full_name)[: -self.keep_versions]:
             shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+
+    def _snapshot_or_drop(self, full_name: str) -> None:
+        """Move the current table dir aside as a snapshot (a rename,
+        not a copy) and prune beyond ``keep_versions`` — or just drop
+        it when versioning is off."""
+        final = self.path(full_name)
+        if not os.path.isdir(final):
+            return
+        if self.keep_versions <= 0:
+            shutil.rmtree(final)
+            return
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        nxt = self._next_version(full_name)
+        os.replace(final, os.path.join(root, f"v{nxt:08d}"))
+        self._commit_version(full_name, nxt)
+
+    def snapshot(self, full_name: str) -> int:
+        """Checkpoint the LIVE table state as a new retained version
+        without replacing it — the versioning hook for write paths
+        that mutate in place (``overwrite_partitions`` /
+        ``merge_upsert_partitioned`` swap leaf directories and cannot
+        go through the rename-on-overwrite snapshot).
+
+        The checkpoint is HARDLINKS (``os.link`` per file — the same
+        immutable-files argument as clone/restore: every write path
+        here replaces whole files, nothing appends in place), so cost
+        is O(#files) metadata, never O(bytes) — snapshotting a 3,000-
+        partition table before a 3-partition merge copies no data.
+        The shared inodes are also what lets ``table_changes``'
+        partition-pruned diff PROVE a leaf untouched (identical
+        (name, size, mtime, inode) file sets) instead of re-scanning
+        it. Returns the assigned version number."""
+        final = self.path(full_name)
+        if not os.path.isdir(final):
+            raise ValueError(f"cannot snapshot {full_name}: no live table")
+        if self.keep_versions <= 0:
+            raise ValueError(
+                f"cannot snapshot {full_name}: versioning is off "
+                "(keep_versions=0 on this catalog)"
+            )
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        nxt = self._next_version(full_name)
+        staging = os.path.join(root, ".snap_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(final, staging, copy_function=os.link)
+        os.replace(staging, os.path.join(root, f"v{nxt:08d}"))
+        self._commit_version(full_name, nxt)
+        return nxt
 
     def overwrite(
         self,
@@ -360,6 +577,7 @@ class Catalog:
         df: DataFrame,
         full_name: str,
         partition_by: list[str] | None = None,
+        commit_marker: tuple[str, str] | None = None,
     ) -> None:
         """Overwrite a table whose current files feed the plan.
 
@@ -369,8 +587,21 @@ class Catalog:
         swapped in. On Delta the overwrite is transactional (snapshot
         isolation: the scan reads the pre-commit version), so it
         delegates to a plain overwrite — no staging copy.
+
+        ``commit_marker``: an optional ``(filename, contents)`` small
+        file written INTO the staging directory before the swap, so it
+        commits atomically with the data — the transactionality hook
+        for idempotent streaming folds (views.py ``batch_token``). The
+        filename must start with ``.`` or ``_`` (Spark scans ignore
+        those). Not supported on Delta — use Delta's own
+        ``txnAppId``/``txnVersion`` idempotent-writes there.
         """
         if self.fmt == "delta":
+            if commit_marker is not None:
+                raise ValueError(
+                    "commit_marker is a staging-swap feature; on Delta "
+                    "use txnAppId/txnVersion idempotent writes instead"
+                )
             self.overwrite(df, full_name, partition_by)
             return
         final = self.path(full_name)
@@ -380,9 +611,27 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(staging)
+        if commit_marker is not None:
+            fname, contents = commit_marker
+            if not fname.startswith((".", "_")):
+                raise ValueError(
+                    f"commit_marker filename {fname!r} must start with "
+                    "'.' or '_' so table scans ignore it"
+                )
+            with open(os.path.join(staging, fname), "w") as fh:
+                fh.write(contents)
         self._snapshot_or_drop(full_name)
         os.replace(staging, final)
         self._invalidate(full_name)
+
+    def read_marker(self, full_name: str, filename: str) -> str | None:
+        """Contents of a ``commit_marker`` file riding the live table
+        directory, or None if absent."""
+        p = os.path.join(self.path(full_name), filename)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return fh.read()
 
     def overwrite_partitions(
         self,
@@ -548,6 +797,18 @@ class Catalog:
                 f"clone destination {dst_name} already exists — "
                 "CLONE creates a new table; drop it or overwrite "
                 "explicitly"
+            )
+        if os.path.isdir(self.path(dst_name)):
+            # A leftover directory that is NOT a table (only _SUCCESS/
+            # dot files — an interrupted write's husk) passes the
+            # exists() probe above but would turn the final
+            # os.replace into a cryptic ENOTEMPTY (ADVICE r9). Name
+            # the state and the fix instead.
+            raise ValueError(
+                f"clone destination path {self.path(dst_name)} exists "
+                "but holds no data files (a leftover from an "
+                "interrupted write?) — remove it (catalog.drop("
+                f"{dst_name!r})) and re-run the clone"
             )
         if version is not None:
             label = version if isinstance(version, str) else f"v{version:08d}"

@@ -204,8 +204,11 @@ def change_feed(
     (co-partitioned/bucketed snapshots make even that shuffle-free);
     unchanged rows — the vast majority between adjacent versions —
     never leave the join stage, so the feed materializes
-    change-sized. Pair with partition-scoped snapshots to prune the
-    untouched partitions out of both scans entirely.
+    change-sized. For partitioned tables,
+    ``Catalog.table_changes(partition_cols=...)`` composes this with
+    a directory-metadata probe that prunes provably-unchanged leaves
+    out of BOTH scans before the join (hardlink snapshots keep
+    untouched leaves inode-identical — catalog.py:snapshot).
 
     Key sets must be unique per side (the snapshot contract; enforce
     upstream with dedup_latest). Column types must agree across the
@@ -296,11 +299,25 @@ def apply_change_feed(
     join, then insert/update_postimage rows re-enter. Property-tested
     as apply(old, change_feed(old, new)) ≡ new. Same join + union
     shapes as merge_upsert, so it inherits the co-partitioning
-    story."""
+    story.
+
+    Replay requires a FULL-COLUMN feed: a feed built with a
+    ``compare_cols`` subset carries only those columns, so the
+    re-entering rows could not reconstruct ``old``'s row shape —
+    checked up front (ADVICE r9) instead of surfacing as an
+    AnalysisException from the final select."""
     if "_change_type" not in feed.columns:
         raise ValueError(
             "feed must carry _change_type — build it with "
             "change_feed()/Catalog.table_changes()"
+        )
+    absent = [c for c in old.columns if c not in feed.columns]
+    if absent:
+        raise ValueError(
+            f"apply_change_feed: feed lacks column(s) {absent} of the "
+            "target — replay needs a full-column feed (build it with "
+            "compare_cols=None); a compare_cols-subset feed can drive "
+            "incremental aggregates but cannot reconstruct rows"
         )
     touched = feed.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys]

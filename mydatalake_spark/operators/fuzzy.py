@@ -144,6 +144,14 @@ def fastss_join(
     empty strings participate normally. Self-pairs are the caller's
     concern (filter on the ids for a self-join).
 
+    ``left_id``/``right_id`` must be UNIQUE per side (the same
+    contract as change_feed's snapshot keys, ADVICE r9): the
+    candidate dedup is on the id pair, so a duplicated id collapses
+    distinct strings at the candidate stage and then re-multiplies
+    through the verify joins — duplicate (id_l, id_r) output rows
+    with whichever distances the colliding strings produce. Dedup
+    upstream (dedup_latest) or key on (id, string) yourself.
+
     At 100 TB: per-row fan-out is bounded (≤ n+1 variants at d=1,
     O(n²) at d=2 — ``max_len`` refuses strings where that stops being
     small); the join is a hash equi-join on the variant key, never

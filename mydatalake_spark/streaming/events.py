@@ -192,16 +192,19 @@ def stream_into_view(
     ``SketchDistinctView`` (mergeable HLL distinct sketches) both
     qualify.
 
-    Exactly-once composition: the foreachBatch sink is at-least-once
-    under retries, and the view's fold is NOT idempotent by itself, so
-    the checkpoint must outlive the view table (Spark replays a failed
-    batch only until the checkpoint commits). For a re-baseline, drop
-    BOTH the view table and this checkpoint, then replay history.
+    Exactly-once composition: foreachBatch is at-least-once under
+    retries, so the fold passes the batch_id as the view's
+    ``batch_token`` — the token commits ATOMICALLY with the fold (a
+    marker file riding the staged directory swap) and a replayed
+    batch_id is skipped, making the non-idempotent fold idempotent
+    per batch (ADVICE r9). The checkpoint must still outlive the view
+    table; for a re-baseline, drop BOTH the view table and this
+    checkpoint, then replay history.
     Returns the started StreamingQuery (caller awaits/stops)."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            view.apply(batch_df)
+            view.apply(batch_df, batch_token=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)
@@ -226,13 +229,15 @@ def stream_changes_into_view(
     on a queue) and every micro-batch folds into the view through
     ``IncrementalAggView.apply_changes``, so UPDATES and DELETES
     maintain the gold table continuously — no re-baseline. Same
-    exactly-once composition as stream_into_view: the fold is not
-    idempotent, the checkpoint must outlive the view table. Returns
+    exactly-once composition as stream_into_view — and the
+    ``batch_token`` idempotency matters MORE here (ADVICE r9): a
+    replayed change batch double-applies retractions, which corrupts
+    (groups wrongly vanishing) rather than merely inflates. Returns
     the started StreamingQuery."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            view.apply_changes(batch_df)
+            view.apply_changes(batch_df, batch_token=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)

@@ -97,14 +97,43 @@ class IncrementalAggView:
         aggs.append(F.count(F.lit(1)).alias("n_rows"))
         return batch.groupBy(*self.keys).agg(*aggs)
 
-    def apply(self, batch: DataFrame) -> None:
-        """Fold one append-only batch into the stored aggregates."""
-        from pyspark.sql import functions as F
+    _TOKEN_FILE = ".applied_batch"
 
+    def applied_token(self) -> int | None:
+        """The ``batch_token`` committed with the view's current
+        state, or None if the view was never token-folded."""
+        if not self.catalog.exists(self.name):
+            return None
+        raw = self.catalog.read_marker(self.name, self._TOKEN_FILE)
+        return None if raw is None else int(raw)
+
+    def _token_seen(self, batch_token) -> bool:
+        """True (skip the fold) when ``batch_token`` was already
+        committed. Tokens are monotonically increasing integers —
+        streaming batch_ids — so ≤ means 'replayed'."""
+        if batch_token is None:
+            return False
+        seen = self.applied_token()
+        return seen is not None and int(batch_token) <= seen
+
+    def apply(self, batch: DataFrame, batch_token: int | None = None) -> None:
+        """Fold one append-only batch into the stored aggregates.
+
+        ``batch_token``: a monotonically increasing integer (a
+        streaming batch_id). When given, the token commits ATOMICALLY
+        with the fold (a marker file riding the staged directory
+        swap — catalog.py:overwrite_via_staging commit_marker) and a
+        replayed token is skipped — making the non-idempotent fold
+        idempotent per batch under foreachBatch's at-least-once
+        retries (ADVICE r9)."""
+        if self._token_seen(batch_token):
+            return
         fresh = self._partials(batch)
-        self._fold(fresh)
+        self._fold(fresh, batch_token)
 
-    def apply_changes(self, feed: DataFrame) -> None:
+    def apply_changes(
+        self, feed: DataFrame, batch_token: int | None = None
+    ) -> None:
         """Fold a change feed (operators/diff.py:change_feed /
         catalog.py:Catalog.table_changes row shape) into the stored
         aggregates — the retraction-aware sibling of :meth:`apply`.
@@ -121,9 +150,16 @@ class IncrementalAggView:
 
         An unknown ``_change_type`` fails the job deterministically
         (raise_error) rather than silently mis-signing rows.
+
+        ``batch_token``: same idempotency contract as :meth:`apply` —
+        and it matters MORE here: a replayed change batch
+        double-applies retractions, which corrupts (groups wrongly
+        vanishing, n_rows drift) rather than merely inflates.
         """
         from pyspark.sql import functions as F
 
+        if self._token_seen(batch_token):
+            return
         if "_change_type" not in feed.columns:
             raise ValueError(
                 "feed must carry _change_type — build it with "
@@ -158,14 +194,45 @@ class IncrementalAggView:
         ]
         aggs.append(F.sum("__sign__").alias("n_rows"))
         fresh = signed.groupBy(*self.keys).agg(*aggs)
-        self._fold(fresh)
+        self._fold(fresh, batch_token)
 
-    def _fold(self, fresh: DataFrame) -> None:
+    def _fold(self, fresh: DataFrame, batch_token: int | None = None) -> None:
         """Merge partials into the stored view (⊕ = grouped sum);
         groups whose maintained row count reaches zero are dropped —
-        they no longer exist in the source."""
+        they no longer exist in the source.
+
+        A count going NEGATIVE is not a legit retraction — it means
+        the feed retracted rows that were never added (a replayed,
+        truncated, or out-of-order feed) and fails deterministically
+        naming the group (ADVICE r9) instead of masking feed misuse
+        as a clean empty group."""
         from pyspark.sql import functions as F
 
+        guard = (
+            F.when(
+                F.col("n_rows") < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental view fold: group n_rows went "
+                            "negative (feed retracted rows never added "
+                            "— replayed/truncated/out-of-order feed?) "
+                            "at key "
+                        ),
+                        F.concat_ws(
+                            "|", *[F.col(k).cast("string") for k in self.keys]
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("n_rows"))
+            .alias("n_rows")
+        )
+        marker = (
+            None
+            if batch_token is None
+            else (self._TOKEN_FILE, str(int(batch_token)))
+        )
         if self.catalog.exists(self.name):
             merged = (
                 self.catalog.read(self.name)
@@ -177,11 +244,25 @@ class IncrementalAggView:
                         for out in (*self.measures, "n_rows")
                     ]
                 )
+                .withColumn("n_rows", guard)
                 .where(F.col("n_rows") > 0)
             )
-            self.catalog.overwrite_via_staging(merged, self.name)
+            self.catalog.overwrite_via_staging(
+                merged, self.name, commit_marker=marker
+            )
+        elif marker is not None:
+            # token folds always go through the staged swap so the
+            # marker commits atomically with the data, even on create
+            self.catalog.overwrite_via_staging(
+                fresh.withColumn("n_rows", guard).where(F.col("n_rows") > 0),
+                self.name,
+                commit_marker=marker,
+            )
         else:
-            self.catalog.overwrite(fresh.where(F.col("n_rows") > 0), self.name)
+            self.catalog.overwrite(
+                fresh.withColumn("n_rows", guard).where(F.col("n_rows") > 0),
+                self.name,
+            )
 
     def read(self) -> DataFrame:
         return self.catalog.read(self.name)
@@ -217,10 +298,26 @@ class SketchDistinctView:
             F.hll_sketch_agg(self.col, F.lit(self.lg_k)).alias("__sk__")
         )
 
-    def apply(self, batch: DataFrame) -> None:
-        """Fold one append-only batch into the stored sketches."""
+    _TOKEN_FILE = ".applied_batch"
+    applied_token = IncrementalAggView.applied_token
+    _token_seen = IncrementalAggView._token_seen
+
+    def apply(self, batch: DataFrame, batch_token: int | None = None) -> None:
+        """Fold one append-only batch into the stored sketches.
+        ``batch_token``: same per-batch idempotency contract as
+        :meth:`IncrementalAggView.apply`. HLL union is set-semantic,
+        so replaying the SAME batch is already value-idempotent —
+        the token here skips the wasted re-union and keeps the two
+        view kinds interchangeable under stream_into_view."""
         from pyspark.sql import functions as F
 
+        if self._token_seen(batch_token):
+            return
+        marker = (
+            None
+            if batch_token is None
+            else (self._TOKEN_FILE, str(int(batch_token)))
+        )
         fresh = self._partials(batch)
         if self.catalog.exists(self.name):
             merged = (
@@ -229,7 +326,13 @@ class SketchDistinctView:
                 .groupBy(*self.keys)
                 .agg(F.hll_union_agg("__sk__").alias("__sk__"))
             )
-            self.catalog.overwrite_via_staging(merged, self.name)
+            self.catalog.overwrite_via_staging(
+                merged, self.name, commit_marker=marker
+            )
+        elif marker is not None:
+            self.catalog.overwrite_via_staging(
+                fresh, self.name, commit_marker=marker
+            )
         else:
             self.catalog.overwrite(fresh, self.name)
 

@@ -713,3 +713,23 @@ def test_clone_of_retained_version_and_guards(spark, tmp_path):
         cat.clone("c.s.t", "c.s.nope", version=99)
     with pytest.raises(ValueError, match="does not exist"):
         cat.clone("c.s.ghost", "c.s.new")
+
+
+def test_clone_names_stale_non_table_destination(spark, tmp_path):
+    """ADVICE r9: a leftover dir holding only _SUCCESS/dot files passes
+    the exists() probe but used to turn the final os.replace into a
+    cryptic ENOTEMPTY — clone must name the state and the fix."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(_kv_batch(spark, "a"), "g.s.src")
+    husk = cat.path("g.s.dst")
+    os.makedirs(husk)
+    open(os.path.join(husk, "_SUCCESS"), "w").close()
+    assert not cat.exists("g.s.dst")
+    with pytest.raises(ValueError, match="no data files"):
+        cat.clone("g.s.src", "g.s.dst")
+    # after the prescribed fix the clone succeeds
+    cat.drop("g.s.dst")
+    cat.clone("g.s.src", "g.s.dst")
+    assert cat.read("g.s.dst").count() == 2

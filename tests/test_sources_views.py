@@ -375,3 +375,146 @@ def test_hll_intersection_disjoint_segments(spark):
     r = hll_intersection_check(df, "seg", "k", tolerance=0.05).collect()[0]
     assert r.exact_intersection == 0
     assert r.within_bound is True
+
+
+# --------------------------------- r10: idempotent token folds (ADVICE r9)
+
+
+def _cents_view(spark, tmp_path, name="gold.s.rev"):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import IncrementalAggView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    return IncrementalAggView(
+        spark, cat, name, keys=["g"], measures={"total": "v"}
+    )
+
+
+def test_apply_changes_batch_token_skips_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed change batch must NOT
+    double-apply retractions. The token commits atomically with the
+    fold (marker file riding the staged swap), so the replay is a
+    no-op."""
+    view = _cents_view(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 50), (3, "b", 10)],
+        "k bigint, g string, v bigint",
+    )
+    view.apply(base, batch_token=0)
+    feed = spark.createDataFrame(
+        [(3, "b", 10, "delete"), (1, "a", 100, "update_preimage"),
+         (1, "a", 70, "update_postimage")],
+        "k bigint, g string, v bigint, _change_type string",
+    )
+    view.apply_changes(feed, batch_token=1)
+    want = {("a", 120, 2)}
+    got = {(r.g, r.total, r.n_rows) for r in view.read().collect()}
+    assert got == want
+    assert view.applied_token() == 1
+    # replay: same batch id → skipped, view unchanged (a double-applied
+    # delete of k=3 would raise the negative-count guard; a
+    # double-applied update would drift total to 90)
+    view.apply_changes(feed, batch_token=1)
+    assert {(r.g, r.total, r.n_rows) for r in view.read().collect()} == want
+    # stale token (0 < 1) equally skipped
+    view.apply_changes(feed, batch_token=0)
+    assert {(r.g, r.total, r.n_rows) for r in view.read().collect()} == want
+    # tokenless calls keep the legacy (caller-managed) behavior
+    more = spark.createDataFrame(
+        [(9, "c", 5, "insert")], "k bigint, g string, v bigint, _change_type string"
+    )
+    view.apply_changes(more)
+    assert ("c", 5, 1) in {
+        (r.g, r.total, r.n_rows) for r in view.read().collect()
+    }
+
+
+def test_apply_batch_token_create_commits_atomically(spark, tmp_path):
+    """The FIRST token fold (view creation) also goes through the
+    staged swap so the marker can never exist without its data."""
+    view = _cents_view(spark, tmp_path)
+    b = spark.createDataFrame([(1, "a", 10)], "k bigint, g string, v bigint")
+    view.apply(b, batch_token=5)
+    assert view.applied_token() == 5
+    view.apply(b, batch_token=5)  # replay of the creating batch
+    assert [
+        (r.g, r.total, r.n_rows) for r in view.read().collect()
+    ] == [("a", 10, 1)]
+
+
+def test_fold_negative_count_fails_deterministically(spark, tmp_path):
+    """ADVICE r9: n_rows going NEGATIVE is feed corruption (retracting
+    rows never added), not a legit empty group — must raise naming the
+    group, not silently drop it."""
+    import pytest
+
+    view = _cents_view(spark, tmp_path)
+    view.apply(
+        spark.createDataFrame(
+            [(1, "a", 100)], "k bigint, g string, v bigint"
+        )
+    )
+    bad = spark.createDataFrame(
+        [(7, "zz", 10, "delete"), (8, "zz", 20, "delete")],
+        "k bigint, g string, v bigint, _change_type string",
+    )
+    with pytest.raises(Exception, match="negative.*zz"):
+        view.apply_changes(bad)
+    # legit full retraction still drops the group cleanly
+    legit = spark.createDataFrame(
+        [(1, "a", 100, "delete")],
+        "k bigint, g string, v bigint, _change_type string",
+    )
+    view.apply_changes(legit)
+    assert view.read().count() == 0
+
+
+def test_stream_changes_into_view_is_idempotent_per_batch(spark, tmp_path):
+    """End-to-end: the streaming fold passes batch ids as tokens, so
+    re-draining from a FRESH checkpoint (which replays batch 0) does
+    not corrupt the view."""
+    import json
+
+    from mydatalake_spark.streaming.events import (
+        stream_changes_into_view,
+        stream_from_json_dir,
+    )
+    from pyspark.sql import types as T
+
+    view = _cents_view(spark, tmp_path)
+    view.apply(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, "b", 50)], "k bigint, g string, v bigint"
+        ),
+        batch_token=-1,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"k": 2, "g": "b", "v": 50, "_change_type": "delete"},
+    ]
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+
+    def drain(ckpt):
+        stream = stream_from_json_dir(spark, str(src), schema)
+        q = stream_changes_into_view(stream, view, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    want = {("a", 100, 1)}
+    assert {(r.g, r.total, r.n_rows) for r in view.read().collect()} == want
+    # a fresh checkpoint replays batch 0 — without the token the
+    # replayed delete of the already-gone group would raise the
+    # negative-count guard; with it, the fold is a no-op
+    drain("ckpt2")
+    assert {(r.g, r.total, r.n_rows) for r in view.read().collect()} == want

@@ -471,12 +471,13 @@ def test_stream_into_sketch_view(spark, tmp_path):
     )
 
     class DayView:
-        def apply(self, batch):
+        def apply(self, batch, batch_token=None):
             view.apply(
                 batch.select(
                     F.col("ts").cast("date").alias("day"),
                     F.col("user_id").cast("string").alias("user_id"),
-                )
+                ),
+                batch_token=batch_token,
             )
 
     def drain():
