@@ -363,6 +363,8 @@ HEADLINE = [
     "restore_orders",
     "merge_part2_orders",
     "table_changes_orders",
+    "cdf_commits_orders",
+    "cdf_part_orders",
     "cdf_incremental_agg_orders",
     "fastss_pairs_part",
     "pack_greedy_documents",
