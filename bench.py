@@ -367,6 +367,7 @@ HEADLINE = [
     "cdf_part_orders",
     "cdf_incremental_agg_orders",
     "fastss_pairs_part",
+    "fastss_d2_part",
     "pack_greedy_documents",
     "fuzzy_entity_clusters_part",
     "clone_orders",
@@ -626,6 +627,7 @@ SCALING_QUERIES = [
     # (FastSS pairs + CC fixpoint — cost tracks pairs + iterations,
     # not nodes²).
     "fastss_pairs_part",
+    "fastss_d2_part",
     "table_changes_orders",
     "fuzzy_entity_clusters_part",
 ]
