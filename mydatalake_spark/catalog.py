@@ -292,6 +292,79 @@ class Catalog:
             )
         return out
 
+    def _version_state(self, full_name: str, version):
+        """(frame, directory, commit-stamp literal) of a retained
+        version — or, with ``version=None``, the live table."""
+        if version is None:
+            return (
+                self.read(full_name),
+                self.path(full_name),
+                F.lit(None).cast("int"),
+            )
+        label = version if isinstance(version, str) else f"v{version:08d}"
+        return (
+            self.read_version(full_name, version=version),
+            os.path.join(self._version_root(full_name), label),
+            F.lit(int(label[1:])).cast("int"),
+        )
+
+    def _diff_slices(
+        self,
+        full_name: str,
+        lo,
+        hi,
+        partition_cols: list[str] | None,
+    ):
+        """The two version states a diff compares, pruned (when
+        ``partition_cols``) to the leaves that can possibly differ —
+        the shared scan stage under :meth:`table_changes` and
+        :meth:`snapshot_diff`. Returns (old, new, commit-stamp)."""
+        o, o_dir, _ = self._version_state(full_name, lo)
+        n, n_dir, commit = self._version_state(full_name, hi)
+        if partition_cols:
+            touched = _touched_partitions(o_dir, n_dir, partition_cols)
+            pred = (
+                partition_predicate(partition_cols, touched)
+                if touched
+                else F.lit(False)
+            )
+            o, n = o.filter(pred), n.filter(pred)
+        return o, n, commit
+
+    def snapshot_diff(
+        self,
+        full_name: str,
+        keys: list[str],
+        *,
+        from_version: int | str,
+        to_version: int | str | None = None,
+        compare_cols: list[str] | None = None,
+        include_new_values: bool = False,
+        partition_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Version-addressed keyed diff in the reconciliation row
+        shape — ``(keys..., op, changed_cols[, new_row])`` — the
+        :func:`operators.diff.snapshot_diff` sibling of
+        :meth:`table_changes` (which emits the Delta-CDF four-kind
+        row shape). ``to_version=None`` diffs against the live state.
+        ``partition_cols`` prunes provably-unchanged leaves out of
+        both scans exactly as in :meth:`table_changes` (shared
+        ``_diff_slices`` stage)."""
+        from .operators.diff import snapshot_diff
+
+        old, new, _ = self._diff_slices(
+            full_name, from_version, to_version, partition_cols
+        )
+        bad = [k for k in keys if k not in old.columns]
+        if bad:
+            raise ValueError(
+                f"{full_name}: key column(s) {bad} not in version "
+                f"{from_version!r} (has {old.columns})"
+            )
+        return snapshot_diff(
+            old, new, keys, compare_cols, include_new_values
+        )
+
     def table_changes(
         self,
         full_name: str,
@@ -365,39 +438,11 @@ class Catalog:
                 f"{from_version!r} (has {old.columns})"
             )
 
-        vroot = self._version_root(full_name)
-
-        def state(version):
-            """(frame, directory, commit-stamp literal) of a version
-            or — version=None — the live table."""
-            if version is None:
-                return (
-                    self.read(full_name),
-                    self.path(full_name),
-                    F.lit(None).cast("int"),
-                )
-            label = (
-                version if isinstance(version, str) else f"v{version:08d}"
-            )
-            return (
-                self.read_version(full_name, version=version),
-                os.path.join(vroot, label),
-                F.lit(int(label[1:])).cast("int"),
-            )
-
         def hop(lo, hi) -> DataFrame:
             from .operators.diff import change_feed
 
-            o, o_dir, _ = state(lo)
-            n, n_dir, commit = state(hi)
-            if partition_cols:
-                touched = _touched_partitions(o_dir, n_dir, partition_cols)
-                pred = (
-                    partition_predicate(partition_cols, touched)
-                    if touched
-                    else F.lit(False)
-                )
-                o, n = o.filter(pred), n.filter(pred)
+            o, n, commit = self._diff_slices(full_name, lo, hi,
+                                             partition_cols)
             return change_feed(o, n, keys, compare_cols).withColumn(
                 "_commit_version", commit
             )
@@ -883,8 +928,16 @@ class Catalog:
                 shutil.rmtree(root, ignore_errors=True)
         import time
 
-        for suffix in ("__staging", "__pstaging"):
-            p = self.path(full_name) + suffix
+        staging_dirs = [
+            self.path(full_name) + suffix
+            for suffix in ("__staging", "__pstaging")
+        ]
+        # a crashed snapshot() leaves its hardlink staging in the
+        # version root — same orphan contract, same grace window
+        staging_dirs.append(
+            os.path.join(self._version_root(full_name), ".snap_staging")
+        )
+        for p in staging_dirs:
             if os.path.isdir(p):
                 # Newest mtime anywhere in the tree: an in-flight
                 # Spark write touches nested task dirs, not

@@ -733,3 +733,27 @@ def test_clone_names_stale_non_table_destination(spark, tmp_path):
     cat.drop("g.s.dst")
     cat.clone("g.s.src", "g.s.dst")
     assert cat.read("g.s.dst").count() == 2
+
+
+def test_vacuum_sweeps_orphaned_snapshot_staging(spark, tmp_path):
+    """A crashed snapshot() leaves .snap_staging in the version root;
+    vacuum treats it like the other staging orphans (grace window,
+    then reclaim)."""
+    import os
+    import shutil
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    cat.overwrite(_kv_batch(spark, "a"), "g.s.t")
+    cat.snapshot("g.s.t")
+    # simulate a crash mid-snapshot: hardlink staging left behind
+    root = cat._version_root("g.s.t")
+    husk = os.path.join(root, ".snap_staging")
+    shutil.copytree(cat.path("g.s.t"), husk, copy_function=os.link)
+    # inside the grace window: kept
+    cat.vacuum("g.s.t")
+    assert os.path.isdir(husk)
+    # grace expired: swept, and versions()/reads unaffected
+    cat.vacuum("g.s.t", staging_grace_seconds=0)
+    assert not os.path.isdir(husk)
+    assert cat.versions("g.s.t") == ["v00000001"]
+    assert cat.read_version("g.s.t", version=1).count() == 2

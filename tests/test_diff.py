@@ -494,3 +494,54 @@ def test_snapshot_requires_live_table_and_versioning(spark, tmp_path):
     # snapshots interleave with overwrite versioning, numbers monotonic
     cat.overwrite_via_staging(df, "g.s.t")
     assert cat.snapshot("g.s.t") == 3
+
+
+def test_catalog_snapshot_diff_prunes_and_matches_operator(spark, tmp_path):
+    """Catalog.snapshot_diff shares table_changes' pruned scan stage:
+    same rows as the raw operator over the two full snapshots, and
+    the reconciliation row shape (op/changed_cols/new_row)."""
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.diff import snapshot_diff
+    from mydatalake_spark.operators.merge import merge_upsert_partitioned
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    base = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit(1).alias("ts"),
+    )
+    cat.overwrite(base, "g.s.t", partition_by=["p"])
+    cat.snapshot("g.s.t")
+    chg = spark.createDataFrame(
+        [(2, "2", 99.0, 2), (100, "2", 55.0, 2)],
+        "k long, p string, v double, ts int",
+    )
+    merge_upsert_partitioned(cat, "g.s.t", chg, ["k", "p"], "p", "ts")
+    cat.snapshot("g.s.t")
+
+    pruned = cat.snapshot_diff(
+        "g.s.t", ["k"], from_version=1, to_version=2,
+        partition_cols=["p"], include_new_values=True,
+    )
+    raw = snapshot_diff(
+        cat.read_version("g.s.t", version=1),
+        cat.read_version("g.s.t", version=2),
+        ["k"], include_new_values=True,
+    )
+    assert sorted(
+        (r.k, r.op, tuple(r.changed_cols)) for r in pruned.collect()
+    ) == sorted((r.k, r.op, tuple(r.changed_cols)) for r in raw.collect())
+    # the pruned scans carry a partition filter (shared _diff_slices)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(pf) == 2 and all("[]" not in l for l in pf), pf
+    # live-state target works too
+    live = cat.snapshot_diff("g.s.t", ["k"], from_version=2)
+    assert live.count() == 0  # live == v2
