@@ -810,6 +810,25 @@ def _cdf_states(spark: SparkSession, sf_dir: str):
     return v1, v2
 
 
+def _cdf_states3(spark: SparkSession, sf_dir: str):
+    """:func:`_cdf_states` extended with a third state: v3 = v2 with
+    the inserted clones (keys ≥ 1e8) deleted and keys ≡2 (mod 7)
+    repriced ×0.9 — shared by the per-commit feed query and the
+    version-history view sync."""
+    orders = _t(spark, sf_dir, "orders")
+    v1, v2 = _cdf_states(spark, sf_dir)
+    v3 = v2.where(
+        (F.col("o_orderkey") < 100000000) & (F.col("o_orderkey") % 7 != 2)
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 7 == 2).select(
+            "o_orderkey",
+            "o_orderpriority",
+            _cents(F.col("o_totalprice") * 0.9).alias("price_cents"),
+        )
+    )
+    return v1, v2, v3
+
+
 def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed under the oracle (catalog.py:table_changes —
     the Delta ``table_changes()``/``readChangeFeed`` analogue, closing
@@ -890,17 +909,7 @@ def cdf_commits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mydatalake_spark.catalog import Catalog
 
-    orders = _t(spark, sf_dir, "orders")
-    v1, v2 = _cdf_states(spark, sf_dir)
-    v3 = v2.where(
-        (F.col("o_orderkey") < 100000000) & (F.col("o_orderkey") % 7 != 2)
-    ).unionByName(
-        orders.where(F.col("o_orderkey") % 7 == 2).select(
-            "o_orderkey",
-            "o_orderpriority",
-            _cents(F.col("o_totalprice") * 0.9).alias("price_cents"),
-        )
-    )
+    v1, v2, v3 = _cdf_states3(spark, sf_dir)
     # never cleaned: the returned plan reads the warehouse lazily
     cat = Catalog(
         spark, tempfile.mkdtemp(prefix="cdf_commits_"), keep_versions=4
@@ -1107,6 +1116,78 @@ SELECT o_orderpriority,
        SUM(price_cents) / 100.0 AS revenue,
        COUNT(*) AS n_rows
 FROM v2
+GROUP BY o_orderpriority
+"""
+
+
+def cdf_sync_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-history-driven incremental view maintenance, end to end
+    (r10 capstone — views.py:sync_view_from_table_changes): a
+    revenue-by-priority gold view is maintained from a 3-version CDC
+    table's OWN retained history — baseline from v1, then one
+    per-commit hop per retained version (catalog.table_changes), each
+    fold tokened with its commit version through the atomic
+    commit-marker swap, so a crashed or re-run sync never
+    double-applies a hop. A second sync call must be a no-op (asserted
+    in-plan via the applied-token check). The oracle recomputes the
+    aggregate directly from the v3 definition: a mis-signed
+    retraction, a skipped/duplicated hop, or token drift all break the
+    hash. At 100 TB each hop costs agg(hop changeset) ⊕ stored
+    partials — the view never re-scans the base table."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import (
+        IncrementalAggView,
+        sync_view_from_table_changes,
+    )
+
+    v1, v2, v3 = _cdf_states3(spark, sf_dir)
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="cdf_sync_"), keep_versions=4
+    )
+    tbl = "silver.sales.orders_hist"
+    for state in (v1, v2, v3):
+        cat.overwrite_via_staging(state, tbl)
+    cat.snapshot(tbl)                      # v3 = latest retained
+    view = IncrementalAggView(
+        spark, cat, "gold.sales.revenue_synced",
+        keys=["o_orderpriority"],
+        measures={"revenue_cents": "price_cents"},
+    )
+    applied = sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"])
+    assert applied == [1, 2, 3], applied
+    # idempotency under re-run: the second sync applies nothing
+    assert sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"]) == []
+    return view.read().select(
+        "o_orderpriority",
+        (F.col("revenue_cents") / 100.0).alias("revenue"),
+        "n_rows",
+    )
+
+
+_CDF_SYNC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+v3 AS (
+  SELECT * FROM base WHERE o_orderkey % 7 NOT IN (1, 2, 3)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 0.9 * 100 + 1e-6, 0) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 2
+)
+SELECT o_orderpriority,
+       SUM(price_cents) / 100.0 AS revenue,
+       COUNT(*) AS n_rows
+FROM v3
 GROUP BY o_orderpriority
 """
 
@@ -10180,6 +10261,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_commits_orders": cdf_commits_orders,
         "cdf_part_orders": cdf_part_orders,
         "fastss_d2_part": fastss_d2_part,
+        "cdf_sync_view_orders": cdf_sync_view_orders,
         # --- last driver-green in r6 ---
         "compaction_plan_lineitem": compaction_plan_lineitem,
         "join_size_estimate_orders": join_size_estimate_orders,
@@ -10408,6 +10490,7 @@ def oracle_sql() -> dict[str, str]:
         "cdf_commits_orders": _CDF_COMMITS_ORACLE,
         "cdf_part_orders": _CDF_PART_ORACLE,
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
+        "cdf_sync_view_orders": _CDF_SYNC_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,
         "fastss_d2_part": _FASTSS_D2_ORACLE,
         "pack_greedy_documents": _PACK_GREEDY_ORACLE,

@@ -366,6 +366,7 @@ HEADLINE = [
     "cdf_commits_orders",
     "cdf_part_orders",
     "cdf_incremental_agg_orders",
+    "cdf_sync_view_orders",
     "fastss_pairs_part",
     "fastss_d2_part",
     "pack_greedy_documents",

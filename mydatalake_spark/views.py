@@ -381,3 +381,77 @@ class SketchDistinctView:
                 F.hll_union_agg("__sk__").over(w)
             ).alias("rolling_distinct"),
         )
+
+
+def sync_view_from_table_changes(
+    view: IncrementalAggView,
+    src_catalog: Catalog,
+    src_table: str,
+    keys: list[str],
+    *,
+    partition_cols: list[str] | None = None,
+) -> list[int]:
+    """Maintain an incremental gold view from a versioned table's own
+    change history — the batch twin of
+    ``streaming.events.stream_changes_into_view`` where the "stream"
+    is the catalog's retained versions (the DLT "CDC table feeds a
+    materialized view" shape, driven by
+    ``Catalog.table_changes(granularity='commit')``).
+
+    Replays every retained commit the view has not applied yet, one
+    hop at a time, each fold tokened with its COMMIT VERSION — so a
+    crash mid-sync resumes exactly where it stopped and a re-run of an
+    already-applied hop is a no-op (the same atomic marker-file
+    contract as the streaming fold). A never-initialized view is
+    baselined from the OLDEST retained version first.
+
+    Syncs to the latest RETAINED version, never the live state: the
+    live state has no version number, so a live fold could not be
+    tokened — ``snapshot()`` (or any overwrite) the source first.
+
+    At 100 TB each hop costs agg(hop changeset) ⊕ stored partials —
+    never a base-table re-scan — and ``partition_cols`` prunes
+    provably-unchanged leaves out of each hop's snapshot scans.
+
+    Hops run between ADJACENT RETAINED versions: a vacuumed
+    intermediate version is bridged by one net diff between its
+    retained neighbors — exact for an aggregate view (the signed fold
+    of a net endpoint diff equals the composition of the per-commit
+    folds; intermediate churn retracts itself), it only coarsens the
+    resume granularity. What cannot be bridged is the view's own
+    applied version leaving retention (nothing to diff FROM) — that
+    raises; re-baseline by dropping the view.
+
+    Returns the commit versions applied this call (empty when already
+    current).
+    """
+    vs = [int(lbl[1:]) for lbl in src_catalog.versions(src_table)]
+    if not vs:
+        raise ValueError(
+            f"{src_table} has no retained versions — snapshot() or "
+            "overwrite the source before syncing"
+        )
+    applied = view.applied_token()
+    done: list[int] = []
+    if applied is None:
+        view.apply(
+            src_catalog.read_version(src_table, version=vs[0]),
+            batch_token=vs[0],
+        )
+        applied = vs[0]
+        done.append(vs[0])
+    if applied < vs[-1] and applied not in vs:
+        raise ValueError(
+            f"view last applied version {applied} of {src_table}, which "
+            f"is no longer retained (have {vs}) — per-commit replay "
+            "cannot bridge a vacuumed gap; re-baseline the view"
+        )
+    chain = [applied] + [v for v in vs if v > applied]
+    for lo, hi in zip(chain, chain[1:]):
+        hop = src_catalog.table_changes(
+            src_table, keys, from_version=lo, to_version=hi,
+            partition_cols=partition_cols,
+        )
+        view.apply_changes(hop.drop("_commit_version"), batch_token=hi)
+        done.append(hi)
+    return done
