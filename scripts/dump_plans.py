@@ -366,6 +366,26 @@ SHOWCASE = [
         "kilobytes per group, never a raw re-scan; the exact gate side is\n"
         "an explode + equi-join (no nested-loop range join).",
     ),
+    (
+        "cdf_part_orders",
+        "Partition-pruned Change Data Feed (r10): BOTH snapshot scans\n"
+        "carry PartitionFilters on the touched leaf set — the directory-\n"
+        "metadata probe proved every other leaf inode-identical across\n"
+        "the hardlink snapshots, so a 3,000-partition table where one\n"
+        "date changed diffs one partition's files. The diff itself stays\n"
+        "ONE full-outer SortMergeJoin with the row-kind classifier\n"
+        "exploded in place.",
+    ),
+    (
+        "fastss_d2_part",
+        "FastSS d=2 (r10): the deletion neighborhood (O(n²) variants per\n"
+        "string) is generated as codegen transform/substr expressions and\n"
+        "exploded — no Python per row; candidates come from ONE hash\n"
+        "equi-join on the variant key (never all-pairs), deduped on the\n"
+        "id pair BEFORE the levenshtein verify so each pair pays the DP\n"
+        "cost once. The pre-join Σ(df_l·df_r) probe refused runaway\n"
+        "variants before this plan ever launched.",
+    ),
 ]
 
 
