@@ -1192,6 +1192,75 @@ GROUP BY o_orderpriority
 """
 
 
+def dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE DML under the oracle (r10,
+    operators/dml.py:delete_where/update_where — the Delta ``DELETE
+    FROM``/``UPDATE ... SET`` analogue, reference backend contract per
+    SURVEY §1.1 Delta row): priority-partitioned orders land in a
+    versioned warehouse; a DELETE removes every ≡0 mod 7 key from the
+    '1-URGENT' partition and an UPDATE reprices every ≡1 mod 7 key in
+    the '2-HIGH' partition ×1.25 — each statement's bounded probe
+    confines the copy-on-write rewrite to its ONE touched leaf (the
+    other partitions are never scanned and stay inode-identical on
+    disk — pinned by tests/test_dml.py), and each checkpoints the
+    pre-state as a hardlink version, so time travel and the change
+    feed compose over DML exactly as over MERGE (also pinned). The
+    oracle replays both statements declaratively (WHERE NOT + CASE
+    WHEN over the base table): a row deleted from the wrong
+    partition, an update leaking past its predicate, NULL-condition
+    mishandling, or a lost unmatched row all break the hash."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.dml import delete_where, update_where
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (_cents(F.col("o_totalprice")) / 100.0).alias("price"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="dml_"), keep_versions=3
+    )
+    tbl = "silver.sales.orders_dml"
+    cat.overwrite(base, tbl, partition_by=["o_orderpriority"])
+    n_del = delete_where(
+        cat, tbl,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0",
+        partition_cols=["o_orderpriority"],
+    )
+    n_upd = update_where(
+        cat, tbl,
+        {"price":
+         "CAST(ROUND(price * 1.25 * 100 + 1e-6, 0) AS BIGINT) / 100.0"},
+        "o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 1",
+        partition_cols=["o_orderpriority"],
+    )
+    assert n_del > 0 and n_upd > 0, (n_del, n_upd)
+    # both statements committed a version (pre-states retained)
+    assert len(cat.versions(tbl)) == 2, cat.versions(tbl)
+    return cat.read(tbl).select("o_orderkey", "o_orderpriority", "price")
+
+
+_DML_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS price
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 1
+            THEN CAST(ROUND(price * 1.25 * 100 + 1e-6, 0) AS BIGINT)
+                 / 100.0
+            ELSE price END AS price
+FROM base
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)
+"""
+
+
 def clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE under the oracle (catalog.py:clone — the Delta
     ``CREATE TABLE ... CLONE`` analogue): orders land in a throwaway
@@ -10262,6 +10331,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_part_orders": cdf_part_orders,
         "fastss_d2_part": fastss_d2_part,
         "cdf_sync_view_orders": cdf_sync_view_orders,
+        "dml_orders": dml_orders,
         # --- last driver-green in r6 ---
         "compaction_plan_lineitem": compaction_plan_lineitem,
         "join_size_estimate_orders": join_size_estimate_orders,
@@ -10489,6 +10559,7 @@ def oracle_sql() -> dict[str, str]:
         "table_changes_orders": _TABLE_CHANGES_ORACLE,
         "cdf_commits_orders": _CDF_COMMITS_ORACLE,
         "cdf_part_orders": _CDF_PART_ORACLE,
+        "dml_orders": _DML_ORACLE,
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
         "cdf_sync_view_orders": _CDF_SYNC_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,

@@ -371,6 +371,7 @@ HEADLINE = [
     "fastss_d2_part",
     "pack_greedy_documents",
     "fuzzy_entity_clusters_part",
+    "dml_orders",
     "clone_orders",
     "medallion_job_orders",
     "langid_kappa_documents",
@@ -631,6 +632,12 @@ SCALING_QUERIES = [
     "fastss_d2_part",
     "table_changes_orders",
     "fuzzy_entity_clusters_part",
+    # r10 addition: row-level DML (copy-on-write DELETE+UPDATE through
+    # a real partitioned warehouse) — cost must track the TOUCHED
+    # LEAVES plus the probe scan linearly, never the table²; the
+    # bounded groupBy probe and the partition-pruned rewrite are the
+    # properties under measurement.
+    "dml_orders",
 ]
 SCALING_SMALL = "/root/testdata/sf0.01"
 
