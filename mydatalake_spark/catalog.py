@@ -16,6 +16,7 @@ path convention is identical.
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -609,6 +610,7 @@ class Catalog:
         self-referencing plan still needs to scan). Snapshot/drop is a
         plain-file-format mechanism only.
         """
+        df = self._with_check_guards(df, full_name)
         if self.fmt != "delta":
             self._snapshot_or_drop(full_name)
         writer = df.write.format(self.fmt).mode("overwrite")
@@ -649,6 +651,7 @@ class Catalog:
                 )
             self.overwrite(df, full_name, partition_by)
             return
+        df = self._with_check_guards(df, full_name)
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -677,6 +680,124 @@ class Catalog:
             return None
         with open(p) as fh:
             return fh.read()
+
+    # --- table-level CHECK constraints -------------------------------
+    # Delta ``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``
+    # analogue: constraints are TABLE metadata (they live beside the
+    # version counter, survive every overwrite, are dropped with the
+    # table, and are copied by CLONE — Delta's constraint-propagation
+    # rule) and are enforced on EVERY catalog write path as an
+    # in-plan per-row guard (_with_check_guards): no second
+    # validation scan, the check rides the write's own pass exactly
+    # like Delta's write-time invariant enforcement. SQL CHECK
+    # semantics: a row violates only when the expression is FALSE —
+    # NULL satisfies (ANSI, and Delta's behavior).
+
+    def _constraints_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".constraints.json"
+        )
+
+    def constraints(self, full_name: str) -> dict:
+        """Active CHECK constraints: ``{name: sql_expr}``."""
+        p = self._constraints_path(full_name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def add_constraint(self, full_name: str, name: str, expr: str) -> None:
+        """Add a named CHECK constraint to an existing table.
+
+        Existing data is validated first (Delta semantics: ADD
+        CONSTRAINT scans and fails if any current row violates —
+        otherwise the constraint would promise something the table
+        already breaks). The scan early-exits on the first violation.
+        Future writes through overwrite/overwrite_via_staging/
+        overwrite_partitions (and therefore MERGE, DML, ingestion,
+        views) enforce it per row inside the write plan."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"add_constraint: table {full_name} does not exist — "
+                "constraints attach to existing tables (create the "
+                "table first, Delta ADD CONSTRAINT semantics)"
+            )
+        cons = self.constraints(full_name)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {full_name} "
+                f"(CHECK ({cons[name]})); drop_constraint it first"
+            )
+        from pyspark.sql import functions as F
+
+        violating = (
+            self.read(full_name)
+            .where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if violating:
+            raise ValueError(
+                f"add_constraint: existing rows of {full_name} "
+                f"violate CHECK ({expr}) — clean the data first "
+                "(Delta ADD CONSTRAINT fails the same way)"
+            )
+        cons[name] = expr
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        tmp = self._constraints_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh, indent=1)
+        os.replace(tmp, self._constraints_path(full_name))
+
+    def drop_constraint(self, full_name: str, name: str) -> None:
+        cons = self.constraints(full_name)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {full_name} "
+                f"(have: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        tmp = self._constraints_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh, indent=1)
+        os.replace(tmp, self._constraints_path(full_name))
+
+    def _with_check_guards(self, df: DataFrame, full_name: str) -> DataFrame:
+        """Wrap a to-be-written frame with per-row CHECK enforcement.
+
+        One filter whose predicate is TRUE for every conforming row
+        and raise_error() for a violator — whole-stage-codegen
+        evaluates it inline during the write's single pass (the
+        raise_error branch, including the to_json row rendering, is
+        only evaluated ON violation). The failed write aborts into
+        its staging directory, so the live table is never left
+        half-written with violating rows."""
+        cons = self.constraints(full_name)
+        if not cons:
+            return df
+        from pyspark.sql import functions as F
+
+        guard = None
+        for cname in sorted(cons):
+            expr = cons[cname]
+            ok = F.coalesce(F.expr(expr), F.lit(True))
+            clause = F.when(
+                ~ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"CHECK constraint {cname} ({expr}) "
+                            f"violated on write to {full_name} by row "
+                        ),
+                        F.substring(
+                            F.to_json(F.struct(*df.columns)), 1, 256
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+            guard = clause if guard is None else (guard & clause)
+        return df.filter(guard)
 
     def overwrite_partitions(
         self,
@@ -708,6 +829,7 @@ class Catalog:
             else list(partition_col)
         )
         _check_no_null_partition_values(pcols, values)
+        df = self._with_check_guards(df, full_name)
         base = self.path(full_name)
         staging = base + "__pstaging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -874,6 +996,12 @@ class Catalog:
         copy_fn = os.link if shallow else shutil.copy2
         shutil.copytree(src, staging, copy_function=copy_fn)
         os.replace(staging, dst)
+        # a clone carries the source's CHECK constraints (Delta clone
+        # copies table metadata) — but never its history (above)
+        src_cons = self._constraints_path(src_name)
+        if os.path.exists(src_cons):
+            os.makedirs(self._version_root(dst_name), exist_ok=True)
+            shutil.copy2(src_cons, self._constraints_path(dst_name))
         self._invalidate(dst_name)
 
     def vacuum(

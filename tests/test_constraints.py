@@ -1,0 +1,123 @@
+"""Table-level CHECK constraints (catalog.py add_constraint/
+drop_constraint/_with_check_guards): Delta ``ALTER TABLE ADD
+CONSTRAINT`` parity — validated at add time, enforced per row inside
+every write path's own pass, carried by CLONE, dropped with the table."""
+
+import pytest
+from pyspark.errors import SparkRuntimeException
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.operators.dml import update_where
+from mydatalake_spark.operators.merge import merge_upsert_partitioned
+
+TBL = "silver.mkt.prices"
+
+
+def _seed(spark, cat, partitioned=False):
+    df = spark.createDataFrame(
+        [(1, "EU", 10.0), (2, "US", 20.0), (3, "EU", None)],
+        "id int, region string, price double",
+    )
+    cat.overwrite(df, TBL, partition_by=["region"] if partitioned else None)
+    return df
+
+
+def test_add_list_drop_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    assert cat.constraints(TBL) == {"price_pos": "price > 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_constraint(TBL, "price_pos", "price > 1")
+    cat.drop_constraint(TBL, "price_pos")
+    assert cat.constraints(TBL) == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        cat.drop_constraint(TBL, "price_pos")
+
+
+def test_add_validates_existing_data(spark, tmp_path):
+    # Delta ADD CONSTRAINT fails when current rows violate; NULL rows
+    # SATISFY a CHECK (ANSI ternary), so price > 0 over a NULL passes
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")  # NULL row ok
+    with pytest.raises(ValueError, match="existing rows"):
+        cat.add_constraint(TBL, "price_big", "price > 15")
+
+
+def test_add_requires_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.add_constraint("silver.mkt.nope", "c", "1 = 1")
+
+
+def test_write_enforces_and_aborts_cleanly(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    bad = spark.createDataFrame(
+        [(4, "AP", -1.0)], "id int, region string, price double"
+    )
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        cat.overwrite_via_staging(bad, TBL)
+    # the failed write aborted into staging: live table intact
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2, 3]
+    # conforming write (NULL satisfies CHECK) goes through
+    ok = spark.createDataFrame(
+        [(5, "AP", None)], "id int, region string, price double"
+    )
+    cat.overwrite_via_staging(ok, TBL)
+    assert [r.id for r in cat.read(TBL).collect()] == [5]
+
+
+def test_partitioned_write_and_merge_enforce(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    change = spark.createDataFrame(
+        [(2, "US", -5.0)], "id int, region string, price double"
+    )
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        merge_upsert_partitioned(
+            cat, TBL, change, keys=["id", "region"],
+            partition_col="region",
+        )
+    assert {r.id: r.price for r in cat.read(TBL).collect()}[2] == 20.0
+
+
+def test_dml_update_enforces(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        update_where(cat, TBL, {"price": "-price"}, "id = 1")
+    assert {r.id: r.price for r in cat.read(TBL).collect()}[1] == 10.0
+
+
+def test_clone_carries_constraints_drop_removes(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    cat.clone(TBL, "silver.mkt.copy")
+    assert cat.constraints("silver.mkt.copy") == {"price_pos": "price > 0"}
+    bad = spark.createDataFrame(
+        [(9, "EU", -1.0)], "id int, region string, price double"
+    )
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        cat.overwrite_via_staging(bad, "silver.mkt.copy")
+    # constraints are table metadata: dropped with the table
+    cat.drop(TBL)
+    _seed(spark, cat)
+    assert cat.constraints(TBL) == {}
+
+
+def test_multiple_constraints_name_the_violated_one(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    cat.add_constraint(TBL, "region_known", "region IN ('EU','US','AP')")
+    bad = spark.createDataFrame(
+        [(7, "XX", 5.0)], "id int, region string, price double"
+    )
+    with pytest.raises(SparkRuntimeException, match="region_known"):
+        cat.overwrite_via_staging(bad, TBL)
