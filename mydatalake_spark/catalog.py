@@ -610,6 +610,14 @@ class Catalog:
         self-referencing plan still needs to scan). Snapshot/drop is a
         plain-file-format mechanism only.
         """
+        if self.fmt != "delta" and self.constraints(full_name):
+            # CHECK enforcement makes mid-write failure a ROUTINE
+            # outcome; the drop-then-write below would leave no live
+            # table on keep_versions=0 when the guard fires. Route
+            # through the staging swap: a violating write aborts into
+            # staging, the live table never moves.
+            self.overwrite_via_staging(df, full_name, partition_by)
+            return
         df = self._with_check_guards(df, full_name)
         if self.fmt != "delta":
             self._snapshot_or_drop(full_name)
@@ -762,6 +770,35 @@ class Catalog:
         with open(tmp, "w") as fh:
             json.dump(cons, fh, indent=1)
         os.replace(tmp, self._constraints_path(full_name))
+
+    def sync_constraints(self, full_name: str, desired: dict) -> dict:
+        """Reconcile the table's constraint set to a DECLARED desired
+        state (``{name: sql_expr}``) — the metadata-driven entry point
+        the ingestors use with the table YAML's ``constraints:`` block:
+        undeclared constraints are dropped (the declaration is the
+        source of truth — a hand-added constraint on a YAML-managed
+        table is removed by the next run, by design), missing ones are
+        added, changed expressions are re-validated against current
+        data via add_constraint's scan. No-ops (the common steady
+        state) touch only the metadata file. Returns
+        ``{"added": [...], "dropped": [...], "changed": [...]}``."""
+        current = self.constraints(full_name)
+        added: list[str] = []
+        dropped: list[str] = []
+        changed: list[str] = []
+        for name in sorted(set(current) - set(desired)):
+            self.drop_constraint(full_name, name)
+            dropped.append(name)
+        for name in sorted(desired):
+            if name in current and current[name] == desired[name]:
+                continue
+            if name in current:
+                self.drop_constraint(full_name, name)
+                changed.append(name)
+            else:
+                added.append(name)
+            self.add_constraint(full_name, name, desired[name])
+        return {"added": added, "dropped": dropped, "changed": changed}
 
     def _with_check_guards(self, df: DataFrame, full_name: str) -> DataFrame:
         """Wrap a to-be-written frame with per-row CHECK enforcement.

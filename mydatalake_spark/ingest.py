@@ -108,11 +108,26 @@ class Ingestor:
             df, self.meta.full_name, partition_by=self.partition_by or None
         )
 
+    def _sync_declared_constraints(self) -> None:
+        """Reconcile the catalog's CHECK constraints to the table
+        YAML's ``constraints:`` block (Catalog.sync_constraints — the
+        YAML is the source of truth). Called BEFORE a run when the
+        table already exists, so this run's write is enforced in-plan,
+        and AFTER it, so a first run's data is validated and the
+        contract attaches for every later writer."""
+        desired = self.meta.constraints
+        if not self.catalog.exists(self.meta.full_name):
+            return
+        if desired or self.catalog.constraints(self.meta.full_name):
+            self.catalog.sync_constraints(self.meta.full_name, desired)
+
     def run(self) -> None:
         from .logging_utils import log_duration
 
         with log_duration("ingest_full", table=self.meta.full_name):
+            self._sync_declared_constraints()
             self.save(self.load())
+            self._sync_declared_constraints()
 
 
 @dataclass
@@ -221,7 +236,9 @@ class IngestorCDC(Ingestor):
         from .logging_utils import log_duration
 
         with log_duration("ingest_cdc", table=self.meta.full_name):
+            self._sync_declared_constraints()
             self.upsert(self.load())
+            self._sync_declared_constraints()
 
 
 @dataclass
@@ -289,6 +306,8 @@ class IngestorStreaming(IngestorCDC):
             )
             if self.available_now:
                 writer = writer.trigger(availableNow=True)
+            self._sync_declared_constraints()
             q = writer.start()
             if self.available_now:
                 q.awaitTermination()
+                self._sync_declared_constraints()

@@ -177,6 +177,30 @@ class TableMeta:
     def tests_by_column(self) -> dict[str, list[dict[str, Any]]]:
         return {c.name: c.tests for c in self.columns if c.tests}
 
+    @property
+    def constraints(self) -> dict[str, str]:
+        """Declared table CHECK constraints — ``constraints:`` in the
+        table YAML, either a mapping ``name: sql_expr`` or a list of
+        ``{name, check}`` items. **[extension]** Delta ``ALTER TABLE
+        ADD CONSTRAINT`` parity driven from the same metadata document
+        as schema/keys/tests: the ingestors reconcile the catalog's
+        constraint set to this declaration every run
+        (Catalog.sync_constraints), so the YAML is the source of truth
+        for the table's write-time contract."""
+        raw = self.raw.get("constraints") or {}
+        if isinstance(raw, dict):
+            return {str(k): str(v) for k, v in raw.items()}
+        out: dict[str, str] = {}
+        for item in raw:
+            expr = item.get("check", item.get("expr"))
+            if expr is None:
+                raise ValueError(
+                    f"constraint item {item!r} needs a 'check' (or "
+                    "'expr') SQL expression"
+                )
+            out[str(item["name"])] = str(expr)
+        return out
+
 
 def parse_table_meta(doc: dict[str, Any]) -> TableMeta:
     """Dict (already YAML-loaded) → TableMeta."""

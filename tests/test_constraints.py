@@ -121,3 +121,76 @@ def test_multiple_constraints_name_the_violated_one(spark, tmp_path):
     )
     with pytest.raises(SparkRuntimeException, match="region_known"):
         cat.overwrite_via_staging(bad, TBL)
+
+
+def test_sync_constraints_reconciles(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "stale", "id > 0")
+    cat.add_constraint(TBL, "kept", "price > 0")
+    res = cat.sync_constraints(
+        TBL, {"kept": "price > 0", "tight": "id < 100"}
+    )
+    assert res == {"added": ["tight"], "dropped": ["stale"], "changed": []}
+    assert set(cat.constraints(TBL)) == {"kept", "tight"}
+    # changed expression re-validates: id < 2 fails on current data
+    with pytest.raises(ValueError, match="existing rows"):
+        cat.sync_constraints(TBL, {"kept": "price > 0", "tight": "id < 2"})
+    # steady state is a metadata-only no-op
+    res = cat.sync_constraints(TBL, {"kept": "price > 0", "tight": "id < 100"})
+    assert res == {"added": ["tight"], "dropped": [], "changed": []}
+
+
+def test_yaml_declared_constraints_through_ingestor(spark, tmp_path):
+    import json as _json
+    import os
+
+    from mydatalake_spark.ingest import Ingestor
+
+    meta_root = tmp_path / "meta" / "quotes"
+    meta_root.mkdir(parents=True)
+    (meta_root / "quotes.yml").write_text(
+        """
+catalog: bronze
+schema: mkt
+table: quotes
+fields:
+  - name: symbol
+    type: string
+  - name: price
+    type: double
+constraints:
+  price_pos: price > 0
+  symbol_nonempty: length(symbol) > 0
+"""
+    )
+    good = tmp_path / "good.json"
+    good.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"symbol": "AAPL", "price": 10.0},
+                {"symbol": "MSFT", "price": 20.0},
+            ]
+        )
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ing = Ingestor(
+        spark, cat, str(tmp_path / "meta"), "quotes",
+        input_format="json", input_path=str(good),
+    )
+    # first run: write, then validate + attach the declared contract
+    ing.run()
+    assert set(cat.constraints("bronze.mkt.quotes")) == {
+        "price_pos", "symbol_nonempty",
+    }
+    # second run with a violating row fails IN-PLAN during the write
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"symbol": "EVIL", "price": -1.0}))
+    ing.input_path = str(bad)
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        ing.run()
+    # the failed run aborted into staging: table intact
+    assert sorted(
+        r.symbol for r in cat.read("bronze.mkt.quotes").collect()
+    ) == ["AAPL", "MSFT"]
