@@ -155,6 +155,19 @@ def _touched_partitions(
     return touched
 
 
+#: Reserved table-directory suffixes for in-flight write staging
+#: (overwrite_via_staging, overwrite_partitions, operators/dml.py).
+#: vacuum() treats orphans with these suffixes as reclaimable, and
+#: list_tables() never reports them as tables — a crashed write's husk
+#: must not surface as a phantom catalog entry.
+_STAGING_SUFFIXES = (
+    "__staging",
+    "__pstaging",
+    "__dmlstaging",
+    "__dmltouched",
+)
+
+
 def split_name(full_name: str) -> tuple[str, str, str]:
     """``catalog.schema.table`` → parts; shorter names get defaults."""
     parts = full_name.split(".")
@@ -736,8 +749,15 @@ class Catalog:
                 f"constraint {name!r} already exists on {full_name} "
                 f"(CHECK ({cons[name]})); drop_constraint it first"
             )
-        from pyspark.sql import functions as F
+        self._validate_constraint(full_name, name, expr)
+        cons[name] = expr
+        self._write_constraints(full_name, cons)
 
+    def _validate_constraint(
+        self, full_name: str, name: str, expr: str
+    ) -> None:
+        """Fail if any CURRENT row violates the expression (early-exit
+        LIMIT 1 scan — Delta ADD CONSTRAINT semantics)."""
         violating = (
             self.read(full_name)
             .where(~F.coalesce(F.expr(expr), F.lit(True)))
@@ -747,10 +767,11 @@ class Catalog:
         if violating:
             raise ValueError(
                 f"add_constraint: existing rows of {full_name} "
-                f"violate CHECK ({expr}) — clean the data first "
-                "(Delta ADD CONSTRAINT fails the same way)"
+                f"violate CHECK {name} ({expr}) — clean the data "
+                "first (Delta ADD CONSTRAINT fails the same way)"
             )
-        cons[name] = expr
+
+    def _write_constraints(self, full_name: str, cons: dict) -> None:
         root = self._version_root(full_name)
         os.makedirs(root, exist_ok=True)
         tmp = self._constraints_path(full_name) + ".tmp"
@@ -766,10 +787,7 @@ class Catalog:
                 f"(have: {sorted(cons) or 'none'})"
             )
         del cons[name]
-        tmp = self._constraints_path(full_name) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(cons, fh, indent=1)
-        os.replace(tmp, self._constraints_path(full_name))
+        self._write_constraints(full_name, cons)
 
     def sync_constraints(self, full_name: str, desired: dict) -> dict:
         """Reconcile the table's constraint set to a DECLARED desired
@@ -779,25 +797,25 @@ class Catalog:
         source of truth — a hand-added constraint on a YAML-managed
         table is removed by the next run, by design), missing ones are
         added, changed expressions are re-validated against current
-        data via add_constraint's scan. No-ops (the common steady
-        state) touch only the metadata file. Returns
-        ``{"added": [...], "dropped": [...], "changed": [...]}``."""
+        data. Validation happens BEFORE anything is written and the
+        new set lands in ONE atomic file replace, so a rejected or
+        crashed sync leaves the previous constraints fully in force —
+        never a window where a changed constraint is simply gone.
+        No-ops (the common steady state) only read the metadata file.
+        Returns ``{"added": [...], "dropped": [...], "changed":
+        [...]}``."""
         current = self.constraints(full_name)
-        added: list[str] = []
-        dropped: list[str] = []
-        changed: list[str] = []
-        for name in sorted(set(current) - set(desired)):
-            self.drop_constraint(full_name, name)
-            dropped.append(name)
-        for name in sorted(desired):
-            if name in current and current[name] == desired[name]:
-                continue
-            if name in current:
-                self.drop_constraint(full_name, name)
-                changed.append(name)
-            else:
-                added.append(name)
-            self.add_constraint(full_name, name, desired[name])
+        desired = {str(k): str(v) for k, v in desired.items()}
+        added = sorted(set(desired) - set(current))
+        dropped = sorted(set(current) - set(desired))
+        changed = sorted(
+            n for n in desired if n in current and current[n] != desired[n]
+        )
+        if not (added or dropped or changed):
+            return {"added": [], "dropped": [], "changed": []}
+        for name in (*added, *changed):
+            self._validate_constraint(full_name, name, desired[name])
+        self._write_constraints(full_name, desired)
         return {"added": added, "dropped": dropped, "changed": changed}
 
     def _with_check_guards(self, df: DataFrame, full_name: str) -> DataFrame:
@@ -1089,13 +1107,16 @@ class Catalog:
             # vacuum (drop()/truncate() end the table's lifecycle and
             # do remove it)
             root = self._version_root(full_name)
-            if not os.path.exists(os.path.join(root, ".hwm")):
+            keep_files = (".hwm", ".constraints.json")
+            if not any(
+                os.path.exists(os.path.join(root, f)) for f in keep_files
+            ):
                 shutil.rmtree(root, ignore_errors=True)
         import time
 
         staging_dirs = [
             self.path(full_name) + suffix
-            for suffix in ("__staging", "__pstaging")
+            for suffix in _STAGING_SUFFIXES
         ]
         # a crashed snapshot() leaves its hardlink staging in the
         # version root — same orphan contract, same grace window
@@ -1152,6 +1173,8 @@ class Catalog:
                 for tbl in sorted(os.listdir(sdir)):
                     if tbl.startswith("."):     # version snapshots etc.
                         continue
+                    if tbl.endswith(_STAGING_SUFFIXES):
+                        continue  # crashed-write husk, never a table
                     name = f"{cat}.{sch}.{tbl}"
                     if self.exists(name):
                         out.append(name)

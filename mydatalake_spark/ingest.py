@@ -281,6 +281,12 @@ class IngestorStreaming(IngestorCDC):
         if self.transform_sql:
             df = run_sql(df.sparkSession, self.transform_sql)
         self.upsert(df)
+        # per-batch reconcile so a CONTINUOUS stream (available_now=
+        # False) attaches declared constraints as soon as the first
+        # micro-batch creates the table — the post-termination sync
+        # below is only reached in drain mode. Steady state is one
+        # metadata-file read per batch (sync_constraints no-op path).
+        self._sync_declared_constraints()
 
     def run(self) -> None:
         from .logging_utils import log_duration

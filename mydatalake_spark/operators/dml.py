@@ -93,10 +93,12 @@ def _probe_touched(
     instead of OOMing the driver."""
     from ..catalog import _check_no_null_partition_values
 
+    # the aggregate gets a reserved alias so a partition column
+    # literally named "count" cannot shadow it in the Row lookup
     probe = (
         df.where(matched)
         .groupBy(*pcols)
-        .count()
+        .agg(F.count(F.lit(1)).alias("__dml_n__"))
         .limit(max_partitions + 1)
         .collect()
     )
@@ -109,14 +111,20 @@ def _probe_touched(
         )
     touched = [tuple(r[c] for c in pcols) for r in probe]
     _check_no_null_partition_values(pcols, touched)
-    n_matched = sum(r["count"] for r in probe)
+    n_matched = sum(r["__dml_n__"] for r in probe)
     return touched, n_matched
 
 
 def _checkpoint_if_versioned(catalog, table: str, checkpoint: bool) -> None:
     """Hardlink-snapshot the live state before an in-place partition
     mutation, so the DML commits a version like every other write path
-    (O(#files) metadata — Catalog.snapshot)."""
+    (O(#files) metadata — Catalog.snapshot).
+
+    ``checkpoint`` governs ONLY this in-place partitioned path: the
+    whole-table paths ride overwrite_via_staging, whose rename-on-
+    overwrite snapshot follows the catalog's keep_versions policy like
+    every other full overwrite — there is no opt-out there, by design
+    (both delete_where and update_where document this)."""
     if checkpoint and catalog.keep_versions > 0:
         catalog.snapshot(table)
 
@@ -130,7 +138,10 @@ def delete_where(
     checkpoint: bool = True,
 ) -> int:
     """``DELETE FROM table WHERE condition`` (Delta DML analogue),
-    copy-on-write. Returns the number of rows deleted.
+    copy-on-write. Returns the number of rows deleted. ``checkpoint``
+    applies to the partitioned in-place path only; the whole-table
+    path always versions per the catalog's ``keep_versions`` policy
+    (it rides the same staging-swap snapshot as every full overwrite).
 
     ``condition`` is a SQL expression string or a Column; NULL
     evaluations keep the row (ANSI WHERE semantics — unit-pinned).
@@ -257,6 +268,8 @@ def update_where(
 ) -> int:
     """``UPDATE table SET col = expr, ... WHERE condition`` (Delta DML
     analogue), copy-on-write. Returns the number of rows updated.
+    ``checkpoint`` applies to the partitioned in-place path only (see
+    :func:`delete_where`).
 
     ``set_exprs`` maps EXISTING column names to SQL expression strings
     or Columns, all evaluated against the pre-update row (ANSI UPDATE:

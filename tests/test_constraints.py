@@ -133,12 +133,15 @@ def test_sync_constraints_reconciles(spark, tmp_path):
     )
     assert res == {"added": ["tight"], "dropped": ["stale"], "changed": []}
     assert set(cat.constraints(TBL)) == {"kept", "tight"}
-    # changed expression re-validates: id < 2 fails on current data
+    # changed expression re-validates BEFORE anything is written:
+    # a rejected sync leaves the previous set fully in force — never
+    # a window where the old constraint is simply gone
     with pytest.raises(ValueError, match="existing rows"):
         cat.sync_constraints(TBL, {"kept": "price > 0", "tight": "id < 2"})
+    assert cat.constraints(TBL) == {"kept": "price > 0", "tight": "id < 100"}
     # steady state is a metadata-only no-op
     res = cat.sync_constraints(TBL, {"kept": "price > 0", "tight": "id < 100"})
-    assert res == {"added": ["tight"], "dropped": [], "changed": []}
+    assert res == {"added": [], "dropped": [], "changed": []}
 
 
 def test_yaml_declared_constraints_through_ingestor(spark, tmp_path):
@@ -194,3 +197,35 @@ constraints:
     assert sorted(
         r.symbol for r in cat.read("bronze.mkt.quotes").collect()
     ) == ["AAPL", "MSFT"]
+
+
+def test_vacuum_preserves_constraints_metadata(spark, tmp_path):
+    # the constraints file lives in the version root; a vacuum on a
+    # versionless table must not silently delete the write contract
+    cat = Catalog(spark, str(tmp_path / "wh"))  # keep_versions=0
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "price_pos", "price > 0")
+    cat.vacuum(TBL)
+    assert cat.constraints(TBL) == {"price_pos": "price > 0"}
+    bad = spark.createDataFrame(
+        [(9, "EU", -1.0)], "id int, region string, price double"
+    )
+    with pytest.raises(SparkRuntimeException, match="price_pos"):
+        cat.overwrite_via_staging(bad, TBL)
+
+
+def test_vacuum_reclaims_dml_staging_and_list_tables_hides_husks(
+    spark, tmp_path
+):
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = _seed(spark, cat)
+    # simulate a crashed delete_where: its staging dirs survive
+    for suffix in ("__dmlstaging", "__dmltouched"):
+        df.limit(1).write.parquet(cat.path(TBL) + suffix)
+    assert cat.list_tables() == [TBL]  # husks are never tables
+    freed = cat.vacuum(TBL, staging_grace_seconds=0)
+    assert freed > 0
+    assert not os.path.isdir(cat.path(TBL) + "__dmlstaging")
+    assert not os.path.isdir(cat.path(TBL) + "__dmltouched")
