@@ -129,6 +129,33 @@ def _checkpoint_if_versioned(catalog, table: str, checkpoint: bool) -> None:
         catalog.snapshot(table)
 
 
+def _apply_sets(rows: DataFrame, set_exprs: dict, matched: Column) -> DataFrame:
+    """Apply UPDATE SET semantics to a frame: matched rows get every
+    SET expression (all evaluated against the PRE-update row — ANSI
+    UPDATE, swaps never chain), unmatched rows pass through. Validates
+    that every SET column exists (UPDATE cannot add columns)."""
+    unknown = [c for c in set_exprs if c not in rows.columns]
+    if unknown:
+        raise ValueError(
+            f"update: SET columns {unknown} do not exist "
+            f"(columns: {rows.columns}); UPDATE cannot add columns — "
+            "use merge_upsert(evolve_schema=True) for additive schema "
+            "changes."
+        )
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    return rows.select(
+        *[
+            F.when(matched, sets[c]).otherwise(F.col(c)).alias(c)
+            if c in sets
+            else F.col(c)
+            for c in rows.columns
+        ]
+    )
+
+
 def delete_where(
     catalog,
     table: str,
@@ -292,38 +319,18 @@ def update_where(
     """
     matched = _matched(condition)
     df = catalog.read(table)
-    unknown = [c for c in set_exprs if c not in df.columns]
-    if unknown:
-        raise ValueError(
-            f"update_where: SET columns {unknown} do not exist in "
-            f"{table} (columns: {df.columns}); UPDATE cannot add "
-            "columns — use merge_upsert(evolve_schema=True) for "
-            "additive schema changes."
-        )
-    sets = {
-        c: (F.expr(e) if isinstance(e, str) else e)
-        for c, e in set_exprs.items()
-    }
-
-    def apply_sets(rows: DataFrame) -> DataFrame:
-        return rows.select(
-            *[
-                F.when(matched, sets[c]).otherwise(F.col(c)).alias(c)
-                if c in sets
-                else F.col(c)
-                for c in rows.columns
-            ]
-        )
 
     if partition_cols is None:
+        applied = _apply_sets(df, set_exprs, matched)  # validates SETs
         n_updated = df.where(matched).count()
         if n_updated == 0:
             return 0
-        catalog.overwrite_via_staging(apply_sets(df), table)
+        catalog.overwrite_via_staging(applied, table)
         return n_updated
 
     pcols = list(partition_cols)
-    moved = sorted(set(sets) & set(pcols))
+    _apply_sets(df.limit(0), set_exprs, matched)  # validate SETs up front
+    moved = sorted(set(set_exprs) & set(pcols))
     if moved:
         raise ValueError(
             f"update_where: SET assigns partition column(s) {moved}; "
@@ -338,6 +345,8 @@ def update_where(
     from ..catalog import partition_predicate
 
     _checkpoint_if_versioned(catalog, table, checkpoint)
-    new_slice = apply_sets(df.where(partition_predicate(pcols, touched)))
+    new_slice = _apply_sets(
+        df.where(partition_predicate(pcols, touched)), set_exprs, matched
+    )
     catalog.overwrite_partitions(new_slice, table, pcols, touched)
     return n_updated

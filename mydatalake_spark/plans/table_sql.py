@@ -1,0 +1,311 @@
+"""SQL front-end for table DML/DDL statements on catalog tables.
+
+The reference runs on Databricks, where users issue ``DELETE FROM`` /
+``UPDATE`` / ``TRUNCATE TABLE`` / ``ALTER TABLE ADD CONSTRAINT`` /
+``RESTORE TABLE`` / ``VACUUM`` against Delta tables as ordinary SQL.
+OSS Spark 4.1.2 rejects every one of them on path-based parquet tables
+(DELETE/UPDATE need a v2 table with row-level-op support; the rest are
+Delta-only syntax). **[extension]** This module is the dialect adapter:
+a bounded statement grammar dispatched onto the engine's own
+implementations —
+
+    DELETE FROM t WHERE ...      → operators/dml.py:delete_where
+    UPDATE t SET a=..., b=...
+        [WHERE ...]              → operators/dml.py:update_where
+    TRUNCATE TABLE t             → Catalog.truncate
+    ALTER TABLE t ADD CONSTRAINT
+        name CHECK (expr)        → Catalog.add_constraint
+    ALTER TABLE t DROP CONSTRAINT
+        name                     → Catalog.drop_constraint
+    RESTORE TABLE t TO VERSION
+        AS OF n                  → Catalog.restore
+    VACUUM t                     → Catalog.vacuum
+
+so a user migrating the reference's notebooks keeps their statements.
+Like plans/qualify.py this is a *string-level* adapter, not a SQL
+parser: statement heads are matched with the same depth-0,
+string/comment-aware token scan, expressions (WHERE predicates, SET
+right-hand sides, CHECK bodies) are passed VERBATIM to Spark's own
+``F.expr`` — Catalyst owns expression semantics, this module only
+finds the clause boundaries. Anything outside the grammar raises
+``UnsupportedStatement`` naming what was seen (fail fast, never guess).
+
+Partition pruning is automatic: the table's hive layout is detected
+from its directory tree (``_detect_partition_cols``) and passed to the
+DML so a DELETE/UPDATE whose matches live in 3 of 3,000 partitions
+reads and rewrites only those 3 — the SQL user gets the pruned path
+without knowing it exists.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from .qualify import _scan_tokens
+
+__all__ = ["run_table_sql", "UnsupportedStatement"]
+
+_PARTDIR = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)=")
+
+
+class UnsupportedStatement(ValueError):
+    """Statement outside the supported DML/DDL grammar."""
+
+
+def _detect_partition_cols(path: str) -> list[str] | None:
+    """Infer the hive partition-column chain from the directory tree:
+    descend while every data-bearing entry at a level is a ``col=``
+    directory with a consistent column name. Pure directory metadata —
+    no file is opened. None for unpartitioned tables."""
+    cols: list[str] = []
+    d = path
+    while True:
+        if not os.path.isdir(d):
+            break
+        entries = [
+            e for e in os.listdir(d) if not e.startswith((".", "_"))
+        ]
+        if not entries:
+            break
+        names = set()
+        for e in entries:
+            m = _PARTDIR.match(e)
+            if not m or not os.path.isdir(os.path.join(d, e)):
+                # a data file (or non-hive dir) at this level: the
+                # chain ends above it
+                return cols or None
+            names.add(m.group(1))
+        if len(names) != 1:
+            break
+        col = names.pop()
+        cols.append(col)
+        d = os.path.join(d, entries[0])
+    return cols or None
+
+
+def _strip(sql: str) -> str:
+    s = sql.strip()
+    while s.endswith(";"):
+        s = s[:-1].rstrip()
+    return s
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0, skipping string literals and
+    backtick identifiers — SET lists contain commas inside function
+    calls (``SET a = coalesce(x, 0), b = 1``)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n and s[i] != q:
+                i += 2 if s[i] == "\\" else 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _ident(tok: str) -> str:
+    return tok.strip().strip("`")
+
+
+def _tokens(sql: str) -> list[tuple[str, int, int]]:
+    return list(_scan_tokens(sql))
+
+
+def _clause_pos(toks, *keywords):
+    """Start offset of the first depth-0 keyword run, or None."""
+    kws = [k.upper() for k in keywords]
+    for i in range(len(toks) - len(kws) + 1):
+        if [t[0] for t in toks[i:i + len(kws)]] == kws:
+            return i
+    return None
+
+
+def _table_name(sql: str, toks, idx: int) -> tuple[str, int]:
+    """Dotted (possibly backticked) table name starting at token idx;
+    returns (name, index of the first token AFTER the name)."""
+    name = _ident(sql[toks[idx][1]:toks[idx][2]])
+    j = idx
+    while (
+        j + 1 < len(toks)
+        and sql[toks[j][2]:toks[j + 1][1]].strip() == "."
+    ):
+        j += 1
+        name += "." + _ident(sql[toks[j][1]:toks[j][2]])
+    return name, j + 1
+
+
+def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
+    """Execute one DML/DDL statement against the catalog (grammar in
+    the module docstring). Returns the affected-row count for
+    DELETE/UPDATE, freed bytes for VACUUM, the restored-from version
+    label for RESTORE, and None for the metadata statements."""
+    s = _strip(sql)
+    toks = _tokens(s)
+    if not toks:
+        raise UnsupportedStatement("empty statement")
+    head = toks[0][0]
+
+    if head == "DELETE":
+        if len(toks) < 3 or toks[1][0] != "FROM":
+            raise UnsupportedStatement(
+                f"expected DELETE FROM <table> ..., got: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, 2)
+        wh = _clause_pos(toks[after:], "WHERE")
+        if wh is None:
+            raise UnsupportedStatement(
+                "DELETE without WHERE removes every row — this engine "
+                "refuses that as row-level DML (an all-deleted parquet "
+                "directory has no schema to read back); use TRUNCATE "
+                f"TABLE {table}"
+            )
+        cond = s[toks[after + wh][2]:].strip()
+        from ..operators.dml import delete_where
+
+        return delete_where(
+            catalog, table, cond,
+            partition_cols=_detect_partition_cols(catalog.path(table)),
+            max_partitions=max_partitions,
+        )
+
+    if head == "UPDATE":
+        if len(toks) < 2:
+            raise UnsupportedStatement(f"bad UPDATE: {s[:80]}")
+        table, after = _table_name(s, toks, 1)
+        set_idx = _clause_pos(toks[after:], "SET")
+        if set_idx is None:
+            raise UnsupportedStatement(
+                f"UPDATE needs a SET clause: {s[:80]}"
+            )
+        set_tok = toks[after + set_idx]
+        wh = _clause_pos(toks[after + set_idx + 1:], "WHERE")
+        if wh is None:
+            set_body, cond = s[set_tok[2]:], "true"
+        else:
+            where_tok = toks[after + set_idx + 1 + wh]
+            set_body = s[set_tok[2]:where_tok[1]]
+            cond = s[where_tok[2]:].strip()
+        set_exprs: dict[str, str] = {}
+        for item in _split_top_level_commas(set_body):
+            col, eq, rhs = item.partition("=")
+            if not eq or not rhs.strip():
+                raise UnsupportedStatement(
+                    f"bad SET item {item!r} (expected col = expr)"
+                )
+            set_exprs[_ident(col)] = rhs.strip()
+        if not set_exprs:
+            raise UnsupportedStatement(f"empty SET clause: {s[:80]}")
+        from ..operators.dml import update_where
+
+        pcols = _detect_partition_cols(catalog.path(table))
+        if pcols and set(pcols) & set(set_exprs):
+            # Delta UPDATE may move rows between partitions; the
+            # pruned in-place path refuses that, so the SQL route
+            # falls back to the whole-table rewrite (correct, just
+            # unpruned — same plan Delta picks when files can't be
+            # skipped). The rewrite re-partitions by the detected
+            # pcols so the table's layout survives the move.
+            from ..operators.dml import _apply_sets, _matched
+
+            df = catalog.read(table)
+            matched = _matched(cond)
+            n = df.where(matched).count()
+            if n:
+                catalog.overwrite_via_staging(
+                    _apply_sets(df, set_exprs, matched),
+                    table,
+                    partition_by=pcols,
+                )
+            return n
+        return update_where(
+            catalog, table, set_exprs, cond,
+            partition_cols=pcols,
+            max_partitions=max_partitions,
+        )
+
+    if head == "TRUNCATE":
+        if len(toks) < 3 or toks[1][0] != "TABLE":
+            raise UnsupportedStatement(
+                f"expected TRUNCATE TABLE <table>, got: {s[:80]}"
+            )
+        table, _ = _table_name(s, toks, 2)
+        catalog.truncate(table)
+        return None
+
+    if head == "ALTER":
+        if len(toks) < 3 or toks[1][0] != "TABLE":
+            raise UnsupportedStatement(
+                f"expected ALTER TABLE <table> ..., got: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, 2)
+        verbs = [t[0] for t in toks[after:after + 2]]
+        if verbs == ["ADD", "CONSTRAINT"]:
+            if len(toks) < after + 4 or toks[after + 3][0] != "CHECK":
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t ADD CONSTRAINT name CHECK "
+                    f"(expr), got: {s[:80]}"
+                )
+            name = _ident(
+                s[toks[after + 2][1]:toks[after + 2][2]]
+            )
+            body = s[toks[after + 3][2]:].strip()
+            if not (body.startswith("(") and body.endswith(")")):
+                raise UnsupportedStatement(
+                    f"CHECK body must be parenthesized: {body[:80]}"
+                )
+            catalog.add_constraint(table, name, body[1:-1].strip())
+            return None
+        if verbs == ["DROP", "CONSTRAINT"]:
+            name = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
+            catalog.drop_constraint(table, name)
+            return None
+        raise UnsupportedStatement(
+            "only ADD/DROP CONSTRAINT is supported under ALTER TABLE "
+            f"(schema changes belong to merge evolve_schema): {s[:80]}"
+        )
+
+    if head == "RESTORE":
+        # RESTORE TABLE t TO VERSION AS OF n (Delta syntax)
+        idx = 2 if len(toks) > 1 and toks[1][0] == "TABLE" else 1
+        table, after = _table_name(s, toks, idx)
+        tail = [t[0] for t in toks[after:]]
+        if tail[:4] != ["TO", "VERSION", "AS", "OF"]:
+            raise UnsupportedStatement(
+                "expected RESTORE TABLE t TO VERSION AS OF <n>, got: "
+                f"{s[:80]}"
+            )
+        # the version is a numeric literal, which the word-token scan
+        # does not yield — take it from the raw tail after OF
+        vers = s[toks[after + 3][2]:].strip()
+        if not vers.isdigit():
+            raise UnsupportedStatement(
+                f"VERSION AS OF needs an integer, got {vers!r}"
+            )
+        return catalog.restore(table, version=int(vers))
+
+    if head == "VACUUM":
+        table, after = _table_name(s, toks, 1)
+        if after != len(toks):
+            raise UnsupportedStatement(
+                "only plain VACUUM <table> is supported (retention is "
+                f"the catalog's keep_versions policy): {s[:80]}"
+            )
+        return catalog.vacuum(table)
+
+    raise UnsupportedStatement(
+        f"unsupported statement head {head!r} — supported: DELETE, "
+        "UPDATE, TRUNCATE, ALTER TABLE ADD/DROP CONSTRAINT, RESTORE, "
+        "VACUUM (SELECT queries go through spark.sql / plans.run_sql)"
+    )

@@ -1,0 +1,151 @@
+"""SQL front-end for DML/DDL (plans/table_sql.py): the Databricks
+statements a reference user writes, dispatched onto the engine's own
+delete_where/update_where/truncate/constraints/restore/vacuum — with
+hive partition layout auto-detected so SQL DML gets the pruned path."""
+
+import pytest
+from pyspark.errors import SparkRuntimeException
+
+from mydatalake_spark.catalog import Catalog, _leaf_partition_files
+from mydatalake_spark.plans.table_sql import (
+    UnsupportedStatement,
+    _detect_partition_cols,
+    run_table_sql,
+)
+
+TBL = "silver.sales.orders"
+
+
+def _seed(spark, cat, partitioned=False, keep_versions=0):
+    df = spark.createDataFrame(
+        [
+            (1, "EU", 10.0, "x"),
+            (2, "EU", 20.0, None),
+            (3, "US", 30.0, "x"),
+            (4, "US", 40.0, "y"),
+            (5, "AP", 50.0, "x"),
+        ],
+        "id int, region string, amount double, tag string",
+    )
+    cat.overwrite(df, TBL, partition_by=["region"] if partitioned else None)
+    return df
+
+
+def test_delete_sql_autodetects_partitions(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    root = cat.path(TBL)
+    assert _detect_partition_cols(root) == ["region"]
+    before = _leaf_partition_files(root, ["region"])
+    n = run_table_sql(cat, f"DELETE FROM {TBL} WHERE region = 'EU' AND id = 1")
+    assert n == 1
+    after = _leaf_partition_files(root, ["region"])
+    # SQL user got the pruned path without asking: US/AP untouched
+    assert after[("US",)] == before[("US",)]
+    assert after[("AP",)] == before[("AP",)]
+
+
+def test_delete_sql_unpartitioned_and_no_where_refused(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    assert _detect_partition_cols(cat.path(TBL)) is None
+    assert run_table_sql(cat, f"DELETE FROM {TBL} WHERE amount >= 40;") == 2
+    assert cat.read(TBL).count() == 3
+    with pytest.raises(UnsupportedStatement, match="TRUNCATE"):
+        run_table_sql(cat, f"DELETE FROM {TBL}")
+
+
+def test_update_sql_multi_set_with_function_commas(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    n = run_table_sql(
+        cat,
+        f"UPDATE {TBL} SET amount = coalesce(amount, 0) * 2, "
+        f"tag = upper(tag) WHERE region = 'EU'",
+    )
+    assert n == 2
+    got = {r.id: (r.amount, r.tag) for r in cat.read(TBL).collect()}
+    assert got[1] == (20.0, "X")
+    assert got[3] == (30.0, "x")
+
+
+def test_update_sql_without_where_hits_all_rows(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    assert run_table_sql(cat, f"UPDATE {TBL} SET amount = 0") == 5
+    assert {r.amount for r in cat.read(TBL).collect()} == {0.0}
+
+
+def test_truncate_and_unsupported_statements(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(cat, f"TRUNCATE TABLE {TBL}")
+    assert not cat.exists(TBL)
+    with pytest.raises(UnsupportedStatement, match="unsupported statement"):
+        run_table_sql(cat, f"MERGE INTO {TBL} USING x ON 1=1")
+    with pytest.raises(UnsupportedStatement, match="empty statement"):
+        run_table_sql(cat, "  ;; ")
+
+
+def test_alter_constraint_sql_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(
+        cat,
+        f"ALTER TABLE {TBL} ADD CONSTRAINT amount_pos CHECK (amount > 0)",
+    )
+    assert cat.constraints(TBL) == {"amount_pos": "amount > 0"}
+    bad = spark.createDataFrame(
+        [(9, "EU", -1.0, "x")], "id int, region string, amount double, tag string"
+    )
+    with pytest.raises(SparkRuntimeException, match="amount_pos"):
+        cat.overwrite_via_staging(bad, TBL)
+    run_table_sql(cat, f"ALTER TABLE {TBL} DROP CONSTRAINT amount_pos")
+    assert cat.constraints(TBL) == {}
+
+
+def test_restore_and_vacuum_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 99 WHERE id = 1")
+    run_table_sql(cat, f"RESTORE TABLE {TBL} TO VERSION AS OF 1")
+    assert {r.id: r.amount for r in cat.read(TBL).collect()}[1] == 10.0
+    freed = run_table_sql(cat, f"VACUUM {TBL}")
+    assert isinstance(freed, int)
+
+
+def test_where_keyword_inside_string_literal_not_a_clause(spark, tmp_path):
+    # the token scan skips literals: a WHERE inside a string must not
+    # terminate the SET body early
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    n = run_table_sql(
+        cat, f"UPDATE {TBL} SET tag = 'WHERE kept' WHERE id = 2"
+    )
+    assert n == 1
+    assert {r.id: r.tag for r in cat.read(TBL).collect()}[2] == "WHERE kept"
+
+
+def test_detect_partition_cols_hierarchical(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("2024-01-01", "EU", 1), ("2024-01-02", "US", 2)],
+        "day string, region string, id int",
+    )
+    cat.overwrite(df, TBL, partition_by=["day", "region"])
+    assert _detect_partition_cols(cat.path(TBL)) == ["day", "region"]
+
+
+def test_update_sql_moving_rows_across_partitions(spark, tmp_path):
+    # Delta UPDATE may move a row between partitions; the SQL route
+    # falls back to a whole-table rewrite that preserves the layout
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    n = run_table_sql(
+        cat, f"UPDATE {TBL} SET region = 'EU' WHERE region = 'AP'"
+    )
+    assert n == 1
+    got = {r.id: r.region for r in cat.read(TBL).collect()}
+    assert got[5] == "EU"
+    assert _detect_partition_cols(cat.path(TBL)) == ["region"]
+    assert ("AP",) not in _leaf_partition_files(cat.path(TBL), ["region"])
