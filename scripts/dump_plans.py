@@ -386,6 +386,18 @@ SHOWCASE = [
         "cost once. The pre-join Σ(df_l·df_r) probe refused runaway\n"
         "variants before this plan ever launched.",
     ),
+    (
+        "dml_orders",
+        "Row-level DELETE+UPDATE DML (r10): the final read shows the\n"
+        "partitioned layout both statements preserved. Each statement's\n"
+        "bounded groupBy probe (partial-agg count per touched partition,\n"
+        "LIMIT-capped driver transfer) found its ONE touched leaf, and the\n"
+        "copy-on-write rewrite scanned only that leaf via a static\n"
+        "partition_predicate — the other priorities' files were never\n"
+        "read and stay inode-identical (pinned in tests/test_dml.py).\n"
+        "At 100 TB a DELETE confined to 3 of 3,000 date partitions scans\n"
+        "and rewrites ~0.1% of the table.",
+    ),
 ]
 
 
