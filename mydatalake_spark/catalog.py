@@ -163,9 +163,51 @@ def _touched_partitions(
 _STAGING_SUFFIXES = (
     "__staging",
     "__pstaging",
+    "__appstaging",
     "__dmlstaging",
     "__dmltouched",
 )
+
+
+_PARTDIR_RE = None  # compiled lazily below
+
+
+def detect_partition_cols(path: str) -> list[str] | None:
+    """Infer a table's hive partition-column chain from its directory
+    tree: descend while every data-bearing entry at a level is a
+    ``col=`` directory with one consistent column name. Pure directory
+    metadata — no file is opened. None for unpartitioned tables. Used
+    by the SQL DML front-end (plans/table_sql.py) and by append() so
+    callers get the partition-aware path without declaring the layout
+    they already wrote."""
+    import re
+
+    global _PARTDIR_RE
+    if _PARTDIR_RE is None:
+        _PARTDIR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)=")
+    cols: list[str] = []
+    d = path
+    while True:
+        if not os.path.isdir(d):
+            break
+        entries = [
+            e for e in os.listdir(d) if not e.startswith((".", "_"))
+        ]
+        if not entries:
+            break
+        names = set()
+        stop = False
+        for e in entries:
+            m = _PARTDIR_RE.match(e)
+            if not m or not os.path.isdir(os.path.join(d, e)):
+                stop = True  # a data file: the chain ends above it
+                break
+            names.add(m.group(1))
+        if stop or len(names) != 1:
+            break
+        cols.append(names.pop())
+        d = os.path.join(d, entries[0])
+    return cols or None
 
 
 def split_name(full_name: str) -> tuple[str, str, str]:
@@ -692,6 +734,106 @@ class Catalog:
         self._snapshot_or_drop(full_name)
         os.replace(staging, final)
         self._invalidate(full_name)
+
+    def append(
+        self,
+        df: DataFrame,
+        full_name: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Delta ``mode("append")`` analogue: add rows to a table
+        WITHOUT reading or rewriting its existing bytes — the write
+        path a daily load needs at 100 TB (a day's rows into a year's
+        table costs the day, not the year). Returns rows appended.
+
+        The new rows are materialized into a staging directory (the
+        CHECK-constraint guard rides that write) and the data FILES
+        are then moved into the live tree — O(#new files) metadata
+        renames; Spark's write-UUID part names make collisions
+        impossible. On a partitioned table (layout auto-detected via
+        :func:`detect_partition_cols` when ``partition_by`` is not
+        given) files land inside their leaf directories, creating new
+        leaves as needed — appending INTO an existing leaf adds files
+        beside the old ones, it never rewrites them (unlike
+        overwrite_partitions, which replaces whole leaves).
+
+        Schema is strict: the incoming frame must carry exactly the
+        live table's columns with identical types (append cannot
+        evolve a schema — that's ``merge_upsert(evolve_schema=True)``'s
+        job; a silent type drift would poison the directory for every
+        future reader). A non-existent table is created
+        (``mode("append")`` semantics).
+
+        Versioning: the pre-state is checkpointed as a hardlink
+        snapshot first (when ``keep_versions > 0``), so time travel
+        shows the table before the append and ``table_changes`` over
+        it yields pure inserts. Atomicity is PER FILE, like
+        overwrite_partitions: a reader racing the move may see a
+        subset of the new files (Delta gets cross-file atomicity from
+        its log; re-running a failed append would double rows — the
+        idempotent path is the key-based CDC merge).
+        """
+        if not self.exists(full_name):
+            n = df.count()
+            if n:
+                self.overwrite(df, full_name, partition_by=partition_by)
+            return n
+        live = self.read(full_name)
+        missing = [c for c in live.columns if c not in df.columns]
+        extra = [c for c in df.columns if c not in live.columns]
+        if missing or extra:
+            raise ValueError(
+                f"append to {full_name}: column set mismatch "
+                f"(missing {missing}, unexpected {extra}); append is "
+                "strict — additive schema changes go through "
+                "merge_upsert(evolve_schema=True)"
+            )
+        aligned = df.select(*live.columns)
+        drift = [
+            (c, str(a.dataType), str(b.dataType))
+            for c, a, b in zip(
+                live.columns, aligned.schema.fields, live.schema.fields
+            )
+            if a.dataType != b.dataType
+        ]
+        if drift:
+            raise ValueError(
+                f"append to {full_name}: type drift {drift} — cast "
+                "explicitly; mixed-type part files would poison the "
+                "directory for every future reader"
+            )
+        if partition_by is None:
+            partition_by = detect_partition_cols(self.path(full_name))
+        staging = self.path(full_name) + "__appstaging"
+        shutil.rmtree(staging, ignore_errors=True)
+        writer = (
+            self._with_check_guards(aligned, full_name)
+            .write.format(self.fmt)
+            .mode("overwrite")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
+        # metadata-only count off the staged parquet footers
+        n = self.spark.read.format(self.fmt).load(staging).count()
+        if n == 0:
+            shutil.rmtree(staging, ignore_errors=True)
+            return 0
+        if self.keep_versions > 0:
+            self.snapshot(full_name)
+        base = self.path(full_name)
+        for dirpath, _dirs, files in os.walk(staging):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                src = os.path.join(dirpath, f)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(base, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._invalidate(full_name)
+        return n
 
     def read_marker(self, full_name: str, filename: str) -> str | None:
         """Contents of a ``commit_marker`` file riding the live table

@@ -31,57 +31,22 @@ finds the clause boundaries. Anything outside the grammar raises
 ``UnsupportedStatement`` naming what was seen (fail fast, never guess).
 
 Partition pruning is automatic: the table's hive layout is detected
-from its directory tree (``_detect_partition_cols``) and passed to the
-DML so a DELETE/UPDATE whose matches live in 3 of 3,000 partitions
+from its directory tree (``catalog.detect_partition_cols``) and passed
+to the DML so a DELETE/UPDATE whose matches live in 3 of 3,000 partitions
 reads and rewrites only those 3 — the SQL user gets the pruned path
 without knowing it exists.
 """
 
 from __future__ import annotations
 
-import os
-import re
-
+from ..catalog import detect_partition_cols as _detect_partition_cols
 from .qualify import _scan_tokens
 
 __all__ = ["run_table_sql", "UnsupportedStatement"]
 
-_PARTDIR = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)=")
-
 
 class UnsupportedStatement(ValueError):
     """Statement outside the supported DML/DDL grammar."""
-
-
-def _detect_partition_cols(path: str) -> list[str] | None:
-    """Infer the hive partition-column chain from the directory tree:
-    descend while every data-bearing entry at a level is a ``col=``
-    directory with a consistent column name. Pure directory metadata —
-    no file is opened. None for unpartitioned tables."""
-    cols: list[str] = []
-    d = path
-    while True:
-        if not os.path.isdir(d):
-            break
-        entries = [
-            e for e in os.listdir(d) if not e.startswith((".", "_"))
-        ]
-        if not entries:
-            break
-        names = set()
-        for e in entries:
-            m = _PARTDIR.match(e)
-            if not m or not os.path.isdir(os.path.join(d, e)):
-                # a data file (or non-hive dir) at this level: the
-                # chain ends above it
-                return cols or None
-            names.add(m.group(1))
-        if len(names) != 1:
-            break
-        col = names.pop()
-        cols.append(col)
-        d = os.path.join(d, entries[0])
-    return cols or None
 
 
 def _strip(sql: str) -> str:
@@ -234,6 +199,38 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             partition_cols=pcols,
             max_partitions=max_partitions,
         )
+
+    if head == "INSERT":
+        # INSERT INTO t <select> → file-move append (existing bytes
+        # untouched); INSERT OVERWRITE t <select> → staging-swap
+        # overwrite. The <select> is ordinary Spark SQL run with every
+        # warehouse table registered (three-part names shimmed like
+        # the transform runner does).
+        if len(toks) < 3 or toks[1][0] not in ("INTO", "OVERWRITE"):
+            raise UnsupportedStatement(
+                f"expected INSERT INTO|OVERWRITE <table> <select>, "
+                f"got: {s[:80]}"
+            )
+        overwrite = toks[1][0] == "OVERWRITE"
+        idx = 2
+        if toks[idx][0] == "TABLE":
+            idx += 1
+        table, after = _table_name(s, toks, idx)
+        if after >= len(toks) or toks[after][0] != "SELECT":
+            raise UnsupportedStatement(
+                "INSERT needs a SELECT body (VALUES lists are not "
+                f"supported — build a frame and call append()): {s[:80]}"
+            )
+        from .qualify import run_sql
+
+        select_sql = s[toks[after][1]:]
+        mapping = catalog.register_all()
+        rows = run_sql(catalog.spark, select_sql, table_mapping=mapping)
+        pcols = _detect_partition_cols(catalog.path(table))
+        if overwrite:
+            catalog.overwrite_via_staging(rows, table, partition_by=pcols)
+            return None
+        return catalog.append(rows, table, partition_by=pcols)
 
     if head == "TRUNCATE":
         if len(toks) < 3 or toks[1][0] != "TABLE":

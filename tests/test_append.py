@@ -1,0 +1,147 @@
+"""File-move append (catalog.py:Catalog.append): Delta mode("append")
+parity — existing bytes never read or rewritten, strict schema,
+constraint-guarded, versioned, partition-aware."""
+
+import os
+
+import pytest
+from pyspark.errors import SparkRuntimeException
+
+from mydatalake_spark.catalog import Catalog, _leaf_partition_files
+
+TBL = "silver.sales.orders"
+
+
+def _file_inodes(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.stat(p).st_ino
+    return out
+
+
+def _seed(spark, cat, partitioned=False, keep_versions=0):
+    df = spark.createDataFrame(
+        [(1, "EU", 10.0), (2, "US", 20.0)],
+        "id int, region string, amount double",
+    )
+    cat.overwrite(df, TBL, partition_by=["region"] if partitioned else None)
+    return df
+
+
+def test_append_never_touches_existing_files(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    before = _file_inodes(cat.path(TBL))
+    n = cat.append(
+        spark.createDataFrame(
+            [(3, "AP", 30.0)], "id int, region string, amount double"
+        ),
+        TBL,
+    )
+    assert n == 1
+    after = _file_inodes(cat.path(TBL))
+    for rel, ino in before.items():
+        assert after[rel] == ino  # old files byte-identical in place
+    assert len(after) > len(before)
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2, 3]
+
+
+def test_append_partitioned_new_and_existing_leaf(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    root = cat.path(TBL)
+    before = _leaf_partition_files(root, ["region"])
+    # partition layout auto-detected: no partition_by passed
+    n = cat.append(
+        spark.createDataFrame(
+            [(3, "EU", 30.0), (4, "AP", 40.0)],
+            "id int, region string, amount double",
+        ),
+        TBL,
+    )
+    assert n == 2
+    after = _leaf_partition_files(root, ["region"])
+    assert ("AP",) in after                      # new leaf created
+    assert after[("US",)] == before[("US",)]     # untouched leaf intact
+    assert before[("EU",)] < after[("EU",)]      # files ADDED beside old
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2, 3, 4]
+
+
+def test_append_schema_strictness(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    with pytest.raises(ValueError, match="column set mismatch"):
+        cat.append(
+            spark.createDataFrame([(9, "EU")], "id int, region string"), TBL
+        )
+    with pytest.raises(ValueError, match="type drift"):
+        cat.append(
+            spark.createDataFrame(
+                [(9, "EU", "oops")], "id int, region string, amount string"
+            ),
+            TBL,
+        )
+    # column ORDER may differ; names+types must match
+    n = cat.append(
+        spark.createDataFrame(
+            [(30.0, "AP", 3)], "amount double, region string, id int"
+        ),
+        TBL,
+    )
+    assert n == 1
+
+
+def test_append_versions_and_cdf_shows_pure_inserts(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    cat.append(
+        spark.createDataFrame(
+            [(3, "AP", 30.0)], "id int, region string, amount double"
+        ),
+        TBL,
+    )
+    vs = cat.versions(TBL)
+    assert cat.read_version(TBL, version=vs[-1]).count() == 2
+    cat.snapshot(TBL)
+    feed = cat.table_changes(
+        TBL, ["id"],
+        from_version=int(vs[-1][1:]), to_version=int(cat.versions(TBL)[-1][1:]),
+    )
+    assert {(r.id, r._change_type) for r in feed.collect()} == {(3, "insert")}
+
+
+def test_append_enforces_constraints(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.add_constraint(TBL, "amount_pos", "amount > 0")
+    with pytest.raises(SparkRuntimeException, match="amount_pos"):
+        cat.append(
+            spark.createDataFrame(
+                [(9, "EU", -5.0)], "id int, region string, amount double"
+            ),
+            TBL,
+        )
+    assert cat.read(TBL).count() == 2  # aborted into staging
+
+
+def test_append_empty_is_versionless_noop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    df = _seed(spark, cat)
+    before = cat.versions(TBL)
+    assert cat.append(df.where("id > 100"), TBL) == 0
+    assert cat.versions(TBL) == before
+
+
+def test_append_creates_missing_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    n = cat.append(
+        spark.createDataFrame([(1, "EU", 1.0)], "id int, region string, amount double"),
+        TBL,
+        partition_by=["region"],
+    )
+    assert n == 1
+    assert cat.exists(TBL)

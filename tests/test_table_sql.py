@@ -149,3 +149,42 @@ def test_update_sql_moving_rows_across_partitions(spark, tmp_path):
     assert got[5] == "EU"
     assert _detect_partition_cols(cat.path(TBL)) == ["region"]
     assert ("AP",) not in _leaf_partition_files(cat.path(TBL), ["region"])
+
+
+def test_insert_into_sql_appends_without_rewriting(spark, tmp_path):
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+
+    def inodes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    before = inodes(cat.path(TBL))
+    n = run_table_sql(
+        cat,
+        f"INSERT INTO {TBL} SELECT id + 100 AS id, region, amount, tag "
+        f"FROM {TBL} WHERE region = 'EU'",
+    )
+    assert n == 2
+    after = inodes(cat.path(TBL))
+    for rel, ino in before.items():
+        assert after[rel] == ino  # append never rewrote existing files
+    assert cat.read(TBL).count() == 7
+
+
+def test_insert_overwrite_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(
+        cat, f"INSERT OVERWRITE {TBL} SELECT * FROM {TBL} WHERE id <= 2"
+    )
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2]
+    with pytest.raises(UnsupportedStatement, match="SELECT body"):
+        run_table_sql(cat, f"INSERT INTO {TBL} VALUES (1, 'EU', 1.0)")
