@@ -131,6 +131,35 @@ class Ingestor:
 
 
 @dataclass
+class IngestorAppend(Ingestor):
+    """Append-only ingestor. **[extension]** The load path for
+    key-less event/log feeds where rows are immutable facts: there are
+    no keys to merge on (IngestorCDC's contract) and no reason to
+    rewrite the accumulated table (Ingestor's full overwrite). Each
+    run stamps + transforms the batch exactly like ``Ingestor.load``
+    and file-move-appends it (``Catalog.append``): cost is O(new
+    files), never O(table) — the write shape a daily event load needs
+    at 100 TB.
+
+    NOT idempotent under replay: appends carry no row identity, so
+    re-running the same input doubles rows. Feeds that can replay
+    need IngestorCDC (key-based, replay converges) or
+    IngestorStreaming (checkpoint remembers consumed files)."""
+
+    def run(self) -> None:
+        from .logging_utils import log_duration
+
+        with log_duration("ingest_append", table=self.meta.full_name):
+            self._sync_declared_constraints()
+            self.catalog.append(
+                self.load(),
+                self.meta.full_name,
+                partition_by=self.partition_by or None,
+            )
+            self._sync_declared_constraints()
+
+
+@dataclass
 class IngestorCDC(Ingestor):
     """CDC ingestor: key + ts-ordered upsert (reference lib/ingestors.py:108-137).
 

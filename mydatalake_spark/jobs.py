@@ -2,7 +2,9 @@
 
 Reference parity: ``{layer}/job_metadata.yml`` declares jobs
 (name, type ∈ {full, cdc}, table list with table_name / input_format /
-catalog / schema — reference bronze/job_metadata.yml:1-26);
+catalog / schema — reference bronze/job_metadata.yml:1-26; [extension]
+type ``append`` file-move-appends key-less event feeds via
+IngestorAppend — O(new files), never O(table));
 ``find_job`` resolves a (job_type, job_name) pair
 (reference lib/utils.py:11-24); ``job.ipynb`` then launches one child
 notebook per table via ``dbutils.notebook.run``
@@ -25,7 +27,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from .catalog import Catalog
-from .ingest import Ingestor, IngestorCDC
+from .ingest import Ingestor, IngestorAppend, IngestorCDC
 
 try:
     import yaml  # type: ignore
@@ -92,7 +94,10 @@ class JobRunner:
             fmt = tbl.get("input_format", "json")
             if fmt == "delta":  # reference dialect for "from catalog"
                 fmt = "table"
-            cls = IngestorCDC if job_type == "cdc" else Ingestor
+            cls = {
+                "cdc": IngestorCDC,
+                "append": IngestorAppend,
+            }.get(job_type, Ingestor)
             kwargs: dict[str, Any] = {}
             if job_type == "cdc":
                 # per-table merge strategy (join | bloom) — declared in

@@ -145,3 +145,55 @@ def test_append_creates_missing_table(spark, tmp_path):
     )
     assert n == 1
     assert cat.exists(TBL)
+
+
+def test_append_job_type_through_runner(spark, tmp_path):
+    import json as _json
+
+    from mydatalake_spark.jobs import JobRunner
+
+    meta = tmp_path / "meta" / "bronze"
+    (meta / "events").mkdir(parents=True)
+    (meta / "events" / "events.yml").write_text(
+        """
+catalog: bronze
+schema: app
+table: events
+fields:
+  - name: user
+    type: string
+  - name: value
+    type: double
+constraints:
+  value_pos: value > 0
+"""
+    )
+    (meta / "job_metadata.yml").write_text(
+        """
+jobs:
+  - name: bronze_events
+    type: append
+    tables:
+      - table_name: events
+        input_format: json
+"""
+    )
+    batch = tmp_path / "b1.json"
+    batch.write_text(_json.dumps({"user": "u1", "value": 1.5}))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = JobRunner(
+        spark, cat, str(tmp_path / "meta"),
+        input_paths={"events": str(batch)},
+    )
+    assert runner.run("append", "bronze_events") == ["bronze.app.events"]
+    runner.run("append", "bronze_events")
+    # append-only: two runs, two rows (documented non-idempotence)
+    assert cat.read("bronze.app.events").count() == 2
+    # YAML constraints attached and enforced on the NEXT append
+    assert cat.constraints("bronze.app.events") == {"value_pos": "value > 0"}
+    bad = tmp_path / "b2.json"
+    bad.write_text(_json.dumps({"user": "u2", "value": -1.0}))
+    runner.input_paths["events"] = str(bad)
+    with pytest.raises(SparkRuntimeException, match="value_pos"):
+        runner.run("append", "bronze_events")
+    assert cat.read("bronze.app.events").count() == 2
