@@ -200,6 +200,73 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             max_partitions=max_partitions,
         )
 
+    if head in ("SELECT", "WITH"):
+        # Read-side time travel: SELECT ... FROM t VERSION AS OF n
+        # (Delta syntax). Each depth-0 "<tbl> VERSION AS OF <n>" span
+        # is replaced by a temp view over catalog.read_version, then
+        # the query runs through the ordinary dialect shims (QUALIFY +
+        # three-part names). A VERSION AS OF inside a parenthesized
+        # subquery is NOT rewritten (depth-0 scan, same pragmatic
+        # boundary as the QUALIFY shim) — it then fails loudly in
+        # Spark's parser rather than silently reading the live state.
+        import re as _re
+
+        spans = []  # (start, end, table, version)
+        for i, (tok, _st, _en) in enumerate(toks):
+            if (
+                tok == "VERSION"
+                and [t[0] for t in toks[i + 1:i + 3]] == ["AS", "OF"]
+                and i > 0
+            ):
+                # walk back over the dotted table name
+                j = i - 1
+                while (
+                    j > 0
+                    and s[toks[j - 1][2]:toks[j][1]].strip() == "."
+                ):
+                    j -= 1
+                name, _after = _table_name(s, toks, j)
+                m = _re.match(r"\s*(\d+)", s[toks[i + 2][2]:])
+                if not m:
+                    raise UnsupportedStatement(
+                        f"VERSION AS OF needs an integer near: "
+                        f"{s[toks[i][1]:toks[i][1] + 60]!r}"
+                    )
+                spans.append(
+                    (
+                        toks[j][1],
+                        toks[i + 2][2] + m.end(),
+                        name,
+                        int(m.group(1)),
+                    )
+                )
+        from .qualify import run_sql
+
+        out_sql = s
+        for k, (start, end, name, ver) in enumerate(reversed(spans)):
+            view = f"__vasof_{k}"
+            catalog.read_version(
+                name, version=ver
+            ).createOrReplaceTempView(view)
+            out_sql = out_sql[:start] + view + out_sql[end:]
+        mapping = catalog.register_all()
+        return run_sql(catalog.spark, out_sql, table_mapping=mapping)
+
+    if head == "DESCRIBE":
+        if len(toks) < 3 or toks[1][0] != "HISTORY":
+            raise UnsupportedStatement(
+                f"only DESCRIBE HISTORY <table> is supported: {s[:80]}"
+            )
+        table, _ = _table_name(s, toks, 2)
+        rows = catalog.history(table)
+        return catalog.spark.createDataFrame(
+            [
+                (r["version"], r["label"], float(r["snapshot_time"]))
+                for r in rows
+            ],
+            "version int, label string, snapshot_time double",
+        )
+
     if head == "INSERT":
         # INSERT INTO t <select> → file-move append (existing bytes
         # untouched); INSERT OVERWRITE t <select> → staging-swap

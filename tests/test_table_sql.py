@@ -188,3 +188,29 @@ def test_insert_overwrite_sql(spark, tmp_path):
     assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2]
     with pytest.raises(UnsupportedStatement, match="SELECT body"):
         run_table_sql(cat, f"INSERT INTO {TBL} VALUES (1, 'EU', 1.0)")
+
+
+def test_select_version_as_of_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 999 WHERE id = 1")
+    # live vs time-travel read, joined in ONE statement
+    df = run_table_sql(
+        cat,
+        f"SELECT l.id, l.amount AS live, o.amount AS old "
+        f"FROM {TBL} l JOIN {TBL} VERSION AS OF 1 o ON l.id = o.id "
+        f"WHERE l.id = 1",
+    )
+    row = df.first()
+    assert (row.live, row.old) == (999.0, 10.0)
+
+
+def test_describe_history_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 1 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 2 WHERE id = 1")
+    hist = run_table_sql(cat, f"DESCRIBE HISTORY {TBL}")
+    assert [r.version for r in hist.collect()] == [1, 2]
+    with pytest.raises(UnsupportedStatement, match="DESCRIBE HISTORY"):
+        run_table_sql(cat, f"DESCRIBE DETAIL {TBL}")
