@@ -788,13 +788,25 @@ class Catalog:
                 "strict — additive schema changes go through "
                 "merge_upsert(evolve_schema=True)"
             )
+        if partition_by is None and self.fmt != "delta":
+            partition_by = detect_partition_cols(self.path(full_name))
         aligned = df.select(*live.columns)
+        # Partition columns are EXCLUDED from the type-drift check on
+        # the plain-file path: their live-read types come from Spark's
+        # partition-VALUE inference over the dirnames (day string →
+        # DateType, '007' → int), not from any stored schema, so a
+        # string-partitioned daily feed would otherwise be rejected on
+        # its second run. Their on-disk representation is the dirname
+        # encoding either way; data-column types stay strict — a
+        # drifted part file would poison the directory for every
+        # future reader.
+        skip = set(partition_by or []) if self.fmt != "delta" else set()
         drift = [
             (c, str(a.dataType), str(b.dataType))
             for c, a, b in zip(
                 live.columns, aligned.schema.fields, live.schema.fields
             )
-            if a.dataType != b.dataType
+            if c not in skip and a.dataType != b.dataType
         ]
         if drift:
             raise ValueError(
@@ -802,8 +814,24 @@ class Catalog:
                 "explicitly; mixed-type part files would poison the "
                 "directory for every future reader"
             )
-        if partition_by is None:
-            partition_by = detect_partition_cols(self.path(full_name))
+        if self.fmt == "delta":
+            # Delta's own transactional append: the log registers the
+            # new files atomically (and a file-move behind the log's
+            # back would corrupt the table). Delta also re-checks the
+            # schema against the log, superseding the best-effort
+            # checks above.
+            n = aligned.count()
+            if n:
+                writer = (
+                    self._with_check_guards(aligned, full_name)
+                    .write.format("delta")
+                    .mode("append")
+                )
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.save(self.path(full_name))
+                self._invalidate(full_name)
+            return n
         staging = self.path(full_name) + "__appstaging"
         shutil.rmtree(staging, ignore_errors=True)
         writer = (
@@ -814,8 +842,15 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(staging)
-        # metadata-only count off the staged parquet footers
-        n = self.spark.read.format(self.fmt).load(staging).count()
+        # metadata-only count off the staged parquet footers; the
+        # explicit schema keeps an EMPTY partitioned staging readable
+        # (0 rows write only _SUCCESS, which cannot infer a schema)
+        n = (
+            self.spark.read.format(self.fmt)
+            .schema(aligned.schema)
+            .load(staging)
+            .count()
+        )
         if n == 0:
             shutil.rmtree(staging, ignore_errors=True)
             return 0

@@ -292,6 +292,7 @@ def update_where(
     partition_cols: list[str] | None = None,
     max_partitions: int = 10_000,
     checkpoint: bool = True,
+    allow_partition_move: bool = False,
 ) -> int:
     """``UPDATE table SET col = expr, ... WHERE condition`` (Delta DML
     analogue), copy-on-write. Returns the number of rows updated.
@@ -306,11 +307,15 @@ def update_where(
     condition evaluations leave the row unmodified.
 
     The partitioned path carries one extra contract: ``set_exprs``
-    must not assign a partition column — an update that moves rows
-    between partitions is a delete+insert, which is MERGE's job (the
-    same row-stays-in-its-partition rule merge_upsert_partitioned
-    enforces via its keys). Leaves are therefore never emptied or
-    created, and the rewrite delegates to ``overwrite_partitions``;
+    assigning a partition column means rows may MOVE between
+    partitions, which the pruned in-place rewrite cannot express.
+    Default: refused by name. With ``allow_partition_move=True``
+    (Delta UPDATE semantics — the SQL front-end passes it), the
+    statement degrades to a whole-table staging rewrite that
+    re-partitions by ``partition_cols``, so the layout survives the
+    move — correct, just unpruned, the same plan Delta picks when
+    files can't be skipped. Otherwise leaves are never emptied or
+    created and the rewrite delegates to ``overwrite_partitions``;
     the pre-state is checkpointed via hardlink snapshot so the UPDATE
     is a version like any other write.
 
@@ -332,12 +337,20 @@ def update_where(
     _apply_sets(df.limit(0), set_exprs, matched)  # validate SETs up front
     moved = sorted(set(set_exprs) & set(pcols))
     if moved:
-        raise ValueError(
-            f"update_where: SET assigns partition column(s) {moved}; "
-            "rows may not move between partitions in a partition-"
-            "scoped update — rewrite via MERGE (delete+insert) or a "
-            "whole-table update_where(partition_cols=None)."
-        )
+        if not allow_partition_move:
+            raise ValueError(
+                f"update_where: SET assigns partition column(s) "
+                f"{moved}; rows may not move between partitions in a "
+                "partition-scoped update — pass allow_partition_move="
+                "True for a layout-preserving whole-table rewrite, or "
+                "express the move as MERGE (delete+insert)."
+            )
+        applied = _apply_sets(df, set_exprs, matched)
+        n_updated = df.where(matched).count()
+        if n_updated == 0:
+            return 0
+        catalog.overwrite_via_staging(applied, table, partition_by=pcols)
+        return n_updated
     touched, n_updated = _probe_touched(df, matched, pcols, max_partitions)
     if not touched:
         return 0

@@ -81,7 +81,7 @@ def _split_top_level_commas(s: str) -> list[str]:
 
 
 def _ident(tok: str) -> str:
-    return tok.strip().strip("`")
+    return tok.strip()
 
 
 def _tokens(sql: str) -> list[tuple[str, int, int]]:
@@ -98,8 +98,15 @@ def _clause_pos(toks, *keywords):
 
 
 def _table_name(sql: str, toks, idx: int) -> tuple[str, int]:
-    """Dotted (possibly backticked) table name starting at token idx;
-    returns (name, index of the first token AFTER the name)."""
+    """Dotted table name starting at token idx; returns (name, index
+    of the first token AFTER the name). Plain identifiers only —
+    catalog table names in this engine are unquoted; run_table_sql
+    refuses backquoted statements up front (the token scan skips
+    backtick spans, so they would silently misparse)."""
+    if idx >= len(toks):
+        raise UnsupportedStatement(
+            f"statement ends where a table name was expected: {sql[:80]}"
+        )
     name = _ident(sql[toks[idx][1]:toks[idx][2]])
     j = idx
     while (
@@ -117,6 +124,13 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
     DELETE/UPDATE, freed bytes for VACUUM, the restored-from version
     label for RESTORE, and None for the metadata statements."""
     s = _strip(sql)
+    if "`" in s:
+        raise UnsupportedStatement(
+            "backquoted identifiers are not supported here — catalog "
+            "table names are plain dotted identifiers (the token scan "
+            "skips backtick spans, so accepting them would misparse "
+            "the statement silently)"
+        )
     toks = _tokens(s)
     if not toks:
         raise UnsupportedStatement("empty statement")
@@ -174,30 +188,14 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             raise UnsupportedStatement(f"empty SET clause: {s[:80]}")
         from ..operators.dml import update_where
 
-        pcols = _detect_partition_cols(catalog.path(table))
-        if pcols and set(pcols) & set(set_exprs):
-            # Delta UPDATE may move rows between partitions; the
-            # pruned in-place path refuses that, so the SQL route
-            # falls back to the whole-table rewrite (correct, just
-            # unpruned — same plan Delta picks when files can't be
-            # skipped). The rewrite re-partitions by the detected
-            # pcols so the table's layout survives the move.
-            from ..operators.dml import _apply_sets, _matched
-
-            df = catalog.read(table)
-            matched = _matched(cond)
-            n = df.where(matched).count()
-            if n:
-                catalog.overwrite_via_staging(
-                    _apply_sets(df, set_exprs, matched),
-                    table,
-                    partition_by=pcols,
-                )
-            return n
+        # allow_partition_move: SQL UPDATE has Delta semantics — a SET
+        # on a partition column degrades to update_where's
+        # layout-preserving whole-table rewrite instead of refusing
         return update_where(
             catalog, table, set_exprs, cond,
-            partition_cols=pcols,
+            partition_cols=_detect_partition_cols(catalog.path(table)),
             max_partitions=max_partitions,
+            allow_partition_move=True,
         )
 
     if head in ("SELECT", "WITH"):
@@ -242,15 +240,28 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
         from .qualify import run_sql
 
+        import uuid
+
         out_sql = s
-        for k, (start, end, name, ver) in enumerate(reversed(spans)):
-            view = f"__vasof_{k}"
+        vviews = []
+        for start, end, name, ver in reversed(spans):
+            # unique per statement: a fixed name would let concurrent
+            # statements on one session cross-wire snapshots, and a
+            # leftover view would serve a stale snapshot to any later
+            # query that happened to reference it
+            view = f"__vasof_{uuid.uuid4().hex[:12]}"
             catalog.read_version(
                 name, version=ver
             ).createOrReplaceTempView(view)
+            vviews.append(view)
             out_sql = out_sql[:start] + view + out_sql[end:]
         mapping = catalog.register_all()
-        return run_sql(catalog.spark, out_sql, table_mapping=mapping)
+        result = run_sql(catalog.spark, out_sql, table_mapping=mapping)
+        # spark.sql analyzes eagerly: the returned frame holds the
+        # resolved plan, not the view names — safe to drop now
+        for view in vviews:
+            catalog.spark.catalog.dropTempView(view)
+        return result
 
     if head == "DESCRIBE":
         if len(toks) < 3 or toks[1][0] != "HISTORY":
@@ -332,6 +343,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             catalog.add_constraint(table, name, body[1:-1].strip())
             return None
         if verbs == ["DROP", "CONSTRAINT"]:
+            if len(toks) <= after + 2:
+                raise UnsupportedStatement(
+                    f"DROP CONSTRAINT needs a name: {s[:80]}"
+                )
             name = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
             catalog.drop_constraint(table, name)
             return None

@@ -197,3 +197,40 @@ jobs:
     with pytest.raises(SparkRuntimeException, match="value_pos"):
         runner.run("append", "bronze_events")
     assert cat.read("bronze.app.events").count() == 2
+
+
+def test_append_string_partition_column_survives_type_inference(
+    spark, tmp_path
+):
+    # the live read infers day as DateType from the dirnames; the
+    # incoming feed carries day as string — the flagship daily-load
+    # case must not be rejected as type drift (review r10)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 5.0)], "day string, id int, v double"
+    )
+    cat.overwrite(df, TBL, partition_by=["day"])
+    n = cat.append(
+        spark.createDataFrame(
+            [("2024-01-02", 2, 6.0)], "day string, id int, v double"
+        ),
+        TBL,
+    )
+    assert n == 1
+    assert cat.read(TBL).count() == 2
+    # data-column drift is still strict
+    with pytest.raises(ValueError, match="type drift"):
+        cat.append(
+            spark.createDataFrame(
+                [("2024-01-03", 3, "x")], "day string, id int, v string"
+            ),
+            TBL,
+        )
+
+
+def test_append_empty_to_partitioned_is_clean_noop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = _seed(spark, cat, partitioned=True)
+    assert cat.append(df.where("id > 100"), TBL) == 0
+    assert not os.path.isdir(cat.path(TBL) + "__appstaging")
+    assert cat.read(TBL).count() == 2

@@ -244,3 +244,21 @@ def test_delete_partitioned_multi_level(spark, tmp_path):
     assert after[("2024-01-01", "US")] == before[("2024-01-01", "US")]
     assert after[("2024-01-02", "EU")] == before[("2024-01-02", "EU")]
     assert sorted(r.id for r in cat.read(TBL).collect()) == [2, 3]
+
+
+def test_update_allow_partition_move(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    # default refuses by name with the escape hatch in the message
+    with pytest.raises(ValueError, match="allow_partition_move"):
+        update_where(
+            cat, TBL, {"region": "'EU'"}, "region = 'AP'",
+            partition_cols=["region"],
+        )
+    n = update_where(
+        cat, TBL, {"region": "'EU'"}, "region = 'AP'",
+        partition_cols=["region"], allow_partition_move=True,
+    )
+    assert n == 1
+    assert {r.id: r.region for r in cat.read(TBL).collect()}[5] == "EU"
+    assert ("AP",) not in _leaf_partition_files(cat.path(TBL), ["region"])

@@ -214,3 +214,34 @@ def test_describe_history_sql(spark, tmp_path):
     assert [r.version for r in hist.collect()] == [1, 2]
     with pytest.raises(UnsupportedStatement, match="DESCRIBE HISTORY"):
         run_table_sql(cat, f"DESCRIBE DETAIL {TBL}")
+
+
+def test_backticks_and_truncated_statements_refused_by_name(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    with pytest.raises(UnsupportedStatement, match="backquoted"):
+        run_table_sql(cat, "DELETE FROM `silver`.`sales`.`orders` WHERE id = 1")
+    for stmt in ("VACUUM", "RESTORE", "UPDATE",
+                 f"ALTER TABLE {TBL} DROP CONSTRAINT"):
+        with pytest.raises(UnsupportedStatement):
+            run_table_sql(cat, stmt)
+
+
+def test_version_as_of_views_are_unique_and_dropped(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 7 WHERE id = 1")
+    df = run_table_sql(cat, f"SELECT * FROM {TBL} VERSION AS OF 1")
+    # the frame stays usable after the statement returns...
+    assert df.count() == 5
+    # ...and no __vasof view lingers to serve a stale snapshot
+    views = [t.name for t in spark.catalog.listTables() if "vasof" in t.name]
+    assert views == []
+
+
+def test_update_sql_partition_move_zero_matches(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    assert run_table_sql(
+        cat, f"UPDATE {TBL} SET region = 'EU' WHERE region = 'XX'"
+    ) == 0
