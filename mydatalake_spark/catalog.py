@@ -1319,6 +1319,104 @@ class Catalog:
                 shutil.rmtree(p, ignore_errors=True)
         return freed
 
+    # --- table statistics / detail ----------------------------------
+
+    def _data_file_fingerprint(self, full_name: str) -> dict:
+        """(file count, total bytes) of the live data files — a cheap
+        directory walk used to stamp stats with the state they were
+        computed against, so staleness is detectable without a scan."""
+        n, total = 0, 0
+        for dirpath, _dirs, files in os.walk(self.path(full_name)):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                n += 1
+                total += os.stat(os.path.join(dirpath, f)).st_size
+        return {"num_files": n, "size_bytes": total}
+
+    def _stats_path(self, full_name: str) -> str:
+        return os.path.join(self._version_root(full_name), ".stats.json")
+
+    def analyze(self, full_name: str, approx: bool = True) -> dict:
+        """``ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS``
+        analogue: ONE pass over the table (operators/profile.py:
+        profile_table — every column's null count, distinct estimate
+        and numeric min/max as sibling aggregates of a single hash
+        aggregate, HLL++ by default so there is no Expand fan-out),
+        persisted beside the version counter with the live file-set
+        fingerprint. describe_detail() and planners then read row
+        counts and NDVs without touching the data — and can SEE when
+        the stats predate the current files. Returns the stats dict."""
+        from .operators.profile import profile_table
+
+        rows = profile_table(self.read(full_name), approx=approx).collect()
+        import time
+
+        stats = {
+            "computed_at": time.time(),
+            "approx": approx,
+            "fingerprint": self._data_file_fingerprint(full_name),
+            "n_rows": int(rows[0]["n_rows"]) if rows else 0,
+            "columns": {
+                r["column"]: {
+                    "n_null": int(r["n_null"]),
+                    "n_distinct": int(r["n_distinct"]),
+                    "min_value": r["min_value"],
+                    "max_value": r["max_value"],
+                }
+                for r in rows
+            },
+        }
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        tmp = self._stats_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh, indent=1)
+        os.replace(tmp, self._stats_path(full_name))
+        return stats
+
+    def table_stats(self, full_name: str) -> dict | None:
+        """Persisted ANALYZE output plus ``"fresh"``: whether the live
+        file set still matches the fingerprint the stats were computed
+        against (an overwrite/merge/DML/append since then flips it).
+        None if the table was never analyzed."""
+        p = self._stats_path(full_name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            stats = json.load(fh)
+        stats["fresh"] = (
+            stats.get("fingerprint")
+            == self._data_file_fingerprint(full_name)
+        )
+        return stats
+
+    def describe_detail(self, full_name: str) -> dict:
+        """``DESCRIBE DETAIL`` analogue: one metadata-only dict —
+        location, format, file count/bytes, partition columns
+        (detected from the layout), retained versions, constraints,
+        and the persisted row count when stats are fresh (None when
+        stale or never analyzed — an honest "don't know" beats a
+        wrong cached number)."""
+        fp = self._data_file_fingerprint(full_name)
+        stats = self.table_stats(full_name)
+        return {
+            "name": full_name,
+            "location": self.path(full_name),
+            "format": self.fmt,
+            "num_files": fp["num_files"],
+            "size_bytes": fp["size_bytes"],
+            "partition_columns": detect_partition_cols(
+                self.path(full_name)
+            )
+            or [],
+            "num_versions": len(self.versions(full_name)),
+            "constraints": self.constraints(full_name),
+            "num_rows": (
+                stats["n_rows"] if stats and stats["fresh"] else None
+            ),
+        }
+
     def _invalidate(self, full_name: str) -> None:
         """Drop cached file listings for a rewritten path — Spark's
         shared FileStatusCache otherwise serves stale part-file lists

@@ -264,11 +264,31 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return result
 
     if head == "DESCRIBE":
-        if len(toks) < 3 or toks[1][0] != "HISTORY":
+        if len(toks) < 3 or toks[1][0] not in ("HISTORY", "DETAIL"):
             raise UnsupportedStatement(
-                f"only DESCRIBE HISTORY <table> is supported: {s[:80]}"
+                "only DESCRIBE HISTORY|DETAIL <table> is supported: "
+                f"{s[:80]}"
             )
         table, _ = _table_name(s, toks, 2)
+        if toks[1][0] == "DETAIL":
+            import json as _json
+
+            d = catalog.describe_detail(table)
+            return catalog.spark.createDataFrame(
+                [
+                    (
+                        d["name"], d["location"], d["format"],
+                        d["num_files"], d["size_bytes"],
+                        d["partition_columns"], d["num_versions"],
+                        _json.dumps(d["constraints"], sort_keys=True),
+                        d["num_rows"],
+                    )
+                ],
+                "name string, location string, format string, "
+                "num_files long, size_bytes long, "
+                "partition_columns array<string>, num_versions int, "
+                "constraints string, num_rows long",
+            )
         rows = catalog.history(table)
         return catalog.spark.createDataFrame(
             [
@@ -277,6 +297,24 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             ],
             "version int, label string, snapshot_time double",
         )
+
+    if head == "ANALYZE":
+        # ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
+        if len(toks) < 3 or toks[1][0] != "TABLE":
+            raise UnsupportedStatement(
+                f"expected ANALYZE TABLE <t> COMPUTE STATISTICS: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, 2)
+        tail = [t[0] for t in toks[after:]]
+        if tail not in (
+            ["COMPUTE", "STATISTICS"],
+            ["COMPUTE", "STATISTICS", "FOR", "ALL", "COLUMNS"],
+        ):
+            raise UnsupportedStatement(
+                "expected ANALYZE TABLE <t> COMPUTE STATISTICS "
+                f"[FOR ALL COLUMNS], got: {s[:80]}"
+            )
+        return catalog.analyze(table)
 
     if head == "INSERT":
         # INSERT INTO t <select> → file-move append (existing bytes

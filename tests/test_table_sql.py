@@ -213,7 +213,7 @@ def test_describe_history_sql(spark, tmp_path):
     hist = run_table_sql(cat, f"DESCRIBE HISTORY {TBL}")
     assert [r.version for r in hist.collect()] == [1, 2]
     with pytest.raises(UnsupportedStatement, match="DESCRIBE HISTORY"):
-        run_table_sql(cat, f"DESCRIBE DETAIL {TBL}")
+        run_table_sql(cat, f"DESCRIBE EXTENDED {TBL}")
 
 
 def test_backticks_and_truncated_statements_refused_by_name(spark, tmp_path):
@@ -245,3 +245,27 @@ def test_update_sql_partition_move_zero_matches(spark, tmp_path):
     assert run_table_sql(
         cat, f"UPDATE {TBL} SET region = 'EU' WHERE region = 'XX'"
     ) == 0
+
+
+def test_analyze_and_describe_detail_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat, partitioned=True)
+    cat.add_constraint(TBL, "amount_pos", "amount > 0")
+    stats = run_table_sql(
+        cat, f"ANALYZE TABLE {TBL} COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    assert stats["n_rows"] == 5
+    assert stats["columns"]["tag"]["n_null"] == 1
+    d = run_table_sql(cat, f"DESCRIBE DETAIL {TBL}").first()
+    assert d.num_rows == 5                       # stats fresh
+    assert d.partition_columns == ["region"]
+    assert "amount_pos" in d.constraints
+    assert d.num_files > 0 and d.size_bytes > 0
+    # any write makes the cached row count go honestly unknown
+    run_table_sql(cat, f"DELETE FROM {TBL} WHERE id = 5")
+    d2 = run_table_sql(cat, f"DESCRIBE DETAIL {TBL}").first()
+    assert d2.num_rows is None
+    assert cat.table_stats(TBL)["fresh"] is False
+    # re-analyze restores freshness
+    run_table_sql(cat, f"ANALYZE TABLE {TBL} COMPUTE STATISTICS")
+    assert run_table_sql(cat, f"DESCRIBE DETAIL {TBL}").first().num_rows == 4
