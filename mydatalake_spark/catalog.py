@@ -1322,17 +1322,38 @@ class Catalog:
     # --- table statistics / detail ----------------------------------
 
     def _data_file_fingerprint(self, full_name: str) -> dict:
-        """(file count, total bytes) of the live data files — a cheap
-        directory walk used to stamp stats with the state they were
-        computed against, so staleness is detectable without a scan."""
-        n, total = 0, 0
-        for dirpath, _dirs, files in os.walk(self.path(full_name)):
+        """Compact identity of the live data-file set: count, total
+        bytes, and an md5 over the sorted (relpath, size, mtime_ns)
+        triples — the digest is what makes staleness detection sound
+        (Spark part names carry per-write UUIDs, so ANY rewrite
+        changes it, even one that happens to preserve count and total
+        bytes). Hidden files AND hidden directories are pruned — a
+        Delta table's _delta_log (commit JSONs, checkpoints) is
+        metadata, not data. Pure directory walk; no file is opened."""
+        import hashlib
+
+        root = self.path(full_name)
+        entries = []
+        total = 0
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for f in files:
                 if f.startswith((".", "_")):
                     continue
-                n += 1
-                total += os.stat(os.path.join(dirpath, f)).st_size
-        return {"num_files": n, "size_bytes": total}
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+                total += st.st_size
+        digest = hashlib.md5(
+            repr(sorted(entries)).encode()
+        ).hexdigest()
+        return {
+            "num_files": len(entries),
+            "size_bytes": total,
+            "digest": digest,
+        }
 
     def _stats_path(self, full_name: str) -> str:
         return os.path.join(self._version_root(full_name), ".stats.json")
@@ -1349,13 +1370,19 @@ class Catalog:
         the stats predate the current files. Returns the stats dict."""
         from .operators.profile import profile_table
 
+        if not self.exists(full_name):
+            raise ValueError(f"analyze: table {full_name} does not exist")
+        # fingerprint BEFORE the scan: a write landing mid-profile then
+        # makes the stats STALE (fingerprints differ), never wrongly
+        # fresh — the fail-safe direction
+        fingerprint = self._data_file_fingerprint(full_name)
         rows = profile_table(self.read(full_name), approx=approx).collect()
         import time
 
         stats = {
             "computed_at": time.time(),
             "approx": approx,
-            "fingerprint": self._data_file_fingerprint(full_name),
+            "fingerprint": fingerprint,
             "n_rows": int(rows[0]["n_rows"]) if rows else 0,
             "columns": {
                 r["column"]: {
@@ -1375,20 +1402,23 @@ class Catalog:
         os.replace(tmp, self._stats_path(full_name))
         return stats
 
-    def table_stats(self, full_name: str) -> dict | None:
+    def table_stats(
+        self, full_name: str, _fingerprint: dict | None = None
+    ) -> dict | None:
         """Persisted ANALYZE output plus ``"fresh"``: whether the live
         file set still matches the fingerprint the stats were computed
-        against (an overwrite/merge/DML/append since then flips it).
-        None if the table was never analyzed."""
+        against (an overwrite/merge/DML/append since then flips it —
+        the digest covers file names, so even a same-size rewrite is
+        caught). None if the table was never analyzed.
+        ``_fingerprint`` lets describe_detail reuse its own walk."""
         p = self._stats_path(full_name)
         if not os.path.exists(p):
             return None
         with open(p) as fh:
             stats = json.load(fh)
-        stats["fresh"] = (
-            stats.get("fingerprint")
-            == self._data_file_fingerprint(full_name)
-        )
+        if _fingerprint is None:
+            _fingerprint = self._data_file_fingerprint(full_name)
+        stats["fresh"] = stats.get("fingerprint") == _fingerprint
         return stats
 
     def describe_detail(self, full_name: str) -> dict:
@@ -1398,8 +1428,12 @@ class Catalog:
         and the persisted row count when stats are fresh (None when
         stale or never analyzed — an honest "don't know" beats a
         wrong cached number)."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"describe_detail: table {full_name} does not exist"
+            )
         fp = self._data_file_fingerprint(full_name)
-        stats = self.table_stats(full_name)
+        stats = self.table_stats(full_name, _fingerprint=fp)
         return {
             "name": full_name,
             "location": self.path(full_name),

@@ -120,9 +120,11 @@ def _table_name(sql: str, toks, idx: int) -> tuple[str, int]:
 
 def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
     """Execute one DML/DDL statement against the catalog (grammar in
-    the module docstring). Returns the affected-row count for
-    DELETE/UPDATE, freed bytes for VACUUM, the restored-from version
-    label for RESTORE, and None for the metadata statements."""
+    the module docstring). Returns: affected-row count (DELETE/UPDATE,
+    and INSERT INTO), freed bytes (VACUUM), the restore return value
+    (RESTORE), the stats dict (ANALYZE), a DataFrame (SELECT,
+    DESCRIBE HISTORY/DETAIL), and None for the remaining metadata
+    statements (TRUNCATE, ALTER CONSTRAINT, INSERT OVERWRITE)."""
     s = _strip(sql)
     if "`" in s:
         raise UnsupportedStatement(
@@ -269,7 +271,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 "only DESCRIBE HISTORY|DETAIL <table> is supported: "
                 f"{s[:80]}"
             )
-        table, _ = _table_name(s, toks, 2)
+        table, after = _table_name(s, toks, 2)
+        if after != len(toks):
+            raise UnsupportedStatement(
+                "DESCRIBE HISTORY|DETAIL takes only a table name "
+                f"(trailing tokens ignored would mislead): {s[:80]}"
+            )
         if toks[1][0] == "DETAIL":
             import json as _json
 

@@ -269,3 +269,23 @@ def test_analyze_and_describe_detail_sql(spark, tmp_path):
     # re-analyze restores freshness
     run_table_sql(cat, f"ANALYZE TABLE {TBL} COMPUTE STATISTICS")
     assert run_table_sql(cat, f"DESCRIBE DETAIL {TBL}").first().num_rows == 4
+
+
+def test_describe_detail_contracts(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(cat, "DESCRIBE DETAIL silver.sales.typo")
+    with pytest.raises(UnsupportedStatement, match="trailing"):
+        run_table_sql(cat, f"DESCRIBE DETAIL {TBL} VERSION AS OF 3")
+
+
+def test_stats_stale_on_same_size_rewrite(spark, tmp_path):
+    # the digest covers file names: a rewrite preserving count and
+    # total bytes still flips freshness (review r10)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.analyze(TBL)
+    assert cat.table_stats(TBL)["fresh"] is True
+    cat.overwrite_via_staging(cat.read(TBL), TBL)  # byte-identical rows
+    assert cat.table_stats(TBL)["fresh"] is False
