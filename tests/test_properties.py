@@ -475,3 +475,73 @@ def test_merge_bloomed_matches_plain_merge(spark, target, source):
     got_p = {(r.k, r.ts, r.v) for r in plain.collect()}
     got_b = {(r.k, r.ts, r.v) for r in bloomed.collect()}
     assert got_b == got_p
+
+
+# --- row-level DML semantics (r10, operators/dml.py) -----------------
+# Property: against a Python model over random tiny frames,
+#   DELETE keeps exactly rows where cond is not TRUE (NULL keeps), and
+#   UPDATE applies every SET to exactly the cond-TRUE rows, computed
+#   from the PRE-update row.
+# Conditions exercise the ternary: v-threshold predicates over a
+# nullable column. Both the whole-table and the partitioned path must
+# agree with the model (and with each other).
+
+DMLV = st.one_of(st.none(), st.integers(min_value=0, max_value=9))
+DML_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["a", "b"]), DMLV),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _dml_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, v long")
+
+
+@given(rows=DML_ROWS, thresh=st.integers(0, 9))
+@settings(**_SETTINGS)
+def test_delete_where_matches_python_model(spark, tmp_path_factory, rows, thresh):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.dml import delete_where
+
+    kept = [(i, p, v) for (i, p, v) in rows if not (v is not None and v > thresh)]
+    if not kept:
+        return  # delete-everything is refused by contract, tested elsewhere
+    for pcols in (None, ["part"]):
+        wh = tmp_path_factory.mktemp("dmlprop")
+        cat = Catalog(spark, str(wh))
+        cat.overwrite(
+            _dml_df(spark, rows), "t.t.t",
+            partition_by=pcols,
+        )
+        n = delete_where(cat, "t.t.t", f"v > {thresh}", partition_cols=pcols)
+        assert n == len(rows) - len(kept)
+        from collections import Counter
+
+        got = Counter((r.id, r.part, r.v) for r in cat.read("t.t.t").collect())
+        assert got == Counter(kept)
+
+
+@given(rows=DML_ROWS, thresh=st.integers(0, 9))
+@settings(**_SETTINGS)
+def test_update_where_matches_python_model(spark, tmp_path_factory, rows, thresh):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.dml import update_where
+
+    model = [
+        (i, p, (v or 0) + 100 if (v is not None and v > thresh) else v)
+        for (i, p, v) in rows
+    ]
+    for pcols in (None, ["part"]):
+        wh = tmp_path_factory.mktemp("dmlprop")
+        cat = Catalog(spark, str(wh))
+        cat.overwrite(_dml_df(spark, rows), "t.t.t", partition_by=pcols)
+        n = update_where(
+            cat, "t.t.t", {"v": "v + 100"}, f"v > {thresh}",
+            partition_cols=pcols,
+        )
+        assert n == sum(1 for (_, _, v) in rows if v is not None and v > thresh)
+        from collections import Counter
+
+        got = Counter((r.id, r.part, r.v) for r in cat.read("t.t.t").collect())
+        assert got == Counter(model)
