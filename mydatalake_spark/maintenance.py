@@ -184,22 +184,18 @@ def zorder_key(
     return _interleave(scaled, bits=bits)
 
 
-def write_zordered(
+def _zorder_frame(
     df: DataFrame,
-    path: str,
     cluster_by: list[str],
-    bits: int = 16,
-    n_files: int | None = None,
-) -> None:
-    """Z-order-cluster a table on multiple columns before writing —
-    the plain-parquet analogue of Delta's OPTIMIZE ZORDER BY for the
-    multi-column case (write_clustered covers single-column range
-    clustering). Column domains come from one min/max aggregate (a
-    single driver row); the Morton key is computed in-plan, files are
-    range-partitioned on it, and rows sort by it within files so
-    every clustered column's row-group min/max stats are tight.
-    Footer-level skipping evidence is asserted in tests/test_scale.py.
-    """
+    bits: int,
+    n_files: int | None,
+) -> DataFrame:
+    """The Z-order layout as a TRANSFORMED FRAME: Morton key computed
+    in-plan from one min/max aggregate (a single driver row), range
+    partition on it, within-partition sort, key dropped. Writing this
+    frame through any sink yields tight per-file row-group stats —
+    write_zordered saves it to a path, optimize_table routes it
+    through the catalog's staging swap."""
     bounds = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"__min_{c}__")
           for c in cluster_by],
@@ -216,9 +212,70 @@ def write_zordered(
         if n_files
         else keyed.repartitionByRange("__z__")
     )
-    part.sortWithinPartitions("__z__").drop("__z__").write.mode(
+    return part.sortWithinPartitions("__z__").drop("__z__")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-cluster a table on multiple columns before writing —
+    the plain-parquet analogue of Delta's OPTIMIZE ZORDER BY for the
+    multi-column case (write_clustered covers single-column range
+    clustering). Footer-level skipping evidence is asserted in
+    tests/test_scale.py."""
+    _zorder_frame(df, cluster_by, bits, n_files).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def optimize_table(
+    catalog: Catalog,
+    full_name: str,
+    zorder_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> int:
+    """Delta ``OPTIMIZE t [ZORDER BY (cols)]`` analogue on a CATALOG
+    table; returns the output file count. Without ``zorder_by`` this
+    is :func:`compact` (small-file merge, skew-aware shuffle choice).
+    With it, the table is rewritten in Z-order (single column → plain
+    range clustering, the degenerate Morton case is the same thing)
+    THROUGH THE STAGING SWAP — the table reads its own files, so the
+    in-place write write_zordered does on a fresh path would be
+    undefined here; versioning and CHECK constraints ride the swap
+    like every catalog overwrite.
+
+    On a hive-partitioned table the layout is preserved (detected via
+    detect_partition_cols); clustering is then global across
+    partitions, so each range task can write into several leaves —
+    same per-leaf file-count caveat as any partitioned write. At
+    100 TB, run per partition slice if leaves are huge."""
+    from .catalog import detect_partition_cols
+
+    pcols = detect_partition_cols(catalog.path(full_name))
+    if not zorder_by:
+        return compact(
+            catalog, full_name,
+            target_file_bytes=target_file_bytes,
+            partition_by=pcols,
+        )
+    overlap = sorted(set(zorder_by) & set(pcols or []))
+    if overlap:
+        raise ValueError(
+            f"optimize_table: ZORDER BY columns {overlap} are "
+            "partition columns — they are already directory-separated; "
+            "cluster on the columns filters actually range over"
+        )
+    df = catalog.read(full_name)
+    sizes = file_sizes(catalog, full_name)
+    n_files = max(1, -(-sum(sizes) // target_file_bytes))
+    out = _zorder_frame(df, zorder_by, bits, n_files)
+    catalog.overwrite_via_staging(out, full_name, partition_by=pcols)
+    return n_files
 
 
 def plan_compaction(

@@ -419,6 +419,34 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             )
         return catalog.restore(table, version=int(vers))
 
+    if head == "OPTIMIZE":
+        # OPTIMIZE t [ZORDER BY (a, b)] → maintenance.optimize_table
+        table, after = _table_name(s, toks, 1)
+        tail = [t[0] for t in toks[after:]]
+        zorder = None
+        if tail[:2] == ["ZORDER", "BY"]:
+            body = s[toks[after + 1][2]:].strip()
+            if not (body.startswith("(") and body.endswith(")")):
+                raise UnsupportedStatement(
+                    f"ZORDER BY needs a parenthesized column list: "
+                    f"{s[:80]}"
+                )
+            zorder = [
+                _ident(c) for c in body[1:-1].split(",") if c.strip()
+            ]
+            if not zorder:
+                raise UnsupportedStatement(
+                    f"empty ZORDER BY column list: {s[:80]}"
+                )
+        elif tail:
+            raise UnsupportedStatement(
+                "expected OPTIMIZE <table> [ZORDER BY (cols)], got: "
+                f"{s[:80]}"
+            )
+        from ..maintenance import optimize_table
+
+        return optimize_table(catalog, table, zorder_by=zorder)
+
     if head == "VACUUM":
         table, after = _table_name(s, toks, 1)
         if after != len(toks):

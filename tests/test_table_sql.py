@@ -289,3 +289,53 @@ def test_stats_stale_on_same_size_rewrite(spark, tmp_path):
     assert cat.table_stats(TBL)["fresh"] is True
     cat.overwrite_via_staging(cat.read(TBL), TBL)  # byte-identical rows
     assert cat.table_stats(TBL)["fresh"] is False
+
+
+def test_optimize_sql_compacts_and_zorders(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os as _os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(id % 63 AS LONG) AS x",
+        "CAST((id * 37) % 63 AS LONG) AS y",
+        "id AS v",
+    )
+    cat.overwrite(df.repartition(16), "silver.opt.t")
+    root = cat.path("silver.opt.t")
+    n_before = sum(
+        1 for f in _os.listdir(root) if f.endswith(".parquet")
+    )
+    assert n_before >= 16
+    # plain OPTIMIZE: small files merge
+    n = run_table_sql(cat, "OPTIMIZE silver.opt.t")
+    files = [f for f in _os.listdir(root) if f.endswith(".parquet")]
+    assert len(files) == n < n_before
+    # ZORDER: per-file x-ranges tighten vs the global domain
+    run_table_sql(
+        cat, "OPTIMIZE silver.opt.t ZORDER BY (x, y)"
+    )
+    files = [f for f in _os.listdir(root) if f.endswith(".parquet")]
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(_os.path.join(root, f)).metadata
+        idx = md.schema.names.index("x")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append(max(maxs) - min(mins))
+    if len(files) > 1:
+        assert sum(spans) / len(spans) < 62  # tighter than the domain
+    # data survived both rewrites
+    assert cat.read("silver.opt.t").count() == 4000
+    with pytest.raises(UnsupportedStatement, match="ZORDER BY needs"):
+        run_table_sql(cat, "OPTIMIZE silver.opt.t ZORDER BY x")
+
+
+def test_optimize_zorder_refuses_partition_columns(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    with pytest.raises(ValueError, match="partition columns"):
+        run_table_sql(cat, f"OPTIMIZE {TBL} ZORDER BY (region)")
