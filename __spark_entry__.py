@@ -10326,58 +10326,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: prefix slots first ---
-        "cdf_commits_orders": cdf_commits_orders,
-        "cdf_part_orders": cdf_part_orders,
-        "fastss_d2_part": fastss_d2_part,
-        "cdf_sync_view_orders": cdf_sync_view_orders,
-        "dml_orders": dml_orders,
-        # --- last driver-green in r6 ---
-        "compaction_plan_lineitem": compaction_plan_lineitem,
-        "join_size_estimate_orders": join_size_estimate_orders,
-        "bloom_prune_lineitem": bloom_prune_lineitem,
-        "langid_kappa_documents": langid_kappa_documents,
-        "boilerplate_strip_documents": boilerplate_strip_documents,
-        "rrf_hybrid_documents": rrf_hybrid_documents,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
-        "mode_returnflag_by_priority": mode_returnflag_by_priority,
-        "key_skew_profile_lineitem": key_skew_profile_lineitem,
-        "source_overlap_documents": source_overlap_documents,
-        "window_functions_lineitem": window_functions_lineitem,
-        "scalar_functions": scalar_functions,
-        "topk_orders": topk_orders,
-        "anti_join_customers": anti_join_customers,
-        "semi_join_segments": semi_join_segments,
-        "set_ops_nations": set_ops_nations,
-        "rollup_revenue": rollup_revenue,
-        "cube_revenue": cube_revenue,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q10_returned_items": q10_returned_items,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q8_market_share": q8_market_share,
-        "grouping_sets_revenue": grouping_sets_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
-        "merge_cdc_orders": merge_cdc_orders,
-        "dedup_latest_lineitem": dedup_latest_lineitem,
-        "dq_checks_lineitem": dq_checks_lineitem,
-        "dq_aggregate_lineitem": dq_aggregate_lineitem,
-        "minhash_neardup_documents": minhash_neardup_documents,
-        "incremental_neardup_documents": incremental_neardup_documents,
-        "neardup_clusters_documents": neardup_clusters_documents,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "bm25_documents": bm25_documents,
-        "funnel_events": funnel_events,
-        "decontaminate_documents": decontaminate_documents,
-        "user_trend_events": user_trend_events,
-        "similarity_topk": similarity_topk,
-        "similarity_lsh": similarity_lsh,
-        "similarity_ivf": similarity_ivf,
-        "simhash_documents": simhash_documents,
-        "embedding_neardup": embedding_neardup,
         # --- last driver-green in r7 ---
         "merge_bloom_orders": merge_bloom_orders,
         "medallion_job_orders": medallion_job_orders,
@@ -10531,6 +10479,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_quarantine_events": wap_quarantine_events,
         "zonemap_pruning_lineitem": zonemap_pruning_lineitem,
         "pq_recall_embeddings": pq_recall_embeddings,
+        # --- last driver-green in r10 ---
+        "cdf_commits_orders": cdf_commits_orders,
+        "cdf_part_orders": cdf_part_orders,
+        "fastss_d2_part": fastss_d2_part,
+        "cdf_sync_view_orders": cdf_sync_view_orders,
+        "dml_orders": dml_orders,
+        "compaction_plan_lineitem": compaction_plan_lineitem,
+        "join_size_estimate_orders": join_size_estimate_orders,
+        "bloom_prune_lineitem": bloom_prune_lineitem,
+        "langid_kappa_documents": langid_kappa_documents,
+        "boilerplate_strip_documents": boilerplate_strip_documents,
+        "rrf_hybrid_documents": rrf_hybrid_documents,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "mode_returnflag_by_priority": mode_returnflag_by_priority,
+        "key_skew_profile_lineitem": key_skew_profile_lineitem,
+        "source_overlap_documents": source_overlap_documents,
+        "window_functions_lineitem": window_functions_lineitem,
+        "scalar_functions": scalar_functions,
+        "topk_orders": topk_orders,
+        "anti_join_customers": anti_join_customers,
+        "semi_join_segments": semi_join_segments,
+        "set_ops_nations": set_ops_nations,
+        "rollup_revenue": rollup_revenue,
+        "cube_revenue": cube_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "q10_returned_items": q10_returned_items,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "merge_cdc_orders": merge_cdc_orders,
+        "dedup_latest_lineitem": dedup_latest_lineitem,
+        "dq_checks_lineitem": dq_checks_lineitem,
+        "dq_aggregate_lineitem": dq_aggregate_lineitem,
+        "minhash_neardup_documents": minhash_neardup_documents,
+        "incremental_neardup_documents": incremental_neardup_documents,
+        "neardup_clusters_documents": neardup_clusters_documents,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "bm25_documents": bm25_documents,
+        "funnel_events": funnel_events,
+        "decontaminate_documents": decontaminate_documents,
+        "user_trend_events": user_trend_events,
+        "similarity_topk": similarity_topk,
+        "similarity_lsh": similarity_lsh,
+        "similarity_ivf": similarity_ivf,
+        "simhash_documents": simhash_documents,
+        "embedding_neardup": embedding_neardup,
     }
 
 
