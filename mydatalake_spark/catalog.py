@@ -1037,6 +1037,7 @@ class Catalog:
         full_name: str,
         partition_col: str | list[str],
         values: list,
+        pre_swap=None,
     ) -> None:
         """Rewrite ONLY the named partitions (Delta ``replaceWhere`` /
         dynamic-partition-overwrite analogue): ``df`` must contain
@@ -1054,7 +1055,15 @@ class Catalog:
         old — re-running the same rewrite converges, but readers in
         the window can see a mixed state. A cross-partition-atomic
         rewrite needs a table format with a transaction log (the Delta
-        path) or the full staging swap of overwrite_via_staging."""
+        path) or the full staging swap of overwrite_via_staging.
+
+        ``pre_swap`` (optional zero-arg callable) runs AFTER the
+        staging write succeeds and BEFORE any live directory is
+        replaced — the window where a version snapshot belongs:
+        a failed staging write (e.g. a CHECK guard firing) then
+        commits nothing, while the snapshot still captures the
+        pre-swap live state (update_where passes its checkpoint
+        here)."""
         pcols = (
             [partition_col]
             if isinstance(partition_col, str)
@@ -1091,6 +1100,8 @@ class Catalog:
                     os.makedirs(d, exist_ok=True)
                     _swap(s, d, depth + 1)
 
+        if pre_swap is not None:
+            pre_swap()
         _swap(staging, base, 0)
         shutil.rmtree(staging, ignore_errors=True)
         self._invalidate(full_name)

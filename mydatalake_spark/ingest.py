@@ -114,10 +114,20 @@ class Ingestor:
         YAML is the source of truth). Called BEFORE a run when the
         table already exists, so this run's write is enforced in-plan,
         and AFTER it, so a first run's data is validated and the
-        contract attaches for every later writer."""
-        desired = self.meta.constraints
+        contract attaches for every later writer.
+
+        A YAML with no ``constraints:`` key at all takes NO position
+        on constraints — sync only when the key is present. Otherwise
+        a constraint added out-of-band (``ALTER TABLE ADD CONSTRAINT``
+        / ``add_constraint``) would be silently dropped by the next
+        ingest run of a YAML that never mentioned constraints. An
+        explicitly EMPTY ``constraints: {}`` block does reconcile (it
+        declares "this table has none") and drops the catalog's set."""
+        if "constraints" not in self.meta.raw:
+            return
         if not self.catalog.exists(self.meta.full_name):
             return
+        desired = self.meta.constraints
         if desired or self.catalog.constraints(self.meta.full_name):
             self.catalog.sync_constraints(self.meta.full_name, desired)
 

@@ -135,6 +135,52 @@ def write_clustered(
     ).parquet(path)
 
 
+def _zorder_surrogate(df: DataFrame, col: str) -> Column:
+    """A LONG-valued, order-preserving surrogate for a ZORDER column —
+    Delta's OPTIMIZE ZORDER BY accepts date/timestamp/string keys (the
+    most common clustering columns: event dates, ids), so the Morton
+    interleave maps them onto the long domain it needs instead of
+    refusing:
+
+    - numeric / boolean → plain ``cast('long')``
+    - date → days since epoch, timestamp → epoch seconds (both are
+      what ``cast('long')`` would NULL out)
+    - string → the first 7 UTF-8 bytes as a big-endian integer
+      (hex is monotone per byte; 7 bytes keep the key inside the
+      63 value bits of a signed long). Prefix resolution is exactly
+      what clustering needs — strings sharing a 7-byte prefix land in
+      the same Z-cell, which is the right locality.
+
+    Unsupported types (binary, arrays, structs, maps) raise by name.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"zorder: column {col!r} not in {df.columns}")
+    if dt == "date":
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("long")
+    if dt in ("string", "varchar", "char") or dt.startswith(
+        ("varchar(", "char(")
+    ):
+        hex7 = F.rpad(
+            F.substring(F.hex(F.encode(F.col(col), "UTF-8")), 1, 14),
+            14,
+            "0",
+        )
+        return F.conv(hex7, 16, 10).cast("long")
+    if dt in (
+        "tinyint", "smallint", "int", "bigint", "long", "float",
+        "double", "boolean",
+    ) or dt.startswith("decimal"):
+        return F.col(col).cast("long")
+    raise ValueError(
+        f"zorder: column {col!r} has type {dt}, which has no "
+        "order-preserving long mapping — ZORDER BY supports numeric, "
+        "date, timestamp, and string columns"
+    )
+
+
 def zorder_key(
     cols: list[str],
     mins: list[int],
@@ -167,6 +213,14 @@ def zorder_key(
             f"zorder_key: {n} columns cannot interleave into 63 bits"
         )
     bits = min(bits, max_bits)
+    bad = [c for c, lo, hi in zip(cols, mins, maxs) if lo is None or hi is None]
+    if bad:
+        raise ValueError(
+            f"zorder_key: columns {bad} have NULL min/max bounds — the "
+            "table is empty or the column is entirely NULL; there is "
+            "nothing to cluster (Delta's OPTIMIZE ZORDER no-ops here; "
+            "optimize_table does the same)"
+        )
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = max(int(hi) - int(lo), 1)
@@ -195,18 +249,29 @@ def _zorder_frame(
     partition on it, within-partition sort, key dropped. Writing this
     frame through any sink yields tight per-file row-group stats —
     write_zordered saves it to a path, optimize_table routes it
-    through the catalog's staging swap."""
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("long")).alias(f"__min_{c}__")
-          for c in cluster_by],
-        *[F.max(F.col(c).cast("long")).alias(f"__max_{c}__")
-          for c in cluster_by],
+    through the catalog's staging swap.
+
+    Non-numeric cluster columns (date / timestamp / string — Delta's
+    common ZORDER keys) ride an order-preserving long surrogate
+    (:func:`_zorder_surrogate`); a NULL column value sorts as the
+    domain minimum. An empty table or an all-NULL cluster column has
+    no bounds to scale into and raises by name (zorder_key's guard) —
+    optimize_table short-circuits the empty case to a no-op first."""
+    surrogates = {
+        f"__zs{i}__": _zorder_surrogate(df, c)
+        for i, c in enumerate(cluster_by)
+    }
+    with_s = df.withColumns(surrogates)
+    snames = list(surrogates)
+    bounds = with_s.agg(
+        *[F.min(n).alias(f"__min_{n}__") for n in snames],
+        *[F.max(n).alias(f"__max_{n}__") for n in snames],
     ).first()
-    mins = [bounds[f"__min_{c}__"] for c in cluster_by]
-    maxs = [bounds[f"__max_{c}__"] for c in cluster_by]
-    keyed = df.withColumn(
-        "__z__", zorder_key(cluster_by, mins, maxs, bits)
-    )
+    mins = [bounds[f"__min_{n}__"] for n in snames]
+    maxs = [bounds[f"__max_{n}__"] for n in snames]
+    keyed = with_s.withColumn(
+        "__z__", zorder_key(snames, mins, maxs, bits)
+    ).drop(*snames)
     part = (
         keyed.repartitionByRange(n_files, "__z__")
         if n_files
@@ -271,6 +336,10 @@ def optimize_table(
             "cluster on the columns filters actually range over"
         )
     df = catalog.read(full_name)
+    if df.limit(1).count() == 0:
+        # Delta's OPTIMIZE ZORDER no-ops on an empty table; an empty
+        # frame has no min/max bounds to scale the Morton key into.
+        return 0
     sizes = file_sizes(catalog, full_name)
     n_files = max(1, -(-sum(sizes) // target_file_bytes))
     out = _zorder_frame(df, zorder_by, bits, n_files)

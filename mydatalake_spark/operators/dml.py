@@ -47,6 +47,22 @@ from pyspark.sql import functions as F
 __all__ = ["delete_where", "update_where"]
 
 
+def _refuse_delta_catalog(catalog, op: str) -> None:
+    """These staging swaps move/replace leaf directories behind a
+    possible ``_delta_log``, which would leave the log referencing
+    deleted files — table corruption, not an error a reader can
+    recover from. Same capability split as merge_upsert vs
+    merge_upsert_delta: on a Delta catalog, Delta's own transactional
+    DML is the right tool, so refuse by name instead of corrupting."""
+    if getattr(catalog, "fmt", None) == "delta":
+        raise ValueError(
+            f"{op}: catalog format is 'delta' — plain-parquet "
+            "directory swaps would corrupt the Delta log. Use Delta's "
+            "own DELETE/UPDATE SQL (spark.sql on the Delta table), "
+            "the same split as merge_upsert vs merge_upsert_delta."
+        )
+
+
 def _matched(condition) -> Column:
     """The MATCHED predicate with SQL ternary semantics collapsed:
     NULL → not matched (ANSI DELETE/UPDATE ... WHERE)."""
@@ -201,6 +217,7 @@ def delete_where(
     the table. No version is committed and nothing is rewritten when 0
     rows match (Delta's no-file-touched fast path).
     """
+    _refuse_delta_catalog(catalog, "delete_where")
     matched = _matched(condition)
     df = catalog.read(table)
 
@@ -322,6 +339,7 @@ def update_where(
     Scale shape is identical to :func:`delete_where`: bounded probe,
     static pruning, touched-leaves-only rewrite, 0-match fast path.
     """
+    _refuse_delta_catalog(catalog, "update_where")
     matched = _matched(condition)
     df = catalog.read(table)
 
@@ -357,9 +375,16 @@ def update_where(
 
     from ..catalog import partition_predicate
 
-    _checkpoint_if_versioned(catalog, table, checkpoint)
     new_slice = _apply_sets(
         df.where(partition_predicate(pcols, touched)), set_exprs, matched
     )
-    catalog.overwrite_partitions(new_slice, table, pcols, touched)
+    # Snapshot only once the updated slice has materialized in staging
+    # (pre_swap fires between overwrite_partitions' staging write and
+    # its directory swaps): a rewrite that FAILS — e.g. a CHECK guard
+    # raising mid-write — must not burn a keep_versions slot on a
+    # version identical to live. delete_where orders this the same way.
+    catalog.overwrite_partitions(
+        new_slice, table, pcols, touched,
+        pre_swap=lambda: _checkpoint_if_versioned(catalog, table, checkpoint),
+    )
     return n_updated

@@ -1,0 +1,287 @@
+"""Generalized clause-based MERGE: the full Delta ``MERGE INTO``
+surface beyond the CDC upsert.
+
+``merge_upsert`` (operators/merge.py) is the reference's actual merge
+shape — updateAll + insertAll with a timestamp guard (reference
+lib/ingestors.py:122-126). Delta's SQL ``MERGE INTO`` is wider: any
+number of ``WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE``,
+``WHEN NOT MATCHED [AND cond] THEN INSERT ...`` and ``WHEN NOT MATCHED
+BY SOURCE [AND cond] THEN UPDATE SET .../DELETE`` clauses, first
+matching clause wins. **[extension]** This module executes that
+general clause set as ONE full-outer DataFrame join — the same plan
+shape (and the same reserved-name discipline) as ``merge_upsert``, so
+Catalyst sees a single equi-join + codegen'd conditional projection,
+never a per-clause pass.
+
+Scale: identical to merge_upsert — both sides shuffle on the join
+keys once; AQE broadcasts a small changeset side. The action cascade
+and every SET/VALUES expression are ordinary Column expressions
+inside whole-stage codegen. Callers persist the returned frame via
+Catalog.overwrite_via_staging (the table reads its own files) — the
+SQL front-end (plans/table_sql.py MERGE INTO) routes the canonical
+upsert shape onto merge_upsert_partitioned instead so the pruned
+path keeps serving the common case.
+
+Clause conditions / expressions reference the TARGET side by plain
+column name and the SOURCE side by ``__s_<col>`` — the SQL front-end
+rewrites ``alias.col`` references into these before calling; Python
+callers can pass Columns built from the same names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MatchedClause",
+    "NotMatchedClause",
+    "NotMatchedBySourceClause",
+    "merge_apply",
+    "SOURCE_PREFIX",
+]
+
+SOURCE_PREFIX = "__s_"
+
+_KEEP = -1
+_DROP = -2
+
+
+def _cond_col(cond) -> Column:
+    """Clause condition with SQL ternary collapsed: NULL → False (a
+    clause whose condition is unknown does not fire — ANSI MERGE)."""
+    if cond is None:
+        return F.lit(True)
+    c = F.expr(cond) if isinstance(cond, str) else cond
+    return F.coalesce(c, F.lit(False))
+
+
+def _exprs(d: dict) -> dict[str, Column]:
+    return {
+        c: (F.expr(e) if isinstance(e, str) else e) for c, e in d.items()
+    }
+
+
+@dataclass
+class MatchedClause:
+    """``WHEN MATCHED [AND condition] THEN UPDATE SET sets | DELETE``.
+    ``sets=None`` means DELETE; ``sets={}`` is refused (an UPDATE that
+    sets nothing); ``update_all=True`` takes every column from the
+    source row (``UPDATE SET *``)."""
+
+    condition: object | None = None
+    sets: dict | None = field(default_factory=dict)
+    update_all: bool = False
+
+
+@dataclass
+class NotMatchedClause:
+    """``WHEN NOT MATCHED [AND condition] THEN INSERT ...``.
+    ``insert_all=True`` is ``INSERT *``; otherwise ``values`` maps
+    target columns to expressions over the source side — unlisted
+    target columns become typed NULLs."""
+
+    condition: object | None = None
+    values: dict = field(default_factory=dict)
+    insert_all: bool = False
+
+
+@dataclass
+class NotMatchedBySourceClause:
+    """``WHEN NOT MATCHED BY SOURCE [AND condition] THEN
+    UPDATE SET sets | DELETE`` — conditions and SETs may reference
+    only target columns (there is no source row)."""
+
+    condition: object | None = None
+    sets: dict | None = field(default_factory=dict)
+
+
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[tuple[str, str]] | list[str],
+    matched: list[MatchedClause] | None = None,
+    not_matched: list[NotMatchedClause] | None = None,
+    not_matched_by_source: list[NotMatchedBySourceClause] | None = None,
+) -> DataFrame:
+    """Execute a general MERGE clause set; returns the merged frame
+    (target schema). ``on`` is the equi-join key list — either shared
+    column names or explicit ``(target_col, source_col)`` pairs.
+
+    Semantics (Delta MERGE INTO):
+
+    - a target row with a source match runs the ``matched`` cascade:
+      first clause whose condition holds fires (UPDATE SET evaluates
+      every expression against the PRE-update row; DELETE drops the
+      row); no clause firing keeps the row unchanged;
+    - a source row with no target match runs ``not_matched``; no
+      clause firing means the row is NOT inserted;
+    - a target row with no source match runs
+      ``not_matched_by_source``; default keeps the row.
+
+    Like Delta, a source whose join keys are duplicated is refused
+    (two source rows updating one target row is nondeterministic) —
+    slightly stricter than Delta, which only errors when a duplicate
+    actually matches: the probe here is one partial-agg over the
+    changeset, not a join. Pre-dedup with ``dedup_latest`` (or use
+    merge_upsert, which does it for you) when the feed carries
+    replays.
+
+    NULL join keys use eqNullSafe — a NULL key matches a NULL key
+    (merge_upsert's convention), never silently drops.
+    """
+    matched = matched or []
+    not_matched = not_matched or []
+    not_matched_by_source = not_matched_by_source or []
+    pairs = [
+        (k, k) if isinstance(k, str) else (k[0], k[1]) for k in on
+    ]
+    if not pairs:
+        raise ValueError("merge_apply: ON needs at least one key pair")
+
+    cols = target.columns
+    reserved = {"__t_present__", "__s_present__", "__act__"}
+    clash = sorted(
+        c
+        for c in set(cols) | set(source.columns)
+        if c in reserved or c.startswith(SOURCE_PREFIX)
+    )
+    if clash:
+        raise ValueError(
+            f"merge_apply: column(s) {clash} collide with reserved "
+            "staging names; rename them before merging."
+        )
+    for m in matched:
+        if m.sets is not None and not m.sets and not m.update_all:
+            raise ValueError(
+                "MatchedClause with empty sets updates nothing — use "
+                "sets=None for DELETE or update_all=True for SET *"
+            )
+    s_keys = [p[1] for p in pairs]
+    dup = (
+        source.groupBy(*s_keys)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_apply: source has duplicate join keys {s_keys} "
+            f"(e.g. {tuple(dup[0][k] for k in s_keys)!r}) — two source "
+            "rows per target row is nondeterministic (Delta raises "
+            "too); dedup the changeset first (dedup_latest)"
+        )
+
+    t = target.withColumn("__t_present__", F.lit(True))
+    s = source.select(
+        *[F.col(c).alias(f"{SOURCE_PREFIX}{c}") for c in source.columns]
+    ).withColumn("__s_present__", F.lit(True))
+    jc = None
+    for tc, sc in pairs:
+        c = F.col(tc).eqNullSafe(F.col(f"{SOURCE_PREFIX}{sc}"))
+        jc = c if jc is None else (jc & c)
+    joined = t.join(s, jc, "full_outer")
+    t_here = F.col("__t_present__").isNotNull()
+    s_here = F.col("__s_present__").isNotNull()
+
+    # Global action table: each firing clause gets an index; the value
+    # projection below switches on it. KEEP keeps target values, DROP
+    # filters the row out.
+    actions: list[dict[str, Column] | None] = []  # None → drop
+
+    def _cascade(clauses, default: int, to_action) -> Column:
+        out = F.lit(default)
+        # build right-to-left so the FIRST clause wins the cascade
+        for cl in reversed(list(clauses)):
+            idx = to_action(cl)
+            out = F.when(_cond_col(cl.condition), F.lit(idx)).otherwise(out)
+        return out
+
+    def _matched_action(cl: MatchedClause) -> int:
+        if cl.sets is None:
+            actions.append(None)
+        elif cl.update_all:
+            if set(cols) != set(source.columns):
+                raise ValueError(
+                    "UPDATE SET * requires identical target/source "
+                    f"columns; target={cols} source={source.columns}"
+                )
+            actions.append(
+                {c: F.col(f"{SOURCE_PREFIX}{c}") for c in cols}
+            )
+        else:
+            unknown = [c for c in cl.sets if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET columns {unknown} not in target "
+                    f"{cols} (MERGE UPDATE cannot add columns)"
+                )
+            actions.append(_exprs(cl.sets))
+        return len(actions) - 1
+
+    def _nm_action(cl: NotMatchedClause) -> int:
+        if cl.insert_all:
+            if set(cols) != set(source.columns):
+                raise ValueError(
+                    "INSERT * requires identical target/source "
+                    f"columns; target={cols} source={source.columns}"
+                )
+            actions.append(
+                {c: F.col(f"{SOURCE_PREFIX}{c}") for c in cols}
+            )
+        else:
+            unknown = [c for c in cl.values if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"INSERT columns {unknown} not in target {cols}"
+                )
+            vals = _exprs(cl.values)
+            full = {}
+            for f_ in target.schema.fields:
+                full[f_.name] = vals.get(
+                    f_.name, F.lit(None).cast(f_.dataType)
+                )
+            actions.append(full)
+        return len(actions) - 1
+
+    def _nmbs_action(cl: NotMatchedBySourceClause) -> int:
+        if cl.sets is None:
+            actions.append(None)
+        else:
+            unknown = [c for c in cl.sets if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET columns {unknown} not in target {cols}"
+                )
+            actions.append(_exprs(cl.sets))
+        return len(actions) - 1
+
+    act = (
+        F.when(
+            t_here & s_here, _cascade(matched, _KEEP, _matched_action)
+        )
+        .when(s_here, _cascade(not_matched, _DROP, _nm_action))
+        .otherwise(
+            _cascade(not_matched_by_source, _KEEP, _nmbs_action)
+        )
+    )
+    staged = joined.withColumn("__act__", act).where(
+        F.col("__act__") != F.lit(_DROP)
+    )
+    drop_idx = [i for i, a in enumerate(actions) if a is None]
+    for i in drop_idx:
+        staged = staged.where(F.col("__act__") != F.lit(i))
+
+    picked = []
+    for c in cols:
+        expr = F.col(c)
+        for i, a in enumerate(actions):
+            if a is not None and c in a:
+                expr = F.when(F.col("__act__") == F.lit(i), a[c]).otherwise(
+                    expr
+                )
+        picked.append(expr.alias(c))
+    return staged.select(*picked)

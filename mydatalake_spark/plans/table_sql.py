@@ -11,7 +11,10 @@ implementations —
 
     DELETE FROM t WHERE ...      → operators/dml.py:delete_where
     UPDATE t SET a=..., b=...
-        [WHERE ...]              → operators/dml.py:update_where
+        WHERE ...                → operators/dml.py:update_where
+        (WHERE is mandatory — an unconditional UPDATE is refused like
+        an unconditional DELETE; ``WHERE true`` is the explicit
+        whole-table opt-in. Duplicate SET targets are rejected.)
     TRUNCATE TABLE t             → Catalog.truncate
     ALTER TABLE t ADD CONSTRAINT
         name CHECK (expr)        → Catalog.add_constraint
@@ -20,6 +23,12 @@ implementations —
     RESTORE TABLE t TO VERSION
         AS OF n                  → Catalog.restore
     VACUUM t                     → Catalog.vacuum
+    MERGE INTO t USING s ON ...
+        WHEN [NOT] MATCHED [BY SOURCE] [AND c]
+        THEN UPDATE SET */sets
+           | DELETE | INSERT ... → operators/merge.py (canonical
+        upsert shape, partition-pruned when the layout allows) or
+        operators/merge_clauses.py:merge_apply (general clause sets)
 
 so a user migrating the reference's notebooks keeps their statements.
 Like plans/qualify.py this is a *string-level* adapter, not a SQL
@@ -118,6 +127,374 @@ def _table_name(sql: str, toks, idx: int) -> tuple[str, int]:
     return name, j + 1
 
 
+def _rewrite_alias_refs(expr: str, t_alias: str, s_alias: str) -> str:
+    """Rewrite ``alias.col`` references in a MERGE clause expression to
+    the joined-frame names merge_apply uses: target alias → plain
+    column, source alias → ``__s_col``. Works at ANY paren depth
+    (expressions nest function calls), skips string literals and
+    comments with the same scanner discipline as _scan_tokens.
+    Identifier matching is case-insensitive (SQL aliases are)."""
+    import re as _re
+
+    word = _re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            q, j = ch, i + 1
+            while j < n:
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == q:
+                    if j + 1 < n and expr[j + 1] == q:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(expr[i:j])
+            i = j
+            continue
+        m = word.match(expr, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        tok = m.group(0)
+        j = m.end()
+        # lookahead: alias '.' ident
+        k = j
+        while k < n and expr[k] in " \t":
+            k += 1
+        m2 = None
+        if k < n and expr[k] == ".":
+            k += 1
+            while k < n and expr[k] in " \t":
+                k += 1
+            m2 = word.match(expr, k)
+        low = tok.lower()
+        if m2 and low == s_alias.lower():
+            out.append(f"{_SOURCE_PREFIX}{m2.group(0)}")
+            i = m2.end()
+        elif m2 and low == t_alias.lower():
+            out.append(m2.group(0))
+            i = m2.end()
+        else:
+            out.append(tok)
+            i = j
+    return "".join(out)
+
+
+_SOURCE_PREFIX = "__s_"
+
+
+def _merge_source_frame(catalog, spec: str):
+    """Resolve the USING clause: ``(SELECT ...) [AS] alias`` runs the
+    subquery with every warehouse table registered; a plain name is a
+    catalog table (or an existing temp view). Returns (frame, alias)."""
+    from .qualify import run_sql
+
+    spec = spec.strip()
+    if spec.startswith("("):
+        depth, i = 0, 0
+        for i, ch in enumerate(spec):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise UnsupportedStatement(
+                f"unbalanced parens in USING subquery: {spec[:80]}"
+            )
+        inner, rest = spec[1:i], spec[i + 1:].strip()
+        alias_toks = rest.split()
+        if alias_toks and alias_toks[0].upper() == "AS":
+            alias_toks = alias_toks[1:]
+        if len(alias_toks) != 1:
+            raise UnsupportedStatement(
+                "USING (subquery) needs exactly one alias: "
+                f"...{rest[:40]!r}"
+            )
+        mapping = catalog.register_all()
+        return (
+            run_sql(catalog.spark, inner, table_mapping=mapping),
+            alias_toks[0],
+        )
+    parts = spec.split()
+    if len(parts) == 3 and parts[1].upper() == "AS":
+        name, alias = parts[0], parts[2]
+    elif len(parts) == 2:
+        name, alias = parts
+    elif len(parts) == 1:
+        name, alias = parts[0], parts[0].split(".")[-1]
+    else:
+        raise UnsupportedStatement(
+            f"bad USING source spec: {spec[:80]!r}"
+        )
+    if catalog.exists(name):
+        return catalog.read(name), alias
+    try:
+        return catalog.spark.table(name), alias
+    except Exception:
+        raise UnsupportedStatement(
+            f"USING source {name!r} is neither a catalog table nor a "
+            "registered temp view"
+        ) from None
+
+
+def _parse_merge_on(
+    on_text: str, t_alias: str, s_alias: str
+) -> tuple[list[tuple[str, str]], str | None]:
+    """The bounded ON grammar: a conjunction of equi-key terms
+    ``t.a = s.b`` (either side order) plus at most one timestamp guard
+    ``s.ts >= t.ts`` / ``>``. The guard is applied as an implicit
+    MATCHED condition, NOT as join membership — the reference's own
+    statement puts it in ON (lib/ingestors.py:123), where a stale
+    changeset row counts as NOT MATCHED and duplicates the key on
+    insert; this engine deliberately fixes that (SURVEY §7.4(2), same
+    correction merge_upsert makes). Returns (key_pairs, guard) where
+    guard is None or ``(source_col, op, target_col)``."""
+    import re as _re
+
+    term_re = _re.compile(
+        r"^\s*([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s*"
+        r"(=|>=|>|<=|<)\s*([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s*$"
+    )
+    toks = _tokens(on_text)
+    bounds, prev = [], 0
+    for tok, st, en in toks:
+        if tok == "AND":
+            bounds.append((prev, st))
+            prev = en
+    bounds.append((prev, len(on_text)))
+    pairs: list[tuple[str, str]] = []
+    guard = None
+    for st, en in bounds:
+        term = on_text[st:en]
+        m = term_re.match(term)
+        if not m:
+            raise UnsupportedStatement(
+                f"MERGE ON term {term.strip()!r} outside the bounded "
+                "grammar (alias.col = alias.col key terms, plus one "
+                "s.ts >= t.ts guard)"
+            )
+        a1, c1, op, a2, c2 = m.groups()
+        la1, la2 = a1.lower(), a2.lower()
+        tl, sl = t_alias.lower(), s_alias.lower()
+        if {la1, la2} != {tl, sl}:
+            raise UnsupportedStatement(
+                f"MERGE ON term {term.strip()!r} must reference both "
+                f"aliases ({t_alias!r}, {s_alias!r}) exactly once"
+            )
+        t_col, s_col = (c1, c2) if la1 == tl else (c2, c1)
+        if op == "=":
+            pairs.append((t_col, s_col))
+            continue
+        # normalize the guard to "source-side OP target-side"
+        if la1 == sl:
+            s_side, real_op, t_side = c1, op, c2
+        else:
+            flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+            s_side, real_op, t_side = c2, flip[op], c1
+        if real_op not in (">=", ">"):
+            raise UnsupportedStatement(
+                f"MERGE ON guard {term.strip()!r}: only a newer-wins "
+                "source >= / > target timestamp guard is supported"
+            )
+        if guard is not None:
+            raise UnsupportedStatement(
+                "MERGE ON carries more than one non-equality guard"
+            )
+        guard = (s_side, real_op, t_side)
+    if not pairs:
+        raise UnsupportedStatement(
+            "MERGE ON has no equi-key term — the merge join needs at "
+            "least one t.key = s.key"
+        )
+    return pairs, guard
+
+
+def _parse_merge_clauses(s: str, toks, start: int, t_alias: str, s_alias: str):
+    """Parse the WHEN ... THEN ... clause list (tokens from ``start``
+    on). Returns (matched, not_matched, not_matched_by_source) clause
+    lists for merge_apply, with every condition/expression rewritten
+    into joined-frame names."""
+    from ..operators.merge_clauses import (
+        MatchedClause,
+        NotMatchedBySourceClause,
+        NotMatchedClause,
+    )
+
+    rw = lambda e: _rewrite_alias_refs(e, t_alias, s_alias)  # noqa: E731
+    when_idx = [
+        i for i in range(start, len(toks)) if toks[i][0] == "WHEN"
+    ]
+    if not when_idx:
+        raise UnsupportedStatement(
+            "MERGE needs at least one WHEN clause"
+        )
+    if toks[when_idx[0]][1] != toks[start][1]:
+        raise UnsupportedStatement(
+            "unexpected tokens between ON condition and first WHEN: "
+            f"{s[toks[start][1]:toks[start][1] + 60]!r}"
+        )
+    matched, not_matched, by_source = [], [], []
+    for n_, i in enumerate(when_idx):
+        seg_end = (
+            toks[when_idx[n_ + 1]][1]
+            if n_ + 1 < len(when_idx)
+            else len(s)
+        )
+        j = i + 1
+        negated = False
+        if toks[j][0] == "NOT":
+            negated = True
+            j += 1
+        if toks[j][0] != "MATCHED":
+            raise UnsupportedStatement(
+                f"expected [NOT] MATCHED after WHEN: "
+                f"{s[toks[i][1]:toks[i][1] + 60]!r}"
+            )
+        j += 1
+        kind = "not_matched" if negated else "matched"
+        if j < len(toks) and toks[j][0] == "BY":
+            which = toks[j + 1][0] if j + 1 < len(toks) else ""
+            if not negated or which not in ("SOURCE", "TARGET"):
+                raise UnsupportedStatement(
+                    f"bad BY qualifier in MERGE clause: "
+                    f"{s[toks[i][1]:toks[i][1] + 60]!r}"
+                )
+            if which == "SOURCE":
+                kind = "by_source"
+            j += 2
+        cond = None
+        if toks[j][0] == "AND":
+            then_rel = _clause_pos(toks[j:], "THEN")
+            if then_rel is None:
+                raise UnsupportedStatement(
+                    f"MERGE clause missing THEN: "
+                    f"{s[toks[i][1]:seg_end][:80]!r}"
+                )
+            cond = rw(s[toks[j][2]:toks[j + then_rel][1]].strip())
+            j += then_rel
+        if toks[j][0] != "THEN":
+            raise UnsupportedStatement(
+                f"MERGE clause missing THEN: "
+                f"{s[toks[i][1]:seg_end][:80]!r}"
+            )
+        j += 1
+        verb = toks[j][0] if j < len(toks) else ""
+        body = s[toks[j][2]:seg_end].strip() if j < len(toks) else ""
+        if verb == "DELETE":
+            if body:
+                raise UnsupportedStatement(
+                    f"trailing tokens after DELETE action: {body[:60]!r}"
+                )
+            if kind == "matched":
+                matched.append(MatchedClause(condition=cond, sets=None))
+            elif kind == "by_source":
+                by_source.append(
+                    NotMatchedBySourceClause(condition=cond, sets=None)
+                )
+            else:
+                raise UnsupportedStatement(
+                    "WHEN NOT MATCHED THEN DELETE is meaningless "
+                    "(there is no target row to delete)"
+                )
+            continue
+        if verb == "UPDATE":
+            if kind == "not_matched":
+                raise UnsupportedStatement(
+                    "WHEN NOT MATCHED supports INSERT, not UPDATE"
+                )
+            if j + 1 >= len(toks) or toks[j + 1][0] != "SET":
+                raise UnsupportedStatement(
+                    f"UPDATE action needs SET: {body[:60]!r}"
+                )
+            set_body = s[toks[j + 1][2]:seg_end].strip()
+            if set_body == "*":
+                if kind == "by_source":
+                    raise UnsupportedStatement(
+                        "NOT MATCHED BY SOURCE has no source row — "
+                        "UPDATE SET * is meaningless there"
+                    )
+                matched.append(
+                    MatchedClause(condition=cond, update_all=True)
+                )
+                continue
+            sets: dict[str, str] = {}
+            for item in _split_top_level_commas(set_body):
+                col, eq, rhs = item.partition("=")
+                if not eq or not rhs.strip():
+                    raise UnsupportedStatement(
+                        f"bad SET item {item!r} (expected col = expr)"
+                    )
+                cn = rw(_ident(col))
+                if cn in sets:
+                    raise UnsupportedStatement(
+                        f"column {cn!r} appears more than once in the "
+                        "SET list"
+                    )
+                sets[cn] = rw(rhs.strip())
+            if not sets:
+                raise UnsupportedStatement("empty SET clause in MERGE")
+            if kind == "by_source":
+                by_source.append(
+                    NotMatchedBySourceClause(condition=cond, sets=sets)
+                )
+            else:
+                matched.append(MatchedClause(condition=cond, sets=sets))
+            continue
+        if verb == "INSERT":
+            if kind != "not_matched":
+                raise UnsupportedStatement(
+                    "INSERT belongs to WHEN NOT MATCHED clauses only"
+                )
+            if body == "*":
+                not_matched.append(
+                    NotMatchedClause(condition=cond, insert_all=True)
+                )
+                continue
+            import re as _re
+
+            m = _re.match(
+                r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)$",
+                body,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if not m:
+                raise UnsupportedStatement(
+                    "INSERT action must be INSERT * or INSERT (cols) "
+                    f"VALUES (exprs): {body[:80]!r}"
+                )
+            cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            exprs = _split_top_level_commas(m.group(2))
+            if len(cols) != len(exprs) or not cols:
+                raise UnsupportedStatement(
+                    f"INSERT column/value count mismatch: {len(cols)} "
+                    f"cols, {len(exprs)} values"
+                )
+            if len(set(c.lower() for c in cols)) != len(cols):
+                raise UnsupportedStatement(
+                    "duplicate column in INSERT column list"
+                )
+            not_matched.append(
+                NotMatchedClause(
+                    condition=cond,
+                    values={c: rw(e) for c, e in zip(cols, exprs)},
+                )
+            )
+            continue
+        raise UnsupportedStatement(
+            f"unknown MERGE action {verb!r} (UPDATE SET / DELETE / "
+            "INSERT)"
+        )
+    return matched, not_matched, by_source
+
+
 def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
     """Execute one DML/DDL statement against the catalog (grammar in
     the module docstring). Returns: affected-row count (DELETE/UPDATE,
@@ -173,11 +550,19 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         set_tok = toks[after + set_idx]
         wh = _clause_pos(toks[after + set_idx + 1:], "WHERE")
         if wh is None:
-            set_body, cond = s[set_tok[2]:], "true"
-        else:
-            where_tok = toks[after + set_idx + 1 + wh]
-            set_body = s[set_tok[2]:where_tok[1]]
-            cond = s[where_tok[2]:].strip()
+            # Same refusal posture as DELETE-without-WHERE: an
+            # unconditional UPDATE rewrites every row of the table —
+            # as destructive as an unconditional DELETE, and usually a
+            # dropped clause. Delta allows it; here the intent must be
+            # explicit: WHERE true is the documented opt-in.
+            raise UnsupportedStatement(
+                "UPDATE without WHERE rewrites every row — add "
+                "WHERE true to update the whole table explicitly "
+                "(mirrors the DELETE-without-WHERE refusal)"
+            )
+        where_tok = toks[after + set_idx + 1 + wh]
+        set_body = s[set_tok[2]:where_tok[1]]
+        cond = s[where_tok[2]:].strip()
         set_exprs: dict[str, str] = {}
         for item in _split_top_level_commas(set_body):
             col, eq, rhs = item.partition("=")
@@ -185,7 +570,17 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 raise UnsupportedStatement(
                     f"bad SET item {item!r} (expected col = expr)"
                 )
-            set_exprs[_ident(col)] = rhs.strip()
+            col_name = _ident(col)
+            if col_name in set_exprs:
+                # SQL engines reject duplicate SET targets; silently
+                # keeping the last one would mask a typo'd statement
+                # (especially with first-'=' splitting).
+                raise UnsupportedStatement(
+                    f"column {col_name!r} appears more than once in "
+                    "the SET list — duplicate assignment targets are "
+                    "rejected, as in ANSI UPDATE"
+                )
+            set_exprs[col_name] = rhs.strip()
         if not set_exprs:
             raise UnsupportedStatement(f"empty SET clause: {s[:80]}")
         from ..operators.dml import update_where
@@ -199,6 +594,117 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             max_partitions=max_partitions,
             allow_partition_move=True,
         )
+
+    if head == "MERGE":
+        # MERGE INTO t [AS] [a] USING s|(subquery) [AS] [b] ON <cond>
+        #   WHEN MATCHED [AND c] THEN UPDATE SET */sets | DELETE
+        #   WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT */(cols) VALUES (..)
+        #   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET sets | DELETE
+        # Strategy auto-pick: the canonical upsert shape (UPDATE SET *
+        # + INSERT *, no DELETEs) dispatches onto merge_upsert /
+        # merge_upsert_partitioned (partition-pruned when the detected
+        # hive layout's columns are all merge keys); every other
+        # clause set runs the generalized one-join merge_apply with a
+        # layout-preserving staging overwrite. Returns None (like
+        # INSERT OVERWRITE; Delta's MERGE metrics would cost a second
+        # pass over the join here).
+        if len(toks) < 2 or toks[1][0] != "INTO":
+            raise UnsupportedStatement(
+                f"expected MERGE INTO <table> ..., got: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, 2)
+        t_alias = table.split(".")[-1]
+        if after < len(toks) and toks[after][0] == "AS":
+            after += 1
+            t_alias = _ident(s[toks[after][1]:toks[after][2]])
+            after += 1
+        elif after < len(toks) and toks[after][0] != "USING":
+            t_alias = _ident(s[toks[after][1]:toks[after][2]])
+            after += 1
+        if after >= len(toks) or toks[after][0] != "USING":
+            raise UnsupportedStatement(
+                f"MERGE needs USING <source> after the target: {s[:80]}"
+            )
+        on_rel = _clause_pos(toks[after:], "ON")
+        if on_rel is None:
+            raise UnsupportedStatement(f"MERGE needs ON <cond>: {s[:80]}")
+        on_tok = toks[after + on_rel]
+        source_spec = s[toks[after][2]:on_tok[1]].strip()
+        first_when = _clause_pos(toks[after + on_rel:], "WHEN")
+        if first_when is None:
+            raise UnsupportedStatement(
+                f"MERGE needs at least one WHEN clause: {s[:80]}"
+            )
+        when_tok_idx = after + on_rel + first_when
+        on_text = s[on_tok[2]:toks[when_tok_idx][1]].strip()
+
+        source, s_alias = _merge_source_frame(catalog, source_spec)
+        pairs, guard = _parse_merge_on(on_text, t_alias, s_alias)
+        matched, not_matched, by_source = _parse_merge_clauses(
+            s, toks, when_tok_idx, t_alias, s_alias
+        )
+        guard_expr = (
+            f"{_SOURCE_PREFIX}{guard[0]} {guard[1]} {guard[2]}"
+            if guard
+            else None
+        )
+
+        keys = [p[0] for p in pairs]
+        canonical = (
+            len(matched) == 1
+            and matched[0].update_all
+            and matched[0].condition is None
+            and len(not_matched) == 1
+            and not_matched[0].insert_all
+            and not_matched[0].condition is None
+            and not by_source
+            and all(tc == sc for tc, sc in pairs)
+            and (
+                guard is None
+                or (guard[0] == guard[2] and guard[1] == ">=")
+            )
+        )
+        pcols = _detect_partition_cols(catalog.path(table))
+        if canonical:
+            from ..operators.merge import (
+                merge_upsert,
+                merge_upsert_partitioned,
+            )
+
+            ts_col = guard[0] if guard else None
+            if pcols and set(pcols) <= set(keys):
+                merge_upsert_partitioned(
+                    catalog, table, source, keys, pcols,
+                    ts_col=ts_col, max_partitions=max_partitions,
+                )
+                return None
+            merged = merge_upsert(
+                catalog.read(table), source, keys, ts_col=ts_col
+            )
+            catalog.overwrite_via_staging(
+                merged, table, partition_by=pcols
+            )
+            return None
+        from ..operators.merge_clauses import merge_apply
+
+        if guard_expr is not None:
+            # the ON timestamp guard gates every MATCHED clause
+            # (fixed reference semantics: stale source rows keep the
+            # target row, they are NOT re-inserted)
+            for m in matched:
+                m.condition = (
+                    guard_expr
+                    if m.condition is None
+                    else f"({guard_expr}) AND ({m.condition})"
+                )
+        merged = merge_apply(
+            catalog.read(table), source, pairs,
+            matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source=by_source,
+        )
+        catalog.overwrite_via_staging(merged, table, partition_by=pcols)
+        return None
 
     if head in ("SELECT", "WITH"):
         # Read-side time travel: SELECT ... FROM t VERSION AS OF n
@@ -458,6 +964,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
 
     raise UnsupportedStatement(
         f"unsupported statement head {head!r} — supported: DELETE, "
-        "UPDATE, TRUNCATE, ALTER TABLE ADD/DROP CONSTRAINT, RESTORE, "
-        "VACUUM (SELECT queries go through spark.sql / plans.run_sql)"
+        "UPDATE, MERGE INTO, INSERT, TRUNCATE, ALTER TABLE ADD/DROP "
+        "CONSTRAINT, RESTORE, VACUUM, OPTIMIZE, ANALYZE, DESCRIBE "
+        "(SELECT queries go through spark.sql / plans.run_sql)"
     )

@@ -229,3 +229,53 @@ def test_vacuum_reclaims_dml_staging_and_list_tables_hides_husks(
     assert freed > 0
     assert not os.path.isdir(cat.path(TBL) + "__dmlstaging")
     assert not os.path.isdir(cat.path(TBL) + "__dmltouched")
+
+
+def test_yaml_without_constraints_key_preserves_out_of_band(
+    spark, tmp_path
+):
+    # A YAML with NO constraints key takes no position: a constraint
+    # added via add_constraint / ALTER TABLE must survive the next
+    # ingest run. An explicitly EMPTY block ({}) DOES reconcile and
+    # drops the set — the YAML then declares "this table has none".
+    import json as _json
+
+    from mydatalake_spark.ingest import Ingestor
+
+    meta_root = tmp_path / "meta" / "quotes"
+    meta_root.mkdir(parents=True)
+    yml = meta_root / "quotes.yml"
+    yml.write_text(
+        """
+catalog: bronze
+schema: mkt
+table: quotes
+fields:
+  - name: symbol
+    type: string
+  - name: price
+    type: double
+"""
+    )
+    src = tmp_path / "rows.json"
+    src.write_text(_json.dumps({"symbol": "AAPL", "price": 10.0}))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ing = Ingestor(
+        spark, cat, str(tmp_path / "meta"), "quotes",
+        input_format="json", input_path=str(src),
+    )
+    ing.run()
+    cat.add_constraint("bronze.mkt.quotes", "price_pos", "price > 0")
+    # re-run with a constraint-less YAML: out-of-band contract survives
+    Ingestor(
+        spark, cat, str(tmp_path / "meta"), "quotes",
+        input_format="json", input_path=str(src),
+    ).run()
+    assert set(cat.constraints("bronze.mkt.quotes")) == {"price_pos"}
+    # explicitly empty block → reconciled away
+    yml.write_text(yml.read_text() + "constraints: {}\n")
+    Ingestor(
+        spark, cat, str(tmp_path / "meta"), "quotes",
+        input_format="json", input_path=str(src),
+    ).run()
+    assert cat.constraints("bronze.mkt.quotes") == {}

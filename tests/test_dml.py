@@ -262,3 +262,50 @@ def test_update_allow_partition_move(spark, tmp_path):
     assert n == 1
     assert {r.id: r.region for r in cat.read(TBL).collect()}[5] == "EU"
     assert ("AP",) not in _leaf_partition_files(cat.path(TBL), ["region"])
+
+
+def test_dml_refused_on_delta_catalog():
+    # Directory swaps behind a _delta_log would corrupt the table —
+    # same capability split as merge_upsert vs merge_upsert_delta.
+    # The guard fires before any read, so a bare stub suffices.
+    from types import SimpleNamespace
+
+    fake = SimpleNamespace(fmt="delta")
+    with pytest.raises(ValueError, match="delta"):
+        delete_where(fake, TBL, "id = 1")
+    with pytest.raises(ValueError, match="delta"):
+        update_where(fake, TBL, {"amount": "0"}, "id = 1")
+
+
+def test_update_partitioned_failed_rewrite_commits_no_version(
+    spark, tmp_path
+):
+    # A CHECK guard firing during the staged slice write must not burn
+    # a keep_versions slot on a version identical to live (the
+    # checkpoint now rides overwrite_partitions' pre_swap hook, which
+    # only fires once staging succeeded) — matching delete_where.
+    from pyspark.errors import SparkRuntimeException
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat, partitioned=True)
+    cat.add_constraint(TBL, "amount_pos", "amount > 0")
+    before = cat.versions(TBL)
+    with pytest.raises(SparkRuntimeException, match="amount_pos"):
+        update_where(
+            cat, TBL, {"amount": "-1"}, "id = 1",
+            partition_cols=["region"],
+        )
+    assert cat.versions(TBL) == before
+    # live state intact
+    assert {r.amount for r in cat.read(TBL).where("id = 1").collect()} == {
+        10.0
+    }
+    # and a SUCCEEDING partitioned update still commits exactly one
+    assert (
+        update_where(
+            cat, TBL, {"amount": "11.0"}, "id = 1",
+            partition_cols=["region"],
+        )
+        == 1
+    )
+    assert len(cat.versions(TBL)) == len(before) + 1

@@ -69,11 +69,31 @@ def test_update_sql_multi_set_with_function_commas(spark, tmp_path):
     assert got[3] == (30.0, "x")
 
 
-def test_update_sql_without_where_hits_all_rows(spark, tmp_path):
+def test_update_sql_without_where_refused_where_true_opts_in(
+    spark, tmp_path
+):
     cat = Catalog(spark, str(tmp_path / "wh"))
     _seed(spark, cat)
-    assert run_table_sql(cat, f"UPDATE {TBL} SET amount = 0") == 5
+    with pytest.raises(UnsupportedStatement, match="WHERE true"):
+        run_table_sql(cat, f"UPDATE {TBL} SET amount = 0")
+    assert (
+        run_table_sql(cat, f"UPDATE {TBL} SET amount = 0 WHERE true") == 5
+    )
     assert {r.amount for r in cat.read(TBL).collect()} == {0.0}
+
+
+def test_update_sql_duplicate_set_target_refused(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    with pytest.raises(UnsupportedStatement, match="more than once"):
+        run_table_sql(
+            cat,
+            f"UPDATE {TBL} SET amount = 1, amount = 2 WHERE id = 1",
+        )
+    # the refusal happened before any mutation
+    assert {r.amount for r in cat.read(TBL).where("id = 1").collect()} == {
+        10.0
+    }
 
 
 def test_truncate_and_unsupported_statements(spark, tmp_path):
@@ -82,7 +102,7 @@ def test_truncate_and_unsupported_statements(spark, tmp_path):
     run_table_sql(cat, f"TRUNCATE TABLE {TBL}")
     assert not cat.exists(TBL)
     with pytest.raises(UnsupportedStatement, match="unsupported statement"):
-        run_table_sql(cat, f"MERGE INTO {TBL} USING x ON 1=1")
+        run_table_sql(cat, f"GRANT SELECT ON {TBL} TO someone")
     with pytest.raises(UnsupportedStatement, match="empty statement"):
         run_table_sql(cat, "  ;; ")
 
@@ -339,3 +359,71 @@ def test_optimize_zorder_refuses_partition_columns(spark, tmp_path):
     _seed(spark, cat, partitioned=True)
     with pytest.raises(ValueError, match="partition columns"):
         run_table_sql(cat, f"OPTIMIZE {TBL} ZORDER BY (region)")
+
+
+def test_optimize_zorder_on_string_and_date_columns(spark, tmp_path):
+    # Delta's OPTIMIZE ZORDER BY accepts date/timestamp/string keys —
+    # the common clustering columns; they ride an order-preserving
+    # long surrogate instead of cast('long') (which NULLs them out).
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.maintenance import optimize_table
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(400).selectExpr(
+        "id",
+        "concat('cust_', lpad(cast(id % 97 as string), 3, '0')) AS name",
+        "date_add(date'2024-01-01', cast(id % 365 as int)) AS day",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+    )
+    cat.overwrite(df, "silver.sales.events")
+    n = run_table_sql(
+        cat, "OPTIMIZE silver.sales.events ZORDER BY (name, day)"
+    )
+    assert n >= 1
+    out = cat.read("silver.sales.events")
+    assert out.count() == 400
+    assert set(out.columns) == {"id", "name", "day", "ts"}
+    # timestamp key too
+    assert run_table_sql(
+        cat, "OPTIMIZE silver.sales.events ZORDER BY (ts)"
+    ) >= 1
+    assert cat.read("silver.sales.events").count() == 400
+
+
+def test_optimize_zorder_degenerate_inputs_fail_by_name(spark):
+    # empty frame: no min/max bounds to scale the Morton key into —
+    # named error, not TypeError int(None). (An empty CATALOG table
+    # cannot exist here — delete-all/truncate remove the directory —
+    # so optimize_table's limit(1) no-op guard covers any format that
+    # does materialize one.)
+    from mydatalake_spark.maintenance import _zorder_frame
+
+    empty = spark.createDataFrame([], "id int, v string")
+    with pytest.raises(ValueError, match="NULL min/max"):
+        _zorder_frame(empty, ["id"], 16, None).collect()
+    # unsupported type named in the error
+    bin_df = spark.createDataFrame(
+        [(1, bytearray(b"ab"))], "id int, blob binary"
+    )
+    with pytest.raises(ValueError, match="blob"):
+        _zorder_frame(bin_df, ["blob"], 16, None)
+    # all-NULL column: same bounds guard
+    null_df = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, v string"
+    )
+    with pytest.raises(ValueError, match="NULL min/max"):
+        _zorder_frame(null_df, ["v"], 16, None)
+
+
+def test_zorder_string_surrogate_preserves_order(spark):
+    # hex-prefix surrogate must be monotone w.r.t. the string order
+    # (binary collation) so range clustering on it is real clustering
+    from mydatalake_spark.maintenance import _zorder_surrogate
+
+    vals = ["", "a", "aa", "ab", "abcdefgh", "abcdefz", "b", "zz", "Z"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s", _zorder_surrogate(df, "s").alias("k")
+    ).collect()
+    by_string = [r.k for r in sorted(rows, key=lambda r: r.s)]
+    assert by_string == sorted(by_string)
