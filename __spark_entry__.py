@@ -1261,6 +1261,156 @@ WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)
 """
 
 
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` with a GENERAL clause set (r11,
+    plans/table_sql.py MERGE head → operators/merge_clauses.py:
+    merge_apply — the full Delta MERGE surface beyond the canonical
+    upsert, which merge_cdc_orders already drives): target = orders
+    keys ≢0 mod 3; changeset = even keys repriced ×1.2. One statement
+    exercises every clause family in first-wins order —
+
+    - ``WHEN MATCHED AND new_price > 450000 THEN DELETE``
+    - ``WHEN MATCHED THEN UPDATE SET price = s.new_price,
+      status = 'merged'`` (explicit SETs, unmentioned cols keep
+      target values)
+    - ``WHEN NOT MATCHED AND new_price <= 150000 THEN INSERT (cols)
+      VALUES (...)`` (conditional insert with an explicit list)
+    - ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+      status = 'orphan'``
+
+    executed as ONE full-outer join + codegen'd action cascade (no
+    per-clause pass). The oracle replays the semantics declaratively:
+    a clause firing out of order, a DELETE leaking past its
+    condition, a lost target-only row, or an insert ignoring its
+    condition all break the hash. Money stays exact via integer
+    cents."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.lit("live").alias("status"),
+        (_cents(F.col("o_totalprice")) / 100.0).alias("price"),
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (_cents(F.col("o_totalprice") * 1.2) / 100.0).alias("new_price"),
+    )
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="mergeinto_"))
+    cat.overwrite(target, "silver.sales.t_merge")
+    cat.overwrite(changes, "bronze.sales.s_merge")
+    run_table_sql(
+        cat,
+        "MERGE INTO silver.sales.t_merge t "
+        "USING bronze.sales.s_merge s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.new_price > 450000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET price = s.new_price, "
+        "status = 'merged' "
+        "WHEN NOT MATCHED AND s.new_price <= 150000 THEN "
+        "INSERT (o_orderkey, status, price) "
+        "VALUES (s.o_orderkey, 'inserted', s.new_price) "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'orphan'",
+    )
+    return cat.read("silver.sales.t_merge").select(
+        "o_orderkey", "status", "price"
+    )
+
+
+_MERGE_INTO_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, 'live' AS status,
+         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) / 100.0
+           AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+), s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 1.2 * 100 + 1e-6, 0) AS BIGINT)
+           / 100.0 AS new_price
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT t.o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN 'merged'
+            ELSE 'orphan' END AS status,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+            ELSE t.price END AS price
+FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (s.o_orderkey IS NOT NULL AND s.new_price > 450000)
+UNION ALL
+SELECT s.o_orderkey, 'inserted' AS status, s.new_price AS price
+FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+WHERE t.o_orderkey IS NULL AND s.new_price <= 150000
+"""
+
+
+def ctas_part_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE TABLE ... PARTITIONED BY ... AS SELECT`` under the
+    oracle (r11, plans/table_sql.py CREATE head →
+    Catalog.overwrite_via_staging): orders load into a throwaway
+    warehouse, a partitioned CTAS aggregates them per (priority,
+    order-year), and a second CREATE OR REPLACE narrows it — the
+    replace must fully supersede the first state (a stale leaf
+    surviving the swap breaks the row count and the hash). The CTAS
+    SELECT runs through the same dialect shims as every transform
+    (three-part names, QUALIFY), so the statement a Databricks
+    notebook runs works verbatim. The produced table is genuinely
+    hive-partitioned (asserted), which is what makes later
+    partition-pruned DML/OPTIMIZE/CDF possible on it."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog, detect_partition_cols
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ctas_"))
+    cat.overwrite(orders, "bronze.sales.orders_src")
+    run_table_sql(
+        cat,
+        "CREATE TABLE gold.sales.rev PARTITIONED BY (o_orderpriority) "
+        "AS SELECT o_orderpriority, "
+        "CAST(YEAR(o_orderdate) AS INT) AS o_year, "
+        "COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 AS revenue "
+        "FROM bronze.sales.orders_src "
+        "GROUP BY o_orderpriority, CAST(YEAR(o_orderdate) AS INT)",
+    )
+    run_table_sql(
+        cat,
+        "CREATE OR REPLACE TABLE gold.sales.rev "
+        "PARTITIONED BY (o_orderpriority) "
+        "AS SELECT o_orderpriority, "
+        "CAST(YEAR(o_orderdate) AS INT) AS o_year, "
+        "COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 AS revenue "
+        "FROM bronze.sales.orders_src "
+        "WHERE o_orderpriority <> '5-LOW' "
+        "GROUP BY o_orderpriority, CAST(YEAR(o_orderdate) AS INT)",
+    )
+    assert detect_partition_cols(cat.path("gold.sales.rev")) == [
+        "o_orderpriority"
+    ]
+    return cat.read("gold.sales.rev").select(
+        "o_orderpriority", "o_year", "n_orders", "revenue"
+    )
+
+
+_CTAS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT)) / 100.0
+         AS revenue
+FROM orders
+WHERE o_orderpriority <> '5-LOW'
+GROUP BY o_orderpriority, CAST(YEAR(o_orderdate) AS INTEGER)
+"""
+
+
 def clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE under the oracle (catalog.py:clone — the Delta
     ``CREATE TABLE ... CLONE`` analogue): orders land in a throwaway
@@ -1428,47 +1578,83 @@ FROM bronze
 
 
 
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-function breadth (§2.8 F1-F8 + date/string/math beyond
-    the reference): one projection exercising concat_ws, lower/trim,
-    date arithmetic, epoch conversion, conditionals, and math — every
-    expression JVM-side with a DuckDB twin."""
+def scalar_functions_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (§2.8 F1-F12 + date/string/math beyond
+    the reference) as ONE two-table union — the former
+    scalar_functions + scalar_functions2 twins folded under a single
+    registry entry (r11 governance at the 200-entry budget cap), no
+    function dropped. The lineitem side exercises concat_ws,
+    lower/trim, date arithmetic, epoch conversion, conditionals and
+    math; the documents side exercises translate, reverse,
+    regexp_extract (group + no-match → '' in both engines) and
+    levenshtein. Disjoint outputs NULL-pad into the shared schema —
+    every expression JVM-side with a DuckDB twin."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
+    docs = _t(spark, sf_dir, "documents")
+    li_side = li.select(
         F.concat_ws("_", F.col("l_orderkey").cast("string"),
                     F.col("l_linenumber").cast("string")).alias("row_key"),
-        F.lower(F.trim(F.col("l_returnflag"))).alias("flag_norm"),
-        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"),
-                   F.col("l_shipdate").cast("date")).alias("age_days"),
-        F.unix_timestamp(F.col("l_shipdate")).alias("ship_epoch"),
+        F.lower(F.trim(F.col("l_returnflag"))).alias("str_a"),
+        F.substring(F.col("l_returnflag"), 1, 1).alias("str_b"),
         F.when(F.col("l_discount") > 0.05, F.lit("high"))
-        .otherwise(F.lit("low")).alias("disc_band"),
-        F.round(F.sqrt(F.col("l_quantity")), 6).alias("qty_sqrt"),
-        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
-        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
-        F.substring(F.col("l_returnflag"), 1, 1).alias("flag_initial"),
+        .otherwise(F.lit("low")).alias("str_c"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("date_a"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("l_shipdate").cast("date")).alias("int_a"),
         F.length(F.concat(F.col("l_returnflag"), F.col("l_linestatus")))
-        .cast("int").alias("cat_len"),
+        .cast("int").alias("int_b"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("big_a"),
+        F.round(F.sqrt(F.col("l_quantity")), 6).alias("num_a"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("num_b"),
+        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("num_c"),
     )
+    doc_side = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+        .alias("row_key"),
+        F.translate("source", "src", "XYZ").alias("str_a"),
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("str_b"),
+        F.reverse("source").alias("str_c"),
+        F.lit(None).cast("date").alias("date_a"),
+        F.levenshtein("source", F.lit("src0")).alias("int_a"),
+        F.lit(None).cast("int").alias("int_b"),
+        F.lit(None).cast("long").alias("big_a"),
+        F.lit(None).cast("double").alias("num_a"),
+        F.lit(None).cast("double").alias("num_b"),
+        F.lit(None).cast("double").alias("num_c"),
+    )
+    return li_side.unionByName(doc_side)
 
 
 _SCALAR_ORACLE = """
 SELECT
   CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
     AS row_key,
-  LOWER(TRIM(l_returnflag)) AS flag_norm,
-  CAST(l_shipdate AS DATE) + 30 AS due_date,
+  LOWER(TRIM(l_returnflag)) AS str_a,
+  SUBSTRING(l_returnflag, 1, 1) AS str_b,
+  CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS str_c,
+  CAST(l_shipdate AS DATE) + 30 AS date_a,
   CAST(DATEDIFF('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')
-       AS INTEGER) AS age_days,
-  CAST(EPOCH(l_shipdate) AS BIGINT) AS ship_epoch,
-  CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
-  ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
-  ABS(l_quantity - 25) AS qty_dev,
-  GREATEST(l_tax, l_discount) AS max_rate,
-  SUBSTRING(l_returnflag, 1, 1) AS flag_initial,
-  CAST(LENGTH(l_returnflag || l_linestatus) AS INTEGER) AS cat_len
+       AS INTEGER) AS int_a,
+  CAST(LENGTH(l_returnflag || l_linestatus) AS INTEGER) AS int_b,
+  CAST(EPOCH(l_shipdate) AS BIGINT) AS big_a,
+  ROUND(SQRT(l_quantity), 6) AS num_a,
+  ABS(l_quantity - 25) AS num_b,
+  GREATEST(l_tax, l_discount) AS num_c
 FROM lineitem
+UNION ALL
+SELECT
+  'doc_' || CAST(doc_id AS VARCHAR) AS row_key,
+  TRANSLATE(source, 'src', 'XYZ') AS str_a,
+  REGEXP_EXTRACT(text, '([A-Za-z]+)', 1) AS str_b,
+  REVERSE(source) AS str_c,
+  CAST(NULL AS DATE) AS date_a,
+  LEVENSHTEIN(source, 'src0') AS int_a,
+  CAST(NULL AS INTEGER) AS int_b,
+  CAST(NULL AS BIGINT) AS big_a,
+  CAST(NULL AS DOUBLE) AS num_a,
+  CAST(NULL AS DOUBLE) AS num_b,
+  CAST(NULL AS DOUBLE) AS num_c
+FROM documents
 """
 
 
@@ -2034,30 +2220,6 @@ SELECT c_custkey, c_nationkey,
        CUME_DIST() OVER (PARTITION BY c_nationkey
                          ORDER BY c_acctbal, c_custkey) AS cume
 FROM customer
-"""
-
-
-def scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second scalar-function breadth sweep: translate, reverse,
-    regexp_extract (group + no-match → '' in both engines),
-    levenshtein — all row-parallel codegen expressions."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.translate("source", "src", "XYZ").alias("translated"),
-        F.reverse("source").alias("reversed"),
-        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
-        F.levenshtein("source", F.lit("src0")).alias("lev_to_src0"),
-    )
-
-
-_SCALAR2_ORACLE = """
-SELECT doc_id,
-       TRANSLATE(source, 'src', 'XYZ') AS translated,
-       REVERSE(source) AS reversed,
-       REGEXP_EXTRACT(text, '([A-Za-z]+)', 1) AS first_word,
-       LEVENSHTEIN(source, 'src0') AS lev_to_src0
-FROM documents
 """
 
 
@@ -4155,17 +4317,6 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.9
 """
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.45), the fifth dedup
-    family member. ``exact=None`` auto-selects: this corpus is under
-    ``max_exact_rows`` so the verifiable BLAS all-pairs path runs; a
-    100 TB corpus would auto-route to the LSH-blocked path instead
-    (operators/neardup.py:cosine_neardup_pairs) — no corpus-sized
-    broadcast on the default path, ever."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.45)
-
-
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-blocked scale path of ``cosine_neardup_pairs``
     (exact=False), VERIFIED against the same exact oracle: hyperplane
@@ -4174,6 +4325,15 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 and sf0.01 — collision prob per band ≈ 0.27, miss prob per
     pair ≈ 0.73³² ≈ 4e-5). This is the path a 1000-executor corpus
     takes; the oracle proves it loses nothing here.
+
+    r11 fold (registry governance at the 200-entry cap): the former
+    ``embedding_neardup`` entry — ``exact=None`` auto-selecting the
+    byte-capped BLAS all-pairs path on this sub-1M-row corpus — now
+    runs INSIDE this harness as the exact-side assertion: both code
+    paths must produce the identical pair set before the LSH frame is
+    returned, so folding the entries dropped no verification (the
+    auto-route/BLAS path still executes and is still checked against
+    the banded path AND the DuckDB oracle every run).
 
     Cost note: threshold 0.45 on THIS synthetic corpus (random
     vectors, max pair cos ≈ 0.6) is sign-LSH's adversarial regime —
@@ -4184,10 +4344,30 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-second here). Candidates travel id-only; vectors re-attach
     per distinct pair (neardup.py:cosine_neardup_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(
+    from mydatalake_spark.caching import adopt
+
+    lsh = cosine_neardup_pairs(
         emb, threshold=0.45, exact=False, dim=64,
         n_bands=32, bits_per_band=3,
-    )
+    ).persist()
+    exact = cosine_neardup_pairs(emb, threshold=0.45)
+    # one id-only collect per path (the matched pair set is small by
+    # construction — the oracle collects the same set every run);
+    # set-compare driver-side instead of exceptAll jobs, which would
+    # re-evaluate both plans twice more. The LSH frame is persisted so
+    # the assertion's materialization also serves the returned frame
+    # (ownership adopted — release/release_all frees it).
+    ids = ["id_a", "id_b"]
+    lsh_ids = {tuple(r) for r in lsh.select(*ids).collect()}
+    exact_ids = {tuple(r) for r in exact.select(*ids).collect()}
+    if lsh_ids != exact_ids:
+        raise AssertionError(
+            "embedding_neardup_lsh: banded path diverged from the "
+            "exact BLAS path — the folded exact-side assertion failed "
+            f"(lsh-only: {len(lsh_ids - exact_ids)}, "
+            f"exact-only: {len(exact_ids - lsh_ids)})"
+        )
+    return adopt(lsh, lsh)
 
 
 _EMB_NEARDUP_ORACLE = """
@@ -10326,6 +10506,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
+        # --- never driver-checked: prefix slots first ---
+        "merge_into_orders": merge_into_orders,
+        "ctas_part_orders": ctas_part_orders,
+        "scalar_functions_all": scalar_functions_all,
         # --- last driver-green in r7 ---
         "merge_bloom_orders": merge_bloom_orders,
         "medallion_job_orders": medallion_job_orders,
@@ -10346,7 +10530,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_metrics": unpivot_part_metrics,
         "rolling_revenue_daily": rolling_revenue_daily,
         "rank_stats_customers": rank_stats_customers,
-        "scalar_functions2": scalar_functions2,
         "median_acctbal_by_nation": median_acctbal_by_nation,
         "stats_lineitem": stats_lineitem,
         "retention_cohorts_events": retention_cohorts_events,
@@ -10496,7 +10679,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile_lineitem": key_skew_profile_lineitem,
         "source_overlap_documents": source_overlap_documents,
         "window_functions_lineitem": window_functions_lineitem,
-        "scalar_functions": scalar_functions,
         "topk_orders": topk_orders,
         "anti_join_customers": anti_join_customers,
         "semi_join_segments": semi_join_segments,
@@ -10529,7 +10711,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "simhash_documents": simhash_documents,
-        "embedding_neardup": embedding_neardup,
     }
 
 
@@ -10559,6 +10740,8 @@ def oracle_sql() -> dict[str, str]:
         "cdf_commits_orders": _CDF_COMMITS_ORACLE,
         "cdf_part_orders": _CDF_PART_ORACLE,
         "dml_orders": _DML_ORACLE,
+        "merge_into_orders": _MERGE_INTO_ORACLE,
+        "ctas_part_orders": _CTAS_ORACLE,
         "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
         "cdf_sync_view_orders": _CDF_SYNC_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,
@@ -10575,7 +10758,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_ORACLE,
         "anti_join_customers": _ANTI_ORACLE,
         "semi_join_segments": _SEMI_ORACLE,
-        "scalar_functions": _SCALAR_ORACLE,
+        "scalar_functions_all": _SCALAR_ORACLE,
         "q14_promo_revenue": _Q14_ORACLE,
         "set_ops_nations": _SET_OPS_ORACLE,
         "multimodal_meta": _MULTIMODAL_ORACLE,
@@ -10719,7 +10902,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards_documents": _PACK_ORACLE,
         "retention_cohorts_events": _RETENTION_ORACLE,
         "similarity_topk": _SIM_ORACLE,
-        "embedding_neardup": _EMB_NEARDUP_ORACLE,
         "embedding_neardup_lsh": _EMB_NEARDUP_ORACLE,
         # Approximate paths, verified end-to-end: the oracle is the
         # EXACT result the candidates→verify pipeline must reproduce
@@ -10735,7 +10917,6 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_part_metrics": _UNPIVOT_ORACLE,
         "rolling_revenue_daily": _ROLLING_ORACLE,
         "rank_stats_customers": _RANK_STATS_ORACLE,
-        "scalar_functions2": _SCALAR2_ORACLE,
         "median_acctbal_by_nation": _MEDIAN_ORACLE,
         "stats_lineitem": _STATS_ORACLE,
     }

@@ -253,7 +253,10 @@ HEADLINE = [
     "vocab_topk_documents",
     "minhash_neardup_documents",
     "similarity_topk",
-    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "merge_into_orders",
+    "ctas_part_orders",
+    "scalar_functions_all",
     "asof_enrich_clicks",
     "winnow_pairs_documents",
     "decontaminate_documents",

@@ -735,11 +735,63 @@ class Catalog:
         os.replace(staging, final)
         self._invalidate(full_name)
 
+    def _append_txn_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".append_txns.json"
+        )
+
+    def _append_txn_seen(self, full_name: str, txn_id: str) -> bool:
+        p = self._append_txn_path(full_name)
+        if not os.path.exists(p):
+            return False
+        with open(p) as fh:
+            return txn_id in json.load(fh)
+
+    def _record_append_txn(
+        self, full_name: str, txn_id: str, n: int
+    ) -> None:
+        p = self._append_txn_path(full_name)
+        book = {}
+        if os.path.exists(p):
+            with open(p) as fh:
+                book = json.load(fh)
+        book[txn_id] = n
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _cleanup_append_txn(self, full_name: str, txn_id: str) -> None:
+        """Remove data files a CRASHED attempt of this txn left in the
+        live tree (they carry the ``txn-{id}-`` name prefix), so the
+        replay converges to exactly-once instead of doubling the
+        partial batch. If the cleanup empties the table entirely (the
+        crashed txn was the table's FIRST batch), the directory husk
+        is removed so the replay re-takes the create path."""
+        base = self.path(full_name)
+        if not os.path.isdir(base):
+            return
+        prefix = f"txn-{txn_id}-"
+        remaining = 0
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                if f.startswith(prefix):
+                    os.remove(os.path.join(dirpath, f))
+                else:
+                    remaining += 1
+        if remaining == 0:
+            shutil.rmtree(base, ignore_errors=True)
+        self._invalidate(full_name)
+
     def append(
         self,
         df: DataFrame,
         full_name: str,
         partition_by: list[str] | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Delta ``mode("append")`` analogue: add rows to a table
         WITHOUT reading or rewriting its existing bytes — the write
@@ -770,13 +822,97 @@ class Catalog:
         it yields pure inserts. Atomicity is PER FILE, like
         overwrite_partitions: a reader racing the move may see a
         subset of the new files (Delta gets cross-file atomicity from
-        its log; re-running a failed append would double rows — the
-        idempotent path is the key-based CDC merge).
+        its log).
+
+        Replay contract: WITHOUT ``txn_id``, re-running the same
+        append doubles rows (appends carry no row identity — the
+        key-based CDC merge is the keyless-idempotence alternative).
+        WITH ``txn_id`` (the Delta ``txnAppId``/``txnVersion``
+        analogue, and the table-layer sibling of the views layer's
+        ``batch_token``), the append is EXACTLY-ONCE under replay:
+
+        - a token already recorded in ``.append_txns.json`` (version
+          root, committed only after every file move landed) → no-op
+          returning 0;
+        - a crashed attempt's partial files are recognizable (each
+          moved file is name-prefixed ``txn-{id}-``) and removed
+          before the retry re-moves the full staged batch — the
+          replay converges instead of doubling the partial;
+        - a crashed FIRST batch (table created by the txn) is handled
+          by the same cleanup: emptying the table removes the husk
+          and the retry re-takes the create path, which stages,
+          prefixes, and goes live in ONE atomic directory rename.
+
+        A replayed-after-crash append may retain one extra identical
+        snapshot version (the retry checkpoints again); retention
+        pruning bounds it. ``txn_id`` must be filesystem-safe
+        ([A-Za-z0-9._-]); on a Delta catalog pass Delta's own
+        ``txnAppId``/``txnVersion`` writer options instead.
         """
+        if txn_id is not None:
+            if self.fmt == "delta":
+                raise ValueError(
+                    "append(txn_id=...) on a Delta catalog: use "
+                    "Delta's own txnAppId/txnVersion writer options — "
+                    "the token file and name-prefix protocol here "
+                    "assume plain-parquet directories"
+                )
+            import re as _re
+
+            txn_id = str(txn_id)
+            if not _re.fullmatch(r"[A-Za-z0-9._-]+", txn_id):
+                raise ValueError(
+                    f"append txn_id {txn_id!r} must be filesystem-"
+                    "safe: [A-Za-z0-9._-]+"
+                )
+            if self._append_txn_seen(full_name, txn_id):
+                return 0
+            self._cleanup_append_txn(full_name, txn_id)
         if not self.exists(full_name):
-            n = df.count()
-            if n:
-                self.overwrite(df, full_name, partition_by=partition_by)
+            if txn_id is None:
+                n = df.count()
+                if n:
+                    self.overwrite(df, full_name, partition_by=partition_by)
+                return n
+            # exactly-once create path: stage (CHECK guards ride the
+            # write), prefix the file names, go live in ONE atomic
+            # directory rename, then record the token. A crash at any
+            # point either leaves nothing live or leaves a fully-
+            # prefixed table without its token — both states the
+            # replay cleanup converges from.
+            base = self.path(full_name)
+            staging = base + "__appstaging"
+            shutil.rmtree(staging, ignore_errors=True)
+            writer = (
+                self._with_check_guards(df, full_name)
+                .write.format(self.fmt)
+                .mode("overwrite")
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(staging)
+            n = (
+                self.spark.read.format(self.fmt)
+                .schema(df.schema)
+                .load(staging)
+                .count()
+            )
+            if n == 0:
+                shutil.rmtree(staging, ignore_errors=True)
+                self._record_append_txn(full_name, txn_id, 0)
+                return 0
+            for dirpath, _dirs, files in os.walk(staging):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    os.replace(
+                        os.path.join(dirpath, f),
+                        os.path.join(dirpath, f"txn-{txn_id}-{f}"),
+                    )
+            os.makedirs(os.path.dirname(base), exist_ok=True)
+            os.replace(staging, base)
+            self._invalidate(full_name)
+            self._record_append_txn(full_name, txn_id, n)
             return n
         live = self.read(full_name)
         missing = [c for c in live.columns if c not in df.columns]
@@ -862,12 +998,17 @@ class Catalog:
                 if f.startswith((".", "_")):
                     continue
                 src = os.path.join(dirpath, f)
-                rel = os.path.relpath(src, staging)
+                name = f if txn_id is None else f"txn-{txn_id}-{f}"
+                rel = os.path.join(
+                    os.path.dirname(os.path.relpath(src, staging)), name
+                )
                 dst = os.path.join(base, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
         self._invalidate(full_name)
+        if txn_id is not None:
+            self._record_append_txn(full_name, txn_id, n)
         return n
 
     def read_marker(self, full_name: str, filename: str) -> str | None:

@@ -512,3 +512,110 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def bpe_pair_counts(seqs: DataFrame, sep: str = "\x01") -> DataFrame:
+    """Adjacent-symbol pair frequencies over ``sep``-joined token
+    sequences (column ``s``) — ONE explode + groupBy count, the
+    map-reduce heart of a distributed BPE round. Pairs come back as
+    ``left + "\\x02" + right`` in column ``pair`` with count ``n``.
+
+    Fully-merged words (ONE symbol left) contribute no pairs and are
+    filtered before the explode — ``sequence(1, size-1)`` would
+    otherwise DESCEND to index 0 for them (Spark's sequence reverses
+    when stop < start) and fault the whole round."""
+    toks = F.split(F.col("s"), sep)
+    return (
+        seqs.where(F.size(F.split(F.col("s"), sep)) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        "\x02",
+                        F.element_at(toks, i.cast("int")),
+                        F.element_at(toks, (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(
+    words: DataFrame,
+    word_col: str,
+    n_merges: int,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: ``n_merges`` greedy rounds, each ONE
+    pair-count aggregate over the corpus + ONE broadcast-free merge
+    substitution — the loop ``bpe_merge_candidates`` (one round) and
+    ``bpe_two_rounds`` (two rounds, oracle-proven) generalize to.
+    Returns the learned merges in order as (left, right) tuples — the
+    merges TABLE is driver-side by nature (n_merges rows, the
+    artifact a tokenizer ships).
+
+    Faithful to sequential BPE (Sennrich et al. 2016, the public
+    algorithm): each round merges the single most-frequent adjacent
+    symbol pair (count desc, then lexicographic pair for a
+    deterministic tie — the same total order the oracle queries pin),
+    rewriting every word's symbol sequence left-to-right without
+    overlap (Spark ``replace`` replaces non-overlapping occurrences
+    left-to-right, exactly the sequential semantics). Training stops
+    early when no pair reaches ``min_count`` (merging singletons
+    creates tokens no second word shares).
+
+    Scale shape: the corpus NEVER collects — each round is a
+    partial-agg pair count (map-side combine), a 1-row ``limit(1)``
+    collect of the winner, and a codegen'd ``replace`` projection.
+    Lineage is cut with ``localCheckpoint`` every few rounds so round
+    k's plan doesn't stack k REPLACE nodes (at 1000 merges an
+    uncheckpointed plan would be the bottleneck, not the data).
+
+    Symbols are joined with ``\\x01`` (sequence separator) and pairs
+    with ``\\x02``; words containing either control char are refused
+    by name rather than silently mis-tokenized.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    sep = "\x01"
+    bad = (
+        words.where(F.col(word_col).rlike("[\x01\x02]")).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            f"bpe_train: column {word_col!r} contains reserved control "
+            "chars \\x01/\\x02 — strip them first (normalize_text does "
+            "not; they would corrupt the symbol encoding)"
+        )
+    seqs = words.where(F.col(word_col).isNotNull()).select(
+        F.array_join(F.split(F.col(word_col), ""), sep).alias("s")
+    )
+    merges: list[tuple[str, str]] = []
+    for round_no in range(n_merges):
+        top = (
+            bpe_pair_counts(seqs, sep)
+            .where(F.col("n") >= min_count)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split("\x02")
+        merges.append((left, right))
+        seqs = seqs.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{left}{sep}{right}"),
+                F.lit(f"{left}{right}"),
+            ).alias("s")
+        )
+        # cut lineage so round k's plan holds O(1) REPLACE nodes, not
+        # O(k); every 4 rounds amortizes the materialization
+        if (round_no + 1) % 4 == 0 and round_no + 1 < n_merges:
+            seqs = seqs.localCheckpoint(eager=False)
+    return merges

@@ -151,10 +151,16 @@ class IngestorAppend(Ingestor):
     files), never O(table) — the write shape a daily event load needs
     at 100 TB.
 
-    NOT idempotent under replay: appends carry no row identity, so
-    re-running the same input doubles rows. Feeds that can replay
-    need IngestorCDC (key-based, replay converges) or
-    IngestorStreaming (checkpoint remembers consumed files)."""
+    Replay: WITHOUT ``txn_id``, re-running the same input doubles
+    rows (appends carry no row identity) — feeds that can replay need
+    IngestorCDC (key-based, replay converges) or IngestorStreaming
+    (checkpoint remembers consumed files). WITH ``txn_id`` (e.g. the
+    batch date or the input file's identity), ``Catalog.append``'s
+    token protocol makes the run EXACTLY-ONCE: a recorded token
+    no-ops, a crashed attempt's partial files are cleaned up before
+    the retry re-moves the batch."""
+
+    txn_id: str | None = None
 
     def run(self) -> None:
         from .logging_utils import log_duration
@@ -165,6 +171,7 @@ class IngestorAppend(Ingestor):
                 self.load(),
                 self.meta.full_name,
                 partition_by=self.partition_by or None,
+                txn_id=self.txn_id,
             )
             self._sync_declared_constraints()
 

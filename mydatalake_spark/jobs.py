@@ -103,6 +103,11 @@ class JobRunner:
                 # per-table merge strategy (join | bloom) — declared in
                 # job metadata like everything else about the table
                 kwargs["merge_strategy"] = tbl.get("merge_strategy", "join")
+            if job_type == "append":
+                # optional replay token (Delta txnAppId analogue):
+                # declared per table in job metadata; a re-run with
+                # the same token is an exactly-once no-op
+                kwargs["txn_id"] = tbl.get("txn_id")
             ing = cls(
                 spark=self.spark,
                 catalog=self.catalog,

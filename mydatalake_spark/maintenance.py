@@ -297,31 +297,89 @@ def write_zordered(
     ).parquet(path)
 
 
+def _touched_partitions_for_predicate(
+    catalog: Catalog, full_name: str, pcols: list[str], where
+) -> list[tuple]:
+    """Leaf partitions whose DIRECTORY-derived values satisfy a
+    partition predicate — pure metadata: the values come from the
+    hive dirnames (one row per leaf), get cast to the table's
+    partition types, and the predicate filters that tiny frame. No
+    data file is opened. A predicate referencing any non-partition
+    column fails by name (it cannot be evaluated from metadata, and
+    silently scanning data would defeat OPTIMIZE WHERE's point)."""
+    from pyspark.errors import AnalysisException
+
+    from .catalog import _leaf_partition_files
+
+    leaves = _leaf_partition_files(catalog.path(full_name), pcols)
+    if not leaves:
+        return []
+    read_schema = {
+        f.name: f.dataType
+        for f in catalog.read(full_name).select(*pcols).schema.fields
+    }
+    str_df = catalog.spark.createDataFrame(
+        [tuple(v) for v in leaves],
+        ", ".join(f"{c} string" for c in pcols),
+    )
+    typed = str_df.select(
+        *[F.col(c).cast(read_schema[c]).alias(c) for c in pcols]
+    )
+    cond = F.expr(where) if isinstance(where, str) else where
+    try:
+        rows = typed.where(F.coalesce(cond, F.lit(False))).collect()
+    except AnalysisException as e:
+        raise ValueError(
+            f"OPTIMIZE WHERE predicate must reference only the "
+            f"partition columns {pcols} (it is evaluated from "
+            f"directory metadata, never a data scan): {e}"
+        ) from None
+    return [tuple(r[c] for c in pcols) for r in rows]
+
+
 def optimize_table(
     catalog: Catalog,
     full_name: str,
     zorder_by: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     bits: int = 16,
+    where=None,
 ) -> int:
-    """Delta ``OPTIMIZE t [ZORDER BY (cols)]`` analogue on a CATALOG
-    table; returns the output file count. Without ``zorder_by`` this
-    is :func:`compact` (small-file merge, skew-aware shuffle choice).
-    With it, the table is rewritten in Z-order (single column → plain
-    range clustering, the degenerate Morton case is the same thing)
-    THROUGH THE STAGING SWAP — the table reads its own files, so the
-    in-place write write_zordered does on a fresh path would be
-    undefined here; versioning and CHECK constraints ride the swap
-    like every catalog overwrite.
+    """Delta ``OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]`` analogue
+    on a CATALOG table; returns the output file count (0 for a no-op).
+    Without ``zorder_by`` this is :func:`compact` (small-file merge,
+    skew-aware shuffle choice). With it, the table is rewritten in
+    Z-order (single column → plain range clustering, the degenerate
+    Morton case is the same thing) THROUGH THE STAGING SWAP — the
+    table reads its own files, so the in-place write write_zordered
+    does on a fresh path would be undefined here; versioning and
+    CHECK constraints ride the swap like every catalog overwrite.
+
+    ``where`` confines the rewrite to matching partitions (Delta's
+    ``OPTIMIZE t WHERE <partition predicate>`` — THE form that
+    matters at 100 TB, where whole-table OPTIMIZE is off the table):
+    the predicate is evaluated against directory-derived partition
+    values only (metadata scale, no data scan; non-partition columns
+    are refused by name), matching leaves are read, compacted or
+    Z-ordered, and swapped through overwrite_partitions — untouched
+    leaves are never read and stay inode-identical on disk. The
+    pre-state is hardlink-snapshotted (``Catalog.snapshot``) between
+    the staging write and the swap, so a partition-scoped OPTIMIZE is
+    a version like any other write and a failed staging write commits
+    nothing (the same pre_swap ordering as UPDATE).
 
     On a hive-partitioned table the layout is preserved (detected via
-    detect_partition_cols); clustering is then global across
-    partitions, so each range task can write into several leaves —
-    same per-leaf file-count caveat as any partitioned write. At
-    100 TB, run per partition slice if leaves are huge."""
+    detect_partition_cols); clustering is then global across the
+    rewritten slice, so each range task can write into several leaves
+    — same per-leaf file-count caveat as any partitioned write."""
     from .catalog import detect_partition_cols
 
     pcols = detect_partition_cols(catalog.path(full_name))
+    if where is not None:
+        return _optimize_partitions(
+            catalog, full_name, pcols, where, zorder_by,
+            target_file_bytes, bits,
+        )
     if not zorder_by:
         return compact(
             catalog, full_name,
@@ -344,6 +402,71 @@ def optimize_table(
     n_files = max(1, -(-sum(sizes) // target_file_bytes))
     out = _zorder_frame(df, zorder_by, bits, n_files)
     catalog.overwrite_via_staging(out, full_name, partition_by=pcols)
+    return n_files
+
+
+def _optimize_partitions(
+    catalog: Catalog,
+    full_name: str,
+    pcols: list[str] | None,
+    where,
+    zorder_by: list[str] | None,
+    target_file_bytes: int,
+    bits: int,
+) -> int:
+    """The WHERE-scoped arm of :func:`optimize_table`: compact or
+    Z-order ONLY the leaves whose partition values match, through the
+    partition-swap path the DML family uses. Cost = touched leaves,
+    never the table."""
+    if not pcols:
+        raise ValueError(
+            "OPTIMIZE ... WHERE needs a hive-partitioned table (the "
+            "predicate selects partitions to rewrite); "
+            f"{full_name} has no detectable partition layout"
+        )
+    overlap = sorted(set(zorder_by or []) & set(pcols))
+    if overlap:
+        raise ValueError(
+            f"optimize_table: ZORDER BY columns {overlap} are "
+            "partition columns — they are already directory-separated; "
+            "cluster on the columns filters actually range over"
+        )
+    from .catalog import _leaf_partition_files, partition_predicate
+
+    touched = _touched_partitions_for_predicate(
+        catalog, full_name, pcols, where
+    )
+    if not touched:
+        return 0
+    leaves = _leaf_partition_files(catalog.path(full_name), pcols)
+    # leaf keys are dirname strings; re-derive the byte total from the
+    # string forms of the touched values (both came through Spark's
+    # own encoding, so matching on str() is exact for the supported
+    # partition types)
+    touched_strs = {tuple(str(v) for v in t) for t in touched}
+    slice_bytes = sum(
+        sz
+        for vals, files in leaves.items()
+        if tuple(str(v) for v in vals) in touched_strs
+        for _rel, sz, _mt, _ino in files
+    )
+    n_files = max(1, -(-slice_bytes // target_file_bytes))
+    df = catalog.read(full_name)
+    part = df.where(partition_predicate(pcols, touched))
+    if zorder_by:
+        if part.limit(1).count() == 0:
+            return 0
+        out = _zorder_frame(part, zorder_by, bits, n_files)
+    else:
+        out = part.repartition(n_files)
+    catalog.overwrite_partitions(
+        out, full_name, pcols, touched,
+        pre_swap=(
+            (lambda: catalog.snapshot(full_name))
+            if catalog.keep_versions > 0
+            else None
+        ),
+    )
     return n_files
 
 

@@ -277,7 +277,11 @@ FP_GIVE_UP = 0.5
 
 
 def resolve_auto_m_bits(
-    build: DataFrame, key_col: str, k: int, caller: str
+    build: DataFrame,
+    key_col: str,
+    k: int,
+    caller: str,
+    n_keys_hint: int | None = None,
 ) -> int | None:
     """Shared ``m_bits="auto"`` policy for the composed entry points:
     approx-count the build side's distinct keys (partial-agg only — no
@@ -287,10 +291,24 @@ def resolve_auto_m_bits(
     :data:`FP_GIVE_UP` — the signal for the caller to fall back to its
     plain (unfiltered) plan, logged once with the caller's name. One
     policy, used by both bloom_filtered_join and merge_upsert_bloomed,
-    so their sizing and give-up behavior cannot drift apart."""
-    n_keys = build.agg(
-        F.approx_count_distinct(key_col).alias("n")
-    ).first()["n"]
+    so their sizing and give-up behavior cannot drift apart.
+
+    ``n_keys_hint`` skips the sizing job entirely (the build side is
+    NOT evaluated): pass a distinct-key count you already hold — the
+    persisted-ANALYZE path (``planning.fresh_ndv``) feeds it so a
+    cataloged build table with fresh stats plans its filter from
+    metadata alone. The hint follows the same honesty rule as
+    ``table_stats``: callers must pass counts for the CURRENT data
+    (fresh fingerprint), never a stale guess — an undersized filter
+    degrades fp rate, it never corrupts results (superset guarantee),
+    which is what makes a hint acceptable at all."""
+    n_keys = (
+        n_keys_hint
+        if n_keys_hint is not None
+        else build.agg(
+            F.approx_count_distinct(key_col).alias("n")
+        ).first()["n"]
+    )
     m_bits = auto_m_bits(n_keys)
     fp = expected_fp(n_keys, m_bits, k)
     if fp > FP_GIVE_UP:
@@ -474,6 +492,7 @@ def bloom_filtered_join(
     m_bits: int | str = "auto",
     k: int = 3,
     family: str = "native",
+    n_keys_hint: int | None = None,
 ) -> DataFrame:
     """The composed production path: build → mask → map-only prune →
     join. The selective ``build`` side's keys become a driver-held
@@ -545,7 +564,8 @@ def bloom_filtered_join(
         # build side grows: at 2^16 bits, ~50k keys already push fp
         # past 50% and "pruning" becomes pure overhead.
         m_bits = resolve_auto_m_bits(
-            build, build_key, k, "bloom_filtered_join"
+            build, build_key, k, "bloom_filtered_join",
+            n_keys_hint=n_keys_hint,
         )
         if m_bits is None:
             return _owned(plain_join())

@@ -23,6 +23,11 @@ implementations —
     RESTORE TABLE t TO VERSION
         AS OF n                  → Catalog.restore
     VACUUM t                     → Catalog.vacuum
+    CREATE [OR REPLACE] TABLE t
+        [PARTITIONED BY (cols)]
+        AS SELECT ...            → Catalog.overwrite_via_staging
+        (CREATE refuses an existing table; OR REPLACE is the
+        versioned overwrite)
     MERGE INTO t USING s ON ...
         WHEN [NOT] MATCHED [BY SOURCE] [AND c]
         THEN UPDATE SET */sets
@@ -595,6 +600,91 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             allow_partition_move=True,
         )
 
+    if head == "CREATE":
+        # CREATE [OR REPLACE] TABLE t [PARTITIONED BY (cols)] AS
+        # SELECT ... → overwrite_via_staging (Databricks CTAS).
+        # CREATE refuses an existing table (Delta semantics); OR
+        # REPLACE is the versioned overwrite — history/constraints
+        # ride the staging swap like every catalog write.
+        idx = 1
+        replace = False
+        if [t[0] for t in toks[idx:idx + 2]] == ["OR", "REPLACE"]:
+            replace = True
+            idx += 2
+        if idx >= len(toks) or toks[idx][0] != "TABLE":
+            raise UnsupportedStatement(
+                "expected CREATE [OR REPLACE] TABLE <t> [PARTITIONED "
+                f"BY (cols)] AS SELECT ..., got: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, idx + 1)
+        pby = None
+        if (
+            after + 1 < len(toks)
+            and [t[0] for t in toks[after:after + 2]]
+            == ["PARTITIONED", "BY"]
+        ):
+            body_start = toks[after + 1][2]
+            rest = s[body_start:].lstrip()
+            if not rest.startswith("("):
+                raise UnsupportedStatement(
+                    "PARTITIONED BY needs a parenthesized column "
+                    f"list: {s[:80]}"
+                )
+            depth, i = 0, 0
+            off = body_start + (len(s[body_start:]) - len(rest))
+            for i, ch in enumerate(rest):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            pby = [
+                c.strip() for c in rest[1:i].split(",") if c.strip()
+            ]
+            if not pby:
+                raise UnsupportedStatement(
+                    f"empty PARTITIONED BY column list: {s[:80]}"
+                )
+            # re-tokenize from after the closing paren
+            after = next(
+                (
+                    k
+                    for k in range(after + 2, len(toks))
+                    if toks[k][1] > off + i
+                ),
+                len(toks),
+            )
+        if (
+            after >= len(toks)
+            or toks[after][0] != "AS"
+            or after + 1 >= len(toks)
+            or toks[after + 1][0] not in ("SELECT", "WITH")
+        ):
+            raise UnsupportedStatement(
+                "CTAS needs AS SELECT ... (column-list DDL without a "
+                f"query is not supported here): {s[:80]}"
+            )
+        if not replace and catalog.exists(table):
+            raise ValueError(
+                f"CREATE TABLE: {table} already exists — use CREATE "
+                "OR REPLACE TABLE for a versioned overwrite"
+            )
+        from .qualify import run_sql
+
+        select_sql = s[toks[after + 1][1]:]
+        mapping = catalog.register_all()
+        rows = run_sql(catalog.spark, select_sql, table_mapping=mapping)
+        if pby:
+            missing = [c for c in pby if c not in rows.columns]
+            if missing:
+                raise ValueError(
+                    f"PARTITIONED BY columns {missing} not in the "
+                    f"CTAS select output {rows.columns}"
+                )
+        catalog.overwrite_via_staging(rows, table, partition_by=pby)
+        return None
+
     if head == "MERGE":
         # MERGE INTO t [AS] [a] USING s|(subquery) [AS] [b] ON <cond>
         #   WHEN MATCHED [AND c] THEN UPDATE SET */sets | DELETE
@@ -926,12 +1016,35 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return catalog.restore(table, version=int(vers))
 
     if head == "OPTIMIZE":
-        # OPTIMIZE t [ZORDER BY (a, b)] → maintenance.optimize_table
+        # OPTIMIZE t [WHERE <partition pred>] [ZORDER BY (a, b)]
+        # → maintenance.optimize_table; the WHERE form confines the
+        # rewrite to matching leaves (Delta partition-predicate
+        # OPTIMIZE), evaluated from directory metadata only.
         table, after = _table_name(s, toks, 1)
-        tail = [t[0] for t in toks[after:]]
+        where = None
+        wh_rel = _clause_pos(toks[after:], "WHERE")
+        z_rel = _clause_pos(toks[after:], "ZORDER", "BY")
+        if wh_rel is not None:
+            if wh_rel != 0:
+                raise UnsupportedStatement(
+                    "expected OPTIMIZE <table> [WHERE pred] [ZORDER "
+                    f"BY (cols)], got: {s[:80]}"
+                )
+            wh_tok = toks[after + wh_rel]
+            end = toks[after + z_rel][1] if z_rel is not None else len(s)
+            where = s[wh_tok[2]:end].strip()
+            if not where:
+                raise UnsupportedStatement(
+                    f"empty WHERE predicate in OPTIMIZE: {s[:80]}"
+                )
         zorder = None
-        if tail[:2] == ["ZORDER", "BY"]:
-            body = s[toks[after + 1][2]:].strip()
+        if z_rel is not None:
+            if wh_rel is None and z_rel != 0:
+                raise UnsupportedStatement(
+                    "expected OPTIMIZE <table> [WHERE pred] [ZORDER "
+                    f"BY (cols)], got: {s[:80]}"
+                )
+            body = s[toks[after + z_rel + 1][2]:].strip()
             if not (body.startswith("(") and body.endswith(")")):
                 raise UnsupportedStatement(
                     f"ZORDER BY needs a parenthesized column list: "
@@ -944,14 +1057,16 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 raise UnsupportedStatement(
                     f"empty ZORDER BY column list: {s[:80]}"
                 )
-        elif tail:
+        elif wh_rel is None and after != len(toks):
             raise UnsupportedStatement(
-                "expected OPTIMIZE <table> [ZORDER BY (cols)], got: "
-                f"{s[:80]}"
+                "expected OPTIMIZE <table> [WHERE pred] [ZORDER BY "
+                f"(cols)], got: {s[:80]}"
             )
         from ..maintenance import optimize_table
 
-        return optimize_table(catalog, table, zorder_by=zorder)
+        return optimize_table(
+            catalog, table, zorder_by=zorder, where=where
+        )
 
     if head == "VACUUM":
         table, after = _table_name(s, toks, 1)

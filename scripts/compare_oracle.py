@@ -87,6 +87,15 @@ def main() -> None:
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a typo'd (or comma-joined) name list would otherwise check
+        # NOTHING and still print "all queries match" — fail loudly
+        sys.exit(
+            f"unknown query name(s): {unknown} — names are SPACE-"
+            "separated registry keys (scripts/compare_oracle.py "
+            "<sf_dir> <name> <name> ...)"
+        )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

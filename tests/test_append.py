@@ -234,3 +234,136 @@ def test_append_empty_to_partitioned_is_clean_noop(spark, tmp_path):
     assert cat.append(df.where("id > 100"), TBL) == 0
     assert not os.path.isdir(cat.path(TBL) + "__appstaging")
     assert cat.read(TBL).count() == 2
+
+
+def test_append_txn_replay_is_exactly_once(spark, tmp_path):
+    # Delta txnAppId/txnVersion analogue: same token → no-op; new
+    # token → appends; token book survives in the version root.
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = "bronze.ev.logs"
+    day1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    day2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert cat.append(day1, t, txn_id="2024-01-01") == 2
+    # replay of the same batch: exactly-once no-op
+    assert cat.append(day1, t, txn_id="2024-01-01") == 0
+    assert cat.read(t).count() == 2
+    # a NEW token appends
+    assert cat.append(day2, t, txn_id="2024-01-02") == 1
+    assert cat.append(day2, t, txn_id="2024-01-02") == 0
+    assert sorted(r.id for r in cat.read(t).collect()) == [1, 2, 3]
+
+
+def test_append_txn_crashed_attempt_converges(spark, tmp_path):
+    # Simulate a crash AFTER some files moved but BEFORE the token
+    # was recorded: replaying the same txn removes the partial files
+    # (recognizable by their txn- name prefix) and re-moves the full
+    # batch — total rows converge to exactly one batch's worth.
+    import json
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = "bronze.ev.logs"
+    base_batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    cat.append(base_batch, t)  # pre-existing untokened data
+    batch = spark.createDataFrame(
+        [(10, "x"), (11, "y")], "id int, v string"
+    )
+    assert cat.append(batch, t, txn_id="b7") == 2
+    # forge the crash: erase the token record but leave the files
+    book_path = cat._append_txn_path(t)
+    book = json.load(open(book_path))
+    del book["b7"]
+    json.dump(book, open(book_path, "w"))
+    # replay: the two txn-b7-* files are cleaned up and re-moved
+    assert cat.append(batch, t, txn_id="b7") == 2
+    assert sorted(r.id for r in cat.read(t).collect()) == [1, 10, 11]
+    # files carry the prefix, token recorded again
+    names = [
+        f
+        for _dp, _dirs, fs in os.walk(cat.path(t))
+        for f in fs
+        if not f.startswith((".", "_"))
+    ]
+    assert sum(1 for f in names if f.startswith("txn-b7-")) >= 1
+    assert cat._append_txn_seen(t, "b7")
+
+
+def test_append_txn_first_batch_crash_retakes_create_path(spark, tmp_path):
+    # The txn create path goes live in ONE atomic directory rename;
+    # a crash before the token lands leaves a fully-prefixed table
+    # whose cleanup empties it → the retry re-creates from scratch.
+    import json
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = "bronze.ev.first"
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert cat.append(batch, t, txn_id="t0") == 1
+    book_path = cat._append_txn_path(t)
+    json.dump({}, open(book_path, "w"))  # crash: token lost
+    assert cat.append(batch, t, txn_id="t0") == 1
+    assert cat.read(t).count() == 1
+    assert cat.append(batch, t, txn_id="t0") == 0  # now recorded
+
+
+def test_append_txn_partitioned_and_bad_token(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = "bronze.ev.part"
+    b1 = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "day string, id int"
+    )
+    assert cat.append(b1, t, partition_by=["day"], txn_id="d1") == 2
+    assert cat.append(b1, t, partition_by=["day"], txn_id="d1") == 0
+    b2 = spark.createDataFrame([("2024-01-02", 3)], "day string, id int")
+    assert cat.append(b2, t, txn_id="d2") == 1
+    assert cat.read(t).count() == 3
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        cat.append(b2, t, txn_id="bad/token")
+
+
+def test_append_job_plumbs_txn_id(spark, tmp_path):
+    # type: append job with a declared txn_id runs exactly-once
+    import json as _json
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.ingest import IngestorAppend
+
+    meta_root = tmp_path / "meta" / "events"
+    meta_root.mkdir(parents=True)
+    (meta_root / "events.yml").write_text(
+        """
+catalog: bronze
+schema: ev
+table: events
+fields:
+  - name: id
+    type: string
+  - name: kind
+    type: string
+"""
+    )
+    src = tmp_path / "batch.json"
+    src.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": "1", "kind": "click"},
+                {"id": "2", "kind": "view"},
+            ]
+        )
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for _ in range(2):  # second run replays the same token
+        IngestorAppend(
+            spark, cat, str(tmp_path / "meta"), "events",
+            input_format="json", input_path=str(src),
+            txn_id="batch-2024-01-01",
+        ).run()
+    assert cat.read("bronze.ev.events").count() == 2

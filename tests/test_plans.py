@@ -65,7 +65,11 @@ def test_dedup_latest_gets_window_group_limit(spark, sf_dir, entry):
 
 
 def test_scalar_projection_is_single_codegen_stage(spark, sf_dir, entry):
-    plan = _plan(spark, entry.queries()["scalar_functions"](spark, sf_dir))
+    # the folded two-table union is still pure projection per branch:
+    # no shuffle anywhere, both sides inside whole-stage codegen
+    plan = _plan(
+        spark, entry.queries()["scalar_functions_all"](spark, sf_dir)
+    )
     assert "Exchange" not in plan, "pure projection must not shuffle"
     assert "codegen id" in plan, "projection fell out of whole-stage codegen"
 

@@ -427,3 +427,123 @@ def test_zorder_string_surrogate_preserves_order(spark):
     ).collect()
     by_string = [r.k for r in sorted(rows, key=lambda r: r.s)]
     assert by_string == sorted(by_string)
+
+
+def test_ctas_sql_plain_and_partitioned(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=False)
+    run_table_sql(
+        cat,
+        f"CREATE TABLE gold.sales.big AS SELECT id, region, amount "
+        f"FROM {TBL} WHERE amount >= 30",
+    )
+    assert sorted(r.id for r in cat.read("gold.sales.big").collect()) == [
+        3, 4, 5,
+    ]
+    # CREATE on an existing table refused; OR REPLACE overwrites
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(
+            cat,
+            f"CREATE TABLE gold.sales.big AS SELECT * FROM {TBL}",
+        )
+    run_table_sql(
+        cat,
+        "CREATE OR REPLACE TABLE gold.sales.big "
+        f"PARTITIONED BY (region) AS SELECT id, region, amount "
+        f"FROM {TBL} WHERE id <= 2",
+    )
+    assert _detect_partition_cols(cat.path("gold.sales.big")) == ["region"]
+    assert cat.read("gold.sales.big").count() == 2
+
+
+def test_ctas_sql_constraint_and_version_ride_through(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    _seed(spark, cat)
+    run_table_sql(
+        cat, f"CREATE TABLE gold.t.a AS SELECT id, amount FROM {TBL}"
+    )
+    run_table_sql(
+        cat,
+        "ALTER TABLE gold.t.a ADD CONSTRAINT amt_pos CHECK (amount > 0)",
+    )
+    # OR REPLACE with violating rows aborts into staging, table intact
+    with pytest.raises(SparkRuntimeException, match="amt_pos"):
+        run_table_sql(
+            cat,
+            "CREATE OR REPLACE TABLE gold.t.a AS "
+            f"SELECT id, -amount AS amount FROM {TBL}",
+        )
+    assert cat.read("gold.t.a").count() == 5
+    # a good replace is versioned
+    run_table_sql(
+        cat,
+        "CREATE OR REPLACE TABLE gold.t.a AS "
+        f"SELECT id, amount FROM {TBL} WHERE id = 1",
+    )
+    assert cat.read("gold.t.a").count() == 1
+    assert len(cat.versions("gold.t.a")) >= 1
+
+
+def test_ctas_sql_refusals(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    with pytest.raises(UnsupportedStatement, match="AS SELECT"):
+        run_table_sql(
+            cat, "CREATE TABLE gold.t.b (id INT, amount DOUBLE)"
+        )
+    with pytest.raises(ValueError, match="PARTITIONED BY columns"):
+        run_table_sql(
+            cat,
+            "CREATE TABLE gold.t.c PARTITIONED BY (nope) AS "
+            f"SELECT id FROM {TBL}",
+        )
+
+
+def test_optimize_where_confines_rewrite_to_matching_leaves(
+    spark, tmp_path
+):
+    # Delta's OPTIMIZE t WHERE <partition predicate>: only matching
+    # leaves are read/rewritten; untouched leaves keep their inodes.
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    df = spark.range(200).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 0 THEN 'EU' WHEN id % 3 = 1 THEN 'US' "
+        "ELSE 'AP' END AS region",
+        "cast(id * 1.5 as double) AS amount",
+    ).repartition(8)  # many small files per leaf
+    cat.overwrite(df, TBL, partition_by=["region"])
+    before = _leaf_partition_files(cat.path(TBL), ["region"])
+    assert len(before[("EU",)]) > 1  # something to compact
+    n = run_table_sql(cat, f"OPTIMIZE {TBL} WHERE region = 'EU'")
+    assert n >= 1
+    after = _leaf_partition_files(cat.path(TBL), ["region"])
+    assert after[("US",)] == before[("US",)]   # inode-identical
+    assert after[("AP",)] == before[("AP",)]
+    assert len(after[("EU",)]) < len(before[("EU",)])  # compacted
+    assert cat.read(TBL).count() == 200  # rows preserved
+    # versioned: the pre-state is retained
+    assert len(cat.versions(TBL)) == 1
+    # WHERE + ZORDER BY composes; non-matching predicate is a no-op
+    assert run_table_sql(
+        cat, f"OPTIMIZE {TBL} WHERE region = 'US' ZORDER BY (amount)"
+    ) >= 1
+    assert run_table_sql(cat, f"OPTIMIZE {TBL} WHERE region = 'XX'") == 0
+    assert cat.read(TBL).count() == 200
+
+
+def test_optimize_where_refuses_non_partition_predicate(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    with pytest.raises(ValueError, match="partition columns"):
+        run_table_sql(cat, f"OPTIMIZE {TBL} WHERE amount > 10")
+    # unpartitioned table: WHERE form refused by name
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    _seed(spark, cat2, partitioned=False)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        run_table_sql(cat2, f"OPTIMIZE {TBL} WHERE region = 'EU'")

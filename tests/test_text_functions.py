@@ -149,3 +149,67 @@ def test_tfidf_keywords_skips_empty_and_null_docs(spark):
     )
     out = tfidf_keywords(df, top_k=5).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def _sequential_bpe(words, n_merges, min_count=2):
+    """Reference sequential BPE (Sennrich-style): the Python model the
+    distributed loop must reproduce merge-for-merge."""
+    seqs = [list(w) for w in words]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        eligible = {p: n for p, n in counts.items() if n >= min_count}
+        if not eligible:
+            break
+        # count desc, then lexicographic pair — the engine's tie order
+        best = min(eligible.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        out = []
+        for s in seqs:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    t.append(a + b)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            out.append(t)
+        seqs = out
+    return merges
+
+
+def test_bpe_train_matches_sequential_model(spark):
+    from mydatalake_spark.functions.text import bpe_train
+
+    words = [
+        "lower", "lowest", "newer", "newest", "wider", "widest",
+        "low", "new", "wide", "lower", "newer", "newer", "lowest",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for n in (1, 4, 6, 10):
+        got = bpe_train(df, "w", n)
+        want = _sequential_bpe(words, n)
+        assert got == want, (n, got, want)
+
+
+def test_bpe_train_stops_when_no_pair_repeats(spark):
+    from mydatalake_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([("ab",), ("cd",)], "w string")
+    # every adjacent pair occurs once: no merge reaches min_count=2
+    assert bpe_train(df, "w", 5) == []
+
+
+def test_bpe_train_refuses_reserved_control_chars(spark):
+    import pytest
+
+    from mydatalake_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([("a\x01b",)], "w string")
+    with pytest.raises(ValueError, match="control"):
+        bpe_train(df, "w", 1)
