@@ -348,6 +348,58 @@ class Catalog:
             )
         return out
 
+    @staticmethod
+    def _parse_travel_ts(ts) -> float:
+        """Epoch seconds from an epoch number or an ISO-ish timestamp
+        string ('2024-01-02', '2024-01-02 13:45:00'). Naive strings
+        are local time — the same clock the commit mtimes use."""
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        import datetime as _dt
+
+        try:
+            return _dt.datetime.fromisoformat(str(ts)).timestamp()
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP AS OF: cannot parse {ts!r} — pass epoch "
+                "seconds or an ISO timestamp ('YYYY-MM-DD "
+                "[HH:MM:SS]')"
+            ) from None
+
+    def version_at_timestamp(self, full_name: str, ts) -> str | None:
+        """Delta ``TIMESTAMP AS OF`` resolution: the newest state
+        committed at or before ``ts`` — a retained snapshot's label,
+        or None meaning the LIVE state. Commit times are the version
+        directories' mtimes (``history()``'s ``snapshot_time``: when
+        that state's files were written; the snapshot rename preserves
+        it). A ``ts`` earlier than every retained commit raises —
+        Delta's before-earliest-version error; a vacuumed history
+        cannot silently serve a newer state as an older one."""
+        ts = self._parse_travel_ts(ts)
+        if ts >= os.path.getmtime(self.path(full_name)):
+            return None
+        cands = [
+            r for r in self.history(full_name)
+            if r["snapshot_time"] <= ts
+        ]
+        if not cands:
+            raise ValueError(
+                f"TIMESTAMP AS OF {ts}: predates every retained "
+                f"version of {full_name} (oldest retained commits "
+                "are pruned by keep_versions / VACUUM)"
+            )
+        return max(cands, key=lambda r: r["snapshot_time"])["label"]
+
+    def read_timestamp(self, full_name: str, ts) -> DataFrame:
+        """Time travel by wall clock (Delta ``TIMESTAMP AS OF``): the
+        table as of ``ts`` (epoch seconds or ISO string). Resolves to
+        a retained snapshot or the live state via
+        :meth:`version_at_timestamp`."""
+        label = self.version_at_timestamp(full_name, ts)
+        if label is None:
+            return self.read(full_name)
+        return self.read_version(full_name, version=label)
+
     def _version_state(self, full_name: str, version):
         """(frame, directory, commit-stamp literal) of a retained
         version — or, with ``version=None``, the live table."""

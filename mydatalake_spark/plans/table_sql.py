@@ -28,6 +28,11 @@ implementations —
         AS SELECT ...            → Catalog.overwrite_via_staging
         (CREATE refuses an existing table; OR REPLACE is the
         versioned overwrite)
+    CREATE TABLE t2 [SHALLOW|DEEP] CLONE t
+        [VERSION AS OF n]        → Catalog.clone
+    DROP TABLE [IF EXISTS] t     → Catalog.drop
+    SHOW TABLES                  → warehouse listing frame
+    DESCRIBE [TABLE] t           → schema frame (Spark DESCRIBE shape)
     MERGE INTO t USING s ON ...
         WHEN [NOT] MATCHED [BY SOURCE] [AND c]
         THEN UPDATE SET */sets
@@ -600,12 +605,56 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             allow_partition_move=True,
         )
 
+    if head == "DROP":
+        # DROP TABLE [IF EXISTS] t → Catalog.drop
+        if len(toks) < 3 or toks[1][0] != "TABLE":
+            raise UnsupportedStatement(
+                f"expected DROP TABLE [IF EXISTS] <table>, got: {s[:80]}"
+            )
+        idx = 2
+        if_exists = False
+        if [t[0] for t in toks[idx:idx + 2]] == ["IF", "EXISTS"]:
+            if_exists = True
+            idx += 2
+        table, after = _table_name(s, toks, idx)
+        if after != len(toks):
+            raise UnsupportedStatement(
+                f"trailing tokens after DROP TABLE {table}: {s[:80]}"
+            )
+        if not catalog.exists(table):
+            if if_exists:
+                return None
+            raise ValueError(
+                f"DROP TABLE: {table} does not exist (use DROP TABLE "
+                "IF EXISTS to tolerate absence)"
+            )
+        catalog.drop(table)
+        return None
+
+    if head == "SHOW":
+        # SHOW TABLES → one row per warehouse table (Databricks shape:
+        # namespace, tableName, isTemporary)
+        if [t[0] for t in toks[1:]] != ["TABLES"]:
+            raise UnsupportedStatement(
+                f"only SHOW TABLES is supported: {s[:80]}"
+            )
+        rows = []
+        for name in catalog.list_tables():
+            cat_name, schema_name, tbl = name.split(".", 2)
+            rows.append((f"{cat_name}.{schema_name}", tbl, False))
+        return catalog.spark.createDataFrame(
+            rows,
+            "namespace string, tableName string, isTemporary boolean",
+        )
+
     if head == "CREATE":
         # CREATE [OR REPLACE] TABLE t [PARTITIONED BY (cols)] AS
-        # SELECT ... → overwrite_via_staging (Databricks CTAS).
-        # CREATE refuses an existing table (Delta semantics); OR
-        # REPLACE is the versioned overwrite — history/constraints
-        # ride the staging swap like every catalog write.
+        # SELECT ... → overwrite_via_staging (Databricks CTAS), or
+        # CREATE TABLE t2 [SHALLOW|DEEP] CLONE t [VERSION AS OF n]
+        # → Catalog.clone. CREATE refuses an existing table (Delta
+        # semantics); OR REPLACE is the versioned overwrite —
+        # history/constraints ride the staging swap like every
+        # catalog write.
         idx = 1
         replace = False
         if [t[0] for t in toks[idx:idx + 2]] == ["OR", "REPLACE"]:
@@ -614,9 +663,44 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         if idx >= len(toks) or toks[idx][0] != "TABLE":
             raise UnsupportedStatement(
                 "expected CREATE [OR REPLACE] TABLE <t> [PARTITIONED "
-                f"BY (cols)] AS SELECT ..., got: {s[:80]}"
+                f"BY (cols)] AS SELECT ... | ... CLONE <src>, got: "
+                f"{s[:80]}"
             )
         table, after = _table_name(s, toks, idx + 1)
+        nxt = [t[0] for t in toks[after:after + 2]]
+        if nxt[:1] == ["CLONE"] or (
+            len(nxt) == 2
+            and nxt[0] in ("SHALLOW", "DEEP")
+            and nxt[1] == "CLONE"
+        ):
+            shallow = nxt[0] != "DEEP"
+            after += 1 if nxt[0] == "CLONE" else 2
+            src, after = _table_name(s, toks, after)
+            version = None
+            tail = [t[0] for t in toks[after:]]
+            if tail[:3] == ["VERSION", "AS", "OF"]:
+                import re as _re
+
+                vers = s[toks[after + 2][2]:].strip()
+                if not _re.fullmatch(r"\w+", vers):
+                    raise UnsupportedStatement(
+                        f"CLONE VERSION AS OF needs a version number "
+                        f"or label, got {vers!r}"
+                    )
+                version = int(vers) if vers.isdigit() else vers
+            elif tail:
+                raise UnsupportedStatement(
+                    "expected CREATE TABLE t [SHALLOW|DEEP] CLONE src "
+                    f"[VERSION AS OF n], got: {s[:80]}"
+                )
+            if replace:
+                raise UnsupportedStatement(
+                    "CREATE OR REPLACE ... CLONE is not supported — "
+                    "DROP the destination first (clone refuses to "
+                    "overwrite an existing table)"
+                )
+            catalog.clone(src, table, shallow=shallow, version=version)
+            return None
         pby = None
         if (
             after + 1 < len(toks)
@@ -807,10 +891,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # Spark's parser rather than silently reading the live state.
         import re as _re
 
-        spans = []  # (start, end, table, version)
+        spans = []  # (start, end, table, version_or_ts, kind)
         for i, (tok, _st, _en) in enumerate(toks):
             if (
-                tok == "VERSION"
+                tok in ("VERSION", "TIMESTAMP")
                 and [t[0] for t in toks[i + 1:i + 3]] == ["AS", "OF"]
                 and i > 0
             ):
@@ -822,18 +906,32 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 ):
                     j -= 1
                 name, _after = _table_name(s, toks, j)
-                m = _re.match(r"\s*(\d+)", s[toks[i + 2][2]:])
-                if not m:
-                    raise UnsupportedStatement(
-                        f"VERSION AS OF needs an integer near: "
-                        f"{s[toks[i][1]:toks[i][1] + 60]!r}"
-                    )
+                if tok == "VERSION":
+                    m = _re.match(r"\s*(\d+)", s[toks[i + 2][2]:])
+                    if not m:
+                        raise UnsupportedStatement(
+                            f"VERSION AS OF needs an integer near: "
+                            f"{s[toks[i][1]:toks[i][1] + 60]!r}"
+                        )
+                    val = int(m.group(1))
+                else:
+                    # TIMESTAMP AS OF '<literal>' (quoted — the token
+                    # scan skips literal spans, so take it from raw)
+                    m = _re.match(r"\s*'([^']*)'", s[toks[i + 2][2]:])
+                    if not m:
+                        raise UnsupportedStatement(
+                            f"TIMESTAMP AS OF needs a quoted "
+                            f"timestamp near: "
+                            f"{s[toks[i][1]:toks[i][1] + 60]!r}"
+                        )
+                    val = m.group(1)
                 spans.append(
                     (
                         toks[j][1],
                         toks[i + 2][2] + m.end(),
                         name,
-                        int(m.group(1)),
+                        val,
+                        tok,
                     )
                 )
         from .qualify import run_sql
@@ -842,15 +940,18 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
 
         out_sql = s
         vviews = []
-        for start, end, name, ver in reversed(spans):
+        for start, end, name, ver, kind in reversed(spans):
             # unique per statement: a fixed name would let concurrent
             # statements on one session cross-wire snapshots, and a
             # leftover view would serve a stale snapshot to any later
             # query that happened to reference it
             view = f"__vasof_{uuid.uuid4().hex[:12]}"
-            catalog.read_version(
-                name, version=ver
-            ).createOrReplaceTempView(view)
+            frame = (
+                catalog.read_version(name, version=ver)
+                if kind == "VERSION"
+                else catalog.read_timestamp(name, ver)
+            )
+            frame.createOrReplaceTempView(view)
             vviews.append(view)
             out_sql = out_sql[:start] + view + out_sql[end:]
         mapping = catalog.register_all()
@@ -862,10 +963,46 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return result
 
     if head == "DESCRIBE":
+        if len(toks) >= 2 and toks[1][0] in ("EXTENDED", "FORMATTED"):
+            raise UnsupportedStatement(
+                "DESCRIBE EXTENDED/FORMATTED is not supported — use "
+                "DESCRIBE TABLE <t> (schema), DESCRIBE DETAIL <t> "
+                "(files/stats), or DESCRIBE HISTORY <t> (versions)"
+            )
+        if len(toks) >= 2 and toks[1][0] not in ("HISTORY", "DETAIL"):
+            # DESCRIBE [TABLE] t → schema rows in Spark's own
+            # DESCRIBE TABLE shape (col_name, data_type, comment;
+            # partition columns repeated under a # Partition
+            # Information section)
+            idx = 2 if toks[1][0] == "TABLE" else 1
+            table, after = _table_name(s, toks, idx)
+            if after != len(toks):
+                raise UnsupportedStatement(
+                    f"DESCRIBE TABLE takes only a table name: {s[:80]}"
+                )
+            if not catalog.exists(table):
+                raise ValueError(
+                    f"DESCRIBE TABLE: {table} does not exist"
+                )
+            df = catalog.read(table)
+            rows = [
+                (f.name, f.dataType.simpleString(), None)
+                for f in df.schema.fields
+            ]
+            pcols = _detect_partition_cols(catalog.path(table))
+            if pcols:
+                rows.append(("# Partition Information", "", None))
+                rows.append(("# col_name", "data_type", "comment"))
+                types = {f.name: f.dataType.simpleString()
+                         for f in df.schema.fields}
+                rows.extend((c, types[c], None) for c in pcols)
+            return catalog.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
         if len(toks) < 3 or toks[1][0] not in ("HISTORY", "DETAIL"):
             raise UnsupportedStatement(
-                "only DESCRIBE HISTORY|DETAIL <table> is supported: "
-                f"{s[:80]}"
+                "only DESCRIBE [TABLE] <t> | HISTORY <t> | DETAIL <t> "
+                f"is supported: {s[:80]}"
             )
         table, after = _table_name(s, toks, 2)
         if after != len(toks):
@@ -997,14 +1134,27 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         )
 
     if head == "RESTORE":
-        # RESTORE TABLE t TO VERSION AS OF n (Delta syntax)
+        # RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ... (Delta syntax)
         idx = 2 if len(toks) > 1 and toks[1][0] == "TABLE" else 1
         table, after = _table_name(s, toks, idx)
         tail = [t[0] for t in toks[after:]]
+        if tail[:4] == ["TO", "TIMESTAMP", "AS", "OF"]:
+            import re as _re
+
+            m = _re.match(r"\s*'([^']*)'\s*$", s[toks[after + 3][2]:])
+            if not m:
+                raise UnsupportedStatement(
+                    "RESTORE ... TO TIMESTAMP AS OF needs one quoted "
+                    f"timestamp: {s[:80]}"
+                )
+            label = catalog.version_at_timestamp(table, m.group(1))
+            if label is None:
+                return None  # already the live state — no-op
+            return catalog.restore(table, version=label)
         if tail[:4] != ["TO", "VERSION", "AS", "OF"]:
             raise UnsupportedStatement(
-                "expected RESTORE TABLE t TO VERSION AS OF <n>, got: "
-                f"{s[:80]}"
+                "expected RESTORE TABLE t TO VERSION|TIMESTAMP AS OF "
+                f"..., got: {s[:80]}"
             )
         # the version is a numeric literal, which the word-token scan
         # does not yield — take it from the raw tail after OF
@@ -1079,7 +1229,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
 
     raise UnsupportedStatement(
         f"unsupported statement head {head!r} — supported: DELETE, "
-        "UPDATE, MERGE INTO, INSERT, TRUNCATE, ALTER TABLE ADD/DROP "
+        "UPDATE, MERGE INTO, INSERT, CREATE TABLE (CTAS/CLONE), DROP "
+        "TABLE, SHOW TABLES, TRUNCATE, ALTER TABLE ADD/DROP "
         "CONSTRAINT, RESTORE, VACUUM, OPTIMIZE, ANALYZE, DESCRIBE "
         "(SELECT queries go through spark.sql / plans.run_sql)"
     )

@@ -1025,3 +1025,47 @@ def test_table_changes_partition_pruned_scans(spark, tmp_path):
         n = [l for l in plan.splitlines() if side in l]
         assert n, f"plan lost the {side} scan"
     assert feed.count() == 2  # the k=3 update pre+post
+
+
+def test_merge_apply_is_one_join_no_per_clause_pass(spark):
+    # the general MERGE executor must compile to ONE full-outer join
+    # with the delete-filter and action cascade fused into a single
+    # filter+project — never a join or scan per clause
+    from mydatalake_spark.operators.merge_clauses import (
+        MatchedClause,
+        NotMatchedBySourceClause,
+        NotMatchedClause,
+        merge_apply,
+    )
+
+    t = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    s = spark.range(100).select(
+        F.col("id"), (F.col("id") * 3.0).alias("v")
+    )
+    out = merge_apply(
+        t, s, ["id"],
+        matched=[
+            MatchedClause(condition="__s_v > 50", sets=None),
+            MatchedClause(update_all=True),
+        ],
+        not_matched=[NotMatchedClause(insert_all=True)],
+        not_matched_by_source=[
+            NotMatchedBySourceClause(sets={"v": "-1"})
+        ],
+    )
+    plan = _plan(spark, out)
+    # count numbered plan NODES (formatted explain also names each
+    # node in the tree summary — counting raw substrings double-counts)
+    joins = len(
+        re.findall(
+            r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|"
+            r"ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)",
+            plan,
+            re.M,
+        )
+    )
+    assert joins == 1, f"expected exactly one join, plan:\n{plan}"
+    scans = len(re.findall(r"^\(\d+\) (?:Scan|Range)", plan, re.M))
+    assert scans <= 2, f"each side scanned once, plan:\n{plan}"

@@ -545,3 +545,86 @@ def test_update_where_matches_python_model(spark, tmp_path_factory, rows, thresh
 
         got = Counter((r.id, r.part, r.v) for r in cat.read("t.t.t").collect())
         assert got == Counter(model)
+
+
+# ---------------------------------------------- round-11 merge_apply model
+
+# target rows keyed uniquely; source rows keyed uniquely (merge_apply
+# refuses duplicate source keys by contract, so the generator enforces
+# it rather than wasting examples on the refusal path)
+_UNIQ_ROWS = st.lists(
+    st.tuples(KEYS, VAL), min_size=0, max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+def _model_merge_apply(target, source, delete_above, insert_below):
+    """Python model of the general clause set used below:
+    WHEN MATCHED AND s.v > delete_above THEN DELETE
+    WHEN MATCHED THEN UPDATE SET v = s.v + 1
+    WHEN NOT MATCHED AND s.v < insert_below THEN INSERT (k, v) VALUES (s.k, s.v)
+    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1
+    (first matching clause wins; unmatched source rows NOT inserted
+    unless their condition holds; target-only rows take the by-source
+    update)."""
+    src = {k: v for k, v in source}
+    out = {}
+    for k, v in target:
+        if k in src:
+            sv = src[k]
+            if sv > delete_above:
+                continue  # DELETE
+            out[k] = sv + 1  # UPDATE
+        else:
+            out[k] = -1  # NOT MATCHED BY SOURCE
+    for k, v in src.items():
+        if k not in dict(target) and v < insert_below:
+            out[k] = v  # conditional INSERT
+    return out
+
+
+@given(target=_UNIQ_ROWS, source=_UNIQ_ROWS,
+       delete_above=VAL, insert_below=VAL)
+@settings(**_SETTINGS)
+def test_merge_apply_matches_model(
+    spark, target, source, delete_above, insert_below
+):
+    from mydatalake_spark.operators.merge_clauses import (
+        MatchedClause,
+        NotMatchedBySourceClause,
+        NotMatchedClause,
+        merge_apply,
+    )
+
+    def df(rows):
+        return (
+            spark.createDataFrame(rows, "k long, v long")
+            if rows
+            else spark.createDataFrame([], "k long, v long")
+        )
+
+    got_rows = merge_apply(
+        df(target),
+        df(source),
+        on=["k"],
+        matched=[
+            MatchedClause(
+                condition=f"__s_v > {delete_above}", sets=None
+            ),
+            MatchedClause(sets={"v": "__s_v + 1"}),
+        ],
+        not_matched=[
+            NotMatchedClause(
+                condition=f"__s_v < {insert_below}",
+                values={"k": "__s_k", "v": "__s_v"},
+            )
+        ],
+        not_matched_by_source=[
+            NotMatchedBySourceClause(sets={"v": "-1"})
+        ],
+    ).collect()
+    got = {r.k: r.v for r in got_rows}
+    assert len(got) == len(got_rows)  # keys stay unique
+    assert got == _model_merge_apply(
+        target, source, delete_above, insert_below
+    )

@@ -232,7 +232,7 @@ def test_describe_history_sql(spark, tmp_path):
     run_table_sql(cat, f"UPDATE {TBL} SET amount = 2 WHERE id = 1")
     hist = run_table_sql(cat, f"DESCRIBE HISTORY {TBL}")
     assert [r.version for r in hist.collect()] == [1, 2]
-    with pytest.raises(UnsupportedStatement, match="DESCRIBE HISTORY"):
+    with pytest.raises(UnsupportedStatement, match="EXTENDED"):
         run_table_sql(cat, f"DESCRIBE EXTENDED {TBL}")
 
 
@@ -547,3 +547,104 @@ def test_optimize_where_refuses_non_partition_predicate(spark, tmp_path):
     _seed(spark, cat2, partitioned=False)
     with pytest.raises(ValueError, match="hive-partitioned"):
         run_table_sql(cat2, f"OPTIMIZE {TBL} WHERE region = 'EU'")
+
+
+def test_drop_table_sql_and_if_exists(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(cat, f"DROP TABLE {TBL}")
+    assert not cat.exists(TBL)
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(cat, f"DROP TABLE {TBL}")
+    assert run_table_sql(cat, f"DROP TABLE IF EXISTS {TBL}") is None
+
+
+def test_show_tables_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(
+        cat, f"CREATE TABLE gold.x.copy AS SELECT * FROM {TBL}"
+    )
+    rows = {
+        (r.namespace, r.tableName)
+        for r in run_table_sql(cat, "SHOW TABLES").collect()
+    }
+    assert ("silver.sales", "orders") in rows
+    assert ("gold.x", "copy") in rows
+
+
+def test_describe_table_sql_schema_shape(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    rows = run_table_sql(cat, f"DESCRIBE TABLE {TBL}").collect()
+    names = [r.col_name for r in rows]
+    assert "id" in names and "amount" in names
+    # partition section present and names the partition column again
+    assert "# Partition Information" in names
+    assert names.count("region") == 2
+    types = {r.col_name: r.data_type for r in rows[:4]}
+    assert types["amount"] == "double"
+    # bare DESCRIBE t works too
+    assert len(run_table_sql(cat, f"DESCRIBE {TBL}").collect()) == len(rows)
+
+
+def test_clone_sql_shallow_and_version(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 0 WHERE id = 1")
+    # clone the CURRENT state
+    run_table_sql(cat, f"CREATE TABLE gold.c.cur SHALLOW CLONE {TBL}")
+    got = {r.id: r.amount for r in cat.read("gold.c.cur").collect()}
+    assert got[1] == 0.0
+    # clone a retained VERSION (pre-update state)
+    ver = cat.versions(TBL)[-1]
+    run_table_sql(
+        cat,
+        f"CREATE TABLE gold.c.old CLONE {TBL} VERSION AS OF {ver}",
+    )
+    old = {r.id: r.amount for r in cat.read("gold.c.old").collect()}
+    assert old[1] == 10.0
+    # source mutation does not leak into the clone (independence)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 77 WHERE id = 2")
+    assert {r.id: r.amount for r in cat.read("gold.c.cur").collect()}[2] == 20.0
+    with pytest.raises(UnsupportedStatement, match="OR REPLACE"):
+        run_table_sql(
+            cat, f"CREATE OR REPLACE TABLE gold.c.cur CLONE {TBL}"
+        )
+
+
+def test_timestamp_as_of_select_and_restore(spark, tmp_path):
+    import datetime as dt
+    import os
+    import time
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 111 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 222 WHERE id = 1")
+    hist = cat.history(TBL)
+    assert len(hist) == 2
+    # pick a timestamp between commit 1 (amount=10 state) and commit 2
+    # (amount=111 state): must resolve to the 111 state's snapshot
+    mid = (hist[0]["snapshot_time"] + hist[1]["snapshot_time"]) / 2
+    assert cat.version_at_timestamp(TBL, mid) == hist[0]["label"]
+    got = {r.id: r.amount for r in cat.read_timestamp(TBL, mid).collect()}
+    assert got[1] == 10.0  # the state committed first
+    # a future timestamp resolves to live
+    assert cat.version_at_timestamp(TBL, time.time() + 3600) is None
+    # a pre-history timestamp raises by name
+    with pytest.raises(ValueError, match="predates"):
+        cat.read_timestamp(TBL, 1.0)
+    # SQL read side: quoted ISO timestamp
+    iso = dt.datetime.fromtimestamp(mid).isoformat(sep=" ")
+    rows = run_table_sql(
+        cat,
+        f"SELECT id, amount FROM {TBL} TIMESTAMP AS OF '{iso}' "
+        "WHERE id = 1",
+    ).collect()
+    assert rows[0].amount == 10.0
+    # SQL restore side
+    run_table_sql(
+        cat, f"RESTORE TABLE {TBL} TO TIMESTAMP AS OF '{iso}'"
+    )
+    assert {r.id: r.amount for r in cat.read(TBL).collect()}[1] == 10.0
