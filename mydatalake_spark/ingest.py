@@ -363,3 +363,97 @@ class IngestorStreaming(IngestorCDC):
             if self.available_now:
                 q.awaitTermination()
                 self._sync_declared_constraints()
+
+
+def copy_into(
+    catalog: Catalog,
+    full_name: str,
+    src_path: str,
+    file_format: str = "json",
+) -> int:
+    """Databricks ``COPY INTO`` analogue: file-level idempotent batch
+    load into an EXISTING catalog table. Returns rows loaded (0 when
+    every file was already loaded). **[extension]**
+
+    ``COPY INTO``'s contract is per-FILE exactly-once: each run lists
+    ``src_path`` (a directory or glob), loads only files never loaded
+    before, and remembers them — re-running after new files land
+    loads just the new ones; re-running with nothing new is a no-op.
+    Like Databricks, a file is identified by its path: a file
+    MODIFIED after being loaded is still skipped (feeds that rewrite
+    files in place need the CDC merge, not COPY INTO).
+
+    Crash safety composes with :meth:`Catalog.append`'s txn protocol
+    instead of reinventing it: the batch's ``txn_id`` is a digest of
+    the sorted new-file identities, so a run that crashed between the
+    append and the file-book update replays as the SAME txn — the
+    append no-ops (or converges a partial move) and only then is the
+    book updated. The book (``.copy_into.json``) lives in the version
+    root beside the append txn book.
+
+    At 100 TB: listing is one os.walk (metadata); only new files'
+    bytes are ever read; the append is O(new files) moves. A daily
+    drop of 200 files into a 2M-file history costs the 200.
+    """
+    import glob as _glob
+    import hashlib
+    import json as _json
+
+    if not catalog.exists(full_name):
+        raise ValueError(
+            f"COPY INTO: table {full_name} does not exist — create it "
+            "first (CTAS or Catalog.overwrite); COPY INTO loads into "
+            "existing tables"
+        )
+    paths = sorted(
+        p
+        for pat in ([src_path] if not isinstance(src_path, list) else src_path)
+        for p in (
+            _glob.glob(pat)
+            if any(ch in pat for ch in "*?[")
+            else (
+                [
+                    os.path.join(dp, f)
+                    for dp, _dirs, fs in os.walk(pat)
+                    for f in fs
+                    if not f.startswith((".", "_"))
+                ]
+                if os.path.isdir(pat)
+                else [pat]
+            )
+        )
+    )
+    book_path = os.path.join(
+        catalog._version_root(full_name), ".copy_into.json"
+    )
+    book = {}
+    if os.path.exists(book_path):
+        with open(book_path) as fh:
+            book = _json.load(fh)
+    new = [p for p in paths if os.path.abspath(p) not in book]
+    if not new:
+        return 0
+    live = catalog.read(full_name)
+    reader = catalog.spark.read.format(file_format)
+    if file_format != "parquet":
+        # text formats carry no schema — the table's is the contract
+        # (Databricks COPY INTO reads with the target table's schema)
+        reader = reader.schema(live.schema)
+    df = reader.load(new).select(*live.columns)
+    txn = "copyinto-" + hashlib.md5(
+        "\n".join(os.path.abspath(p) for p in new).encode()
+    ).hexdigest()[:16]
+    pcols = None
+    from .catalog import detect_partition_cols
+
+    pcols = detect_partition_cols(catalog.path(full_name))
+    n = catalog.append(df, full_name, partition_by=pcols, txn_id=txn)
+    stamp = {
+        os.path.abspath(p): [os.path.getsize(p)] for p in new
+    }
+    book.update(stamp)
+    tmp = book_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(book, fh, indent=1, sort_keys=True)
+    os.replace(tmp, book_path)
+    return n

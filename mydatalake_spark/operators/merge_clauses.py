@@ -40,6 +40,7 @@ __all__ = [
     "NotMatchedClause",
     "NotMatchedBySourceClause",
     "merge_apply",
+    "merge_apply_partitioned",
     "SOURCE_PREFIX",
 ]
 
@@ -285,3 +286,116 @@ def merge_apply(
                 )
         picked.append(expr.alias(c))
     return staged.select(*picked)
+
+
+def merge_apply_partitioned(
+    catalog,
+    table: str,
+    source: DataFrame,
+    on: list[tuple[str, str]] | list[str],
+    matched: list[MatchedClause] | None = None,
+    not_matched: list[NotMatchedClause] | None = None,
+    max_partitions: int = 10_000,
+) -> list:
+    """Partition-pruned execution of a general MERGE clause set
+    against a hive-partitioned CATALOG table — the 100 TB path for
+    clause sets beyond the canonical upsert (which
+    merge_upsert_partitioned already prunes). Returns the touched
+    partition tuples.
+
+    Preconditions (checked, refused by name — the SQL front-end falls
+    back to the whole-table staging rewrite instead of refusing):
+
+    - every partition column appears among the TARGET key columns and
+      joins a SAME-NAMED source column (so a matched row's partition
+      equals its source row's partition and an inserted row lands in
+      a source-known partition — pruning is sound);
+    - no clause DELETEs (a matched DELETE could empty a leaf, which
+      the leaf-swap contract cannot express — that case needs
+      delete_where's emptied-leaf handling or the whole-table path);
+    - no ``not_matched_by_source`` clauses (they touch rows in EVERY
+      partition — nothing to prune);
+    - no clause SETs a partition column (rows must not move between
+      leaves).
+
+    Shape: one bounded distinct-partitions probe over the changeset
+    (LIMIT max+1 caps the driver transfer — merge_upsert_partitioned's
+    contract), a partition-pruned read of only the touched leaves,
+    ONE merge_apply join over that slice, and a leaf-directory swap
+    with the pre-state hardlink-snapshotted between staging write and
+    swap (failed staging commits nothing). A changeset touching 3 of
+    3,000 partitions reads and rewrites ~0.1% of the table.
+    """
+    from ..catalog import (
+        _check_no_null_partition_values,
+        detect_partition_cols,
+        partition_predicate,
+    )
+
+    matched = matched or []
+    not_matched = not_matched or []
+    pairs = [
+        (k, k) if isinstance(k, str) else (k[0], k[1]) for k in on
+    ]
+    pcols = detect_partition_cols(catalog.path(table))
+    if not pcols:
+        raise ValueError(
+            f"merge_apply_partitioned: {table} has no detectable hive "
+            "partition layout"
+        )
+    same_named = {tc for tc, sc in pairs if tc == sc}
+    missing = [c for c in pcols if c not in same_named]
+    if missing:
+        raise ValueError(
+            "merge_apply_partitioned: every partition column must be "
+            f"a same-named merge key; {missing} are not (keys: "
+            f"{pairs})"
+        )
+    if any(m.sets is None for m in matched):
+        raise ValueError(
+            "merge_apply_partitioned: DELETE clauses can empty a "
+            "leaf, which the leaf swap cannot express — use the "
+            "whole-table path (or delete_where)"
+        )
+    set_cols = set()
+    for m in matched:
+        if m.sets:
+            set_cols |= set(m.sets)
+    moved = sorted(set_cols & set(pcols))
+    if moved:
+        raise ValueError(
+            f"merge_apply_partitioned: UPDATE SET assigns partition "
+            f"column(s) {moved} — rows may not move between leaves; "
+            "use the whole-table path"
+        )
+
+    probe = (
+        source.select(*pcols).distinct().limit(max_partitions + 1).collect()
+    )
+    if len(probe) > max_partitions:
+        raise ValueError(
+            f"merge_apply_partitioned: source has more than "
+            f"{max_partitions} distinct values of {pcols!r} — pick "
+            "the table's real partition columns or raise "
+            "max_partitions"
+        )
+    touched = [tuple(r) for r in probe]
+    _check_no_null_partition_values(pcols, touched)
+    if not touched:
+        return []
+    target_slice = catalog.read(table).filter(
+        partition_predicate(pcols, touched)
+    )
+    merged = merge_apply(
+        target_slice, source, pairs,
+        matched=matched, not_matched=not_matched,
+    )
+    catalog.overwrite_partitions(
+        merged, table, pcols, touched,
+        pre_swap=(
+            (lambda: catalog.snapshot(table))
+            if catalog.keep_versions > 0
+            else None
+        ),
+    )
+    return touched

@@ -33,6 +33,9 @@ implementations —
     DROP TABLE [IF EXISTS] t     → Catalog.drop
     SHOW TABLES                  → warehouse listing frame
     DESCRIBE [TABLE] t           → schema frame (Spark DESCRIBE shape)
+    COPY INTO t FROM '<path>'
+        FILEFORMAT = <fmt>       → ingest.copy_into (file-level
+        idempotent batch load; composes with append's txn protocol)
     MERGE INTO t USING s ON ...
         WHEN [NOT] MATCHED [BY SOURCE] [AND c]
         THEN UPDATE SET */sets
@@ -859,7 +862,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 merged, table, partition_by=pcols
             )
             return None
-        from ..operators.merge_clauses import merge_apply
+        from ..operators.merge_clauses import (
+            merge_apply,
+            merge_apply_partitioned,
+        )
 
         if guard_expr is not None:
             # the ON timestamp guard gates every MATCHED clause
@@ -871,6 +877,27 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     if m.condition is None
                     else f"({guard_expr}) AND ({m.condition})"
                 )
+        # general clause sets still get partition pruning when the
+        # layout allows it: partition cols are same-named merge keys,
+        # no DELETE (could empty a leaf), no BY SOURCE (touches every
+        # leaf), no SET on a partition column (rows must not move)
+        prunable = (
+            pcols
+            and set(pcols)
+            <= {tc for tc, sc in pairs if tc == sc}
+            and not by_source
+            and all(m.sets is not None for m in matched)
+            and not any(
+                set(m.sets or {}) & set(pcols) for m in matched
+            )
+        )
+        if prunable:
+            merge_apply_partitioned(
+                catalog, table, source, pairs,
+                matched=matched, not_matched=not_matched,
+                max_partitions=max_partitions,
+            )
+            return None
         merged = merge_apply(
             catalog.read(table), source, pairs,
             matched=matched,
@@ -1087,6 +1114,56 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             catalog.overwrite_via_staging(rows, table, partition_by=pcols)
             return None
         return catalog.append(rows, table, partition_by=pcols)
+
+    if head == "COPY":
+        # COPY INTO t FROM '<path>' FILEFORMAT = JSON|PARQUET|CSV
+        # → ingest.copy_into (file-level idempotent batch load)
+        import re as _re
+
+        if len(toks) < 2 or toks[1][0] != "INTO":
+            raise UnsupportedStatement(
+                f"expected COPY INTO <table> FROM '<path>' FILEFORMAT "
+                f"= <fmt>, got: {s[:80]}"
+            )
+        table, after = _table_name(s, toks, 2)
+        if after >= len(toks) or toks[after][0] != "FROM":
+            raise UnsupportedStatement(
+                f"COPY INTO needs FROM '<path>': {s[:80]}"
+            )
+        m = _re.match(r"\s*'([^']+)'", s[toks[after][2]:])
+        if not m:
+            raise UnsupportedStatement(
+                f"COPY INTO FROM needs a quoted path: {s[:80]}"
+            )
+        path = m.group(1)
+        ff_rel = _clause_pos(toks[after + 1:], "FILEFORMAT")
+        if ff_rel is None:
+            raise UnsupportedStatement(
+                f"COPY INTO needs FILEFORMAT = <fmt>: {s[:80]}"
+            )
+        ff_tok = toks[after + 1 + ff_rel]
+        if any(
+            t[0] in ("FORMAT_OPTIONS", "COPY_OPTIONS")
+            for t in toks[after:]
+        ):
+            raise UnsupportedStatement(
+                "FORMAT_OPTIONS / COPY_OPTIONS are not supported — "
+                "COPY INTO here reads with the target table's schema "
+                "and is always file-idempotent"
+            )
+        fm = _re.match(r"\s*=\s*(\w+)", s[ff_tok[2]:])
+        if not fm:
+            raise UnsupportedStatement(
+                f"FILEFORMAT needs = <fmt>: {s[:80]}"
+            )
+        fmt = fm.group(1).lower()
+        if fmt not in ("json", "parquet", "csv"):
+            raise UnsupportedStatement(
+                f"unsupported FILEFORMAT {fmt!r} (json/parquet/csv)"
+            )
+        from ..ingest import copy_into
+
+        return copy_into(catalog, table, path, file_format=fmt)
 
     if head == "TRUNCATE":
         if len(toks) < 3 or toks[1][0] != "TABLE":

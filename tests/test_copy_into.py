@@ -1,0 +1,103 @@
+"""COPY INTO (ingest.copy_into + the SQL head): file-level idempotent
+batch loads that compose with Catalog.append's txn protocol — new
+files load once, loaded files never reload, crashes converge."""
+
+import json
+import os
+
+import pytest
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.ingest import copy_into
+from mydatalake_spark.plans.table_sql import (
+    UnsupportedStatement,
+    run_table_sql,
+)
+
+TBL = "bronze.ev.clicks"
+
+
+def _write(path, rows):
+    with open(path, "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+
+
+def _seed_table(spark, cat):
+    df = spark.createDataFrame([(0, "seed")], "id int, kind string")
+    cat.overwrite(df, TBL)
+
+
+def test_copy_into_loads_only_new_files(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop / "a.json", [{"id": 1, "kind": "x"}, {"id": 2, "kind": "y"}])
+    _write(drop / "b.json", [{"id": 3, "kind": "z"}])
+    assert copy_into(cat, TBL, str(drop)) == 3
+    # re-run with nothing new: no-op
+    assert copy_into(cat, TBL, str(drop)) == 0
+    # a new file lands: only it loads
+    _write(drop / "c.json", [{"id": 4, "kind": "w"}])
+    assert copy_into(cat, TBL, str(drop)) == 1
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2, 3, 4]
+    # a MODIFIED already-loaded file stays skipped (Databricks rule)
+    _write(drop / "a.json", [{"id": 99, "kind": "no"}])
+    assert copy_into(cat, TBL, str(drop)) == 0
+    assert 99 not in {r.id for r in cat.read(TBL).collect()}
+
+
+def test_copy_into_crash_between_append_and_book_converges(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop / "a.json", [{"id": 1, "kind": "x"}])
+    assert copy_into(cat, TBL, str(drop)) == 1
+    # forge the crash: the append txn landed but the file book did not
+    book = os.path.join(cat._version_root(TBL), ".copy_into.json")
+    os.remove(book)
+    # replay: same new-file set → same txn → append no-ops, book heals
+    assert copy_into(cat, TBL, str(drop)) == 0
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1]
+    assert os.path.exists(book)
+
+
+def test_copy_into_sql_head_and_refusals(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop / "a.json", [{"id": 7, "kind": "q"}])
+    n = run_table_sql(
+        cat, f"COPY INTO {TBL} FROM '{drop}' FILEFORMAT = JSON"
+    )
+    assert n == 1
+    assert run_table_sql(
+        cat, f"COPY INTO {TBL} FROM '{drop}' FILEFORMAT = JSON"
+    ) == 0
+    with pytest.raises(UnsupportedStatement, match="FORMAT_OPTIONS"):
+        run_table_sql(
+            cat,
+            f"COPY INTO {TBL} FROM '{drop}' FILEFORMAT = JSON "
+            "FORMAT_OPTIONS('header' = 'true')",
+        )
+    with pytest.raises(UnsupportedStatement, match="FILEFORMAT"):
+        run_table_sql(cat, f"COPY INTO {TBL} FROM '{drop}'")
+    with pytest.raises(ValueError, match="does not exist"):
+        copy_into(cat, "bronze.no.table", str(drop))
+
+
+def test_copy_into_partitioned_and_glob(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(0, "EU", "seed")], "id int, region string, kind string"
+    )
+    cat.overwrite(df, TBL, partition_by=["region"])
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop / "a.json", [{"id": 1, "region": "US", "kind": "x"}])
+    _write(drop / "skip.txt", [{"id": 9, "region": "XX", "kind": "no"}])
+    assert copy_into(cat, TBL, str(drop / "*.json")) == 1
+    got = {r.id: r.region for r in cat.read(TBL).collect()}
+    assert got == {0: "EU", 1: "US"}

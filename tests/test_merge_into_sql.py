@@ -23,6 +23,7 @@ from mydatalake_spark.operators.merge_clauses import (
 )
 from mydatalake_spark.plans.table_sql import (
     UnsupportedStatement,
+    _detect_partition_cols,
     run_table_sql,
 )
 
@@ -262,3 +263,91 @@ def test_merge_apply_by_source_update(spark):
         ],
     ).collect()
     assert {r.id: r.status for r in out} == {1: "live", 2: "orphaned"}
+
+
+def test_merge_apply_partitioned_prunes_untouched_leaves(spark, tmp_path):
+    # general clause set (conditional UPDATE + conditional INSERT) on
+    # a hive layout whose columns are same-named merge keys: only the
+    # changeset's partitions are read/rewritten
+    from mydatalake_spark.operators.merge_clauses import (
+        merge_apply_partitioned,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    _seed(spark, cat, partitioned=True)
+    src = spark.createDataFrame(
+        [(1, "EU", 100.0, 500), (99, "EU", 9.0, 500)], SCHEMA
+    )
+    root = cat.path(TBL)
+    before = _leaf_partition_files(root, ["region"])
+    touched = merge_apply_partitioned(
+        cat, TBL, src, [("id", "id"), ("region", "region")],
+        matched=[MatchedClause(sets={"amount": "__s_amount"})],
+        not_matched=[NotMatchedClause(insert_all=True)],
+    )
+    assert touched == [("EU",)]
+    after = _leaf_partition_files(root, ["region"])
+    assert after[("US",)] == before[("US",)]
+    assert after[("AP",)] == before[("AP",)]
+    got = {r.id: r.amount for r in cat.read(TBL).collect()}
+    assert got[1] == 100.0 and got[99] == 9.0 and got[3] == 30.0
+    # the in-place leaf swap committed a version
+    assert len(cat.versions(TBL)) == 1
+
+
+def test_merge_apply_partitioned_refusals(spark, tmp_path):
+    from mydatalake_spark.operators.merge_clauses import (
+        merge_apply_partitioned,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    src = spark.createDataFrame([(1, "EU", 0.0, 1)], SCHEMA)
+    with pytest.raises(ValueError, match="same-named merge key"):
+        merge_apply_partitioned(
+            cat, TBL, src, [("id", "id")],
+            matched=[MatchedClause(update_all=True)],
+        )
+    with pytest.raises(ValueError, match="DELETE"):
+        merge_apply_partitioned(
+            cat, TBL, src, ["id", "region"],
+            matched=[MatchedClause(sets=None)],
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        merge_apply_partitioned(
+            cat, TBL, src, ["id", "region"],
+            matched=[MatchedClause(sets={"region": "'XX'"})],
+        )
+
+
+def test_merge_sql_general_clauses_take_pruned_path(spark, tmp_path):
+    # SQL route: non-canonical clause set, prunable layout — untouched
+    # leaves keep their inodes
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    src = spark.createDataFrame([(1, "EU", 5.0, 999)], SCHEMA)
+    cat.overwrite(src, SRC)
+    root = cat.path(TBL)
+    before = _leaf_partition_files(root, ["region"])
+    run_table_sql(
+        cat,
+        f"MERGE INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id AND t.region = s.region "
+        "WHEN MATCHED AND s.amount < 10 "
+        "  THEN UPDATE SET amount = s.amount * 2 "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    after = _leaf_partition_files(root, ["region"])
+    assert after[("US",)] == before[("US",)]
+    assert after[("AP",)] == before[("AP",)]
+    assert after[("EU",)] != before[("EU",)]
+    assert {r.id: r.amount for r in cat.read(TBL).collect()}[1] == 10.0
+    # a DELETE-bearing clause set still works (whole-table fallback)
+    run_table_sql(
+        cat,
+        f"MERGE INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id AND t.region = s.region "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert 1 not in {r.id for r in cat.read(TBL).collect()}
+    assert _detect_partition_cols(root) == ["region"]
