@@ -1446,6 +1446,7 @@ class Catalog:
         keep: int | None = None,
         *,
         staging_grace_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> int:
         """Delta ``VACUUM`` analogue: drop retained version snapshots
         beyond ``keep`` (default: this catalog's ``keep_versions``)
@@ -1462,7 +1463,14 @@ class Catalog:
         overwrite_via_staging / overwrite_partitions micro-batch on
         the same table would otherwise lose its in-flight output —
         the same retention-window discipline as Delta VACUUM's
-        default. Pass 0 to force-clean known-dead staging dirs."""
+        default. Pass 0 to force-clean known-dead staging dirs.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report the
+        bytes the vacuum WOULD reclaim without deleting anything —
+        the same weighing walk, no rmtree. One honest corner: an
+        inode hardlink-shared by SEVERAL stale snapshots frees on the
+        real run's last removal, but a dry run sees link count > 1 on
+        every walk and undercounts it."""
         keep = self.keep_versions if keep is None else keep
         if keep < 0:
             raise ValueError("keep must be >= 0")
@@ -1481,8 +1489,9 @@ class Catalog:
         for stale in vs[: max(0, len(vs) - keep)]:
             p = os.path.join(self._version_root(full_name), stale)
             freed += _weigh(p)
-            shutil.rmtree(p, ignore_errors=True)
-        if not self.versions(full_name):
+            if not dry_run:
+                shutil.rmtree(p, ignore_errors=True)
+        if not dry_run and not self.versions(full_name):
             # keep the root when it carries the high-water marker —
             # version numbers must stay never-reused across a full
             # vacuum (drop()/truncate() end the table's lifecycle and
@@ -1520,7 +1529,8 @@ class Catalog:
                 if time.time() - newest < staging_grace_seconds:
                     continue  # possibly in-flight — not an orphan yet
                 freed += _weigh(p)
-                shutil.rmtree(p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
         return freed
 
     # --- table statistics / detail ----------------------------------

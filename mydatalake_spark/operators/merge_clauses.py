@@ -106,6 +106,7 @@ def merge_apply(
     matched: list[MatchedClause] | None = None,
     not_matched: list[NotMatchedClause] | None = None,
     not_matched_by_source: list[NotMatchedBySourceClause] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Execute a general MERGE clause set; returns the merged frame
     (target schema). ``on`` is the equi-join key list — either shared
@@ -132,6 +133,15 @@ def merge_apply(
 
     NULL join keys use eqNullSafe — a NULL key matches a NULL key
     (merge_upsert's convention), never silently drops.
+
+    ``evolve_schema=True`` (Delta ``MERGE WITH SCHEMA EVOLUTION``
+    analogue, merge_upsert's additive rule): source columns the
+    target lacks are appended to the target as typed NULLs before the
+    clauses run, so ``UPDATE SET *`` / ``INSERT *`` carry the new
+    columns and pre-existing rows read NULL for them. Source MISSING
+    a target column is still fine here (unlike merge_upsert) because
+    explicit clause lists make partial updates well-defined — only
+    ``SET *`` / ``INSERT *`` demand identical sets.
     """
     matched = matched or []
     not_matched = not_matched or []
@@ -141,6 +151,12 @@ def merge_apply(
     ]
     if not pairs:
         raise ValueError("merge_apply: ON needs at least one key pair")
+    if evolve_schema:
+        for f_ in source.schema.fields:
+            if f_.name not in target.columns:
+                target = target.withColumn(
+                    f_.name, F.lit(None).cast(f_.dataType)
+                )
 
     cols = target.columns
     reserved = {"__t_present__", "__s_present__", "__act__"}

@@ -20,9 +20,14 @@ implementations —
         name CHECK (expr)        → Catalog.add_constraint
     ALTER TABLE t DROP CONSTRAINT
         name                     → Catalog.drop_constraint
+    ALTER TABLE t ADD COLUMNS (c1 T1, ...)
+      | DROP COLUMN(S) c[, ...]
+      | RENAME COLUMN a TO b     → versioned whole-table rewrite
+        (parquet readers take schema from footers — no metadata-only
+        DDL here; partition / constraint-referenced columns refused)
     RESTORE TABLE t TO VERSION
         AS OF n                  → Catalog.restore
-    VACUUM t                     → Catalog.vacuum
+    VACUUM t [DRY RUN]           → Catalog.vacuum
     CREATE [OR REPLACE] TABLE t
         [PARTITIONED BY (cols)]
         AS SELECT ...            → Catalog.overwrite_via_staging
@@ -36,7 +41,7 @@ implementations —
     COPY INTO t FROM '<path>'
         FILEFORMAT = <fmt>       → ingest.copy_into (file-level
         idempotent batch load; composes with append's txn protocol)
-    MERGE INTO t USING s ON ...
+    MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON ...
         WHEN [NOT] MATCHED [BY SOURCE] [AND c]
         THEN UPDATE SET */sets
            | DELETE | INSERT ... → operators/merge.py (canonical
@@ -785,11 +790,19 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # layout-preserving staging overwrite. Returns None (like
         # INSERT OVERWRITE; Delta's MERGE metrics would cost a second
         # pass over the join here).
-        if len(toks) < 2 or toks[1][0] != "INTO":
+        into_idx = 1
+        evolve = False
+        if [t[0] for t in toks[1:4]] == ["WITH", "SCHEMA", "EVOLUTION"]:
+            # Databricks MERGE WITH SCHEMA EVOLUTION INTO: source
+            # columns the target lacks are appended as typed NULLs
+            evolve = True
+            into_idx = 4
+        if len(toks) <= into_idx or toks[into_idx][0] != "INTO":
             raise UnsupportedStatement(
-                f"expected MERGE INTO <table> ..., got: {s[:80]}"
+                f"expected MERGE [WITH SCHEMA EVOLUTION] INTO <table> "
+                f"..., got: {s[:80]}"
             )
-        table, after = _table_name(s, toks, 2)
+        table, after = _table_name(s, toks, into_idx + 1)
         t_alias = table.split(".")[-1]
         if after < len(toks) and toks[after][0] == "AS":
             after += 1
@@ -842,6 +855,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             )
         )
         pcols = _detect_partition_cols(catalog.path(table))
+        # schema evolution that actually ADDS columns touches every
+        # row of the table — the pruned paths cannot express it, so
+        # those statements take the whole-table rewrite
+        evolving = evolve and bool(
+            set(source.columns) - set(catalog.read(table).columns)
+        )
         if canonical:
             from ..operators.merge import (
                 merge_upsert,
@@ -849,14 +868,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             )
 
             ts_col = guard[0] if guard else None
-            if pcols and set(pcols) <= set(keys):
+            if pcols and set(pcols) <= set(keys) and not evolving:
                 merge_upsert_partitioned(
                     catalog, table, source, keys, pcols,
                     ts_col=ts_col, max_partitions=max_partitions,
                 )
                 return None
             merged = merge_upsert(
-                catalog.read(table), source, keys, ts_col=ts_col
+                catalog.read(table), source, keys, ts_col=ts_col,
+                evolve_schema=evolve,
             )
             catalog.overwrite_via_staging(
                 merged, table, partition_by=pcols
@@ -883,6 +903,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # leaf), no SET on a partition column (rows must not move)
         prunable = (
             pcols
+            and not evolving
             and set(pcols)
             <= {tc for tc, sc in pairs if tc == sc}
             and not by_source
@@ -903,6 +924,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             matched=matched,
             not_matched=not_matched,
             not_matched_by_source=by_source,
+            evolve_schema=evolve,
         )
         catalog.overwrite_via_staging(merged, table, partition_by=pcols)
         return None
@@ -1205,9 +1227,136 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             name = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
             catalog.drop_constraint(table, name)
             return None
+
+        # Column DDL. Delta does these as metadata-only log entries;
+        # plain parquet readers take their schema from the footers, so
+        # here each is an honest VERSIONED whole-table rewrite through
+        # the staging swap (time travel shows the pre-DDL schema).
+        # Guards: partition columns are directory structure (refused);
+        # a column referenced by a CHECK constraint cannot be dropped/
+        # renamed out from under the write-time guard (refused by the
+        # constraint's name — word-boundary match on the expression).
+        import re as _re
+
+        def _constraints_referencing(col: str) -> list[str]:
+            return sorted(
+                name
+                for name, expr in catalog.constraints(table).items()
+                if _re.search(rf"\b{_re.escape(col)}\b", expr)
+            )
+
+        def _rewrite(frame):
+            pc = _detect_partition_cols(catalog.path(table))
+            catalog.overwrite_via_staging(frame, table, partition_by=pc)
+
+        if verbs[:1] == ["ADD"] and verbs[1:2] in (["COLUMN"], ["COLUMNS"]):
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
+            body = s[toks[after + 1][2]:].strip()
+            if not (body.startswith("(") and body.endswith(")")):
+                raise UnsupportedStatement(
+                    "ADD COLUMNS needs a parenthesized list: "
+                    f"ALTER TABLE t ADD COLUMNS (c1 INT, c2 STRING): "
+                    f"{s[:80]}"
+                )
+            try:
+                new_fields = StructType.fromDDL(body[1:-1]).fields
+            except Exception as e:
+                raise UnsupportedStatement(
+                    f"cannot parse ADD COLUMNS list {body!r}: {e}"
+                ) from None
+            df = catalog.read(table)
+            dup = [f.name for f in new_fields if f.name in df.columns]
+            if dup:
+                raise ValueError(
+                    f"ADD COLUMNS: {dup} already exist on {table}"
+                )
+            for f in new_fields:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            _rewrite(df)
+            return None
+
+        if verbs[:1] == ["DROP"] and verbs[1:2] in (["COLUMN"], ["COLUMNS"]):
+            body = s[toks[after + 1][2]:].strip()
+            if body.startswith("(") and body.endswith(")"):
+                cols = [c.strip() for c in body[1:-1].split(",") if c.strip()]
+            else:
+                cols = [c.strip() for c in body.split(",") if c.strip()]
+            if not cols:
+                raise UnsupportedStatement(
+                    f"DROP COLUMN needs at least one column: {s[:80]}"
+                )
+            df = catalog.read(table)
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"DROP COLUMN: {missing} not in {table} "
+                    f"({df.columns})"
+                )
+            pc = _detect_partition_cols(catalog.path(table)) or []
+            part_hit = sorted(set(cols) & set(pc))
+            if part_hit:
+                raise ValueError(
+                    f"DROP COLUMN: {part_hit} are partition columns — "
+                    "the hive layout is built from them; repartition "
+                    "via CREATE OR REPLACE ... PARTITIONED BY instead"
+                )
+            for c in cols:
+                refs = _constraints_referencing(c)
+                if refs:
+                    raise ValueError(
+                        f"DROP COLUMN {c}: CHECK constraint(s) {refs} "
+                        "reference it — drop them first (ALTER TABLE "
+                        "... DROP CONSTRAINT)"
+                    )
+            if len(cols) == len(df.columns):
+                raise ValueError(
+                    "DROP COLUMN would remove every column — use DROP "
+                    "TABLE"
+                )
+            _rewrite(df.drop(*cols))
+            return None
+
+        if verbs == ["RENAME", "COLUMN"]:
+            tail = [t[0] for t in toks[after + 2:]]
+            if len(tail) != 3 or tail[1] != "TO":
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t RENAME COLUMN a TO b: "
+                    f"{s[:80]}"
+                )
+            old = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
+            new = _ident(s[toks[after + 4][1]:toks[after + 4][2]])
+            df = catalog.read(table)
+            if old not in df.columns:
+                raise ValueError(
+                    f"RENAME COLUMN: {old} not in {table} ({df.columns})"
+                )
+            if new in df.columns:
+                raise ValueError(
+                    f"RENAME COLUMN: {new} already exists on {table}"
+                )
+            pc = _detect_partition_cols(catalog.path(table)) or []
+            if old in pc:
+                raise ValueError(
+                    f"RENAME COLUMN: {old} is a partition column — "
+                    "repartition via CREATE OR REPLACE ... PARTITIONED "
+                    "BY instead"
+                )
+            refs = _constraints_referencing(old)
+            if refs:
+                raise ValueError(
+                    f"RENAME COLUMN {old}: CHECK constraint(s) {refs} "
+                    "reference it — drop and re-add them with the new "
+                    "name"
+                )
+            _rewrite(df.withColumnRenamed(old, new))
+            return None
+
         raise UnsupportedStatement(
-            "only ADD/DROP CONSTRAINT is supported under ALTER TABLE "
-            f"(schema changes belong to merge evolve_schema): {s[:80]}"
+            "supported under ALTER TABLE: ADD/DROP CONSTRAINT, ADD "
+            "COLUMNS (...), DROP COLUMN(S), RENAME COLUMN a TO b: "
+            f"{s[:80]}"
         )
 
     if head == "RESTORE":
@@ -1297,10 +1446,13 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
 
     if head == "VACUUM":
         table, after = _table_name(s, toks, 1)
-        if after != len(toks):
+        tail = [t[0] for t in toks[after:]]
+        if tail == ["DRY", "RUN"]:
+            return catalog.vacuum(table, dry_run=True)
+        if tail:
             raise UnsupportedStatement(
-                "only plain VACUUM <table> is supported (retention is "
-                f"the catalog's keep_versions policy): {s[:80]}"
+                "only VACUUM <table> [DRY RUN] is supported (retention "
+                f"is the catalog's keep_versions policy): {s[:80]}"
             )
         return catalog.vacuum(table)
 

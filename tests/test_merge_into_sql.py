@@ -351,3 +351,49 @@ def test_merge_sql_general_clauses_take_pruned_path(spark, tmp_path):
     )
     assert 1 not in {r.id for r in cat.read(TBL).collect()}
     assert _detect_partition_cols(root) == ["region"]
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    # Databricks MERGE WITH SCHEMA EVOLUTION INTO: source-added
+    # columns append to the target as typed NULLs for pre-existing
+    # rows; without the clause the same statement is refused
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    wide = spark.createDataFrame(
+        [(1, "EU", 11.0, 200, "gold"), (9, "EU", 90.0, 200, "silver")],
+        SCHEMA + ", tier string",
+    )
+    cat.overwrite(wide, SRC)
+    with pytest.raises(ValueError, match="identical"):
+        run_table_sql(
+            cat,
+            f"MERGE INTO {TBL} t USING {SRC} s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    run_table_sql(
+        cat,
+        f"MERGE WITH SCHEMA EVOLUTION INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.id: (r.amount, r.tier) for r in cat.read(TBL).collect()}
+    assert got[1] == (11.0, "gold")     # updated, new column filled
+    assert got[2] == (20.0, None)       # untouched row: typed NULL
+    assert got[9] == (90.0, "silver")   # inserted with the new column
+    # general clause sets evolve too
+    wide2 = spark.createDataFrame(
+        [(2, "EU", 0.0, 300, "x", 42)], SCHEMA + ", tier string, rank int"
+    )
+    cat.overwrite(wide2, SRC)
+    run_table_sql(
+        cat,
+        f"MERGE WITH SCHEMA EVOLUTION INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.rank > 0 THEN UPDATE SET amount = s.amount, "
+        "rank = s.rank",
+    )
+    got2 = {r.id: (r.amount, r.rank) for r in cat.read(TBL).collect()}
+    assert got2[2] == (0.0, 42)
+    assert got2[1] == (11.0, None)

@@ -648,3 +648,59 @@ def test_timestamp_as_of_select_and_restore(spark, tmp_path):
         cat, f"RESTORE TABLE {TBL} TO TIMESTAMP AS OF '{iso}'"
     )
     assert {r.id: r.amount for r in cat.read(TBL).collect()}[1] == 10.0
+
+
+def test_vacuum_dry_run_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 1 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 2 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 3 WHERE id = 1")
+    assert len(cat.versions(TBL)) == 3
+    # a tighter-retention handle on the same warehouse: its VACUUM
+    # would reclaim the two oldest snapshots
+    tight = Catalog(spark, str(tmp_path / "wh"), keep_versions=1)
+    would = run_table_sql(tight, f"VACUUM {TBL} DRY RUN")
+    assert would > 0
+    assert len(cat.versions(TBL)) == 3  # DRY RUN deleted nothing
+    freed = run_table_sql(tight, f"VACUUM {TBL}")
+    assert freed >= would  # real run frees at least the dry estimate
+    assert len(cat.versions(TBL)) == 1
+
+
+def test_alter_add_drop_rename_columns_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    _seed(spark, cat, partitioned=True)
+    run_table_sql(
+        cat,
+        f"ALTER TABLE {TBL} ADD COLUMNS (score DOUBLE, note STRING)",
+    )
+    df = cat.read(TBL)
+    assert "score" in df.columns and "note" in df.columns
+    assert df.where("score IS NOT NULL").count() == 0
+    # versioned: the pre-DDL schema is retained
+    old = cat.read_version(TBL, version=cat.versions(TBL)[-1])
+    assert "score" not in old.columns
+    # duplicate add refused
+    with pytest.raises(ValueError, match="already exist"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} ADD COLUMNS (score INT)")
+    # rename, then drop
+    run_table_sql(cat, f"ALTER TABLE {TBL} RENAME COLUMN note TO memo")
+    assert "memo" in cat.read(TBL).columns
+    run_table_sql(cat, f"ALTER TABLE {TBL} DROP COLUMN memo, score")
+    assert "memo" not in cat.read(TBL).columns
+    # layout survived every rewrite
+    assert _detect_partition_cols(cat.path(TBL)) == ["region"]
+    # guards: partition column + constraint-referenced column
+    with pytest.raises(ValueError, match="partition column"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} DROP COLUMN region")
+    run_table_sql(
+        cat,
+        f"ALTER TABLE {TBL} ADD CONSTRAINT amt_pos CHECK (amount > 0)",
+    )
+    with pytest.raises(ValueError, match="amt_pos"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} DROP COLUMN amount")
+    with pytest.raises(ValueError, match="amt_pos"):
+        run_table_sql(
+            cat, f"ALTER TABLE {TBL} RENAME COLUMN amount TO amt"
+        )
