@@ -967,6 +967,10 @@ class Catalog:
             self._record_append_txn(full_name, txn_id, n)
             return n
         live = self.read(full_name)
+        # a feed may omit declared GENERATED columns — compute them
+        # before the strict column-set check (supplied ones keep the
+        # per-row equality guard via _with_check_guards below)
+        df = self._with_generated(df, full_name)
         missing = [c for c in live.columns if c not in df.columns]
         extra = [c for c in df.columns if c not in live.columns]
         if missing or extra:
@@ -1188,8 +1192,133 @@ class Catalog:
         self._write_constraints(full_name, desired)
         return {"added": added, "dropped": dropped, "changed": changed}
 
+    # --- generated columns (Delta GENERATED ALWAYS AS analogue) ------
+
+    def _generated_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".generated.json"
+        )
+
+    def generated_columns(self, full_name: str) -> dict:
+        """Active generated-column declarations: ``{col: sql_expr}``."""
+        p = self._generated_path(full_name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set_generated_column(
+        self, full_name: str, column: str, expr: str
+    ) -> None:
+        """Declare ``column GENERATED ALWAYS AS (expr)`` on an existing
+        table (Delta generated-column analogue — Delta declares these
+        at CREATE; here the declaration attaches to a live table).
+
+        - column NOT yet on the table: a versioned BACKFILL rewrite
+          materializes ``expr`` for every existing row (plain parquet
+          has no metadata-only column add — same honesty as ALTER
+          TABLE ADD COLUMNS);
+        - column already on the table: existing rows are VALIDATED
+          against ``expr`` first (early-exit scan, add_constraint's
+          rule) — a mismatch refuses the declaration.
+
+        From then on, EVERY write path (overwrite, staging swap,
+        partition swap, append, and therefore MERGE/DML/ingestion):
+        a frame MISSING the column gets it computed in-plan; a frame
+        SUPPLYING it is validated per row (Delta's rule: explicit
+        values must equal the generation expression), with the same
+        raise_error-into-staging economics as CHECK constraints.
+        Declared generated columns may be partition columns — the
+        common Delta pattern (date GENERATED AS CAST(ts AS DATE),
+        PARTITIONED BY date)."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"set_generated_column: table {full_name} does not exist"
+            )
+        df = self.read(full_name)
+        if column in df.columns:
+            bad = (
+                df.where(
+                    ~F.coalesce(
+                        F.col(column).eqNullSafe(F.expr(expr)),
+                        F.lit(False),
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"set_generated_column: existing rows of "
+                    f"{full_name} violate {column} = {expr} — fix the "
+                    "data (UPDATE) before declaring the generation"
+                )
+        else:
+            pcols = detect_partition_cols(self.path(full_name))
+            self.overwrite_via_staging(
+                df.withColumn(column, F.expr(expr)),
+                full_name,
+                partition_by=pcols,
+            )
+        gens = self.generated_columns(full_name)
+        gens[column] = expr
+        os.makedirs(self._version_root(full_name), exist_ok=True)
+        tmp = self._generated_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(gens, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._generated_path(full_name))
+
+    def drop_generated_column(self, full_name: str, column: str) -> None:
+        """Remove a generated-column DECLARATION (the physical column
+        stays — dropping it is ALTER TABLE DROP COLUMN's job)."""
+        gens = self.generated_columns(full_name)
+        if column not in gens:
+            raise ValueError(
+                f"no generated column {column!r} on {full_name} "
+                f"(declared: {sorted(gens)})"
+            )
+        del gens[column]
+        tmp = self._generated_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(gens, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._generated_path(full_name))
+
+    def _with_generated(self, df: DataFrame, full_name: str) -> DataFrame:
+        """Apply generated-column semantics to a to-be-written frame:
+        missing declared columns are computed in-plan; supplied ones
+        gain a per-row equality guard (raise_error on divergence —
+        same codegen economics as the CHECK guard)."""
+        gens = self.generated_columns(full_name)
+        for column in sorted(gens):
+            expr = gens[column]
+            if column not in df.columns:
+                df = df.withColumn(column, F.expr(expr))
+            else:
+                ok = F.coalesce(
+                    F.col(column).eqNullSafe(F.expr(expr)), F.lit(False)
+                )
+                guard = F.when(
+                    ~ok,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"generated column {column} = {expr} "
+                                f"violated on write to {full_name} "
+                                "by row "
+                            ),
+                            F.substring(
+                                F.to_json(F.struct(*df.columns)), 1, 256
+                            ),
+                        )
+                    ),
+                ).otherwise(F.lit(True))
+                df = df.filter(guard)
+        return df
+
     def _with_check_guards(self, df: DataFrame, full_name: str) -> DataFrame:
-        """Wrap a to-be-written frame with per-row CHECK enforcement.
+        """Wrap a to-be-written frame with per-row CHECK enforcement
+        (and, first, generated-column computation/validation — every
+        write path calls this, so both contracts ride every write).
 
         One filter whose predicate is TRUE for every conforming row
         and raise_error() for a violator — whole-stage-codegen
@@ -1198,6 +1327,7 @@ class Catalog:
         only evaluated ON violation). The failed write aborts into
         its staging directory, so the live table is never left
         half-written with violating rows."""
+        df = self._with_generated(df, full_name)
         cons = self.constraints(full_name)
         if not cons:
             return df
@@ -1432,12 +1562,18 @@ class Catalog:
         copy_fn = os.link if shallow else shutil.copy2
         shutil.copytree(src, staging, copy_function=copy_fn)
         os.replace(staging, dst)
-        # a clone carries the source's CHECK constraints (Delta clone
-        # copies table metadata) — but never its history (above)
-        src_cons = self._constraints_path(src_name)
-        if os.path.exists(src_cons):
-            os.makedirs(self._version_root(dst_name), exist_ok=True)
-            shutil.copy2(src_cons, self._constraints_path(dst_name))
+        # a clone carries the source's CHECK constraints and
+        # generated-column declarations (Delta clone copies table
+        # metadata) — but never its history (above)
+        for src_meta, dst_meta in (
+            (self._constraints_path(src_name),
+             self._constraints_path(dst_name)),
+            (self._generated_path(src_name),
+             self._generated_path(dst_name)),
+        ):
+            if os.path.exists(src_meta):
+                os.makedirs(self._version_root(dst_name), exist_ok=True)
+                shutil.copy2(src_meta, dst_meta)
         self._invalidate(dst_name)
 
     def vacuum(

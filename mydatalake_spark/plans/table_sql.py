@@ -69,7 +69,7 @@ from __future__ import annotations
 from ..catalog import detect_partition_cols as _detect_partition_cols
 from .qualify import _scan_tokens
 
-__all__ = ["run_table_sql", "UnsupportedStatement"]
+__all__ = ["run_table_sql", "run_table_script", "UnsupportedStatement"]
 
 
 class UnsupportedStatement(ValueError):
@@ -1463,3 +1463,42 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         "CONSTRAINT, RESTORE, VACUUM, OPTIMIZE, ANALYZE, DESCRIBE "
         "(SELECT queries go through spark.sql / plans.run_sql)"
     )
+
+
+def run_table_script(catalog, script: str, max_partitions: int = 10_000):
+    """Run a multi-statement SQL script (statements separated by
+    depth-0 semicolons — literal/comment-aware, the same scanner
+    discipline as everything here) through :func:`run_table_sql`,
+    sequentially. Returns the list of per-statement return values.
+
+    This is the migration surface for a Databricks notebook cell that
+    issues several statements in one string. Fail-fast: the first
+    statement outside the grammar (or failing) raises, leaving earlier
+    statements' effects in place — exactly the semantics the same
+    script has on Databricks (no cross-statement transaction exists
+    there either).
+    """
+    from .qualify import _depth0_semicolon
+
+    stmts = []
+    pos = 0
+    while pos < len(script):
+        semi = _depth0_semicolon(script, pos)
+        if semi is None:
+            stmts.append(script[pos:])
+            break
+        stmts.append(script[pos:semi])
+        pos = semi + 1
+    out = []
+    for stmt in stmts:
+        # strip full-line comments so a trailing commented statement
+        # doesn't read as an empty-statement error
+        body = "\n".join(
+            line
+            for line in stmt.splitlines()
+            if not line.lstrip().startswith("--")
+        ).strip()
+        if not body:
+            continue
+        out.append(run_table_sql(catalog, body, max_partitions))
+    return out

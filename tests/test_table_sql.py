@@ -704,3 +704,36 @@ def test_alter_add_drop_rename_columns_sql(spark, tmp_path):
         run_table_sql(
             cat, f"ALTER TABLE {TBL} RENAME COLUMN amount TO amt"
         )
+
+
+def test_run_table_script_multi_statement(spark, tmp_path):
+    from mydatalake_spark.plans.table_sql import run_table_script
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    results = run_table_script(
+        cat,
+        f"""
+        -- migrate a notebook cell verbatim
+        CREATE TABLE gold.s.top AS
+          SELECT id, amount FROM {TBL} WHERE amount >= 30;
+        UPDATE gold.s.top SET amount = amount + 1 WHERE id = 3;
+        DELETE FROM gold.s.top WHERE amount > 45;
+        """,
+    )
+    assert results[1] == 1 and results[2] == 1
+    got = {r.id: r.amount for r in cat.read("gold.s.top").collect()}
+    assert got == {3: 31.0, 4: 40.0}
+    # literal semicolons do not split; fail-fast leaves earlier
+    # effects in place
+    run_table_script(
+        cat, f"UPDATE gold.s.top SET amount = 0 WHERE id = 3"
+    )
+    with pytest.raises(UnsupportedStatement):
+        run_table_script(
+            cat,
+            "UPDATE gold.s.top SET amount = 5 WHERE id = 4; "
+            "GRANT SELECT ON gold.s.top TO x",
+        )
+    got = {r.id: r.amount for r in cat.read("gold.s.top").collect()}
+    assert got == {3: 0.0, 4: 5.0}  # first statement landed
