@@ -594,7 +594,13 @@ class Catalog:
         feeds = [hop(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
         out = feeds[0]
         for f in feeds[1:]:
-            out = out.unionByName(f)
+            # allowMissingColumns: a schema-evolving commit inside the
+            # range (ADD COLUMNS, generated-column backfill, evolving
+            # MERGE) makes hop frames differ — read the whole feed
+            # with the union of schemas, NULL-filling older commits'
+            # rows, exactly how Delta CDF reads a range spanning a
+            # schema change with the latest schema
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def _next_version(self, full_name: str) -> int:

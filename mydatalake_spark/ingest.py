@@ -123,13 +123,27 @@ class Ingestor:
         ingest run of a YAML that never mentioned constraints. An
         explicitly EMPTY ``constraints: {}`` block does reconcile (it
         declares "this table has none") and drops the catalog's set."""
-        if "constraints" not in self.meta.raw:
-            return
-        if not self.catalog.exists(self.meta.full_name):
-            return
-        desired = self.meta.constraints
-        if desired or self.catalog.constraints(self.meta.full_name):
-            self.catalog.sync_constraints(self.meta.full_name, desired)
+        name = self.meta.full_name
+        if self.catalog.exists(name):
+            if "constraints" in self.meta.raw:
+                desired = self.meta.constraints
+                if desired or self.catalog.constraints(name):
+                    self.catalog.sync_constraints(name, desired)
+            if "generated" in self.meta.raw:
+                # same desired-state reconciliation for generated
+                # columns: declared-and-missing attaches (backfilling
+                # if the column is new), declared-and-changed
+                # re-declares, catalog-only declarations drop; an
+                # absent block takes no position
+                desired_gen = self.meta.generated
+                current = self.catalog.generated_columns(name)
+                for col in sorted(set(current) - set(desired_gen)):
+                    self.catalog.drop_generated_column(name, col)
+                for col in sorted(desired_gen):
+                    if current.get(col) != desired_gen[col]:
+                        self.catalog.set_generated_column(
+                            name, col, desired_gen[col]
+                        )
 
     def run(self) -> None:
         from .logging_utils import log_duration

@@ -338,22 +338,56 @@ def update_where(
 
     Scale shape is identical to :func:`delete_where`: bounded probe,
     static pruning, touched-leaves-only rewrite, 0-match fast path.
+
+    Generated columns (Delta semantics): an UPDATE touching a
+    generation's SOURCE column recomputes the generated column
+    automatically — declared generated columns not explicitly SET are
+    dropped from the rewrite frame, and the write path's own
+    ``_with_generated`` recomputes them in the same pass (a stale
+    carried value would otherwise trip the equality guard). A
+    generated PARTITION column whose expression references a SET
+    column means rows may MOVE between leaves, exactly like SETting
+    the partition column itself — same refusal / whole-table
+    fallback.
     """
     _refuse_delta_catalog(catalog, "update_where")
     matched = _matched(condition)
     df = catalog.read(table)
+    gens = (
+        catalog.generated_columns(table)
+        if hasattr(catalog, "generated_columns")
+        else {}
+    )
+    recompute = [g for g in gens if g not in set_exprs]
+
+    def _regen(frame: DataFrame) -> DataFrame:
+        # drop stale carried values; the write path recomputes them
+        return frame.drop(
+            *[g for g in recompute if g in frame.columns]
+        )
 
     if partition_cols is None:
         applied = _apply_sets(df, set_exprs, matched)  # validates SETs
         n_updated = df.where(matched).count()
         if n_updated == 0:
             return 0
-        catalog.overwrite_via_staging(applied, table)
+        catalog.overwrite_via_staging(_regen(applied), table)
         return n_updated
 
     pcols = list(partition_cols)
     _apply_sets(df.limit(0), set_exprs, matched)  # validate SETs up front
-    moved = sorted(set(set_exprs) & set(pcols))
+    import re as _re
+
+    gen_moved = sorted(
+        g
+        for g in pcols
+        if g in gens
+        and any(
+            _re.search(rf"\b{_re.escape(c)}\b", gens[g])
+            for c in set_exprs
+        )
+    )
+    moved = sorted((set(set_exprs) & set(pcols)) | set(gen_moved))
     if moved:
         if not allow_partition_move:
             raise ValueError(
@@ -367,7 +401,9 @@ def update_where(
         n_updated = df.where(matched).count()
         if n_updated == 0:
             return 0
-        catalog.overwrite_via_staging(applied, table, partition_by=pcols)
+        catalog.overwrite_via_staging(
+            _regen(applied), table, partition_by=pcols
+        )
         return n_updated
     touched, n_updated = _probe_touched(df, matched, pcols, max_partitions)
     if not touched:
@@ -375,8 +411,12 @@ def update_where(
 
     from ..catalog import partition_predicate
 
-    new_slice = _apply_sets(
-        df.where(partition_predicate(pcols, touched)), set_exprs, matched
+    new_slice = _regen(
+        _apply_sets(
+            df.where(partition_predicate(pcols, touched)),
+            set_exprs,
+            matched,
+        )
     )
     # Snapshot only once the updated slice has materialized in staging
     # (pre_swap fires between overwrite_partitions' staging write and

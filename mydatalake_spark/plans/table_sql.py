@@ -41,6 +41,10 @@ implementations —
     COPY INTO t FROM '<path>'
         FILEFORMAT = <fmt>       → ingest.copy_into (file-level
         idempotent batch load; composes with append's txn protocol)
+    SELECT ... FROM table_changes('t', from[, to], 'k1,k2')
+                                 → Catalog.table_changes (per-commit
+        CDF; the trailing key list is required — this feed diffs by
+        key, plain parquet has no Delta row tracking)
     MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON ...
         WHEN [NOT] MATCHED [BY SOURCE] [AND c]
         THEN UPDATE SET */sets
@@ -930,6 +934,47 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return None
 
     if head in ("SELECT", "WITH"):
+        # Change-feed reads: table_changes('t', from[, to], 'k1,k2')
+        # (Databricks table-valued function; the trailing key list is
+        # an explicit extra argument here because this CDF diffs BY
+        # KEY — plain parquet has no file-level row tracking to
+        # reconstruct changes without one). Spans rewrite to temp
+        # views over catalog.table_changes(granularity='commit').
+        import re as _re_tc
+
+        tc_re = _re_tc.compile(
+            r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*"
+            r"(?:,\s*(\d+)\s*)?(?:,\s*'([^']+)'\s*)?\)",
+            _re_tc.IGNORECASE,
+        )
+        tc_views = []
+
+        def _tc_sub(m):
+            import uuid as _uuid
+
+            tname, v_from, v_to, keys_arg = m.groups()
+            if not keys_arg:
+                raise UnsupportedStatement(
+                    "table_changes() here needs the key columns as a "
+                    "final quoted argument — table_changes('t', 2, 5, "
+                    "'k1,k2') — because this change feed diffs by key "
+                    "(no Delta row tracking on plain parquet)"
+                )
+            keys = [k.strip() for k in keys_arg.split(",") if k.strip()]
+            view = f"__tc_{_uuid.uuid4().hex[:12]}"
+            catalog.table_changes(
+                tname,
+                keys,
+                from_version=int(v_from),
+                to_version=int(v_to) if v_to else None,
+                granularity="commit",
+            ).createOrReplaceTempView(view)
+            tc_views.append(view)
+            return view
+
+        if tc_re.search(s):
+            s = tc_re.sub(_tc_sub, s)
+            toks = _tokens(s)
         # Read-side time travel: SELECT ... FROM t VERSION AS OF n
         # (Delta syntax). Each depth-0 "<tbl> VERSION AS OF <n>" span
         # is replaced by a temp view over catalog.read_version, then
@@ -1007,7 +1052,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         result = run_sql(catalog.spark, out_sql, table_mapping=mapping)
         # spark.sql analyzes eagerly: the returned frame holds the
         # resolved plan, not the view names — safe to drop now
-        for view in vviews:
+        for view in vviews + tc_views:
             catalog.spark.catalog.dropTempView(view)
         return result
 

@@ -178,6 +178,21 @@ class TableMeta:
         return {c.name: c.tests for c in self.columns if c.tests}
 
     @property
+    def generated(self) -> dict[str, str]:
+        """Declared generated columns — ``generated:`` in the table
+        YAML, a mapping ``column: sql_expr``. **[extension]** Delta
+        GENERATED ALWAYS AS parity driven from the same metadata
+        document as schema/keys/constraints: the ingestors reconcile
+        the catalog's declarations to this block every run (absent
+        block = no position, the constraints rule)."""
+        raw = self.raw.get("generated") or {}
+        if not isinstance(raw, dict):
+            raise ValueError(
+                "generated: must be a mapping of column -> sql_expr"
+            )
+        return {str(k): str(v) for k, v in raw.items()}
+
+    @property
     def constraints(self) -> dict[str, str]:
         """Declared table CHECK constraints — ``constraints:`` in the
         table YAML, either a mapping ``name: sql_expr`` or a list of

@@ -398,6 +398,26 @@ SHOWCASE = [
         "At 100 TB a DELETE confined to 3 of 3,000 date partitions scans\n"
         "and rewrites ~0.1% of the table.",
     ),
+    (
+        "merge_into_orders",
+        "SQL MERGE INTO with a GENERAL clause set (r11): conditional\n"
+        "DELETE, explicit-SET UPDATE, conditional explicit-column INSERT\n"
+        "and NOT MATCHED BY SOURCE all compile into ONE full-outer\n"
+        "sort-merge join + a codegen'd first-wins action cascade fused\n"
+        "into a single filter+project (plan-pinned in tests/test_plans.py:\n"
+        "exactly one join node, each side scanned once). Delta's MERGE\n"
+        "does the same single find-touched-files join internally; a\n"
+        "per-clause pass would multiply the 100 TB scan by the clause\n"
+        "count.",
+    ),
+    (
+        "ctas_part_orders",
+        "Partitioned CTAS (r11): the aggregate runs map-side partial +\n"
+        "one exchange, and the read-back scan shows the hive layout the\n"
+        "CREATE produced — the layout later partition-pruned DML/OPTIMIZE/\n"
+        "CDF statements rely on. CREATE OR REPLACE rides the staging swap,\n"
+        "so a failed replace aborts without touching the live table.",
+    ),
 ]
 
 

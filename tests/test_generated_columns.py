@@ -106,3 +106,128 @@ def test_clone_carries_generated_declarations(spark, tmp_path):
     cat.append(batch, TBL + "_c")
     got = {r.id: str(r.day) for r in cat.read(TBL + "_c").collect()}
     assert got[7] == "2024-02-01"
+
+
+def test_yaml_declared_generated_through_ingestor(spark, tmp_path):
+    import json as _json
+
+    from mydatalake_spark.ingest import Ingestor
+
+    meta_root = tmp_path / "meta" / "events"
+    meta_root.mkdir(parents=True)
+    (meta_root / "events.yml").write_text(
+        """
+catalog: bronze
+schema: ev
+table: events
+fields:
+  - name: id
+    type: string
+  - name: ts
+    type: string
+generated:
+  day: CAST(ts AS DATE)
+"""
+    )
+    src = tmp_path / "rows.json"
+    src.write_text(
+        _json.dumps({"id": "1", "ts": "2024-03-01 08:00:00"})
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ing = Ingestor(
+        spark, cat, str(tmp_path / "meta"), "events",
+        input_format="json", input_path=str(src),
+    )
+    ing.run()  # first run: write, then declare + backfill
+    t = "bronze.ev.events"
+    assert cat.generated_columns(t) == {"day": "CAST(ts AS DATE)"}
+    assert {str(r.day) for r in cat.read(t).collect()} == {"2024-03-01"}
+    # second run: the declared column rides the write automatically
+    src.write_text(_json.dumps({"id": "2", "ts": "2024-03-02 08:00:00"}))
+    ing.input_path = str(src)
+    ing.run()
+    assert {str(r.day) for r in cat.read(t).collect()} == {"2024-03-02"}
+    # a YAML with no generated block leaves the declaration alone
+    (meta_root / "events.yml").write_text(
+        """
+catalog: bronze
+schema: ev
+table: events
+fields:
+  - name: id
+    type: string
+  - name: ts
+    type: string
+"""
+    )
+    Ingestor(
+        spark, cat, str(tmp_path / "meta"), "events",
+        input_format="json", input_path=str(src),
+    ).run()
+    assert cat.generated_columns(t) == {"day": "CAST(ts AS DATE)"}
+
+
+def test_per_commit_cdf_across_schema_evolving_commit(spark, tmp_path):
+    # a generated-column backfill (or ADD COLUMNS / evolving MERGE)
+    # inside a per-commit CDF range makes hop schemas differ — the
+    # feed reads with the union of schemas, NULL-filling older
+    # commits' rows (Delta CDF's latest-schema read)
+    from mydatalake_spark.operators.dml import update_where
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    _seed(spark, cat)
+    cat.snapshot(TBL)  # v1: pre-generated schema
+    cat.set_generated_column(TBL, "day", "CAST(ts AS DATE)")  # v2
+    update_where(cat, TBL, {"ts": "'2024-06-01 00:00:00'"}, "id = 1")
+    feed = cat.table_changes(
+        TBL, ["id"], from_version=1, granularity="commit"
+    )
+    assert "day" in feed.columns
+    rows = [(r._change_type, r.id) for r in feed.collect()]
+    assert ("update_postimage", 1) in rows
+
+
+def test_update_recomputes_generated_column(spark, tmp_path):
+    # Delta semantics: an UPDATE touching a generation's source column
+    # recomputes the generated column (a stale carried value would
+    # otherwise trip the write guard)
+    from mydatalake_spark.operators.dml import update_where
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.set_generated_column(TBL, "day", "CAST(ts AS DATE)")
+    n = update_where(
+        cat, TBL, {"ts": "'2024-12-25 09:00:00'"}, "id = 1"
+    )
+    assert n == 1
+    got = {r.id: str(r.day) for r in cat.read(TBL).collect()}
+    assert got[1] == "2024-12-25"
+    assert got[2] == "2024-01-02"  # unmatched row untouched
+
+
+def test_partitioned_update_on_generated_source_is_a_move(spark, tmp_path):
+    # a generated PARTITION column whose expression references a SET
+    # column means rows may move between leaves — refused like SETting
+    # the partition column itself, whole-table fallback on opt-in
+    from mydatalake_spark.operators.dml import update_where
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")],
+        "id int, ts string",
+    ).selectExpr("id", "ts", "CAST(ts AS DATE) AS day")
+    cat.overwrite(df, TBL, partition_by=["day"])
+    cat.set_generated_column(TBL, "day", "CAST(ts AS DATE)")
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(
+            cat, TBL, {"ts": "'2024-02-01 00:00:00'"}, "id = 1",
+            partition_cols=["day"],
+        )
+    n = update_where(
+        cat, TBL, {"ts": "'2024-02-01 00:00:00'"}, "id = 1",
+        partition_cols=["day"], allow_partition_move=True,
+    )
+    assert n == 1
+    got = {r.id: str(r.day) for r in cat.read(TBL).collect()}
+    assert got[1] == "2024-02-01"  # row moved leaf, value recomputed
+    assert detect_partition_cols(cat.path(TBL)) == ["day"]

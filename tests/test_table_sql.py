@@ -737,3 +737,26 @@ def test_run_table_script_multi_statement(spark, tmp_path):
         )
     got = {r.id: r.amount for r in cat.read("gold.s.top").collect()}
     assert got == {3: 0.0, 4: 5.0}  # first statement landed
+
+
+def test_table_changes_sql_function(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 111 WHERE id = 1")
+    run_table_sql(cat, f"DELETE FROM {TBL} WHERE id = 5")
+    # per-commit CDF through the SQL spelling (explicit key list —
+    # this feed diffs by key, documented deviation from Databricks)
+    # from v1 to the live state (no to-version argument)
+    df = run_table_sql(
+        cat,
+        f"SELECT _change_type, _commit_version, id FROM "
+        f"table_changes('{TBL}', 1, 'id') ORDER BY _commit_version",
+    )
+    rows = [(r._change_type, r.id) for r in df.collect()]
+    assert ("update_postimage", 1) in rows
+    assert ("delete", 5) in rows
+    # missing key list refused by name
+    with pytest.raises(UnsupportedStatement, match="key columns"):
+        run_table_sql(
+            cat, f"SELECT * FROM table_changes('{TBL}', 1, 3)"
+        )
