@@ -4,7 +4,8 @@ Reference parity: ``{layer}/job_metadata.yml`` declares jobs
 (name, type ∈ {full, cdc}, table list with table_name / input_format /
 catalog / schema — reference bronze/job_metadata.yml:1-26; [extension]
 type ``append`` file-move-appends key-less event feeds via
-IngestorAppend — O(new files), never O(table));
+IngestorAppend — O(new files), never O(table); type ``copy_into``
+drains a landing zone with per-file exactly-once loads);
 ``find_job`` resolves a (job_type, job_name) pair
 (reference lib/utils.py:11-24); ``job.ipynb`` then launches one child
 notebook per table via ``dbutils.notebook.run``
@@ -88,6 +89,8 @@ class JobRunner:
             return self._run_streaming(job, layer)
         if job_type == "reconcile":
             return self._run_reconcile(job)
+        if job_type == "copy_into":
+            return self._run_copy_into(job)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -122,6 +125,35 @@ class JobRunner:
             )
             ing.run()
             written.append(ing.meta.full_name)
+        return written
+
+    def _run_copy_into(self, job: dict[str, Any]) -> list[str]:
+        """``type: copy_into`` jobs: per-table file-level idempotent
+        batch loads (ingest.copy_into — the Databricks COPY INTO
+        analogue). Each table entry declares ``table`` (full dotted
+        name of an EXISTING catalog table), ``path`` (directory or
+        glob; the runner's ``input_paths`` override by short name
+        wins, matching the other job types), and optional
+        ``file_format`` (default json). Re-running the job loads only
+        files that landed since the last run — the scheduled shape of
+        a landing-zone drain."""
+        written: list[str] = []
+        from .ingest import copy_into
+
+        for tbl in job.get("tables", []):
+            full = tbl["table"]
+            short = full.split(".")[-1]
+            path = self.input_paths.get(short, tbl.get("path"))
+            if not path:
+                raise ValueError(
+                    f"copy_into job: table {full} needs a 'path' (or "
+                    "a runner input_paths entry)"
+                )
+            copy_into(
+                self.catalog, full, path,
+                file_format=tbl.get("file_format", "json"),
+            )
+            written.append(full)
         return written
 
     def _run_reconcile(self, job: dict[str, Any]) -> list[str]:

@@ -101,3 +101,39 @@ def test_copy_into_partitioned_and_glob(spark, tmp_path):
     assert copy_into(cat, TBL, str(drop / "*.json")) == 1
     got = {r.id: r.region for r in cat.read(TBL).collect()}
     assert got == {0: "EU", 1: "US"}
+
+
+def test_copy_into_job_type(spark, tmp_path):
+    # type: copy_into job — the scheduled landing-zone drain shape:
+    # re-running the job loads only files that landed since last run
+    import json as _json
+
+    from mydatalake_spark.jobs import JobRunner
+
+    root = tmp_path / "meta" / "bronze"
+    root.mkdir(parents=True)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (root / "job_metadata.yml").write_text(
+        f"""
+jobs:
+  - name: bronze_drain
+    type: copy_into
+    tables:
+      - table: {TBL}
+        path: '{drop}'
+        file_format: json
+"""
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    _write(drop / "a.json", [{"id": 1, "kind": "x"}])
+    runner = JobRunner(spark, cat, str(tmp_path / "meta"))
+    assert runner.run("copy_into", "bronze_drain") == [TBL]
+    assert cat.read(TBL).count() == 2
+    # second run: nothing new landed → table unchanged
+    runner.run("copy_into", "bronze_drain")
+    assert cat.read(TBL).count() == 2
+    _write(drop / "b.json", [{"id": 2, "kind": "y"}])
+    runner.run("copy_into", "bronze_drain")
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2]
