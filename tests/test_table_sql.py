@@ -760,3 +760,31 @@ def test_table_changes_sql_function(spark, tmp_path):
         run_table_sql(
             cat, f"SELECT * FROM table_changes('{TBL}', 1, 3)"
         )
+
+
+def test_optimize_where_typed_partitions(spark, tmp_path):
+    # DATE- and INT-typed hive partitions: the metadata predicate
+    # casts the dirname strings through the table's partition types
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(60).selectExpr(
+        "id",
+        "date_add(date'2024-01-01', cast(id % 3 as int)) AS day",
+        "cast(id * 1.5 as double) AS v",
+    ).repartition(6)
+    cat.overwrite(df, TBL, partition_by=["day"])
+    before = _leaf_partition_files(cat.path(TBL), ["day"])
+    assert run_table_sql(
+        cat, f"OPTIMIZE {TBL} WHERE day >= '2024-01-02'"
+    ) >= 1
+    after = _leaf_partition_files(cat.path(TBL), ["day"])
+    assert after[("2024-01-01",)] == before[("2024-01-01",)]
+    assert after[("2024-01-02",)] != before[("2024-01-02",)]
+    assert cat.read(TBL).count() == 60
+    df2 = spark.range(40).selectExpr(
+        "id", "cast(id % 4 as int) AS bucket", "id * 2 AS v"
+    ).repartition(4)
+    cat.overwrite(df2, "s.t.b", partition_by=["bucket"])
+    assert run_table_sql(cat, "OPTIMIZE s.t.b WHERE bucket IN (1, 3)") >= 1
+    assert cat.read("s.t.b").count() == 40
