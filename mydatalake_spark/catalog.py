@@ -1802,6 +1802,7 @@ class Catalog:
             or [],
             "num_versions": len(self.versions(full_name)),
             "constraints": self.constraints(full_name),
+            "generated_columns": self.generated_columns(full_name),
             "num_rows": (
                 stats["n_rows"] if stats and stats["fresh"] else None
             ),

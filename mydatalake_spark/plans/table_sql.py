@@ -37,6 +37,8 @@ implementations —
         [VERSION AS OF n]        → Catalog.clone
     DROP TABLE [IF EXISTS] t     → Catalog.drop
     SHOW TABLES                  → warehouse listing frame
+    SHOW PARTITIONS t            → hive-leaf listing frame
+        (directory metadata only — no data scan)
     DESCRIBE [TABLE] t           → schema frame (Spark DESCRIBE shape)
     COPY INTO t FROM '<path>'
         FILEFORMAT = <fmt>       → ingest.copy_into (file-level
@@ -644,11 +646,37 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return None
 
     if head == "SHOW":
-        # SHOW TABLES → one row per warehouse table (Databricks shape:
-        # namespace, tableName, isTemporary)
+        # SHOW TABLES → warehouse listing; SHOW PARTITIONS t → one row
+        # per hive leaf (Spark's own statement shape: a 'partition'
+        # column of k=v[/k=v] specs) from directory metadata only
+        if len(toks) >= 2 and toks[1][0] == "PARTITIONS":
+            table, after = _table_name(s, toks, 2)
+            if after != len(toks):
+                raise UnsupportedStatement(
+                    f"SHOW PARTITIONS takes only a table name: {s[:80]}"
+                )
+            pcols = _detect_partition_cols(catalog.path(table))
+            if not pcols:
+                raise ValueError(
+                    f"SHOW PARTITIONS: {table} is not a partitioned "
+                    "table"
+                )
+            from ..catalog import _leaf_partition_files
+
+            leaves = sorted(
+                _leaf_partition_files(catalog.path(table), pcols)
+            )
+            rows = [
+                ("/".join(f"{c}={v}" for c, v in zip(pcols, vals)),)
+                for vals in leaves
+            ]
+            return catalog.spark.createDataFrame(
+                rows, "partition string"
+            )
         if [t[0] for t in toks[1:]] != ["TABLES"]:
             raise UnsupportedStatement(
-                f"only SHOW TABLES is supported: {s[:80]}"
+                f"only SHOW TABLES / SHOW PARTITIONS <t> is supported: "
+                f"{s[:80]}"
             )
         rows = []
         for name in catalog.list_tables():

@@ -788,3 +788,27 @@ def test_optimize_where_typed_partitions(spark, tmp_path):
     cat.overwrite(df2, "s.t.b", partition_by=["bucket"])
     assert run_table_sql(cat, "OPTIMIZE s.t.b WHERE bucket IN (1, 3)") >= 1
     assert cat.read("s.t.b").count() == 40
+
+
+def test_show_partitions_sql(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    rows = sorted(
+        r.partition
+        for r in run_table_sql(cat, f"SHOW PARTITIONS {TBL}").collect()
+    )
+    assert rows == ["region=AP", "region=EU", "region=US"]
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    _seed(spark, cat2, partitioned=False)
+    with pytest.raises(ValueError, match="not a partitioned"):
+        run_table_sql(cat2, f"SHOW PARTITIONS {TBL}")
+    # hierarchical layouts render k=v/k=v
+    df = spark.createDataFrame(
+        [("2024-01-01", "EU", 1)], "day string, region string, id int"
+    )
+    cat.overwrite(df, "s.t.h", partition_by=["day", "region"])
+    got = [
+        r.partition
+        for r in run_table_sql(cat, "SHOW PARTITIONS s.t.h").collect()
+    ]
+    assert got == ["day=2024-01-01/region=EU"]
