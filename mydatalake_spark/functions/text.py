@@ -619,3 +619,34 @@ def bpe_train(
         if (round_no + 1) % 4 == 0 and round_no + 1 < n_merges:
             seqs = seqs.localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode(
+    col: Column | str,
+    merges: list[tuple[str, str]],
+) -> Column:
+    """Tokenize a word column with a trained BPE merge list (the
+    output of :func:`bpe_train`, applied in training order) —
+    returns an ``array<string>`` token column. This is the APPLY side
+    of the tokenizer story: train once (n driver-side merges), encode
+    a 100 TB corpus as a pure expression chain — one ``replace`` per
+    merge inside whole-stage codegen, zero UDFs, zero shuffles (the
+    encode is row-local by definition).
+
+    Faithful to sequential BPE application: merges apply in training
+    order, each replacing non-overlapping occurrences left-to-right
+    (Spark ``replace`` semantics — the same equivalence
+    :func:`bpe_train`'s tests pin on the training side). Words
+    containing the reserved ``\\x01`` separator would corrupt the
+    symbol encoding; bpe_train refuses them at training time and the
+    encode inherits that contract (garbage-in tokens, never a wrong
+    merge on clean input).
+    """
+    sep = "\x01"
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.array_join(F.split(c, ""), sep)
+    for left, right in merges:
+        out = F.replace(
+            out, F.lit(f"{left}{sep}{right}"), F.lit(f"{left}{right}")
+        )
+    return F.split(out, sep)

@@ -213,3 +213,49 @@ def test_bpe_train_refuses_reserved_control_chars(spark):
     df = spark.createDataFrame([("a\x01b",)], "w string")
     with pytest.raises(ValueError, match="control"):
         bpe_train(df, "w", 1)
+
+
+def test_bpe_encode_matches_sequential_application(spark):
+    from pyspark.sql import functions as F
+
+    from mydatalake_spark.functions.text import bpe_encode, bpe_train
+
+    words = [
+        "lower", "lowest", "newer", "newest", "low", "new",
+        "lower", "newer", "newer", "lowest",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    merges = bpe_train(df, "w", 6)
+    assert merges  # something was learned
+
+    def seq_encode(w):
+        s = list(w)
+        for a, b in merges:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    t.append(a + b)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            s = t
+        return s
+
+    got = {
+        r.w: list(r.toks)
+        for r in df.select(
+            "w", bpe_encode("w", merges).alias("toks")
+        ).collect()
+    }
+    for w in set(words):
+        assert got[w] == seq_encode(w), (w, got[w], seq_encode(w))
+    # encode plan is pure projection: no shuffle, no UDF
+    plan = (
+        df.select(bpe_encode("w", merges).alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
