@@ -10506,58 +10506,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: prefix slots first ---
-        "merge_into_orders": merge_into_orders,
-        "ctas_part_orders": ctas_part_orders,
-        "scalar_functions_all": scalar_functions_all,
         # --- last driver-green in r7 ---
-        "merge_bloom_orders": merge_bloom_orders,
-        "medallion_job_orders": medallion_job_orders,
-        "bloom_join_lineitem": bloom_join_lineitem,
-        "winnow_fingerprint_documents": winnow_fingerprint_documents,
-        "winnow_pairs_documents": winnow_pairs_documents,
-        "hash_split_documents": hash_split_documents,
-        "stratified_sample_documents": stratified_sample_documents,
-        "capped_sample_documents": capped_sample_documents,
-        "pack_shards_documents": pack_shards_documents,
-        "chunk_documents": chunk_documents,
-        "pii_redaction_documents": pii_redaction_documents,
-        "vocab_topk_documents": vocab_topk_documents,
-        "range_join_incidents": range_join_incidents,
-        "sketch_distinct_customers": sketch_distinct_customers,
-        "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
-        "pivot_revenue_by_year": pivot_revenue_by_year,
-        "unpivot_part_metrics": unpivot_part_metrics,
-        "rolling_revenue_daily": rolling_revenue_daily,
-        "rank_stats_customers": rank_stats_customers,
-        "median_acctbal_by_nation": median_acctbal_by_nation,
-        "stats_lineitem": stats_lineitem,
-        "retention_cohorts_events": retention_cohorts_events,
-        "repetition_stats_documents": repetition_stats_documents,
-        "dq_outlier_lineitem": dq_outlier_lineitem,
-        "qualify_transform_sql": qualify_transform_sql,
-        "bronze_cast_pipeline": bronze_cast_pipeline,
-        "nested_explode_roundtrip": nested_explode_roundtrip,
-        "dupflag_lineitem": dupflag_lineitem,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
-        "events_sessionize": events_sessionize,
-        "events_json_kv": events_json_kv,
-        "asof_enrich_clicks": asof_enrich_clicks,
-        "supplier_names_by_nation": supplier_names_by_nation,
-        "multimodal_meta": multimodal_meta,
-        "text_stats_documents": text_stats_documents,
-        "lang_guess_documents": lang_guess_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "exact_dedup_documents": exact_dedup_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q13_order_distribution": q13_order_distribution,
-        "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
-        "q4_late_shipping_priority": q4_late_shipping_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q15_top_supplier": q15_top_supplier,
         "q9_product_profit": q9_product_profit,
         "q11_important_part_value": q11_important_part_value,
         # --- last driver-green in r8 ---
@@ -10711,6 +10660,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "simhash_documents": simhash_documents,
+        # --- last driver-green in r11 ---
+        "merge_into_orders": merge_into_orders,
+        "ctas_part_orders": ctas_part_orders,
+        "scalar_functions_all": scalar_functions_all,
+        "merge_bloom_orders": merge_bloom_orders,
+        "medallion_job_orders": medallion_job_orders,
+        "bloom_join_lineitem": bloom_join_lineitem,
+        "winnow_fingerprint_documents": winnow_fingerprint_documents,
+        "winnow_pairs_documents": winnow_pairs_documents,
+        "hash_split_documents": hash_split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "capped_sample_documents": capped_sample_documents,
+        "pack_shards_documents": pack_shards_documents,
+        "chunk_documents": chunk_documents,
+        "pii_redaction_documents": pii_redaction_documents,
+        "vocab_topk_documents": vocab_topk_documents,
+        "range_join_incidents": range_join_incidents,
+        "sketch_distinct_customers": sketch_distinct_customers,
+        "sketch_quantiles_lineitem": sketch_quantiles_lineitem,
+        "pivot_revenue_by_year": pivot_revenue_by_year,
+        "unpivot_part_metrics": unpivot_part_metrics,
+        "rolling_revenue_daily": rolling_revenue_daily,
+        "rank_stats_customers": rank_stats_customers,
+        "median_acctbal_by_nation": median_acctbal_by_nation,
+        "stats_lineitem": stats_lineitem,
+        "retention_cohorts_events": retention_cohorts_events,
+        "repetition_stats_documents": repetition_stats_documents,
+        "dq_outlier_lineitem": dq_outlier_lineitem,
+        "qualify_transform_sql": qualify_transform_sql,
+        "bronze_cast_pipeline": bronze_cast_pipeline,
+        "nested_explode_roundtrip": nested_explode_roundtrip,
+        "dupflag_lineitem": dupflag_lineitem,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessionize": events_sessionize,
+        "events_json_kv": events_json_kv,
+        "asof_enrich_clicks": asof_enrich_clicks,
+        "supplier_names_by_nation": supplier_names_by_nation,
+        "multimodal_meta": multimodal_meta,
+        "text_stats_documents": text_stats_documents,
+        "lang_guess_documents": lang_guess_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q13_order_distribution": q13_order_distribution,
+        "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+        "q4_late_shipping_priority": q4_late_shipping_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q15_top_supplier": q15_top_supplier,
     }
 
 
