@@ -41,6 +41,7 @@ __all__ = [
     "NotMatchedBySourceClause",
     "merge_apply",
     "merge_apply_partitioned",
+    "nm_partition_violations",
     "SOURCE_PREFIX",
 ]
 
@@ -304,6 +305,39 @@ def merge_apply(
     return staged.select(*picked)
 
 
+def nm_partition_violations(
+    not_matched: list[NotMatchedClause], pcols: list[str]
+) -> list[str]:
+    """Reasons (empty list = safe) why a ``WHEN NOT MATCHED`` clause
+    set could insert a row OUTSIDE the changeset's probed partition
+    set. The pruned merge path stages only the probed leaves and
+    ``overwrite_partitions`` filters staging by the probed partition
+    predicate — an inserted row whose partition column is NULL-filled
+    (omitted from the VALUES list) or assigned anything other than the
+    source's same-named column lands outside that predicate and would
+    VANISH silently. Safe forms: ``insert_all`` (partition value is
+    the source's same-named column by construction) or an explicit
+    assignment of exactly ``__s_<pcol>``.
+    """
+    bad: list[str] = []
+    for i, cl in enumerate(not_matched):
+        if cl.insert_all:
+            continue
+        for pc in pcols:
+            v = cl.values.get(pc)
+            want = f"{SOURCE_PREFIX}{pc}"
+            if isinstance(v, str) and v.strip() == want:
+                continue
+            if isinstance(v, Column) and str(v) == f"Column<'{want}'>":
+                continue
+            got = "nothing (NULL-filled)" if v is None else repr(v)
+            bad.append(
+                f"NOT MATCHED clause #{i + 1} assigns partition "
+                f"column {pc!r} {got}, not the source's {want!r}"
+            )
+    return bad
+
+
 def merge_apply_partitioned(
     catalog,
     table: str,
@@ -383,6 +417,17 @@ def merge_apply_partitioned(
             f"merge_apply_partitioned: UPDATE SET assigns partition "
             f"column(s) {moved} — rows may not move between leaves; "
             "use the whole-table path"
+        )
+    nm_bad = nm_partition_violations(not_matched, pcols)
+    if nm_bad:
+        raise ValueError(
+            "merge_apply_partitioned: inserted rows must land in "
+            "their source row's partition (INSERT * or VALUES "
+            f"assigning each partition column exactly "
+            f"{SOURCE_PREFIX}<col>) — otherwise they fall outside "
+            "the probed leaf set and are silently dropped by the "
+            "partition swap; use the whole-table path. Violations: "
+            + "; ".join(nm_bad)
         )
 
     probe = (

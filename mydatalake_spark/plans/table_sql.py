@@ -917,6 +917,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         from ..operators.merge_clauses import (
             merge_apply,
             merge_apply_partitioned,
+            nm_partition_violations,
         )
 
         if guard_expr is not None:
@@ -932,7 +933,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # general clause sets still get partition pruning when the
         # layout allows it: partition cols are same-named merge keys,
         # no DELETE (could empty a leaf), no BY SOURCE (touches every
-        # leaf), no SET on a partition column (rows must not move)
+        # leaf), no SET on a partition column (rows must not move),
+        # and every NOT MATCHED insert places its row in the source
+        # row's own partition (INSERT * or VALUES assigning exactly
+        # __s_<pcol>) — anything else would land outside the probed
+        # leaf set and vanish in the swap, so it takes the
+        # whole-table staging rewrite instead
         prunable = (
             pcols
             and not evolving
@@ -943,6 +949,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             and not any(
                 set(m.sets or {}) & set(pcols) for m in matched
             )
+            and not nm_partition_violations(not_matched, pcols)
         )
         if prunable:
             merge_apply_partitioned(

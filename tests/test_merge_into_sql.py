@@ -397,3 +397,92 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     got2 = {r.id: (r.amount, r.rank) for r in cat.read(TBL).collect()}
     assert got2[2] == (0.0, 42)
     assert got2[1] == (11.0, None)
+
+def test_pruned_merge_refuses_partition_unsafe_insert(spark, tmp_path):
+    # ADVICE r11 (high): a NOT MATCHED INSERT that omits a partition
+    # column (NULL-filled) or assigns it anything but __s_<pcol> would
+    # place rows outside the probed leaf set — the swap would silently
+    # drop them. The executor refuses by name.
+    from mydatalake_spark.operators.merge_clauses import (
+        merge_apply_partitioned,
+        nm_partition_violations,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    src = spark.createDataFrame([(99, "EU", 9.0, 500)], SCHEMA)
+    # omitted partition column → NULL-filled → refused
+    with pytest.raises(ValueError, match="source row's partition"):
+        merge_apply_partitioned(
+            cat, TBL, src, ["id", "region"],
+            not_matched=[NotMatchedClause(values={
+                "id": "__s_id", "amount": "__s_amount", "ts": "__s_ts",
+            })],
+        )
+    # literal partition value → refused
+    with pytest.raises(ValueError, match="source row's partition"):
+        merge_apply_partitioned(
+            cat, TBL, src, ["id", "region"],
+            not_matched=[NotMatchedClause(values={
+                "id": "__s_id", "region": "'XX'",
+                "amount": "__s_amount", "ts": "__s_ts",
+            })],
+        )
+    # explicit __s_<pcol> (string or Column) is safe → runs pruned
+    from pyspark.sql import functions as F
+
+    assert nm_partition_violations(
+        [NotMatchedClause(values={"region": F.col("__s_region")})],
+        ["region"],
+    ) == []
+    touched = merge_apply_partitioned(
+        cat, TBL, src, ["id", "region"],
+        not_matched=[NotMatchedClause(values={
+            "id": "__s_id", "region": "__s_region",
+            "amount": "__s_amount", "ts": "__s_ts",
+        })],
+    )
+    assert touched == [("EU",)]
+    assert {r.id for r in cat.read(TBL).collect()} == {1, 2, 3, 4, 99}
+
+
+def test_merge_sql_partition_unsafe_insert_falls_back_whole_table(
+    spark, tmp_path
+):
+    # SQL route for the same hazard: the statement still EXECUTES
+    # (whole-table staging rewrite), and the inserted row SURVIVES in
+    # the partition its VALUES actually assigned.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    src = spark.createDataFrame([(99, "EU", 9.0, 500)], SCHEMA)
+    cat.overwrite(src, SRC)
+    root = cat.path(TBL)
+    before = _leaf_partition_files(root, ["region"])
+    run_table_sql(
+        cat,
+        f"MERGE INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id AND t.region = s.region "
+        "WHEN NOT MATCHED THEN INSERT (id, region, amount, ts) "
+        "  VALUES (s.id, 'XX', s.amount, s.ts)",
+    )
+    got = {r.id: r.region for r in cat.read(TBL).collect()}
+    assert got[99] == "XX"          # row present, NOT silently dropped
+    assert len(got) == 5
+    # whole-table path: even untouched partitions were rewritten
+    after = _leaf_partition_files(root, ["region"])
+    assert after[("US",)] != before[("US",)]
+    # and the same-named assignment still takes the pruned path
+    src2 = spark.createDataFrame([(100, "AP", 1.0, 1)], SCHEMA)
+    cat.overwrite(src2, SRC)
+    before2 = _leaf_partition_files(root, ["region"])
+    run_table_sql(
+        cat,
+        f"MERGE INTO {TBL} t USING {SRC} s "
+        "ON t.id = s.id AND t.region = s.region "
+        "WHEN NOT MATCHED THEN INSERT (id, region, amount, ts) "
+        "  VALUES (s.id, s.region, s.amount, s.ts)",
+    )
+    after2 = _leaf_partition_files(root, ["region"])
+    assert after2[("US",)] == before2[("US",)]
+    assert after2[("EU",)] == before2[("EU",)]
+    assert {r.id for r in cat.read(TBL).collect()} >= {99, 100}
