@@ -399,11 +399,15 @@ def copy_into(
 
     Crash safety composes with :meth:`Catalog.append`'s txn protocol
     instead of reinventing it: the batch's ``txn_id`` is a digest of
-    the sorted new-file identities, so a run that crashed between the
-    append and the file-book update replays as the SAME txn — the
-    append no-ops (or converges a partial move) and only then is the
-    book updated. The book (``.copy_into.json``) lives in the version
-    root beside the append txn book.
+    the sorted new-file identities, PINNED in a pending record
+    (``.copy_into.pending.json``) written before the append — a run
+    that crashed between the append and the file-book update replays
+    that EXACT (txn, file list) first, even if new files have landed
+    since (ADVICE r11: re-digesting the now-larger new-file set would
+    mint a different txn and append the crashed batch's files twice).
+    A replayed txn the append book already committed skips straight
+    to the bookkeeping. The book (``.copy_into.json``) lives in the
+    version root beside the append txn book.
 
     At 100 TB: listing is one os.walk (metadata); only new files'
     bytes are ever read; the append is O(new files) moves. A daily
@@ -419,55 +423,98 @@ def copy_into(
             "first (CTAS or Catalog.overwrite); COPY INTO loads into "
             "existing tables"
         )
+    def _walk_files(d: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(d)
+            for f in fs
+            if not f.startswith((".", "_"))
+        ]
+
+    # glob matches can themselves be DIRECTORIES (e.g. 'landing/*'
+    # matching a dated subdir) — expand those through the same walk,
+    # otherwise the directory PATH enters the book and files added
+    # inside it later are skipped forever (ADVICE r11).
+    cands: list[str] = []
+    for pat in [src_path] if not isinstance(src_path, list) else src_path:
+        if any(ch in pat for ch in "*?["):
+            cands.extend(_glob.glob(pat))
+        else:
+            cands.append(pat)
     paths = sorted(
-        p
-        for pat in ([src_path] if not isinstance(src_path, list) else src_path)
-        for p in (
-            _glob.glob(pat)
-            if any(ch in pat for ch in "*?[")
-            else (
-                [
-                    os.path.join(dp, f)
-                    for dp, _dirs, fs in os.walk(pat)
-                    for f in fs
-                    if not f.startswith((".", "_"))
-                ]
-                if os.path.isdir(pat)
-                else [pat]
-            )
-        )
+        {
+            f
+            for p in cands
+            for f in (_walk_files(p) if os.path.isdir(p) else [p])
+        }
     )
-    book_path = os.path.join(
-        catalog._version_root(full_name), ".copy_into.json"
-    )
+    vroot = catalog._version_root(full_name)
+    os.makedirs(vroot, exist_ok=True)
+    book_path = os.path.join(vroot, ".copy_into.json")
+    pending_path = os.path.join(vroot, ".copy_into.pending.json")
     book = {}
     if os.path.exists(book_path):
         with open(book_path) as fh:
             book = _json.load(fh)
+
+    from .catalog import detect_partition_cols
+
+    def _apply_batch(stamp: dict, txn: str) -> int:
+        """Append one pinned (file set, txn) batch exactly once, then
+        commit the file book and clear the pending record. ``stamp``
+        maps abspath -> [size] (sizes captured when the batch was
+        pinned, so a replay never re-stats possibly-gone files)."""
+        if catalog._append_txn_seen(full_name, txn):
+            n = 0  # the crashed run's append committed; finish books
+        else:
+            missing = sorted(p for p in stamp if not os.path.exists(p))
+            if missing:
+                raise ValueError(
+                    f"COPY INTO {full_name}: pending batch {txn} "
+                    f"references file(s) no longer present and its "
+                    f"append never committed — cannot replay "
+                    f"{missing[:3]}{'...' if len(missing) > 3 else ''}; "
+                    f"restore the files or delete {pending_path} to "
+                    "abandon the batch"
+                )
+            live = catalog.read(full_name)
+            reader = catalog.spark.read.format(file_format)
+            if file_format != "parquet":
+                # text formats carry no schema — the table's is the
+                # contract (Databricks COPY INTO reads with the target
+                # table's schema)
+                reader = reader.schema(live.schema)
+            df = reader.load(sorted(stamp)).select(*live.columns)
+            pcols = detect_partition_cols(catalog.path(full_name))
+            n = catalog.append(
+                df, full_name, partition_by=pcols, txn_id=txn
+            )
+        book.update(stamp)
+        tmp = book_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, book_path)
+        if os.path.exists(pending_path):
+            os.remove(pending_path)
+        return n
+
+    loaded = 0
+    if os.path.exists(pending_path):
+        with open(pending_path) as fh:
+            pend = _json.load(fh)
+        # replay the crashed batch under ITS txn id before looking at
+        # the current directory state
+        loaded += _apply_batch(pend["files"], pend["txn"])
+
     new = [p for p in paths if os.path.abspath(p) not in book]
     if not new:
-        return 0
-    live = catalog.read(full_name)
-    reader = catalog.spark.read.format(file_format)
-    if file_format != "parquet":
-        # text formats carry no schema — the table's is the contract
-        # (Databricks COPY INTO reads with the target table's schema)
-        reader = reader.schema(live.schema)
-    df = reader.load(new).select(*live.columns)
+        return loaded
     txn = "copyinto-" + hashlib.md5(
         "\n".join(os.path.abspath(p) for p in new).encode()
     ).hexdigest()[:16]
-    pcols = None
-    from .catalog import detect_partition_cols
-
-    pcols = detect_partition_cols(catalog.path(full_name))
-    n = catalog.append(df, full_name, partition_by=pcols, txn_id=txn)
-    stamp = {
-        os.path.abspath(p): [os.path.getsize(p)] for p in new
-    }
-    book.update(stamp)
-    tmp = book_path + ".tmp"
+    stamp = {os.path.abspath(p): [os.path.getsize(p)] for p in new}
+    tmp = pending_path + ".tmp"
     with open(tmp, "w") as fh:
-        _json.dump(book, fh, indent=1, sort_keys=True)
-    os.replace(tmp, book_path)
-    return n
+        _json.dump({"txn": txn, "files": stamp}, fh, indent=1)
+    os.replace(tmp, pending_path)
+    return loaded + _apply_batch(stamp, txn)

@@ -63,6 +63,83 @@ def test_copy_into_crash_between_append_and_book_converges(spark, tmp_path):
     assert os.path.exists(book)
 
 
+def test_copy_into_crash_replay_pins_txn_despite_new_files(spark, tmp_path):
+    # ADVICE r11: a crash after the append committed but before the
+    # book update must NOT re-digest the (now larger) new-file set —
+    # the pending record pins the crashed batch's exact (txn, files).
+    import hashlib
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    a = drop / "a.json"
+    _write(a, [{"id": 1, "kind": "x"}])
+    assert copy_into(cat, TBL, str(drop)) == 1
+    vroot = cat._version_root(TBL)
+    # forge the crash: append txn committed, book + pending rolled back
+    os.remove(os.path.join(vroot, ".copy_into.json"))
+    txn = "copyinto-" + hashlib.md5(
+        os.path.abspath(str(a)).encode()
+    ).hexdigest()[:16]
+    with open(os.path.join(vroot, ".copy_into.pending.json"), "w") as fh:
+        json.dump(
+            {"txn": txn, "files": {os.path.abspath(str(a)): [a.stat().st_size]}},
+            fh,
+        )
+    # a NEW file lands before the retry — the old bug minted a fresh
+    # txn over {a, b} and appended a's rows a second time
+    _write(drop / "b.json", [{"id": 2, "kind": "y"}])
+    assert copy_into(cat, TBL, str(drop)) == 1  # only b's row is new
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2]
+    assert not os.path.exists(
+        os.path.join(vroot, ".copy_into.pending.json")
+    )
+
+
+def test_copy_into_crash_before_append_replays_pending(spark, tmp_path):
+    # crash BEFORE the append committed: the pending batch replays
+    # under its pinned txn and actually loads the rows
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    a = drop / "a.json"
+    _write(a, [{"id": 1, "kind": "x"}])
+    vroot = cat._version_root(TBL)
+    os.makedirs(vroot, exist_ok=True)
+    with open(os.path.join(vroot, ".copy_into.pending.json"), "w") as fh:
+        json.dump(
+            {
+                "txn": "copyinto-forged0000000000",
+                "files": {os.path.abspath(str(a)): [a.stat().st_size]},
+            },
+            fh,
+        )
+    _write(drop / "b.json", [{"id": 2, "kind": "y"}])
+    assert copy_into(cat, TBL, str(drop)) == 2  # pinned a + fresh b
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2]
+    # idempotent thereafter
+    assert copy_into(cat, TBL, str(drop)) == 0
+
+
+def test_copy_into_glob_matching_directory_expands(spark, tmp_path):
+    # ADVICE r11: a glob like 'landing/*' can match a DIRECTORY; the
+    # old code booked the directory path itself, permanently skipping
+    # files added inside it later
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    day1 = tmp_path / "drop" / "day1"
+    day1.mkdir(parents=True)
+    _write(day1 / "a.json", [{"id": 1, "kind": "x"}])
+    pat = str(tmp_path / "drop" / "*")
+    assert copy_into(cat, TBL, pat) == 1
+    # a file lands INSIDE the already-matched directory
+    _write(day1 / "b.json", [{"id": 2, "kind": "y"}])
+    assert copy_into(cat, TBL, pat) == 1
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2]
+
+
 def test_copy_into_sql_head_and_refusals(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     _seed_table(spark, cat)
