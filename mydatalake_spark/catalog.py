@@ -279,6 +279,83 @@ class Catalog:
             os.path.dirname(p), f".{os.path.basename(p)}__versions"
         )
 
+    def _last_commit_path(self, full_name: str) -> str:
+        return os.path.join(self._version_root(full_name), ".last_commit")
+
+    def _commit_times_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".commit_times.json"
+        )
+
+    def _stamp_commit(self, full_name: str) -> None:
+        """Record NOW as the live state's commit time.
+
+        Called from :meth:`_invalidate` (every write path's final act)
+        so partitioned appends and leaf-directory swaps — which leave
+        the table ROOT directory's mtime untouched — still advance the
+        live commit clock. Root mtime alone let ``TIMESTAMP AS OF`` a
+        moment before such a write resolve to the LIVE (newer) state
+        (ADVICE r11)."""
+        import time as _time
+
+        root = self._version_root(full_name)
+        os.makedirs(root, exist_ok=True)
+        p = self._last_commit_path(full_name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(repr(_time.time()))
+        os.replace(tmp, p)
+
+    def _live_commit_time(self, full_name: str) -> float:
+        """When the live state was last committed: the explicit stamp
+        when present, else (tables last written before stamping, or by
+        an external writer) the MAX mtime over the whole tree — the
+        root dir alone misses partitioned appends and leaf swaps."""
+        p = self._last_commit_path(full_name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return float(fh.read().strip())
+        path = self.path(full_name)
+        mx = os.path.getmtime(path)
+        for dp, _dirs, fs in os.walk(path):
+            mx = max(
+                mx,
+                os.path.getmtime(dp),
+                *(os.path.getmtime(os.path.join(dp, f)) for f in fs),
+            )
+        return mx
+
+    def _record_snapshot_time(
+        self, full_name: str, label: str, ts: float
+    ) -> None:
+        """Pin a retained snapshot's commit time (when the captured
+        state's bytes were committed) in the version root's book —
+        directory mtimes survive the snapshot rename but, like the
+        root mtime, never saw partitioned appends."""
+        p = self._commit_times_path(full_name)
+        book = {}
+        if os.path.exists(p):
+            with open(p) as fh:
+                book = json.load(fh)
+        book[label] = ts
+        live = set(self.versions(full_name))
+        book = {k: v for k, v in book.items() if k in live or k == label}
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _snapshot_commit_time(self, full_name: str, label: str) -> float:
+        p = self._commit_times_path(full_name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                book = json.load(fh)
+            if label in book:
+                return book[label]
+        return os.path.getmtime(
+            os.path.join(self._version_root(full_name), label)
+        )
+
     def versions(self, full_name: str) -> list[str]:
         """Retained snapshot labels, oldest first (empty when
         versioning is off or nothing has been overwritten yet)."""
@@ -329,21 +406,22 @@ class Catalog:
     def history(self, full_name: str) -> list[dict]:
         """Delta ``DESCRIBE HISTORY`` analogue for retained snapshots:
         one row per retained version, oldest first — monotonic version
-        number, label, and commit wall-clock time (directory mtime:
-        when that state's files were written; the snapshot rename
-        preserves it, mirroring Delta history's per-version commit
-        timestamps). The live table is not a row (it has no version
-        number until replaced), matching the read_version addressing
-        surface."""
-        root = self._version_root(full_name)
+        number, label, and commit wall-clock time (the explicit
+        per-snapshot stamp recorded when the snapshot was taken: when
+        that state's bytes were committed — directory mtime is only
+        the fallback for pre-stamp snapshots, since partitioned
+        appends never updated it; ADVICE r11). The live table is not
+        a row (it has no version number until replaced), matching the
+        read_version addressing surface."""
         out = []
         for label in self.versions(full_name):
-            p = os.path.join(root, label)
             out.append(
                 {
                     "version": int(label[1:]),
                     "label": label,
-                    "snapshot_time": os.path.getmtime(p),
+                    "snapshot_time": self._snapshot_commit_time(
+                        full_name, label
+                    ),
                 }
             )
         return out
@@ -369,14 +447,16 @@ class Catalog:
     def version_at_timestamp(self, full_name: str, ts) -> str | None:
         """Delta ``TIMESTAMP AS OF`` resolution: the newest state
         committed at or before ``ts`` — a retained snapshot's label,
-        or None meaning the LIVE state. Commit times are the version
-        directories' mtimes (``history()``'s ``snapshot_time``: when
-        that state's files were written; the snapshot rename preserves
-        it). A ``ts`` earlier than every retained commit raises —
-        Delta's before-earliest-version error; a vacuumed history
-        cannot silently serve a newer state as an older one."""
+        or None meaning the LIVE state. Commit times are the explicit
+        per-write stamps (``history()``'s ``snapshot_time``; the live
+        state's clock advances on EVERY write path, including
+        partitioned appends and leaf swaps that leave the root dir
+        mtime untouched — ADVICE r11). A ``ts`` earlier than every
+        retained commit raises — Delta's before-earliest-version
+        error; a vacuumed history cannot silently serve a newer state
+        as an older one."""
         ts = self._parse_travel_ts(ts)
-        if ts >= os.path.getmtime(self.path(full_name)):
+        if ts >= self._live_commit_time(full_name):
             return None
         cands = [
             r for r in self.history(full_name)
@@ -666,9 +746,13 @@ class Catalog:
             return
         root = self._version_root(full_name)
         os.makedirs(root, exist_ok=True)
+        # the state being put aside was committed at the live clock's
+        # current reading — capture BEFORE the rename consumes it
+        ct = self._live_commit_time(full_name)
         nxt = self._next_version(full_name)
         os.replace(final, os.path.join(root, f"v{nxt:08d}"))
         self._commit_version(full_name, nxt)
+        self._record_snapshot_time(full_name, f"v{nxt:08d}", ct)
 
     def snapshot(self, full_name: str) -> int:
         """Checkpoint the LIVE table state as a new retained version
@@ -696,12 +780,14 @@ class Catalog:
             )
         root = self._version_root(full_name)
         os.makedirs(root, exist_ok=True)
+        ct = self._live_commit_time(full_name)
         nxt = self._next_version(full_name)
         staging = os.path.join(root, ".snap_staging")
         shutil.rmtree(staging, ignore_errors=True)
         shutil.copytree(final, staging, copy_function=os.link)
         os.replace(staging, os.path.join(root, f"v{nxt:08d}"))
         self._commit_version(full_name, nxt)
+        self._record_snapshot_time(full_name, f"v{nxt:08d}", ct)
         return nxt
 
     def overwrite(
@@ -1485,6 +1571,7 @@ class Catalog:
         # directory mtime, or history() timestamps go non-monotonic
         # across versions (ADVICE r8).
         src_stat = os.stat(src)
+        src_commit_time = self._snapshot_commit_time(full_name, label)
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -1500,6 +1587,7 @@ class Catalog:
             repinned = os.path.join(self._version_root(full_name), label)
             shutil.copytree(final, repinned, copy_function=os.link)
             os.utime(repinned, (src_stat.st_atime, src_stat.st_mtime))
+            self._record_snapshot_time(full_name, label, src_commit_time)
         self._invalidate(full_name)
 
     def clone(
@@ -1811,8 +1899,13 @@ class Catalog:
     def _invalidate(self, full_name: str) -> None:
         """Drop cached file listings for a rewritten path — Spark's
         shared FileStatusCache otherwise serves stale part-file lists
-        to later scans of the same location."""
+        to later scans of the same location. Every write path ends
+        here, so this is also where the live commit clock advances
+        (:meth:`_stamp_commit`) — including the partitioned appends
+        and leaf swaps that never touch the root dir mtime."""
         self.spark.catalog.refreshByPath(self.path(full_name))
+        if os.path.isdir(self.path(full_name)):
+            self._stamp_commit(full_name)
 
     def drop(self, full_name: str) -> None:
         shutil.rmtree(self.path(full_name), ignore_errors=True)

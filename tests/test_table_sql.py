@@ -650,6 +650,42 @@ def test_timestamp_as_of_select_and_restore(spark, tmp_path):
     assert {r.id: r.amount for r in cat.read(TBL).collect()}[1] == 10.0
 
 
+def test_timestamp_as_of_sees_partitioned_append(spark, tmp_path):
+    # ADVICE r11: appends into EXISTING leaf dirs never update the
+    # table ROOT's mtime, so root-mtime-based resolution served the
+    # live (post-append) state for a ts taken BEFORE the append. The
+    # commit clock is now an explicit stamp advanced by every write.
+    import os
+    import time
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    _seed(spark, cat, partitioned=True)
+    time.sleep(0.3)
+    mid = time.time()
+    time.sleep(0.3)
+    cat.append(
+        spark.createDataFrame(
+            [(9, "EU", 90.0, "z")],
+            "id int, region string, amount double, tag string",
+        ),
+        TBL,
+    )
+    # pin the scenario: the append landed inside existing leaves and
+    # the root dir mtime still predates `mid` (the old code's bug)
+    assert os.path.getmtime(cat.path(TBL)) < mid
+    label = cat.version_at_timestamp(TBL, mid)
+    assert label is not None  # NOT the live state
+    ids = sorted(r.id for r in cat.read_timestamp(TBL, mid).collect())
+    assert ids == [1, 2, 3, 4, 5]  # pre-append snapshot, no id=9
+    # a ts after the append resolves to live and sees the new row
+    now = time.time() + 5
+    assert cat.version_at_timestamp(TBL, now) is None
+    assert 9 in {r.id for r in cat.read_timestamp(TBL, now).collect()}
+    # history commit times are the stamps: strictly before/after mid
+    hist = cat.history(TBL)
+    assert hist[-1]["snapshot_time"] < mid
+
+
 def test_vacuum_dry_run_sql(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
     _seed(spark, cat)
