@@ -38,7 +38,58 @@ def _label_ok() -> bool:
     return re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", RUN_LABEL) is not None
 
 
-def _floor_report(timings: dict, sf: float | str) -> dict | None:
+# ---------------------------------------------------------------------
+# Host-phase calibration (VERDICT r11 ask #1). This shared microVM
+# drifts through multi-round "phases": byte-identical code measured
+# 2.3-2.9x its r9-seeded floors in r11, and proving "host, not
+# regression" required a manual git-worktree A/B. These four anchors
+# make that adjudication automatic: each is a HEADLINE query whose
+# implementation is pinned by source-hash in tests/test_bench_floors.py
+# (edit one and the test forces an explicit re-seed), and whose
+# reference seconds below are its r9_builder_run1 floor — the basis
+# every pre-r12 floor in floors.json was seeded on. phase_factor =
+# median(min-of-3 / reference) over the anchors; ~1.0 means the box is
+# in the r9 phase, 3.0 means everything honest runs 3x its floor.
+# The anchors span the cost axes: scan->agg->lag-window (pure compute,
+# no write), scan->agg (codegen throughput), partition-window shuffle,
+# and a real catalog write path (staging write + bloom-pruned merge).
+CALIBRATION_REF = {
+    "forecast_backtest_revenue": 0.179,
+    "q1_pricing_summary": 0.483,
+    "window_functions_lineitem": 0.187,
+    "merge_bloom_orders": 0.497,
+}
+CALIBRATION_SF = 0.1  # the refs are sf0.1 floors; other SFs get None
+
+
+def _phase_factor(timings: dict, sf_num) -> dict | None:
+    """Host-phase estimate from the calibration anchors' timed
+    min-of-3 (they ride the normal HEADLINE pass — zero extra bench
+    cost). Returns {"factor": median ratio, "ratios": {q: [sec, ref,
+    ratio]}} or None off the calibrated SF / missing anchors."""
+    if sf_num != CALIBRATION_SF:
+        return None
+    ratios = {}
+    for q, ref in CALIBRATION_REF.items():
+        t = timings.get(q)
+        if t is None:
+            continue
+        ratios[q] = [t, ref, round(t / ref, 2)]
+    if len(ratios) < 3:
+        return None  # not enough anchors to call a phase
+    vals = sorted(v[2] for v in ratios.values())
+    mid = len(vals) // 2
+    med = (
+        vals[mid]
+        if len(vals) % 2
+        else round((vals[mid - 1] + vals[mid]) / 2, 2)
+    )
+    return {"factor": med, "ratios": ratios}
+
+
+def _floor_report(
+    timings: dict, sf: float | str, phase: dict | None = None
+) -> dict | None:
     """Compare this run to the persisted best-known-floor file and
     update it (VERDICT r7 ask #3): single-run suite totals on this
     shared box span ±15% on identical code, so round-over-round
@@ -52,7 +103,7 @@ def _floor_report(timings: dict, sf: float | str) -> dict | None:
             book = json.load(fh)
         if book.get("sf") != sf:
             return None  # floors are sf-specific; smoke runs don't count
-        return _floor_report_inner(book, timings)
+        return _floor_report_inner(book, timings, phase)
     except Exception as e:
         # a malformed floors file/entry must never cost the headline
         # JSON lines — but surface WHAT broke (the section() contract)
@@ -61,7 +112,9 @@ def _floor_report(timings: dict, sf: float | str) -> dict | None:
         return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
-def _floor_report_inner(book: dict, timings: dict) -> dict:
+def _floor_report_inner(
+    book: dict, timings: dict, phase: dict | None = None
+) -> dict:
     """Only LABELED runs may write floors (VERDICT r9 ask #2): an
     unlabeled run still gets the full comparison report (above-floor
     ratios, would-be new floors), but the book on disk is untouched —
@@ -70,9 +123,11 @@ def _floor_report_inner(book: dict, timings: dict) -> dict:
     so an unlabeled floor write would be evidence the archive chain
     can't back (the r9 clone_orders hole)."""
     persist = _label_ok()
+    pf = phase["factor"] if phase and phase.get("factor") else None
     floors = book.setdefault("floors", {})
     new_floors: dict[str, list] = {}
     above: dict[str, list] = {}
+    above_norm: dict[str, list] = {}
     for q, t in timings.items():
         cur = floors.get(q)
         if cur is None or t < cur["sec"]:
@@ -82,6 +137,18 @@ def _floor_report_inner(book: dict, timings: dict) -> dict:
             new_floors[q] = [round(t, 3), prev]
         elif t >= 1.3 * cur["sec"] and t - cur["sec"] >= 0.3:
             above[q] = [round(t, 3), cur["sec"], round(t / cur["sec"], 2)]
+        if cur is not None and pf:
+            # phase-normalized ratio: the floors were seeded on the
+            # r9-phase box the calibration anchors are pinned to, so
+            # t/pf estimates what THIS code would score in that phase
+            # — a query above floor raw but at floor normalized is
+            # host drift, not a plan regression. A fast phase
+            # (pf < 1) never excuses anything: clamp to 1.
+            tn = t / max(pf, 1.0)
+            if tn >= 1.3 * cur["sec"] and tn - cur["sec"] >= 0.3:
+                above_norm[q] = [
+                    round(tn, 3), cur["sec"], round(tn / cur["sec"], 2)
+                ]
     if persist:
         try:
             with open(FLOORS_PATH, "w") as fh:
@@ -92,13 +159,17 @@ def _floor_report_inner(book: dict, timings: dict) -> dict:
     total_floor = round(
         sum(floors[q]["sec"] for q in timings if q in floors), 3
     )
-    return {
+    out = {
         "suite_floor_sec": total_floor,
         "n_new_floors": len(new_floors),
         "new_floors": new_floors,
         "above_floor_1p3x": above,
         "floors_persisted": persist,
     }
+    if pf:
+        out["phase_factor"] = pf
+        out["above_floor_1p3x_norm"] = above_norm
+    return out
 
 # Driver stdout tail capture is 2000 chars; the compact line must fit
 # with margin even after a trailing newline and any stray prefix bytes.
@@ -137,6 +208,14 @@ def build_compact_record(
             "n_new_floors": floors["n_new_floors"],
             "n_above_floor": len(floors["above_floor_1p3x"]),
         }
+        if "phase_factor" in floors:
+            # host-phase calibration (VERDICT r11 ask #1): raw count
+            # above, phase-normalized count here — "above-floor
+            # explained by phase X.Xx" is readable from this record
+            rec["phase_factor"] = floors["phase_factor"]
+            rec["floors"]["n_above_floor_norm"] = len(
+                floors["above_floor_1p3x_norm"]
+            )
     elif floors is not None:
         rec["floors"] = floors  # surface the error string
     # Optional sections, least-valuable LAST (dropped first on overrun).
@@ -1000,13 +1079,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
-    floors = _floor_report(timings, sf_num)
+    phase = _phase_factor(timings, sf_num)
+    floors = _floor_report(timings, sf_num, phase)
     line = json.dumps(
         {
             "metric": "headline_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "phase": phase,
             "floors": floors,
             "skew": skew,
             "dq_pass_modes": dq_modes,

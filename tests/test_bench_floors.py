@@ -232,3 +232,79 @@ def test_archive_refuses_unsafe_or_reserved_labels(bench, monkeypatch):
     for label in ("unlabeled_run", "floors", "../escape", "a/b"):
         monkeypatch.setattr(mod, "RUN_LABEL", label)
         assert mod._archive_run("{}") is None
+
+
+def test_calibration_anchors_pinned():
+    """Host-phase calibration (VERDICT r11 ask #1): phase_factor is
+    only meaningful if the anchor queries never change, so their
+    source is hash-pinned. If this test fails you edited an anchor:
+    either revert, or re-seed EVERY CALIBRATION_REF on a quiet box,
+    update these hashes, and note the basis change in BENCHNOTES.
+    (merge_bloom_orders also leans on library merge/bloom code — the
+    pin covers the entry plan; treat library-level rewrites of that
+    path as a basis change too.)"""
+    import hashlib
+    import inspect
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_cal_pin", os.path.join(ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pinned = {
+        "forecast_backtest_revenue": "7e5e92d0679365f7",
+        "q1_pricing_summary": "bfb5919d6b820324",
+        "window_functions_lineitem": "2bd2938383b9e3a7",
+        "merge_bloom_orders": "ee03e0753f4ec1fd",
+    }
+    spec_b = importlib.util.spec_from_file_location(
+        "bench_cal_pin", os.path.join(ROOT, "bench.py")
+    )
+    bench_mod = importlib.util.module_from_spec(spec_b)
+    spec_b.loader.exec_module(bench_mod)
+    assert set(bench_mod.CALIBRATION_REF) == set(pinned)
+    for name, want in pinned.items():
+        src = inspect.getsource(getattr(mod, name))
+        got = hashlib.sha256(src.encode()).hexdigest()[:16]
+        assert got == want, f"calibration anchor {name} changed"
+        # every anchor must ride the timed HEADLINE pass (zero-cost)
+        assert name in bench_mod.HEADLINE
+
+
+def test_phase_factor_median_and_normalized_floors(bench):
+    mod, _ = bench
+    refs = dict(mod.CALIBRATION_REF)
+    anchors = list(refs)
+    # box running everything at ~3x its reference phase
+    timings = {q: refs[q] * 3.0 for q in anchors}
+    phase = mod._phase_factor(timings, 0.1)
+    assert phase is not None and abs(phase["factor"] - 3.0) < 0.01
+    # off the calibrated SF: no phase call
+    assert mod._phase_factor(timings, 0.01) is None
+    # <3 anchors present: no phase call
+    assert mod._phase_factor({anchors[0]: 1.0}, 0.1) is None
+    # normalized floors: slow_q at 6.0s vs floor 2.0 is 3x raw (above)
+    # but AT floor once divided by the 3x phase -> norm set is empty
+    rep = mod._floor_report({"slow_q": 6.0}, 0.1, phase)
+    assert rep["above_floor_1p3x"] == {"slow_q": [6.0, 2.0, 3.0]}
+    assert rep["phase_factor"] == 3.0
+    assert rep["above_floor_1p3x_norm"] == {}
+    # a genuine 2x regression ON TOP of the phase survives normalization
+    rep = mod._floor_report({"slow_q": 12.0}, 0.1, phase)
+    assert rep["above_floor_1p3x_norm"] == {"slow_q": [4.0, 2.0, 2.0]}
+    # fast phase (pf < 1) is clamped: never excuses an above-floor
+    fast = {"factor": 0.5, "ratios": {}}
+    rep = mod._floor_report({"slow_q": 2.9}, 0.1, fast)
+    assert rep["above_floor_1p3x_norm"] == {"slow_q": [2.9, 2.0, 1.45]}
+
+
+def test_compact_record_carries_phase(bench):
+    mod, _ = bench
+    phase = {"factor": 2.5, "ratios": {}}
+    floors = mod._floor_report({"slow_q": 6.0}, 0.1, phase)
+    line = mod.build_compact_record(6.0, {"slow_q": 6.0}, floors,
+                                    None, None, 0.1)
+    rec = json.loads(line)
+    assert rec["phase_factor"] == 2.5
+    assert rec["floors"]["n_above_floor"] == 1
+    assert rec["floors"]["n_above_floor_norm"] == 0
