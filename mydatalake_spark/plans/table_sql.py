@@ -1752,24 +1752,155 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             if not (body.startswith("(") and body.endswith(")")):
                 raise UnsupportedStatement(
                     "ADD COLUMNS needs a parenthesized list: "
-                    f"ALTER TABLE t ADD COLUMNS (c1 INT, c2 STRING): "
-                    f"{s[:80]}"
+                    f"ALTER TABLE t ADD COLUMNS (c1 INT, c2 STRING "
+                    f"[GENERATED ALWAYS AS (expr)]): {s[:80]}"
                 )
+            # split items first: any may carry GENERATED ALWAYS AS
+            # (expr) — the Delta generated-column spelling, routed to
+            # set_generated_column (declared type honored via an
+            # explicit cast in the stored expression, so the write-
+            # path equality guard matches what DDL promised). Delta
+            # itself cannot add a generated column to an existing
+            # table; here the declaration backfills (VERDICT r11 #6).
+            gen_re = _re.compile(
+                r"\bGENERATED\s+ALWAYS\s+AS\b", _re.IGNORECASE
+            )
+            plain_items: list[str] = []
+            gen_cols: list[tuple[str, str]] = []
+            for item in _split_top_level_commas(body[1:-1]):
+                gm = gen_re.search(item)
+                if not gm:
+                    plain_items.append(item)
+                    continue
+                head_m = _re.match(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)", item[:gm.start()],
+                    _re.DOTALL,
+                )
+                if not head_m:
+                    raise UnsupportedStatement(
+                        f"bad generated column spec {item!r} (expected "
+                        "name TYPE GENERATED ALWAYS AS (expr))"
+                    )
+                expr, end2 = _balanced_paren_span(item, gm.end())
+                if item[end2:].strip():
+                    raise UnsupportedStatement(
+                        "trailing tokens after GENERATED ALWAYS AS "
+                        f"(...): {item[end2:][:40]!r}"
+                    )
+                typ = head_m.group(2).strip()
+                gen_cols.append(
+                    (
+                        head_m.group(1),
+                        f"CAST(({expr.strip()}) AS {typ})",
+                    )
+                )
+            if plain_items:
+                try:
+                    new_fields = StructType.fromDDL(
+                        ", ".join(plain_items)
+                    ).fields
+                except Exception as e:
+                    raise UnsupportedStatement(
+                        f"cannot parse ADD COLUMNS list {body!r}: {e}"
+                    ) from None
+                df = catalog.read(table)
+                dup = [f.name for f in new_fields if f.name in df.columns]
+                if dup:
+                    raise ValueError(
+                        f"ADD COLUMNS: {dup} already exist on {table}"
+                    )
+                for f in new_fields:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+                _rewrite(df)
+            for col, expr in gen_cols:
+                if col in catalog.read(table).columns:
+                    raise ValueError(
+                        f"ADD COLUMNS: {col} already exists on {table}"
+                    )
+                catalog.set_generated_column(table, col, expr)
+            return None
+
+        if verbs == ["ALTER", "COLUMN"] or verbs == ["CHANGE", "COLUMN"]:
+            # ALTER TABLE t ALTER COLUMN c TYPE <wider-type> — Delta's
+            # type-widening statement as an honest versioned rewrite.
+            # Widening only (a narrowed part file would silently
+            # truncate future readers); partition columns are layout;
+            # constraint/generated declarations were typed against the
+            # old column and must be re-declared deliberately.
+            tail = toks[after + 2:]
+            if len(tail) != 3 or tail[1][0] != "TYPE":
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t ALTER COLUMN c TYPE "
+                    f"<type> (only type widening is supported): {s[:80]}"
+                )
+            col = _ident(s[tail[0][1]:tail[0][2]])
+            new_type = s[tail[1][2]:].strip()
+            df = catalog.read(table)
+            if col not in df.columns:
+                raise ValueError(
+                    f"ALTER COLUMN: {col} not in {table} ({df.columns})"
+                )
+            pc = _detect_partition_cols(catalog.path(table)) or []
+            if col in pc:
+                raise ValueError(
+                    f"ALTER COLUMN: {col} is a partition column — its "
+                    "type is the directory encoding; repartition via "
+                    "CREATE OR REPLACE ... PARTITIONED BY instead"
+                )
+            refs = _constraints_referencing(col)
+            if refs:
+                raise ValueError(
+                    f"ALTER COLUMN {col}: CHECK constraint(s) {refs} "
+                    "reference it — drop them first and re-add against "
+                    "the new type"
+                )
+            if col in catalog.generated_columns(table):
+                raise ValueError(
+                    f"ALTER COLUMN {col}: it is a generated column "
+                    "typed by its declaration — drop the generation "
+                    "first (drop_generated_column) and re-declare"
+                )
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
             try:
-                new_fields = StructType.fromDDL(body[1:-1]).fields
+                target = StructType.fromDDL(f"x {new_type}").fields[0].dataType
             except Exception as e:
                 raise UnsupportedStatement(
-                    f"cannot parse ADD COLUMNS list {body!r}: {e}"
+                    f"cannot parse ALTER COLUMN type {new_type!r}: {e}"
                 ) from None
-            df = catalog.read(table)
-            dup = [f.name for f in new_fields if f.name in df.columns]
-            if dup:
+            cur = df.schema[col].dataType
+            widen_rank = {
+                "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                "float": 10, "double": 11,
+            }
+            c_s, t_s = cur.simpleString(), target.simpleString()
+            ok = (
+                c_s in widen_rank
+                and t_s in widen_rank
+                and widen_rank[t_s] > widen_rank[c_s]
+                and (c_s in ("float", "double")) == (t_s in ("float",
+                                                             "double"))
+            )
+            if not ok:
                 raise ValueError(
-                    f"ADD COLUMNS: {dup} already exist on {table}"
+                    f"ALTER COLUMN {col}: {c_s} -> {t_s} is not a "
+                    "supported widening (integer chain byte<smallint<"
+                    "int<bigint, or float->double); narrowing or "
+                    "cross-family casts would corrupt existing rows — "
+                    "use a new column + UPDATE"
                 )
-            for f in new_fields:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            _rewrite(df)
+            _rewrite(
+                df.select(
+                    *(
+                        F.col(c).cast(target).alias(c) if c == col
+                        else F.col(c)
+                        for c in df.columns
+                    )
+                )
+            )
             return None
 
         if verbs[:1] == ["DROP"] and verbs[1:2] in (["COLUMN"], ["COLUMNS"]):
@@ -1850,8 +1981,9 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
 
         raise UnsupportedStatement(
             "supported under ALTER TABLE: ADD/DROP CONSTRAINT, ADD "
-            "COLUMNS (...), DROP COLUMN(S), RENAME COLUMN a TO b: "
-            f"{s[:80]}"
+            "COLUMNS (... [GENERATED ALWAYS AS (expr)]), DROP "
+            "COLUMN(S), RENAME COLUMN a TO b, ALTER COLUMN c TYPE "
+            f"<wider-type>: {s[:80]}"
         )
 
     if head == "RESTORE":

@@ -206,7 +206,9 @@ def test_insert_overwrite_sql(spark, tmp_path):
         cat, f"INSERT OVERWRITE {TBL} SELECT * FROM {TBL} WHERE id <= 2"
     )
     assert sorted(r.id for r in cat.read(TBL).collect()) == [1, 2]
-    with pytest.raises(UnsupportedStatement, match="SELECT body"):
+    # r12: VALUES is no longer refused — a 3-value row against the
+    # 4-column table is an arity error naming the subset spelling
+    with pytest.raises(ValueError, match="use INSERT INTO"):
         run_table_sql(cat, f"INSERT INTO {TBL} VALUES (1, 'EU', 1.0)")
 
 
@@ -469,31 +471,31 @@ def test_ctas_sql_constraint_and_version_ride_through(spark, tmp_path):
         cat,
         "ALTER TABLE gold.t.a ADD CONSTRAINT amt_pos CHECK (amount > 0)",
     )
-    # OR REPLACE with violating rows aborts into staging, table intact
+    # constraints guard writes to the CURRENT definition...
+    bad = spark.createDataFrame([(9, -1.0)], "id int, amount double")
     with pytest.raises(SparkRuntimeException, match="amt_pos"):
-        run_table_sql(
-            cat,
-            "CREATE OR REPLACE TABLE gold.t.a AS "
-            f"SELECT id, -amount AS amount FROM {TBL}",
-        )
+        cat.overwrite_via_staging(bad, "gold.t.a")
     assert cat.read("gold.t.a").count() == 5
-    # a good replace is versioned
+    # ...but CREATE OR REPLACE installs a NEW definition (Delta
+    # REPLACE semantics, r12): the old constraint is dropped with the
+    # old schema rather than silently vetoing the new one
     run_table_sql(
         cat,
         "CREATE OR REPLACE TABLE gold.t.a AS "
-        f"SELECT id, amount FROM {TBL} WHERE id = 1",
+        f"SELECT id, -amount AS amount FROM {TBL} WHERE id = 1",
     )
     assert cat.read("gold.t.a").count() == 1
+    assert cat.constraints("gold.t.a") == {}
     assert len(cat.versions("gold.t.a")) >= 1
 
 
 def test_ctas_sql_refusals(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     _seed(spark, cat)
-    with pytest.raises(UnsupportedStatement, match="AS SELECT"):
-        run_table_sql(
-            cat, "CREATE TABLE gold.t.b (id INT, amount DOUBLE)"
-        )
+    # r12: a bare column list is no longer a refusal — it's empty-table
+    # DDL (covered in test_create_table_column_list_and_insert_values)
+    run_table_sql(cat, "CREATE TABLE gold.t.b (id INT, amount DOUBLE)")
+    assert cat.read("gold.t.b").count() == 0
     with pytest.raises(ValueError, match="PARTITIONED BY columns"):
         run_table_sql(
             cat,
@@ -1072,3 +1074,69 @@ def test_create_or_replace_drops_old_definition_metadata(spark, tmp_path):
     assert cat.generated_columns(TBL) == {}
     # the replaced table accepts writes its old declarations would block
     assert run_table_sql(cat, f"INSERT INTO {TBL} VALUES (2)") == 1
+
+
+def test_alter_add_generated_column_sql(spark, tmp_path):
+    """ALTER TABLE ... ADD COLUMNS (c T GENERATED ALWAYS AS (expr)) —
+    the Delta generated-column spelling, with a backfill Delta itself
+    cannot do on a live table (VERDICT r11 ask #6)."""
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)
+    run_table_sql(
+        cat,
+        f"ALTER TABLE {TBL} ADD COLUMNS "
+        "(cents BIGINT GENERATED ALWAYS AS (amount * 100), "
+        "note STRING)",
+    )
+    got = {r.id: (r.cents, r.note) for r in cat.read(TBL).collect()}
+    assert got[1] == (1000, None)  # backfilled + NULL-filled
+    assert cat.generated_columns(TBL) == {
+        "cents": "CAST((amount * 100) AS BIGINT)"
+    }
+    # every later write computes-or-validates: VALUES without cents
+    run_table_sql(
+        cat,
+        f"INSERT INTO {TBL} (id, region, amount) VALUES (9, 'EU', 2.5)",
+    )
+    assert {r.id: r.cents for r in cat.read(TBL).collect()}[9] == 250
+    # wrong explicit value refused by the per-row guard
+    with pytest.raises(Exception, match="generated column"):
+        run_table_sql(
+            cat, f"INSERT INTO {TBL} VALUES (10, 'EU', 1.0, 'x', 5, 'n')"
+        )
+    # CLONE carries the declaration (r11 contract, via SQL spelling)
+    run_table_sql(cat, f"CREATE TABLE gold.c.copy CLONE {TBL}")
+    assert cat.generated_columns("gold.c.copy") == cat.generated_columns(TBL)
+
+
+def test_alter_column_type_widening(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    _seed(spark, cat)  # id int, region string, amount double, tag string
+    run_table_sql(cat, f"ALTER TABLE {TBL} ALTER COLUMN id TYPE BIGINT")
+    assert dict(cat.read(TBL).dtypes)["id"] == "bigint"
+    assert cat.read(TBL).count() == 5
+    # time travel shows the pre-DDL schema (versioned rewrite)
+    assert dict(cat.read_version(TBL, 1).dtypes)["id"] == "int"
+    # narrowing refused by name
+    with pytest.raises(ValueError, match="not a supported widening"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} ALTER COLUMN id TYPE INT")
+    # cross-family refused
+    with pytest.raises(ValueError, match="not a supported widening"):
+        run_table_sql(
+            cat, f"ALTER TABLE {TBL} ALTER COLUMN amount TYPE BIGINT"
+        )
+    # float->double is the one float-family widening
+    with pytest.raises(ValueError, match="not in"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} ALTER COLUMN nope TYPE INT")
+    # partition / constraint guards
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    _seed(spark, cat2, partitioned=True)
+    with pytest.raises(ValueError, match="partition column"):
+        run_table_sql(
+            cat2, f"ALTER TABLE {TBL} ALTER COLUMN region TYPE STRING"
+        )
+    run_table_sql(
+        cat2, f"ALTER TABLE {TBL} ADD CONSTRAINT idp CHECK (id > 0)"
+    )
+    with pytest.raises(ValueError, match="idp"):
+        run_table_sql(cat2, f"ALTER TABLE {TBL} ALTER COLUMN id TYPE BIGINT")
