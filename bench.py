@@ -415,8 +415,9 @@ HEADLINE = [
     "dedup_summary_documents",
     "audio_real_decode",
     "video_real_decode",
-    "cumulative_users_events",
-    "monthly_growth_revenue",
+    "growth_rollups",
+    "copy_into_orders",
+    "generated_cols_orders",
     "temperature_mix_documents",
     "copurchase_lift_parts",
     "rfm_segments_customers",
@@ -664,7 +665,7 @@ SCALING_QUERIES = [
     "minhash_neardup_documents",
     "winnow_pairs_documents",
     "embedding_neardup_lsh",
-    "similarity_lsh",
+    "similarity_topk",
     # r3 review asks: the two heavy non-banded operators need measured
     # (not argued) scale curves too — the iterative CC fixpoint and the
     # three-stage funnel.
