@@ -346,6 +346,7 @@ def merge_apply_partitioned(
     matched: list[MatchedClause] | None = None,
     not_matched: list[NotMatchedClause] | None = None,
     max_partitions: int = 10_000,
+    touched_hint: list | None = None,
 ) -> list:
     """Partition-pruned execution of a general MERGE clause set
     against a hive-partitioned CATALOG table — the 100 TB path for
@@ -375,6 +376,16 @@ def merge_apply_partitioned(
     with the pre-state hardlink-snapshotted between staging write and
     swap (failed staging commits nothing). A changeset touching 3 of
     3,000 partitions reads and rewrites ~0.1% of the table.
+
+    ``touched_hint`` (r12, VERDICT #9): a caller that can derive the
+    touched set WITHOUT a job — planning.py's
+    ``touched_partitions_from_layout`` reads it from a partitioned
+    source table's leaf directories — passes it here and the probe is
+    skipped entirely. The hint must be a SUPERSET of the changeset's
+    actual partitions: extra leaves are read and rewritten unchanged
+    (safe, bounded by max_partitions); a MISSING leaf would drop that
+    leaf's changes, which is why only metadata-sound derivations may
+    hint.
     """
     from ..catalog import (
         _check_no_null_partition_values,
@@ -430,9 +441,16 @@ def merge_apply_partitioned(
             + "; ".join(nm_bad)
         )
 
-    probe = (
-        source.select(*pcols).distinct().limit(max_partitions + 1).collect()
-    )
+    if touched_hint is not None:
+        probe = [tuple(t) for t in touched_hint]
+    else:
+        probe = [
+            tuple(r)
+            for r in source.select(*pcols)
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
+        ]
     if len(probe) > max_partitions:
         raise ValueError(
             f"merge_apply_partitioned: source has more than "
@@ -440,7 +458,7 @@ def merge_apply_partitioned(
             "the table's real partition columns or raise "
             "max_partitions"
         )
-    touched = [tuple(r) for r in probe]
+    touched = probe
     _check_no_null_partition_values(pcols, touched)
     if not touched:
         return []

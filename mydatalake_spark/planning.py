@@ -39,7 +39,57 @@ __all__ = [
     "fresh_row_count",
     "bloom_join_with_stats",
     "broadcast_if_small",
+    "touched_partitions_from_layout",
 ]
+
+
+def touched_partitions_from_layout(
+    catalog,
+    source_table: str,
+    pcols: list[str],
+    max_partitions: int = 10_000,
+) -> list | None:
+    """Touched-partition tuples for a MERGE whose changeset is itself
+    a hive-partitioned CATALOG table covering the target's partition
+    columns — read straight from the source's leaf DIRECTORIES (one
+    os.walk + a driver-local cast of the dirname strings to the read
+    types, the OPTIMIZE-WHERE discipline), so the changeset-wide
+    distinct-partitions probe JOB is skipped entirely. Directory
+    names are always current (same never-stale economics as
+    :func:`broadcast_if_small`), and a leaf that exists but holds no
+    rows only OVERESTIMATES the touched set — extra leaves are read
+    and rewritten unchanged, never dropped, so the hint is sound.
+
+    Returns None (caller runs the ordinary probe) when the source is
+    not a catalog table with a layout covering ``pcols``, or when the
+    leaf count exceeds ``max_partitions`` (the probe owns the refusal
+    message)."""
+    from .catalog import _leaf_partition_files, detect_partition_cols
+
+    if not catalog.exists(source_table):
+        return None
+    src_path = catalog.path(source_table)
+    src_cols = detect_partition_cols(src_path)
+    if not src_cols or not set(pcols) <= set(src_cols):
+        return None
+    leaves = _leaf_partition_files(src_path, src_cols)
+    idx = [src_cols.index(c) for c in pcols]
+    raw = sorted({tuple(v[i] for i in idx) for v in leaves})
+    if not raw:
+        return []
+    if len(raw) > max_partitions:
+        return None
+    types = {
+        f.name: f.dataType
+        for f in catalog.read(source_table).select(*pcols).schema.fields
+    }
+    str_df = catalog.spark.createDataFrame(
+        raw, ", ".join(f"{c} string" for c in pcols)
+    )
+    rows = str_df.select(
+        *[F.col(c).cast(types[c]).alias(c) for c in pcols]
+    ).collect()
+    return [tuple(r[c] for c in pcols) for r in rows]
 
 
 def fresh_ndv(catalog, full_name: str, column: str) -> int | None:

@@ -97,3 +97,95 @@ def test_broadcast_if_small_hints_and_large_does_not(spark, tmp_path):
     # hint absence: the logical plan carries no ResolvedHint
     logical = big._jdf.queryExecution().logical().toString()
     assert "hint" not in logical.lower()
+
+
+def test_touched_partitions_from_layout_metadata_only(spark, tmp_path):
+    """The touched set comes from leaf DIRECTORY names, typed via the
+    read schema (schema resolution touches parquet footers — the
+    merge resolves the same schema anyway; the point is that no
+    changeset-wide distinct JOB runs, pinned in the next test)."""
+    from mydatalake_spark.planning import touched_partitions_from_layout
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit(1.0).alias("v"),
+    )
+    cat.overwrite(df, "bronze.s.chg", partition_by=["bucket"])
+    got = touched_partitions_from_layout(cat, "bronze.s.chg", ["bucket"])
+    assert got is not None and sorted(got) == [(0,), (1,), (2,)]
+    # typed: int partition values, not dirname strings
+    assert all(isinstance(t[0], int) for t in got)
+    # non-catalog / unpartitioned / non-covering layouts -> None
+    assert touched_partitions_from_layout(cat, "no.such.tbl", ["b"]) is None
+    cat.overwrite(df, "bronze.s.flat")
+    assert (
+        touched_partitions_from_layout(cat, "bronze.s.flat", ["bucket"])
+        is None
+    )
+    # leaf count over the bound -> None (the probe owns the refusal)
+    assert (
+        touched_partitions_from_layout(
+            cat, "bronze.s.chg", ["bucket"], max_partitions=2
+        )
+        is None
+    )
+
+
+def test_merge_sql_skips_partition_probe_with_layout_hint(
+    spark, tmp_path, monkeypatch
+):
+    """SQL MERGE USING a partitioned catalog table: the touched set is
+    derived from the source's leaves and the distinct-partitions probe
+    JOB never runs — proven by poisoning DataFrame.distinct (the probe
+    is its only call site on this path) and watching the merge still
+    complete. The un-hinted path (USING a subquery) calls it."""
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    # patch the CONCRETE frame class (pyspark 4's pyspark.sql.DataFrame
+    # is an ABC whose subclass overrides distinct)
+    DataFrame = type(spark.range(1))
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    tgt = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.lit(1.0).alias("v"),
+    )
+    cat.overwrite(tgt, "silver.s.t", partition_by=["bucket"])
+    chg = spark.range(10).select(
+        (F.col("id") * 4).alias("k"),   # bucket 0 only
+        F.lit(0).cast("int").alias("bucket"),
+        F.lit(9.0).alias("v"),
+    )
+    cat.overwrite(chg, "bronze.s.chg", partition_by=["bucket"])
+    stmt_tbl = (
+        "MERGE INTO silver.s.t t USING bronze.s.chg s "
+        "ON t.k = s.k AND t.bucket = s.bucket "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.v > 100 THEN INSERT (k, bucket, v) "
+        "VALUES (s.k, s.bucket, s.v)"
+    )
+
+    real_distinct = DataFrame.distinct
+
+    def poisoned(self):
+        raise AssertionError("distinct-partitions probe job ran")
+
+    monkeypatch.setattr(DataFrame, "distinct", poisoned)
+    run_table_sql(cat, stmt_tbl)  # hint path: must not call distinct
+    monkeypatch.setattr(DataFrame, "distinct", real_distinct)
+    got = {r.k: r.v for r in cat.read("silver.s.t").collect()}
+    assert got[0] == 9.0 and got[4] == 9.0 and got[1] == 1.0
+    assert len(got) == 40
+    # the subquery spelling has no layout to read -> probe runs
+    monkeypatch.setattr(DataFrame, "distinct", poisoned)
+    with pytest.raises(AssertionError, match="probe job ran"):
+        run_table_sql(
+            cat,
+            "MERGE INTO silver.s.t t USING "
+            "(SELECT k, bucket, v FROM bronze.s.chg) s "
+            "ON t.k = s.k AND t.bucket = s.bucket "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+        )
