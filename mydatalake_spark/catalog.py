@@ -1073,7 +1073,9 @@ class Catalog:
                 "merge_upsert(evolve_schema=True)"
             )
         if partition_by is None and self.fmt != "delta":
-            partition_by = detect_partition_cols(self.path(full_name))
+            partition_by = detect_partition_cols(
+                self.path(full_name)
+            ) or self.declared_partition_cols(full_name)
         aligned = df.select(*live.columns)
         # Partition columns are EXCLUDED from the type-drift check on
         # the plain-file path: their live-read types come from Spark's
@@ -1098,6 +1100,34 @@ class Catalog:
                 "explicitly; mixed-type part files would poison the "
                 "directory for every future reader"
             )
+        if (
+            self.fmt != "delta"
+            and partition_by
+            and detect_partition_cols(self.path(full_name)) is None
+            and self.declared_partition_cols(full_name) == partition_by
+        ):
+            # first data into a DECLARED-partitioned empty table
+            # (column-list DDL + PARTITIONED BY): the root
+            # schema-anchor file cannot coexist with hive leaf dirs
+            # (Spark refuses mixed directory structures), so the
+            # first write replaces the whole — empty — directory with
+            # the partitioned layout instead of moving files in.
+            # Guarded on actual emptiness: a declared table that
+            # somehow holds unpartitioned rows keeps plain-append
+            # semantics rather than silently dropping them.
+            if live.limit(1).count() == 0:
+                self.overwrite_via_staging(
+                    aligned, full_name, partition_by=partition_by
+                )
+                n = self.read(full_name).count()  # footer metadata
+                if txn_id is not None:
+                    self._record_append_txn(full_name, txn_id, n)
+                return n
+            # declared-partitioned but rows already live UNPARTITIONED
+            # (e.g. an explicit partition_by=None first write): leaf
+            # dirs beside root files would be a mixed layout Spark
+            # refuses — keep appending flat
+            partition_by = None
         if self.fmt == "delta":
             # Delta's own transactional append: the log registers the
             # new files atomically (and a file-move behind the log's
@@ -1285,6 +1315,32 @@ class Catalog:
         return {"added": added, "dropped": dropped, "changed": changed}
 
     # --- generated columns (Delta GENERATED ALWAYS AS analogue) ------
+
+    def _tabledef_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".tabledef.json"
+        )
+
+    def declared_partition_cols(self, full_name: str) -> list[str] | None:
+        """Partition columns DECLARED by column-list DDL (``CREATE
+        TABLE t (...) PARTITIONED BY (p)``) before any data exists.
+        An empty table has no hive leaf directories to detect a
+        layout from, so the declaration waits in the version root
+        until the first write lays out the tree."""
+        p = self._tabledef_path(full_name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh).get("partition_by") or None
+
+    def set_declared_partition_cols(
+        self, full_name: str, pcols: list[str]
+    ) -> None:
+        os.makedirs(self._version_root(full_name), exist_ok=True)
+        tmp = self._tabledef_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"partition_by": list(pcols)}, fh, indent=1)
+        os.replace(tmp, self._tabledef_path(full_name))
 
     def _generated_path(self, full_name: str) -> str:
         return os.path.join(
@@ -1939,13 +1995,91 @@ class Catalog:
                         out.append(name)
         return out
 
+    def _views_book_path(self) -> str:
+        return os.path.join(self.warehouse, ".views.json")
+
+    def stored_views(self) -> dict[str, str]:
+        """Lazy (non-materialized) view definitions: {dotted name:
+        SELECT sql}. Unlike MaterializedView these hold NO data — the
+        SQL re-resolves against the live base tables on every read
+        (Databricks CREATE VIEW semantics), via register_all."""
+        p = self._views_book_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def create_stored_view(
+        self, full_name: str, sql: str, replace: bool = False
+    ) -> None:
+        split_name(full_name)  # validates the three-part shape
+        if self.exists(full_name):
+            raise ValueError(
+                f"CREATE VIEW: {full_name} is a stored TABLE — views "
+                "and tables share the namespace"
+            )
+        book = self.stored_views()
+        if full_name in book and not replace:
+            raise ValueError(
+                f"CREATE VIEW: {full_name} already exists — use "
+                "CREATE OR REPLACE VIEW to redefine it"
+            )
+        book[full_name] = sql
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self._views_book_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._views_book_path())
+
+    def drop_stored_view(self, full_name: str) -> None:
+        book = self.stored_views()
+        if full_name not in book:
+            raise ValueError(
+                f"DROP VIEW: {full_name} is not a stored view"
+            )
+        del book[full_name]
+        tmp = self._views_book_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._views_book_path())
+
     def register_all(self) -> dict[str, str]:
         """Register every warehouse table as a temp view; returns
         {full_name: view_name}. Used with plans.rewrite_table_refs so
         reference-dialect SQL naming ``bronze.brapi.tickers``
         (reference silver/prices/prices.sql:12) resolves on OSS
-        Spark's single-catalog namespace."""
-        return {t: self.register_view(t) for t in self.list_tables()}
+        Spark's single-catalog namespace.
+
+        Stored LAZY views resolve after the tables (and after each
+        other — the fixpoint loop handles views over views), so their
+        dotted names work in any statement; each re-plans against the
+        live bases, which is exactly what distinguishes a VIEW from a
+        MATERIALIZED VIEW here. A broken view never blocks unrelated
+        statements: it just stays unregistered (its own read then
+        fails with the ordinary unresolved-name error)."""
+        mapping = {t: self.register_view(t) for t in self.list_tables()}
+        pending = self.stored_views()
+        if not pending:
+            return mapping
+        from .plans.qualify import run_sql
+
+        for _ in range(len(pending) + 1):
+            progressed = False
+            for name, sql in list(pending.items()):
+                try:
+                    frame = run_sql(
+                        self.spark, sql, table_mapping=mapping
+                    )
+                except Exception:
+                    continue
+                vname = "_".join(split_name(name))
+                frame.createOrReplaceTempView(vname)
+                mapping[name] = vname
+                del pending[name]
+                progressed = True
+            if not progressed:
+                break
+        return mapping
 
     def register_view(self, full_name: str, view_name: str | None = None) -> str:
         """Expose a stored table to Spark SQL as a temp view.

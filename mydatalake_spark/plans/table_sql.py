@@ -664,26 +664,24 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
     typed table (one schema-bearing empty parquet file, so readers
     and the first INSERT see the declared types); generated columns
     are declared through the same set_generated_column path every
-    write then enforces. PARTITIONED BY is refused here by name:
-    an empty partitioned directory carries no readable schema on
-    plain parquet — create partitioned tables with data (CTAS) or
-    let the first partitioned append lay out the tree."""
+    write then enforces. PARTITIONED BY is recorded as a DECLARATION
+    (``.tabledef.json`` — an empty partitioned parquet directory has
+    no hive leaves to detect): the empty table is written flat with
+    one schema-anchor file, and the FIRST data write replaces the
+    directory with the declared partitioned layout
+    (``Catalog.append``'s declared-empty branch)."""
     import re as _re
 
     body, paren_end = _balanced_paren_span(s, name_end)
-    tail_toks = [t for t in toks[after:] if t[1] >= paren_end]
-    if tail_toks:
-        if tail_toks[0][0] == "PARTITIONED":
-            raise UnsupportedStatement(
-                "CREATE TABLE (column list) PARTITIONED BY: an empty "
-                "partitioned parquet directory has no readable schema "
-                "— use CREATE TABLE ... PARTITIONED BY (...) AS "
-                "SELECT (CTAS) or append partitioned data to an "
-                "unpartitioned empty table"
-            )
+    tail_start = next(
+        (i for i in range(after, len(toks)) if toks[i][1] >= paren_end),
+        len(toks),
+    )
+    pby, tail_start = _parse_partitioned_by(s, toks, tail_start)
+    if tail_start < len(toks):
         raise UnsupportedStatement(
             "trailing tokens after CREATE TABLE column list: "
-            f"{s[tail_toks[0][1]:][:60]!r}"
+            f"{s[toks[tail_start][1]:][:60]!r}"
         )
     gen_re = _re.compile(
         r"\bGENERATED\s+ALWAYS\s+AS\b", _re.IGNORECASE
@@ -722,6 +720,11 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
         fields.append((name, typ))
     if not fields:
         raise UnsupportedStatement("empty column list in CREATE TABLE")
+    if table in catalog.stored_views():
+        raise ValueError(
+            f"CREATE TABLE: {table} is a stored VIEW — DROP VIEW it "
+            "first"
+        )
     if catalog.exists(table):
         if not replace:
             raise ValueError(
@@ -736,8 +739,18 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
         raise UnsupportedStatement(
             f"cannot parse column types in CREATE TABLE {table}: {e}"
         ) from None
+    declared_names = [n for n, _t in fields]
+    if pby:
+        bad_p = [c for c in pby if c not in declared_names]
+        if bad_p:
+            raise ValueError(
+                f"PARTITIONED BY columns {bad_p} not in the column "
+                f"list {declared_names}"
+            )
     # one empty part file anchors the schema for read/INSERT
     catalog.overwrite(empty.repartition(1), table)
+    if pby:
+        catalog.set_declared_partition_cols(table, pby)
     for col, expr in generated.items():
         catalog.set_generated_column(table, col, expr)
     return None
@@ -752,6 +765,7 @@ def _clear_definition_metadata(catalog, full_name: str) -> None:
     for p in (
         catalog._constraints_path(full_name),
         catalog._generated_path(full_name),
+        catalog._tabledef_path(full_name),
         _mview_path(catalog, full_name),
     ):
         if os.path.exists(p):
@@ -782,17 +796,36 @@ def _create_materialized_view(catalog, s, toks, idx, replace):
     import os
 
     if toks[idx][0] == "VIEW":
-        raise UnsupportedStatement(
-            "CREATE VIEW (non-materialized) is not supported — views "
-            "in this engine are materialized into stored tables; use "
-            "CREATE MATERIALIZED VIEW v AS SELECT ... (refreshable "
-            "via REFRESH MATERIALIZED VIEW v)"
-        )
+        # plain (lazy) view: the definition is STORED, not the data —
+        # every read re-resolves against the live base tables
+        name, after = _table_name(s, toks, idx + 1)
+        if (
+            after >= len(toks)
+            or toks[after][0] != "AS"
+            or after + 1 >= len(toks)
+            or toks[after + 1][0] not in ("SELECT", "WITH")
+        ):
+            raise UnsupportedStatement(
+                f"CREATE VIEW needs AS SELECT ...: {s[:80]}"
+            )
+        body = s[toks[after + 1][1]:]
+        # validate the definition resolves NOW (ANSI CREATE VIEW
+        # analyzes the body) — catches typos at declare time
+        from .qualify import run_sql
+
+        run_sql(catalog.spark, body, table_mapping=catalog.register_all())
+        catalog.create_stored_view(name, body, replace=replace)
+        return None
     if idx + 1 >= len(toks) or toks[idx + 1][0] != "VIEW":
         raise UnsupportedStatement(
             f"expected CREATE MATERIALIZED VIEW <v> AS SELECT: {s[:80]}"
         )
     name, after = _table_name(s, toks, idx + 2)
+    if name in catalog.stored_views():
+        raise ValueError(
+            f"CREATE MATERIALIZED VIEW: {name} is a stored (lazy) "
+            "VIEW — DROP VIEW it first"
+        )
     pby, after = _parse_partitioned_by(s, toks, after)
     if (
         after >= len(toks)
@@ -964,10 +997,31 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # refuses a plain table by name — mismatched DROP kinds are a
         # typo worth surfacing, as in Databricks
         is_mview = [t[0] for t in toks[1:3]] == ["MATERIALIZED", "VIEW"]
+        is_view = not is_mview and len(toks) > 1 and toks[1][0] == "VIEW"
+        if is_view:
+            idx = 2
+            if_exists = [t[0] for t in toks[2:4]] == ["IF", "EXISTS"]
+            if if_exists:
+                idx = 4
+            vname, after = _table_name(s, toks, idx)
+            if vname not in catalog.stored_views():
+                if if_exists:
+                    return None
+                raise ValueError(
+                    f"DROP VIEW: {vname} is not a stored view"
+                    + (
+                        " (it is a TABLE — use DROP TABLE)"
+                        if catalog.exists(vname)
+                        else ""
+                    )
+                )
+            catalog.drop_stored_view(vname)
+            return None
         if not is_mview and (len(toks) < 3 or toks[1][0] != "TABLE"):
             raise UnsupportedStatement(
                 "expected DROP TABLE [IF EXISTS] <table> | DROP "
-                f"MATERIALIZED VIEW [IF EXISTS] <v>, got: {s[:80]}"
+                "[MATERIALIZED] VIEW [IF EXISTS] <v>, got: "
+                f"{s[:80]}"
             )
         idx = 3 if is_mview else 2
         if_exists = False
@@ -1014,7 +1068,71 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
     if head == "SHOW":
         # SHOW TABLES → warehouse listing; SHOW PARTITIONS t → one row
         # per hive leaf (Spark's own statement shape: a 'partition'
-        # column of k=v[/k=v] specs) from directory metadata only
+        # column of k=v[/k=v] specs) from directory metadata only;
+        # SHOW CREATE TABLE t → the DDL that reproduces the table's
+        # FULL declared surface (column types from the read schema,
+        # GENERATED ALWAYS AS from the declarations book, PARTITIONED
+        # BY from the hive layout, constraints as follow-up ALTERs,
+        # an MV as its CREATE MATERIALIZED VIEW statement) — Spark's
+        # own statement shape: one row, one 'createtab_stmt' column
+        if [t[0] for t in toks[1:3]] == ["CREATE", "TABLE"]:
+            import json as _json
+
+            table, after = _table_name(s, toks, 3)
+            if after != len(toks):
+                raise UnsupportedStatement(
+                    f"SHOW CREATE TABLE takes only a table name: {s[:80]}"
+                )
+            views = catalog.stored_views()
+            if table in views:
+                return catalog.spark.createDataFrame(
+                    [(f"CREATE VIEW {table} AS {views[table].strip()}",)],
+                    "createtab_stmt string",
+                )
+            if not catalog.exists(table):
+                raise ValueError(
+                    f"SHOW CREATE TABLE: {table} does not exist"
+                )
+            mv_p = _mview_path(catalog, table)
+            if os.path.exists(mv_p):
+                with open(mv_p) as fh:
+                    meta = _json.load(fh)
+                pby_mv = meta.get("partition_by") or []
+                stmt = (
+                    f"CREATE MATERIALIZED VIEW {table}"
+                    + (
+                        f" PARTITIONED BY ({', '.join(pby_mv)})"
+                        if pby_mv
+                        else ""
+                    )
+                    + f" AS {meta['sql'].strip()}"
+                )
+                return catalog.spark.createDataFrame(
+                    [(stmt,)], "createtab_stmt string"
+                )
+            gens = catalog.generated_columns(table)
+            pcols = (
+                _detect_partition_cols(catalog.path(table))
+                or catalog.declared_partition_cols(table)
+                or []
+            )
+            fields = []
+            for f in catalog.read(table).schema.fields:
+                spec = f"{f.name} {f.dataType.simpleString().upper()}"
+                if f.name in gens:
+                    spec += f" GENERATED ALWAYS AS ({gens[f.name]})"
+                fields.append(spec)
+            stmt = f"CREATE TABLE {table} ({', '.join(fields)})"
+            if pcols:
+                stmt += f" PARTITIONED BY ({', '.join(pcols)})"
+            for cname, expr in sorted(catalog.constraints(table).items()):
+                stmt += (
+                    f";\nALTER TABLE {table} ADD CONSTRAINT {cname} "
+                    f"CHECK ({expr})"
+                )
+            return catalog.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         if len(toks) >= 2 and toks[1][0] == "PARTITIONS":
             table, after = _table_name(s, toks, 2)
             if after != len(toks):
@@ -1041,8 +1159,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             )
         if [t[0] for t in toks[1:]] != ["TABLES"]:
             raise UnsupportedStatement(
-                f"only SHOW TABLES / SHOW PARTITIONS <t> is supported: "
-                f"{s[:80]}"
+                "only SHOW TABLES / SHOW PARTITIONS <t> / SHOW CREATE "
+                f"TABLE <t> is supported: {s[:80]}"
             )
         rows = []
         for name in catalog.list_tables():
@@ -1644,7 +1762,11 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                         f"AS {f.name}"
                     )
             rows = rows.selectExpr(*sel)
-        pcols = _detect_partition_cols(catalog.path(table))
+        pcols = _detect_partition_cols(catalog.path(table)) or (
+            catalog.declared_partition_cols(table)
+            if catalog.exists(table)
+            else None
+        )
         if overwrite:
             catalog.overwrite_via_staging(rows, table, partition_by=pcols)
             return None
@@ -1860,7 +1982,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 raise ValueError(
                     f"ALTER COLUMN: {col} not in {table} ({df.columns})"
                 )
-            pc = _detect_partition_cols(catalog.path(table)) or []
+            pc = (_detect_partition_cols(catalog.path(table))
+                  or catalog.declared_partition_cols(table) or [])
             if col in pc:
                 raise ValueError(
                     f"ALTER COLUMN: {col} is a partition column — its "
@@ -1938,7 +2061,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     f"DROP COLUMN: {missing} not in {table} "
                     f"({df.columns})"
                 )
-            pc = _detect_partition_cols(catalog.path(table)) or []
+            pc = (_detect_partition_cols(catalog.path(table))
+                  or catalog.declared_partition_cols(table) or [])
             part_hit = sorted(set(cols) & set(pc))
             if part_hit:
                 raise ValueError(
@@ -1980,7 +2104,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 raise ValueError(
                     f"RENAME COLUMN: {new} already exists on {table}"
                 )
-            pc = _detect_partition_cols(catalog.path(table)) or []
+            pc = (_detect_partition_cols(catalog.path(table))
+                  or catalog.declared_partition_cols(table) or [])
             if old in pc:
                 raise ValueError(
                     f"RENAME COLUMN: {old} is a partition column — "

@@ -611,3 +611,83 @@ def test_sync_view_refuses_unretained_applied_version(spark, tmp_path):
         src.overwrite_via_staging(df, "c.s.t")
     with pytest.raises(ValueError, match="no longer retained"):
         sync_view_from_table_changes(view, src, "c.s.t", ["k"])
+
+
+def test_create_view_lazy_stored(spark, tmp_path):
+    """Plain CREATE VIEW (r12): the DEFINITION is stored, not the
+    data — every read re-resolves against the live base tables, the
+    property that distinguishes it from CREATE MATERIALIZED VIEW."""
+    import pytest
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "EU", 10.0), (2, "US", 20.0)],
+        "id int, region string, amount double",
+    )
+    cat.overwrite(df, "silver.s.orders")
+    run_table_sql(
+        cat,
+        "CREATE VIEW gold.s.v AS SELECT region, "
+        "SUM(amount) AS total FROM silver.s.orders GROUP BY region",
+    )
+    got = {
+        r.region: r.total
+        for r in run_table_sql(
+            cat, "SELECT * FROM gold.s.v"
+        ).collect()
+    }
+    assert got == {"EU": 10.0, "US": 20.0}
+    # base table mutates -> the view reflects it WITHOUT any refresh
+    run_table_sql(
+        cat, "UPDATE silver.s.orders SET amount = 99 WHERE id = 1"
+    )
+    got = {
+        r.region: r.total
+        for r in run_table_sql(cat, "SELECT * FROM gold.s.v").collect()
+    }
+    assert got["EU"] == 99.0
+    # views over views resolve (fixpoint registration)
+    run_table_sql(
+        cat,
+        "CREATE VIEW gold.s.v2 AS SELECT SUM(total) AS grand "
+        "FROM gold.s.v",
+    )
+    assert run_table_sql(
+        cat, "SELECT * FROM gold.s.v2"
+    ).collect()[0].grand == 119.0
+    # SHOW CREATE TABLE emits the definition
+    stmt = run_table_sql(
+        cat, "SHOW CREATE TABLE gold.s.v"
+    ).collect()[0][0]
+    assert stmt.startswith("CREATE VIEW gold.s.v AS SELECT")
+    # namespace guards, both directions, and the DROP lifecycle
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(
+            cat, "CREATE VIEW gold.s.v AS SELECT 1 AS one"
+        )
+    run_table_sql(
+        cat,
+        "CREATE OR REPLACE VIEW gold.s.v AS SELECT region, "
+        "COUNT(*) AS total FROM silver.s.orders GROUP BY region",
+    )
+    with pytest.raises(ValueError, match="stored VIEW"):
+        run_table_sql(cat, "CREATE TABLE gold.s.v (x INT)")
+    with pytest.raises(ValueError, match="stored TABLE"):
+        run_table_sql(
+            cat,
+            "CREATE VIEW silver.s.orders AS SELECT 1 AS one",
+        )
+    # a broken body is caught at declare time (ANSI CREATE VIEW)
+    with pytest.raises(Exception):
+        run_table_sql(
+            cat, "CREATE VIEW gold.s.bad AS SELECT nope FROM no.such.t"
+        )
+    run_table_sql(cat, "DROP VIEW gold.s.v2")
+    assert run_table_sql(cat, "DROP VIEW IF EXISTS gold.s.v2") is None
+    with pytest.raises(ValueError, match="not a stored view"):
+        run_table_sql(cat, "DROP VIEW gold.s.v2")
+    with pytest.raises(ValueError, match="use DROP TABLE"):
+        run_table_sql(cat, "DROP VIEW silver.s.orders")

@@ -947,11 +947,11 @@ def test_create_materialized_view_or_replace_qualify_partitioned(
     )
     got2 = {r.region: r.n for r in cat.read("gold.s.top").collect()}
     assert got2 == {"EU": 2, "US": 2, "AP": 1}
-    # non-materialized CREATE VIEW refused by name
-    with pytest.raises(UnsupportedStatement, match="MATERIALIZED"):
-        run_table_sql(
-            cat, f"CREATE VIEW gold.s.v AS SELECT * FROM {TBL}"
-        )
+    # non-materialized CREATE VIEW is the LAZY sibling (r12): stored
+    # definition, no data — covered in
+    # tests/test_sources_views.py::test_create_view_lazy_stored
+    run_table_sql(cat, f"CREATE VIEW gold.s.v AS SELECT * FROM {TBL}")
+    assert "gold.s.v" in cat.stored_views()
 
 
 def test_backtick_unquoting_scope(spark, tmp_path):
@@ -1027,10 +1027,12 @@ def test_create_table_column_list_and_insert_values(spark, tmp_path):
 
 def test_create_table_column_list_refusals(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
-    with pytest.raises(UnsupportedStatement, match="PARTITIONED"):
+    # (PARTITIONED BY on a column list is supported since later in
+    # r12 — covered by test_create_table_partitioned_declaration_*)
+    with pytest.raises(ValueError, match="not in the column list"):
         run_table_sql(
             cat,
-            "CREATE TABLE s.d.t (a INT, day STRING) PARTITIONED BY (day)",
+            "CREATE TABLE s.d.t (a INT) PARTITIONED BY (day)",
         )
     with pytest.raises(UnsupportedStatement, match="NOT NULL"):
         run_table_sql(cat, "CREATE TABLE s.d.t (a INT NOT NULL)")
@@ -1140,3 +1142,95 @@ def test_alter_column_type_widening(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="idp"):
         run_table_sql(cat2, f"ALTER TABLE {TBL} ALTER COLUMN id TYPE BIGINT")
+
+
+def test_create_table_partitioned_declaration_first_write_lays_out(
+    spark, tmp_path
+):
+    """CREATE TABLE (cols) PARTITIONED BY (p) declares the layout on
+    an EMPTY table (.tabledef.json); the first data write replaces the
+    schema anchor with the real hive tree, and later writes get the
+    pruned partitioned paths. Includes the classic Delta pattern:
+    partition on a GENERATED date column."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    T3 = "silver.ev.clicks"
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {T3} (id BIGINT, ts TIMESTAMP, "
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) "
+        "PARTITIONED BY (day)",
+    )
+    assert cat.declared_partition_cols(T3) == ["day"]
+    assert cat.read(T3).count() == 0
+    assert _detect_partition_cols(cat.path(T3)) is None  # anchor only
+    run_table_sql(
+        cat,
+        f"INSERT INTO {T3} (id, ts) VALUES "
+        "(1, TIMESTAMP '2024-01-02 10:00:00'), "
+        "(2, TIMESTAMP '2024-01-03 11:00:00')",
+    )
+    # the first write laid out the declared hive tree
+    assert _detect_partition_cols(cat.path(T3)) == ["day"]
+    got = {r.id: str(r.day) for r in cat.read(T3).collect()}
+    assert got == {1: "2024-01-02", 2: "2024-01-03"}
+    # later inserts take the ordinary partitioned append
+    run_table_sql(
+        cat,
+        f"INSERT INTO {T3} (id, ts) VALUES "
+        "(3, TIMESTAMP '2024-01-02 12:00:00')",
+    )
+    assert cat.read(T3).count() == 3
+    import os
+
+    assert os.path.isdir(os.path.join(cat.path(T3), "day=2024-01-02"))
+    # declared partition column protected from column DDL while empty
+    run_table_sql(cat, f"CREATE TABLE silver.ev.e (a INT, p STRING) "
+                       "PARTITIONED BY (p)")
+    with pytest.raises(ValueError, match="partition column"):
+        run_table_sql(
+            cat, "ALTER TABLE silver.ev.e DROP COLUMN p"
+        )
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE emits runnable DDL covering the full declared
+    surface — proven by executing the output in a fresh warehouse and
+    comparing schema, partitioning, constraints, and generated
+    declarations."""
+    from mydatalake_spark.plans.table_sql import run_table_script
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    T4 = "silver.dim.fx"
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {T4} (code STRING, rate DOUBLE, "
+        "cents BIGINT GENERATED ALWAYS AS "
+        "(CAST(FLOOR(rate * 100 + 0.5) AS BIGINT)), day STRING) "
+        "PARTITIONED BY (day)",
+    )
+    run_table_sql(
+        cat, f"ALTER TABLE {T4} ADD CONSTRAINT rate_pos CHECK (rate > 0)"
+    )
+    stmt = run_table_sql(cat, f"SHOW CREATE TABLE {T4}").collect()[0][0]
+    assert "GENERATED ALWAYS AS" in stmt and "PARTITIONED BY (day)" in stmt
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    run_table_script(cat2, stmt)
+    assert [f.name for f in cat2.read(T4).schema.fields] == [
+        "code", "rate", "cents", "day",
+    ]
+    assert cat2.declared_partition_cols(T4) == ["day"]
+    assert cat2.constraints(T4) == {"rate_pos": "rate > 0"}
+    assert "cents" in cat2.generated_columns(T4)
+    # a materialized view shows as its CREATE MATERIALIZED VIEW
+    _seed(spark, cat)
+    run_table_sql(
+        cat,
+        "CREATE MATERIALIZED VIEW gold.s.mv AS "
+        f"SELECT region, COUNT(*) AS n FROM {TBL} GROUP BY region",
+    )
+    mv_stmt = run_table_sql(
+        cat, "SHOW CREATE TABLE gold.s.mv"
+    ).collect()[0][0]
+    assert mv_stmt.startswith("CREATE MATERIALIZED VIEW gold.s.mv")
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(cat, "SHOW CREATE TABLE no.such.tbl")
