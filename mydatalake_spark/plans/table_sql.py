@@ -368,12 +368,23 @@ def _merge_source_frame(catalog, spec: str):
         )
     if catalog.exists(name):
         return catalog.read(name), alias
+    views = catalog.stored_views()
+    if name in views:
+        # a stored (lazy) view is a fine CHANGESET: resolve its
+        # definition against the live bases (r12)
+        return (
+            run_sql(
+                catalog.spark, views[name],
+                table_mapping=catalog.register_all(),
+            ),
+            alias,
+        )
     try:
         return catalog.spark.table(name), alias
     except Exception:
         raise UnsupportedStatement(
-            f"USING source {name!r} is neither a catalog table nor a "
-            "registered temp view"
+            f"USING source {name!r} is neither a catalog table, a "
+            "stored view, nor a registered temp view"
         ) from None
 
 
@@ -756,6 +767,18 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
     return None
 
 
+def _refuse_stored_view(catalog, table: str, verb: str) -> None:
+    """Writes target TABLES; a stored (lazy) view is a definition, not
+    data — without this guard an INSERT INTO a view would create a
+    shadowed table at the view's path."""
+    if table in catalog.stored_views():
+        raise ValueError(
+            f"{verb}: {table} is a stored VIEW (a definition, not "
+            "data) — write to its base tables, or DROP VIEW and "
+            "CREATE TABLE if a table is intended"
+        )
+
+
 def _clear_definition_metadata(catalog, full_name: str) -> None:
     """CREATE OR REPLACE semantics: CHECK constraints, generated-column
     declarations, and a materialized-view definition attach to the
@@ -916,6 +939,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"expected DELETE FROM <table> ..., got: {s[:80]}"
             )
         table, after = _table_name(s, toks, 2)
+        _refuse_stored_view(catalog, table, "DELETE FROM")
         wh = _clause_pos(toks[after:], "WHERE")
         if wh is None:
             raise UnsupportedStatement(
@@ -937,6 +961,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         if len(toks) < 2:
             raise UnsupportedStatement(f"bad UPDATE: {s[:80]}")
         table, after = _table_name(s, toks, 1)
+        _refuse_stored_view(catalog, table, "UPDATE")
         set_idx = _clause_pos(toks[after:], "SET")
         if set_idx is None:
             raise UnsupportedStatement(
@@ -1034,6 +1059,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"trailing tokens after DROP TABLE {table}: {s[:80]}"
             )
         kind = "MATERIALIZED VIEW" if is_mview else "TABLE"
+        if table in catalog.stored_views():
+            raise ValueError(
+                f"DROP {kind}: {table} is a stored VIEW — use DROP VIEW"
+            )
         if not catalog.exists(table):
             if if_exists:
                 return None
@@ -1194,6 +1223,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"{s[:80]}"
             )
         table, after = _table_name(s, toks, idx + 1)
+        _refuse_stored_view(catalog, table, "CREATE TABLE")
         name_end = toks[after - 1][2]
         if s[name_end:].lstrip().startswith("("):
             return _create_table_columns(
@@ -1292,6 +1322,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"..., got: {s[:80]}"
             )
         table, after = _table_name(s, toks, into_idx + 1)
+        _refuse_stored_view(catalog, table, "MERGE INTO")
         t_alias = table.split(".")[-1]
         if after < len(toks) and toks[after][0] == "AS":
             after += 1
@@ -1681,6 +1712,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         if toks[idx][0] == "TABLE":
             idx += 1
         table, after = _table_name(s, toks, idx)
+        _refuse_stored_view(catalog, table, "INSERT")
         name_end = toks[after - 1][2]
         col_list = None
         body_from = after
@@ -1783,6 +1815,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"= <fmt>, got: {s[:80]}"
             )
         table, after = _table_name(s, toks, 2)
+        _refuse_stored_view(catalog, table, "COPY INTO")
         if after >= len(toks) or toks[after][0] != "FROM":
             raise UnsupportedStatement(
                 f"COPY INTO needs FROM '<path>': {s[:80]}"
@@ -1828,6 +1861,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"expected TRUNCATE TABLE <table>, got: {s[:80]}"
             )
         table, _ = _table_name(s, toks, 2)
+        _refuse_stored_view(catalog, table, "TRUNCATE TABLE")
         catalog.truncate(table)
         return None
 
@@ -1837,6 +1871,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 f"expected ALTER TABLE <table> ..., got: {s[:80]}"
             )
         table, after = _table_name(s, toks, 2)
+        _refuse_stored_view(catalog, table, "ALTER TABLE")
         verbs = [t[0] for t in toks[after:after + 2]]
         if verbs == ["ADD", "CONSTRAINT"]:
             if len(toks) < after + 4 or toks[after + 3][0] != "CHECK":
@@ -2133,6 +2168,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ... (Delta syntax)
         idx = 2 if len(toks) > 1 and toks[1][0] == "TABLE" else 1
         table, after = _table_name(s, toks, idx)
+        _refuse_stored_view(catalog, table, "RESTORE TABLE")
         tail = [t[0] for t in toks[after:]]
         if tail[:4] == ["TO", "TIMESTAMP", "AS", "OF"]:
             import re as _re
@@ -2167,6 +2203,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # rewrite to matching leaves (Delta partition-predicate
         # OPTIMIZE), evaluated from directory metadata only.
         table, after = _table_name(s, toks, 1)
+        _refuse_stored_view(catalog, table, "OPTIMIZE")
         where = None
         wh_rel = _clause_pos(toks[after:], "WHERE")
         z_rel = _clause_pos(toks[after:], "ZORDER", "BY")

@@ -691,3 +691,76 @@ def test_create_view_lazy_stored(spark, tmp_path):
         run_table_sql(cat, "DROP VIEW gold.s.v2")
     with pytest.raises(ValueError, match="use DROP TABLE"):
         run_table_sql(cat, "DROP VIEW silver.s.orders")
+
+
+def test_stored_view_write_paths_refused_by_name(spark, tmp_path):
+    # a stored view is a definition, not data: every write-shaped
+    # statement refuses by name instead of creating a shadowed table
+    import pytest
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame([(1, 2.0)], "id int, v double"),
+        "silver.s.base",
+    )
+    run_table_sql(
+        cat, "CREATE VIEW gold.s.v AS SELECT id, v FROM silver.s.base"
+    )
+    for stmt in (
+        "INSERT INTO gold.s.v VALUES (2, 3.0)",
+        "INSERT OVERWRITE gold.s.v SELECT 1 AS id, 1.0 AS v",
+        "DELETE FROM gold.s.v WHERE id = 1",
+        "UPDATE gold.s.v SET v = 0 WHERE id = 1",
+        "MERGE INTO gold.s.v t USING silver.s.base s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+        "TRUNCATE TABLE gold.s.v",
+        "ALTER TABLE gold.s.v ADD CONSTRAINT c CHECK (v > 0)",
+        "OPTIMIZE gold.s.v",
+        "RESTORE TABLE gold.s.v TO VERSION AS OF 1",
+        "CREATE TABLE gold.s.v AS SELECT 1 AS one",
+        "COPY INTO gold.s.v FROM '/tmp/nowhere' FILEFORMAT = JSON",
+        "DROP TABLE gold.s.v",
+    ):
+        with pytest.raises(ValueError, match="stored VIEW"):
+            run_table_sql(cat, stmt)
+    # the view still resolves and no shadow table appeared
+    assert not cat.exists("gold.s.v")
+    assert run_table_sql(cat, "SELECT * FROM gold.s.v").count() == 1
+
+
+def test_merge_using_stored_view(spark, tmp_path):
+    # a lazy view as the MERGE changeset: its definition resolves
+    # against the live base at merge time
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id int, v double"
+        ),
+        "silver.s.t",
+    )
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, 99.0, "keep"), (3, 30.0, "keep"), (4, 1.0, "skip")],
+            "id int, v double, tag string",
+        ),
+        "bronze.s.raw",
+    )
+    run_table_sql(
+        cat,
+        "CREATE VIEW bronze.s.chg AS SELECT id, v FROM bronze.s.raw "
+        "WHERE tag = 'keep'",
+    )
+    run_table_sql(
+        cat,
+        "MERGE INTO silver.s.t t USING bronze.s.chg s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)",
+    )
+    got = {r.id: r.v for r in cat.read("silver.s.t").collect()}
+    assert got == {1: 99.0, 2: 20.0, 3: 30.0}  # 4 filtered by the view
