@@ -91,6 +91,8 @@ class JobRunner:
             return self._run_reconcile(job)
         if job_type == "copy_into":
             return self._run_copy_into(job)
+        if job_type == "sql":
+            return self._run_sql(job, layer)
         written: list[str] = []
         for tbl in job.get("tables", []):
             name = tbl["table_name"]
@@ -126,6 +128,36 @@ class JobRunner:
             ing.run()
             written.append(ing.meta.full_name)
         return written
+
+    def _run_sql(self, job: dict[str, Any], layer: str) -> list[str]:
+        """``type: sql`` jobs — the DLT "run all transformations"
+        shape (reference Pipelines/Test: every dataset is a .sql file
+        under transformations/, and 'Run pipeline' executes them all):
+        each ``scripts:`` entry is a ``path:`` to a .sql file
+        (resolved against the job's LAYER dir — where its job_metadata.yml lives — unless absolute) or an inline
+        ``sql:`` block, executed through run_table_script — so MV
+        definitions, DDL, DML, MERGE and COPY INTO statements all
+        work, with the same dialect shims as every transform. Scripts
+        run in declared order, fail-fast (Databricks cell semantics).
+        Returns the executed script identifiers."""
+        from .plans.table_sql import run_table_script
+
+        executed: list[str] = []
+        for item in job.get("scripts", []):
+            if "sql" in item:
+                run_table_script(self.catalog, item["sql"])
+                executed.append(item.get("name", "<inline>"))
+                continue
+            p = item["path"]
+            full = (
+                p
+                if os.path.isabs(p)
+                else os.path.join(self.metadata_root, layer, p)
+            )
+            with open(full) as fh:
+                run_table_script(self.catalog, fh.read())
+            executed.append(full)
+        return executed
 
     def _run_copy_into(self, job: dict[str, Any]) -> list[str]:
         """``type: copy_into`` jobs: per-table file-level idempotent

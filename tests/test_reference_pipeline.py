@@ -248,3 +248,65 @@ def test_tickers_medallion_pipeline(spark, workspace, tmp_path):
     g = gold[("AAPL", "2023-11-14")]
     assert abs(g.intraday_change - 1.25) < 1e-6
     assert abs(g.intraday_range - 3.5) < 1e-6
+
+
+def test_sql_job_runs_reference_transformation_file(spark, tmp_path):
+    """type: sql jobs (r12): the DLT 'run pipeline' shape — the
+    reference's own gold transformation file
+    (Pipelines/Test/transformations/test.sql, verbatim text incl.
+    backticked identifiers) executes as a declared job, and re-running
+    the job is the scheduled refresh."""
+    import json
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.jobs import JobRunner
+
+    meta = tmp_path / "meta" / "gold"
+    (meta / "transformations").mkdir(parents=True)
+    # the reference file, verbatim
+    (meta / "transformations" / "test.sql").write_text(
+        "\n\nCREATE MATERIALIZED VIEW `gold`.`brapi`.`prices` AS\n"
+        "SELECT\n    symbol\n    , date\n    , low   \n    , close\n"
+        "    , high    \n    , open\n    , volume\n    , adjustedClose\n"
+        "    , (close - open) AS intraday_change\n"
+        "    , (high - low) AS intraday_range\n"
+        "FROM silver.brapi.prices\n"
+    )
+    (tmp_path / "meta" / "gold" / "job_metadata.yml").write_text(
+        """
+jobs:
+  - name: gold_transformations
+    type: sql
+    scripts:
+      - path: transformations/test.sql
+"""
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [("PETR4", "2024-01-02", 9.0, 10.0, 11.0, 9.5, 100, 10.0)],
+            "symbol string, date string, low double, close double, "
+            "high double, open double, volume long, adjustedClose double",
+        ),
+        "silver.brapi.prices",
+    )
+    runner = JobRunner(spark, cat, str(tmp_path / "meta"))
+    executed = runner.run("sql", "gold_transformations")
+    assert executed and executed[0].endswith("test.sql")
+    assert cat.read("gold.brapi.prices").count() == 1
+    # scheduled re-run: CREATE (not OR REPLACE) of an existing MV
+    # fails fast — the reference's DLT implies full re-definition, so
+    # the job script refresh spelling is REFRESH; prove it composes
+    (meta / "transformations" / "test.sql").write_text(
+        "REFRESH MATERIALIZED VIEW gold.brapi.prices\n"
+    )
+    cat.append(
+        spark.createDataFrame(
+            [("VALE3", "2024-01-02", 1.0, 2.0, 3.0, 1.5, 5, 2.0)],
+            cat.read("silver.brapi.prices").schema,
+        ),
+        "silver.brapi.prices",
+    )
+    runner.run("sql", "gold_transformations")
+    assert cat.read("gold.brapi.prices").count() == 2
