@@ -1598,18 +1598,17 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         return result
 
     if head == "DESCRIBE":
-        if len(toks) >= 2 and toks[1][0] in ("EXTENDED", "FORMATTED"):
-            raise UnsupportedStatement(
-                "DESCRIBE EXTENDED/FORMATTED is not supported — use "
-                "DESCRIBE TABLE <t> (schema), DESCRIBE DETAIL <t> "
-                "(files/stats), or DESCRIBE HISTORY <t> (versions)"
-            )
         if len(toks) >= 2 and toks[1][0] not in ("HISTORY", "DETAIL"):
-            # DESCRIBE [TABLE] t → schema rows in Spark's own
-            # DESCRIBE TABLE shape (col_name, data_type, comment;
-            # partition columns repeated under a # Partition
-            # Information section)
-            idx = 2 if toks[1][0] == "TABLE" else 1
+            # DESCRIBE [TABLE|EXTENDED|FORMATTED] t → schema rows in
+            # Spark's own DESCRIBE TABLE shape (col_name, data_type,
+            # comment; partition columns repeated under a # Partition
+            # Information section). EXTENDED/FORMATTED (synonyms, as
+            # in Spark) append the # Detailed Table Information
+            # section: location/format/files/bytes plus this engine's
+            # declared surface (constraints, generated columns,
+            # declared partitioning, MV flag).
+            extended = toks[1][0] in ("EXTENDED", "FORMATTED")
+            idx = 2 if toks[1][0] in ("TABLE", "EXTENDED", "FORMATTED") else 1
             table, after = _table_name(s, toks, idx)
             if after != len(toks):
                 raise UnsupportedStatement(
@@ -1620,8 +1619,17 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     f"DESCRIBE TABLE: {table} does not exist"
                 )
             df = catalog.read(table)
+            gens = catalog.generated_columns(table)
             rows = [
-                (f.name, f.dataType.simpleString(), None)
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    (
+                        f"GENERATED ALWAYS AS ({gens[f.name]})"
+                        if f.name in gens
+                        else None
+                    ),
+                )
                 for f in df.schema.fields
             ]
             pcols = _detect_partition_cols(catalog.path(table))
@@ -1631,6 +1639,34 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 types = {f.name: f.dataType.simpleString()
                          for f in df.schema.fields}
                 rows.extend((c, types[c], None) for c in pcols)
+            if extended:
+                import json as _json
+
+                d = catalog.describe_detail(table)
+                rows.append(("", "", None))
+                rows.append(("# Detailed Table Information", "", None))
+                rows.append(("Name", d["name"], None))
+                rows.append(("Location", d["location"], None))
+                rows.append(("Provider", d["format"], None))
+                rows.append(("Num Files", str(d["num_files"]), None))
+                rows.append(("Size Bytes", str(d["size_bytes"]), None))
+                declared = catalog.declared_partition_cols(table)
+                if declared and not pcols:
+                    rows.append(
+                        ("Declared Partitioning", ", ".join(declared),
+                         "laid out on first write")
+                    )
+                cons = catalog.constraints(table)
+                if cons:
+                    rows.append(
+                        ("Constraints",
+                         _json.dumps(cons, sort_keys=True), None)
+                    )
+                if os.path.exists(_mview_path(catalog, table)):
+                    rows.append(
+                        ("Type", "MATERIALIZED VIEW",
+                         "REFRESH MATERIALIZED VIEW recomputes")
+                    )
             return catalog.spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string"
             )

@@ -234,8 +234,7 @@ def test_describe_history_sql(spark, tmp_path):
     run_table_sql(cat, f"UPDATE {TBL} SET amount = 2 WHERE id = 1")
     hist = run_table_sql(cat, f"DESCRIBE HISTORY {TBL}")
     assert [r.version for r in hist.collect()] == [1, 2]
-    with pytest.raises(UnsupportedStatement, match="EXTENDED"):
-        run_table_sql(cat, f"DESCRIBE EXTENDED {TBL}")
+    # DESCRIBE EXTENDED is supported since r12 (test_describe_extended)
 
 
 def test_backticks_and_truncated_statements_refused_by_name(spark, tmp_path):
@@ -1234,3 +1233,27 @@ def test_show_create_table_round_trips(spark, tmp_path):
     assert mv_stmt.startswith("CREATE MATERIALIZED VIEW gold.s.mv")
     with pytest.raises(ValueError, match="does not exist"):
         run_table_sql(cat, "SHOW CREATE TABLE no.such.tbl")
+
+
+def test_describe_extended(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    run_table_sql(
+        cat, f"ALTER TABLE {TBL} ADD CONSTRAINT amt_pos CHECK (amount > 0)"
+    )
+    rows = run_table_sql(cat, f"DESCRIBE EXTENDED {TBL}").collect()
+    names = [r.col_name for r in rows]
+    assert "# Detailed Table Information" in names
+    kv = {r.col_name: r.data_type for r in rows}
+    assert kv["Name"] == TBL
+    assert kv["Provider"] == "parquet"
+    assert "amt_pos" in kv["Constraints"]
+    assert "# Partition Information" in names
+    # generated columns annotate their schema row
+    cat.set_generated_column(TBL, "amount2", "amount * 2")
+    rows = run_table_sql(cat, f"DESCRIBE FORMATTED {TBL}").collect()
+    gen_row = [r for r in rows if r.col_name == "amount2"][0]
+    assert "GENERATED ALWAYS AS" in gen_row.comment
+    # plain DESCRIBE still has no detail section
+    rows = run_table_sql(cat, f"DESCRIBE {TBL}").collect()
+    assert "# Detailed Table Information" not in [r.col_name for r in rows]
