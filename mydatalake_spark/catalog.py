@@ -1720,6 +1720,11 @@ class Catalog:
              self._constraints_path(dst_name)),
             (self._generated_path(src_name),
              self._generated_path(dst_name)),
+            # declared-but-not-yet-laid-out partitioning (r12): a
+            # clone of an anchor-empty DDL table keeps the promise
+            # that its first write lays out the declared tree
+            (self._tabledef_path(src_name),
+             self._tabledef_path(dst_name)),
         ):
             if os.path.exists(src_meta):
                 os.makedirs(self._version_root(dst_name), exist_ok=True)

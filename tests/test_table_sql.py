@@ -1257,3 +1257,17 @@ def test_describe_extended(spark, tmp_path):
     # plain DESCRIBE still has no detail section
     rows = run_table_sql(cat, f"DESCRIBE {TBL}").collect()
     assert "# Detailed Table Information" not in [r.col_name for r in rows]
+
+
+def test_clone_carries_declared_partitioning(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        "CREATE TABLE silver.d.t (id INT, day STRING) PARTITIONED BY (day)",
+    )
+    run_table_sql(cat, "CREATE TABLE silver.d.t2 CLONE silver.d.t")
+    assert cat.declared_partition_cols("silver.d.t2") == ["day"]
+    run_table_sql(
+        cat, "INSERT INTO silver.d.t2 VALUES (1, '2024-01-02')"
+    )
+    assert _detect_partition_cols(cat.path("silver.d.t2")) == ["day"]
