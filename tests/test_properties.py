@@ -628,3 +628,68 @@ def test_merge_apply_matches_model(
     assert got == _model_merge_apply(
         target, source, delete_above, insert_below
     )
+
+
+@given(
+    target=st.lists(
+        st.tuples(KEYS, st.integers(min_value=0, max_value=2), VAL),
+        min_size=1, max_size=10,
+    ),
+    source=st.lists(
+        st.tuples(KEYS, st.integers(min_value=0, max_value=2), VAL),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_merge_partitioned_hint_equals_probe(
+    spark, tmp_path_factory, target, source
+):
+    """touched_hint (layout-derived) path ≡ distinct-probe path for
+    arbitrary partitioned changesets — including hints that
+    OVERESTIMATE (all buckets), the soundness contract."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.operators.merge_clauses import (
+        MatchedClause,
+        NotMatchedClause,
+        merge_apply_partitioned,
+    )
+
+    # unique target keys (latest wins like the other models)
+    tgt = {}
+    for k, b, v in target:
+        tgt[k] = (k, b, v)
+    target = list(tgt.values())
+    src = {}
+    for k, b, v in source:
+        src[k] = (k, b, v)
+    source = list(src.values())
+
+    def build(cat_dir):
+        cat = Catalog(spark, str(cat_dir))
+        cat.overwrite(
+            spark.createDataFrame(target, "k long, bucket long, v long"),
+            "s.t.t",
+            partition_by=["bucket"],
+        )
+        return cat
+
+    clauses = dict(
+        matched=[MatchedClause(sets={"v": "__s_v"})],
+        not_matched=[NotMatchedClause(insert_all=True)],
+    )
+    base = tmp_path_factory.mktemp("hintprop")
+    cat_a = build(base / "a")
+    cat_b = build(base / "b")
+    sdf = spark.createDataFrame(source, "k long, bucket long, v long")
+    merge_apply_partitioned(
+        cat_a, "s.t.t", sdf, [("k", "k"), ("bucket", "bucket")], **clauses
+    )
+    # overestimating hint: every bucket value 0..2 (superset is sound)
+    merge_apply_partitioned(
+        cat_b, "s.t.t", sdf, [("k", "k"), ("bucket", "bucket")],
+        touched_hint=[(0,), (1,), (2,)], **clauses
+    )
+    rows_a = sorted(map(tuple, cat_a.read("s.t.t").collect()))
+    rows_b = sorted(map(tuple, cat_b.read("s.t.t").collect()))
+    assert rows_a == rows_b
