@@ -1968,6 +1968,38 @@ class Catalog:
         if os.path.isdir(self.path(full_name)):
             self._stamp_commit(full_name)
 
+    def rename_table(self, src_name: str, dst_name: str) -> None:
+        """ALTER TABLE ... RENAME TO: two directory renames (data dir
+        + version root, which carries history, constraints, generated
+        declarations, txn books — everything definition-scoped), so
+        the operation is metadata-speed at any size. Refuses an
+        occupied destination (table or stored view). Lazy views that
+        referenced the old name keep their SQL text and simply fail to
+        resolve until re-pointed — same as Databricks."""
+        if not self.exists(src_name):
+            raise ValueError(
+                f"RENAME TABLE: {src_name} does not exist"
+            )
+        if self.exists(dst_name) or dst_name in self.stored_views():
+            raise ValueError(
+                f"RENAME TABLE: destination {dst_name} already exists"
+            )
+        if src_name in self.stored_views():
+            raise ValueError(
+                f"RENAME TABLE: {src_name} is a stored VIEW — "
+                "re-declare it under the new name instead"
+            )
+        dst = self.path(dst_name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(self.path(src_name), dst)
+        if os.path.isdir(self._version_root(src_name)):
+            os.replace(
+                self._version_root(src_name),
+                self._version_root(dst_name),
+            )
+        self._invalidate(src_name)
+        self._invalidate(dst_name)
+
     def drop(self, full_name: str) -> None:
         shutil.rmtree(self.path(full_name), ignore_errors=True)
         shutil.rmtree(self._version_root(full_name), ignore_errors=True)

@@ -1230,6 +1230,46 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 catalog, s, toks, table, after, name_end, replace
             )
         nxt = [t[0] for t in toks[after:after + 2]]
+        if nxt[:1] == ["LIKE"]:
+            # CREATE TABLE t2 LIKE t: a fresh EMPTY table with t's
+            # schema, generated-column declarations, and partitioning
+            # (detected layout becomes a DECLARATION on the empty
+            # copy — its first write lays out the tree). Constraints
+            # do not copy (Spark LIKE semantics: schema, not rules).
+            src, after2 = _table_name(s, toks, after + 1)
+            if after2 != len(toks):
+                raise UnsupportedStatement(
+                    f"trailing tokens after CREATE TABLE ... LIKE "
+                    f"{src}: {s[:80]}"
+                )
+            if replace:
+                raise UnsupportedStatement(
+                    "CREATE OR REPLACE TABLE ... LIKE is not "
+                    "supported — DROP the destination first"
+                )
+            if not catalog.exists(src):
+                raise ValueError(
+                    f"CREATE TABLE LIKE: source {src} does not exist"
+                )
+            if catalog.exists(table) or table in catalog.stored_views():
+                raise ValueError(
+                    f"CREATE TABLE: {table} already exists"
+                )
+            src_df = catalog.read(src)
+            catalog.overwrite(
+                catalog.spark.createDataFrame(
+                    [], src_df.schema
+                ).repartition(1),
+                table,
+            )
+            pby_src = _detect_partition_cols(
+                catalog.path(src)
+            ) or catalog.declared_partition_cols(src)
+            if pby_src:
+                catalog.set_declared_partition_cols(table, pby_src)
+            for col, expr in catalog.generated_columns(src).items():
+                catalog.set_generated_column(table, col, expr)
+            return None
         if nxt[:1] == ["CLONE"] or (
             len(nxt) == 2
             and nxt[0] in ("SHALLOW", "DEEP")
@@ -2155,6 +2195,16 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     "TABLE"
                 )
             _rewrite(df.drop(*cols))
+            return None
+
+        if verbs == ["RENAME", "TO"]:
+            dst, after2 = _table_name(s, toks, after + 2)
+            if after2 != len(toks):
+                raise UnsupportedStatement(
+                    "trailing tokens after ALTER TABLE ... RENAME TO "
+                    f"{dst}: {s[:80]}"
+                )
+            catalog.rename_table(table, dst)
             return None
 
         if verbs == ["RENAME", "COLUMN"]:

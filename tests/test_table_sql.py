@@ -1271,3 +1271,48 @@ def test_clone_carries_declared_partitioning(spark, tmp_path):
         cat, "INSERT INTO silver.d.t2 VALUES (1, '2024-01-02')"
     )
     assert _detect_partition_cols(cat.path("silver.d.t2")) == ["day"]
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=2)
+    _seed(spark, cat, partitioned=True)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 1 WHERE id = 1")
+    run_table_sql(
+        cat, f"ALTER TABLE {TBL} ADD CONSTRAINT a_pos CHECK (amount > 0)"
+    )
+    run_table_sql(cat, f"ALTER TABLE {TBL} RENAME TO silver.sales.o2")
+    assert not cat.exists(TBL)
+    assert cat.read("silver.sales.o2").count() == 5
+    # definition-scoped metadata and history moved with the rename
+    assert cat.constraints("silver.sales.o2") == {"a_pos": "amount > 0"}
+    assert len(cat.versions("silver.sales.o2")) == 1
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} RENAME TO silver.sales.o3")
+    _seed(spark, cat)
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} RENAME TO silver.sales.o2")
+
+
+def test_create_table_like(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat, partitioned=True)
+    cat.set_generated_column(TBL, "amount2", "amount * 2")
+    run_table_sql(cat, f"CREATE TABLE silver.sales.empty LIKE {TBL}")
+    live = cat.read("silver.sales.empty")
+    assert live.count() == 0
+    assert set(live.columns) == {"id", "region", "amount", "tag", "amount2"}
+    # partitioning carried as a declaration; generated cols carried
+    assert cat.declared_partition_cols("silver.sales.empty") == ["region"]
+    assert "amount2" in cat.generated_columns("silver.sales.empty")
+    run_table_sql(
+        cat,
+        "INSERT INTO silver.sales.empty (id, region, amount, tag) "
+        "VALUES (1, 'EU', 3.0, 'x')",
+    )
+    got = cat.read("silver.sales.empty").collect()[0]
+    assert got.amount2 == 6.0
+    assert _detect_partition_cols(cat.path("silver.sales.empty")) == [
+        "region"
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(cat, f"CREATE TABLE silver.sales.empty LIKE {TBL}")
