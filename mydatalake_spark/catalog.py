@@ -2080,6 +2080,65 @@ class Catalog:
             json.dump(book, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._views_book_path())
 
+    def register_referenced(self, sql: str) -> dict[str, str]:
+        """:meth:`register_all` restricted to dotted names the
+        statement TEXT references (plus, transitively, names that
+        referenced stored views' bodies reference). Registration
+        costs one schema resolution per table, so a 100-table
+        warehouse must not pay 100 of them for a one-table INSERT —
+        at the 100 TB design point the statement rate times the
+        table count makes register_all the dominant metadata cost.
+        Falls back to everything only in the degenerate no-reference
+        case (e.g. ``VALUES`` bodies), which costs nothing extra
+        because there is nothing to register."""
+        import re as _re
+
+        pat = _re.compile(
+            r"[A-Za-z_][\w]*\.[A-Za-z_][\w]*\.[A-Za-z_][\w]*"
+        )
+        views = self.stored_views()
+        wanted: set[str] = set()
+        texts = [sql.replace("`", "")]
+        seen_texts = 0
+        while texts and seen_texts < 50:  # view-chain bound
+            seen_texts += 1
+            t = texts.pop()
+            for name in set(pat.findall(t)):
+                if name in wanted:
+                    continue
+                if name in views:
+                    wanted.add(name)
+                    texts.append(views[name].replace("`", ""))
+                elif self.exists(name):
+                    wanted.add(name)
+        mapping = {
+            t: self.register_view(t)
+            for t in sorted(wanted)
+            if t not in views
+        }
+        pending = {n: views[n] for n in wanted if n in views}
+        if not pending:
+            return mapping
+        from .plans.qualify import run_sql
+
+        for _ in range(len(pending) + 1):
+            progressed = False
+            for name, body in list(pending.items()):
+                try:
+                    frame = run_sql(
+                        self.spark, body, table_mapping=mapping
+                    )
+                except Exception:
+                    continue
+                vname = "_".join(split_name(name))
+                frame.createOrReplaceTempView(vname)
+                mapping[name] = vname
+                del pending[name]
+                progressed = True
+            if not progressed:
+                break
+        return mapping
+
     def register_all(self) -> dict[str, str]:
         """Register every warehouse table as a temp view; returns
         {full_name: view_name}. Used with plans.rewrite_table_refs so

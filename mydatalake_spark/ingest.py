@@ -87,7 +87,9 @@ class Ingestor:
             # shim their three-part names into flat view names.
             if not self.transform_sql:
                 raise ValueError("'table' input requires a transform SQL")
-            mapping = self.catalog.register_all()
+            mapping = self.catalog.register_referenced(
+                self.transform_sql
+            )
             return run_sql(self.spark, self.transform_sql, table_mapping=mapping)
         df = read_source(
             self.spark,

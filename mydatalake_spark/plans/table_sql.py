@@ -350,7 +350,7 @@ def _merge_source_frame(catalog, spec: str):
                 "USING (subquery) needs exactly one alias: "
                 f"...{rest[:40]!r}"
             )
-        mapping = catalog.register_all()
+        mapping = catalog.register_referenced(inner)
         return (
             run_sql(catalog.spark, inner, table_mapping=mapping),
             alias_toks[0],
@@ -375,7 +375,7 @@ def _merge_source_frame(catalog, spec: str):
         return (
             run_sql(
                 catalog.spark, views[name],
-                table_mapping=catalog.register_all(),
+                table_mapping=catalog.register_referenced(views[name]),
             ),
             alias,
         )
@@ -836,7 +836,10 @@ def _create_materialized_view(catalog, s, toks, idx, replace):
         # analyzes the body) — catches typos at declare time
         from .qualify import run_sql
 
-        run_sql(catalog.spark, body, table_mapping=catalog.register_all())
+        run_sql(
+            catalog.spark, body,
+            table_mapping=catalog.register_referenced(body),
+        )
         catalog.create_stored_view(name, body, replace=replace)
         return None
     if idx + 1 >= len(toks) or toks[idx + 1][0] != "VIEW":
@@ -1324,7 +1327,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         from .qualify import run_sql
 
         select_sql = s[toks[after + 1][1]:]
-        mapping = catalog.register_all()
+        mapping = catalog.register_referenced(select_sql)
         rows = run_sql(catalog.spark, select_sql, table_mapping=mapping)
         if pby:
             missing = [c for c in pby if c not in rows.columns]
@@ -1629,7 +1632,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             frame.createOrReplaceTempView(view)
             vviews.append(view)
             out_sql = out_sql[:start] + view + out_sql[end:]
-        mapping = catalog.register_all()
+        mapping = catalog.register_referenced(out_sql)
         result = run_sql(catalog.spark, out_sql, table_mapping=mapping)
         # spark.sql analyzes eagerly: the returned frame holds the
         # resolved plan, not the view names — safe to drop now
@@ -1820,7 +1823,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         from .qualify import run_sql
 
         body_sql = s[toks[body_from][1]:]
-        mapping = catalog.register_all()
+        mapping = catalog.register_referenced(body_sql)
         rows = run_sql(catalog.spark, body_sql, table_mapping=mapping)
         if col_list is not None or is_values:
             if not catalog.exists(table):

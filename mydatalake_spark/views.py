@@ -36,7 +36,8 @@ class MaterializedView:
         """The view's current definition as a (lazy) DataFrame —
         dotted table references resolve against the warehouse."""
         return run_sql(
-            self.spark, self.sql, table_mapping=self.catalog.register_all()
+            self.spark, self.sql,
+            table_mapping=self.catalog.register_referenced(self.sql),
         )
 
     def refresh(self) -> None:
