@@ -1011,6 +1011,22 @@ class Catalog:
                 )
             if self._append_txn_seen(full_name, txn_id):
                 return 0
+            marker = os.path.join(
+                self.path(full_name), f".txn-{txn_id}-create"
+            )
+            if os.path.exists(marker):
+                # the DECLARED-EMPTY first write (below) swaps the
+                # whole directory in with this marker inside it, then
+                # records the token; a crash between swap and record
+                # leaves the marker as proof the batch landed — the
+                # retry must NOT re-append it through the file-move
+                # path (layout detection now succeeds, so the
+                # declared-empty branch is unreachable on replay)
+                n = self.read(full_name).count()
+                os.remove(marker)
+                self._record_append_txn(full_name, txn_id, n)
+                self._invalidate(full_name)
+                return n
             self._cleanup_append_txn(full_name, txn_id)
         if not self.exists(full_name):
             if txn_id is None:
@@ -1117,10 +1133,20 @@ class Catalog:
             # semantics rather than silently dropping them.
             if live.limit(1).count() == 0:
                 self.overwrite_via_staging(
-                    aligned, full_name, partition_by=partition_by
+                    aligned, full_name, partition_by=partition_by,
+                    commit_marker=(
+                        (f".txn-{txn_id}-create", txn_id)
+                        if txn_id is not None
+                        else None
+                    ),
                 )
                 n = self.read(full_name).count()  # footer metadata
                 if txn_id is not None:
+                    marker = os.path.join(
+                        self.path(full_name), f".txn-{txn_id}-create"
+                    )
+                    if os.path.exists(marker):
+                        os.remove(marker)
                     self._record_append_txn(full_name, txn_id, n)
                 return n
             # declared-partitioned but rows already live UNPARTITIONED

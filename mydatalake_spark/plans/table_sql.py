@@ -1189,10 +1189,21 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             return catalog.spark.createDataFrame(
                 rows, "partition string"
             )
+        if [t[0] for t in toks[1:]] == ["VIEWS"]:
+            # lazy views + materialized views, flagged apart
+            rows = [
+                (name, "VIEW") for name in sorted(catalog.stored_views())
+            ]
+            for t_name in catalog.list_tables():
+                if os.path.exists(_mview_path(catalog, t_name)):
+                    rows.append((t_name, "MATERIALIZED VIEW"))
+            return catalog.spark.createDataFrame(
+                rows, "viewName string, viewType string"
+            )
         if [t[0] for t in toks[1:]] != ["TABLES"]:
             raise UnsupportedStatement(
-                "only SHOW TABLES / SHOW PARTITIONS <t> / SHOW CREATE "
-                f"TABLE <t> is supported: {s[:80]}"
+                "only SHOW TABLES / SHOW VIEWS / SHOW PARTITIONS <t> / "
+                f"SHOW CREATE TABLE <t> is supported: {s[:80]}"
             )
         rows = []
         for name in catalog.list_tables():

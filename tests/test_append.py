@@ -367,3 +367,39 @@ fields:
             txn_id="batch-2024-01-01",
         ).run()
     assert cat.read("bronze.ev.events").count() == 2
+
+
+def test_declared_empty_first_append_txn_crash_replay(spark, tmp_path):
+    """First txn-append into a DECLARED-partitioned empty table goes
+    through a whole-directory swap; a crash between the swap and the
+    token record must not double the batch on replay (the retry sees
+    a laid-out table, so the declared-empty branch is unreachable —
+    the commit marker inside the swapped directory is the proof the
+    batch landed)."""
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    T = "silver.ev.t"
+    run_table_sql(
+        cat, f"CREATE TABLE {T} (id BIGINT, day STRING) PARTITIONED BY (day)"
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-02"), (2, "2024-01-03")], "id long, day string"
+    )
+    assert cat.append(df, T, txn_id="batch1") == 2
+    # normal path: marker consumed, token recorded, replay no-ops
+    assert cat.append(df, T, txn_id="batch1") == 0
+    assert cat.read(T).count() == 2
+    # forge the crash: swap landed (marker present) but token missing
+    with open(os.path.join(cat.path(T), ".txn-batch1-create"), "w") as fh:
+        fh.write("batch1")
+    book = cat._append_txn_path(T)
+    os.remove(book)
+    assert cat.append(df, T, txn_id="batch1") == 2  # recognized, no dup
+    assert cat.read(T).count() == 2
+    assert not os.path.exists(os.path.join(cat.path(T), ".txn-batch1-create"))
+    # and now the token is recorded: a further replay no-ops
+    assert cat.append(df, T, txn_id="batch1") == 0

@@ -764,3 +764,29 @@ def test_merge_using_stored_view(spark, tmp_path):
     )
     got = {r.id: r.v for r in cat.read("silver.s.t").collect()}
     assert got == {1: 99.0, 2: 20.0, 3: 30.0}  # 4 filtered by the view
+
+
+def test_show_views(spark, tmp_path):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame([(1,)], "id int"), "silver.s.base"
+    )
+    run_table_sql(
+        cat, "CREATE VIEW gold.s.lazy AS SELECT id FROM silver.s.base"
+    )
+    run_table_sql(
+        cat,
+        "CREATE MATERIALIZED VIEW gold.s.mat AS "
+        "SELECT COUNT(*) AS n FROM silver.s.base",
+    )
+    got = {
+        r.viewName: r.viewType
+        for r in run_table_sql(cat, "SHOW VIEWS").collect()
+    }
+    assert got == {
+        "gold.s.lazy": "VIEW",
+        "gold.s.mat": "MATERIALIZED VIEW",
+    }
