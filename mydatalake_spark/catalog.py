@@ -1762,6 +1762,7 @@ class Catalog:
         full_name: str,
         keep: int | None = None,
         *,
+        retain_hours: float | None = None,
         staging_grace_seconds: float = 3600.0,
         dry_run: bool = False,
     ) -> int:
@@ -1788,6 +1789,26 @@ class Catalog:
         inode hardlink-shared by SEVERAL stale snapshots frees on the
         real run's last removal, but a dry run sees link count > 1 on
         every walk and undercounts it."""
+        if retain_hours is not None:
+            # Delta ``VACUUM ... RETAIN n HOURS``: keep every snapshot
+            # whose COMMIT time (the explicit r12 stamp — not a dir
+            # mtime) is inside the window. Commit times are monotonic
+            # with version numbers, so this reduces to a count for
+            # the positional retire loop below.
+            if keep is not None:
+                raise ValueError(
+                    "vacuum: pass keep= or retain_hours=, not both"
+                )
+            if retain_hours < 0:
+                raise ValueError("retain_hours must be >= 0")
+            import time as _time
+
+            cutoff = _time.time() - retain_hours * 3600.0
+            keep = sum(
+                1
+                for label in self.versions(full_name)
+                if self._snapshot_commit_time(full_name, label) >= cutoff
+            )
         keep = self.keep_versions if keep is None else keep
         if keep < 0:
             raise ValueError("keep must be >= 0")

@@ -2354,14 +2354,35 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
     if head == "VACUUM":
         table, after = _table_name(s, toks, 1)
         tail = [t[0] for t in toks[after:]]
+        retain = None
+        if tail[:1] == ["RETAIN"]:
+            # the hour count is a numeric literal between the two
+            # word tokens (the word scan yields no number tokens) —
+            # a non-numeric "count" shows up as an extra word token
+            import re as _re
+
+            hrs_rel = _clause_pos(toks[after + 1:], "HOURS")
+            if hrs_rel is None:
+                raise UnsupportedStatement(
+                    f"expected VACUUM t RETAIN <n> HOURS: {s[:80]}"
+                )
+            raw = s[toks[after][2]:toks[after + 1 + hrs_rel][1]].strip()
+            if not _re.fullmatch(r"\d+(\.\d+)?", raw):
+                raise UnsupportedStatement(
+                    f"RETAIN needs a number of hours, got {raw!r}"
+                )
+            retain = float(raw)
+            tail = tail[2 + hrs_rel:]
         if tail == ["DRY", "RUN"]:
-            return catalog.vacuum(table, dry_run=True)
+            return catalog.vacuum(
+                table, retain_hours=retain, dry_run=True
+            )
         if tail:
             raise UnsupportedStatement(
-                "only VACUUM <table> [DRY RUN] is supported (retention "
-                f"is the catalog's keep_versions policy): {s[:80]}"
+                "only VACUUM <table> [RETAIN n HOURS] [DRY RUN] is "
+                f"supported: {s[:80]}"
             )
-        return catalog.vacuum(table)
+        return catalog.vacuum(table, retain_hours=retain)
 
     raise UnsupportedStatement(
         f"unsupported statement head {head!r} — supported: DELETE, "

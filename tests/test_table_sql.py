@@ -1316,3 +1316,37 @@ def test_create_table_like(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="already exists"):
         run_table_sql(cat, f"CREATE TABLE silver.sales.empty LIKE {TBL}")
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """VACUUM ... RETAIN n HOURS retires snapshots by their explicit
+    COMMIT times (the r12 stamp book), not directory mtimes."""
+    import json
+    import os
+    import time
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=10)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 1 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 2 WHERE id = 1")
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 3 WHERE id = 1")
+    assert len(cat.versions(TBL)) == 3
+    # backdate the first two snapshots' COMMIT times by 48h in the book
+    p = cat._commit_times_path(TBL)
+    with open(p) as fh:
+        book = json.load(fh)
+    for label in sorted(book)[:2]:
+        book[label] -= 48 * 3600
+    with open(p, "w") as fh:
+        json.dump(book, fh)
+    # dry run reports, deletes nothing
+    would = run_table_sql(cat, f"VACUUM {TBL} RETAIN 24 HOURS DRY RUN")
+    assert isinstance(would, int)
+    assert len(cat.versions(TBL)) == 3
+    run_table_sql(cat, f"VACUUM {TBL} RETAIN 24 HOURS")
+    assert len(cat.versions(TBL)) == 1  # only the recent commit stays
+    with pytest.raises(UnsupportedStatement, match="number of hours"):
+        run_table_sql(cat, f"VACUUM {TBL} RETAIN x HOURS")
+    # RETAIN with a huge window retires nothing
+    run_table_sql(cat, f"VACUUM {TBL} RETAIN 9999 HOURS")
+    assert len(cat.versions(TBL)) == 1
