@@ -1350,3 +1350,53 @@ def test_vacuum_retain_hours(spark, tmp_path):
     # RETAIN with a huge window retires nothing
     run_table_sql(cat, f"VACUUM {TBL} RETAIN 9999 HOURS")
     assert len(cat.versions(TBL)) == 1
+
+
+def test_rename_keeps_time_travel_and_commit_clock(spark, tmp_path):
+    # the version root (history + commit-time books) moves with the
+    # rename: TIMESTAMP AS OF and VERSION AS OF keep working under
+    # the new name
+    import time
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=4)
+    _seed(spark, cat)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 99 WHERE id = 1")
+    mid = time.time()
+    time.sleep(0.3)
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 7 WHERE id = 1")
+    run_table_sql(cat, f"ALTER TABLE {TBL} RENAME TO silver.sales.renamed")
+    T2 = "silver.sales.renamed"
+    assert {r.id: r.amount for r in cat.read(T2).collect()}[1] == 7.0
+    # by version
+    old = cat.read_version(T2, version=1)
+    assert {r.id: r.amount for r in old.collect()}[1] == 10.0
+    # by timestamp: mid falls between commit 2 and commit 3
+    got = {r.id: r.amount for r in cat.read_timestamp(T2, mid).collect()}
+    assert got[1] == 99.0
+
+
+def test_materialized_view_over_lazy_view(spark, tmp_path):
+    # MV bodies may reference lazy views: the definition resolves
+    # through the same fixpoint registration, and REFRESH recomputes
+    # through the view to the CURRENT base state
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    run_table_sql(
+        cat,
+        f"CREATE VIEW gold.s.big AS SELECT * FROM {TBL} WHERE amount >= 30",
+    )
+    run_table_sql(
+        cat,
+        "CREATE MATERIALIZED VIEW gold.s.bigsum AS "
+        "SELECT region, COUNT(*) AS n FROM gold.s.big GROUP BY region",
+    )
+    got = {r.region: r.n for r in cat.read("gold.s.bigsum").collect()}
+    assert got == {"US": 2, "AP": 1}
+    run_table_sql(cat, f"UPDATE {TBL} SET amount = 35 WHERE id = 1")
+    # materialized: stale until refreshed
+    assert {
+        r.region: r.n for r in cat.read("gold.s.bigsum").collect()
+    } == got
+    run_table_sql(cat, "REFRESH MATERIALIZED VIEW gold.s.bigsum")
+    got2 = {r.region: r.n for r in cat.read("gold.s.bigsum").collect()}
+    assert got2 == {"EU": 1, "US": 2, "AP": 1}
