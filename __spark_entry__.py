@@ -10628,59 +10628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: prefix slots first ---
-        "growth_rollups": growth_rollups,
-        "copy_into_orders": copy_into_orders,
-        "generated_cols_orders": generated_cols_orders,
-        # --- last driver-green in r7 ---
-        "q9_product_profit": q9_product_profit,
-        "q11_important_part_value": q11_important_part_value,
         # --- last driver-green in r8 ---
-        "merge_equi_lineitem": merge_equi_lineitem,
-        "time_travel_orders": time_travel_orders,
-        "merge_part_bloom_orders": merge_part_bloom_orders,
-        "q12_late_shipments_priority": q12_late_shipments_priority,
-        "q16_supplier_part_breadth": q16_supplier_part_breadth,
-        "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "quality_filter_documents": quality_filter_documents,
-        "heavy_hitters_tokens": heavy_hitters_tokens,
-        "paragraph_dedup_documents": paragraph_dedup_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "pagerank_trade_graph": pagerank_trade_graph,
-        "histogram_events_value": histogram_events_value,
-        "scd2_customer_status": scd2_customer_status,
-        "cdc_ops_apply_orders": cdc_ops_apply_orders,
-        "profile_lineitem": profile_lineitem,
-        "interval_join_events": interval_join_events,
-        "weighted_sample_documents": weighted_sample_documents,
-        "perplexity_documents": perplexity_documents,
-        "curation_pipeline_documents": curation_pipeline_documents,
-        "consistent_sample_join": consistent_sample_join,
-        "label_centroids_embeddings": label_centroids_embeddings,
-        "triangle_count_parts": triangle_count_parts,
-        "gapfill_nation_revenue": gapfill_nation_revenue,
-        "fuzzy_pairs_documents": fuzzy_pairs_documents,
-        "hll_shards_customers": hll_shards_customers,
-        "ab_test_events": ab_test_events,
-        "event_transitions": event_transitions,
-        "top_paths_events": top_paths_events,
-        "snapshot_diff_orders": snapshot_diff_orders,
-        "dq_fk_orders": dq_fk_orders,
-        "multimodal_real_decode": multimodal_real_decode,
-        "pit_join_orders": pit_join_orders,
-        "attribution_events": attribution_events,
-        "twap_events": twap_events,
-        "bootstrap_ci_events": bootstrap_ci_events,
-        "rolling_distinct_users": rolling_distinct_users,
-        "bfs_hops_trade": bfs_hops_trade,
-        "emd_events": emd_events,
-        "scorecard_events": scorecard_events,
-        "drift_report_events": drift_report_events,
-        "tfidf_keywords_documents": tfidf_keywords_documents,
-        "mutual_info_orders": mutual_info_orders,
-        "psi_events": psi_events,
-        "trimmed_means_events": trimmed_means_events,
         "duplicate_spans_documents": duplicate_spans_documents,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
@@ -10834,6 +10782,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_shipping_priority": q4_late_shipping_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q15_top_supplier": q15_top_supplier,
+        # --- last driver-green in r12 ---
+        "growth_rollups": growth_rollups,
+        "copy_into_orders": copy_into_orders,
+        "generated_cols_orders": generated_cols_orders,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_part_value": q11_important_part_value,
+        "merge_equi_lineitem": merge_equi_lineitem,
+        "time_travel_orders": time_travel_orders,
+        "merge_part_bloom_orders": merge_part_bloom_orders,
+        "q12_late_shipments_priority": q12_late_shipments_priority,
+        "q16_supplier_part_breadth": q16_supplier_part_breadth,
+        "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "quality_filter_documents": quality_filter_documents,
+        "heavy_hitters_tokens": heavy_hitters_tokens,
+        "paragraph_dedup_documents": paragraph_dedup_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "pagerank_trade_graph": pagerank_trade_graph,
+        "histogram_events_value": histogram_events_value,
+        "scd2_customer_status": scd2_customer_status,
+        "cdc_ops_apply_orders": cdc_ops_apply_orders,
+        "profile_lineitem": profile_lineitem,
+        "interval_join_events": interval_join_events,
+        "weighted_sample_documents": weighted_sample_documents,
+        "perplexity_documents": perplexity_documents,
+        "curation_pipeline_documents": curation_pipeline_documents,
+        "consistent_sample_join": consistent_sample_join,
+        "label_centroids_embeddings": label_centroids_embeddings,
+        "triangle_count_parts": triangle_count_parts,
+        "gapfill_nation_revenue": gapfill_nation_revenue,
+        "fuzzy_pairs_documents": fuzzy_pairs_documents,
+        "hll_shards_customers": hll_shards_customers,
+        "ab_test_events": ab_test_events,
+        "event_transitions": event_transitions,
+        "top_paths_events": top_paths_events,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "dq_fk_orders": dq_fk_orders,
+        "multimodal_real_decode": multimodal_real_decode,
+        "pit_join_orders": pit_join_orders,
+        "attribution_events": attribution_events,
+        "twap_events": twap_events,
+        "bootstrap_ci_events": bootstrap_ci_events,
+        "rolling_distinct_users": rolling_distinct_users,
+        "bfs_hops_trade": bfs_hops_trade,
+        "emd_events": emd_events,
+        "scorecard_events": scorecard_events,
+        "drift_report_events": drift_report_events,
+        "tfidf_keywords_documents": tfidf_keywords_documents,
+        "mutual_info_orders": mutual_info_orders,
+        "psi_events": psi_events,
+        "trimmed_means_events": trimmed_means_events,
     }
 
 
