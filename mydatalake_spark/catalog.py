@@ -2004,15 +2004,22 @@ class Catalog:
             ),
         }
 
-    def _invalidate(self, full_name: str) -> None:
+    def _invalidate(self, full_name: str, stamp: bool = True) -> None:
         """Drop cached file listings for a rewritten path — Spark's
         shared FileStatusCache otherwise serves stale part-file lists
         to later scans of the same location. Every write path ends
         here, so this is also where the live commit clock advances
         (:meth:`_stamp_commit`) — including the partitioned appends
-        and leaf swaps that never touch the root dir mtime."""
+        and leaf swaps that never touch the root dir mtime.
+
+        ``stamp=False`` is for metadata-only operations (RENAME) that
+        change WHERE the bytes live but not WHEN they were committed:
+        stamping there would overwrite the ``.last_commit`` that just
+        moved with the version root, so ``TIMESTAMP AS OF`` an instant
+        between the last data write and the rename would resolve to an
+        older retained snapshot instead of the live state (ADVICE r12)."""
         self.spark.catalog.refreshByPath(self.path(full_name))
-        if os.path.isdir(self.path(full_name)):
+        if stamp and os.path.isdir(self.path(full_name)):
             self._stamp_commit(full_name)
 
     def rename_table(self, src_name: str, dst_name: str) -> None:
@@ -2045,7 +2052,10 @@ class Catalog:
                 self._version_root(dst_name),
             )
         self._invalidate(src_name)
-        self._invalidate(dst_name)
+        # Metadata-only: the commit clock (.last_commit) moved with the
+        # version root and still names the last DATA write — do not
+        # overwrite it with the rename time (ADVICE r12).
+        self._invalidate(dst_name, stamp=False)
 
     def drop(self, full_name: str) -> None:
         shutil.rmtree(self.path(full_name), ignore_errors=True)
@@ -2096,6 +2106,19 @@ class Catalog:
     def create_stored_view(
         self, full_name: str, sql: str, replace: bool = False
     ) -> None:
+        # Statement references resolve THREE-part names only (the
+        # Unity-Catalog dialect shim in register_referenced /
+        # rewrite_table_refs): a view stored under a 1- or 2-part name
+        # could be created but never referenced — fail at creation
+        # with the fix, not at first use with unresolved-name noise
+        # (ADVICE r12).
+        if len(full_name.split(".")) != 3:
+            raise ValueError(
+                f"CREATE VIEW: {full_name!r} — stored view names must "
+                "be three-part catalog.schema.view; statements resolve "
+                "three-part references only, so a shorter name would "
+                "be invisible to every query"
+            )
         split_name(full_name)  # validates the three-part shape
         if self.exists(full_name):
             raise ValueError(

@@ -386,6 +386,7 @@ def copy_into(
     full_name: str,
     src_path: str,
     file_format: str = "json",
+    abandon_pending: bool = False,
 ) -> int:
     """Databricks ``COPY INTO`` analogue: file-level idempotent batch
     load into an EXISTING catalog table. Returns rows loaded (0 when
@@ -502,11 +503,32 @@ def copy_into(
 
     loaded = 0
     if os.path.exists(pending_path):
-        with open(pending_path) as fh:
-            pend = _json.load(fh)
-        # replay the crashed batch under ITS txn id before looking at
-        # the current directory state
-        loaded += _apply_batch(pend["files"], pend["txn"])
+        if abandon_pending:
+            # Explicit operator decision: skip the poisoned batch. Its
+            # files stay OUT of the book, so a later run retries them
+            # as a fresh batch (new txn) once the cause is fixed.
+            os.remove(pending_path)
+        else:
+            with open(pending_path) as fh:
+                pend = _json.load(fh)
+            # replay the crashed batch under ITS txn id before looking
+            # at the current directory state
+            try:
+                loaded += _apply_batch(pend["files"], pend["txn"])
+            except ValueError:
+                raise  # already carries the abandon hint
+            except Exception as e:
+                # ADVICE r12: ANY replay failure (schema-incompatible
+                # landed file, unreadable bytes, ...) must surface the
+                # recovery path — otherwise the pending record wedges
+                # every future copy_into on this table.
+                raise RuntimeError(
+                    f"COPY INTO {full_name}: replay of pending batch "
+                    f"{pend['txn']} failed ({e}); fix the cause and "
+                    f"re-run, or abandon the batch by deleting "
+                    f"{pending_path} (or copy_into(..., "
+                    "abandon_pending=True))"
+                ) from e
 
     new = [p for p in paths if os.path.abspath(p) not in book]
     if not new:

@@ -30,6 +30,7 @@ callers can pass Columns built from the same names.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -305,6 +306,30 @@ def merge_apply(
     return staged.select(*picked)
 
 
+def _column_names_exactly(v: Column, want: str) -> bool:
+    """True iff ``v`` is a bare reference to the column ``want``.
+
+    Compared structurally — ``str(v) == str(F.col(want))`` holds under
+    any repr format because both sides render through the SAME PySpark
+    version — with the JVM expression string as a fallback for Columns
+    built another way (e.g. ``df[want]``, whose repr can embed a plan
+    id). Never repr-literal matching: a PySpark repr format change must
+    not fail a genuinely safe assignment (ADVICE r12)."""
+    if str(v) == str(F.col(want)):
+        return True
+    jc = getattr(v, "_jc", None)
+    if jc is not None:
+        try:
+            s = jc.toString()
+        except Exception:
+            return False
+        # unresolved attribute prints 'name; resolved prints name[#id]
+        return s in (want, f"'{want}") or bool(
+            re.fullmatch(re.escape(want) + r"#\d+[A-Za-z]*", s)
+        )
+    return False
+
+
 def nm_partition_violations(
     not_matched: list[NotMatchedClause], pcols: list[str]
 ) -> list[str]:
@@ -328,7 +353,7 @@ def nm_partition_violations(
             want = f"{SOURCE_PREFIX}{pc}"
             if isinstance(v, str) and v.strip() == want:
                 continue
-            if isinstance(v, Column) and str(v) == f"Column<'{want}'>":
+            if isinstance(v, Column) and _column_names_exactly(v, want):
                 continue
             got = "nothing (NULL-filled)" if v is None else repr(v)
             bad.append(

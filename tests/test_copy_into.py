@@ -214,3 +214,67 @@ jobs:
     _write(drop / "b.json", [{"id": 2, "kind": "y"}])
     runner.run("copy_into", "bronze_drain")
     assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2]
+
+
+def test_copy_into_poisoned_pending_surfaces_abandon_path(spark, tmp_path):
+    """ADVICE r12: a pending batch whose replay fails for a reason
+    OTHER than missing files (e.g. schema-poisoned bytes) must name
+    the recovery path, and abandon_pending=True must un-wedge the
+    table without forgetting the batch's files forever."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    bad = drop / "bad.json"
+    _write(bad, [{"id": 5, "kind": "ok"}])
+    # forge a crash-before-append, then poison the REPLAY (any
+    # non-missing-file failure: schema clash, disk full, ...) by
+    # making the append raise
+    pending = os.path.join(cat._version_root(TBL), ".copy_into.pending.json")
+    os.makedirs(cat._version_root(TBL), exist_ok=True)
+    with open(pending, "w") as fh:
+        json.dump(
+            {
+                "txn": "copyinto-poisoned00000",
+                "files": {str(bad): [os.path.getsize(bad)]},
+            },
+            fh,
+        )
+    real_append = cat.append
+    cat.append = lambda *a, **k: (_ for _ in ()).throw(OSError("disk full"))
+    with pytest.raises(RuntimeError, match="abandon"):
+        copy_into(cat, TBL, str(drop))
+    # the pending record survives for a fixed-cause retry, and the
+    # error named the recovery path instead of wedging silently
+    assert os.path.exists(pending)
+    cat.append = real_append
+    # fixed-cause retry replays the pinned batch and clears pending
+    assert copy_into(cat, TBL, str(drop)) == 1
+    assert not os.path.exists(pending)
+    assert 5 in {r.id for r in cat.read(TBL).collect()}
+
+
+def test_copy_into_abandon_pending_skips_batch(spark, tmp_path):
+    """abandon_pending=True clears the pending record WITHOUT booking
+    its files — they retry as a fresh batch on the next run."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    f = drop / "a.json"
+    _write(f, [{"id": 7, "kind": "q"}])
+    pending = os.path.join(cat._version_root(TBL), ".copy_into.pending.json")
+    os.makedirs(cat._version_root(TBL), exist_ok=True)
+    with open(pending, "w") as fh:
+        json.dump(
+            {
+                "txn": "copyinto-abandoned0000",
+                "files": {str(f): [os.path.getsize(f)]},
+            },
+            fh,
+        )
+    # abandon: pending cleared; the file is NOT in the book, so the
+    # same call loads it as a fresh batch (new txn)
+    assert copy_into(cat, TBL, str(drop), abandon_pending=True) == 1
+    assert not os.path.exists(pending)
+    assert 7 in {r.id for r in cat.read(TBL).collect()}

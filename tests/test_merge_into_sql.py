@@ -435,6 +435,24 @@ def test_pruned_merge_refuses_partition_unsafe_insert(spark, tmp_path):
         [NotMatchedClause(values={"region": F.col("__s_region")})],
         ["region"],
     ) == []
+    # ADVICE r12: structural comparison, not repr-literal — a Column
+    # built as df[name] (repr may embed a plan id) is equally safe,
+    # and computed/renamed Columns still refuse
+    src_sel = src.selectExpr(*[f"{c} AS __s_{c}" for c in src.columns])
+    assert nm_partition_violations(
+        [NotMatchedClause(values={"region": src_sel["__s_region"]})],
+        ["region"],
+    ) == []
+    assert nm_partition_violations(
+        [NotMatchedClause(values={"region": F.lit("__s_region")})],
+        ["region"],
+    )
+    assert nm_partition_violations(
+        [NotMatchedClause(
+            values={"region": F.col("__s_region").substr(1, 1)}
+        )],
+        ["region"],
+    )
     touched = merge_apply_partitioned(
         cat, TBL, src, ["id", "region"],
         not_matched=[NotMatchedClause(values={

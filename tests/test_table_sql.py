@@ -1364,6 +1364,9 @@ def test_rename_keeps_time_travel_and_commit_clock(spark, tmp_path):
     mid = time.time()
     time.sleep(0.3)
     run_table_sql(cat, f"UPDATE {TBL} SET amount = 7 WHERE id = 1")
+    time.sleep(0.3)
+    between = time.time()  # after the last DATA write, before the rename
+    time.sleep(0.3)
     run_table_sql(cat, f"ALTER TABLE {TBL} RENAME TO silver.sales.renamed")
     T2 = "silver.sales.renamed"
     assert {r.id: r.amount for r in cat.read(T2).collect()}[1] == 7.0
@@ -1373,6 +1376,12 @@ def test_rename_keeps_time_travel_and_commit_clock(spark, tmp_path):
     # by timestamp: mid falls between commit 2 and commit 3
     got = {r.id: r.amount for r in cat.read_timestamp(T2, mid).collect()}
     assert got[1] == 99.0
+    # ADVICE r12: the rename is metadata-only — it must NOT advance the
+    # live commit clock. A timestamp between the last data write and
+    # the rename resolves to the LIVE state, not an older snapshot.
+    assert cat._live_commit_time(T2) < between
+    got = {r.id: r.amount for r in cat.read_timestamp(T2, between).collect()}
+    assert got[1] == 7.0
 
 
 def test_materialized_view_over_lazy_view(spark, tmp_path):
@@ -1400,3 +1409,16 @@ def test_materialized_view_over_lazy_view(spark, tmp_path):
     run_table_sql(cat, "REFRESH MATERIALIZED VIEW gold.s.bigsum")
     got2 = {r.region: r.n for r in cat.read("gold.s.bigsum").collect()}
     assert got2 == {"EU": 1, "US": 2, "AP": 1}
+
+
+def test_create_view_rejects_short_names(spark, tmp_path):
+    # ADVICE r12: statement references resolve 3-part names only, so
+    # a 1-/2-part stored view could never be referenced — refuse at
+    # creation with the fix in the message
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed(spark, cat)
+    for bad in ("v", "s.v"):
+        with pytest.raises(ValueError, match="three-part"):
+            cat.create_stored_view(bad, f"SELECT * FROM {TBL}")
+    with pytest.raises(ValueError, match="three-part"):
+        run_table_sql(cat, f"CREATE VIEW s.v AS SELECT * FROM {TBL}")
