@@ -558,8 +558,10 @@ class Catalog:
         full_name: str,
         keys: list[str],
         *,
-        from_version: int | str,
+        from_version: int | str | None = None,
         to_version: int | str | None = None,
+        from_timestamp=None,
+        to_timestamp=None,
         compare_cols: list[str] | None = None,
         granularity: str = "net",
         partition_cols: list[str] | None = None,
@@ -607,11 +609,54 @@ class Catalog:
         needs the key spelled out). Cost: one null-safe full-outer
         join per hop — see operators/diff.py:change_feed for the
         scale story.
+
+        Addressing: by version (``from_version``/``to_version``) or by
+        instant (``from_timestamp``/``to_timestamp`` — Delta's
+        ``table_changes('t', '<ts1>', '<ts2>')`` form), independently
+        mixable. Instants resolve to the state committed at or before
+        them through the per-write commit clock, the same resolution
+        ``SELECT ... TIMESTAMP AS OF`` uses.
         """
         if granularity not in ("net", "commit"):
             raise ValueError(
                 f"granularity must be 'net' or 'commit', not "
                 f"{granularity!r}"
+            )
+        # Timestamp addressing (Delta's other table_changes form):
+        # resolve each instant to the state committed AT OR BEFORE it
+        # through the per-write commit clock (version_at_timestamp, the
+        # same resolution SELECT ... TIMESTAMP AS OF uses), then
+        # proceed exactly as the version-addressed feed — the changes
+        # between two instants ARE the changes between the states they
+        # resolve to. Earlier-than-every-retained-commit raises there
+        # (Delta's before-earliest error); an instant at/after the
+        # latest commit as the START raises here (Delta's
+        # 'timestamp after the latest commit' error) because there is
+        # nothing after it to feed.
+        if (from_version is None) == (from_timestamp is None):
+            raise ValueError(
+                f"{full_name}: table_changes needs exactly one of "
+                "from_version / from_timestamp"
+            )
+        if to_version is not None and to_timestamp is not None:
+            raise ValueError(
+                f"{full_name}: table_changes takes at most one of "
+                "to_version / to_timestamp"
+            )
+        if from_timestamp is not None:
+            label = self.version_at_timestamp(full_name, from_timestamp)
+            if label is None:
+                raise ValueError(
+                    f"{full_name}: from_timestamp {from_timestamp!r} "
+                    "is at or after the latest commit — no changes "
+                    "exist after it"
+                )
+            from_version = label
+        if to_timestamp is not None:
+            # None = the live state (an instant at/after the last
+            # commit ends the feed at live, same as omitting `to`)
+            to_version = self.version_at_timestamp(
+                full_name, to_timestamp
             )
         from_label = (
             from_version

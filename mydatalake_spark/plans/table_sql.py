@@ -1538,8 +1538,8 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         import re as _re_tc
 
         tc_re = _re_tc.compile(
-            r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*"
-            r"(?:,\s*(\d+)\s*)?(?:,\s*'([^']+)'\s*)?\)",
+            r"table_changes\s*\(\s*'([^']+)'\s*,"
+            r"((?:\s*(?:\d+|'[^']*')\s*,?){1,3})\)",
             _re_tc.IGNORECASE,
         )
         tc_views = []
@@ -1547,22 +1547,54 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         def _tc_sub(m):
             import uuid as _uuid
 
-            tname, v_from, v_to, keys_arg = m.groups()
-            if not keys_arg:
+            tname, rest = m.groups()
+            args = [
+                a.strip()
+                for a in _re_tc.findall(r"\d+|'[^']*'", rest)
+            ]
+            if not (args and args[-1].startswith("'")):
                 raise UnsupportedStatement(
                     "table_changes() here needs the key columns as a "
                     "final quoted argument — table_changes('t', 2, 5, "
                     "'k1,k2') — because this change feed diffs by key "
                     "(no Delta row tracking on plain parquet)"
                 )
-            keys = [k.strip() for k in keys_arg.split(",") if k.strip()]
+            keys = [
+                k.strip()
+                for k in args[-1].strip("'").split(",")
+                if k.strip()
+            ]
+            bounds = args[:-1]
+            if not 1 <= len(bounds) <= 2:
+                raise UnsupportedStatement(
+                    "table_changes() takes a from bound, an optional "
+                    "to bound, then the key list: table_changes('t', "
+                    "2[, 5], 'k1,k2') or table_changes('t', "
+                    "'<ts1>'[, '<ts2>'], 'k1,k2')"
+                )
+            # each bound addresses by VERSION (bare integer) or by
+            # TIMESTAMP (quoted — Delta's other table_changes form),
+            # independently: mixed ('2026-01-02', to_version=5) is fine
+            kw: dict = {}
+            kw["from_timestamp" if bounds[0].startswith("'") else
+               "from_version"] = (
+                bounds[0].strip("'")
+                if bounds[0].startswith("'")
+                else int(bounds[0])
+            )
+            if len(bounds) == 2:
+                kw["to_timestamp" if bounds[1].startswith("'") else
+                   "to_version"] = (
+                    bounds[1].strip("'")
+                    if bounds[1].startswith("'")
+                    else int(bounds[1])
+                )
             view = f"__tc_{_uuid.uuid4().hex[:12]}"
             catalog.table_changes(
                 tname,
                 keys,
-                from_version=int(v_from),
-                to_version=int(v_to) if v_to else None,
                 granularity="commit",
+                **kw,
             ).createOrReplaceTempView(view)
             tc_views.append(view)
             return view

