@@ -1502,11 +1502,212 @@ class Catalog:
             json.dump(gens, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._generated_path(full_name))
 
+    # --- identity columns (GENERATED ALWAYS AS IDENTITY) -------------
+
+    def _identity_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".identity.json"
+        )
+
+    def identity_columns(self, full_name: str) -> dict:
+        """Active identity declarations: ``{col: {"start", "step",
+        "high", "type"}}`` — ``high`` is the last value ever allocated
+        (None before the first allocation). The book lives in the
+        version root beside the txn/commit books, so RESTORE rolls the
+        DATA back but never the counter: restored-then-new inserts
+        cannot reuse ids (Delta's identity high-water lives in the
+        log's table metadata with the same property)."""
+        p = self._identity_path(full_name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set_identity_column(
+        self,
+        full_name: str,
+        column: str,
+        start: int = 1,
+        step: int = 1,
+    ) -> None:
+        """Declare ``column GENERATED ALWAYS AS IDENTITY (START WITH
+        start INCREMENT BY step)`` — Delta's other generated-column
+        form (the reference's Delta backend exposes it; every
+        quickstart table opens with one). From then on every write
+        path allocates: a frame MISSING the column gets values for
+        every row; a frame CARRYING it keeps non-null values (whole-
+        table rewrites — DML, MERGE, DDL backfills — re-stage existing
+        rows) and gets fresh values for NULL rows (a MERGE's inserted
+        source rows — the surrogate-key CDC pattern). The ALWAYS rule
+        (explicit user values refused) is enforced at the statement
+        layer, which can tell an INSERT from a rewrite.
+
+        Declared on a table with existing rows, the counter seeds past
+        them (``SYNC IDENTITY`` semantics) so new allocations never
+        collide."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"set_identity_column: table {full_name} does not exist"
+            )
+        if step == 0:
+            raise ValueError(
+                f"set_identity_column: INCREMENT BY 0 on {column!r} "
+                "would allocate the same value forever"
+            )
+        df = self.read(full_name)
+        if column not in df.columns:
+            raise ValueError(
+                f"set_identity_column: {column!r} not in {full_name} "
+                f"({df.columns}) — identity columns are declared typed "
+                "in the CREATE TABLE column list"
+            )
+        dtype = df.schema[column].dataType.simpleString()
+        if dtype not in ("bigint", "int", "smallint"):
+            raise ValueError(
+                f"set_identity_column: {column!r} is {dtype} — "
+                "identity columns must be integral (BIGINT/INT)"
+            )
+        if column in self.generated_columns(full_name):
+            raise ValueError(
+                f"set_identity_column: {column!r} already has a "
+                "GENERATED ALWAYS AS (expr) declaration"
+            )
+        high = None
+        agg = F.max(column) if step > 0 else F.min(column)
+        seed = df.agg(agg.alias("m")).first()["m"]
+        if seed is not None:
+            # seed past existing rows: next = high + step must clear
+            # both the declared start and every existing value
+            edge = start - step
+            high = max(edge, seed) if step > 0 else min(edge, seed)
+        book = self.identity_columns(full_name)
+        book[column] = {
+            "start": int(start),
+            "step": int(step),
+            "high": high if high is None else int(high),
+            "type": dtype,
+        }
+        self._write_identity_book(full_name, book)
+
+    def drop_identity_column(self, full_name: str, column: str) -> None:
+        """Remove an identity DECLARATION (the physical column stays)."""
+        book = self.identity_columns(full_name)
+        if column not in book:
+            raise ValueError(
+                f"no identity column {column!r} on {full_name} "
+                f"(declared: {sorted(book)})"
+            )
+        del book[column]
+        self._write_identity_book(full_name, book)
+
+    def _write_identity_book(self, full_name: str, book: dict) -> None:
+        os.makedirs(self._version_root(full_name), exist_ok=True)
+        tmp = self._identity_path(full_name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._identity_path(full_name))
+
+    def _allocate_identity(
+        self, df: DataFrame, full_name: str, column: str, spec: dict
+    ) -> DataFrame:
+        """Assign fresh identity values — to every row when the frame
+        OMITS the column (INSERT/append feeds), or to the NULL rows
+        when it carries it (a MERGE's staged union: target rows keep
+        their ids, the inserted source rows arrive NULL — the
+        surrogate-key CDC pattern) — and RESERVE the range in the book
+        first (reserve-then-write: a write that aborts after
+        reservation burns its range — Delta's documented 'identity
+        values may have gaps' behavior; ids are never reused).
+
+        Distributed allocation without a global sort: one light
+        counting pass derives per-partition offsets (one row per
+        partition — a bounded collect), then the value is pure
+        JVM-side arithmetic over ``monotonically_increasing_id``'s
+        (partition, local-rank) encoding — no shuffle of the data, no
+        Python in the row path. The frame is locally checkpointed so
+        the counting pass and the write see the SAME partitioning
+        (the standard zipWithIndex determinism caveat). In fill mode
+        every row gets a SLOT (non-null rows burn theirs — a gap, not
+        a leak), so the rank needs no per-null renumbering shuffle."""
+        fill = column in df.columns
+        if fill:
+            # cheap probe: no NULLs → nothing to allocate, and pure
+            # rewrites (DML/DDL staging) reserve nothing
+            if (
+                df.where(F.col(column).isNull()).limit(1).count() == 0
+            ):
+                return df
+        step, start = spec["step"], spec["start"]
+        base = spec["high"]
+        if base is None:
+            base = start - step
+        df = df.localCheckpoint(eager=False)
+        mid = F.monotonically_increasing_id()
+        tagged = df.withColumn("__id_mid", mid)
+        # mid = (partitionId << 33) | rowInPartition — one count per
+        # partition, collected to the driver (bounded by #partitions)
+        counts = (
+            tagged.groupBy(
+                F.shiftright("__id_mid", 33).alias("__id_pid")
+            )
+            .count()
+            .collect()
+        )
+        if not counts:
+            return (
+                df
+                if fill
+                else df.withColumn(
+                    column, F.lit(None).cast(spec["type"])
+                )
+            )
+        offsets, acc = [], 0
+        for r in sorted(counts, key=lambda r: r["__id_pid"]):
+            offsets.append((r["__id_pid"], acc))
+            acc += r["count"]
+        off_df = self.spark.createDataFrame(
+            offsets, "__id_pid bigint, __id_off bigint"
+        )
+        fresh = (
+            F.lit(base)
+            + F.lit(step)
+            * (
+                F.col("__id_off")
+                + (F.col("__id_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+                + F.lit(1)
+            )
+        ).cast(spec["type"])
+        value = F.coalesce(F.col(column), fresh) if fill else fresh
+        out = (
+            tagged.join(
+                F.broadcast(off_df),
+                F.shiftright("__id_mid", 33) == F.col("__id_pid"),
+                "left",
+            )
+            .withColumn(column, value)
+            .drop("__id_mid", "__id_pid", "__id_off")
+        )
+        # reserve BEFORE the write lands — re-read the book so a
+        # sibling column's concurrent update is not clobbered
+        book = self.identity_columns(full_name)
+        cur = book.get(column, spec)
+        cur["high"] = int(base + step * acc)
+        book[column] = cur
+        self._write_identity_book(full_name, book)
+        return out
+
     def _with_generated(self, df: DataFrame, full_name: str) -> DataFrame:
         """Apply generated-column semantics to a to-be-written frame:
         missing declared columns are computed in-plan; supplied ones
         gain a per-row equality guard (raise_error on divergence —
-        same codegen economics as the CHECK guard)."""
+        same codegen economics as the CHECK guard). Identity columns
+        allocate when omitted and carry when present (see
+        set_identity_column for where the ALWAYS rule lives)."""
+        idents = self.identity_columns(full_name)
+        for column in sorted(idents):
+            df = self._allocate_identity(
+                df, full_name, column, idents[column]
+            )
         gens = self.generated_columns(full_name)
         for column in sorted(gens):
             expr = gens[column]
@@ -1791,6 +1992,11 @@ class Catalog:
              self._constraints_path(dst_name)),
             (self._generated_path(src_name),
              self._generated_path(dst_name)),
+            # identity declaration travels WITH its high-water: ids
+            # minted on the clone continue past the source's counter
+            # at clone time (Delta CLONE carries identity metadata)
+            (self._identity_path(src_name),
+             self._identity_path(dst_name)),
             # declared-but-not-yet-laid-out partitioning (r12): a
             # clone of an anchor-empty DDL table keeps the promise
             # that its first write lays out the declared tree

@@ -695,28 +695,49 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
             f"{s[toks[tail_start][1]:][:60]!r}"
         )
     gen_re = _re.compile(
-        r"\bGENERATED\s+ALWAYS\s+AS\b", _re.IGNORECASE
+        r"\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\b", _re.IGNORECASE
+    )
+    ident_re = _re.compile(
+        r"\s*IDENTITY\s*"
+        r"(?:\(\s*START\s+WITH\s+(-?\d+)\s*"
+        r"(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*$",
+        _re.IGNORECASE,
     )
     fields: list[tuple[str, str]] = []
     generated: dict[str, str] = {}
+    identities: dict[str, tuple[int, int]] = {}  # col -> (start, step)
     for item in _split_top_level_commas(body):
         m = _re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)", item, _re.DOTALL)
         if not m:
             raise UnsupportedStatement(
                 f"bad column spec {item!r} (expected: name TYPE "
-                "[GENERATED ALWAYS AS (expr)])"
+                "[GENERATED ALWAYS AS (expr) | GENERATED ALWAYS AS "
+                "IDENTITY [(START WITH n INCREMENT BY m)]])"
             )
         name, rest = m.group(1), m.group(2).strip()
         gm = gen_re.search(rest)
         if gm:
             typ = rest[:gm.start()].strip()
-            expr, end2 = _balanced_paren_span(rest, gm.end())
-            if rest[end2:].strip():
-                raise UnsupportedStatement(
-                    f"trailing tokens after GENERATED ALWAYS AS "
-                    f"(...) in column {name!r}: {rest[end2:][:40]!r}"
+            im = ident_re.match(rest[gm.end():])
+            if im:
+                if gm.group(1).upper() != "ALWAYS":
+                    raise UnsupportedStatement(
+                        f"column {name!r}: GENERATED BY DEFAULT AS "
+                        "IDENTITY (explicit values allowed) is not "
+                        "supported — use GENERATED ALWAYS AS IDENTITY"
+                    )
+                identities[name] = (
+                    int(im.group(1) or 1),
+                    int(im.group(2) or 1),
                 )
-            generated[name] = expr.strip()
+            else:
+                expr, end2 = _balanced_paren_span(rest, gm.end())
+                if rest[end2:].strip():
+                    raise UnsupportedStatement(
+                        f"trailing tokens after GENERATED ALWAYS AS "
+                        f"(...) in column {name!r}: {rest[end2:][:40]!r}"
+                    )
+                generated[name] = expr.strip()
         else:
             typ = rest
         for kw in ("NOT NULL", "PRIMARY KEY", "DEFAULT", "CHECK",
@@ -758,12 +779,21 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
                 f"PARTITIONED BY columns {bad_p} not in the column "
                 f"list {declared_names}"
             )
+        bad_i = sorted(set(pby) & set(identities))
+        if bad_i:
+            raise ValueError(
+                f"PARTITIONED BY columns {bad_i} are IDENTITY columns "
+                "— an ever-increasing partition key makes one leaf per "
+                "row (Delta refuses this too)"
+            )
     # one empty part file anchors the schema for read/INSERT
     catalog.overwrite(empty.repartition(1), table)
     if pby:
         catalog.set_declared_partition_cols(table, pby)
     for col, expr in generated.items():
         catalog.set_generated_column(table, col, expr)
+    for col, (start, step) in identities.items():
+        catalog.set_identity_column(table, col, start=start, step=step)
     return None
 
 
@@ -788,6 +818,7 @@ def _clear_definition_metadata(catalog, full_name: str) -> None:
     for p in (
         catalog._constraints_path(full_name),
         catalog._generated_path(full_name),
+        catalog._identity_path(full_name),
         catalog._tabledef_path(full_name),
         _mview_path(catalog, full_name),
     ):
@@ -1006,6 +1037,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             set_exprs[col_name] = rhs.strip()
         if not set_exprs:
             raise UnsupportedStatement(f"empty SET clause: {s[:80]}")
+        ident_hit = sorted(
+            set(set_exprs) & set(catalog.identity_columns(table))
+        )
+        if ident_hit:
+            raise ValueError(
+                f"UPDATE {table}: column(s) {ident_hit} are GENERATED "
+                "ALWAYS AS IDENTITY — their values are engine-assigned "
+                "and cannot be SET (Delta's rule)"
+            )
         from ..operators.dml import update_where
 
         # allow_partition_move: SQL UPDATE has Delta semantics — a SET
@@ -1143,6 +1183,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     [(stmt,)], "createtab_stmt string"
                 )
             gens = catalog.generated_columns(table)
+            idents = catalog.identity_columns(table)
             pcols = (
                 _detect_partition_cols(catalog.path(table))
                 or catalog.declared_partition_cols(table)
@@ -1153,6 +1194,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 spec = f"{f.name} {f.dataType.simpleString().upper()}"
                 if f.name in gens:
                     spec += f" GENERATED ALWAYS AS ({gens[f.name]})"
+                elif f.name in idents:
+                    ispec = idents[f.name]
+                    spec += (
+                        " GENERATED ALWAYS AS IDENTITY (START WITH "
+                        f"{ispec['start']} INCREMENT BY {ispec['step']})"
+                    )
                 fields.append(spec)
             stmt = f"CREATE TABLE {table} ({', '.join(fields)})"
             if pcols:
@@ -1868,6 +1915,28 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         body_sql = s[toks[body_from][1]:]
         mapping = catalog.register_referenced(body_sql)
         rows = run_sql(catalog.spark, body_sql, table_mapping=mapping)
+        idents = (
+            catalog.identity_columns(table)
+            if catalog.exists(table)
+            else {}
+        )
+        if idents:
+            # Delta's ALWAYS rule: identity values are engine-assigned,
+            # explicit ones refused. A column list naming the identity
+            # column, a bare VALUES row (positional over ALL columns),
+            # or a no-column-list SELECT producing it all supply one.
+            supplied = sorted(
+                set(idents)
+                & set(col_list if col_list is not None else rows.columns)
+            )
+            if supplied or (col_list is None and is_values):
+                raise ValueError(
+                    f"INSERT INTO {table}: column(s) "
+                    f"{supplied or sorted(idents)} are GENERATED ALWAYS "
+                    "AS IDENTITY — values are always engine-assigned; "
+                    "use a column list that omits them: INSERT INTO "
+                    f"{table} ({', '.join(c for c in catalog.read(table).columns if c not in idents)}) ..."
+                )
         if col_list is not None or is_values:
             if not catalog.exists(table):
                 raise ValueError(
@@ -1907,10 +1976,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                         f"CAST({f.name} AS {f.dataType.simpleString()}) "
                         f"AS {f.name}"
                     )
-                elif f.name not in gens:
+                elif f.name not in gens and f.name not in idents:
                     # omitted plain column -> typed NULL (ANSI INSERT
-                    # default); omitted GENERATED columns are computed
-                    # by the write path itself
+                    # default); omitted GENERATED/IDENTITY columns are
+                    # computed/allocated by the write path itself
                     sel.append(
                         f"CAST(NULL AS {f.dataType.simpleString()}) "
                         f"AS {f.name}"
@@ -2160,6 +2229,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     "typed by its declaration — drop the generation "
                     "first (drop_generated_column) and re-declare"
                 )
+            if col in catalog.identity_columns(table):
+                raise ValueError(
+                    f"ALTER COLUMN {col}: it is an IDENTITY column "
+                    "typed by its declaration — drop the declaration "
+                    "first (drop_identity_column) and re-declare"
+                )
             from pyspark.sql import functions as F
             from pyspark.sql.types import StructType
 
@@ -2240,6 +2315,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     "DROP COLUMN would remove every column — use DROP "
                     "TABLE"
                 )
+            # a dropped identity/generated column takes its declaration
+            # with it FIRST — a surviving book entry would re-add the
+            # column during the rewrite below (_with_generated computes
+            # missing declared columns), silently undoing the DROP
+            for c in cols:
+                if c in catalog.identity_columns(table):
+                    catalog.drop_identity_column(table, c)
+                if c in catalog.generated_columns(table):
+                    catalog.drop_generated_column(table, c)
             _rewrite(df.drop(*cols))
             return None
 
@@ -2285,6 +2369,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     f"RENAME COLUMN {old}: CHECK constraint(s) {refs} "
                     "reference it — drop and re-add them with the new "
                     "name"
+                )
+            if old in catalog.identity_columns(table):
+                raise ValueError(
+                    f"RENAME COLUMN {old}: it is an IDENTITY column — "
+                    "the allocation book is keyed by name; drop the "
+                    "declaration first (drop_identity_column)"
                 )
             _rewrite(df.withColumnRenamed(old, new))
             return None
