@@ -436,6 +436,12 @@ class Catalog:
         import datetime as _dt
 
         try:
+            # the SQL front-end delivers strings; a numeric literal
+            # ('1700000000.5') is epoch seconds, same as the number
+            return float(str(ts))
+        except ValueError:
+            pass
+        try:
             return _dt.datetime.fromisoformat(str(ts)).timestamp()
         except ValueError:
             raise ValueError(
@@ -1502,6 +1508,115 @@ class Catalog:
             json.dump(gens, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._generated_path(full_name))
 
+    # --- comments + table properties (COMMENT ON / TBLPROPERTIES) ----
+
+    def _properties_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".properties.json"
+        )
+
+    def _properties(self, full_name: str) -> dict:
+        p = self._properties_path(full_name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_properties(self, full_name: str, book: dict) -> None:
+        # drop empty sections so an all-cleared book deletes the file
+        book = {k: v for k, v in book.items() if v}
+        p = self._properties_path(full_name)
+        if not book:
+            if os.path.exists(p):
+                os.remove(p)
+            return
+        os.makedirs(self._version_root(full_name), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    def table_comment(self, full_name: str) -> str | None:
+        return self._properties(full_name).get("comment")
+
+    def set_table_comment(
+        self, full_name: str, text: str | None
+    ) -> None:
+        """COMMENT ON TABLE t IS 'text' (NULL clears). Metadata-only:
+        lives in the version root (moves with RENAME, copied by CLONE,
+        dropped by CREATE OR REPLACE) — never a data rewrite."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"COMMENT ON TABLE: {full_name} does not exist"
+            )
+        book = self._properties(full_name)
+        if text is None:
+            book.pop("comment", None)
+        else:
+            book["comment"] = text
+        self._write_properties(full_name, book)
+
+    def column_comments(self, full_name: str) -> dict:
+        return dict(self._properties(full_name).get("columns", {}))
+
+    def set_column_comment(
+        self, full_name: str, column: str, text: str | None
+    ) -> None:
+        if not self.exists(full_name):
+            raise ValueError(
+                f"COMMENT ON COLUMN: {full_name} does not exist"
+            )
+        cols = self.read(full_name).columns
+        if column not in cols:
+            raise ValueError(
+                f"COMMENT ON COLUMN: {column!r} not in {full_name} "
+                f"({cols})"
+            )
+        book = self._properties(full_name)
+        cc = book.get("columns", {})
+        if text is None:
+            cc.pop(column, None)
+        else:
+            cc[column] = text
+        book["columns"] = cc
+        self._write_properties(full_name, book)
+
+    def table_properties(self, full_name: str) -> dict:
+        return dict(self._properties(full_name).get("tblproperties", {}))
+
+    def set_table_properties(
+        self, full_name: str, props: dict
+    ) -> None:
+        """ALTER TABLE ... SET TBLPROPERTIES: upsert string key/value
+        pairs (Delta's table-properties map — free-form metadata;
+        engine behavior is never keyed off these here)."""
+        if not self.exists(full_name):
+            raise ValueError(
+                f"SET TBLPROPERTIES: {full_name} does not exist"
+            )
+        book = self._properties(full_name)
+        tp = book.get("tblproperties", {})
+        tp.update({str(k): str(v) for k, v in props.items()})
+        book["tblproperties"] = tp
+        self._write_properties(full_name, book)
+
+    def unset_table_properties(
+        self, full_name: str, keys: list[str], if_exists: bool = False
+    ) -> None:
+        book = self._properties(full_name)
+        tp = book.get("tblproperties", {})
+        missing = [k for k in keys if k not in tp]
+        if missing and not if_exists:
+            raise ValueError(
+                f"UNSET TBLPROPERTIES: {missing} not set on "
+                f"{full_name} (have {sorted(tp)}) — use IF EXISTS to "
+                "ignore"
+            )
+        for k in keys:
+            tp.pop(k, None)
+        book["tblproperties"] = tp
+        self._write_properties(full_name, book)
+
     # --- identity columns (GENERATED ALWAYS AS IDENTITY) -------------
 
     def _identity_path(self, full_name: str) -> str:
@@ -1997,6 +2112,9 @@ class Catalog:
             # at clone time (Delta CLONE carries identity metadata)
             (self._identity_path(src_name),
              self._identity_path(dst_name)),
+            # comments + TBLPROPERTIES (Delta CLONE copies them)
+            (self._properties_path(src_name),
+             self._properties_path(dst_name)),
             # declared-but-not-yet-laid-out partitioning (r12): a
             # clone of an anchor-empty DDL table keeps the promise
             # that its first write lays out the declared tree

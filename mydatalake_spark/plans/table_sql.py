@@ -355,6 +355,36 @@ def _merge_source_frame(catalog, spec: str):
             run_sql(catalog.spark, inner, table_mapping=mapping),
             alias_toks[0],
         )
+    import re as _re
+
+    tm = _re.match(
+        r"([A-Za-z_][\w.]*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"('[^']*'|\S+)\s*(.*)$",
+        spec,
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    if tm:
+        # MERGE ... USING s VERSION|TIMESTAMP AS OF <n|'ts'> [alias]:
+        # replay yesterday's changeset — the repair story (VERDICT r12
+        # ask #6). Resolves through the same read_version /
+        # read_timestamp every SELECT-side time-travel span uses.
+        name, kind, val, rest = tm.groups()
+        alias_toks = rest.split()
+        if alias_toks and alias_toks[0].upper() == "AS":
+            alias_toks = alias_toks[1:]
+        if len(alias_toks) > 1:
+            raise UnsupportedStatement(
+                f"bad USING time-travel source spec: {spec[:80]!r}"
+            )
+        alias = alias_toks[0] if alias_toks else name.split(".")[-1]
+        if kind.upper() == "VERSION":
+            if not _re.fullmatch(r"\d+", val):
+                raise UnsupportedStatement(
+                    f"VERSION AS OF needs an integer: {val!r}"
+                )
+            return catalog.read_version(name, version=int(val)), alias
+        ts = val[1:-1] if val.startswith("'") else val
+        return catalog.read_timestamp(name, ts), alias
     parts = spec.split()
     if len(parts) == 3 and parts[1].upper() == "AS":
         name, alias = parts[0], parts[2]
@@ -689,6 +719,44 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
         len(toks),
     )
     pby, tail_start = _parse_partitioned_by(s, toks, tail_start)
+    # optional trailing COMMENT 'text' and TBLPROPERTIES ('k'='v', ...)
+    # — parsed here so SHOW CREATE TABLE's output round-trips
+    tcomment = None
+    tprops: dict[str, str] = {}
+    if tail_start < len(toks) and toks[tail_start][0] == "COMMENT":
+        cm = _re.match(
+            r"\s*'((?:[^']|'')*)'", s[toks[tail_start][2]:]
+        )
+        if not cm:
+            raise UnsupportedStatement(
+                f"CREATE TABLE COMMENT needs a quoted string: {s[:80]}"
+            )
+        tcomment = cm.group(1).replace("''", "'")
+        cend = toks[tail_start][2] + cm.end()
+        tail_start = next(
+            (i for i in range(tail_start + 1, len(toks))
+             if toks[i][1] >= cend),
+            len(toks),
+        )
+    if tail_start < len(toks) and toks[tail_start][0] == "TBLPROPERTIES":
+        pbody, pend = _balanced_paren_span(s, toks[tail_start][2])
+        pairs = _re.findall(
+            r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", pbody
+        )
+        if not pairs:
+            raise UnsupportedStatement(
+                "TBLPROPERTIES needs ('k' = 'v', ...): "
+                f"{pbody[:60]!r}"
+            )
+        tprops = {
+            k.replace("''", "'"): v.replace("''", "'")
+            for k, v in pairs
+        }
+        tail_start = next(
+            (i for i in range(tail_start + 1, len(toks))
+             if toks[i][1] >= pend),
+            len(toks),
+        )
     if tail_start < len(toks):
         raise UnsupportedStatement(
             "trailing tokens after CREATE TABLE column list: "
@@ -706,15 +774,23 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
     fields: list[tuple[str, str]] = []
     generated: dict[str, str] = {}
     identities: dict[str, tuple[int, int]] = {}  # col -> (start, step)
+    col_comments: dict[str, str] = {}
     for item in _split_top_level_commas(body):
         m = _re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)", item, _re.DOTALL)
         if not m:
             raise UnsupportedStatement(
                 f"bad column spec {item!r} (expected: name TYPE "
                 "[GENERATED ALWAYS AS (expr) | GENERATED ALWAYS AS "
-                "IDENTITY [(START WITH n INCREMENT BY m)]])"
+                "IDENTITY [(START WITH n INCREMENT BY m)]] "
+                "[COMMENT 'text'])"
             )
         name, rest = m.group(1), m.group(2).strip()
+        ccm = _re.search(
+            r"\bCOMMENT\s+'((?:[^']|'')*)'\s*$", rest, _re.IGNORECASE
+        )
+        if ccm:
+            col_comments[name] = ccm.group(1).replace("''", "'")
+            rest = rest[:ccm.start()].strip()
         gm = gen_re.search(rest)
         if gm:
             typ = rest[:gm.start()].strip()
@@ -794,6 +870,12 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
         catalog.set_generated_column(table, col, expr)
     for col, (start, step) in identities.items():
         catalog.set_identity_column(table, col, start=start, step=step)
+    for col, text in col_comments.items():
+        catalog.set_column_comment(table, col, text)
+    if tcomment is not None:
+        catalog.set_table_comment(table, tcomment)
+    if tprops:
+        catalog.set_table_properties(table, tprops)
     return None
 
 
@@ -819,6 +901,7 @@ def _clear_definition_metadata(catalog, full_name: str) -> None:
         catalog._constraints_path(full_name),
         catalog._generated_path(full_name),
         catalog._identity_path(full_name),
+        catalog._properties_path(full_name),
         catalog._tabledef_path(full_name),
         _mview_path(catalog, full_name),
     ):
@@ -1147,6 +1230,58 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # BY from the hive layout, constraints as follow-up ALTERs,
         # an MV as its CREATE MATERIALIZED VIEW statement) — Spark's
         # own statement shape: one row, one 'createtab_stmt' column
+        if len(toks) >= 2 and toks[1][0] == "COLUMNS":
+            # SHOW COLUMNS IN|FROM t → Spark's own statement shape:
+            # one 'col_name' row per column
+            if len(toks) < 3 or toks[2][0] not in ("IN", "FROM"):
+                raise UnsupportedStatement(
+                    f"expected SHOW COLUMNS IN|FROM <table>: {s[:80]}"
+                )
+            table, after = _table_name(s, toks, 3)
+            if after != len(toks):
+                raise UnsupportedStatement(
+                    f"SHOW COLUMNS takes only a table name: {s[:80]}"
+                )
+            if not catalog.exists(table):
+                raise ValueError(
+                    f"SHOW COLUMNS: {table} does not exist"
+                )
+            return catalog.spark.createDataFrame(
+                [(c,) for c in catalog.read(table).columns],
+                "col_name string",
+            )
+        if len(toks) >= 2 and toks[1][0] == "TBLPROPERTIES":
+            # SHOW TBLPROPERTIES t [('key')] → (key, value) rows, or
+            # the single requested key (Spark's shape; an unset
+            # requested key errors by name, as Spark does)
+            import re as _re
+
+            table, after = _table_name(s, toks, 2)
+            props = catalog.table_properties(table)
+            rest = s[toks[after - 1][2]:].strip() if after <= len(toks) else ""
+            if rest:
+                m = _re.fullmatch(r"\(\s*'([^']+)'\s*\)", rest)
+                if not m:
+                    raise UnsupportedStatement(
+                        "expected SHOW TBLPROPERTIES <t> [('key')]: "
+                        f"{s[:80]}"
+                    )
+                key = m.group(1)
+                if key not in props:
+                    raise ValueError(
+                        f"SHOW TBLPROPERTIES: property {key!r} is not "
+                        f"set on {table}"
+                    )
+                rows = [(key, props[key])]
+            else:
+                if not catalog.exists(table):
+                    raise ValueError(
+                        f"SHOW TBLPROPERTIES: {table} does not exist"
+                    )
+                rows = sorted(props.items())
+            return catalog.spark.createDataFrame(
+                rows or [], "key string, value string"
+            )
         if [t[0] for t in toks[1:3]] == ["CREATE", "TABLE"]:
             import json as _json
 
@@ -1184,11 +1319,16 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
             gens = catalog.generated_columns(table)
             idents = catalog.identity_columns(table)
+            ccom = catalog.column_comments(table)
             pcols = (
                 _detect_partition_cols(catalog.path(table))
                 or catalog.declared_partition_cols(table)
                 or []
             )
+
+            def _q(text: str) -> str:
+                return "'" + text.replace("'", "''") + "'"
+
             fields = []
             for f in catalog.read(table).schema.fields:
                 spec = f"{f.name} {f.dataType.simpleString().upper()}"
@@ -1200,10 +1340,20 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                         " GENERATED ALWAYS AS IDENTITY (START WITH "
                         f"{ispec['start']} INCREMENT BY {ispec['step']})"
                     )
+                if f.name in ccom:
+                    spec += f" COMMENT {_q(ccom[f.name])}"
                 fields.append(spec)
             stmt = f"CREATE TABLE {table} ({', '.join(fields)})"
             if pcols:
                 stmt += f" PARTITIONED BY ({', '.join(pcols)})"
+            tcom = catalog.table_comment(table)
+            if tcom is not None:
+                stmt += f" COMMENT {_q(tcom)}"
+            props = catalog.table_properties(table)
+            if props:
+                stmt += " TBLPROPERTIES (" + ", ".join(
+                    f"{_q(k)} = {_q(v)}" for k, v in sorted(props.items())
+                ) + ")"
             for cname, expr in sorted(catalog.constraints(table).items()):
                 stmt += (
                     f";\nALTER TABLE {table} ADD CONSTRAINT {cname} "
@@ -1753,15 +1903,26 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
             df = catalog.read(table)
             gens = catalog.generated_columns(table)
+            idents = catalog.identity_columns(table)
+            ccom = catalog.column_comments(table)
+
+            def _colnote(name: str) -> str | None:
+                parts = []
+                if name in gens:
+                    parts.append(
+                        f"GENERATED ALWAYS AS ({gens[name]})"
+                    )
+                elif name in idents:
+                    parts.append("GENERATED ALWAYS AS IDENTITY")
+                if name in ccom:
+                    parts.append(ccom[name])
+                return "; ".join(parts) or None
+
             rows = [
                 (
                     f.name,
                     f.dataType.simpleString(),
-                    (
-                        f"GENERATED ALWAYS AS ({gens[f.name]})"
-                        if f.name in gens
-                        else None
-                    ),
+                    _colnote(f.name),
                 )
                 for f in df.schema.fields
             ]
@@ -1794,6 +1955,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     rows.append(
                         ("Constraints",
                          _json.dumps(cons, sort_keys=True), None)
+                    )
+                tcom = catalog.table_comment(table)
+                if tcom is not None:
+                    rows.append(("Comment", tcom, None))
+                props = catalog.table_properties(table)
+                if props:
+                    rows.append(
+                        ("Table Properties",
+                         _json.dumps(props, sort_keys=True), None)
                     )
                 if os.path.exists(_mview_path(catalog, table)):
                     rows.append(
@@ -1841,6 +2011,50 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             ],
             "version int, label string, snapshot_time double",
         )
+
+    if head == "COMMENT":
+        # COMMENT ON TABLE t IS 'text'|NULL
+        # COMMENT ON COLUMN t.c IS 'text'|NULL
+        # Metadata-only (version-root book): RENAME moves it, CLONE
+        # copies it, CREATE OR REPLACE drops it, SHOW CREATE TABLE /
+        # DESCRIBE print it.
+        import re as _re
+
+        if len(toks) < 3 or toks[1][0] != "ON" or toks[2][0] not in (
+            "TABLE", "COLUMN"
+        ):
+            raise UnsupportedStatement(
+                "expected COMMENT ON TABLE <t> IS '<text>'|NULL or "
+                f"COMMENT ON COLUMN <t>.<c> IS ...: {s[:80]}"
+            )
+        on_column = toks[2][0] == "COLUMN"
+        name, after = _table_name(s, toks, 3)
+        if after >= len(toks) or toks[after][0] != "IS":
+            raise UnsupportedStatement(
+                f"COMMENT ON needs IS '<text>'|NULL: {s[:80]}"
+            )
+        rest = s[toks[after][2]:].strip()
+        if rest.upper() == "NULL":
+            text = None
+        else:
+            m = _re.fullmatch(r"'((?:[^']|'')*)'", rest)
+            if not m:
+                raise UnsupportedStatement(
+                    "COMMENT ON: the comment must be a single quoted "
+                    f"string or NULL, got {rest[:40]!r}"
+                )
+            text = m.group(1).replace("''", "'")
+        if on_column:
+            table, _dot, column = name.rpartition(".")
+            if not table:
+                raise UnsupportedStatement(
+                    "COMMENT ON COLUMN needs <table>.<column>: "
+                    f"{name!r}"
+                )
+            catalog.set_column_comment(table, column, text)
+        else:
+            catalog.set_table_comment(name, text)
+        return None
 
     if head == "ANALYZE":
         # ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
@@ -2087,6 +2301,51 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
             name = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
             catalog.drop_constraint(table, name)
+            return None
+        if verbs == ["SET", "TBLPROPERTIES"]:
+            import re as _re2
+
+            body = s[toks[after + 1][2]:].strip()
+            pairs = _re2.findall(
+                r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", body
+            )
+            if not (
+                body.startswith("(") and body.endswith(")") and pairs
+            ):
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t SET TBLPROPERTIES "
+                    f"('k' = 'v', ...): {s[:80]}"
+                )
+            catalog.set_table_properties(
+                table,
+                {
+                    k.replace("''", "'"): v.replace("''", "'")
+                    for k, v in pairs
+                },
+            )
+            return None
+        if verbs == ["UNSET", "TBLPROPERTIES"]:
+            import re as _re2
+
+            body = s[toks[after + 1][2]:].strip()
+            if_exists = False
+            m = _re2.match(r"IF\s+EXISTS\s*", body, _re2.IGNORECASE)
+            if m:
+                if_exists = True
+                body = body[m.end():]
+            keys = _re2.findall(r"'((?:[^']|'')*)'", body)
+            if not (
+                body.startswith("(") and body.endswith(")") and keys
+            ):
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t UNSET TBLPROPERTIES "
+                    f"[IF EXISTS] ('k', ...): {s[:80]}"
+                )
+            catalog.unset_table_properties(
+                table,
+                [k.replace("''", "'") for k in keys],
+                if_exists=if_exists,
+            )
             return None
 
         # Column DDL. Delta does these as metadata-only log entries;
