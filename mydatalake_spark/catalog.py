@@ -869,6 +869,7 @@ class Catalog:
             self.overwrite_via_staging(df, full_name, partition_by)
             return
         df = self._with_check_guards(df, full_name)
+        df = self._apply_declared_clustering(df, full_name, partition_by)
         if self.fmt != "delta":
             self._snapshot_or_drop(full_name)
         writer = df.write.format(self.fmt).mode("overwrite")
@@ -910,6 +911,7 @@ class Catalog:
             self.overwrite(df, full_name, partition_by)
             return
         df = self._with_check_guards(df, full_name)
+        df = self._apply_declared_clustering(df, full_name, partition_by)
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -1398,26 +1400,108 @@ class Catalog:
             self._version_root(full_name), ".tabledef.json"
         )
 
+    def _tabledef(self, full_name: str) -> dict:
+        p = self._tabledef_path(full_name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_tabledef(self, full_name: str, book: dict) -> None:
+        book = {k: v for k, v in book.items() if v}
+        p = self._tabledef_path(full_name)
+        if not book:
+            if os.path.exists(p):
+                os.remove(p)
+            return
+        os.makedirs(self._version_root(full_name), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1)
+        os.replace(tmp, p)
+
     def declared_partition_cols(self, full_name: str) -> list[str] | None:
         """Partition columns DECLARED by column-list DDL (``CREATE
         TABLE t (...) PARTITIONED BY (p)``) before any data exists.
         An empty table has no hive leaf directories to detect a
         layout from, so the declaration waits in the version root
         until the first write lays out the tree."""
-        p = self._tabledef_path(full_name)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh).get("partition_by") or None
+        return self._tabledef(full_name).get("partition_by") or None
 
     def set_declared_partition_cols(
         self, full_name: str, pcols: list[str]
     ) -> None:
-        os.makedirs(self._version_root(full_name), exist_ok=True)
-        tmp = self._tabledef_path(full_name) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"partition_by": list(pcols)}, fh, indent=1)
-        os.replace(tmp, self._tabledef_path(full_name))
+        book = self._tabledef(full_name)
+        if pcols and book.get("cluster_by"):
+            raise ValueError(
+                f"{full_name} declares CLUSTER BY "
+                f"{book['cluster_by']} — a table is either "
+                "partitioned or clustered, not both"
+            )
+        book["partition_by"] = list(pcols)
+        self._write_tabledef(full_name, book)
+
+    def declared_cluster_cols(self, full_name: str) -> list[str] | None:
+        """Clustering columns DECLARED by ``CREATE TABLE ... CLUSTER
+        BY (c1, c2)`` (Delta liquid clustering's declaration surface).
+        A declaration, not a guarantee: full overwrites lay the data
+        out clustered (range-partitioned + sorted, so parquet footers
+        carry tight disjoint min/max spans and selective scans skip
+        ~(n-1)/n of the files); appends land unclustered and
+        ``OPTIMIZE t`` restores the layout — exactly Delta's
+        write-then-OPTIMIZE contract."""
+        return self._tabledef(full_name).get("cluster_by") or None
+
+    def set_declared_cluster_cols(
+        self, full_name: str, cols: list[str] | None
+    ) -> None:
+        """Declare (or with ``None``/``[]`` clear) the table's
+        clustering columns. Refused on a partitioned table: partition
+        directories already hard-split the key space, and Databricks
+        makes the same either/or rule."""
+        book = self._tabledef(full_name)
+        if cols:
+            pby = book.get("partition_by") or detect_partition_cols(
+                self.path(full_name)
+            )
+            if pby:
+                raise ValueError(
+                    f"{full_name} is partitioned by {pby} — a table "
+                    "is either partitioned or clustered, not both"
+                )
+            book["cluster_by"] = list(cols)
+        else:
+            book.pop("cluster_by", None)
+        self._write_tabledef(full_name, book)
+
+    def _apply_declared_clustering(
+        self, df: DataFrame, full_name: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Clustering-on-write for full overwrites of a CLUSTER BY
+        table: one range shuffle + in-partition sort, so every file's
+        footer min/max on the cluster keys is tight from the first
+        write — the declared cost of the declared layout. Missing
+        cluster columns fail by name (a silent skip would quietly
+        un-cluster the table for every future scan)."""
+        cby = self.declared_cluster_cols(full_name)
+        if not cby:
+            return df
+        if partition_by:
+            raise ValueError(
+                f"overwrite of {full_name}: partition_by="
+                f"{list(partition_by)} conflicts with the declared "
+                f"CLUSTER BY {cby} — a table is either partitioned or "
+                "clustered; drop one declaration first"
+            )
+        missing = [c for c in cby if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"overwrite of {full_name}: declared CLUSTER BY "
+                f"columns {missing} not in the frame ({df.columns}) — "
+                "drop the declaration (CLUSTER BY NONE) or supply them"
+            )
+        return df.repartitionByRange(*cby).sortWithinPartitions(*cby)
 
     def _generated_path(self, full_name: str) -> str:
         return os.path.join(

@@ -374,6 +374,21 @@ def optimize_table(
     — same per-leaf file-count caveat as any partitioned write."""
     from .catalog import detect_partition_cols
 
+    cby = catalog.declared_cluster_cols(full_name)
+    if cby:
+        # CLUSTER BY table (liquid-clustering contract): OPTIMIZE
+        # maintains the DECLARED layout — appends land unclustered
+        # and this restores tight disjoint footer spans. An explicit
+        # ZORDER BY would silently fork the layout, so it's refused;
+        # re-declare via ALTER TABLE ... CLUSTER BY to change keys.
+        if zorder_by and list(zorder_by) != list(cby):
+            raise ValueError(
+                f"optimize_table: {full_name} declares CLUSTER BY "
+                f"{cby}; OPTIMIZE maintains that layout — ALTER TABLE "
+                "... CLUSTER BY (...) (or NONE) to change it instead "
+                f"of ZORDER BY {list(zorder_by)}"
+            )
+        zorder_by = list(cby)
     pcols = detect_partition_cols(catalog.path(full_name))
     if where is not None:
         return _optimize_partitions(

@@ -224,19 +224,19 @@ def _backtick_outside_literals(s: str) -> bool:
     return False
 
 
-def _parse_partitioned_by(s: str, toks, after: int):
-    """Optional ``PARTITIONED BY (c1, c2)`` at token ``after``;
-    returns (cols-or-None, first token index after the clause)."""
+def _parse_cols_clause(s: str, toks, after: int, kw0: str, kw1: str):
+    """Optional ``<KW0> <KW1> (c1, c2)`` at token ``after``; returns
+    (cols-or-None, first token index after the clause)."""
     if not (
         after + 1 < len(toks)
-        and [t[0] for t in toks[after:after + 2]] == ["PARTITIONED", "BY"]
+        and [t[0] for t in toks[after:after + 2]] == [kw0, kw1]
     ):
         return None, after
     body_start = toks[after + 1][2]
     rest = s[body_start:].lstrip()
     if not rest.startswith("("):
         raise UnsupportedStatement(
-            f"PARTITIONED BY needs a parenthesized column list: {s[:80]}"
+            f"{kw0} {kw1} needs a parenthesized column list: {s[:80]}"
         )
     depth, i = 0, 0
     off = body_start + (len(s[body_start:]) - len(rest))
@@ -247,16 +247,24 @@ def _parse_partitioned_by(s: str, toks, after: int):
             depth -= 1
             if depth == 0:
                 break
-    pby = [c.strip() for c in rest[1:i].split(",") if c.strip()]
-    if not pby:
+    cols = [c.strip() for c in rest[1:i].split(",") if c.strip()]
+    if not cols:
         raise UnsupportedStatement(
-            f"empty PARTITIONED BY column list: {s[:80]}"
+            f"empty {kw0} {kw1} column list: {s[:80]}"
         )
     nxt = next(
         (k for k in range(after + 2, len(toks)) if toks[k][1] > off + i),
         len(toks),
     )
-    return pby, nxt
+    return cols, nxt
+
+
+def _parse_partitioned_by(s: str, toks, after: int):
+    return _parse_cols_clause(s, toks, after, "PARTITIONED", "BY")
+
+
+def _parse_cluster_by(s: str, toks, after: int):
+    return _parse_cols_clause(s, toks, after, "CLUSTER", "BY")
 
 
 def _rewrite_alias_refs(expr: str, t_alias: str, s_alias: str) -> str:
@@ -719,6 +727,12 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
         len(toks),
     )
     pby, tail_start = _parse_partitioned_by(s, toks, tail_start)
+    cby, tail_start = _parse_cluster_by(s, toks, tail_start)
+    if pby and cby:
+        raise UnsupportedStatement(
+            "a table is either PARTITIONED BY or CLUSTER BY, not "
+            f"both: {s[:80]}"
+        )
     # optional trailing COMMENT 'text' and TBLPROPERTIES ('k'='v', ...)
     # — parsed here so SHOW CREATE TABLE's output round-trips
     tcomment = None
@@ -862,10 +876,19 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
                 "— an ever-increasing partition key makes one leaf per "
                 "row (Delta refuses this too)"
             )
+    if cby:
+        bad_c = [c for c in cby if c not in declared_names]
+        if bad_c:
+            raise ValueError(
+                f"CLUSTER BY columns {bad_c} not in the column "
+                f"list {declared_names}"
+            )
     # one empty part file anchors the schema for read/INSERT
     catalog.overwrite(empty.repartition(1), table)
     if pby:
         catalog.set_declared_partition_cols(table, pby)
+    if cby:
+        catalog.set_declared_cluster_cols(table, cby)
     for col, expr in generated.items():
         catalog.set_generated_column(table, col, expr)
     for col, (start, step) in identities.items():
@@ -1346,6 +1369,9 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             stmt = f"CREATE TABLE {table} ({', '.join(fields)})"
             if pcols:
                 stmt += f" PARTITIONED BY ({', '.join(pcols)})"
+            ccols = catalog.declared_cluster_cols(table)
+            if ccols:
+                stmt += f" CLUSTER BY ({', '.join(ccols)})"
             tcom = catalog.table_comment(table)
             if tcom is not None:
                 stmt += f" COMMENT {_q(tcom)}"
@@ -1478,6 +1504,9 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             ) or catalog.declared_partition_cols(src)
             if pby_src:
                 catalog.set_declared_partition_cols(table, pby_src)
+            cby_src = catalog.declared_cluster_cols(src)
+            if cby_src:
+                catalog.set_declared_cluster_cols(table, cby_src)
             for col, expr in catalog.generated_columns(src).items():
                 catalog.set_generated_column(table, col, expr)
             return None
@@ -1515,6 +1544,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             catalog.clone(src, table, shallow=shallow, version=version)
             return None
         pby, after = _parse_partitioned_by(s, toks, after)
+        cby, after = _parse_cluster_by(s, toks, after)
+        if pby and cby:
+            raise UnsupportedStatement(
+                "a table is either PARTITIONED BY or CLUSTER BY, not "
+                f"both: {s[:80]}"
+            )
         if (
             after >= len(toks)
             or toks[after][0] != "AS"
@@ -1544,6 +1579,16 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     f"PARTITIONED BY columns {missing} not in the "
                     f"CTAS select output {rows.columns}"
                 )
+        if cby:
+            missing = [c for c in cby if c not in rows.columns]
+            if missing:
+                raise ValueError(
+                    f"CLUSTER BY columns {missing} not in the "
+                    f"CTAS select output {rows.columns}"
+                )
+            # declare BEFORE the write so overwrite's clustering-on-
+            # write hook lays the very first data out clustered
+            catalog.set_declared_cluster_cols(table, cby)
         catalog.overwrite_via_staging(rows, table, partition_by=pby)
         return None
 
@@ -1956,6 +2001,11 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                         ("Constraints",
                          _json.dumps(cons, sort_keys=True), None)
                     )
+                ccols = catalog.declared_cluster_cols(table)
+                if ccols:
+                    rows.append(
+                        ("Cluster By", ", ".join(ccols), None)
+                    )
                 tcom = catalog.table_comment(table)
                 if tcom is not None:
                     rows.append(("Comment", tcom, None))
@@ -2301,6 +2351,33 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
             name = _ident(s[toks[after + 2][1]:toks[after + 2][2]])
             catalog.drop_constraint(table, name)
+            return None
+        if verbs == ["CLUSTER", "BY"]:
+            # ALTER TABLE t CLUSTER BY (c1, c2) | NONE — re-declare
+            # (or drop) the clustering keys. Metadata-only, like
+            # Databricks: existing files keep their layout until the
+            # next full overwrite or OPTIMIZE re-clusters them.
+            if [t[0] for t in toks[after + 2:after + 3]] == ["NONE"]:
+                if after + 3 != len(toks):
+                    raise UnsupportedStatement(
+                        f"trailing tokens after CLUSTER BY NONE: "
+                        f"{s[:80]}"
+                    )
+                catalog.set_declared_cluster_cols(table, None)
+                return None
+            cby, nxt = _parse_cluster_by(s, toks, after)
+            if cby is None or nxt != len(toks):
+                raise UnsupportedStatement(
+                    "expected ALTER TABLE t CLUSTER BY (c1, ...) or "
+                    f"CLUSTER BY NONE: {s[:80]}"
+                )
+            cols = catalog.read(table).columns
+            bad = [c for c in cby if c not in cols]
+            if bad:
+                raise ValueError(
+                    f"CLUSTER BY columns {bad} not in {table} ({cols})"
+                )
+            catalog.set_declared_cluster_cols(table, cby)
             return None
         if verbs == ["SET", "TBLPROPERTIES"]:
             import re as _re2

@@ -256,6 +256,10 @@ def test_calibration_anchors_pinned():
         "q1_pricing_summary": "bfb5919d6b820324",
         "window_functions_lineitem": "2bd2938383b9e3a7",
         "merge_bloom_orders": "ee03e0753f4ec1fd",
+        # shuffle-heavy axis anchor (VERDICT r12 ask #4); also leans
+        # on operators/neardup.py minhash/band code — treat library
+        # rewrites of that path as a basis change
+        "incremental_neardup_documents": "7d28d87c27205177",
     }
     spec_b = importlib.util.spec_from_file_location(
         "bench_cal_pin", os.path.join(ROOT, "bench.py")

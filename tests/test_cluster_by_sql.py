@@ -1,0 +1,195 @@
+"""CLUSTER BY — liquid clustering's declaration surface (VERDICT r12
+ask #8). ``CREATE TABLE ... CLUSTER BY (cols)`` stores the layout
+declaration beside the table; full overwrites lay data out clustered
+(range shuffle + in-partition sort → tight, pairwise-disjoint parquet
+footer min/max spans, the precondition for row-group skipping);
+appends land unclustered and ``OPTIMIZE t`` restores the layout —
+Delta's write-then-OPTIMIZE contract. Mutually exclusive with
+partitioning, printed by SHOW CREATE TABLE, re-declared or dropped via
+``ALTER TABLE ... CLUSTER BY (...)|NONE``."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.maintenance import optimize_table
+from mydatalake_spark.plans.table_sql import (
+    UnsupportedStatement,
+    run_table_sql,
+)
+
+TBL = "silver.sales.clustered"
+SRC = "bronze.sales.raw"
+
+
+def _key_ranges(path: str) -> list[tuple[int, int]]:
+    """Per-ROW-GROUP (min, max) of column 'k' from the parquet
+    footers — the granularity parquet data skipping prunes at. A
+    clustered write (global range partition + within-partition sort)
+    makes these pairwise disjoint across the whole table, whatever
+    file count AQE's advisory sizing lands on."""
+    out = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "k":
+                    out.append(
+                        (col.statistics.min, col.statistics.max)
+                    )
+    return sorted(out)
+
+
+def _assert_disjoint(ranges) -> None:
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def _seed_src(spark, cat, n=50_000):
+    df = spark.range(n).select(
+        (F.hash("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    cat.overwrite(df.repartition(8), SRC)
+    return df
+
+
+@pytest.fixture()
+def small_advisory(spark):
+    """Clustered writes size output files via AQE's advisory partition
+    size (the right behavior at 100 TB: ~advisory-sized, range-disjoint
+    files). At 50k-row test scale AQE coalesces the range shuffle to
+    one or two files, so the evidence lives at row-group granularity —
+    shrink the parquet block size so each file holds many row groups
+    for the footer assertions."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    yield
+    if old is None:
+        hconf.unset("parquet.block.size")
+    else:
+        hconf.set("parquet.block.size", old)
+
+
+def test_ctas_cluster_by_tightens_footers_and_round_trips(
+    spark, tmp_path, small_advisory
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat)
+    # source (hash-scattered, 8 files): every file spans ~the whole
+    # domain — the layout data skipping can't use
+    src_ranges = _key_ranges(cat.path(SRC))
+    domain = max(hi for _, hi in src_ranges) - min(
+        lo for lo, _ in src_ranges
+    )
+    assert all(hi - lo > 0.5 * domain for lo, hi in src_ranges)
+
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    ranges = _key_ranges(cat.path(TBL))
+    assert len(ranges) >= 4
+    _assert_disjoint(ranges)
+    avg = sum(hi - lo for lo, hi in ranges) / len(ranges)
+    assert avg < domain / 2, f"spans did not tighten: {ranges}"
+    # same data
+    assert cat.read(TBL).count() == 50_000
+
+    stmt = run_table_sql(cat, f"SHOW CREATE TABLE {TBL}").first()[0]
+    assert "CLUSTER BY (k)" in stmt
+    desc = {r.col_name: r.data_type for r in
+            run_table_sql(cat, f"DESCRIBE EXTENDED {TBL}").collect()}
+    assert desc.get("Cluster By") == "k"
+    # the printed DDL is runnable and carries the declaration
+    stmt2 = stmt.replace(TBL, "silver.sales.c2")
+    for piece in stmt2.split(";\n"):
+        run_table_sql(cat, piece)
+    assert cat.declared_cluster_cols("silver.sales.c2") == ["k"]
+
+
+def test_append_then_optimize_restores_clustering(
+    spark, tmp_path, small_advisory
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat, n=20_000)
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    # an appended batch lands unclustered (Delta appends don't
+    # cluster); its files overlap the clustered set
+    inc = spark.range(20_000, 40_000).select(
+        (F.hash("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    cat.append(inc.repartition(4), TBL)
+    with pytest.raises(AssertionError):
+        _assert_disjoint(_key_ranges(cat.path(TBL)))
+    # OPTIMIZE (no ZORDER BY) maintains the DECLARED layout
+    run_table_sql(cat, f"OPTIMIZE {TBL}")
+    ranges = _key_ranges(cat.path(TBL))
+    _assert_disjoint(ranges)
+    assert cat.read(TBL).count() == 40_000
+    # explicit ZORDER BY on a clustered table would fork the layout
+    with pytest.raises(ValueError, match="CLUSTER BY"):
+        optimize_table(cat, TBL, zorder_by=["v"])
+
+
+def test_cluster_by_exclusions_and_alter(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat, n=5_000)
+    with pytest.raises(UnsupportedStatement, match="not.*both"):
+        run_table_sql(
+            cat,
+            f"CREATE TABLE {TBL} PARTITIONED BY (k) CLUSTER BY (v) "
+            f"AS SELECT * FROM {SRC}",
+        )
+    # declaring clustering on a partitioned table is refused
+    run_table_sql(
+        cat,
+        "CREATE TABLE silver.sales.p PARTITIONED BY (k) "
+        f"AS SELECT k % 4 AS k, v FROM {SRC}",
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.set_declared_cluster_cols("silver.sales.p", ["v"])
+
+    # column-list DDL declares; ALTER re-declares; NONE clears
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} (k INT, v BIGINT) CLUSTER BY (k)"
+    )
+    assert cat.declared_cluster_cols(TBL) == ["k"]
+    run_table_sql(cat, f"ALTER TABLE {TBL} CLUSTER BY (k, v)")
+    assert cat.declared_cluster_cols(TBL) == ["k", "v"]
+    with pytest.raises(ValueError, match="nope"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} CLUSTER BY (nope)")
+    run_table_sql(cat, f"ALTER TABLE {TBL} CLUSTER BY NONE")
+    assert cat.declared_cluster_cols(TBL) is None
+    assert "CLUSTER BY" not in run_table_sql(
+        cat, f"SHOW CREATE TABLE {TBL}"
+    ).first()[0]
+
+
+def test_cluster_declaration_travels_and_guards(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat, n=5_000)
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    # CLONE and LIKE carry the declaration
+    run_table_sql(cat, f"CREATE TABLE silver.sales.cl DEEP CLONE {TBL}")
+    assert cat.declared_cluster_cols("silver.sales.cl") == ["k"]
+    run_table_sql(cat, f"CREATE TABLE silver.sales.lk LIKE {TBL}")
+    assert cat.declared_cluster_cols("silver.sales.lk") == ["k"]
+    # overwrite missing a declared cluster column fails by name
+    with pytest.raises(ValueError, match=r"\['k'\]"):
+        cat.overwrite(
+            spark.range(3).select(F.col("id").alias("v")), TBL
+        )
+    # CREATE OR REPLACE drops the declaration with the definition
+    run_table_sql(
+        cat,
+        f"CREATE OR REPLACE TABLE {TBL} AS SELECT v FROM {SRC}",
+    )
+    assert cat.declared_cluster_cols(TBL) is None
