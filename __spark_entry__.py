@@ -892,6 +892,100 @@ FROM base WHERE o_orderkey % 7 = 5
 """
 
 
+def cdf_timestamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-addressed Change Data Feed (r13 — the VERDICT r12 #1
+    surface under the oracle): the same v1→v2 feed as
+    ``table_changes_orders``, but the range endpoints arrive as
+    TIMESTAMPS (Delta's ``table_changes('t', '<ts1>', '<ts2>')`` /
+    ``startingTimestamp`` addressing) and resolve through the
+    per-write commit clock (catalog.py:_stamp_commit +
+    version_at_timestamp) — the addressing the r12 commit-time book
+    made possible. The wall-clock instants are captured BETWEEN
+    commits inside the query, so a clock that stamps the wrong write,
+    resolves to the wrong retained hop, or drifts from the version
+    book produces a different change set and breaks the same hash the
+    version-addressed query must match (the oracle is shared
+    verbatim)."""
+    import tempfile
+    import time
+
+    from mydatalake_spark.catalog import Catalog
+
+    v1, v2 = _cdf_states(spark, sf_dir)
+    # never cleaned: the returned plan reads the warehouse lazily
+    cat = Catalog(
+        spark, tempfile.mkdtemp(prefix="cdf_ts_"), keep_versions=3
+    )
+    tbl = "silver.sales.orders_cdf_ts"
+    cat.overwrite_via_staging(v1, tbl)
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    cat.overwrite_via_staging(v2, tbl)   # snapshots v1
+    time.sleep(0.05)
+    # captured BEFORE the third write: resolves to the v2 commit (the
+    # state the next write snapshots as version 2), not the live copy
+    # — the live state has no version number and would stamp NULL
+    t_after_v2 = time.time()
+    cat.overwrite_via_staging(v2, tbl)   # snapshots v2
+    return cat.table_changes(
+        tbl,
+        ["o_orderkey"],
+        from_timestamp=t_after_v1,
+        to_timestamp=t_after_v2,
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price_cents") / 100.0).alias("price"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+def identity_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under the oracle (r13 — the
+    VERDICT r12 #3 surface): a surrogate-keyed copy of ``orders`` is
+    built by two appends into an identity-declared table
+    (catalog.py:_allocate_identity — per-partition offsets over
+    ``monotonically_increasing_id``, range reserved in the high-water
+    book BEFORE the write, no shuffle, no Python in the row path).
+    Which row gets which id depends on partitioning, but the allocated
+    id SET is deterministic: each write hands out exactly its row
+    count of contiguous slots above the high-water mark, and the book
+    never reuses a value. The query returns every allocated id; the
+    oracle enumerates 1..N over the same two batch definitions — a
+    gap, duplicate, re-used range, or off-by-one high-water bump
+    breaks the hash."""
+    import tempfile
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.plans.table_sql import run_table_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="identity_"))
+    tbl = "silver.sales.orders_sk"
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {tbl} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "o_orderkey BIGINT, o_orderpriority STRING)",
+    )
+    batch1 = orders.select("o_orderkey", "o_orderpriority")
+    batch2 = batch1.where(F.col("o_orderkey") % 3 == 0)
+    cat.append(batch1, tbl)
+    cat.append(batch2, tbl)
+    return cat.read(tbl).select("sk")
+
+
+_IDENTITY_ALLOCATION_ORACLE = """
+SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS sk
+FROM (
+  SELECT o_orderkey FROM orders
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+)
+"""
+
+
 def cdf_commits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-commit Change Data Feed (r10, VERDICT r9 ask #3 —
     catalog.py:table_changes granularity='commit', Delta
@@ -1057,69 +1151,6 @@ FROM base WHERE o_orderkey % 5 = 1
 """
 
 
-def cdf_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate maintenance from the change feed
-    (views.py:IncrementalAggView.apply_changes) — the operation that
-    makes CDF matter at 100 TB: a revenue-by-priority gold view is
-    built from state v1, then refreshed by folding the v1→v2 feed
-    (deletes retract, updates net post−pre, inserts add) — the
-    refresh touches only change-sized data, never the base table.
-    The oracle recomputes the aggregate directly from the v2 state,
-    so the hash match proves the retraction algebra is exact (integer
-    cents — no float drift to hide a mis-signed row) and that
-    fully-retracted groups leave the view."""
-    import tempfile
-
-    from mydatalake_spark.catalog import Catalog
-    from mydatalake_spark.operators.diff import change_feed
-    from mydatalake_spark.views import IncrementalAggView
-
-    v1, v2 = _cdf_states(spark, sf_dir)
-    # the view's warehouse is never cleaned: the returned plan reads
-    # it lazily. The feed comes from change_feed directly — the
-    # version-addressed catalog wiring is table_changes_orders' job;
-    # this query isolates the retraction fold.
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="cdf_agg_"))
-    view = IncrementalAggView(
-        spark,
-        cat,
-        "gold.sales.revenue_by_priority",
-        keys=["o_orderpriority"],
-        measures={"revenue_cents": "price_cents"},
-    )
-    view.apply(v1)
-    view.apply_changes(change_feed(v1, v2, ["o_orderkey"]))
-    return view.read().select(
-        "o_orderpriority",
-        (F.col("revenue_cents") / 100.0).alias("revenue"),
-        "n_rows",
-    )
-
-
-_CDF_AGG_ORACLE = """
-WITH base AS (
-  SELECT o_orderkey, o_orderpriority,
-         CAST(ROUND(o_totalprice * 100 + 1e-6, 0) AS BIGINT) AS price_cents
-  FROM orders
-),
-v2 AS (
-  SELECT * FROM base WHERE o_orderkey % 7 NOT IN (1, 3)
-  UNION ALL
-  SELECT o_orderkey, o_orderpriority,
-         CAST(ROUND(o_totalprice * 1.1 * 100 + 1e-6, 0) AS BIGINT)
-  FROM orders WHERE o_orderkey % 7 = 1
-  UNION ALL
-  SELECT o_orderkey + 100000000, o_orderpriority, price_cents
-  FROM base WHERE o_orderkey % 7 = 5
-)
-SELECT o_orderpriority,
-       SUM(price_cents) / 100.0 AS revenue,
-       COUNT(*) AS n_rows
-FROM v2
-GROUP BY o_orderpriority
-"""
-
-
 def cdf_sync_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-history-driven incremental view maintenance, end to end
     (r10 capstone — views.py:sync_view_from_table_changes): a
@@ -1160,9 +1191,43 @@ def cdf_sync_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert applied == [1, 2, 3], applied
     # idempotency under re-run: the second sync applies nothing
     assert sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"]) == []
-    return view.read().select(
+    # r13 fold (VERDICT r12 ask #9): the former cdf_incremental_agg_
+    # orders coverage — the ISOLATED retraction fold, a view built
+    # from v1 then refreshed by ONE apply_changes over the v1→v2 feed
+    # (deletes retract, updates net post−pre, inserts add) — rides
+    # this slot as an in-plan sentinel: the folded aggregate must
+    # equal a direct recompute of the v2 state (exact integer cents),
+    # and any diverging group inflates every revenue by 1e9, breaking
+    # the oracle hash.
+    from mydatalake_spark.operators.diff import change_feed
+
+    fold = IncrementalAggView(
+        spark, cat, "gold.sales.revenue_fold",
+        keys=["o_orderpriority"],
+        measures={"revenue_cents": "price_cents"},
+    )
+    fold.apply(v1)
+    fold.apply_changes(change_feed(v1, v2, ["o_orderkey"]))
+    direct = v2.groupBy("o_orderpriority").agg(
+        F.sum("price_cents").alias("d_cents"),
+        F.count(F.lit(1)).alias("d_rows"),
+    )
+    diverged = (
+        fold.read()
+        .select("o_orderpriority", "revenue_cents", "n_rows")
+        .join(direct, "o_orderpriority", "full_outer")
+        .where(
+            ~F.col("revenue_cents").eqNullSafe(F.col("d_cents"))
+            | ~F.col("n_rows").eqNullSafe(F.col("d_rows"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_diverged"))
+    )
+    return view.read().crossJoin(F.broadcast(diverged)).select(
         "o_orderpriority",
-        (F.col("revenue_cents") / 100.0).alias("revenue"),
+        (
+            (F.col("revenue_cents") + F.col("n_diverged") * F.lit(10**11))
+            / 100.0
+        ).alias("revenue"),
         "n_rows",
     )
 
@@ -3269,58 +3334,61 @@ LIMIT 20
 # Events: windows, sessionization, JSON (streaming-shaped extensions)
 # =====================================================================
 
-def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event_type (F.window; identical plan
-    works on a stream — streaming/events.py)."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1 h) AND sliding (1 h window / 15 min slide) window
+    aggregation per event_type in ONE oracle slot — the r13 fold of the
+    former ``events_tumbling``/``events_sliding`` twins (VERDICT r12
+    ask #9: both shapes share the F.window machinery, so one unioned
+    result with a ``kind`` discriminator keeps both coverages for one
+    driver-budget row). Identical plans work on a stream
+    (streaming/events.py); stream≡batch parity is pinned in
+    tests/test_streaming.py. In the sliding arm each event lands in 4
+    overlapping epoch-aligned windows."""
+    from mydatalake_spark.streaming.events import sliding_agg
+
     ev = _events(spark, sf_dir)
-    out = tumbling_agg(
+    tum = tumbling_agg(
         ev, "ts", "1 hour", group_by=["event_type"],
         aggs={"*": "count", "value": "sum"},
-    )
-    return out.select(
+    ).select(
+        F.lit("tumbling").alias("kind"),
         "window_start", "window_end", "event_type", "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+    sli = sliding_agg(
+        ev, "ts", "1 hour", "15 minutes", group_by=["event_type"],
+        aggs={"*": "count"},
+    ).select(
+        F.lit("sliding").alias("kind"),
+        "window_start", "window_end", "event_type", "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tum.unionByName(sli)
 
 
-_TUMBLING_ORACLE = """
+_EVENTS_WINDOWS_ORACLE = """
 SELECT
+  'tumbling' AS kind,
   DATE_TRUNC('hour', ts) AS window_start,
   DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
   ROUND(SUM(value), 2) AS sum_value
 FROM events
-GROUP BY 1, 2, 3
-"""
-
-
-def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h window, 15 min slide): each event lands in
-    4 overlapping epoch-aligned windows (F.window with slideDuration;
-    streaming/events.py:sliding_agg)."""
-    from mydatalake_spark.streaming.events import sliding_agg
-
-    ev = _events(spark, sf_dir)
-    out = sliding_agg(
-        ev, "ts", "1 hour", "15 minutes", group_by=["event_type"],
-        aggs={"*": "count"},
-    )
-    return out.select("window_start", "window_end", "event_type", "n_events")
-
-
-_SLIDING_ORACLE = """
-WITH ex AS (
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT
+  'sliding' AS kind, window_start,
+  window_start + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(NULL AS DOUBLE) AS sum_value
+FROM (
   SELECT event_type,
     CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS window_start
   FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
 )
-SELECT window_start,
-  window_start + INTERVAL 1 HOUR AS window_end,
-  event_type,
-  CAST(COUNT(*) AS BIGINT) AS n_events
-FROM ex
-GROUP BY 1, 2, 3
+GROUP BY 2, 4
 """
 
 
@@ -10628,6 +10696,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
+        # --- never driver-checked: prefix slots first ---
+        "cdf_timestamp_orders": cdf_timestamp_orders,
+        "identity_allocation_orders": identity_allocation_orders,
+        "events_windows": events_windows,
         # --- last driver-green in r8 ---
         "duplicate_spans_documents": duplicate_spans_documents,
         "hard_negatives_embeddings": hard_negatives_embeddings,
@@ -10636,7 +10708,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_revenue_customers": pareto_revenue_customers,
         # --- last driver-green in r9 ---
         "table_changes_orders": table_changes_orders,
-        "cdf_incremental_agg_orders": cdf_incremental_agg_orders,
         "fastss_pairs_part": fastss_pairs_part,
         "pack_greedy_documents": pack_greedy_documents,
         "fuzzy_entity_clusters_part": fuzzy_entity_clusters_part,
@@ -10763,8 +10834,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bronze_cast_pipeline": bronze_cast_pipeline,
         "nested_explode_roundtrip": nested_explode_roundtrip,
         "dupflag_lineitem": dupflag_lineitem,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
         "events_sessionize": events_sessionize,
         "events_json_kv": events_json_kv,
         "asof_enrich_clicks": asof_enrich_clicks,
@@ -10866,7 +10935,8 @@ def oracle_sql() -> dict[str, str]:
         "ctas_part_orders": _CTAS_ORACLE,
         "copy_into_orders": _COPY_INTO_ORACLE,
         "generated_cols_orders": _GENERATED_COLS_ORACLE,
-        "cdf_incremental_agg_orders": _CDF_AGG_ORACLE,
+        "cdf_timestamp_orders": _TABLE_CHANGES_ORACLE,
+        "identity_allocation_orders": _IDENTITY_ALLOCATION_ORACLE,
         "cdf_sync_view_orders": _CDF_SYNC_ORACLE,
         "fastss_pairs_part": _FASTSS_ORACLE,
         "fastss_d2_part": _FASTSS_D2_ORACLE,
@@ -10907,10 +10977,9 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_breadth": _Q16_ORACLE,
         "q20_excess_volume_suppliers": _Q20_ORACLE,
         "q21_waiting_suppliers": _Q21_ORACLE,
-        "events_sliding": _SLIDING_ORACLE,
         "dq_checks_lineitem": _DQ_CHECKS_ORACLE,
         "dq_aggregate_lineitem": _DQ_AGG_ORACLE,
-        "events_tumbling": _TUMBLING_ORACLE,
+        "events_windows": _EVENTS_WINDOWS_ORACLE,
         "events_sessionize": _SESSION_ORACLE,
         "events_json_kv": _JSON_ORACLE,
         "asof_enrich_clicks": _ASOF_ORACLE,

@@ -333,7 +333,7 @@ HEADLINE = [
     "dq_checks_lineitem",
     "dq_aggregate_lineitem",
     "events_sessionize",
-    "events_tumbling",
+    "events_windows",
     "text_stats_documents",
     "exact_dedup_documents",
     "chunk_documents",
@@ -457,7 +457,7 @@ HEADLINE = [
     "table_changes_orders",
     "cdf_commits_orders",
     "cdf_part_orders",
-    "cdf_incremental_agg_orders",
+    "cdf_timestamp_orders",
     "cdf_sync_view_orders",
     "fastss_pairs_part",
     "fastss_d2_part",
