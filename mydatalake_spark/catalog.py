@@ -436,13 +436,17 @@ class Catalog:
         import datetime as _dt
 
         try:
-            # the SQL front-end delivers strings; a numeric literal
-            # ('1700000000.5') is epoch seconds, same as the number
-            return float(str(ts))
+            # ISO attempts FIRST: fromisoformat also accepts compact
+            # dates ('20240102'), which a float() probe would steal
+            # and silently misread as epoch seconds in 1970
+            return _dt.datetime.fromisoformat(str(ts)).timestamp()
         except ValueError:
             pass
         try:
-            return _dt.datetime.fromisoformat(str(ts)).timestamp()
+            # the SQL front-end delivers strings; a numeric literal
+            # that is not a date ('1700000000.5') is epoch seconds,
+            # same as the number
+            return float(str(ts))
         except ValueError:
             raise ValueError(
                 f"TIMESTAMP AS OF: cannot parse {ts!r} — pass epoch "

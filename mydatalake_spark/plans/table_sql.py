@@ -1280,6 +1280,10 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             import re as _re
 
             table, after = _table_name(s, toks, 2)
+            if not catalog.exists(table):
+                raise ValueError(
+                    f"SHOW TBLPROPERTIES: {table} does not exist"
+                )
             props = catalog.table_properties(table)
             rest = s[toks[after - 1][2]:].strip() if after <= len(toks) else ""
             if rest:
@@ -1297,10 +1301,6 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     )
                 rows = [(key, props[key])]
             else:
-                if not catalog.exists(table):
-                    raise ValueError(
-                        f"SHOW TBLPROPERTIES: {table} does not exist"
-                    )
                 rows = sorted(props.items())
             return catalog.spark.createDataFrame(
                 rows or [], "key string, value string"
@@ -2762,6 +2762,26 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         # OPTIMIZE), evaluated from directory metadata only.
         table, after = _table_name(s, toks, 1)
         _refuse_stored_view(catalog, table, "OPTIMIZE")
+        if after < len(toks) and toks[after][0] == "FULL":
+            # OPTIMIZE t FULL (Databricks: force-recluster ALL data of
+            # a CLUSTER BY table). Our OPTIMIZE of a clustered table
+            # always rewrites the full table in the declared layout,
+            # so FULL is the same operation — but, like Databricks, it
+            # is only meaningful (and only accepted) on a clustered
+            # table, and combines with no other clause.
+            if not catalog.declared_cluster_cols(table):
+                raise ValueError(
+                    f"OPTIMIZE {table} FULL: the table declares no "
+                    "CLUSTER BY — FULL re-clusters a clustered table"
+                )
+            if after + 1 != len(toks):
+                raise UnsupportedStatement(
+                    f"OPTIMIZE <table> FULL takes no other clause: "
+                    f"{s[:80]}"
+                )
+            from ..maintenance import optimize_table
+
+            return optimize_table(catalog, table)
         where = None
         wh_rel = _clause_pos(toks[after:], "WHERE")
         z_rel = _clause_pos(toks[after:], "ZORDER", "BY")

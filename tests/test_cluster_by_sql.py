@@ -193,3 +193,27 @@ def test_cluster_declaration_travels_and_guards(spark, tmp_path):
         f"CREATE OR REPLACE TABLE {TBL} AS SELECT v FROM {SRC}",
     )
     assert cat.declared_cluster_cols(TBL) is None
+
+
+def test_optimize_full_reclusters_clustered_table_only(
+    spark, tmp_path, small_advisory
+):
+    # OPTIMIZE t FULL — Databricks' force-recluster form. Same rewrite
+    # as plain OPTIMIZE here (clustered OPTIMIZE is always a full
+    # rewrite), accepted only on a CLUSTER BY table.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat, n=20_000)
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    inc = spark.range(20_000, 30_000).select(
+        (F.hash("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    cat.append(inc.repartition(4), TBL)
+    run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
+    _assert_disjoint(_key_ranges(cat.path(TBL)))
+    assert cat.read(TBL).count() == 30_000
+    with pytest.raises(ValueError, match="declares no"):
+        run_table_sql(cat, f"OPTIMIZE {SRC} FULL")
+    with pytest.raises(UnsupportedStatement, match="no other clause"):
+        run_table_sql(cat, f"OPTIMIZE {TBL} FULL ZORDER BY (v)")

@@ -157,3 +157,13 @@ def test_metadata_moves_with_rename_and_clone_drops_with_replace(
     )
     assert cat.table_comment("silver.sales.r") is None
     assert cat.table_properties("silver.sales.r") == {}
+
+
+def test_show_tblproperties_missing_table_errors_by_name(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for stmt in (
+        "SHOW TBLPROPERTIES silver.sales.nope",
+        "SHOW TBLPROPERTIES silver.sales.nope ('k')",
+    ):
+        with pytest.raises(ValueError, match="does not exist"):
+            run_table_sql(cat, stmt)

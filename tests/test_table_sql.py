@@ -1422,3 +1422,27 @@ def test_create_view_rejects_short_names(spark, tmp_path):
             cat.create_stored_view(bad, f"SELECT * FROM {TBL}")
     with pytest.raises(ValueError, match="three-part"):
         run_table_sql(cat, f"CREATE VIEW s.v AS SELECT * FROM {TBL}")
+
+
+def test_parse_travel_ts_iso_beats_numeric():
+    # TIMESTAMP AS OF accepts epoch numbers, numeric strings (the SQL
+    # front-end always delivers strings), and ISO dates. ISO parsing
+    # runs FIRST: fromisoformat also accepts compact dates
+    # ('20240102'), which a float() probe would steal and silently
+    # misread as ~1970 epoch seconds.
+    import datetime
+
+    import pytest as _pytest
+
+    from mydatalake_spark.catalog import Catalog
+
+    p = Catalog._parse_travel_ts
+    assert p(1700000000.5) == 1700000000.5
+    assert p("1700000000.5") == 1700000000.5
+    assert p("20240102") == datetime.datetime(2024, 1, 2).timestamp()
+    assert (
+        p("2024-01-02 13:45:00")
+        == datetime.datetime(2024, 1, 2, 13, 45).timestamp()
+    )
+    with _pytest.raises(ValueError, match="cannot parse"):
+        p("nope")
