@@ -1069,3 +1069,32 @@ def test_merge_apply_is_one_join_no_per_clause_pass(spark):
     assert joins == 1, f"expected exactly one join, plan:\n{plan}"
     scans = len(re.findall(r"^\(\d+\) (?:Scan|Range)", plan, re.M))
     assert scans <= 2, f"each side scanned once, plan:\n{plan}"
+
+
+def test_declared_clustering_write_is_one_range_shuffle(spark, tmp_path):
+    # the clustering-on-write frame (Catalog._apply_declared_clustering)
+    # must be exactly ONE range-partitioning Exchange + an in-partition
+    # Sort (global=false) on top of the input — no extra shuffles, no
+    # global sort. The range boundaries cost one sampling pass of the
+    # input (inherent to rangepartitioning, same as Delta's OPTIMIZE).
+    from mydatalake_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    cat.overwrite(df, "b.s.t")
+    cat.set_declared_cluster_cols("b.s.t", ["k"])
+    out = cat._apply_declared_clustering(cat.read("b.s.t"), "b.s.t")
+    import re
+
+    plan = _plan(spark, out)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning(k" in plan
+    # in-partition sort on k (global=false): the Sort node's arguments
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert re.search(r"\[k#\d+L ASC NULLS FIRST\], false, 0", plan)
+    # and an undeclared table passes through untouched (no Exchange)
+    cat.set_declared_cluster_cols("b.s.t", None)
+    out2 = cat._apply_declared_clustering(cat.read("b.s.t"), "b.s.t")
+    assert "Exchange" not in _plan(spark, out2)
