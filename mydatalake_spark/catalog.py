@@ -850,6 +850,7 @@ class Catalog:
         df: DataFrame,
         full_name: str,
         partition_by: list[str] | None = None,
+        _preclustered: bool = False,
     ) -> None:
         """Full-overwrite sink (reference lib/ingestors.py:92-96).
 
@@ -870,10 +871,16 @@ class Catalog:
             # table on keep_versions=0 when the guard fires. Route
             # through the staging swap: a violating write aborts into
             # staging, the live table never moves.
-            self.overwrite_via_staging(df, full_name, partition_by)
+            self.overwrite_via_staging(
+                df, full_name, partition_by,
+                _preclustered=_preclustered,
+            )
             return
         df = self._with_check_guards(df, full_name)
-        df = self._apply_declared_clustering(df, full_name, partition_by)
+        if not _preclustered:
+            df = self._apply_declared_clustering(
+                df, full_name, partition_by
+            )
         if self.fmt != "delta":
             self._snapshot_or_drop(full_name)
         writer = df.write.format(self.fmt).mode("overwrite")
@@ -888,6 +895,7 @@ class Catalog:
         full_name: str,
         partition_by: list[str] | None = None,
         commit_marker: tuple[str, str] | None = None,
+        _preclustered: bool = False,
     ) -> None:
         """Overwrite a table whose current files feed the plan.
 
@@ -912,10 +920,20 @@ class Catalog:
                     "commit_marker is a staging-swap feature; on Delta "
                     "use txnAppId/txnVersion idempotent writes instead"
                 )
-            self.overwrite(df, full_name, partition_by)
+            self.overwrite(
+                df, full_name, partition_by,
+                _preclustered=_preclustered,
+            )
             return
         df = self._with_check_guards(df, full_name)
-        df = self._apply_declared_clustering(df, full_name, partition_by)
+        if not _preclustered:
+            # clustering-on-write for CLUSTER BY tables; writers that
+            # already produced the declared layout (optimize_table's
+            # zorder frame, with its explicit file-count control)
+            # pass _preclustered=True and skip the second shuffle
+            df = self._apply_declared_clustering(
+                df, full_name, partition_by
+            )
         final = self.path(full_name)
         staging = final + "__staging"
         shutil.rmtree(staging, ignore_errors=True)

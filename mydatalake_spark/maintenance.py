@@ -337,6 +337,162 @@ def _touched_partitions_for_predicate(
     return [tuple(r[c] for c in pcols) for r in rows]
 
 
+def _cluster_file_ranges(
+    path: str, column: str
+) -> tuple[list[tuple[str, object, object, int]], list[str]] | None:
+    """Per-data-file (path, min, max, bytes) of ``column`` from the
+    parquet FOOTERS — metadata scale, no Spark job, no data bytes
+    read. Returns (ranged files, rangeless files); rangeless files
+    (zero-row schema anchors: row-group-free, no interval to overlap)
+    must still be CARRIED through any rewrite, just never rewritten.
+    Returns None if any row group lacks usable stats for the column
+    (caller falls back to the full rewrite rather than guessing)."""
+    import pyarrow.parquet as pq
+
+    out, rangeless = [], []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith((".", "_")):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != column:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or st.min is None
+                        or st.max is None
+                    ):
+                        return None
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if not mins:
+                rangeless.append(fp)
+            else:
+                out.append(
+                    (fp, min(mins), max(maxs), os.path.getsize(fp))
+                )
+    return out, rangeless
+
+
+def _overlap_components(
+    ranges: list[tuple[str, object, object, int]],
+) -> list[list[tuple[str, object, object, int]]]:
+    """Connected components of STRICTLY overlapping file intervals
+    (touching boundaries — ``hi == lo`` — stay separate: a duplicate
+    key value spanning a range-partition boundary is inherent, not a
+    layout defect). One sorted sweep; each component's interval hull
+    is disjoint from every file outside it, so a component can be
+    rewritten alone without creating new overlaps."""
+    comps: list[list] = []
+    cur: list = []
+    cur_max = None
+    for item in sorted(ranges, key=lambda t: (t[1], t[2])):
+        if cur and item[1] < cur_max:  # strict overlap with the hull
+            cur.append(item)
+            cur_max = max(cur_max, item[2])
+        else:
+            if cur:
+                comps.append(cur)
+            cur = [item]
+            cur_max = item[2]
+    if cur:
+        comps.append(cur)
+    return comps
+
+
+def _recluster_incremental(
+    catalog: Catalog,
+    full_name: str,
+    column: str,
+    target_file_bytes: int,
+) -> int | None:
+    """Incremental recluster of a single-column CLUSTER BY table —
+    Delta liquid clustering's OPTIMIZE behavior, and the form that
+    holds at 100 TB: a full-table rewrite per OPTIMIZE does not.
+
+    Overlapping files are found from parquet footer min/max alone
+    (one stat pass, no data read), grouped into connected components,
+    and ONLY those components' rows are read and re-range-partitioned
+    — each component's hull is disjoint from everything outside it,
+    so per-component rewrites cannot introduce new overlaps. Clean
+    files are HARDLINKED into the staging directory (O(#files)
+    metadata ops, zero data bytes — the ``Catalog.snapshot``
+    discipline), and the whole new state commits through the same
+    atomic directory swap as every overwrite, so versioning, crash
+    behavior (staging garbage, live intact), and time travel are
+    unchanged.
+
+    Returns the number of files written, 0 for an already-clustered
+    no-op (which commits NO new version), or None when the incremental
+    path does not apply (stats missing, overlap spans most of the
+    table, or pathologically many components) — the caller falls back
+    to the full rewrite."""
+    import shutil
+
+    path = catalog.path(full_name)
+    probed = _cluster_file_ranges(path, column)
+    if probed is None:
+        return None
+    ranges, rangeless = probed
+    if not ranges:
+        return 0  # empty / anchor-only table: nothing to recluster
+    comps = _overlap_components(ranges)
+    dirty = [c for c in comps if len(c) > 1]
+    if not dirty:
+        return 0
+    dirty_files = [f for c in dirty for f in c]
+    dirty_bytes = sum(t[3] for t in dirty_files)
+    total_bytes = sum(t[3] for t in ranges)
+    if len(dirty) > 8 or dirty_bytes >= 0.6 * max(total_bytes, 1):
+        return None  # full rewrite is the better plan
+    clean = [
+        t[0] for c in comps if len(c) == 1 for t in c
+    ] + rangeless
+
+    spark = catalog.spark
+    staging = path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    written = 0
+    try:
+        for i, comp in enumerate(dirty):
+            files = [t[0] for t in comp]
+            n = max(1, -(-sum(t[3] for t in comp) // target_file_bytes))
+            out = (
+                spark.read.parquet(*files)
+                .repartitionByRange(n, column)
+                .sortWithinPartitions(column)
+            )
+            tmp = f"{path}__recluster{i}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            out.write.mode("overwrite").parquet(tmp)
+            for f in sorted(os.listdir(tmp)):
+                if f.startswith((".", "_")):
+                    continue
+                os.replace(
+                    os.path.join(tmp, f),
+                    os.path.join(staging, f"rc{i}-{f}"),
+                )
+                written += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+        for fp in clean:
+            os.link(fp, os.path.join(staging, os.path.basename(fp)))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    catalog._snapshot_or_drop(full_name)
+    os.replace(staging, path)
+    catalog._invalidate(full_name)
+    return written
+
+
 def optimize_table(
     catalog: Catalog,
     full_name: str,
@@ -344,6 +500,7 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     bits: int = 16,
     where=None,
+    full: bool = False,
 ) -> int:
     """Delta ``OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]`` analogue
     on a CATALOG table; returns the output file count (0 for a no-op).
@@ -389,6 +546,21 @@ def optimize_table(
                 f"of ZORDER BY {list(zorder_by)}"
             )
         zorder_by = list(cby)
+        if not full and where is None and len(cby) == 1:
+            # Incremental recluster (Delta liquid clustering's
+            # OPTIMIZE): only files whose footer ranges overlap are
+            # rewritten; clean files ride through as hardlinks. A
+            # recluster permutes rows, never changes them, so CHECK
+            # constraints hold iff they held (same argument as the
+            # hardlink version snapshots). `OPTIMIZE t FULL` (or
+            # full=True) forces the whole-table rewrite; multi-column
+            # clustering always takes it (z-order boxes have no 1-D
+            # overlap order).
+            n = _recluster_incremental(
+                catalog, full_name, cby[0], target_file_bytes
+            )
+            if n is not None:
+                return n
     pcols = detect_partition_cols(catalog.path(full_name))
     if where is not None:
         return _optimize_partitions(
@@ -415,8 +587,19 @@ def optimize_table(
         return 0
     sizes = file_sizes(catalog, full_name)
     n_files = max(1, -(-sum(sizes) // target_file_bytes))
-    out = _zorder_frame(df, zorder_by, bits, n_files)
-    catalog.overwrite_via_staging(out, full_name, partition_by=pcols)
+    if len(zorder_by) == 1:
+        # single key: EXACT range clustering — pairwise-disjoint file
+        # ranges with no quantization fuzz (the bits-bounded Morton
+        # cell lets boundary keys interleave by up to domain/2^bits),
+        # and no min/max bounds job
+        out = df.repartitionByRange(
+            n_files, *zorder_by
+        ).sortWithinPartitions(*zorder_by)
+    else:
+        out = _zorder_frame(df, zorder_by, bits, n_files)
+    catalog.overwrite_via_staging(
+        out, full_name, partition_by=pcols, _preclustered=True
+    )
     return n_files
 
 

@@ -2764,11 +2764,11 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         _refuse_stored_view(catalog, table, "OPTIMIZE")
         if after < len(toks) and toks[after][0] == "FULL":
             # OPTIMIZE t FULL (Databricks: force-recluster ALL data of
-            # a CLUSTER BY table). Our OPTIMIZE of a clustered table
-            # always rewrites the full table in the declared layout,
-            # so FULL is the same operation — but, like Databricks, it
-            # is only meaningful (and only accepted) on a clustered
-            # table, and combines with no other clause.
+            # a CLUSTER BY table). Plain OPTIMIZE on a clustered table
+            # is INCREMENTAL (only overlapping files rewrite); FULL
+            # forces the whole-table rewrite. Like Databricks, FULL is
+            # only accepted on a clustered table and combines with no
+            # other clause.
             if not catalog.declared_cluster_cols(table):
                 raise ValueError(
                     f"OPTIMIZE {table} FULL: the table declares no "
@@ -2781,7 +2781,7 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 )
             from ..maintenance import optimize_table
 
-            return optimize_table(catalog, table)
+            return optimize_table(catalog, table, full=True)
         where = None
         wh_rel = _clause_pos(toks[after:], "WHERE")
         z_rel = _clause_pos(toks[after:], "ZORDER", "BY")

@@ -217,3 +217,65 @@ def test_optimize_full_reclusters_clustered_table_only(
         run_table_sql(cat, f"OPTIMIZE {SRC} FULL")
     with pytest.raises(UnsupportedStatement, match="no other clause"):
         run_table_sql(cat, f"OPTIMIZE {TBL} FULL ZORDER BY (v)")
+
+
+def test_incremental_optimize_rewrites_only_overlapping_files(
+    spark, tmp_path
+):
+    """Plain OPTIMIZE on a clustered table is INCREMENTAL (the form
+    that holds at 100 TB): overlap detection from parquet footers
+    only, clean files hardlinked through the staging swap (same
+    inodes, zero data bytes moved), only the overlapped component's
+    rows re-range-partitioned."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    src = spark.range(40_000).select(
+        (F.hash("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    cat.overwrite(src.repartition(4), SRC)
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    # force several clustered files regardless of AQE coalescing
+    from mydatalake_spark.maintenance import optimize_table
+
+    optimize_table(cat, TBL, target_file_bytes=64 * 1024, full=True)
+    path = cat.path(TBL)
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(path, f)).st_ino
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        }
+
+    before = inodes()
+    assert len(before) >= 4, before
+    # append a NARROW batch overlapping only the low end of the domain
+    inc = spark.range(2_000).select(
+        (-1_000_000 + F.col("id") % 5_000).alias("k").cast("int"),
+        F.col("id").alias("v"),
+    )
+    lo_file_count = len(before)
+    cat.append(inc.repartition(1), TBL)
+    n = run_table_sql(cat, f"OPTIMIZE {TBL}")
+    after = inodes()
+    # the appended file and the one clustered file it overlapped were
+    # rewritten; every other file survived with its inode intact
+    surviving = set(before.items()) & set(after.items())
+    assert len(surviving) >= lo_file_count - 2, (before, after)
+    assert any(f.startswith("rc0-") for f in after), after
+    _assert_disjoint(
+        [(lo, hi) for lo, hi in _key_ranges(path)]
+    )
+    assert cat.read(TBL).count() == 42_000
+    # already clustered: OPTIMIZE is a no-op that commits NO version
+    versions_before = cat.versions(TBL)
+    assert run_table_sql(cat, f"OPTIMIZE {TBL}") == 0
+    assert inodes() == after
+    assert cat.versions(TBL) == versions_before
+    # FULL forces the whole-table rewrite: every inode changes
+    run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
+    assert not (set(inodes().items()) & set(after.items()))
+    assert cat.read(TBL).count() == 42_000
