@@ -1709,6 +1709,10 @@ class Catalog:
     def unset_table_properties(
         self, full_name: str, keys: list[str], if_exists: bool = False
     ) -> None:
+        if not self.exists(full_name):
+            raise ValueError(
+                f"UNSET TBLPROPERTIES: {full_name} does not exist"
+            )
         book = self._properties(full_name)
         tp = book.get("tblproperties", {})
         missing = [k for k in keys if k not in tp]
@@ -2469,6 +2473,10 @@ class Catalog:
             "size_bytes": fp["size_bytes"],
             "partition_columns": detect_partition_cols(
                 self.path(full_name)
+            )
+            or [],
+            "clustering_columns": self.declared_cluster_cols(
+                full_name
             )
             or [],
             "num_versions": len(self.versions(full_name)),

@@ -2043,14 +2043,16 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     (
                         d["name"], d["location"], d["format"],
                         d["num_files"], d["size_bytes"],
-                        d["partition_columns"], d["num_versions"],
+                        d["partition_columns"],
+                        d["clustering_columns"], d["num_versions"],
                         _json.dumps(d["constraints"], sort_keys=True),
                         d["num_rows"],
                     )
                 ],
                 "name string, location string, format string, "
                 "num_files long, size_bytes long, "
-                "partition_columns array<string>, num_versions int, "
+                "partition_columns array<string>, "
+                "clustering_columns array<string>, num_versions int, "
                 "constraints string, num_rows long",
             )
         rows = catalog.history(table)
@@ -2362,6 +2364,11 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     raise UnsupportedStatement(
                         f"trailing tokens after CLUSTER BY NONE: "
                         f"{s[:80]}"
+                    )
+                if not catalog.exists(table):
+                    raise ValueError(
+                        f"ALTER TABLE CLUSTER BY NONE: {table} does "
+                        "not exist"
                     )
                 catalog.set_declared_cluster_cols(table, None)
                 return None

@@ -279,3 +279,22 @@ def test_incremental_optimize_rewrites_only_overlapping_files(
     run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
     assert not (set(inodes().items()) & set(after.items()))
     assert cat.read(TBL).count() == 42_000
+
+
+def test_describe_detail_reports_clustering_columns(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat, n=2_000)
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    d = run_table_sql(cat, f"DESCRIBE DETAIL {TBL}").first()
+    assert d.clustering_columns == ["k"]
+    assert d.partition_columns == []
+    d2 = run_table_sql(cat, f"DESCRIBE DETAIL {SRC}").first()
+    assert d2.clustering_columns == []
+    # NONE on a missing table errors by name (metadata statements
+    # never silently succeed against nothing)
+    with pytest.raises(ValueError, match="does not exist"):
+        run_table_sql(
+            cat, "ALTER TABLE silver.sales.nope CLUSTER BY NONE"
+        )
