@@ -1523,7 +1523,22 @@ class Catalog:
                 f"columns {missing} not in the frame ({df.columns}) — "
                 "drop the declaration (CLUSTER BY NONE) or supply them"
             )
-        return df.repartitionByRange(*cby).sortWithinPartitions(*cby)
+        if len(cby) == 1:
+            return df.repartitionByRange(*cby).sortWithinPartitions(
+                *cby
+            )
+        # multi-column declarations cluster on write with the SAME
+        # Hilbert layout OPTIMIZE maintains (one bounds aggregate +
+        # one range shuffle — the declared cost); a row-free frame
+        # (the DDL schema anchor) has no bounds and writes as-is,
+        # like Delta's empty-table OPTIMIZE no-op. Every other
+        # failure (unsupported column type, all-NULL key) propagates
+        # — the declaration cannot be honored and must fail loudly.
+        if df.limit(1).count() == 0:
+            return df
+        from .maintenance import _zorder_frame
+
+        return _zorder_frame(df, cby, 16, None, curve="hilbert")
 
     def _generated_path(self, full_name: str) -> str:
         return os.path.join(

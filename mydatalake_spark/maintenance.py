@@ -243,6 +243,7 @@ def _zorder_frame(
     cluster_by: list[str],
     bits: int,
     n_files: int | None,
+    curve: str = "zorder",
 ) -> DataFrame:
     """The Z-order layout as a TRANSFORMED FRAME: Morton key computed
     in-plan from one min/max aggregate (a single driver row), range
@@ -269,9 +270,48 @@ def _zorder_frame(
     ).first()
     mins = [bounds[f"__min_{n}__"] for n in snames]
     maxs = [bounds[f"__max_{n}__"] for n in snames]
-    keyed = with_s.withColumn(
-        "__z__", zorder_key(snames, mins, maxs, bits)
-    ).drop(*snames)
+    if curve == "hilbert" and len(snames) >= 2:
+        # liquid clustering's curve: Hilbert beats Morton on
+        # multi-column locality (consecutive indices are always grid
+        # neighbors — no quadrant-seam jumps), so each file's bounding
+        # box per column is tighter. The transform is bits-level
+        # unrolled integer arithmetic (operators/layout.py:
+        # hilbert_transpose) — no UDF; 8 bits (256 cells/dim, 2^(8n)
+        # cells total) is ample resolution for file-level clustering
+        # AND the measured ceiling below which the fused
+        # whole-stage-codegen method still compiles (10 bits trips
+        # janino's method-size limit and silently falls back to
+        # interpreted projection — correct but off the codegen path).
+        from .operators.layout import hilbert_key
+
+        hbits = min(bits, 8, 63 // len(snames))
+        bad = [
+            c for c, lo, hi in zip(cluster_by, mins, maxs)
+            if lo is None or hi is None
+        ]
+        if bad:
+            raise ValueError(
+                f"hilbert clustering: columns {bad} have NULL "
+                "min/max bounds — the table is empty or the column "
+                "is entirely NULL; there is nothing to cluster"
+            )
+        scaled = {}
+        for i, (name, lo, hi) in enumerate(zip(snames, mins, maxs)):
+            span = max(int(hi) - int(lo), 1)
+            scaled[f"__hs{i}__"] = (
+                (F.col(name).cast("long") - F.lit(int(lo)))
+                * F.lit((1 << hbits) - 1) / F.lit(span)
+            ).cast("long")
+        keyed = hilbert_key(
+            with_s.withColumns(scaled),
+            list(scaled),
+            bits=hbits,
+            key_name="__z__",
+        ).drop(*snames, *scaled)
+    else:
+        keyed = with_s.withColumn(
+            "__z__", zorder_key(snames, mins, maxs, bits)
+        ).drop(*snames)
     part = (
         keyed.repartitionByRange(n_files, "__z__")
         if n_files
@@ -596,7 +636,13 @@ def optimize_table(
             n_files, *zorder_by
         ).sortWithinPartitions(*zorder_by)
     else:
-        out = _zorder_frame(df, zorder_by, bits, n_files)
+        # declared multi-column CLUSTER BY rides the Hilbert curve
+        # (liquid clustering's curve); explicit ZORDER BY keeps the
+        # Morton layout its name promises
+        out = _zorder_frame(
+            df, zorder_by, bits, n_files,
+            curve="hilbert" if cby else "zorder",
+        )
     catalog.overwrite_via_staging(
         out, full_name, partition_by=pcols, _preclustered=True
     )

@@ -149,3 +149,124 @@ def pruning_stats(
             6,
         ).alias("scan_fraction"),
     )
+
+
+# --- Hilbert curve (liquid clustering's space-filling curve) ---------
+
+def hilbert_transpose(
+    df: DataFrame, cols: list[str], bits: int = 10,
+    prefix: str = "__h",
+) -> tuple[DataFrame, list[str]]:
+    """Skilling's AxesToTranspose (2004) over ``cols`` — inputs
+    already scaled to ``[0, 2**bits)`` — as ``bits``-level unrolled
+    integer column arithmetic. Returns (frame, transposed column
+    names); interleaving the transposed words MSB-first (column 0
+    most significant within each bit group) yields the Hilbert index.
+
+    Why Hilbert over Morton: consecutive Hilbert indices are always
+    GRID NEIGHBORS (unit-step in exactly one coordinate — property
+    test-pinned against an exhaustive grid), while the Z-curve jumps
+    across quadrant seams, so a range of Hilbert-sorted rows is a
+    tighter bounding box per file. This is the curve behind
+    Databricks liquid clustering; legacy ZORDER keeps Morton.
+
+    Each level is MATERIALIZED as named columns (one select per
+    level), not nested into a single expression: the transform reads
+    its own outputs several times per level, so a single expression
+    tree would grow multiplicatively. Spark's CollapseProject leaves
+    multi-referenced non-cheap projections alone, and whole-stage
+    codegen turns the column chain into straight-line locals — no
+    UDF, no shuffle, no Python in the row path."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError(
+            "hilbert_transpose needs >= 2 columns (one column is "
+            "plain range clustering — no curve required)"
+        )
+    xs = [f"{prefix}{i}" for i in range(n)]
+    out = df.select(
+        "*", *[F.col(c).cast("long").alias(x) for c, x in zip(cols, xs)]
+    )
+
+    def _lvl(tag: str, **newcols) -> None:
+        nonlocal out
+        keep = [c for c in out.columns if c not in newcols]
+        out = out.select(
+            *keep, *[v.alias(k) for k, v in newcols.items()]
+        )
+
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            cond = F.col(xs[i]).bitwiseAND(F.lit(q)) != 0
+            if i == 0:
+                _lvl(
+                    f"q{q}i0",
+                    **{xs[0]: F.when(
+                        cond, F.col(xs[0]).bitwiseXOR(F.lit(p))
+                    ).otherwise(F.col(xs[0]))},
+                )
+            else:
+                # bit set → invert X[0] by P; bit clear → exchange the
+                # P-masked low bits of X[0] and X[i]. t is materialized
+                # first so its two uses stay one computation per row.
+                t = (
+                    F.col(xs[0]).bitwiseXOR(F.col(xs[i]))
+                ).bitwiseAND(F.lit(p))
+                tname = f"{prefix}t"
+                _lvl(f"q{q}i{i}t", **{tname: t})
+                _lvl(
+                    f"q{q}i{i}",
+                    **{
+                        xs[0]: F.when(
+                            cond, F.col(xs[0]).bitwiseXOR(F.lit(p))
+                        ).otherwise(
+                            F.col(xs[0]).bitwiseXOR(F.col(tname))
+                        ),
+                        xs[i]: F.when(cond, F.col(xs[i])).otherwise(
+                            F.col(xs[i]).bitwiseXOR(F.col(tname))
+                        ),
+                    },
+                )
+                out = out.drop(tname)
+        q >>= 1
+    # Gray encode
+    for i in range(1, n):
+        _lvl(f"g{i}", **{xs[i]: F.col(xs[i]).bitwiseXOR(F.col(xs[i - 1]))})
+    t_expr = F.lit(0).cast("long")
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_expr = F.when(
+            F.col(xs[n - 1]).bitwiseAND(F.lit(q)) != 0,
+            t_expr.bitwiseXOR(F.lit(q - 1)),
+        ).otherwise(t_expr)
+        q >>= 1
+    _lvl("gt", **{f"{prefix}t": t_expr})
+    _lvl(
+        "gx",
+        **{
+            x: F.col(x).bitwiseXOR(F.col(f"{prefix}t")) for x in xs
+        },
+    )
+    out = out.drop(f"{prefix}t")
+    return out, xs
+
+
+def hilbert_key(
+    df: DataFrame, cols: list[str], bits: int = 10,
+    key_name: str = "__hilbert__",
+) -> DataFrame:
+    """Hilbert index column over pre-scaled integer ``cols``: the
+    transposed words interleave with column 0's bit MOST significant
+    within each group (Skilling's read-out order), reusing the Morton
+    interleave with the column list reversed. Auto-caps ``bits`` at
+    ``63 // n`` like :func:`zorder_key`'s sign-bit guard."""
+    n = len(cols)
+    bits = min(bits, 63 // n)
+    out, xs = hilbert_transpose(df, cols, bits=bits)
+    key = zorder_key(list(reversed(xs)), bits=bits)
+    return out.select(
+        "*",
+        key.alias(key_name),
+    ).drop(*xs)

@@ -298,3 +298,46 @@ def test_describe_detail_reports_clustering_columns(spark, tmp_path):
         run_table_sql(
             cat, "ALTER TABLE silver.sales.nope CLUSTER BY NONE"
         )
+
+
+def test_multicolumn_cluster_by_gives_both_columns_locality(
+    spark, tmp_path, small_advisory
+):
+    """CLUSTER BY (x, y) rides the Hilbert curve (liquid clustering's
+    curve): each row group's footer range on EACH column is a fraction
+    of its domain, so selective predicates on either column prune.
+    Lexicographic range clustering on (x, y) cannot do this — y would
+    span its whole domain inside every x-run."""
+    import pyarrow.parquet as pq
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    n = 40_000
+    src = spark.range(n).select(
+        (F.hash("id") % 10_000).alias("x"),
+        (F.hash(F.col("id") + 1) % 10_000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    cat.overwrite(src.repartition(8), SRC)
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} CLUSTER BY (x, y) AS SELECT * FROM {SRC}",
+    )
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{cat.path(TBL)}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in spans:
+                    st = col.statistics
+                    spans[col.path_in_schema].append(st.max - st.min)
+    assert len(spans["x"]) >= 8
+    domain = 20_000
+    for name in ("x", "y"):
+        avg = sum(spans[name]) / len(spans[name])
+        assert avg < 0.55 * domain, (name, avg, spans[name][:5])
+    assert cat.read(TBL).count() == n
+    # OPTIMIZE FULL maintains the same both-column locality
+    cat.append(src.limit(4_000), TBL)
+    run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
+    assert cat.read(TBL).count() == n + 4_000
