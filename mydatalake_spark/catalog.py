@@ -1430,17 +1430,7 @@ class Catalog:
             return json.load(fh)
 
     def _write_tabledef(self, full_name: str, book: dict) -> None:
-        book = {k: v for k, v in book.items() if v}
-        p = self._tabledef_path(full_name)
-        if not book:
-            if os.path.exists(p):
-                os.remove(p)
-            return
-        os.makedirs(self._version_root(full_name), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(book, fh, indent=1)
-        os.replace(tmp, p)
+        self._write_book(self._tabledef_path(full_name), book)
 
     def declared_partition_cols(self, full_name: str) -> list[str] | None:
         """Partition columns DECLARED by column-list DDL (``CREATE
@@ -1643,19 +1633,24 @@ class Catalog:
         with open(p) as fh:
             return json.load(fh)
 
-    def _write_properties(self, full_name: str, book: dict) -> None:
-        # drop empty sections so an all-cleared book deletes the file
+    def _write_book(self, path: str, book: dict) -> None:
+        """Atomic metadata-book writer shared by the version-root
+        books (.properties.json, .tabledef.json): empty sections
+        drop, an all-empty book deletes the file, writes go through
+        tmp + rename."""
         book = {k: v for k, v in book.items() if v}
-        p = self._properties_path(full_name)
         if not book:
-            if os.path.exists(p):
-                os.remove(p)
+            if os.path.exists(path):
+                os.remove(path)
             return
-        os.makedirs(self._version_root(full_name), exist_ok=True)
-        tmp = p + ".tmp"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(book, fh, indent=1, sort_keys=True)
-        os.replace(tmp, p)
+        os.replace(tmp, path)
+
+    def _write_properties(self, full_name: str, book: dict) -> None:
+        self._write_book(self._properties_path(full_name), book)
 
     def table_comment(self, full_name: str) -> str | None:
         return self._properties(full_name).get("comment")
@@ -1687,12 +1682,16 @@ class Catalog:
             raise ValueError(
                 f"COMMENT ON COLUMN: {full_name} does not exist"
             )
-        cols = self.read(full_name).columns
-        if column not in cols:
-            raise ValueError(
-                f"COMMENT ON COLUMN: {column!r} not in {full_name} "
-                f"({cols})"
-            )
+        if text is not None:
+            # clearing (text=None) skips the membership check: DROP
+            # COLUMN clears the dropped column's comment AFTER the
+            # rewrite, when the column is already gone
+            cols = self.read(full_name).columns
+            if column not in cols:
+                raise ValueError(
+                    f"COMMENT ON COLUMN: {column!r} not in {full_name} "
+                    f"({cols})"
+                )
         book = self._properties(full_name)
         cc = book.get("columns", {})
         if text is None:
@@ -1871,8 +1870,14 @@ class Catalog:
         a leak), so the rank needs no per-null renumbering shuffle."""
         fill = column in df.columns
         if fill:
-            # cheap probe: no NULLs → nothing to allocate, and pure
-            # rewrites (DML/DDL staging) reserve nothing
+            # The frame is checkpointed BEFORE the NULL probe so the
+            # probe, the counting pass, and the final write all share
+            # ONE materialization — probing the raw plan would compute
+            # the whole rewrite (a DML/MERGE staging frame) once just
+            # to prove "no NULLs" and then again for the write. Pure
+            # rewrites (no NULL slots) return the checkpointed frame:
+            # same rows, already materialized for the write.
+            df = df.localCheckpoint(eager=False)
             if (
                 df.where(F.col(column).isNull()).limit(1).count() == 0
             ):
@@ -1881,7 +1886,8 @@ class Catalog:
         base = spec["high"]
         if base is None:
             base = start - step
-        df = df.localCheckpoint(eager=False)
+        if not fill:
+            df = df.localCheckpoint(eager=False)
         mid = F.monotonically_increasing_id()
         tagged = df.withColumn("__id_mid", mid)
         # mid = (partitionId << 33) | rowInPartition — one count per
@@ -2324,15 +2330,25 @@ class Catalog:
             if not dry_run:
                 shutil.rmtree(p, ignore_errors=True)
         if not dry_run and not self.versions(full_name):
-            # keep the root when it carries the high-water marker —
-            # version numbers must stay never-reused across a full
-            # vacuum (drop()/truncate() end the table's lifecycle and
-            # do remove it)
+            # The version root is removed ONLY when nothing durable
+            # remains in it. Every book there records a promise that
+            # must outlive a vacuum — .hwm (version numbers never
+            # reused), .identity.json (ids never reused),
+            # .constraints.json / .generated.json / .tabledef.json /
+            # .properties.json (declarations), the commit clock, the
+            # append/copy-into txn books. Vacuuming old SNAPSHOTS must
+            # never strip the live table's declarations —
+            # drop()/truncate() end the lifecycle and do remove them.
             root = self._version_root(full_name)
-            keep_files = (".hwm", ".constraints.json")
-            if not any(
-                os.path.exists(os.path.join(root, f)) for f in keep_files
-            ):
+            transient = {".snap_staging"}
+            leftovers = [
+                e
+                for e in (
+                    os.listdir(root) if os.path.isdir(root) else []
+                )
+                if e not in transient and not e.endswith(".tmp")
+            ]
+            if not leftovers:
                 shutil.rmtree(root, ignore_errors=True)
         import time
 

@@ -510,8 +510,11 @@ def _recluster_incremental(
                 .repartitionByRange(n, column)
                 .sortWithinPartitions(column)
             )
-            tmp = f"{path}__recluster{i}"
-            shutil.rmtree(tmp, ignore_errors=True)
+            # per-component scratch lives INSIDE the staging dir (dot-
+            # prefixed: invisible to scans and list_tables) so a crash
+            # anywhere leaves only the __staging husk, which vacuum
+            # already reclaims — never a phantom catalog entry
+            tmp = os.path.join(staging, f".rc{i}")
             out.write.mode("overwrite").parquet(tmp)
             for f in sorted(os.listdir(tmp)):
                 if f.startswith((".", "_")):

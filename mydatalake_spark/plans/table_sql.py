@@ -1509,6 +1509,24 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 catalog.set_declared_cluster_cols(table, cby_src)
             for col, expr in catalog.generated_columns(src).items():
                 catalog.set_generated_column(table, col, expr)
+            # identity declarations carry with a FRESH counter (the
+            # copy is empty; CLONE is the one that inherits the
+            # high-water with the data); comments and TBLPROPERTIES
+            # copy like Spark's LIKE. Without this an INSERT into the
+            # copy would silently NULL-fill the surrogate key.
+            for col, ispec in catalog.identity_columns(src).items():
+                catalog.set_identity_column(
+                    table, col,
+                    start=ispec["start"], step=ispec["step"],
+                )
+            tcom = catalog.table_comment(src)
+            if tcom is not None:
+                catalog.set_table_comment(table, tcom)
+            for col, text in catalog.column_comments(src).items():
+                catalog.set_column_comment(table, col, text)
+            props = catalog.table_properties(src)
+            if props:
+                catalog.set_table_properties(table, props)
             return None
         if nxt[:1] == ["CLONE"] or (
             len(nxt) == 2
@@ -1589,7 +1607,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             # declare BEFORE the write so overwrite's clustering-on-
             # write hook lays the very first data out clustered
             catalog.set_declared_cluster_cols(table, cby)
-        catalog.overwrite_via_staging(rows, table, partition_by=pby)
+        try:
+            catalog.overwrite_via_staging(rows, table, partition_by=pby)
+        except BaseException:
+            # a failed CTAS must not orphan the pre-write declaration:
+            # a stale .tabledef.json would wedge the name for any
+            # later CREATE with a different layout
+            if cby and not catalog.exists(table):
+                catalog.set_declared_cluster_cols(table, None)
+            raise
         return None
 
     if head == "MERGE":
@@ -1649,6 +1675,36 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         matched, not_matched, by_source = _parse_merge_clauses(
             s, toks, when_tok_idx, t_alias, s_alias
         )
+        idents = set(catalog.identity_columns(table))
+        if idents:
+            # Delta's ALWAYS rule holds in MERGE too: an explicit SET
+            # on an identity column or an INSERT list naming one would
+            # bypass the high-water book — a future allocation could
+            # then mint the same id twice. (INSERT * is fine: the NULL
+            # slot the join leaves is filled by _allocate_identity.)
+            hit = sorted(
+                idents
+                & {
+                    c
+                    for cl in (*matched, *by_source)
+                    for c in (cl.sets or {})
+                }
+            ) or sorted(
+                idents
+                & {
+                    c
+                    for cl in not_matched
+                    for c in (cl.values or {})
+                }
+            )
+            if hit:
+                raise ValueError(
+                    f"MERGE INTO {table}: column(s) {hit} are "
+                    "GENERATED ALWAYS AS IDENTITY — values are "
+                    "engine-assigned; omit them from the SET/INSERT "
+                    "list (inserted rows' NULL slots are engine-"
+                    "filled above the high-water mark)"
+                )
         guard_expr = (
             f"{_SOURCE_PREFIX}{guard[0]} {guard[1]} {guard[2]}"
             if guard
@@ -2661,13 +2717,35 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             # a dropped identity/generated column takes its declaration
             # with it FIRST — a surviving book entry would re-add the
             # column during the rewrite below (_with_generated computes
-            # missing declared columns), silently undoing the DROP
+            # missing declared columns), silently undoing the DROP.
+            # The pre-drop books are captured and RESTORED if the
+            # rewrite fails: a failed DROP COLUMN must not strip a
+            # declaration (and its never-reuse high-water) from an
+            # unchanged table.
+            ident_book = catalog.identity_columns(table)
+            gen_book = catalog.generated_columns(table)
             for c in cols:
-                if c in catalog.identity_columns(table):
+                if c in ident_book:
                     catalog.drop_identity_column(table, c)
-                if c in catalog.generated_columns(table):
+                if c in gen_book:
                     catalog.drop_generated_column(table, c)
-            _rewrite(df.drop(*cols))
+            try:
+                _rewrite(df.drop(*cols))
+            except BaseException:
+                if any(c in ident_book for c in cols):
+                    catalog._write_identity_book(table, ident_book)
+                for c in cols:
+                    if c in gen_book:
+                        catalog.set_generated_column(
+                            table, c, gen_book[c]
+                        )
+                raise
+            # a dropped column's comment dies with it — a ghost entry
+            # would silently attach to a future same-named column
+            ccom = catalog.column_comments(table)
+            for c in cols:
+                if c in ccom:
+                    catalog.set_column_comment(table, c, None)
             return None
 
         if verbs == ["RENAME", "TO"]:
@@ -2720,6 +2798,13 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     "declaration first (drop_identity_column)"
                 )
             _rewrite(df.withColumnRenamed(old, new))
+            # the comment book is keyed by name: carry it to the new
+            # name (a stale old-name entry would vanish from DESCRIBE
+            # and later resurrect on an unrelated same-named column)
+            ccom = catalog.column_comments(table)
+            if old in ccom:
+                catalog.set_column_comment(table, new, ccom[old])
+                catalog.set_column_comment(table, old, None)
             return None
 
         raise UnsupportedStatement(

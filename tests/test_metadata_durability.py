@@ -1,0 +1,189 @@
+"""Durability of the version-root metadata books across lifecycle
+operations — regression tests for the r13 code-review findings: vacuum
+must never strip declarations, MERGE must honor the identity ALWAYS
+rule, failed DDL must not half-apply, LIKE must carry the full
+declared surface, and the comment book must follow column DDL."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatalake_spark.catalog import Catalog
+from mydatalake_spark.plans.table_sql import run_table_sql
+
+TBL = "silver.sales.t"
+
+
+def test_vacuum_preserves_metadata_books(spark, tmp_path):
+    # vacuum(keep=0) on a keep_versions=0 catalog: no versions exist,
+    # so the old code rmtree'd the version root — taking the identity
+    # high-water, CLUSTER BY declaration, comments and TBLPROPERTIES
+    # with it. Books must outlive any vacuum; only DROP/TRUNCATE end
+    # the lifecycle.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)",
+    )
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('a'), ('b')")
+    run_table_sql(cat, f"COMMENT ON TABLE {TBL} IS 'keep'")
+    run_table_sql(
+        cat, f"ALTER TABLE {TBL} SET TBLPROPERTIES ('k' = 'v')"
+    )
+    cat.vacuum(TBL, keep=0)
+    assert "sk" in cat.identity_columns(TBL)
+    assert cat.identity_columns(TBL)["sk"]["high"] == 2
+    assert cat.table_comment(TBL) == "keep"
+    assert cat.table_properties(TBL) == {"k": "v"}
+    # the next insert continues the sequence instead of NULL-filling
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('c')")
+    got = sorted(r.sk for r in cat.read(TBL).collect())
+    assert got == [1, 2, 3]
+    # clustered declaration survives too
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    src = spark.range(100).select(
+        (F.col("id") % 7).alias("a"), F.col("id").alias("b")
+    )
+    cat2.overwrite(src, "b.s.raw")
+    run_table_sql(
+        cat2, "CREATE TABLE b.s.c CLUSTER BY (a) AS SELECT * FROM b.s.raw"
+    )
+    cat2.vacuum("b.s.c", keep=0)
+    assert cat2.declared_cluster_cols("b.s.c") == ["a"]
+
+
+def test_merge_refuses_explicit_identity_values(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, k INT, v STRING)",
+    )
+    run_table_sql(
+        cat, f"INSERT INTO {TBL} (k, v) VALUES (1, 'a'), (2, 'b')"
+    )
+    src = spark.createDataFrame(
+        [(999, 2, "x"), (998, 9, "y")], "sk long, k int, v string"
+    )
+    cat.overwrite(src, "b.s.changes")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENT"):
+        run_table_sql(
+            cat,
+            f"MERGE INTO {TBL} t USING b.s.changes s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (sk, k, v) "
+            "VALUES (s.sk, s.k, s.v)",
+        )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENT"):
+        run_table_sql(
+            cat,
+            f"MERGE INTO {TBL} t USING b.s.changes s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET sk = 12345",
+        )
+    # an INSERT list OMITTING the identity column still allocates:
+    # the inserted rows arrive with a NULL slot and the allocator
+    # fills it above the high-water mark
+    run_table_sql(
+        cat,
+        f"MERGE INTO {TBL} t USING b.s.changes s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+    )
+    got = {r.k: r.sk for r in cat.read(TBL).collect()}
+    # engine-assigned above the high-water: unique, never NULL, never
+    # a reuse of 1/2 (gaps are fine — Delta's documented behavior)
+    assert len(set(got.values())) == 3
+    assert all(v is not None for v in got.values())
+    assert got[9] > 2
+    assert cat.identity_columns(TBL)["sk"]["high"] >= got[9]
+
+
+def test_failed_drop_column_restores_declarations(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, a INT, b BIGINT) "
+        "CLUSTER BY (a)",
+    )
+    run_table_sql(
+        cat, f"INSERT INTO {TBL} (a, b) VALUES (1, 10), (2, 20)"
+    )
+    before = cat.identity_columns(TBL)
+    assert before["sk"]["high"] == 2
+    # dropping sk together with the CLUSTER BY column fails in the
+    # rewrite (declared cluster column missing from the frame) — the
+    # identity declaration must survive the failed statement
+    with pytest.raises(ValueError, match=r"\['a'\]"):
+        run_table_sql(cat, f"ALTER TABLE {TBL} DROP COLUMNS (sk, a)")
+    assert cat.identity_columns(TBL) == before
+    assert "sk" in cat.read(TBL).columns
+
+
+def test_create_table_like_carries_identity_and_comments(
+    spark, tmp_path
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 "
+        "INCREMENT BY 2), v STRING COMMENT 'val') "
+        "COMMENT 'tbl' TBLPROPERTIES ('p' = 'q')",
+    )
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('a')")
+    run_table_sql(cat, f"CREATE TABLE silver.sales.c LIKE {TBL}")
+    ispec = cat.identity_columns("silver.sales.c")["sk"]
+    assert (ispec["start"], ispec["step"]) == (5, 2)
+    assert ispec["high"] is None         # fresh counter, empty copy
+    assert cat.table_comment("silver.sales.c") == "tbl"
+    assert cat.column_comments("silver.sales.c") == {"v": "val"}
+    assert cat.table_properties("silver.sales.c") == {"p": "q"}
+    run_table_sql(
+        cat, "INSERT INTO silver.sales.c (v) VALUES ('x'), ('y')"
+    )
+    got = sorted(r.sk for r in cat.read("silver.sales.c").collect())
+    assert got == [5, 7]                 # allocated, not NULL-filled
+
+
+def test_failed_ctas_does_not_orphan_cluster_declaration(
+    spark, tmp_path
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(10).select(
+        (F.col("id") % 3).alias("a"), F.col("id").alias("b")
+    )
+    cat.overwrite(src, "b.s.raw")
+    with pytest.raises(Exception, match="boom"):
+        run_table_sql(
+            cat,
+            f"CREATE TABLE {TBL} CLUSTER BY (a) AS "
+            "SELECT a, b, raise_error('boom') AS c FROM b.s.raw",
+        )
+    assert not cat.exists(TBL)
+    assert cat.declared_cluster_cols(TBL) is None
+    # the name is NOT wedged: a different layout now succeeds
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} PARTITIONED BY (a) "
+        "AS SELECT * FROM b.s.raw",
+    )
+    assert cat.read(TBL).count() == 10
+
+
+def test_column_comments_follow_rename_and_drop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id int, c string, z double"
+    )
+    cat.overwrite(df, TBL)
+    run_table_sql(cat, f"COMMENT ON COLUMN {TBL}.c IS 'pii'")
+    run_table_sql(cat, f"COMMENT ON COLUMN {TBL}.z IS 'zz'")
+    run_table_sql(cat, f"ALTER TABLE {TBL} RENAME COLUMN c TO d")
+    assert cat.column_comments(TBL) == {"d": "pii", "z": "zz"}
+    run_table_sql(cat, f"ALTER TABLE {TBL} DROP COLUMN z")
+    assert cat.column_comments(TBL) == {"d": "pii"}
+    # a future same-named column does NOT inherit the ghost comment
+    run_table_sql(cat, f"ALTER TABLE {TBL} ADD COLUMNS (z INT)")
+    assert cat.column_comments(TBL) == {"d": "pii"}
