@@ -888,6 +888,11 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(full_name))
         self._invalidate(full_name)
+        if self.declared_cluster_cols(full_name):
+            # the whole table now carries the declared layout (the
+            # clustering hook or a _preclustered caller produced it):
+            # refresh the liquid-clustering file book
+            self._mark_clustered_current(full_name)
 
     def overwrite_via_staging(
         self,
@@ -953,6 +958,8 @@ class Catalog:
         self._snapshot_or_drop(full_name)
         os.replace(staging, final)
         self._invalidate(full_name)
+        if self.declared_cluster_cols(full_name):
+            self._mark_clustered_current(full_name)
 
     def _append_txn_path(self, full_name: str) -> str:
         return os.path.join(
@@ -1485,6 +1492,41 @@ class Catalog:
         else:
             book.pop("cluster_by", None)
         self._write_tabledef(full_name, book)
+
+    def _clustered_files_path(self, full_name: str) -> str:
+        return os.path.join(
+            self._version_root(full_name), ".clustered_files.json"
+        )
+
+    def clustered_files(self, full_name: str) -> set[str]:
+        """Basenames of data files KNOWN to carry the declared
+        clustered layout — the liquid-clustering "cube" book that
+        makes multi-column incremental OPTIMIZE possible (n-D file
+        bounding boxes legitimately overlap, so geometric overlap
+        detection cannot tell clustered from appended there; Delta
+        tracks the same thing as ZCube ids). Self-healing by
+        construction: a missing or stale book only UNDER-counts, so
+        files are at worst re-clustered once and re-marked — never
+        wrongly skipped."""
+        p = self._clustered_files_path(full_name)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh).get("files", []))
+
+    def _mark_clustered_current(self, full_name: str) -> None:
+        """Record the table's CURRENT data files as clustered —
+        called after any write that produced the declared layout for
+        the whole table (clustered overwrite, full recluster)."""
+        names = []
+        for dirpath, _dirs, files in os.walk(self.path(full_name)):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    names.append(f)
+        self._write_book(
+            self._clustered_files_path(full_name),
+            {"files": sorted(names)} if names else {},
+        )
 
     def _apply_declared_clustering(
         self, df: DataFrame, full_name: str,
@@ -2251,6 +2293,10 @@ class Catalog:
             # that its first write lays out the declared tree
             (self._tabledef_path(src_name),
              self._tabledef_path(dst_name)),
+            # liquid-clustering file book: clone copies the tree with
+            # identical file names, so the marks stay valid
+            (self._clustered_files_path(src_name),
+             self._clustered_files_path(dst_name)),
         ):
             if os.path.exists(src_meta):
                 os.makedirs(self._version_root(dst_name), exist_ok=True)

@@ -497,23 +497,41 @@ def _recluster_incremental(
     ] + rangeless
 
     spark = catalog.spark
+    frames = []
+    for comp in dirty:
+        files = [t[0] for t in comp]
+        n = max(1, -(-sum(t[3] for t in comp) // target_file_bytes))
+        frames.append(
+            spark.read.parquet(*files)
+            .repartitionByRange(n, column)
+            .sortWithinPartitions(column)
+        )
+    return _commit_recluster(catalog, full_name, clean, frames)
+
+
+def _commit_recluster(
+    catalog: Catalog,
+    full_name: str,
+    clean_paths: list[str],
+    frames: list[DataFrame],
+) -> int:
+    """Shared commit arm of the incremental reclusters: write each
+    frame into scratch dirs INSIDE a fresh staging directory (dot-
+    prefixed: invisible to scans and list_tables, so a crash anywhere
+    leaves only the __staging husk vacuum already reclaims — never a
+    phantom catalog entry), HARDLINK the clean files alongside
+    (O(#files) metadata ops, zero data bytes), and commit through the
+    same atomic snapshot + directory swap as every overwrite. The
+    clustered-file book is refreshed from the committed state."""
+    import shutil
+
+    path = catalog.path(full_name)
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
     written = 0
     try:
-        for i, comp in enumerate(dirty):
-            files = [t[0] for t in comp]
-            n = max(1, -(-sum(t[3] for t in comp) // target_file_bytes))
-            out = (
-                spark.read.parquet(*files)
-                .repartitionByRange(n, column)
-                .sortWithinPartitions(column)
-            )
-            # per-component scratch lives INSIDE the staging dir (dot-
-            # prefixed: invisible to scans and list_tables) so a crash
-            # anywhere leaves only the __staging husk, which vacuum
-            # already reclaims — never a phantom catalog entry
+        for i, out in enumerate(frames):
             tmp = os.path.join(staging, f".rc{i}")
             out.write.mode("overwrite").parquet(tmp)
             for f in sorted(os.listdir(tmp)):
@@ -525,7 +543,7 @@ def _recluster_incremental(
                 )
                 written += 1
             shutil.rmtree(tmp, ignore_errors=True)
-        for fp in clean:
+        for fp in clean_paths:
             os.link(fp, os.path.join(staging, os.path.basename(fp)))
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -533,7 +551,62 @@ def _recluster_incremental(
     catalog._snapshot_or_drop(full_name)
     os.replace(staging, path)
     catalog._invalidate(full_name)
+    catalog._mark_clustered_current(full_name)
     return written
+
+
+def _recluster_book(
+    catalog: Catalog,
+    full_name: str,
+    cluster_by: list[str],
+    target_file_bytes: int,
+    bits: int,
+) -> int | None:
+    """Incremental recluster for MULTI-column CLUSTER BY via the
+    clustered-file book (catalog.clustered_files) — Delta's actual
+    liquid-clustering design (ZCube tracking). Geometric overlap
+    detection does not generalize past one dimension: the n-D
+    bounding boxes of correctly Hilbert-clustered files legitimately
+    overlap, so "overlapping = dirty" would re-cluster everything,
+    every time. Instead every clustered write records its files;
+    OPTIMIZE reads ONLY the unrecorded (appended) files, Hilbert-
+    clusters them into a new cube beside the recorded ones, and marks
+    the result. Query pruning still works across cubes (each file's
+    footer stats stand alone); OPTIMIZE FULL merges all cubes into
+    one. The book self-heals: a missing/stale entry only UNDER-counts
+    and costs one re-cluster, never a wrong skip.
+
+    Returns files written, 0 for a no-op (no new version), or None to
+    fall back to the full rewrite (dirty bytes >= 60% of the table)."""
+    path = catalog.path(full_name)
+    all_files = []
+    for dirpath, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.startswith((".", "_")):
+                fp = os.path.join(dirpath, f)
+                all_files.append((fp, os.path.getsize(fp)))
+    if not all_files:
+        return 0
+    book = catalog.clustered_files(full_name)
+    dirty = [t for t in all_files if os.path.basename(t[0]) not in book]
+    if not dirty:
+        return 0
+    dirty_bytes = sum(t[1] for t in dirty)
+    total_bytes = sum(t[1] for t in all_files)
+    if dirty_bytes >= 0.6 * max(total_bytes, 1):
+        return None  # full rewrite is the better plan (and re-marks)
+    dirty_names = {os.path.basename(t[0]) for t in dirty}
+    clean = [
+        t[0]
+        for t in all_files
+        if os.path.basename(t[0]) not in dirty_names
+    ]
+    n = max(1, -(-dirty_bytes // target_file_bytes))
+    frame = _zorder_frame(
+        catalog.spark.read.parquet(*[t[0] for t in dirty]),
+        cluster_by, bits, n, curve="hilbert",
+    )
+    return _commit_recluster(catalog, full_name, clean, [frame])
 
 
 def optimize_table(
@@ -589,19 +662,27 @@ def optimize_table(
                 f"of ZORDER BY {list(zorder_by)}"
             )
         zorder_by = list(cby)
-        if not full and where is None and len(cby) == 1:
+        if not full and where is None:
             # Incremental recluster (Delta liquid clustering's
-            # OPTIMIZE): only files whose footer ranges overlap are
-            # rewritten; clean files ride through as hardlinks. A
-            # recluster permutes rows, never changes them, so CHECK
-            # constraints hold iff they held (same argument as the
-            # hardlink version snapshots). `OPTIMIZE t FULL` (or
-            # full=True) forces the whole-table rewrite; multi-column
-            # clustering always takes it (z-order boxes have no 1-D
-            # overlap order).
-            n = _recluster_incremental(
-                catalog, full_name, cby[0], target_file_bytes
-            )
+            # OPTIMIZE): only unclustered data is rewritten; clean
+            # files ride through as hardlinks. Single column: dirty =
+            # footer-overlap components (exact, keeps the whole table
+            # globally disjoint). Multi column: dirty = files outside
+            # the clustered-file book (n-D boxes of clustered files
+            # legitimately overlap — ZCube-style tracking is the
+            # honest detector there). A recluster permutes rows,
+            # never changes them, so CHECK constraints hold iff they
+            # held (same argument as the hardlink version snapshots).
+            # `OPTIMIZE t FULL` (or full=True) forces the whole-table
+            # rewrite.
+            if len(cby) == 1:
+                n = _recluster_incremental(
+                    catalog, full_name, cby[0], target_file_bytes
+                )
+            else:
+                n = _recluster_book(
+                    catalog, full_name, cby, target_file_bytes, bits
+                )
             if n is not None:
                 return n
     pcols = detect_partition_cols(catalog.path(full_name))

@@ -926,6 +926,7 @@ def _clear_definition_metadata(catalog, full_name: str) -> None:
         catalog._identity_path(full_name),
         catalog._properties_path(full_name),
         catalog._tabledef_path(full_name),
+        catalog._clustered_files_path(full_name),
         _mview_path(catalog, full_name),
     ):
         if os.path.exists(p):

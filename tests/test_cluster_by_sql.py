@@ -341,3 +341,58 @@ def test_multicolumn_cluster_by_gives_both_columns_locality(
     cat.append(src.limit(4_000), TBL)
     run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
     assert cat.read(TBL).count() == n + 4_000
+
+
+def test_multicolumn_incremental_optimize_uses_cube_book(
+    spark, tmp_path
+):
+    """Multi-column CLUSTER BY OPTIMIZE is incremental via the
+    clustered-file book (ZCube-style — n-D boxes of clustered files
+    legitimately overlap, so footer geometry can't detect dirt
+    there): only appended files are Hilbert-reclustered, clean files
+    keep their inodes through the hardlink swap, and a healthy book
+    makes the second OPTIMIZE a version-free no-op."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    src = spark.range(30_000).select(
+        (F.hash("id") % 9_999).alias("x"),
+        (F.hash(F.col("id") + 1) % 9_999).alias("y"),
+        F.col("id").alias("v"),
+    )
+    cat.overwrite(src.repartition(4), SRC)
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} CLUSTER BY (x, y) AS SELECT * FROM {SRC}",
+    )
+    path = cat.path(TBL)
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(path, f)).st_ino
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        }
+
+    # the clustered write marked every file
+    assert cat.clustered_files(TBL) == set(inodes())
+    before = inodes()
+    cat.append(src.limit(3_000), TBL)
+    assert set(inodes()) - cat.clustered_files(TBL)  # dirty tail
+    n = run_table_sql(cat, f"OPTIMIZE {TBL}")
+    assert n >= 1
+    after = inodes()
+    # every pre-append file survived the swap inode-identical
+    assert set(before.items()) <= set(after.items())
+    assert cat.read(TBL).count() == 33_000
+    assert cat.clustered_files(TBL) == set(after)
+    # healthy book: OPTIMIZE again is a no-op, no version committed
+    versions = cat.versions(TBL)
+    assert run_table_sql(cat, f"OPTIMIZE {TBL}") == 0
+    assert cat.versions(TBL) == versions
+    assert inodes() == after
+    # FULL merges the cubes: everything rewrites, book re-marks
+    run_table_sql(cat, f"OPTIMIZE {TBL} FULL")
+    assert not (set(inodes().items()) & set(after.items()))
+    assert cat.clustered_files(TBL) == set(inodes())
+    assert cat.read(TBL).count() == 33_000
