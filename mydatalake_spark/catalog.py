@@ -172,6 +172,19 @@ _STAGING_SUFFIXES = (
 _PARTDIR_RE = None  # compiled lazily below
 
 
+def data_files(path: str) -> list[str]:
+    """Every data file under ``path`` (os.walk; names starting with
+    '.' or '_' skipped — Spark's own scan-ignore rule), sorted. The
+    ONE place the data-file rule lives: the clustered-file book, the
+    footer probes, and the size listings all enumerate through it."""
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
 def detect_partition_cols(path: str) -> list[str] | None:
     """Infer a table's hive partition-column chain from its directory
     tree: descend while every data-bearing entry at a level is a
@@ -1491,6 +1504,17 @@ class Catalog:
             book["cluster_by"] = list(cols)
         else:
             book.pop("cluster_by", None)
+        if (book.get("cluster_by") or None) != (
+            self._tabledef(full_name).get("cluster_by") or None
+        ):
+            # the clustered-file book certifies the PREVIOUS keys'
+            # layout — a changed declaration invalidates it, else a
+            # multi-column OPTIMIZE would see every old-layout file
+            # as clean and permanently no-op (the book must only ever
+            # UNDER-count)
+            p = self._clustered_files_path(full_name)
+            if os.path.exists(p):
+                os.remove(p)
         self._write_tabledef(full_name, book)
 
     def _clustered_files_path(self, full_name: str) -> str:
@@ -1518,14 +1542,13 @@ class Catalog:
         """Record the table's CURRENT data files as clustered —
         called after any write that produced the declared layout for
         the whole table (clustered overwrite, full recluster)."""
-        names = []
-        for dirpath, _dirs, files in os.walk(self.path(full_name)):
-            for f in files:
-                if not f.startswith((".", "_")):
-                    names.append(f)
+        names = [
+            os.path.basename(p)
+            for p in data_files(self.path(full_name))
+        ]
         self._write_book(
             self._clustered_files_path(full_name),
-            {"files": sorted(names)} if names else {},
+            {"files": names} if names else {},
         )
 
     def _apply_declared_clustering(
@@ -1724,16 +1747,12 @@ class Catalog:
             raise ValueError(
                 f"COMMENT ON COLUMN: {full_name} does not exist"
             )
-        if text is not None:
-            # clearing (text=None) skips the membership check: DROP
-            # COLUMN clears the dropped column's comment AFTER the
-            # rewrite, when the column is already gone
-            cols = self.read(full_name).columns
-            if column not in cols:
-                raise ValueError(
-                    f"COMMENT ON COLUMN: {column!r} not in {full_name} "
-                    f"({cols})"
-                )
+        cols = self.read(full_name).columns
+        if column not in cols:
+            raise ValueError(
+                f"COMMENT ON COLUMN: {column!r} not in {full_name} "
+                f"({cols})"
+            )
         book = self._properties(full_name)
         cc = book.get("columns", {})
         if text is None:

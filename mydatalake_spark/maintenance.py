@@ -389,35 +389,33 @@ def _cluster_file_ranges(
     (caller falls back to the full rewrite rather than guessing)."""
     import pyarrow.parquet as pq
 
+    from .catalog import data_files
+
     out, rangeless = [], []
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            if f.startswith((".", "_")):
-                continue
-            fp = os.path.join(root, f)
-            md = pq.ParquetFile(fp).metadata
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                for ci in range(md.row_group(rg).num_columns):
-                    col = md.row_group(rg).column(ci)
-                    if col.path_in_schema != column:
-                        continue
-                    st = col.statistics
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or st.min is None
-                        or st.max is None
-                    ):
-                        return None
-                    mins.append(st.min)
-                    maxs.append(st.max)
-            if not mins:
-                rangeless.append(fp)
-            else:
-                out.append(
-                    (fp, min(mins), max(maxs), os.path.getsize(fp))
-                )
+    for fp in data_files(path):
+        md = pq.ParquetFile(fp).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != column:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.min is None
+                    or st.max is None
+                ):
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+        if not mins:
+            rangeless.append(fp)
+        else:
+            out.append(
+                (fp, min(mins), max(maxs), os.path.getsize(fp))
+            )
     return out, rangeless
 
 
@@ -578,13 +576,12 @@ def _recluster_book(
 
     Returns files written, 0 for a no-op (no new version), or None to
     fall back to the full rewrite (dirty bytes >= 60% of the table)."""
+    from .catalog import data_files
+
     path = catalog.path(full_name)
-    all_files = []
-    for dirpath, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            if not f.startswith((".", "_")):
-                fp = os.path.join(dirpath, f)
-                all_files.append((fp, os.path.getsize(fp)))
+    all_files = [
+        (fp, os.path.getsize(fp)) for fp in data_files(path)
+    ]
     if not all_files:
         return 0
     book = catalog.clustered_files(full_name)

@@ -1520,14 +1520,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     table, col,
                     start=ispec["start"], step=ispec["step"],
                 )
-            tcom = catalog.table_comment(src)
-            if tcom is not None:
-                catalog.set_table_comment(table, tcom)
-            for col, text in catalog.column_comments(src).items():
-                catalog.set_column_comment(table, col, text)
-            props = catalog.table_properties(src)
-            if props:
-                catalog.set_table_properties(table, props)
+            book = catalog._properties(src)
+            if book:
+                # one batched book write (table comment + column
+                # comments + TBLPROPERTIES together) — the clone()
+                # discipline, not N schema-validating setter calls
+                catalog._write_properties(table, book)
             return None
         if nxt[:1] == ["CLONE"] or (
             len(nxt) == 2
@@ -1611,10 +1609,12 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         try:
             catalog.overwrite_via_staging(rows, table, partition_by=pby)
         except BaseException:
-            # a failed CTAS must not orphan the pre-write declaration:
-            # a stale .tabledef.json would wedge the name for any
-            # later CREATE with a different layout
-            if cby and not catalog.exists(table):
+            # a failed CTAS must not leave the pre-write declaration
+            # behind: on a fresh name a stale .tabledef.json would
+            # wedge later CREATEs, and on a failed OR REPLACE the
+            # SURVIVING old table would suddenly declare clustering
+            # keys its own schema may not even have
+            if cby:
                 catalog.set_declared_cluster_cols(table, None)
             raise
         return None
@@ -1679,10 +1679,28 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
         idents = set(catalog.identity_columns(table))
         if idents:
             # Delta's ALWAYS rule holds in MERGE too: an explicit SET
-            # on an identity column or an INSERT list naming one would
-            # bypass the high-water book — a future allocation could
-            # then mint the same id twice. (INSERT * is fine: the NULL
-            # slot the join leaves is filled by _allocate_identity.)
+            # on an identity column, an INSERT list naming one, or a
+            # star clause expanding over a source that CARRIES one
+            # (SET */INSERT * copy source values verbatim — the value
+            # would land without a high-water bump and a later
+            # allocation could mint the same id twice). Inserted rows
+            # allocate by OMITTING the column: the NULL slot the join
+            # leaves is filled by _allocate_identity.
+            star = any(
+                getattr(cl, "update_all", False)
+                for cl in (*matched, *by_source)
+            ) or any(cl.insert_all for cl in not_matched)
+            carried = sorted(idents & set(source.columns))
+            if star and carried:
+                raise ValueError(
+                    f"MERGE INTO {table}: the source carries "
+                    f"GENERATED ALWAYS AS IDENTITY column(s) "
+                    f"{carried} into a SET */INSERT * expansion — "
+                    "identity values are engine-assigned (Delta "
+                    "refuses this too); drop the column from the "
+                    "source or use explicit SET/INSERT lists that "
+                    "omit it"
+                )
             hit = sorted(
                 idents
                 & {
@@ -2742,11 +2760,17 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                         )
                 raise
             # a dropped column's comment dies with it — a ghost entry
-            # would silently attach to a future same-named column
-            ccom = catalog.column_comments(table)
-            for c in cols:
-                if c in ccom:
-                    catalog.set_column_comment(table, c, None)
+            # would silently attach to a future same-named column.
+            # Edited through the book directly: the public
+            # set_column_comment validates against the LIVE schema,
+            # which no longer has this column.
+            book = catalog._properties(table)
+            cc = book.get("columns", {})
+            if any(c in cc for c in cols):
+                for c in cols:
+                    cc.pop(c, None)
+                book["columns"] = cc
+                catalog._write_properties(table, book)
             return None
 
         if verbs == ["RENAME", "TO"]:
@@ -2801,11 +2825,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
             _rewrite(df.withColumnRenamed(old, new))
             # the comment book is keyed by name: carry it to the new
             # name (a stale old-name entry would vanish from DESCRIBE
-            # and later resurrect on an unrelated same-named column)
-            ccom = catalog.column_comments(table)
-            if old in ccom:
-                catalog.set_column_comment(table, new, ccom[old])
-                catalog.set_column_comment(table, old, None)
+            # and later resurrect on an unrelated same-named column).
+            # Book-level edit — the old name is gone from the live
+            # schema the public setter validates against.
+            book = catalog._properties(table)
+            cc = book.get("columns", {})
+            if old in cc:
+                cc[new] = cc.pop(old)
+                book["columns"] = cc
+                catalog._write_properties(table, book)
             return None
 
         raise UnsupportedStatement(

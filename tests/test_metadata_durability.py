@@ -187,3 +187,88 @@ def test_column_comments_follow_rename_and_drop(spark, tmp_path):
     # a future same-named column does NOT inherit the ghost comment
     run_table_sql(cat, f"ALTER TABLE {TBL} ADD COLUMNS (z INT)")
     assert cat.column_comments(TBL) == {"d": "pii"}
+
+
+def test_merge_star_expansion_refuses_identity_carrying_source(
+    spark, tmp_path
+):
+    # SET */INSERT * copy source values verbatim, so a source that
+    # CARRIES the identity column would write explicit ids with no
+    # high-water bump (Delta refuses this too). Sources without the
+    # column are refused by the star column-match rule downstream;
+    # explicit lists omitting it remain the supported CDC shape.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, k INT, v STRING)",
+    )
+    run_table_sql(cat, f"INSERT INTO {TBL} (k, v) VALUES (1, 'a')")
+    src = spark.createDataFrame(
+        [(999, 1, "x"), (998, 9, "y")], "sk long, k int, v string"
+    )
+    cat.overwrite(src, "b.s.changes")
+    with pytest.raises(ValueError, match="carries"):
+        run_table_sql(
+            cat,
+            f"MERGE INTO {TBL} t USING b.s.changes s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    assert cat.identity_columns(TBL)["sk"]["high"] == 1
+    assert {r.sk for r in cat.read(TBL).collect()} == {1}
+
+
+def test_redeclaring_cluster_keys_invalidates_file_book(
+    spark, tmp_path
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(5_000).select(
+        (F.hash("id") % 97).alias("x"),
+        (F.hash(F.col("id") + 1) % 97).alias("y"),
+        F.col("id").alias("v"),
+    )
+    cat.overwrite(src, "b.s.raw")
+    run_table_sql(
+        cat, f"CREATE TABLE {TBL} CLUSTER BY (x) AS SELECT * FROM b.s.raw"
+    )
+    assert cat.clustered_files(TBL)        # marked by the write
+    run_table_sql(cat, f"ALTER TABLE {TBL} CLUSTER BY (x, y)")
+    # the book certified the OLD keys' layout — it must not survive
+    assert cat.clustered_files(TBL) == set()
+    # so the next OPTIMIZE actually re-clusters (not a silent no-op)
+    assert run_table_sql(cat, f"OPTIMIZE {TBL}") >= 1
+    assert cat.clustered_files(TBL)
+
+
+def test_failed_replace_ctas_does_not_leave_new_declaration(
+    spark, tmp_path
+):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    cat.overwrite(df, TBL)                 # no 'c' column
+    cat.overwrite(
+        spark.range(10).select((F.col("id") % 3).alias("c")), "b.s.src"
+    )
+    with pytest.raises(Exception, match="boom"):
+        run_table_sql(
+            cat,
+            f"CREATE OR REPLACE TABLE {TBL} CLUSTER BY (c) AS "
+            "SELECT c, raise_error('boom') AS z FROM b.s.src",
+        )
+    # the old table survived — it must NOT carry the new declaration
+    # (its own schema has no 'c'; every overwrite would wedge)
+    assert cat.declared_cluster_cols(TBL) is None
+    cat.overwrite(df, TBL)                 # still writable
+    assert cat.read(TBL).count() == 1
+
+
+def test_comment_on_missing_column_still_refused_after_ddl(
+    spark, tmp_path
+):
+    # the DDL book edits went internal; the public statement keeps its
+    # validation — including the IS NULL form
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(spark.createDataFrame([(1,)], "id int"), TBL)
+    with pytest.raises(ValueError, match="typo"):
+        run_table_sql(cat, f"COMMENT ON COLUMN {TBL}.typo IS NULL")
