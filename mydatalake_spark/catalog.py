@@ -175,8 +175,10 @@ _PARTDIR_RE = None  # compiled lazily below
 def data_files(path: str) -> list[str]:
     """Every data file under ``path`` (os.walk; names starting with
     '.' or '_' skipped — Spark's own scan-ignore rule), sorted. The
-    ONE place the data-file rule lives: the clustered-file book, the
-    footer probes, and the size listings all enumerate through it."""
+    clustered-file book, the footer probes, and the size listings
+    enumerate through it so the data-file rule cannot drift between
+    them. (Walks with a DIFFERENT purpose — vacuum's nlink weighing,
+    commit-time scans — keep their own loops.)"""
     out = []
     for dirpath, _dirs, files in os.walk(path):
         for f in files:
@@ -1258,7 +1260,9 @@ class Catalog:
             n = aligned.count()
             if n:
                 writer = (
-                    self._with_check_guards(aligned, full_name)
+                    self._with_check_guards(
+                        aligned, full_name, skip_generated=True
+                    )
                     .write.format("delta")
                     .mode("append")
                 )
@@ -1270,7 +1274,9 @@ class Catalog:
         staging = self.path(full_name) + "__appstaging"
         shutil.rmtree(staging, ignore_errors=True)
         writer = (
-            self._with_check_guards(aligned, full_name)
+            self._with_check_guards(
+                aligned, full_name, skip_generated=True
+            )
             .write.format(self.fmt)
             .mode("overwrite")
         )
@@ -1930,20 +1936,42 @@ class Catalog:
         every row gets a SLOT (non-null rows burn theirs — a gap, not
         a leak), so the rank needs no per-null renumbering shuffle."""
         fill = column in df.columns
-        if fill:
-            # The frame is checkpointed BEFORE the NULL probe so the
-            # probe, the counting pass, and the final write all share
-            # ONE materialization — probing the raw plan would compute
-            # the whole rewrite (a DML/MERGE staging frame) once just
-            # to prove "no NULLs" and then again for the write. Pure
-            # rewrites (no NULL slots) return the checkpointed frame:
-            # same rows, already materialized for the write.
-            df = df.localCheckpoint(eager=False)
-            if (
-                df.where(F.col(column).isNull()).limit(1).count() == 0
-            ):
-                return df
         step, start = spec["step"], spec["start"]
+        if fill:
+            # The frame is checkpointed BEFORE the probe so the probe,
+            # the counting pass, and the final write all share ONE
+            # materialization — probing the raw plan would compute the
+            # whole rewrite (a DML/MERGE staging frame) once just to
+            # prove "no NULLs" and then again for the write. ONE agg
+            # reads the NULL count and the carried extremes together.
+            df = df.localCheckpoint(eager=False)
+            probe = df.agg(
+                F.count(
+                    F.when(F.col(column).isNull(), F.lit(1))
+                ).alias("n_null"),
+                F.max(column).alias("mx"),
+                F.min(column).alias("mn"),
+            ).first()
+            carried = probe["mx"] if step > 0 else probe["mn"]
+            if carried is not None and (
+                spec["high"] is None
+                or (step > 0 and carried > spec["high"])
+                or (step < 0 and carried < spec["high"])
+            ):
+                # Delta SYNC IDENTITY semantics: carried values PAST
+                # the book (files loaded by copy_into/append with
+                # pre-assigned ids) move the high-water, so a later
+                # allocation can never mint one of them again.
+                # Values at-or-below the book are the normal staged-
+                # union CDC pattern (previously allocated) — no-op.
+                book = self.identity_columns(full_name)
+                cur = book.get(column, spec)
+                cur["high"] = int(carried)
+                book[column] = cur
+                self._write_identity_book(full_name, book)
+                spec = cur
+            if probe["n_null"] == 0:
+                return df
         base = spec["high"]
         if base is None:
             base = start - step
@@ -1994,11 +2022,32 @@ class Catalog:
             .withColumn(column, value)
             .drop("__id_mid", "__id_pid", "__id_off")
         )
+        # the reserved range must FIT the declared column type — a
+        # non-ANSI cast would silently wrap an overflowing int/
+        # smallint into negative "unique" ids (Delta raises here too)
+        _INT_RANGE = {
+            "tinyint": (-(1 << 7), (1 << 7) - 1),
+            "smallint": (-(1 << 15), (1 << 15) - 1),
+            "int": (-(1 << 31), (1 << 31) - 1),
+            "integer": (-(1 << 31), (1 << 31) - 1),
+        }
+        lo, hi = _INT_RANGE.get(
+            str(spec["type"]).lower(), (-(1 << 63), (1 << 63) - 1)
+        )
+        end = base + step * acc
+        if not (lo <= end <= hi):
+            raise ValueError(
+                f"identity column {column!r} on {full_name}: "
+                f"allocating {acc} value(s) would reach {end}, past "
+                f"the {spec['type']} range [{lo}, {hi}] — the type is "
+                "exhausted (every write burns one slot per row; "
+                "declare BIGINT for surrogate keys)"
+            )
         # reserve BEFORE the write lands — re-read the book so a
         # sibling column's concurrent update is not clobbered
         book = self.identity_columns(full_name)
         cur = book.get(column, spec)
-        cur["high"] = int(base + step * acc)
+        cur["high"] = int(end)
         book[column] = cur
         self._write_identity_book(full_name, book)
         return out
@@ -2042,10 +2091,18 @@ class Catalog:
                 df = df.filter(guard)
         return df
 
-    def _with_check_guards(self, df: DataFrame, full_name: str) -> DataFrame:
+    def _with_check_guards(
+        self, df: DataFrame, full_name: str,
+        skip_generated: bool = False,
+    ) -> DataFrame:
         """Wrap a to-be-written frame with per-row CHECK enforcement
         (and, first, generated-column computation/validation — every
         write path calls this, so both contracts ride every write).
+        ``skip_generated`` is for callers that ALREADY ran
+        _with_generated on this frame (append applies it before its
+        strict column-set check): re-running would localCheckpoint
+        and fully re-materialize every identity batch a second time
+        just to re-prove "no NULLs".
 
         One filter whose predicate is TRUE for every conforming row
         and raise_error() for a violator — whole-stage-codegen
@@ -2054,7 +2111,8 @@ class Catalog:
         only evaluated ON violation). The failed write aborts into
         its staging directory, so the live table is never left
         half-written with violating rows."""
-        df = self._with_generated(df, full_name)
+        if not skip_generated:
+            df = self._with_generated(df, full_name)
         cons = self.constraints(full_name)
         if not cons:
             return df

@@ -507,6 +507,15 @@ def copy_into(
             # Explicit operator decision: skip the poisoned batch. Its
             # files stay OUT of the book, so a later run retries them
             # as a fresh batch (new txn) once the cause is fixed.
+            # The crashed attempt may have MOVED part of the batch
+            # into the live tree (txn-prefixed files, token never
+            # recorded) — sweep those first: the retry mints a
+            # DIFFERENT txn id over the post-fix file set, so append's
+            # own same-txn cleanup would never fire and the partial
+            # rows would double once the sources reload.
+            with open(pending_path) as fh:
+                pend = _json.load(fh)
+            catalog._cleanup_append_txn(full_name, pend["txn"])
             os.remove(pending_path)
         else:
             with open(pending_path) as fh:

@@ -28,12 +28,12 @@ from .catalog import Catalog
 def file_sizes(catalog: Catalog, full_name: str) -> list[int]:
     """Data-file sizes of a table, from the filesystem listing —
     metadata scale (one stat per file), no Spark job."""
-    sizes: list[int] = []
-    for root, _, files in os.walk(catalog.path(full_name)):
-        for f in files:
-            if not f.startswith((".", "_")):
-                sizes.append(os.path.getsize(os.path.join(root, f)))
-    return sizes
+    from .catalog import data_files
+
+    return [
+        os.path.getsize(p)
+        for p in data_files(catalog.path(full_name))
+    ]
 
 
 def table_bytes(catalog: Catalog, full_name: str) -> int:
@@ -483,6 +483,25 @@ def _recluster_incremental(
         return 0  # empty / anchor-only table: nothing to recluster
     comps = _overlap_components(ranges)
     dirty = [c for c in comps if len(c) > 1]
+    # Size arm: maximal sort-consecutive runs of >= 2 SMALL singleton
+    # components merge into one rewrite group. Monotonic-key appends
+    # (the time-series norm: every new file strictly above the last)
+    # never overlap anything, so overlap detection alone would no-op
+    # forever while tiny files accumulate unboundedly. A run's hull
+    # spans only its members and the gaps between them — the sweep
+    # order guarantees no outside file sorts into those gaps — so the
+    # rewrite stays overlap-free, like the component rewrites.
+    small = target_file_bytes // 2
+    run: list = []
+    for c in comps:
+        if len(c) == 1 and c[0][3] < small:
+            run.extend(c)
+        else:
+            if len(run) > 1:
+                dirty.append(run)
+            run = []
+    if len(run) > 1:
+        dirty.append(run)
     if not dirty:
         return 0
     dirty_files = [f for c in dirty for f in c]
@@ -659,7 +678,12 @@ def optimize_table(
                 f"of ZORDER BY {list(zorder_by)}"
             )
         zorder_by = list(cby)
-        if not full and where is None:
+        if not full and where is None and catalog.fmt != "delta":
+            # (the raw directory swap below is a plain-parquet
+            # mechanism: on a Delta catalog it would bypass the
+            # _delta_log — resurrecting tombstoned rows and breaking
+            # the log — so Delta falls through to the full rewrite,
+            # which delegates to the transactional overwrite)
             # Incremental recluster (Delta liquid clustering's
             # OPTIMIZE): only unclustered data is rewritten; clean
             # files ride through as hardlinks. Single column: dirty =

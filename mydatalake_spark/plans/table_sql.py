@@ -779,9 +779,11 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
     gen_re = _re.compile(
         r"\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\b", _re.IGNORECASE
     )
+    # Delta's grammar makes START WITH and INCREMENT BY independently
+    # optional: (), (START WITH n), (INCREMENT BY m), or both
     ident_re = _re.compile(
         r"\s*IDENTITY\s*"
-        r"(?:\(\s*START\s+WITH\s+(-?\d+)\s*"
+        r"(?:\(\s*(?:START\s+WITH\s+(-?\d+)\s*)?"
         r"(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*$",
         _re.IGNORECASE,
     )

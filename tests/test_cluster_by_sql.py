@@ -259,7 +259,10 @@ def test_incremental_optimize_rewrites_only_overlapping_files(
     )
     lo_file_count = len(before)
     cat.append(inc.repartition(1), TBL)
-    n = run_table_sql(cat, f"OPTIMIZE {TBL}")
+    # target matched to the test's file scale: at the default 128MB
+    # target every ~60KB file is (correctly) "small" and the size arm
+    # compacts the whole table — here we isolate the OVERLAP arm
+    n = optimize_table(cat, TBL, target_file_bytes=64 * 1024)
     after = inodes()
     # the appended file and the one clustered file it overlapped were
     # rewritten; every other file survived with its inode intact
@@ -272,7 +275,7 @@ def test_incremental_optimize_rewrites_only_overlapping_files(
     assert cat.read(TBL).count() == 42_000
     # already clustered: OPTIMIZE is a no-op that commits NO version
     versions_before = cat.versions(TBL)
-    assert run_table_sql(cat, f"OPTIMIZE {TBL}") == 0
+    assert optimize_table(cat, TBL, target_file_bytes=64 * 1024) == 0
     assert inodes() == after
     assert cat.versions(TBL) == versions_before
     # FULL forces the whole-table rewrite: every inode changes

@@ -272,3 +272,151 @@ def test_comment_on_missing_column_still_refused_after_ddl(
     cat.overwrite(spark.createDataFrame([(1,)], "id int"), TBL)
     with pytest.raises(ValueError, match="typo"):
         run_table_sql(cat, f"COMMENT ON COLUMN {TBL}.typo IS NULL")
+
+
+def test_identity_sync_on_carried_values_and_type_guard(
+    spark, tmp_path
+):
+    # Carried values PAST the high-water (externally loaded files with
+    # pre-assigned ids) move the book — Delta SYNC IDENTITY — so a
+    # later allocation can never mint one of them again.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)",
+    )
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('a')")  # sk=1
+    carried = spark.createDataFrame(
+        [(150, "x"), (200, "y")], "sk long, v string"
+    )
+    cat.append(carried, TBL)               # library path carries ids
+    assert cat.identity_columns(TBL)["sk"]["high"] == 200
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('b')")
+    ids = sorted(r.sk for r in cat.read(TBL).collect())
+    assert len(ids) == len(set(ids)) == 4
+    assert ids[-1] > 200                   # allocated past the sync
+
+    # the reserved range must fit the declared type: an INT identity
+    # about to cross 2^31 raises instead of wrapping negative
+    run_table_sql(
+        cat,
+        "CREATE TABLE silver.sales.narrow ("
+        "sk INT GENERATED ALWAYS AS IDENTITY (START WITH 2147483646), "
+        "v STRING)",
+    )
+    run_table_sql(
+        cat, "INSERT INTO silver.sales.narrow (v) VALUES ('a'), ('b')"
+    )
+    with pytest.raises(ValueError, match="range"):
+        run_table_sql(
+            cat, "INSERT INTO silver.sales.narrow (v) VALUES ('c')"
+        )
+
+
+def test_identity_optional_clause_grammar(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {TBL} ("
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY (INCREMENT BY 3), "
+        "v STRING)",
+    )
+    spec = cat.identity_columns(TBL)["sk"]
+    assert (spec["start"], spec["step"]) == (1, 3)
+    run_table_sql(cat, f"INSERT INTO {TBL} (v) VALUES ('a'), ('b')")
+    assert sorted(r.sk for r in cat.read(TBL).collect()) == [1, 4]
+
+
+def test_monotonic_appends_compact_without_overlap(spark, tmp_path):
+    # time-series shape: every appended file's key range sits strictly
+    # above the previous max — no overlaps ever, but OPTIMIZE must
+    # still bin-pack the accumulating small files (the size arm),
+    # not report success-as-no-op forever.
+    import glob
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_table_sql(cat, f"CREATE TABLE {TBL} (k BIGINT, v BIGINT)")
+    run_table_sql(cat, f"ALTER TABLE {TBL} CLUSTER BY (k)")
+    for day in range(6):
+        inc = spark.range(day * 1000, (day + 1) * 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        cat.append(inc.coalesce(1), TBL)
+    files_before = len(glob.glob(cat.path(TBL) + "/*.parquet"))
+    assert files_before >= 6
+    from mydatalake_spark.maintenance import optimize_table
+
+    n = optimize_table(cat, TBL)           # default 128MB target
+    assert n >= 1
+    files_after = len(glob.glob(cat.path(TBL) + "/*.parquet"))
+    assert files_after < files_before
+    assert cat.read(TBL).count() == 6000
+    # and the result is still globally disjoint on k
+    import pyarrow.parquet as pq
+
+    rgs = []
+    for f in glob.glob(cat.path(TBL) + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            c = md.row_group(rg).column(0)
+            if c.path_in_schema == "k":
+                rgs.append((c.statistics.min, c.statistics.max))
+    rgs.sort()
+    for (l1, h1), (l2, h2) in zip(rgs, rgs[1:]):
+        assert h1 <= l2
+
+
+def test_copy_into_abandon_sweeps_partial_files(spark, tmp_path):
+    # a crashed copy_into can leave txn-prefixed files live with no
+    # token; abandoning the pending batch must sweep them, or the
+    # retry (different txn id) double-loads those rows
+    import json
+    import os
+
+    from mydatalake_spark.ingest import copy_into
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame([(0, "seed")], "id long, v string"), TBL
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(drop / "batch1"))
+    # forge the crash: pending record written, half the batch moved in
+    pend = {
+        "txn": "deadbeef",
+        "files": sorted(
+            str(p) for p in (drop / "batch1").glob("part-*.parquet")
+        ),
+    }
+    pending_path = os.path.join(
+        cat._version_root(TBL), ".copy_into.pending.json"
+    )
+    os.makedirs(os.path.dirname(pending_path), exist_ok=True)
+    with open(pending_path, "w") as fh:
+        json.dump(pend, fh)
+    import shutil
+
+    src_file = pend["files"][0]
+    shutil.copy2(
+        src_file,
+        os.path.join(
+            cat.path(TBL), f"txn-deadbeef-{os.path.basename(src_file)}"
+        ),
+    )
+    cat._invalidate(TBL)
+    assert cat.read(TBL).count() == 3      # partial rows ARE live
+    loaded = copy_into(
+        cat, TBL, str(drop / "batch1") + "/*.parquet",
+        file_format="parquet", abandon_pending=True,
+    )
+    # the partial file was swept BEFORE the fresh batch loaded, so
+    # each source row appears exactly once
+    got = sorted(
+        (r.id, r.v) for r in cat.read(TBL).collect()
+    )
+    assert got == [(0, "seed"), (1, "a"), (2, "b")], got
+    assert loaded == 2
