@@ -481,11 +481,17 @@ def copy_into(
                     "abandon the batch"
                 )
             live = catalog.read(full_name)
-            reader = catalog.spark.read.format(file_format)
-            if file_format != "parquet":
+            from .sources.readers import _FILE_FORMATS
+
+            spark_fmt = _FILE_FORMATS.get(
+                file_format.lower(), file_format
+            )
+            reader = catalog.spark.read.format(spark_fmt)
+            if spark_fmt not in ("parquet", "orc", "binaryFile"):
                 # text formats carry no schema — the table's is the
                 # contract (Databricks COPY INTO reads with the target
-                # table's schema)
+                # table's schema); self-describing/fixed-schema
+                # formats (parquet, orc, binaryFile) keep their own
                 reader = reader.schema(live.schema)
             df = reader.load(sorted(stamp)).select(*live.columns)
             pcols = detect_partition_cols(catalog.path(full_name))

@@ -19,7 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FILE_FORMATS = {"json", "parquet", "csv", "orc"}
+# lowercase name -> Spark DataSource format string. text yields one
+# 'value' string row per line; binaryfile (Spark's binaryFile) yields
+# (path, modificationTime, length, content) for opaque payloads — the
+# multimodal ingestion front door (its fixed schema ignores a user
+# schema, so read_source skips the .schema() call there).
+_FILE_FORMATS = {
+    "json": "json",
+    "parquet": "parquet",
+    "csv": "csv",
+    "orc": "orc",
+    "text": "text",
+    "binaryfile": "binaryFile",
+}
 
 
 def nanos_to_timestamp(col):
@@ -47,10 +59,14 @@ def read_source(
 
     (reference lib/ingestors.py:75-81)
     """
-    if fmt not in _FILE_FORMATS:
-        raise ValueError(f"unsupported file format: {fmt!r}")
+    if fmt.lower() not in _FILE_FORMATS:
+        raise ValueError(
+            f"unsupported file format: {fmt!r} (supported: "
+            f"{sorted(_FILE_FORMATS)})"
+        )
+    fmt = _FILE_FORMATS[fmt.lower()]
     reader = spark.read.format(fmt)
-    if schema is not None:
+    if schema is not None and fmt != "binaryFile":
         reader = reader.schema(schema)
     if options:
         reader = reader.options(**options)

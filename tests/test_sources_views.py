@@ -790,3 +790,72 @@ def test_show_views(spark, tmp_path):
         "gold.s.lazy": "VIEW",
         "gold.s.mat": "MATERIALIZED VIEW",
     }
+
+
+def test_read_source_text_and_binaryfile(spark, tmp_path):
+    """The remaining Databricks COPY INTO source formats: ``text``
+    (one 'value' string row per line — log/raw-corpus ingestion) and
+    ``binaryfile`` (Spark's binaryFile: path/modificationTime/length/
+    content — the opaque-payload front door for multimodal columns;
+    its FIXED schema ignores a caller schema rather than erroring)."""
+    from pyspark.sql import types as T
+
+    from mydatalake_spark.sources.readers import read_source
+
+    p = tmp_path / "raw.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    txt = read_source(spark, "text", str(p), stamp_loaded_at=False)
+    assert sorted(r.value for r in txt.collect()) == [
+        "alpha", "beta", "gamma",
+    ]
+    # loaded_at stamp composes like every other source
+    stamped = read_source(spark, "text", str(p))
+    assert "loaded_at" in stamped.columns
+
+    b = tmp_path / "blob.bin"
+    b.write_bytes(b"\x00\x01PAYLOAD")
+    bf = read_source(
+        spark, "binaryfile", str(b), stamp_loaded_at=False,
+        # a caller schema is ignored, not an error (fixed schema)
+        schema=T.StructType([T.StructField("x", T.StringType())]),
+    )
+    row = bf.first()
+    assert row.length == 9
+    assert bytes(row.content) == b"\x00\x01PAYLOAD"
+    assert row.path.endswith("blob.bin")
+
+    with pytest.raises(ValueError, match="supported"):
+        read_source(spark, "avro", str(p))
+
+
+def test_copy_into_text_format(spark, tmp_path):
+    """COPY INTO from a text drop: lines append under the target
+    table's (value, loaded_at-free) schema contract, file-level
+    idempotent like every other format."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.ingest import copy_into
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(
+        spark.createDataFrame([("seed",)], "value string"),
+        "bronze.raw.lines",
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.log").write_text("l1\nl2\n")
+    n = copy_into(
+        cat, "bronze.raw.lines", str(drop) + "/*.log",
+        file_format="text",
+    )
+    assert n == 2
+    assert copy_into(
+        cat, "bronze.raw.lines", str(drop) + "/*.log",
+        file_format="text",
+    ) == 0                                  # idempotent re-run
+    (drop / "b.log").write_text("l3\n")
+    assert copy_into(
+        cat, "bronze.raw.lines", str(drop) + "/*.log",
+        file_format="text",
+    ) == 1
+    got = sorted(r.value for r in cat.read("bronze.raw.lines").collect())
+    assert got == ["l1", "l2", "l3", "seed"]
