@@ -456,3 +456,78 @@ def sync_view_from_table_changes(
         view.apply_changes(hop.drop("_commit_version"), batch_token=hi)
         done.append(hi)
     return done
+
+
+def sync_replica_from_table_changes(
+    src_catalog: Catalog,
+    src_table: str,
+    dst_catalog: Catalog,
+    dst_table: str,
+    keys: list[str],
+) -> int | None:
+    """Maintain a ROW-LEVEL replica of a versioned table from its own
+    change history — the table twin of
+    :func:`sync_view_from_table_changes` (which maintains aggregates),
+    and the CDF-consumer pattern Delta documents: downstream tables
+    subscribe to ``table_changes`` instead of re-copying the source.
+
+    First call baselines the replica from the source's latest RETAINED
+    version (one copy). Every later call reads the replica's committed
+    sync token, takes ONE net change feed from that version to the
+    latest retained one (intermediate commits collapse — a replica
+    only needs the end state), replays it with
+    :func:`operators.diff.apply_change_feed`, and commits the new
+    state WITH the new token in one atomic staging swap
+    (``commit_marker``) — so a crashed sync re-runs the same
+    deterministic hop and a replayed sync is a no-op. Syncs to the
+    latest retained version, never the live state (the live state has
+    no number to token).
+
+    At 100 TB a sync costs one anti-join of the replica against the
+    CHANGESET's keys plus the changeset union — never a source
+    re-scan; the feed itself is partition-pruned and one join
+    (operators/diff.py). The replica's applied version leaving the
+    source's retention cannot be bridged (nothing to diff FROM) and
+    raises — re-baseline by dropping the replica.
+
+    Returns the version synced to, or None when already current.
+    """
+    from .operators.diff import apply_change_feed
+
+    token_file = ".replica_synced"
+    vs = [int(lbl[1:]) for lbl in src_catalog.versions(src_table)]
+    if not vs:
+        raise ValueError(
+            f"{src_table} has no retained versions — snapshot() or "
+            "overwrite the source before syncing a replica"
+        )
+    latest = vs[-1]
+    applied = None
+    if dst_catalog.exists(dst_table):
+        raw = dst_catalog.read_marker(dst_table, token_file)
+        applied = None if raw is None else int(raw)
+    if applied is None:
+        dst_catalog.overwrite_via_staging(
+            src_catalog.read_version(src_table, version=latest),
+            dst_table,
+            commit_marker=(token_file, str(latest)),
+        )
+        return latest
+    if applied >= latest:
+        return None
+    if applied not in vs:
+        raise ValueError(
+            f"replica {dst_table} last synced version {applied} of "
+            f"{src_table}, which is no longer retained (have {vs}) — "
+            "nothing to diff from; re-baseline by dropping the replica"
+        )
+    feed = src_catalog.table_changes(
+        src_table, keys, from_version=applied, to_version=latest
+    )
+    new_state = apply_change_feed(
+        dst_catalog.read(dst_table), feed, keys
+    )
+    dst_catalog.overwrite_via_staging(
+        new_state, dst_table, commit_marker=(token_file, str(latest))
+    )
+    return latest

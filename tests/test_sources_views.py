@@ -859,3 +859,73 @@ def test_copy_into_text_format(spark, tmp_path):
     ) == 1
     got = sorted(r.value for r in cat.read("bronze.raw.lines").collect())
     assert got == ["l1", "l2", "l3", "seed"]
+
+
+def test_sync_replica_from_table_changes(spark, tmp_path):
+    """Row-level replica maintained from the source's version history:
+    baseline from the latest retained version, then one net hop per
+    sync, token committed atomically with the state (crash-idempotent),
+    vacuumed base refused by name."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import sync_replica_from_table_changes
+
+    src_cat = Catalog(spark, str(tmp_path / "src"), keep_versions=8)
+    dst_cat = Catalog(spark, str(tmp_path / "dst"))
+    S, D = "silver.s.orders", "gold.s.orders_replica"
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, tag string, amt double",
+    )
+    src_cat.overwrite_via_staging(v1, S)
+    src_cat.snapshot(S)                     # version 1 = v1
+    got = sync_replica_from_table_changes(src_cat, S, dst_cat, D, ["id"])
+    assert got == 1
+    assert sorted(r.id for r in dst_cat.read(D).collect()) == [1, 2, 3]
+    # already current → no-op
+    assert (
+        sync_replica_from_table_changes(src_cat, S, dst_cat, D, ["id"])
+        is None
+    )
+
+    # two source commits: update 2, delete 3, insert 9 — one net hop
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b2", 22.0), (9, "i", 90.0)],
+        "id int, tag string, amt double",
+    )
+    v3 = spark.createDataFrame(
+        [(1, "a3", 11.0), (2, "b2", 22.0), (9, "i", 90.0)],
+        "id int, tag string, amt double",
+    )
+    src_cat.overwrite_via_staging(v2, S)    # snapshots v1 again (v2)
+    src_cat.overwrite_via_staging(v3, S)    # snapshots v2 (version 3)
+    src_cat.snapshot(S)                     # version 4 = v3
+    got = sync_replica_from_table_changes(src_cat, S, dst_cat, D, ["id"])
+    assert got == 4
+    want = sorted((r.id, r.tag, r.amt) for r in v3.collect())
+    assert sorted(
+        (r.id, r.tag, r.amt) for r in dst_cat.read(D).collect()
+    ) == want
+    # replays are no-ops; the replica equals the source's latest
+    # retained state bit-for-bit
+    assert (
+        sync_replica_from_table_changes(src_cat, S, dst_cat, D, ["id"])
+        is None
+    )
+
+    # vacuumed base: drop retention below the replica's synced version
+    for _ in range(3):
+        src_cat.overwrite_via_staging(v3, S)
+    src_cat.vacuum(S, keep=1)
+    # replica at v3; only the newest snapshot retained now
+    dst2 = "gold.s.stale_replica"
+    dst_cat.overwrite_via_staging(v1, dst2)
+    # forge an out-of-retention token
+    import os
+
+    with open(
+        os.path.join(dst_cat.path(dst2), ".replica_synced"), "w"
+    ) as fh:
+        fh.write("1")
+    with pytest.raises(ValueError, match="no longer retained"):
+        sync_replica_from_table_changes(src_cat, S, dst_cat, dst2, ["id"])
