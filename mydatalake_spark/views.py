@@ -505,7 +505,16 @@ def sync_replica_from_table_changes(
     applied = None
     if dst_catalog.exists(dst_table):
         raw = dst_catalog.read_marker(dst_table, token_file)
-        applied = None if raw is None else int(raw)
+        if raw is None:
+            # an existing destination WITHOUT a sync token was not
+            # created by this sync — baselining would silently clobber
+            # unrelated data (the CREATE-refuses-existing discipline)
+            raise ValueError(
+                f"replica sync: {dst_table} exists but carries no "
+                f"sync token — it is not a replica of {src_table}; "
+                "drop it or pick another destination name"
+            )
+        applied = int(raw)
     if applied is None:
         dst_catalog.overwrite_via_staging(
             src_catalog.read_version(src_table, version=latest),

@@ -929,3 +929,26 @@ def test_sync_replica_from_table_changes(spark, tmp_path):
         fh.write("1")
     with pytest.raises(ValueError, match="no longer retained"):
         sync_replica_from_table_changes(src_cat, S, dst_cat, dst2, ["id"])
+
+
+def test_sync_replica_refuses_tokenless_existing_destination(
+    spark, tmp_path
+):
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.views import sync_replica_from_table_changes
+
+    src_cat = Catalog(spark, str(tmp_path / "src"), keep_versions=4)
+    dst_cat = Catalog(spark, str(tmp_path / "dst"))
+    df = spark.createDataFrame([(1, 1.0)], "id int, amt double")
+    src_cat.overwrite_via_staging(df, "s.t.a")
+    src_cat.snapshot("s.t.a")
+    # pre-existing unrelated table at the destination: refused, not
+    # clobbered by the baseline
+    dst_cat.overwrite(
+        spark.createDataFrame([("precious",)], "v string"), "g.t.a"
+    )
+    with pytest.raises(ValueError, match="no sync token"):
+        sync_replica_from_table_changes(
+            src_cat, "s.t.a", dst_cat, "g.t.a", ["id"]
+        )
+    assert dst_cat.read("g.t.a").first().v == "precious"
