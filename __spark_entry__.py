@@ -10696,59 +10696,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past the budget stay verified every round by the full
     # local gate (scripts/compare_oracle.py).
     return {
-        # --- never driver-checked: prefix slots first ---
-        "cdf_timestamp_orders": cdf_timestamp_orders,
-        "identity_allocation_orders": identity_allocation_orders,
-        "events_windows": events_windows,
-        # --- last driver-green in r8 ---
-        "duplicate_spans_documents": duplicate_spans_documents,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
-        "split_leakage_documents": split_leakage_documents,
-        "pareto_revenue_customers": pareto_revenue_customers,
         # --- last driver-green in r9 ---
-        "table_changes_orders": table_changes_orders,
-        "fastss_pairs_part": fastss_pairs_part,
-        "pack_greedy_documents": pack_greedy_documents,
-        "fuzzy_entity_clusters_part": fuzzy_entity_clusters_part,
-        "clone_orders": clone_orders,
-        "restore_orders": restore_orders,
-        "merge_part2_orders": merge_part2_orders,
-        "burst_users_events": burst_users_events,
-        "forecast_backtest_revenue": forecast_backtest_revenue,
-        "cusum_changepoint_revenue": cusum_changepoint_revenue,
-        "mad_anomaly_days": mad_anomaly_days,
-        "segment_overlap_users": segment_overlap_users,
-        "item_cosine_recs_parts": item_cosine_recs_parts,
-        "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
-        "dp_counts_events": dp_counts_events,
-        "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
-        "wor_sample_documents": wor_sample_documents,
-        "drift_by_segment_events": drift_by_segment_events,
-        "langid_confusion_documents": langid_confusion_documents,
-        "cycle_time_priority": cycle_time_priority,
-        "open_orders_daily": open_orders_daily,
-        "bpe_two_rounds_documents": bpe_two_rounds_documents,
-        "canonical_by_quality_documents": canonical_by_quality_documents,
-        "pixel_stats_documents": pixel_stats_documents,
-        "cuped_events": cuped_events,
-        "quantized_recall_embeddings": quantized_recall_embeddings,
-        "minhash_calibration_documents": minhash_calibration_documents,
-        "mannwhitney_events": mannwhitney_events,
-        "ks_test_events": ks_test_events,
-        "chi2_priority_status": chi2_priority_status,
-        "theil_sen_users": theil_sen_users,
-        "zipf_alpha_documents": zipf_alpha_documents,
-        "gini_revenue_customers": gini_revenue_customers,
-        "dedup_summary_documents": dedup_summary_documents,
-        "audio_real_decode": audio_real_decode,
-        "video_real_decode": video_real_decode,
-        "temperature_mix_documents": temperature_mix_documents,
-        "copurchase_lift_parts": copurchase_lift_parts,
-        "rfm_segments_customers": rfm_segments_customers,
-        "ewma_daily_revenue": ewma_daily_revenue,
-        "event_entropy_users": event_entropy_users,
-        "zscore_anomalies_events": zscore_anomalies_events,
         "rolling_distinct_by_type": rolling_distinct_by_type,
         "closed_sessions_events": closed_sessions_events,
         "wap_quarantine_events": wap_quarantine_events,
@@ -10902,6 +10850,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": mutual_info_orders,
         "psi_events": psi_events,
         "trimmed_means_events": trimmed_means_events,
+        # --- last driver-green in r13 ---
+        "cdf_timestamp_orders": cdf_timestamp_orders,
+        "identity_allocation_orders": identity_allocation_orders,
+        "events_windows": events_windows,
+        "duplicate_spans_documents": duplicate_spans_documents,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "centroid_accuracy_embeddings": centroid_accuracy_embeddings,
+        "split_leakage_documents": split_leakage_documents,
+        "pareto_revenue_customers": pareto_revenue_customers,
+        "table_changes_orders": table_changes_orders,
+        "fastss_pairs_part": fastss_pairs_part,
+        "pack_greedy_documents": pack_greedy_documents,
+        "fuzzy_entity_clusters_part": fuzzy_entity_clusters_part,
+        "clone_orders": clone_orders,
+        "restore_orders": restore_orders,
+        "merge_part2_orders": merge_part2_orders,
+        "burst_users_events": burst_users_events,
+        "forecast_backtest_revenue": forecast_backtest_revenue,
+        "cusum_changepoint_revenue": cusum_changepoint_revenue,
+        "mad_anomaly_days": mad_anomaly_days,
+        "segment_overlap_users": segment_overlap_users,
+        "item_cosine_recs_parts": item_cosine_recs_parts,
+        "bpe_merge_candidates_documents": bpe_merge_candidates_documents,
+        "dp_counts_events": dp_counts_events,
+        "ndcg_quantized_embeddings": ndcg_quantized_embeddings,
+        "wor_sample_documents": wor_sample_documents,
+        "drift_by_segment_events": drift_by_segment_events,
+        "langid_confusion_documents": langid_confusion_documents,
+        "cycle_time_priority": cycle_time_priority,
+        "open_orders_daily": open_orders_daily,
+        "bpe_two_rounds_documents": bpe_two_rounds_documents,
+        "canonical_by_quality_documents": canonical_by_quality_documents,
+        "pixel_stats_documents": pixel_stats_documents,
+        "cuped_events": cuped_events,
+        "quantized_recall_embeddings": quantized_recall_embeddings,
+        "minhash_calibration_documents": minhash_calibration_documents,
+        "mannwhitney_events": mannwhitney_events,
+        "ks_test_events": ks_test_events,
+        "chi2_priority_status": chi2_priority_status,
+        "theil_sen_users": theil_sen_users,
+        "zipf_alpha_documents": zipf_alpha_documents,
+        "gini_revenue_customers": gini_revenue_customers,
+        "dedup_summary_documents": dedup_summary_documents,
+        "audio_real_decode": audio_real_decode,
+        "video_real_decode": video_real_decode,
+        "temperature_mix_documents": temperature_mix_documents,
+        "copurchase_lift_parts": copurchase_lift_parts,
+        "rfm_segments_customers": rfm_segments_customers,
+        "ewma_daily_revenue": ewma_daily_revenue,
+        "event_entropy_users": event_entropy_users,
+        "zscore_anomalies_events": zscore_anomalies_events,
     }
 
 
