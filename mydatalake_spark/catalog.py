@@ -688,6 +688,20 @@ class Catalog:
             if isinstance(from_version, str)
             else f"v{from_version:08d}"
         )
+        if to_version is not None:
+            # ADVICE r13: an inverted range (from AFTER to) must raise
+            # — Delta errors, it does not return the feed with inserts
+            # and deletes swapped.
+            _to_label = (
+                to_version
+                if isinstance(to_version, str)
+                else f"v{to_version:08d}"
+            )
+            if int(from_label[1:]) > int(_to_label[1:]):
+                raise ValueError(
+                    f"{full_name}: table_changes start {from_label} is "
+                    f"after end {_to_label} — the range is inverted"
+                )
         old = self.read_version(full_name, version=from_version)
         bad = [k for k in keys if k not in old.columns]
         if bad:
@@ -909,6 +923,32 @@ class Catalog:
             # refresh the liquid-clustering file book
             self._mark_clustered_current(full_name)
 
+    def carry_marker_files(self, full_name: str, staging: str) -> None:
+        """Hardlink the live table directory's dot-prefixed marker
+        files (``commit_marker`` residue like ``.replica_synced`` /
+        ``.applied_batch``) into ``staging`` so a ROW-PRESERVING
+        rewrite (OPTIMIZE / compaction / recluster) keeps them —
+        ADVICE r13: losing a replica's sync token wedged its sync
+        permanently. Row-CHANGING overwrites must NOT call this: a
+        marker certifies row content, and carrying it across a data
+        change would assert a sync state that no longer holds.
+        ``.crc`` checksum artifacts are data-file-specific and are
+        left behind; names staging already owns win."""
+        live = self.path(full_name)
+        if not os.path.isdir(live):
+            return
+        for f in os.listdir(live):
+            src = os.path.join(live, f)
+            if (
+                not f.startswith(".")
+                or f.endswith(".crc")
+                or not os.path.isfile(src)
+            ):
+                continue
+            dst = os.path.join(staging, f)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+
     def overwrite_via_staging(
         self,
         df: DataFrame,
@@ -916,6 +956,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         commit_marker: tuple[str, str] | None = None,
         _preclustered: bool = False,
+        carry_markers: bool = False,
     ) -> None:
         """Overwrite a table whose current files feed the plan.
 
@@ -970,6 +1011,8 @@ class Catalog:
                 )
             with open(os.path.join(staging, fname), "w") as fh:
                 fh.write(contents)
+        if carry_markers:
+            self.carry_marker_files(full_name, staging)
         self._snapshot_or_drop(full_name)
         os.replace(staging, final)
         self._invalidate(full_name)
@@ -1491,16 +1534,22 @@ class Catalog:
         return self._tabledef(full_name).get("cluster_by") or None
 
     def set_declared_cluster_cols(
-        self, full_name: str, cols: list[str] | None
+        self, full_name: str, cols: list[str] | None,
+        replacing: bool = False,
     ) -> None:
         """Declare (or with ``None``/``[]`` clear) the table's
         clustering columns. Refused on a partitioned table: partition
         directories already hard-split the key space, and Databricks
-        makes the same either/or rule."""
+        makes the same either/or rule. ``replacing=True`` skips that
+        old-layout check (ADVICE r13): a CREATE OR REPLACE defines the
+        NEW layout, so the still-live old data's hive directories must
+        not veto the declaration."""
         book = self._tabledef(full_name)
         if cols:
-            pby = book.get("partition_by") or detect_partition_cols(
-                self.path(full_name)
+            pby = book.get("partition_by") or (
+                None
+                if replacing
+                else detect_partition_cols(self.path(full_name))
             )
             if pby:
                 raise ValueError(

@@ -521,8 +521,19 @@ def copy_into(
             # rows would double once the sources reload.
             with open(pending_path) as fh:
                 pend = _json.load(fh)
-            catalog._cleanup_append_txn(full_name, pend["txn"])
-            os.remove(pending_path)
+            if catalog._append_txn_seen(full_name, pend["txn"]):
+                # ADVICE r13: the crashed run's append COMMITTED (its
+                # token is recorded) — only the book update was lost.
+                # There is nothing to abandon: sweeping the
+                # txn-prefixed files here would delete committed rows,
+                # and the retry's deterministic md5 over the same file
+                # set re-mints this exact txn, which the token book
+                # then no-ops — silent data loss. Finish the
+                # bookkeeping instead.
+                loaded += _apply_batch(pend["files"], pend["txn"])
+            else:
+                catalog._cleanup_append_txn(full_name, pend["txn"])
+                os.remove(pending_path)
         else:
             with open(pending_path) as fh:
                 pend = _json.load(fh)

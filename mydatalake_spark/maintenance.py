@@ -71,8 +71,9 @@ def compact(
         and max(sizes) > skew_threshold * (total / len(sizes))
     )
     out = df.repartition(n_files) if skewed else df.coalesce(n_files)
+    # compaction permutes files, never rows — sync markers stay valid
     catalog.overwrite_via_staging(
-        out, full_name, partition_by=partition_by
+        out, full_name, partition_by=partition_by, carry_markers=True
     )
     return n_files
 
@@ -562,6 +563,10 @@ def _commit_recluster(
             shutil.rmtree(tmp, ignore_errors=True)
         for fp in clean_paths:
             os.link(fp, os.path.join(staging, os.path.basename(fp)))
+        # reclustering never changes row content, so live commit
+        # markers (.replica_synced, .applied_batch) stay true of the
+        # new layout and must ride the swap (ADVICE r13)
+        catalog.carry_marker_files(full_name, staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -748,8 +753,11 @@ def optimize_table(
             df, zorder_by, bits, n_files,
             curve="hilbert" if cby else "zorder",
         )
+    # a recluster permutes rows, never changes them — sync markers
+    # like .replica_synced stay valid and must survive (ADVICE r13)
     catalog.overwrite_via_staging(
-        out, full_name, partition_by=pcols, _preclustered=True
+        out, full_name, partition_by=pcols, _preclustered=True,
+        carry_markers=True,
     )
     return n_files
 

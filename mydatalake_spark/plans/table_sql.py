@@ -823,6 +823,15 @@ def _create_table_columns(catalog, s, toks, table, after, name_end, replace):
                     int(im.group(2) or 1),
                 )
             else:
+                if gm.group(1).upper() != "ALWAYS":
+                    # ADVICE r13: the expression form has no BY
+                    # DEFAULT variant either — without this the clause
+                    # was silently stored (and enforced) as ALWAYS
+                    raise UnsupportedStatement(
+                        f"column {name!r}: GENERATED BY DEFAULT AS "
+                        "(expr) is not supported — use GENERATED "
+                        "ALWAYS AS (expr)"
+                    )
                 expr, end2 = _balanced_paren_span(rest, gm.end())
                 if rest[end2:].strip():
                     raise UnsupportedStatement(
@@ -1579,12 +1588,15 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                 "CTAS needs AS SELECT ... (column-list DDL without a "
                 f"query is not supported here): {s[:80]}"
             )
-        if catalog.exists(table):
+        replacing = catalog.exists(table)
+        prev_cby = None
+        if replacing:
             if not replace:
                 raise ValueError(
                     f"CREATE TABLE: {table} already exists — use "
                     "CREATE OR REPLACE TABLE for a versioned overwrite"
                 )
+            prev_cby = catalog.declared_cluster_cols(table)
             _clear_definition_metadata(catalog, table)
         from .qualify import run_sql
 
@@ -1606,18 +1618,24 @@ def run_table_sql(catalog, sql: str, max_partitions: int = 10_000):
                     f"CTAS select output {rows.columns}"
                 )
             # declare BEFORE the write so overwrite's clustering-on-
-            # write hook lays the very first data out clustered
-            catalog.set_declared_cluster_cols(table, cby)
+            # write hook lays the very first data out clustered; on a
+            # replace the OLD data's layout must not veto the new
+            # declaration (ADVICE r13)
+            catalog.set_declared_cluster_cols(
+                table, cby, replacing=replacing
+            )
         try:
             catalog.overwrite_via_staging(rows, table, partition_by=pby)
         except BaseException:
             # a failed CTAS must not leave the pre-write declaration
             # behind: on a fresh name a stale .tabledef.json would
             # wedge later CREATEs, and on a failed OR REPLACE the
-            # SURVIVING old table would suddenly declare clustering
-            # keys its own schema may not even have
-            if cby:
-                catalog.set_declared_cluster_cols(table, None)
+            # SURVIVING old table keeps ITS declaration (restored, not
+            # cleared — ADVICE r13), never the replacement's
+            if cby or prev_cby:
+                catalog.set_declared_cluster_cols(
+                    table, prev_cby, replacing=True
+                )
             raise
         return None
 

@@ -399,3 +399,56 @@ def test_multicolumn_incremental_optimize_uses_cube_book(
     assert not (set(inodes().items()) & set(after.items()))
     assert cat.clustered_files(TBL) == set(inodes())
     assert cat.read(TBL).count() == 33_000
+
+
+def test_replace_partitioned_table_with_cluster_by(spark, tmp_path):
+    """ADVICE r13: CREATE OR REPLACE ... CLUSTER BY over an existing
+    HIVE-PARTITIONED table is legitimate — the replacing write defines
+    the new layout, so the old data's partition directories must not
+    veto the declaration."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat)
+    part = "silver.sales.part_then_clustered"
+    run_table_sql(
+        cat,
+        f"CREATE TABLE {part} PARTITIONED BY (bucket) AS "
+        f"SELECT k, v, k % 4 AS bucket FROM {SRC}",
+    )
+    assert cat.declared_cluster_cols(part) is None
+    run_table_sql(
+        cat,
+        f"CREATE OR REPLACE TABLE {part} CLUSTER BY (k) AS "
+        f"SELECT k, v FROM {SRC}",
+    )
+    assert cat.declared_cluster_cols(part) == ["k"]
+    assert cat.read(part).count() == 50_000
+    assert "bucket" not in cat.read(part).columns
+
+
+def test_failed_replace_restores_prior_cluster_declaration(
+    spark, tmp_path
+):
+    """ADVICE r13: a failed CREATE OR REPLACE must leave the SURVIVING
+    old table with ITS cluster declaration, not a cleared one (and not
+    the replacement's)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_src(spark, cat)
+    t = "silver.sales.keepdecl"
+    run_table_sql(
+        cat, f"CREATE TABLE {t} CLUSTER BY (k) AS SELECT * FROM {SRC}"
+    )
+    assert cat.declared_cluster_cols(t) == ["k"]
+    real = cat.overwrite_via_staging
+    cat.overwrite_via_staging = lambda *a, **kw: (_ for _ in ()).throw(
+        OSError("disk full")
+    )
+    with pytest.raises(OSError):
+        run_table_sql(
+            cat,
+            f"CREATE OR REPLACE TABLE {t} CLUSTER BY (v) AS "
+            f"SELECT * FROM {SRC}",
+        )
+    cat.overwrite_via_staging = real
+    # the survivor keeps its own declaration — not (v), not None
+    assert cat.declared_cluster_cols(t) == ["k"]
+    assert cat.read(t).count() == 50_000

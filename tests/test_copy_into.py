@@ -278,3 +278,42 @@ def test_copy_into_abandon_pending_skips_batch(spark, tmp_path):
     assert copy_into(cat, TBL, str(drop), abandon_pending=True) == 1
     assert not os.path.exists(pending)
     assert 7 in {r.id for r in cat.read(TBL).collect()}
+
+
+def test_copy_into_abandon_of_committed_batch_keeps_rows(spark, tmp_path):
+    """ADVICE r13 (medium): abandon_pending on a batch whose append
+    already COMMITTED (txn token recorded, file book not yet written)
+    must finish the bookkeeping, not sweep the committed rows. The
+    old sweep deleted the rows, and the retry's deterministic md5
+    txn over the same file set hit the recorded token, so the retry
+    no-op'd and booked the files — silent data loss."""
+    import hashlib
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    _seed_table(spark, cat)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    f = drop / "a.json"
+    _write(f, [{"id": i, "kind": "x"} for i in range(1, 6)])
+    assert copy_into(cat, TBL, str(drop)) == 5
+    # forge a crash BETWEEN the append commit and the book write: the
+    # token is recorded, the book and pending reflect pre-commit state
+    vroot = cat._version_root(TBL)
+    os.remove(os.path.join(vroot, ".copy_into.json"))
+    txn = "copyinto-" + hashlib.md5(
+        os.path.abspath(str(f)).encode()
+    ).hexdigest()[:16]
+    assert cat._append_txn_seen(TBL, txn)  # the commit really landed
+    pending = os.path.join(vroot, ".copy_into.pending.json")
+    with open(pending, "w") as fh:
+        json.dump(
+            {"txn": txn, "files": {str(f): [os.path.getsize(f)]}}, fh
+        )
+    # abandon against a committed batch: nothing to abandon — the rows
+    # stay, the book heals, pending clears
+    assert copy_into(cat, TBL, str(drop), abandon_pending=True) == 0
+    assert sorted(r.id for r in cat.read(TBL).collect()) == [0, 1, 2, 3, 4, 5]
+    assert not os.path.exists(pending)
+    # and the healed book means a plain re-run is a no-op too
+    assert copy_into(cat, TBL, str(drop)) == 0
+    assert cat.read(TBL).count() == 6

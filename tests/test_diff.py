@@ -647,3 +647,30 @@ def test_table_changes_sql_timestamp_form(spark, tmp_path):
     assert [(r.k, r._change_type) for r in rows2] == [
         (1, "update_postimage"), (1, "update_preimage"), (2, "insert"),
     ]
+
+
+def test_table_changes_inverted_range_raises(spark, tmp_path):
+    """ADVICE r13: from AFTER to must raise (Delta errors), never
+    return the feed with inserts and deletes swapped."""
+    from mydatalake_spark.catalog import Catalog
+
+    old = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    new = spark.createDataFrame([(2, 20.0)], "k bigint, v double")
+    cat = Catalog(spark, str(tmp_path), keep_versions=4)
+    cat.overwrite_via_staging(old, "c.s.t")
+    cat.overwrite_via_staging(new, "c.s.t")   # v1
+    cat.overwrite_via_staging(new, "c.s.t")   # v2
+    with pytest.raises(ValueError, match="inverted"):
+        cat.table_changes("c.s.t", ["k"], from_version=2, to_version=1)
+    with pytest.raises(ValueError, match="inverted"):
+        cat.table_changes(
+            "c.s.t", ["k"], from_version=2, to_version=1,
+            granularity="commit",
+        )
+    # equal bounds stay legal (empty feed)
+    assert (
+        cat.table_changes(
+            "c.s.t", ["k"], from_version=1, to_version=1
+        ).count()
+        == 0
+    )

@@ -952,3 +952,69 @@ def test_sync_replica_refuses_tokenless_existing_destination(
             src_cat, "s.t.a", dst_cat, "g.t.a", ["id"]
         )
     assert dst_cat.read("g.t.a").first().v == "precious"
+
+
+def test_optimize_on_replica_keeps_sync_token(spark, tmp_path):
+    """ADVICE r13: OPTIMIZE/compaction permutes files, not rows — the
+    replica's .replica_synced token must ride the staging swap, or the
+    tokenless-destination refusal permanently wedges the sync."""
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.maintenance import optimize_table
+    from mydatalake_spark.views import sync_replica_from_table_changes
+
+    src_cat = Catalog(spark, str(tmp_path / "src"), keep_versions=8)
+    dst_cat = Catalog(spark, str(tmp_path / "dst"))
+    S, D = "silver.s.orders", "gold.s.orders_replica"
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, amt double"
+    )
+    src_cat.overwrite_via_staging(v1, S)
+    src_cat.snapshot(S)
+    assert sync_replica_from_table_changes(
+        src_cat, S, dst_cat, D, ["id"]
+    ) == 1
+    tok = dst_cat.read_marker(D, ".replica_synced")
+    assert tok is not None
+    # compact the replica — the token survives the rewrite
+    optimize_table(dst_cat, D, target_file_bytes=1 << 20)
+    assert dst_cat.read_marker(D, ".replica_synced") == tok
+    # and the sync still works: no refusal, next source commit lands
+    v2 = spark.createDataFrame(
+        [(1, 11.0), (2, 20.0), (4, 40.0)], "id int, amt double"
+    )
+    src_cat.overwrite_via_staging(v2, S)
+    src_cat.snapshot(S)
+    assert sync_replica_from_table_changes(
+        src_cat, S, dst_cat, D, ["id"]
+    ) == 3
+    assert sorted(r.id for r in dst_cat.read(D).collect()) == [1, 2, 4]
+
+
+def test_incremental_recluster_keeps_markers(spark, tmp_path):
+    """The incremental recluster commit arm carries live dot-markers
+    into its hand-built staging directory too."""
+    import os
+
+    from mydatalake_spark.catalog import Catalog
+    from mydatalake_spark.maintenance import optimize_table
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = "silver.s.clustered"
+    df = spark.range(5_000).select(
+        (F.hash("id") % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    cat.overwrite(df, t)
+    cat.set_declared_cluster_cols(t, ["k"])
+    with open(os.path.join(cat.path(t), ".replica_synced"), "w") as fh:
+        fh.write("7")
+    # unclustered append makes the incremental path do real work
+    cat.append(
+        spark.range(5_000, 6_000).select(
+            (F.hash("id") % 100_000).alias("k"), F.col("id").alias("v")
+        ),
+        t,
+    )
+    optimize_table(cat, t)
+    assert cat.read_marker(t, ".replica_synced") == "7"
+    assert cat.read(t).count() == 6_000
