@@ -91,6 +91,8 @@ class JobRunner:
             return self._run_reconcile(job)
         if job_type == "copy_into":
             return self._run_copy_into(job)
+        if job_type == "cdf_subscribe":
+            return self._run_cdf_subscribe(job)
         if job_type == "sql":
             return self._run_sql(job, layer)
         written: list[str] = []
@@ -186,6 +188,35 @@ class JobRunner:
                 file_format=tbl.get("file_format", "json"),
             )
             written.append(full)
+        return written
+
+    def _run_cdf_subscribe(self, job: dict[str, Any]) -> list[str]:
+        """``type: cdf_subscribe`` jobs: subscribe a downstream
+        replica to a source table's own commits (streaming/cdf.py) —
+        each run is one drain: export the commits landed since the
+        feed's token, then consume them through the availableNow
+        stream into the replica, tokens committed atomically at both
+        hops. Per table the YAML declares ``source_table``, ``keys``,
+        ``replica`` (destination full name), and optionally
+        ``feed_dir`` / ``checkpoint_dir`` (defaulted under the
+        warehouse beside the streaming-ingest checkpoints)."""
+        from .streaming.cdf import export_table_changes, subscribe_replica
+
+        written: list[str] = []
+        for tbl in job.get("tables", []):
+            src, dst = tbl["source_table"], tbl["replica"]
+            feed_dir = tbl.get("feed_dir") or os.path.join(
+                self.catalog.warehouse, "_cdf", src
+            )
+            ckpt = tbl.get("checkpoint_dir") or os.path.join(
+                self.catalog.warehouse, "_checkpoints", "cdf", dst
+            )
+            export_table_changes(
+                self.catalog, src, list(tbl["keys"]), feed_dir,
+                partition_cols=tbl.get("partition_cols"),
+            )
+            subscribe_replica(self.spark, feed_dir, self.catalog, dst, ckpt)
+            written.append(dst)
         return written
 
     def _run_reconcile(self, job: dict[str, Any]) -> list[str]:
