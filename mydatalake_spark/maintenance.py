@@ -543,7 +543,13 @@ def _commit_recluster(
     clustered-file book is refreshed from the committed state."""
     import shutil
 
+    from .catalog import ConcurrentWriteException
+
     path = catalog.path(full_name)
+    # OCC capture: the frames read the live files listed above —
+    # another writer committing before our swap would be clobbered by
+    # a "row-preserving" rewrite of rows that no longer exist
+    expected = catalog.commit_token(full_name)
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
@@ -570,9 +576,15 @@ def _commit_recluster(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    catalog._snapshot_or_drop(full_name)
-    os.replace(staging, path)
-    catalog._invalidate(full_name)
+    with catalog._publish_lock(full_name):
+        try:
+            catalog._check_expected(full_name, expected)
+        except ConcurrentWriteException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        catalog._snapshot_or_drop(full_name)
+        os.replace(staging, path)
+        catalog._invalidate(full_name)
     catalog._mark_clustered_current(full_name)
     return written
 
