@@ -93,11 +93,85 @@ RUN_DATE = "2026-08-13"   # fixed anchor: reproducible DQ runs
 DQ_AS_OF = "2000-01-01"   # anchor inside l_shipdate's range → mixed results
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Spread keys per table: the unique id(s), so the hash partitioning
+# is even and deterministic. Spreading is OPT-IN per call site
+# (`_t(..., spread=True)`): an r14 interleaved A/B over every headline
+# query that touches these tables (scripts/ab_spread.py, min-of-2 per
+# side) split cleanly — queries with heavy per-row expression work
+# upstream of their first exchange (text shingling/hashing, vector
+# math) win 2-4x, while cheap projections/aggregations, limit/first
+# probes, and catalog-write lifecycles LOSE 1.2-1.9x to the extra
+# exchange (e.g. scalar_functions_all 1.00→1.41 s, exact_dedup
+# 0.42→0.78 s). A table-level default would re-tax the losers, so the
+# measured winners opt in explicitly and everything else keeps the
+# plain 13-round-verified scan.
+_SPREAD_KEYS: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+}
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame, path: str,
+            keys: tuple[str, ...]) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2/§6).
+
+    The bench inputs are single-file, single-row-group parquet, so
+    Spark plans ONE scan task regardless of core count and every
+    per-row expression upstream of the first exchange runs serially
+    (measured r14 at sf0.1/local[32]: winnow_pairs 7.2→1.9 s,
+    portable minhash 6.5→0.65 s once spread). When the file's natural
+    split count is at or above the session parallelism — the 100 TB
+    case, where files ≫ maxPartitionBytes — this is a no-op: no extra
+    exchange is ever added at scale. Hash (not round-robin)
+    repartitioning: round-robin pays a whole-partition sort for
+    retry-determinism (SPARK-23207) inside the single scan task —
+    measured 2.2× slower than hashing the unique key."""
+    try:
+        if os.path.isdir(path):
+            # directory table: total data bytes (part files also raise
+            # the natural split count, so the size sum is conservative)
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    try:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        )
+        units = {"k": 10, "m": 20, "g": 30}
+        raw = raw.strip().lower().removesuffix("b")
+        split_bytes = (
+            int(raw[:-1]) << units[raw[-1]] if raw[-1] in units else int(raw)
+        )
+    except (ValueError, IndexError):
+        split_bytes = 128 << 20
+    cores = spark.sparkContext.defaultParallelism
+    if size >= split_bytes * cores or cores <= 1:
+        return df
+    return df.repartition(cores, *[F.col(k) for k in keys])
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    keys = _SPREAD_KEYS.get(name)
+    if spread and keys:
+        df = _spread(spark, df, path, keys)
+    return df
+
+
+def _events(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """events with its parquet TIMESTAMP(NANOS) column surfaced as a
     proper µs timestamp (see sources/readers.py:nanos_to_timestamp;
     DuckDB's reader truncates to µs the same way)."""
@@ -106,7 +180,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The conf is dynamic (SQLConf) — set it here so the queries also
     # work on a driver-provided session built without our defaults.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=spread)
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn("ts", nanos_to_timestamp(F.col("ts")))
     return ev
@@ -3659,7 +3733,7 @@ def langid_confusion_documents(
     normalization."""
     from mydatalake_spark.functions.text import lang_guess
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     cells = (
         docs.select("lang", lang_guess("text").alias("guessed_lang"))
         .groupBy("lang", "guessed_lang")
@@ -3973,7 +4047,7 @@ def dedup_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted signature table the same operator's FED path is
     O(signatures + candidates) instead (bench section
     dedup_summary_fed measures the gap)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup_summary(docs, jaccard_n=3, jaccard_threshold=0.2)
 
 
@@ -4172,7 +4246,7 @@ def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~5.6 s, of which ~3.4 s is the per-doc md5 k-gram hashing
     itself; the join-side plan is unchanged (verified: retained-cache
     rerun still hits ~2.2 s)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return winnow_pairs(docs, k=8, w=4, min_shared=40, max_df=100)
 
 
@@ -4427,7 +4501,7 @@ def minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate pipeline, not just a row count. 32 hashes / 8 bands
     (r=4): P[candidate] ≈ 1-(1-j⁴)⁸ ≈ 1.0 at the j≥0.8 of seeded
     near-dups."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     # Cache: the banding self-join reads the signature relation twice;
     # without this the (expensive) signature build runs 2×. In a real
     # pipeline signatures are a persisted silver table.
@@ -4530,7 +4604,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora never take this path (auto-route → BLAS exact,
     sub-second here). Candidates travel id-only; vectors re-attach
     per distinct pair (neardup.py:cosine_neardup_pairs)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     from mydatalake_spark.caching import adopt
 
     lsh = cosine_neardup_pairs(
@@ -4636,7 +4710,7 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the transitive closure with a recursive CTE, so the hash
     check covers the iterative algorithm, not just one hop
     (operators/clusters.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     from mydatalake_spark.caching import transfer
 
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
@@ -4867,7 +4941,7 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back over the corpus; the per-doc score is then a pure
     projection — no explode, one shuffle total
     (functions/text.py:bm25_scores)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return bm25_scores(docs, _BM25_TERMS)
 
 
@@ -4956,7 +5030,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST (benchmarks are MBs, the corpus is the 100 TB side), so
     contamination detection is a map-side probe — the corpus never
     shuffles (operators/decontam.py:decontaminate)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     holdout = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     return decontaminate(corpus, holdout, n=5)
@@ -4995,7 +5069,7 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition metrics (Gopher-style duplicate
     2-gram fraction, [extension]) — pure codegen expressions, no
     shuffle (operators/decontam.py:repetition_stats)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return repetition_stats(docs, n=2)
 
 
@@ -5042,7 +5116,7 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB it runs at scan speed. Bounds here are tuned to the
     synthetic corpus (~30 short tokens/doc) so the verdict is mixed
     rather than degenerate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     flags = gopher_quality_flags(
         "text",
         min_tokens=20,
@@ -5206,7 +5280,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     join → keep-lowest-id survivor flag. The pair space is Σ cell² ≈
     n²/8 here; at scale n_clusters grows so cells stay small. θ=0.35
     flags 69 of 500 vectors at sf0.01 — a mixed verdict."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return semantic_dedup(
         emb, n_clusters=8, threshold=0.35, id_col="vec_id",
         vec_col="embedding",
@@ -5474,7 +5548,7 @@ def fuzzy_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB levenshtein ≡ Spark's, full-matrix vs short-circuit —
     the cap only drops pairs the ratio filter drops anyway)."""
     return edit_ratio_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", spread=True),
         n=3,
         candidate_threshold=0.05,
         prefix_len=200,
@@ -6752,7 +6826,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-count-distinct Expand strategy — n columns profiled in one
     read instead of n). The oracle computes each column independently
     and must agree exactly."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     return profile_table(
         li,
         ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
@@ -6941,7 +7015,7 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters mirror quality_filter_documents /
     weighted_sample_documents; the oracle replays all four stages in
     one SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     flags = gopher_quality_flags(
         "text",
         min_tokens=20, max_tokens=100,
@@ -7531,7 +7605,7 @@ def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (sources sharing no shingle never pair; never a cross
     product), one pair groupBy, sizes join in — output is
     C(n_sources, 2) rows, catalog-sized."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sh = docs.select(
         F.col("source"),
         F.explode(shingles("text", 3)).alias("shingle"),
@@ -7904,7 +7978,7 @@ def minhash_calibration_documents(
     covers the ESTIMATOR, not just the exact path."""
     from mydatalake_spark.operators.neardup import minhash_calibration
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return minhash_calibration(
         docs, num_hashes=16, shingle_n=3, threshold=0.2
     )
@@ -7986,7 +8060,7 @@ def quantized_recall_embeddings(
     from mydatalake_spark.similarity.quantize import quantized_recall
     from mydatalake_spark.similarity.search import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     exact = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=10
     ).select("query_id", "neighbor_id")
@@ -8295,7 +8369,7 @@ def tfidf_keywords_documents(
     aggregated pair frame, corpus size as a 1-row broadcast."""
     from mydatalake_spark.functions.text import tfidf_keywords
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return tfidf_keywords(docs, top_k=3)
 
 
@@ -8480,7 +8554,7 @@ def duplicate_spans_documents(
     the curation pipeline thresholds on."""
     from mydatalake_spark.operators.neardup import duplicate_span_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return duplicate_span_stats(docs, window=40, stride=10)
 
 
@@ -8518,7 +8592,7 @@ def hard_negatives_embeddings(
     the similarity_topk determinism contract."""
     from mydatalake_spark.similarity.search import hard_negatives_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     out = hard_negatives_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5
     )
@@ -8568,7 +8642,7 @@ def centroid_accuracy_embeddings(
         mean_pool,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     cents = mean_pool(emb, ["label"], "embedding", round_to=6).select(
         F.col("label").alias("__clab__"), F.col("centroid")
     )
@@ -8646,7 +8720,7 @@ def split_leakage_documents(
     from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
     from mydatalake_spark.operators.sampling import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     splits = hash_split(
         docs.select("doc_id"), "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
@@ -9223,7 +9297,7 @@ def bpe_merge_candidates_documents(
     (output bounded by corpus characters), one count aggregate —
     iterating this map-reduce IS distributed BPE training. Integer
     counts make ranking engine-deterministic (pair tiebreak)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     from mydatalake_spark.functions.text import normalize_text, tokens
 
     words = docs.where(F.col("text").isNotNull()).select(
@@ -9340,7 +9414,7 @@ def ndcg_quantized_embeddings(
     )
     from mydatalake_spark.similarity.search import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     qids = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, qids, k=10, vectorized=False)
     we = Window.partitionBy("query_id").orderBy(
@@ -9672,7 +9746,7 @@ def bpe_two_rounds_documents(
     pair. Top-10 round-2 pairs; '+' marks the merged symbol."""
     from mydatalake_spark.functions.text import normalize_text, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sep = "\x01"
     words = docs.where(F.col("text").isNotNull()).select(
         F.explode(tokens(normalize_text(F.col("text")))).alias("w")
@@ -9765,7 +9839,7 @@ def canonical_by_quality_documents(
     from mydatalake_spark.operators.clusters import dedup_clusters
     from mydatalake_spark.operators.neardup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     clustered = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
     scored = clustered.join(
@@ -10387,7 +10461,7 @@ def langid_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the agreement the marginals produce by luck."""
     from mydatalake_spark.functions.stats import cohens_kappa
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     labeled = docs.select("lang", lang_guess("text").alias("guessed"))
     return cohens_kappa(labeled, "lang", "guessed")
 
@@ -10432,7 +10506,7 @@ def boilerplate_strip_documents(
     surviving bytes."""
     from mydatalake_spark.operators.paradedup import boilerplate_strip
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return boilerplate_strip(docs, size=48, max_df=1)
 
 
@@ -10479,8 +10553,8 @@ def rrf_hybrid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mydatalake_spark.functions.vectors import cosine_similarity
     from mydatalake_spark.similarity.fusion import rank_top_n, rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     lex = rank_top_n(
         bm25_scores(docs, _BM25_TERMS), F.col("bm25"), "doc_id", 50
     )
