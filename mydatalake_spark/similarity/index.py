@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from .search import (
-    _argmax_cell,
+    _assign_argmax,
     _centroid_scores_expr,
     _train_spherical_kmeans,
     cosine_similarity,
@@ -82,10 +82,10 @@ def build_ivf_index(
     catalog.overwrite(cent_df, cent_table)
 
     scores = _centroid_scores_expr(centroids)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_cell(scores(vec_col)).alias("cell"),
+    assigned = _assign_argmax(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        scores(vec_col),
+        "cell",
     )
     if pq_subspaces:
         from .pq import pq_encode, train_pq
@@ -129,10 +129,10 @@ def append_to_ivf_index(
     cent_table, cells_table = _names(name)
     centroids = _load_centroids(catalog, cent_table)
     scores = _centroid_scores_expr(centroids)
-    assigned = new_vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_cell(scores(vec_col)).alias("cell"),
+    assigned = _assign_argmax(
+        new_vectors.select(F.col(id_col), F.col(vec_col)),
+        scores(vec_col),
+        "cell",
     )
     if catalog.exists(_pq_name(name)):
         # IVF-PQ index: the increment encodes against the STORED

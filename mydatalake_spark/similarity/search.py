@@ -335,6 +335,30 @@ def _argmax_cell(scores) -> "F.Column":
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _assign_argmax(df: DataFrame, scores: "F.Column", out: str) -> DataFrame:
+    """``df`` + column ``out`` = argmax index of the ``scores`` array,
+    with the array materialized ONCE through an intermediate projection.
+
+    ``array_position(a, array_max(a))`` embeds its argument twice, and
+    for the centroid-score arrays each copy is n_centroids fold
+    expressions — inlining doubles the parse/analysis tree and the
+    per-row work (r14 measured on the PQ encode analogue: optimized
+    plan 196 KB → 101 KB, noop-sink exec 3.3 → 2.2 s, codes
+    bit-identical). The two-step projection halves it: the scores
+    alias is referenced twice but is non-cheap, so CollapseProject
+    keeps the layering (verified in-plan)."""
+    tmp = f"__{out}_scores__"
+    return (
+        df.withColumn(tmp, scores)
+        .withColumn(
+            out,
+            (F.array_position(F.col(tmp), F.array_max(F.col(tmp))) - 1)
+            .cast("int"),
+        )
+        .drop(tmp)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -366,12 +390,14 @@ def ivf_topk(
         seed=seed, sample_size=sample_size, iters=iters,
     )
     _cell_scores = _centroid_scores_expr(centroids)
-    _argmax = _argmax_cell
 
-    c_assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec__"),
-        _argmax(_cell_scores(vec_col)).alias("cell"),
+    c_assigned = _assign_argmax(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec__"),
+        ),
+        _cell_scores("__cvec__"),
+        "cell",
     )
     # queries probe their top-n_probe cells
     q_scored = queries.select(

@@ -97,13 +97,17 @@ def semantic_dedup(
             for c in centroids
         ]
     )
-    assigned = df.select(
+    # Cell = argmax of the centroid-score array; the array (n_clusters
+    # cosine folds) is materialized ONCE through an intermediate
+    # projection instead of being inlined twice by
+    # array_position(a, array_max(a)) — see search._assign_argmax.
+    from .search import _assign_argmax
+
+    assigned = _assign_argmax(df, scores, "cell").select(
         F.col(id_col),
         F.col(vec_col).alias("__v__"),
         nrm.alias("__nrm__"),
-        (F.array_position(scores, F.array_max(scores)) - 1)
-        .cast("int")
-        .alias("cell"),
+        F.col("cell"),
     )
 
     if pair_backend == "blas":
