@@ -4611,16 +4611,37 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.45, exact=False, dim=64,
         n_bands=32, bits_per_band=3,
     ).persist()
-    exact = cosine_neardup_pairs(emb, threshold=0.45)
     # one id-only collect per path (the matched pair set is small by
     # construction — the oracle collects the same set every run);
     # set-compare driver-side instead of exceptAll jobs, which would
     # re-evaluate both plans twice more. The LSH frame is persisted so
     # the assertion's materialization also serves the returned frame
     # (ownership adopted — release/release_all frees it).
+    #
+    # The two sides are INDEPENDENT job chains (banding → band join →
+    # verify vs count → byte-cap probe → corpus collect → BLAS scan);
+    # running them from two driver threads lets the second chain's
+    # jobs back-fill the tail of the first (optimization guide §2.6 —
+    # actions are only sequential because driver code calls them
+    # sequentially). Same frames, same jobs, same results — measured
+    # r14: 8.40 → 4.27 s min-of-3 interleaved A/B at sf0.1 (0.51×),
+    # collected rows asserted identical.
     ids = ["id_a", "id_b"]
-    lsh_ids = {tuple(r) for r in lsh.select(*ids).collect()}
-    exact_ids = {tuple(r) for r in exact.select(*ids).collect()}
+
+    def _lsh_side():
+        return {tuple(r) for r in lsh.select(*ids).collect()}
+
+    def _exact_side():
+        exact = cosine_neardup_pairs(emb, threshold=0.45)
+        return {tuple(r) for r in exact.select(*ids).collect()}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lsh = pool.submit(_lsh_side)
+        f_exact = pool.submit(_exact_side)
+        lsh_ids = f_lsh.result()
+        exact_ids = f_exact.result()
     if lsh_ids != exact_ids:
         raise AssertionError(
             "embedding_neardup_lsh: banded path diverged from the "
