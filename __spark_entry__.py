@@ -4468,7 +4468,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded k-means, id-tiebroken top-k). Measured per-query recall at
     sf0.01 is ≥ 0.8 — the 0.6 floor leaves honest ANN headroom rather
     than forcing exhaustive probing."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 10)
     approx = ivf_topk(
         emb, q, dim=64, k=5, n_centroids=16, n_probe=12
@@ -10637,7 +10637,7 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom like similarity_ivf's."""
     from mydatalake_spark.similarity.pq import pq_search_rerank, train_pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 10)
     books = train_pq(emb, m_subspaces=16, n_codes=16)
     approx = pq_search_rerank(emb, q, books, k=5, shortlist=50).select(
