@@ -10640,9 +10640,14 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 10)
     books = train_pq(emb, m_subspaces=16, n_codes=16)
-    approx = pq_search_rerank(emb, q, books, k=5, shortlist=50).select(
-        "query_id", "neighbor_id"
-    )
+    # max_queries=None: the batch is pre-bounded by construction
+    # (vec_id < 10), so the ADC batch-cap probe — a whole Spark job
+    # counting 10 rows — is skipped per pq_adc_topk's documented
+    # pre-bounded-caller contract (r14; ~0.2-0.6 s of pure job
+    # latency, results unchanged).
+    approx = pq_search_rerank(
+        emb, q, books, k=5, shortlist=50, max_queries=None
+    ).select("query_id", "neighbor_id")
     exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
