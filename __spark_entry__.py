@@ -4624,8 +4624,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs back-fill the tail of the first (optimization guide §2.6 —
     # actions are only sequential because driver code calls them
     # sequentially). Same frames, same jobs, same results — measured
-    # r14: 8.40 → 4.27 s min-of-3 interleaved A/B at sf0.1 (0.51×),
-    # collected rows asserted identical.
+    # r14, two min-of-3 interleaved A/Bs at sf0.1 hours apart: 8.40 →
+    # 4.27 s (0.51×, steal-heavy host phase) and 5.11 → 4.77 s (0.93×,
+    # calmer phase) — the overlap hides per-job latency, so the win
+    # scales with how bad that latency is; it never lost a pairing.
+    # Collected rows asserted identical in both A/Bs.
     ids = ["id_a", "id_b"]
 
     def _lsh_side():
