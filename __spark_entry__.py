@@ -1253,18 +1253,26 @@ def cdf_sync_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="cdf_sync_"), keep_versions=4
     )
     tbl = "silver.sales.orders_hist"
-    for state in (v1, v2, v3):
-        cat.overwrite_via_staging(state, tbl)
-    cat.snapshot(tbl)                      # v3 = latest retained
     view = IncrementalAggView(
         spark, cat, "gold.sales.revenue_synced",
         keys=["o_orderpriority"],
         measures={"revenue_cents": "price_cents"},
     )
-    applied = sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"])
-    assert applied == [1, 2, 3], applied
-    # idempotency under re-run: the second sync applies nothing
-    assert sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"]) == []
+
+    def _sync_chain():
+        for state in (v1, v2, v3):
+            cat.overwrite_via_staging(state, tbl)
+        cat.snapshot(tbl)                  # v3 = latest retained
+        applied = sync_view_from_table_changes(
+            view, cat, tbl, ["o_orderkey"]
+        )
+        assert applied == [1, 2, 3], applied
+        # idempotency under re-run: the second sync applies nothing
+        assert (
+            sync_view_from_table_changes(view, cat, tbl, ["o_orderkey"])
+            == []
+        )
+
     # r13 fold (VERDICT r12 ask #9): the former cdf_incremental_agg_
     # orders coverage — the ISOLATED retraction fold, a view built
     # from v1 then refreshed by ONE apply_changes over the v1→v2 feed
@@ -1280,8 +1288,27 @@ def cdf_sync_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderpriority"],
         measures={"revenue_cents": "price_cents"},
     )
-    fold.apply(v1)
-    fold.apply_changes(change_feed(v1, v2, ["o_orderkey"]))
+
+    def _fold_chain():
+        fold.apply(v1)
+        fold.apply_changes(change_feed(v1, v2, ["o_orderkey"]))
+
+    # The sync chain (3 staged overwrites + snapshot + tokened
+    # per-commit sync + idempotent re-sync of orders_hist /
+    # revenue_synced) and the fold-sentinel chain (2 writes of
+    # revenue_fold) touch DISJOINT tables — the catalog's publish lock
+    # is per-table (flock on <table>/.publish_lock), so the two commit
+    # sequences never contend. Run them from two driver threads (guide
+    # §2.6, the embedding_neardup_lsh pattern): each chain's commits
+    # stay strictly ordered WITHIN the chain, and the lifecycle each
+    # deliberately exercises is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sync = pool.submit(_sync_chain)
+        f_fold = pool.submit(_fold_chain)
+        f_sync.result()
+        f_fold.result()
     direct = v2.groupBy("o_orderpriority").agg(
         F.sum("price_cents").alias("d_cents"),
         F.count(F.lit(1)).alias("d_rows"),
