@@ -192,6 +192,7 @@ def build_compact_record(
     skew,
     family_tax,
     sf_num,
+    archived: str | None = None,
 ) -> str:
     """Build the driver-facing compact JSON line under a hard byte
     budget (VERDICT r8 ask #1: BENCH_r08.json parsed=null because this
@@ -211,6 +212,13 @@ def build_compact_record(
         "sf": sf_num,
         "compact": True,
     }
+    if archived:
+        # pointer to the self-archived FULL record (per-query seconds,
+        # phase ratios, every evidence section) — the compact line
+        # cannot carry 159 per-query entries inside the driver's
+        # 2000-char tail capture, so it names where they live instead
+        # (r15, VERDICT r14 ask #2). Repo-relative.
+        rec["archived"] = archived
     if floors_ok:
         rec["floors"] = {
             "suite_floor_sec": floors["suite_floor_sec"],
@@ -1125,14 +1133,19 @@ def main() -> None:
     # the compact line past the driver's 2000-char tail window), so
     # the compact record now has a HARD byte budget with a degrade
     # order: full per-query detail lives only in the self-archived
-    # bench_history/{RUN_LABEL}.json.
+    # bench_history/{RUN_LABEL}.json — archived BEFORE the compact
+    # line prints so the line can carry the archive path (r15,
+    # VERDICT r14 ask #2: the adjudicator could not trace per-query
+    # seconds from the captured tail to their on-disk record).
+    archived = _archive_run(line)
+    if archived:
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        archived = os.path.relpath(archived, repo_root)
     compact = build_compact_record(
-        total, timings, floors, skew, family_tax, sf_num
+        total, timings, floors, skew, family_tax, sf_num, archived
     )
     sys.stdout.write(compact + "\n")
     sys.stdout.flush()
-
-    _archive_run(line)
 
 
 if __name__ == "__main__":

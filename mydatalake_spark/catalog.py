@@ -288,6 +288,15 @@ class Catalog:
     # inodes), which is also what makes table_changes'
     # partition-pruned diff able to PROVE leaves untouched.
     keep_versions: int = 0
+    # Commit clock: () -> epoch seconds, stamped on every committed
+    # write (_stamp_commit). Default None = wall clock (time.time).
+    # Injectable so TIMESTAMP AS OF contracts can be exercised with a
+    # deterministic strictly-increasing clock instead of real sleeps
+    # between commits (r15 — removed the two 0.05 s sleeps from the
+    # cdf_timestamp query path and de-flaked its resolution contract:
+    # wall-clock stamps taken microseconds apart were only *probably*
+    # distinct; injected stamps are distinct by construction).
+    clock: "object | None" = None
 
     def __post_init__(self) -> None:
         if self.fmt == "delta" and not delta_available():
@@ -343,8 +352,9 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         p = self._last_commit_path(full_name)
         tmp = p + ".tmp"
+        now = self.clock() if self.clock is not None else _time.time()
         with open(tmp, "w") as fh:
-            fh.write(repr(_time.time()))
+            fh.write(repr(float(now)))
         os.replace(tmp, p)
 
     def commit_token(self, full_name: str) -> str | None:

@@ -35,6 +35,14 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        # validate up front (ADVICE r14): a mistyped name mid-list must
+        # not cost the partial results of the queries already profiled
+        sys.exit(
+            f"unknown query name(s): {', '.join(unknown)}\n"
+            f"available: {', '.join(sorted(qs))}"
+        )
     out = {}
     for name in names:
         fn = qs[name]

@@ -213,6 +213,20 @@ def test_compact_record_surfaces_floor_error(bench):
     assert rec["floors"] == {"error": "KeyError: sec"}
 
 
+def test_compact_record_carries_archive_pointer(bench):
+    """r15 (VERDICT r14 ask #2): the compact line names the
+    self-archived full record so per-query seconds are traceable from
+    the driver's captured tail; unlabeled runs (no archive) omit it."""
+    mod, _ = bench
+    rec = json.loads(mod.build_compact_record(
+        1.0, {"q": 1.0}, None, None, None, 0.1,
+        archived="bench_history/r15_some_run.json"))
+    assert rec["archived"] == "bench_history/r15_some_run.json"
+    rec = json.loads(mod.build_compact_record(
+        1.0, {"q": 1.0}, None, None, None, 0.1))
+    assert "archived" not in rec
+
+
 def test_archive_never_overwrites_existing_label(bench, tmp_path):
     """ADVICE r8: rerunning with a used label must not clobber the
     archived run that floors.json provenance points at."""
